@@ -1,0 +1,156 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** One physical data file tracked by the view. `relPath` is relative to the
+  * table base dir.
+  */
+final case class FileEntry(
+    partitionPath: String,
+    fileId: String,
+    instant: String,
+    relPath: String,
+    sizeBytes: Long,
+    isDelta: Boolean,
+    minKey: String = "",
+    maxKey: String = "",
+    numRecords: Long = 0L)
+
+/** Latest view of one file group at some instant: newest base file plus the
+  * delta files written after it (reference model/FileSlice.java:32-53).
+  */
+final case class FileSlice(
+    partitionPath: String,
+    fileId: String,
+    baseFile: Option[FileEntry],
+    deltaFiles: Seq[FileEntry]) {
+  def allFiles: Seq[FileEntry] = baseFile.toSeq ++ deltaFiles
+  def totalDeltaBytes: Long = deltaFiles.map(_.sizeBytes).sum
+}
+
+/** Serializable fold state — persisted as a files-index snapshot when the
+  * timeline archives, so the view never needs archived instants (this is
+  * the reference's metadata-table idea — hudi-common/.../metadata/ — done
+  * as a compacted driver-side index instead of an internal MOR table).
+  */
+final case class ViewState(
+    asOfInstant: String,
+    entries: Seq[FileEntry],
+    replaced: Map[String, String]) { // "partition|fileId" -> instant replaced at
+  def replacedAt(partition: String, fileId: String): Option[String] =
+    replaced.get(ViewState.groupKey(partition, fileId))
+}
+
+object ViewState {
+  /** File groups are identified by (partition, fileId) — a fileId is only
+    * unique within its partition (reference model/HoodieFileGroupId.java).
+    */
+  def groupKey(partition: String, fileId: String): String = s"$partition|$fileId"
+}
+
+/** Table file-system view derived purely from commit metadata — zero
+  * directory listing, unlike the reference's listing-based
+  * AbstractTableFileSystemView. Every commit records the files it added
+  * (with key ranges and sizes) and the file groups it replaced; the view is
+  * a fold over completed instants. At 100 TB / ~1M files this fold is a
+  * driver-side O(files-touched-since-last-index) pass over small JSON, and
+  * the periodic index snapshot keeps it bounded.
+  */
+final class FileSystemView(basePath: Path, timeline: Timeline) {
+  private val indexDir = basePath.resolve(".graft").resolve("index")
+
+  /** Build the fold state at `asOf` (None ⇒ latest). */
+  def state(asOf: Option[String] = None): ViewState = {
+    val base = loadIndex(asOf)
+    val instants = timeline.completedInstants()
+      .filter(i => Action.DataActions.contains(i.action))
+      .filter(i => i.ts > base.asOfInstant)
+      .filter(i => asOf.forall(i.ts <= _))
+    var entries = base.entries
+    var replaced = base.replaced
+    var last = base.asOfInstant
+    instants.foreach { i =>
+      val md = CommitMetadata.fromJson(timeline.readContent(i))
+      entries = entries ++ md.writeStats.map(ws => FileEntry(
+        ws.partitionPath, ws.fileId, i.ts, ws.path, ws.fileSizeInBytes,
+        ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites))
+      md.replacedFileIds.foreach { case (part, fids) =>
+        fids.foreach { fid =>
+          val k = ViewState.groupKey(part, fid)
+          if (!replaced.contains(k)) replaced = replaced.updated(k, i.ts)
+        }
+      }
+      last = i.ts
+    }
+    ViewState(last, entries, replaced)
+  }
+
+  /** Latest file slice per live file group at `asOf`. */
+  def fileSlices(asOf: Option[String] = None): Seq[FileSlice] = {
+    val st = state(asOf)
+    st.entries
+      .filter(e => !st.replacedAt(e.partitionPath, e.fileId).exists(rts => asOf.forall(rts <= _)))
+      .groupBy(e => (e.partitionPath, e.fileId))
+      .map { case ((part, fid), files) =>
+        val bases = files.filterNot(_.isDelta)
+        val latestBase = if (bases.isEmpty) None else Some(bases.maxBy(_.instant))
+        val deltas = files.filter(_.isDelta)
+          .filter(d => latestBase.forall(b => d.instant > b.instant))
+          .sortBy(_.instant)
+        FileSlice(part, fid, latestBase, deltas)
+      }
+      .toSeq
+      .sortBy(s => (s.partitionPath, s.fileId))
+  }
+
+  /** Latest base files only (read-optimized view / COW snapshot). */
+  def latestBaseFiles(asOf: Option[String] = None): Seq[FileEntry] =
+    fileSlices(asOf).flatMap(_.baseFile)
+
+  /** Base files below the small-file threshold, for upsert bin-packing
+    * (reference UpsertPartitioner.getSmallFiles). Only slices with no
+    * pending deltas qualify.
+    */
+  def smallFiles(partition: String, limitBytes: Long): Seq[FileEntry] =
+    fileSlices(None)
+      .filter(s => s.partitionPath == partition && s.deltaFiles.isEmpty)
+      .flatMap(_.baseFile)
+      .filter(_.sizeBytes < limitBytes)
+
+  def partitions(asOf: Option[String] = None): Seq[String] =
+    fileSlices(asOf).map(_.partitionPath).distinct.sorted
+
+  /** All file entries ever written and not yet cleaned — used by clean to
+    * find obsolete slices.
+    */
+  def allEntries(): ViewState = state(None)
+
+  // ---- files-index snapshot (written at archive time) ----
+
+  def writeIndexSnapshot(): Path = {
+    val st = state(None)
+    Files.createDirectories(indexDir)
+    val p = indexDir.resolve(s"files_${st.asOfInstant}.json")
+    Files.write(p, Json.write(st).getBytes(UTF_8))
+    p
+  }
+
+  private def loadIndex(asOf: Option[String]): ViewState = {
+    if (!Files.isDirectory(indexDir))
+      return ViewState("", Seq.empty, Map.empty)
+    val candidates = Files.list(indexDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("files_") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("files_").stripSuffix(".json"))
+      .filter(ts => asOf.forall(ts <= _))
+      .toSeq.sorted
+    candidates.lastOption match {
+      case None => ViewState("", Seq.empty, Map.empty)
+      case Some(ts) =>
+        val content = new String(Files.readAllBytes(indexDir.resolve(s"files_$ts.json")), UTF_8)
+        Json.read[ViewState](content)
+    }
+  }
+}

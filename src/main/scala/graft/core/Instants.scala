@@ -1,0 +1,161 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{Instant => JInstant, ZoneOffset}
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+/** Timeline actions — mirrors the reference's action taxonomy
+  * (reference hudi-common/.../table/timeline/HoodieTimeline.java:46-93).
+  */
+object Action {
+  val Commit = "commit"             // COW write
+  val DeltaCommit = "deltacommit"   // MOR write (delta files)
+  val ReplaceCommit = "replacecommit" // insert_overwrite / clustering
+  val Compaction = "compaction"     // MOR log merge
+  val Clean = "clean"
+  val Rollback = "rollback"
+  val Savepoint = "savepoint"
+  val Restore = "restore"
+
+  /** Actions that add data files visible to snapshot readers. */
+  val DataActions: Set[String] = Set(Commit, DeltaCommit, ReplaceCommit, Compaction)
+}
+
+object State {
+  val Requested = "requested"
+  val Inflight = "inflight"
+  val Completed = "completed"
+}
+
+/** One timeline instant: (timestamp, action, state). Serialized as a file
+  * `<ts>.<action>[.<state>]` under `<base>/.graft/timeline/`; completed
+  * instants omit the state suffix and carry the action metadata JSON as
+  * file content. Completion is an atomic rename, which is the commit
+  * protocol (reference HoodieActiveTimeline.java:143-297).
+  */
+final case class GraftInstant(ts: String, action: String, state: String) {
+  def isCompleted: Boolean = state == State.Completed
+  def fileName: String =
+    if (isCompleted) s"$ts.$action" else s"$ts.$action.$state"
+}
+
+object InstantTime {
+  private val fmt = DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS").withZone(ZoneOffset.UTC)
+  private val lastMillis = new AtomicLong(0L)
+
+  /** Monotonically increasing commit timestamp, unique within this JVM.
+    * (A multi-writer deployment serializes instant creation under the
+    * table lock — see services.TableLock.)
+    */
+  def newInstant(): String = {
+    var candidate = System.currentTimeMillis()
+    var prev = lastMillis.get()
+    while ({
+      if (candidate <= prev) candidate = prev + 1
+      !lastMillis.compareAndSet(prev, candidate) && { prev = lastMillis.get(); true }
+    }) {}
+    fmt.format(JInstant.ofEpochMilli(candidate))
+  }
+}
+
+/** The active timeline of a table: ordered instants persisted as files.
+  *
+  * State machine per instant: requested → inflight → completed, mirroring
+  * the reference (HoodieActiveTimeline.java). Readers only trust completed
+  * instants, which is what gives snapshot isolation: data files are named
+  * by the instant that wrote them, and a file is only visible once its
+  * instant file exists.
+  */
+final class Timeline(val basePath: Path) {
+  val dir: Path = basePath.resolve(".graft").resolve("timeline")
+  val archiveDir: Path = basePath.resolve(".graft").resolve("archive")
+
+  def init(): Unit = Files.createDirectories(dir)
+
+  def listInstants(): Seq[GraftInstant] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .flatMap(parse)
+      .toSeq
+      .sortBy(i => (i.ts, i.action))
+  }
+
+  private def parse(name: String): Option[GraftInstant] = name.split('.') match {
+    case Array(ts, action) => Some(GraftInstant(ts, action, State.Completed))
+    case Array(ts, action, state) if state == State.Requested || state == State.Inflight =>
+      Some(GraftInstant(ts, action, state))
+    case _ => None
+  }
+
+  def completedInstants(): Seq[GraftInstant] =
+    listInstants().filter(_.isCompleted)
+
+  def completedDataInstants(): Seq[GraftInstant] =
+    completedInstants().filter(i => Action.DataActions.contains(i.action))
+
+  def lastCompleted(): Option[GraftInstant] = completedDataInstants().lastOption
+
+  def pendingInstants(): Seq[GraftInstant] = listInstants().filterNot(_.isCompleted)
+
+  def createRequested(ts: String, action: String, content: String = "{}"): GraftInstant = {
+    Files.createDirectories(dir)
+    atomicWrite(dir.resolve(s"$ts.$action.${State.Requested}"), content)
+    GraftInstant(ts, action, State.Requested)
+  }
+
+  def transitionToInflight(i: GraftInstant, content: String = "{}"): GraftInstant = {
+    atomicWrite(dir.resolve(s"${i.ts}.${i.action}.${State.Inflight}"), content)
+    GraftInstant(i.ts, i.action, State.Inflight)
+  }
+
+  /** Atomic publish: the completed instant file appears (with its metadata
+    * as content) in one rename; requested/inflight markers are removed.
+    */
+  def saveAsComplete(i: GraftInstant, metadataJson: String): GraftInstant = {
+    atomicWrite(dir.resolve(s"${i.ts}.${i.action}"), metadataJson)
+    Files.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Requested}"))
+    Files.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Inflight}"))
+    GraftInstant(i.ts, i.action, State.Completed)
+  }
+
+  def readContent(i: GraftInstant): String =
+    new String(Files.readAllBytes(dir.resolve(i.fileName)), UTF_8)
+
+  def readRequestedContent(ts: String, action: String): String =
+    new String(Files.readAllBytes(dir.resolve(s"$ts.$action.${State.Requested}")), UTF_8)
+
+  def deleteInstantFiles(ts: String, action: String): Unit = {
+    Files.deleteIfExists(dir.resolve(s"$ts.$action"))
+    Files.deleteIfExists(dir.resolve(s"$ts.$action.${State.Inflight}"))
+    Files.deleteIfExists(dir.resolve(s"$ts.$action.${State.Requested}"))
+  }
+
+  /** Move completed instants older than `keepFrom` into the archive log
+    * (one JSON line each), bounding active-timeline size like the
+    * reference's HoodieTimelineArchiveLog.
+    */
+  def archiveBefore(keepFrom: String): Int = {
+    val toArchive = completedInstants().filter(_.ts < keepFrom)
+    if (toArchive.isEmpty) return 0
+    Files.createDirectories(archiveDir)
+    val log = archiveDir.resolve("archived.jsonl")
+    val lines = toArchive.map { i =>
+      val content = readContent(i)
+      Json.write(Map("ts" -> i.ts, "action" -> i.action, "metadata" -> content))
+    }
+    Files.write(log, (lines.mkString("", "\n", "\n")).getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    toArchive.foreach(i => Files.deleteIfExists(dir.resolve(i.fileName)))
+    toArchive.size
+  }
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Table-level configuration persisted as `<base>/.graft/table.json` —
+  * the analog of the reference's `.hoodie/hoodie.properties`
+  * (reference hudi-common/.../table/HoodieTableConfig.java:60-124).
+  *
+  * @param tableName          logical name
+  * @param tableType          "COPY_ON_WRITE" | "MERGE_ON_READ"
+  * @param recordKeyFields    columns forming the record key
+  * @param partitionPathExpr  Spark SQL expression producing the partition
+  *                           path string (empty ⇒ non-partitioned). Pure
+  *                           Catalyst expression — the keygen analog
+  *                           (reference keygen package) with no UDFs.
+  * @param precombineField    ordering column for dedup/merge (empty ⇒ none;
+  *                           arrival order wins via commit time)
+  */
+final case class TableConfig(
+    tableName: String,
+    tableType: String,
+    recordKeyFields: Seq[String],
+    partitionPathExpr: String,
+    precombineField: String,
+    props: Map[String, String] = Map.empty) {
+
+  def isMor: Boolean = tableType == TableType.MergeOnRead
+
+  def prop(key: String, default: String): String = props.getOrElse(key, default)
+  def propLong(key: String, default: Long): Long =
+    props.get(key).map(_.toLong).getOrElse(default)
+}
+
+object TableType {
+  val CopyOnWrite = "COPY_ON_WRITE"
+  val MergeOnRead = "MERGE_ON_READ"
+}
+
+/** Tunables with the reference's defaults (BASELINE.md). */
+object ConfigKeys {
+  val MaxFileSize = "graft.parquet.max.file.size"           // 120 MB
+  val SmallFileLimit = "graft.parquet.small.file.limit"     // 100 MB
+  val RecordSizeEstimate = "graft.record.size.estimate"     // 1024 B seed
+  val CleanerCommitsRetained = "graft.cleaner.commits.retained" // 10
+  val CompactDeltaCommits = "graft.compact.max.delta.commits"   // 5
+  val ArchiveMinCommits = "graft.archive.min.commits"       // 20
+  val ArchiveMaxCommits = "graft.archive.max.commits"       // 30
+
+  val DefaultMaxFileSize: Long = 120L * 1024 * 1024
+  val DefaultSmallFileLimit: Long = 100L * 1024 * 1024
+  val DefaultRecordSize: Long = 1024L
+  val DefaultCleanerRetained = 10
+  val DefaultCompactDeltaCommits = 5
+}
+
+object TableConfig {
+  def path(base: Path): Path = base.resolve(".graft").resolve("table.json")
+
+  def save(base: Path, cfg: TableConfig): Unit = {
+    Files.createDirectories(base.resolve(".graft"))
+    Files.write(path(base), Json.writePretty(cfg).getBytes(UTF_8))
+  }
+
+  def load(base: Path): TableConfig =
+    Json.read[TableConfig](new String(Files.readAllBytes(path(base)), UTF_8))
+
+  def exists(base: Path): Boolean = Files.exists(path(base))
+}

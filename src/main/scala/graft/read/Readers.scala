@@ -1,0 +1,122 @@
+package graft.read
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.table.GraftTable
+
+/** The three query types over a table (reference README.md:40-43,
+  * DefaultSource.scala:66-138 dispatch):
+  *
+  * - snapshot: latest committed state (COW: plain columnar scan; MOR:
+  *   base ∪ delta merge) — optionally `asOf` an older instant (time travel)
+  * - read-optimized: base files only (skips delta merge)
+  * - incremental: records changed in a commit-time range
+  *   (begin-exclusive, end-inclusive — reference DataSourceOptions.scala:87-112)
+  *
+  * Scale note: only file groups that actually have pending delta files pay
+  * the merge window; fully-compacted groups stream straight from parquet
+  * with filters/pruning pushed by Catalyst. With inline compaction every 5
+  * delta commits, read amplification is bounded like the reference's.
+  */
+object Readers {
+
+  /** Snapshot view. `partitions` prunes file listing before any IO —
+    * partition pruning happens at plan time against the metadata view, not
+    * by scanning (reference HoodieFileIndex.scala:126-137).
+    */
+  def snapshot(
+      t: GraftTable,
+      asOf: Option[String] = None,
+      partitions: Option[Seq[String]] = None): DataFrame = {
+    val slices0 = t.view.fileSlices(asOf)
+    val slices = partitions match {
+      case Some(ps) => val s = ps.toSet; slices0.filter(x => s.contains(x.partitionPath))
+      case None => slices0
+    }
+    val (withDeltas, plainSlices) = slices.partition(_.deltaFiles.nonEmpty)
+    val plain = t.readEntriesRaw(plainSlices.flatMap(_.baseFile))
+    if (withDeltas.isEmpty) plain
+    else plain.unionByName(mergeSlices(t, withDeltas), allowMissingColumns = true)
+  }
+
+  /** Read-optimized view: latest base files only, no delta merge
+    * (reference's `_ro` view).
+    */
+  def readOptimized(t: GraftTable, asOf: Option[String] = None): DataFrame =
+    t.readEntriesRaw(t.view.fileSlices(asOf).flatMap(_.baseFile))
+
+  /** Merge-on-read for the slices that need it: base ∪ deltas →
+    * latest-wins window → tombstones dropped (the DataFrame form of the
+    * reference's per-slice merge iterators, HoodieMergeOnReadRDD.scala:58-305).
+    */
+  private def mergeSlices(t: GraftTable, slices: Seq[FileSlice]): DataFrame = {
+    val del = MetaCols.DeleteFlag
+    val bases = t.readEntriesRaw(slices.flatMap(_.baseFile))
+      .withColumn(del, lit(false))
+    val deltas = t.readEntriesRaw(slices.flatMap(_.deltaFiles))
+    val unioned = bases.unionByName(
+      deltas.withColumn(del, coalesce(col(del), lit(false))),
+      allowMissingColumns = true)
+    val ord = Seq(col(MetaCols.CommitTime).desc) ++
+      (if (t.cfg.precombineField.nonEmpty) Seq(col(t.cfg.precombineField).desc) else Nil) ++
+      Seq(col(MetaCols.CommitSeqno).desc)
+    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+      .orderBy(ord: _*)
+    unioned
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1 && !col(del))
+      .drop("_graft_rn", del)
+  }
+
+  /** Time travel — snapshot as of an instant (reference `as.of.instant`). */
+  def timeTravel(t: GraftTable, instant: String): DataFrame =
+    snapshot(t, asOf = Some(instant))
+
+  /** Incremental query: the latest state of every record changed by commits
+    * in `(beginTs, endTs]` (reference IncrementalRelation.scala:60-178 —
+    * file lists come from commit metadata, then rows are filtered by
+    * `_hoodie_commit_time` range; deleted records are dropped).
+    */
+  def incremental(
+      t: GraftTable,
+      beginTs: String,
+      endTs: Option[String] = None): DataFrame = {
+    val end = endTs.getOrElse("99999999999999999")
+    val instants = t.timeline.completedInstants()
+      .filter(i => Action.DataActions.contains(i.action))
+      .filter(i => i.ts > beginTs && i.ts <= end)
+    val metas = instants.map(i => i -> CommitMetadata.fromJson(t.timeline.readContent(i)))
+      // compaction/clustering rewrite existing records — no logical change
+      .filter { case (i, m) =>
+        i.action != Action.Compaction && m.operationType != "cluster"
+      }
+    val entries = metas.flatMap { case (i, m) =>
+      m.writeStats.map(ws => FileEntry(ws.partitionPath, ws.fileId, i.ts, ws.path,
+        ws.fileSizeInBytes, ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites))
+    }
+    val missing = entries.filterNot(e =>
+      java.nio.file.Files.exists(t.basePath.resolve(e.relPath)))
+    require(missing.isEmpty,
+      s"incremental range ($beginTs, $end] references cleaned/rolled-back files: " +
+        missing.take(3).map(_.relPath).mkString(", "))
+    val del = MetaCols.DeleteFlag
+    val raw = t.readEntriesRaw(entries)
+    val withDel =
+      if (raw.columns.contains(del)) raw.withColumn(del, coalesce(col(del), lit(false)))
+      else raw.withColumn(del, lit(false))
+    val inRange = withDel.filter(
+      col(MetaCols.CommitTime) > beginTs && col(MetaCols.CommitTime) <= end)
+    val ord = Seq(col(MetaCols.CommitTime).desc) ++
+      (if (t.cfg.precombineField.nonEmpty) Seq(col(t.cfg.precombineField).desc) else Nil) ++
+      Seq(col(MetaCols.CommitSeqno).desc)
+    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+      .orderBy(ord: _*)
+    inRange
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1 && !col(del))
+      .drop("_graft_rn", del)
+  }
+}

@@ -1,0 +1,480 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+import graft.core._
+import graft.keygen.KeyGen
+
+/** A transactional keyed table on parquet — the engine's central API,
+  * reproducing the reference's write-client surface
+  * (reference hudi-client/hudi-spark-client/.../SparkRDDWriteClient.java)
+  * as DataFrame-in/DataFrame-out operations.
+  *
+  * Everything is expressed as declarative Spark plans: key generation is a
+  * Catalyst expression, batch dedup is a window, index tagging is a
+  * left-outer join against a key/fileId scan with key-range file skipping,
+  * file-group routing is a computed column + one `repartition`, and the
+  * per-file merge is `unionByName` + `row_number` (Spark's shuffle handles
+  * spill — no ExternalSpillableMap analog needed).
+  */
+final class GraftTable(
+    val spark: SparkSession,
+    val basePath: Path,
+    val cfg: TableConfig) {
+
+  import WritePipeline._
+
+  val timeline = new Timeline(basePath)
+  timeline.init()
+
+  def view = new FileSystemView(basePath, timeline)
+
+  def maxFileSize: Long = cfg.propLong(ConfigKeys.MaxFileSize, ConfigKeys.DefaultMaxFileSize)
+  def smallFileLimit: Long = cfg.propLong(ConfigKeys.SmallFileLimit, ConfigKeys.DefaultSmallFileLimit)
+
+  // ---------------------------------------------------------------- schema
+
+  /** Table schema (incl. meta columns) from the last commit's metadata —
+    * the schema-resolution strategy of the reference
+    * (reference hudi-common/.../TableSchemaResolver.java:71-165), minus the
+    * file-footer fallback which we never need because every commit records
+    * its writer schema.
+    */
+  def latestSchema: Option[StructType] =
+    timeline.completedDataInstants().reverse.iterator
+      .map(i => CommitMetadata.fromJson(timeline.readContent(i)))
+      .find(_.schemaJson.nonEmpty)
+      .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+
+  def dataSchema: Option[StructType] =
+    latestSchema.map(s => StructType(s.fields.filterNot(f => MetaCols.All.contains(f.name))))
+
+  /** Additive schema evolution: incoming frame gains null columns for
+    * table columns it lacks; brand-new incoming columns are appended.
+    */
+  private def alignToTableSchema(df: DataFrame): DataFrame = dataSchema match {
+    case None => df
+    case Some(ts) =>
+      var out = df
+      ts.fields.foreach { f =>
+        if (!out.columns.contains(f.name))
+          out = out.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      val newCols = df.columns.filterNot(c => ts.fieldNames.contains(c))
+      out.select((ts.fieldNames ++ newCols).map(col): _*)
+  }
+
+  /** Average record size from recent commit stats (reference
+    * UpsertPartitioner.averageBytesPerRecord, HoodieCompactionConfig:220).
+    */
+  def avgRecordSize: Long = {
+    val stats = timeline.completedDataInstants().reverse.take(5)
+      .map(i => CommitMetadata.fromJson(timeline.readContent(i)))
+      .flatMap(_.writeStats)
+      .filterNot(_.isDelta)
+    val (bytes, recs) = (stats.map(_.fileSizeInBytes).sum, stats.map(_.numWrites).sum)
+    if (recs > 100) math.max(1L, bytes / recs)
+    else cfg.propLong(ConfigKeys.RecordSizeEstimate, ConfigKeys.DefaultRecordSize)
+  }
+
+  // ------------------------------------------------------------ write ops
+
+  /** Initial/large load: global-sort layout, sized file groups, no index
+    * lookup (reference SparkRDDWriteClient.bulkInsert :223-243 with
+    * GLOBAL_SORT — GlobalSortPartitioner.java:34-51).
+    */
+  def bulkInsert(df: DataFrame): String = runCommit(commitAction, "bulk_insert") { instant =>
+    val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+    val targetBytes = math.max(1L,
+      keyed.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / 3) // in-mem est. ≈ 3x parquet
+    val numFiles = math.max(1, math.ceil(targetBytes.toDouble / maxFileSize).toInt)
+    val prefix = newFileIdPrefix()
+    // fileId embeds a partition-path hash: a range partition straddling two
+    // partition paths must not share one file-group id across them
+    val ranged = keyed
+      .repartitionByRange(numFiles, col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+      .withColumn(FileIdCol,
+        concat(format_string("%05d", spark_partition_id()), lit("-"),
+          substring(md5(col(MetaCols.PartitionPath)), 1, 6), lit("-" + prefix)))
+      .sortWithinPartitions(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+    val stats = writeFiles(spark, basePath, withCommitMeta(ranged, instant, isDelta = false),
+      instant, isDelta = false, alreadyPartitioned = true)
+    (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
+  }
+
+  /** Insert without combine-with-storage; still packs small files
+    * (reference SparkRDDWriteClient.insert :172-178).
+    */
+  def insert(df: DataFrame, dropDups: Boolean = false): String =
+    runCommit(commitAction, "insert") { instant =>
+      val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+      val input = if (dropDups) antiJoinExisting(keyed) else keyed
+      val routed = assignInsertBuckets(input.withColumn(FileIdCol, lit(null).cast("string")))
+      writeMerged(routed, instant)
+    }
+
+  /** Upsert: batch precombine-dedup → index tag → route → per-group merge
+    * (reference SparkRDDWriteClient.upsert :149-159 and the §2.2 pipeline).
+    */
+  def upsert(df: DataFrame): String = runCommit(commitAction, "upsert") { instant =>
+    val keyed = precombineDedup(KeyGen.withKeyColumns(alignToTableSchema(df), cfg))
+    val tagged = tagLocation(keyed)
+    if (cfg.isMor) morWrite(tagged, instant)
+    else {
+      val routed = assignInsertBuckets(tagged)
+      writeMerged(routed, instant)
+    }
+  }
+
+  /** Delete by key: incoming rows only need the record-key (and partition
+    * source) fields; they become tombstones that win the merge and drop the
+    * row (reference SparkDeleteHelper.java — EmptyHoodieRecordPayload).
+    */
+  def delete(df: DataFrame): String = runCommit(commitAction, "delete") { instant =>
+    val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+      .withColumn(DeleteCol, lit(true))
+    val tagged = tagLocation(precombineDedup(keyed))
+      .filter(col(FileIdCol).isNotNull) // deleting a missing key is a no-op
+    if (cfg.isMor) morWrite(tagged, instant)
+    else writeMerged(tagged, instant)
+  }
+
+  /** Replace all file groups of the partitions the batch touches
+    * (reference SparkInsertOverwriteCommitActionExecutor — replacecommit).
+    */
+  def insertOverwrite(df: DataFrame): String =
+    runCommit(Action.ReplaceCommit, "insert_overwrite") { instant =>
+      val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+      val touched = keyed.select(MetaCols.PartitionPath).distinct()
+        .collect().map(_.getString(0)).toSet
+      val replaced = view.fileSlices(None)
+        .filter(s => touched.contains(s.partitionPath))
+        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
+      val routed = assignFreshBuckets(keyed)
+      val stats = writeFiles(spark, basePath, withCommitMeta(routed, instant, isDelta = false),
+        instant, isDelta = false)
+      (stats, replaced, schemaJsonFor(keyed))
+    }
+
+  /** Replace every live file group (reference
+    * SparkInsertOverwriteTableCommitActionExecutor).
+    */
+  def insertOverwriteTable(df: DataFrame): String =
+    runCommit(Action.ReplaceCommit, "insert_overwrite_table") { instant =>
+      val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+      val replaced = view.fileSlices(None)
+        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
+      val routed = assignFreshBuckets(keyed)
+      val stats = writeFiles(spark, basePath, withCommitMeta(routed, instant, isDelta = false),
+        instant, isDelta = false)
+      (stats, replaced, schemaJsonFor(keyed))
+    }
+
+  /** Logically drop whole partitions via replacecommit
+    * (reference SparkRDDWriteClient.deletePartitions :255-259).
+    */
+  def deletePartitions(partitions: Seq[String]): String =
+    runCommit(Action.ReplaceCommit, "delete_partition") { _ =>
+      val parts = partitions.toSet
+      val replaced = view.fileSlices(None)
+        .filter(s => parts.contains(s.partitionPath))
+        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
+      (Seq.empty, replaced, latestSchema.map(_.json).getOrElse(""))
+    }
+
+  /** Prune records whose key already exists in the table
+    * (reference SparkRDDWriteClient.filterExists :131-141).
+    */
+  def filterExists(df: DataFrame): DataFrame =
+    antiJoinExisting(KeyGen.withKeyColumns(df, cfg))
+      .drop(MetaCols.RecordKey, MetaCols.PartitionPath)
+
+  // -------------------------------------------------------- write internals
+
+  private def commitAction: String = if (cfg.isMor) Action.DeltaCommit else Action.Commit
+
+  private def schemaJsonFor(keyed: DataFrame): String = {
+    val metaFields = MetaCols.All.map(n => StructField(n, org.apache.spark.sql.types.StringType, nullable = true))
+    val dataFields = keyed.schema.fields
+      .filterNot(f => MetaCols.All.contains(f.name) || f.name == FileIdCol || f.name == DeleteCol)
+    StructType(metaFields ++ dataFields).json
+  }
+
+  /** Collapse duplicate keys within the batch, highest precombine value
+    * wins (reference SparkWriteHelper.java:50-66 reduceByKey → here a
+    * window, or dropDuplicates when no precombine field is configured).
+    */
+  private def precombineDedup(keyed: DataFrame): DataFrame =
+    if (cfg.precombineField.isEmpty)
+      keyed.dropDuplicates(MetaCols.RecordKey :: MetaCols.PartitionPath :: Nil)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+        .orderBy(col(cfg.precombineField).desc)
+      keyed.withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1).drop("_graft_rn")
+    }
+
+  /** Key → live file scan of the affected partitions, for index tagging and
+    * exists-filtering. Key-range file skipping: files whose recorded
+    * [minKey, maxKey] cannot overlap the incoming batch's key range are
+    * never opened (the reference reads parquet footers for the same bounds,
+    * SparkHoodieBloomIndex.java:165-191 — ours come from commit metadata).
+    */
+  private def existingKeys(affectedPartitions: Option[Set[String]],
+      incomingKeyRange: Option[(String, String)]): DataFrame = {
+    val slices = view.fileSlices(None)
+      .filter(s => affectedPartitions.forall(_.contains(s.partitionPath)))
+    val bases = slices.flatMap(_.baseFile)
+      .filter(b => incomingKeyRange.forall { case (lo, hi) =>
+        b.minKey.isEmpty || b.maxKey.isEmpty || (b.minKey <= hi && b.maxKey >= lo)
+      })
+    if (bases.isEmpty) {
+      import org.apache.spark.sql.types.StringType
+      val s = StructType(Seq(MetaCols.RecordKey, MetaCols.PartitionPath, FileIdCol)
+        .map(n => StructField(n, StringType, nullable = true)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    readEntriesRaw(bases)
+      .select(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+        substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol))
+  }
+
+  /** SIMPLE-index tagging (reference SparkHoodieSimpleIndex.java:91-109):
+    * left-outer equi-join of the batch against the affected partitions'
+    * key scan; matched rows carry their file group id.
+    */
+  private def tagLocation(keyed: DataFrame): DataFrame = {
+    val parts = keyed.select(MetaCols.PartitionPath).distinct().collect()
+      .map(_.getString(0)).toSet
+    val range = keyed.agg(min(MetaCols.RecordKey), max(MetaCols.RecordKey)).collect().head
+    val kr = if (range.isNullAt(0)) None else Some((range.getString(0), range.getString(1)))
+    val existing = existingKeys(Some(parts), kr)
+    keyed.join(existing, Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_outer")
+  }
+
+  private def antiJoinExisting(keyed: DataFrame): DataFrame = {
+    val parts = keyed.select(MetaCols.PartitionPath).distinct().collect()
+      .map(_.getString(0)).toSet
+    keyed.join(existingKeys(Some(parts), None),
+      Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_anti")
+  }
+
+  /** Small-file bin packing (reference UpsertPartitioner.assignInserts
+    * :157-290): per partition, insert records first top up base files under
+    * the small-file limit, then fill fresh file groups sized
+    * maxFileSize/avgRecordSize. The bucket table is tiny (one row per
+    * target file) and broadcast; rows pick a bucket via
+    * `hash(key) mod totalWeight` against cumulative weight ranges, so
+    * routing is one broadcast join — no custom Partitioner, no skew pin.
+    */
+  private def assignInsertBuckets(tagged: DataFrame): DataFrame = {
+    val inserts = tagged.filter(col(FileIdCol).isNull)
+    val profile = inserts.groupBy(MetaCols.PartitionPath).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (profile.isEmpty) return tagged
+    val recSize = avgRecordSize
+    val perNew = math.max(1L, maxFileSize / recSize)
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, String)]()
+    profile.foreach { case (part, n) =>
+      var lo = 0L
+      view.smallFiles(part, smallFileLimit).foreach { f =>
+        val cap = math.max(1L, (maxFileSize - f.sizeBytes) / recSize)
+        if (lo < n) { rows += ((part, lo, math.min(lo + cap, n), n, f.fileId)); lo += cap }
+      }
+      while (lo < n) {
+        rows += ((part, lo, math.min(lo + perNew, n), n, newFileIdPrefix()))
+        lo += perNew
+      }
+    }
+    import spark.implicits._
+    val buckets = rows.toSeq.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+    val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
+    val routedInserts = inserts.drop(FileIdCol)
+      .join(broadcast(buckets),
+        col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
+      .withColumn(FileIdCol, col("_b_fid"))
+      .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+    tagged.filter(col(FileIdCol).isNotNull).unionByName(routedInserts)
+  }
+
+  /** Route every row to a fresh, size-targeted file group (overwrite ops —
+    * never touches existing groups).
+    */
+  private def assignFreshBuckets(keyed: DataFrame): DataFrame =
+    assignInsertBucketsFresh(keyed)
+
+  private def assignInsertBucketsFresh(keyed: DataFrame): DataFrame = {
+    val profile = keyed.groupBy(MetaCols.PartitionPath).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perNew = math.max(1L, maxFileSize / avgRecordSize)
+    val rows = profile.toSeq.flatMap { case (part, n) =>
+      (0L until n by perNew).map(lo =>
+        (part, lo, math.min(lo + perNew, n), n, newFileIdPrefix()))
+    }
+    if (rows.isEmpty)
+      return keyed.withColumn(FileIdCol, lit(newFileIdPrefix()))
+    import spark.implicits._
+    val buckets = rows.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+    val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
+    keyed.join(broadcast(buckets),
+        col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
+      .withColumn(FileIdCol, col("_b_fid"))
+      .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+  }
+
+  /** COW merge write: rewrite every touched file group as
+    * `old ∪ new → row_number-dedup → drop tombstones` — the DataFrame
+    * equivalent of the reference's per-file HoodieMergeHandle streaming
+    * merge (HoodieMergeHandle.java:201-326), with Spark's shuffle providing
+    * the spill the reference gets from ExternalSpillableMap.
+    */
+  private def writeMerged(routed: DataFrame, instant: String)
+      : (Seq[WriteStat], Map[String, Seq[String]], String) = {
+    import org.apache.spark.sql.expressions.Window
+    val withDel =
+      if (routed.columns.contains(DeleteCol)) routed
+      else routed.withColumn(DeleteCol, lit(false))
+    val newData = withCommitMeta(withDel, instant, isDelta = false)
+
+    // file groups being rewritten = every group any row routes to
+    val touchedIds = routed.select(FileIdCol).distinct().collect().map(_.getString(0)).toSet
+    val liveBases = view.fileSlices(None).flatMap(_.baseFile)
+      .filter(b => touchedIds.contains(b.fileId))
+    val unioned =
+      if (liveBases.isEmpty) newData
+      else readEntriesRaw(liveBases)
+        .withColumn(FileIdCol, substring_index(col(MetaCols.FileName), "_", 1))
+        .withColumn(DeleteCol, lit(false))
+        .unionByName(newData, allowMissingColumns = true)
+    val ord =
+      if (cfg.precombineField.isEmpty) Seq(col(MetaCols.CommitTime).desc)
+      else Seq(col(MetaCols.CommitTime).desc, col(cfg.precombineField).desc)
+    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+      .orderBy(ord: _*)
+    val merged = unioned
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1 && !col(DeleteCol))
+      .drop("_graft_rn", DeleteCol)
+      // rewritten rows land in a new physical file: refresh the name column
+      .withColumn(MetaCols.FileName, concat(col(FileIdCol), lit(s"_0_$instant.parquet")))
+
+    val stats = writeFiles(spark, basePath, merged, instant, isDelta = false)
+    (stats, Map.empty, schemaJsonFor(routed))
+  }
+
+  /** MOR write: updates/deletes append to per-group delta files (the
+    * log-append analog, reference HoodieAppendHandle.java — ours are small
+    * parquet files, not Avro blocks); inserts open fresh base files.
+    */
+  private def morWrite(tagged: DataFrame, instant: String)
+      : (Seq[WriteStat], Map[String, Seq[String]], String) = {
+    val withDel =
+      if (tagged.columns.contains(DeleteCol)) tagged
+      else tagged.withColumn(DeleteCol, lit(false))
+    val updates = withDel.filter(col(FileIdCol).isNotNull)
+    val inserts = withDel.filter(col(FileIdCol).isNull)
+
+    val deltaStats = writeFiles(spark, basePath,
+      withCommitMeta(updates, instant, isDelta = true), instant, isDelta = true)
+    val insertRouted = assignInsertBucketsFresh(inserts.drop(FileIdCol, DeleteCol))
+    val baseStats =
+      if (insertRouted.isEmpty) Seq.empty
+      else writeFiles(spark, basePath,
+        withCommitMeta(insertRouted, instant, isDelta = false), instant, isDelta = false)
+    (deltaStats ++ baseStats, Map.empty, schemaJsonFor(tagged))
+  }
+
+  /** Read a set of committed files with the table schema (schema evolution:
+    * files written before a column was added surface nulls).
+    */
+  def readEntriesRaw(entries: Seq[FileEntry]): DataFrame = {
+    val schema = latestSchema
+    if (entries.isEmpty) {
+      val s = schema.getOrElse(StructType(Nil))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val paths = entries.map(e => basePath.resolve(e.relPath).toString)
+    val reader = spark.read
+    val withDelete = entries.exists(_.isDelta)
+    val readSchema = schema.map { s =>
+      if (withDelete) StructType(s.fields :+ StructField(DeleteCol, BooleanType, nullable = true))
+      else s
+    }
+    readSchema.map(reader.schema).getOrElse(reader).parquet(paths: _*)
+  }
+
+  // ------------------------------------------------------------- commit
+
+  /** Commit protocol: requested → inflight → [build + write files] →
+    * atomic completed-instant publish. On failure the staging dir and
+    * instant markers are removed (auto-rollback of inflight writes).
+    */
+  private def runCommit(action: String, opType: String)(
+      body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String = {
+    val ts = InstantTime.newInstant()
+    val inst = timeline.createRequested(ts, action)
+    timeline.transitionToInflight(inst)
+    try {
+      val (stats, replaced, schemaJson) = body(ts)
+      val md = CommitMetadata(opType, stats, replaced, schemaJson)
+      timeline.saveAsComplete(inst, Json.write(md))
+      postCommit()
+      ts
+    } catch {
+      case e: Throwable =>
+        WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
+        timeline.deleteInstantFiles(ts, action)
+        throw e
+    }
+  }
+
+  /** Inline table services after a successful commit: MOR compaction every
+    * N delta commits (reference inline compaction,
+    * HoodieCompactionConfig.java:79-95) and timeline archiving.
+    */
+  private def postCommit(): Unit = {
+    if (cfg.isMor && cfg.prop("graft.compact.inline", "true") == "true") {
+      val n = cfg.propLong(ConfigKeys.CompactDeltaCommits, ConfigKeys.DefaultCompactDeltaCommits)
+      val completed = timeline.completedInstants()
+      val lastCompaction = completed.filter(_.action == Action.Compaction).lastOption
+      val deltasSince = completed
+        .filter(i => i.action == Action.DeltaCommit)
+        .count(i => lastCompaction.forall(c => i.ts > c.ts))
+      if (deltasSince >= n) Services.compact(this)
+    }
+    val maxCommits = cfg.propLong(ConfigKeys.ArchiveMaxCommits, 30L).toInt
+    val minCommits = cfg.propLong(ConfigKeys.ArchiveMinCommits, 20L).toInt
+    val completed = timeline.completedInstants()
+    if (completed.size > maxCommits) {
+      view.writeIndexSnapshot()
+      val keepFrom = completed(completed.size - minCommits).ts
+      timeline.archiveBefore(keepFrom)
+    }
+  }
+}
+
+object GraftTable {
+  /** Create a new table (errors if one exists at the path). */
+  def create(spark: SparkSession, path: String, cfg: TableConfig): GraftTable = {
+    val base = Paths.get(path)
+    require(!TableConfig.exists(base), s"table already exists at $path")
+    Files.createDirectories(base)
+    TableConfig.save(base, cfg)
+    new GraftTable(spark, base, cfg)
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    val base = Paths.get(path)
+    new GraftTable(spark, base, TableConfig.load(base))
+  }
+
+  def createOrLoad(spark: SparkSession, path: String, cfg: TableConfig): GraftTable = {
+    val base = Paths.get(path)
+    if (TableConfig.exists(base)) load(spark, path) else create(spark, path, cfg)
+  }
+}

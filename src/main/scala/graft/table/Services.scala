@@ -1,0 +1,258 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Table maintenance services (reference §2.6: compaction, clustering,
+  * clean, rollback, savepoint/restore). All planning is a pure function
+  * over the metadata view; all data movement is a declarative Spark job.
+  */
+object Services {
+
+  // ------------------------------------------------------------ compaction
+
+  /** Schedule: pick every file slice with pending deltas, largest delta
+    * volume first (reference LogFileSizeBasedCompactionStrategy), bounded
+    * by an IO budget. Plan is persisted in the requested instant so a
+    * separate process could execute it (reference two-phase compaction).
+    */
+  def scheduleCompaction(t: GraftTable, ioBudgetBytes: Long = Long.MaxValue): Option[String] = {
+    val candidates = t.view.fileSlices(None)
+      .filter(_.deltaFiles.nonEmpty)
+      .sortBy(-_.totalDeltaBytes)
+    var budget = ioBudgetBytes
+    val picked = candidates.takeWhile { s =>
+      val cost = s.totalDeltaBytes + s.baseFile.map(_.sizeBytes).getOrElse(0L)
+      val ok = budget >= cost; if (ok) budget -= cost; ok
+    }
+    if (picked.isEmpty) return None
+    val plan = CompactionPlan(picked.map(s => CompactionOp(
+      s.partitionPath, s.fileId,
+      s.baseFile.map(_.relPath).getOrElse(""),
+      s.deltaFiles.map(_.relPath))))
+    val ts = InstantTime.newInstant()
+    t.timeline.createRequested(ts, Action.Compaction, Json.write(plan))
+    Some(ts)
+  }
+
+  /** Run a scheduled compaction: per group, base ∪ deltas → latest-wins
+    * window → rewrite the group's base file at the compaction instant
+    * (reference HoodieSparkMergeOnReadTableCompactor.java:90-185). One
+    * distributed job for all groups; the window shuffle is bounded by the
+    * compacted data volume, and tombstones are physically dropped here.
+    */
+  def runCompaction(t: GraftTable, ts: String): String = {
+    val plan = Json.read[CompactionPlan](t.timeline.readRequestedContent(ts, Action.Compaction))
+    val inst = t.timeline.transitionToInflight(GraftInstant(ts, Action.Compaction, State.Requested))
+    try {
+      val slices = t.view.fileSlices(Some(preCompactionView(t, ts))).filter(s =>
+        plan.operations.exists(op => op.fileId == s.fileId && op.partitionPath == s.partitionPath))
+      val del = MetaCols.DeleteFlag
+      val bases = t.readEntriesRaw(slices.flatMap(_.baseFile)).withColumn(del, lit(false))
+      val deltas = t.readEntriesRaw(slices.flatMap(_.deltaFiles))
+      val unioned = bases.unionByName(
+        deltas.withColumn(del, coalesce(col(del), lit(false))), allowMissingColumns = true)
+      val ord = Seq(col(MetaCols.CommitTime).desc) ++
+        (if (t.cfg.precombineField.nonEmpty) Seq(col(t.cfg.precombineField).desc) else Nil) ++
+        Seq(col(MetaCols.CommitSeqno).desc)
+      val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+        .orderBy(ord: _*)
+      val merged = unioned
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1 && !col(del))
+        .drop("_graft_rn", del)
+        .withColumn(WritePipeline.FileIdCol,
+          substring_index(col(MetaCols.FileName), "_", 1))
+        .withColumn(MetaCols.FileName,
+          concat(substring_index(col(MetaCols.FileName), "_", 1), lit(s"_0_$ts.parquet")))
+      val stats = WritePipeline.writeFiles(t.spark, t.basePath, merged, ts, isDelta = false)
+      val md = CommitMetadata("compact", stats, Map.empty,
+        t.latestSchema.map(_.json).getOrElse(""))
+      t.timeline.saveAsComplete(inst, Json.write(md))
+      ts
+    } catch {
+      case e: Throwable =>
+        WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
+        // leave the requested instant for retry; remove only inflight
+        Files.deleteIfExists(t.timeline.dir.resolve(s"$ts.${Action.Compaction}.${State.Inflight}"))
+        throw e
+    }
+  }
+
+  /** The view instant just below the compaction ts, so the merge reads the
+    * slices the plan was scheduled against (deltas landing after the
+    * compaction instant stay pending and win at read time — same semantics
+    * as the reference's instant-time fencing).
+    */
+  private def preCompactionView(t: GraftTable, ts: String): String = {
+    t.timeline.completedInstants().map(_.ts).filter(_ < ts).lastOption.getOrElse("0")
+  }
+
+  def compact(t: GraftTable): Option[String] =
+    scheduleCompaction(t).map(ts => runCompaction(t, ts))
+
+  // ------------------------------------------------------------ clustering
+
+  /** Clustering (reference SparkSortAndSizeExecutionStrategy.java:51-68):
+    * rewrite many small base files into few sorted, size-targeted file
+    * groups via replacecommit. Only slices without pending deltas qualify
+    * (reference SparkClusteringPlanActionExecutor filters the same way).
+    */
+  def cluster(t: GraftTable, sortColumns: Seq[String] = Seq.empty,
+      smallFileLimit: Long = -1L): Option[String] = {
+    val limit = if (smallFileLimit > 0) smallFileLimit else t.smallFileLimit
+    val groups = t.view.fileSlices(None)
+      .filter(s => s.deltaFiles.isEmpty && s.baseFile.exists(_.sizeBytes < limit))
+      .groupBy(_.partitionPath)
+      .filter(_._2.size > 1)
+    if (groups.isEmpty) return None
+    val ts = InstantTime.newInstant()
+    val plan = ClusteringPlan(
+      groups.toSeq.map { case (p, ss) =>
+        ClusteringGroup(p, ss.map(_.fileId), ss.flatMap(_.baseFile).map(_.relPath))
+      }, sortColumns)
+    t.timeline.createRequested(ts, Action.ReplaceCommit, Json.write(plan))
+    val inst = t.timeline.transitionToInflight(GraftInstant(ts, Action.ReplaceCommit, State.Requested))
+    try {
+      val entries = t.view.fileSlices(None)
+        .filter(s => plan.groups.exists(g => g.partitionPath == s.partitionPath && g.fileIds.contains(s.fileId)))
+        .flatMap(_.baseFile)
+      val data = t.readEntriesRaw(entries)
+      // fresh size-targeted groups per partition, sorted layout inside files
+      val perFile = math.max(1L, t.maxFileSize / t.avgRecordSize)
+      val counts = entries.groupBy(_.partitionPath).map { case (p, es) => p -> es.map(_.numRecords).sum }
+      import t.spark.implicits._
+      val buckets = counts.toSeq.flatMap { case (p, n) =>
+        (0L until math.max(n, 1L) by perFile).map(lo =>
+          (p, lo, math.min(lo + perFile, n), math.max(n, 1L), WritePipeline.newFileIdPrefix()))
+      }.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+      val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
+      val routed = data
+        .join(broadcast(buckets),
+          col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
+        .withColumn(WritePipeline.FileIdCol, col("_b_fid"))
+        .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+        .withColumn(MetaCols.FileName,
+          concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.parquet")))
+      val stats = WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
+        isDelta = false, sortCols = sortColumns)
+      val replaced = plan.groups.map(g => g.partitionPath -> g.fileIds).toMap
+      val md = CommitMetadata("cluster", stats, replaced,
+        t.latestSchema.map(_.json).getOrElse(""))
+      t.timeline.saveAsComplete(inst, Json.write(md))
+      Some(ts)
+    } catch {
+      case e: Throwable =>
+        WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
+        t.timeline.deleteInstantFiles(ts, Action.ReplaceCommit)
+        throw e
+    }
+  }
+
+  // ------------------------------------------------------------------ clean
+
+  /** Delete file slices no longer reachable by any retained snapshot —
+    * KEEP_LATEST_COMMITS policy (reference CleanPlanner.java:119-392):
+    * a base file is obsolete once a newer base for the same group exists
+    * at or before the earliest retained instant; savepointed snapshots are
+    * spared.
+    */
+  def clean(t: GraftTable, retainCommits: Int = ConfigKeys.DefaultCleanerRetained): Option[String] = {
+    val dataInstants = t.timeline.completedDataInstants()
+    if (dataInstants.size <= retainCommits) return None
+    val earliestRetained = dataInstants(dataInstants.size - retainCommits).ts
+    val savepointTs = t.timeline.completedInstants()
+      .filter(_.action == Action.Savepoint)
+      .map(i => Json.read[SavepointMetadata](t.timeline.readContent(i)).savepointedInstant)
+    val protectedPaths: Set[String] = savepointTs.flatMap(sp =>
+      t.view.fileSlices(Some(sp)).flatMap(_.allFiles).map(_.relPath)).toSet
+
+    val st = t.view.allEntries()
+    val byGroup = st.entries.groupBy(e => (e.partitionPath, e.fileId))
+    val deletable = byGroup.values.flatMap { files =>
+      val bases = files.filterNot(_.isDelta).sortBy(_.instant)
+      val replacedAt = files.headOption.flatMap(f => st.replacedAt(f.partitionPath, f.fileId))
+      if (replacedAt.exists(_ <= earliestRetained)) files // whole group replaced pre-horizon
+      else {
+        // newest base at/before the horizon: everything older is unreachable
+        val horizon = bases.filter(_.instant <= earliestRetained).lastOption
+        horizon match {
+          case None => Seq.empty
+          case Some(hb) =>
+            files.filter(f =>
+              (!f.isDelta && f.instant < hb.instant) ||
+                (f.isDelta && f.instant <= hb.instant))
+        }
+      }
+    }.filterNot(f => protectedPaths.contains(f.relPath)).toSeq
+
+    if (deletable.isEmpty) return None
+    val ts = InstantTime.newInstant()
+    val inst = t.timeline.createRequested(ts, Action.Clean)
+    t.timeline.transitionToInflight(inst)
+    deletable.foreach(f => Files.deleteIfExists(t.basePath.resolve(f.relPath)))
+    val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
+    t.timeline.saveAsComplete(inst, Json.write(md))
+    Some(ts)
+  }
+
+  // -------------------------------------------------- rollback / restore
+
+  /** Undo the latest completed data instant (or a pending one): delete the
+    * files it wrote, remove its instant files, record a rollback instant
+    * (reference BaseRollbackActionExecutor + marker-file strategy — our
+    * staging dir is the marker analog for in-flight writes).
+    */
+  def rollback(t: GraftTable, ts: String): String = {
+    val all = t.timeline.listInstants().filter(_.ts == ts)
+    require(all.nonEmpty, s"no instant $ts")
+    val action = all.head.action
+    val completedData = t.timeline.completedDataInstants()
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    if (all.exists(_.isCompleted)) {
+      require(completedData.lastOption.exists(_.ts == ts),
+        s"only the latest completed instant can be rolled back (latest=${completedData.lastOption.map(_.ts)})")
+      val md = CommitMetadata.fromJson(t.timeline.readContent(all.find(_.isCompleted).get))
+      md.writeStats.foreach { ws =>
+        if (Files.deleteIfExists(t.basePath.resolve(ws.path))) deleted += ws.path
+      }
+    }
+    WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
+    t.timeline.deleteInstantFiles(ts, action)
+    val rts = InstantTime.newInstant()
+    val inst = t.timeline.createRequested(rts, Action.Rollback)
+    t.timeline.transitionToInflight(inst)
+    t.timeline.saveAsComplete(inst, Json.write(RollbackMetadata(Seq(ts), deleted.toSeq)))
+    rts
+  }
+
+  /** Pin an instant's files against cleaning (reference
+    * SavepointActionExecutor).
+    */
+  def savepoint(t: GraftTable, ts: String): String = {
+    require(t.timeline.completedDataInstants().exists(_.ts == ts), s"no completed instant $ts")
+    val sts = InstantTime.newInstant()
+    val inst = t.timeline.createRequested(sts, Action.Savepoint)
+    t.timeline.transitionToInflight(inst)
+    t.timeline.saveAsComplete(inst, Json.write(SavepointMetadata(ts)))
+    sts
+  }
+
+  /** Restore to an instant: roll back everything after it, newest first
+    * (reference BaseRestoreActionExecutor).
+    */
+  def restore(t: GraftTable, ts: String): String = {
+    val toUndo = t.timeline.completedDataInstants().filter(_.ts > ts).reverse
+    toUndo.foreach(i => rollback(t, i.ts))
+    val rts = InstantTime.newInstant()
+    val inst = t.timeline.createRequested(rts, Action.Restore)
+    t.timeline.transitionToInflight(inst)
+    t.timeline.saveAsComplete(inst,
+      Json.write(RollbackMetadata(toUndo.map(_.ts), Seq.empty)))
+    rts
+  }
+}

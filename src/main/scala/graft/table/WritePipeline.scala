@@ -1,0 +1,199 @@
+package graft.table
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.{Comparator, UUID}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Low-level write machinery shared by all write operations.
+  *
+  * Files are produced by a single distributed Spark write into a staging
+  * directory partitioned by (partitionPath, fileId), then published by a
+  * driver-side rename into the table layout
+  * `<base>/<partition>/<fileId>_<token>_<instant>[.delta].parquet`.
+  * The rename is the same O(#files) driver finalization the reference
+  * performs at commit (marker reconciliation); data bytes never move twice.
+  *
+  * The fileId a row belongs to is computed as a COLUMN before the write
+  * (`_graft_file_id`), which replaces the reference's custom Spark
+  * Partitioner (reference table/action/commit/UpsertPartitioner.java) with
+  * a declarative `repartition($"partition", $"fileId")` — one shuffle,
+  * fully codegen'd, AQE-compatible.
+  */
+object WritePipeline {
+  // staging partition column names (dropped from file contents by partitionBy)
+  private val GP = "_graft_part_dir"
+  private val GF = "_graft_file_dir"
+
+  val FileIdCol = MetaCols.FileId
+  val DeleteCol = MetaCols.DeleteFlag
+
+  def baseFileName(fileId: String, instant: String, token: Int = 0): String =
+    s"${fileId}_${token}_$instant.parquet"
+  def deltaFileName(fileId: String, instant: String, token: Int = 0): String =
+    s"${fileId}_${token}_$instant.delta.parquet"
+  def isDeltaFile(name: String): Boolean = name.endsWith(".delta.parquet")
+  def fileIdOf(name: String): String = name.takeWhile(_ != '_')
+
+  /** Fresh file-group id: globally unique, no underscores (underscore is
+    * the file-name field separator).
+    */
+  def newFileIdPrefix(): String = UUID.randomUUID().toString.take(18).replace("_", "-")
+
+  /** Add `_hoodie_commit_time`, `_hoodie_commit_seqno`, `_hoodie_file_name`
+    * to a frame that already has key/partition/fileId columns, ordering
+    * meta columns first (reference meta-column layout).
+    */
+  def withCommitMeta(df: DataFrame, instant: String, isDelta: Boolean): DataFrame = {
+    val suffix = if (isDelta) s"_0_$instant.delta.parquet" else s"_0_$instant.parquet"
+    val withCols = df
+      .withColumn(MetaCols.CommitTime, lit(instant))
+      .withColumn(MetaCols.CommitSeqno,
+        concat(lit(instant + "_"), monotonically_increasing_id().cast("string")))
+      .withColumn(MetaCols.FileName, concat(col(FileIdCol), lit(suffix)))
+    val dataCols = withCols.columns.filterNot(c => MetaCols.All.contains(c))
+    withCols.select((MetaCols.All ++ dataCols).map(col): _*)
+  }
+
+  /** Distributed staged write. `df` must contain `_graft_file_id` plus the
+    * five meta columns. Returns per-file WriteStats (with record-key
+    * min/max recorded for index file-skipping). One shuffle
+    * (`repartition(part, fileId)`) unless `alreadyPartitioned`.
+    */
+  def writeFiles(
+      spark: SparkSession,
+      basePath: Path,
+      df: DataFrame,
+      instant: String,
+      isDelta: Boolean,
+      alreadyPartitioned: Boolean = false,
+      sortCols: Seq[String] = Seq.empty): Seq[WriteStat] = {
+    val staging = stagingDir(basePath, instant)
+    Files.createDirectories(staging)
+
+    val keyed = df
+      .withColumn(GP, col(MetaCols.PartitionPath))
+      .withColumn(GF, col(FileIdCol))
+    val routed =
+      if (alreadyPartitioned) keyed
+      else {
+        val rep = keyed.repartition(col(GP), col(GF))
+        if (sortCols.nonEmpty)
+          rep.sortWithinPartitions((Seq(GP, GF) ++ sortCols).map(col): _*)
+        else rep
+      }
+
+    routed
+      .drop(FileIdCol)
+      .write.mode("overwrite")
+      .partitionBy(GP, GF)
+      .parquet(staging.toString)
+
+    // Empty input ⇒ no staged files ⇒ nothing to publish.
+    val anyStaged = listDirs(staging).exists(_.getFileName.toString.startsWith(s"$GP="))
+    if (!anyStaged) { deleteRecursively(staging); return Seq.empty }
+
+    // Per-file stats from the staged output — a scan of the key column only
+    // (cheaper than persisting the input plan for a second pass). Partition
+    // type inference is disabled for the round-trip so values like "01"
+    // come back verbatim.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    val stats =
+      try {
+        val staged = spark.read.option("basePath", staging.toString).parquet(staging.toString)
+        val delCol = if (staged.columns.contains(DeleteCol)) col(DeleteCol) else lit(false)
+        staged.groupBy(col(GP), col(GF))
+          .agg(count(lit(1)).as("n"),
+            min(col(MetaCols.RecordKey)).as("mink"),
+            max(col(MetaCols.RecordKey)).as("maxk"),
+            sum(when(delCol, 1L).otherwise(0L)).as("ndel"))
+          .collect()
+      } finally {
+        prevInfer match {
+          case Some(v) => spark.conf.set(inferKey, v)
+          case None => spark.conf.unset(inferKey)
+        }
+      }
+
+    // Map decoded partition value -> staged partition dir, by walking what
+    // Spark actually wrote (avoids re-implementing the escape function).
+    val partDirs: Map[String, Path] = listDirs(staging)
+      .filter(_.getFileName.toString.startsWith(s"$GP="))
+      .map(d => decodePartition(d.getFileName.toString.stripPrefix(s"$GP=")) -> d)
+      .toMap
+
+    val out = scala.collection.mutable.ArrayBuffer[WriteStat]()
+    stats.foreach { row =>
+      val partition = Option(row.getString(0)).getOrElse("")
+      val fileId = row.getString(1)
+      val n = row.getLong(2)
+      val minK = Option(row.getString(3)).getOrElse("")
+      val maxK = Option(row.getString(4)).getOrElse("")
+      val nDel = row.getLong(5)
+      val leaf = partDirs(partition).resolve(s"$GF=$fileId")
+      val parts = listParquet(leaf)
+      require(parts.nonEmpty, s"no staged file for ($partition, $fileId)")
+      val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
+      Files.createDirectories(partDir)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val nm = if (isDelta) deltaFileName(fileId, instant, i) else baseFileName(fileId, instant, i)
+        val dest = partDir.resolve(nm)
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        val (nn, mk, xk, nd) =
+          if (i == 0) (n, minK, maxK, nDel) else (0L, "", "", 0L) // stats on token 0
+        out += WriteStat(fileId, relPath(basePath, dest), partition, nn, nd,
+          Files.size(dest), mk, xk, isDelta)
+      }
+    }
+    deleteRecursively(staging)
+    out.toSeq
+  }
+
+  def stagingDir(basePath: Path, instant: String): Path =
+    basePath.resolve(".graft").resolve(".temp").resolve(instant)
+
+  def relPath(base: Path, p: Path): String = base.relativize(p).toString
+
+  private def listDirs(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Inverse of Spark's partition-value escaping (percent-encoding of
+    * special chars — ExternalCatalogUtils.unescapePathName semantics,
+    * re-implemented to stay off private APIs).
+    */
+  def decodePartition(escaped: String): String = {
+    if (escaped == "__HIVE_DEFAULT_PARTITION__") return ""
+    val sb = new StringBuilder
+    var i = 0
+    while (i < escaped.length) {
+      val c = escaped.charAt(i)
+      if (c == '%' && i + 2 < escaped.length) {
+        val hex = escaped.substring(i + 1, i + 3)
+        if (hex.forall(h => Character.digit(h, 16) >= 0)) {
+          sb.append(Integer.parseInt(hex, 16).toChar); i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+    }
+  }
+}
