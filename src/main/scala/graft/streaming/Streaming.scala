@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.core._
+import graft.table.GraftTable
+import graft.read.Readers
+
+/** Structured-Streaming integration.
+  *
+  * Sink: micro-batch upsert with the batch id recorded in commit metadata —
+  * replayed batches after a crash are skipped, giving effectively-once
+  * writes (the reference stores the same thing as CHECKPOINT_KEY in commit
+  * metadata — HoodieStreamingSink.scala:41-119, DeltaSync.java:311-355).
+  *
+  * Source: commit-timestamp offsets over the incremental read — each poll
+  * returns the records changed since the last consumed instant
+  * (reference HoodieStreamSource.scala:104-169 uses the same offset model).
+  */
+object Streaming {
+  val BatchIdKey = "graft.streaming.batchId"
+
+  /** Attach a table-upsert sink to a streaming frame:
+    * {{{
+    * Streaming.upsertSink(df.writeStream.trigger(...), table, checkpointDir).start()
+    * }}}
+    */
+  def upsertSink(w: DataStreamWriter[Row], t: GraftTable, checkpointLocation: String,
+      retries: Int = 2): DataStreamWriter[Row] =
+    w.option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(t, batch, batchId, retries)
+      }
+
+  /** Idempotent micro-batch write (skips batch ids at or below the last
+    * committed one; retries transient failures like the reference's
+    * STREAMING_RETRY_CNT).
+    */
+  def writeBatch(t: GraftTable, batch: DataFrame, batchId: Long, retries: Int = 2): Unit = {
+    if (lastCommittedBatchId(t).exists(_ >= batchId)) return // replay after restart
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        val ts = t.upsert(batch)
+        stampBatchId(t, ts, batchId)
+        done = true
+      } catch {
+        case e: Throwable if attempt < retries => attempt += 1
+        case e: Throwable => throw e
+      }
+    }
+  }
+
+  private def stampBatchId(t: GraftTable, ts: String, batchId: Long): Unit = {
+    val inst = t.timeline.completedInstants().find(_.ts == ts).get
+    val md = CommitMetadata.fromJson(t.timeline.readContent(inst))
+    t.timeline.saveAsComplete(inst,
+      Json.write(md.copy(extraMetadata = md.extraMetadata + (BatchIdKey -> batchId.toString))))
+  }
+
+  def lastCommittedBatchId(t: GraftTable): Option[Long] =
+    t.timeline.completedDataInstants().reverse.iterator
+      .map(i => CommitMetadata.fromJson(t.timeline.readContent(i)))
+      .flatMap(_.extraMetadata.get(BatchIdKey))
+      .take(1).toSeq.headOption.map(_.toLong)
+
+  /** A poll-based incremental source: returns (changed records, new offset)
+    * for everything committed after `offset` (exclusive). Feed the offset
+    * back on the next poll. `None` offset ⇒ from the beginning.
+    */
+  def pollIncremental(t: GraftTable, offset: Option[String]): (DataFrame, Option[String]) = {
+    val latest = t.timeline.lastCompleted().map(_.ts)
+    val begin = offset.getOrElse("0")
+    latest match {
+      case Some(end) if end > begin => (Readers.incremental(t, begin, Some(end)), Some(end))
+      case _ =>
+        val empty = t.spark.createDataFrame(
+          t.spark.sparkContext.emptyRDD[Row],
+          t.latestSchema.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
+        (empty, offset.orElse(latest))
+    }
+  }
+
+  /** Continuous table-to-table pipeline: incremental-pull from `src`,
+    * transform, upsert into `dst` — the DeltaStreamer analog
+    * (reference HoodieDeltaStreamer / DeltaSync.syncOnce), with the source
+    * checkpoint persisted in the destination's commit metadata.
+    */
+  val CheckpointKey = "graft.ingest.checkpoint"
+
+  def syncOnce(src: GraftTable, dst: GraftTable,
+      transform: DataFrame => DataFrame = identity): Option[String] = {
+    val lastCkpt = dst.timeline.completedDataInstants().reverse.iterator
+      .map(i => CommitMetadata.fromJson(dst.timeline.readContent(i)))
+      .flatMap(_.extraMetadata.get(CheckpointKey))
+      .take(1).toSeq.headOption
+    val (batch, newOffset) = pollIncremental(src, lastCkpt)
+    newOffset match {
+      case Some(off) if !lastCkpt.contains(off) =>
+        val ts = dst.upsert(transform(batch))
+        val inst = dst.timeline.completedInstants().find(_.ts == ts).get
+        val md = CommitMetadata.fromJson(dst.timeline.readContent(inst))
+        dst.timeline.saveAsComplete(inst,
+          Json.write(md.copy(extraMetadata = md.extraMetadata + (CheckpointKey -> off))))
+        Some(ts)
+      case _ => None
+    }
+  }
+}

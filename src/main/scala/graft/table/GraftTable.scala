@@ -186,6 +186,53 @@ final class GraftTable(
       (Seq.empty, replaced, latestSchema.map(_.json).getOrElse(""))
     }
 
+  /** ANSI MERGE INTO builder (reference MergeIntoHoodieTableCommand). */
+  def mergeInto(source: DataFrame): MergeInto = new MergeInto(this, source)
+
+  /** SQL UPDATE analog: read-filter-assign-rewrite (reference
+    * UpdateHoodieTableCommand). Rows carry their file location from the
+    * snapshot scan, so no index join is needed.
+    */
+  def update(condition: String, set: Map[String, String]): String = {
+    val snap = graft.read.Readers.snapshot(this).filter(expr(condition))
+    val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+    val assigned = set.foldLeft(snap) { case (df, (c, e)) => df.withColumn(c, expr(e)) }
+    val resolved = assigned.select(
+      (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+        substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
+        lit(false).as(DeleteCol)) ++ dataCols.map(col)): _*)
+    writeResolved(resolved, "update")
+  }
+
+  /** SQL DELETE analog (reference DeleteHoodieTableCommand). */
+  def deleteWhere(condition: String): String = {
+    val snap = graft.read.Readers.snapshot(this).filter(expr(condition))
+    val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+    val resolved = snap.select(
+      (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+        substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
+        lit(true).as(DeleteCol)) ++ dataCols.map(col)): _*)
+    writeResolved(resolved, "delete")
+  }
+
+  /** Write a batch whose rows are already key'd, located (`_graft_file_id`
+    * nullable = insert) and delete-flagged — the entry point for MERGE /
+    * UPDATE / DELETE rewrites.
+    */
+  private[table] def writeResolved(resolved: DataFrame, opType: String): String =
+    runCommit(commitAction, opType) { instant =>
+      val cast = dataSchema match {
+        case Some(s) =>
+          val metaPart = Seq(MetaCols.RecordKey, MetaCols.PartitionPath, FileIdCol, DeleteCol)
+          resolved.select(
+            (metaPart.map(col) ++ s.fields.toSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name))): _*)
+        case None => resolved
+      }
+      if (cfg.isMor) morWrite(cast, instant)
+      else writeMerged(assignInsertBuckets(cast), instant)
+    }
+
   /** Prune records whose key already exists in the table
     * (reference SparkRDDWriteClient.filterExists :131-141).
     */

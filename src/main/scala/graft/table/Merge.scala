@@ -1,0 +1,138 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.keygen.KeyGen
+import graft.read.Readers
+
+/** Programmatic MERGE INTO — the reference implements this as a Catalyst
+  * command that serializes matched/not-matched actions into the write
+  * config and evaluates them per-record via Janino-compiled payloads
+  * (reference MergeIntoHoodieTableCommand.scala:149-199,
+  * ExpressionPayload.scala:53-160). Here the actions compile directly to
+  * native Catalyst `when` chains over a `target ⋈ source` join, so the
+  * whole merge stays inside whole-stage codegen and the standard write
+  * pipeline routes the results.
+  *
+  * Conditions/assignments are Spark SQL strings; target columns are
+  * reachable as `t.<col>`, source columns as `s.<col>`. Clauses apply in
+  * declaration order, first match wins (ANSI MERGE semantics).
+  *
+  * {{{
+  * table.mergeInto(source)
+  *   .whenMatchedUpdate(Some("s.ver > t.ver"), Map("price" -> "s.price"))
+  *   .whenMatchedDelete(Some("s.op = 'D'"))
+  *   .whenNotMatchedInsert(None)   // insert source row as-is
+  *   .execute()
+  * }}}
+  */
+final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
+  private case class Clause(kind: String, condition: Option[String], assignments: Map[String, String])
+  private var clauses = Vector[Clause]()
+
+  /** `assignments`: target column -> SQL expr over t./s.; empty map ⇒
+    * assign every source column to the same-named target column.
+    */
+  def whenMatchedUpdate(condition: Option[String] = None,
+      assignments: Map[String, String] = Map.empty): MergeInto = {
+    clauses :+= Clause("update", condition, assignments); this
+  }
+
+  def whenMatchedDelete(condition: Option[String] = None): MergeInto = {
+    clauses :+= Clause("delete", condition, Map.empty); this
+  }
+
+  def whenNotMatchedInsert(condition: Option[String] = None,
+      values: Map[String, String] = Map.empty): MergeInto = {
+    clauses :+= Clause("insert", condition, values); this
+  }
+
+  def execute(): String = {
+    require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
+    val dataCols = t.dataSchema.map(_.fieldNames.toSeq)
+      .getOrElse(source.columns.toSeq)
+
+    val srcKeyed = KeyGen.withKeyColumns(source, t.cfg)
+    val parts = srcKeyed.select(MetaCols.PartitionPath).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val target = Readers.snapshot(t, partitions = Some(parts))
+
+    val keyCols = Seq(MetaCols.RecordKey, MetaCols.PartitionPath)
+
+    // ---- matched side: inner join, first-applicable clause projects the row
+    val matchedClauses = clauses.filter(c => c.kind == "update" || c.kind == "delete")
+    val matched = if (matchedClauses.isEmpty) None else Some {
+      val joined = target.alias("t").join(srcKeyed.alias("s"),
+        keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "inner")
+      // first-match-wins application flags
+      var remaining = lit(true)
+      val applied = matchedClauses.map { c =>
+        val cond = c.condition.map(expr).getOrElse(lit(true))
+        val app = remaining && cond
+        remaining = remaining && !coalesce(cond, lit(false))
+        (c, app)
+      }
+      val anyApplied = applied.map(_._2).reduce(_ || _)
+      val delFlag = applied.collect { case (c, app) if c.kind == "delete" => app }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val valueCols = dataCols.map { c =>
+        val chain = applied.foldLeft(when(lit(false), lit(null))) {
+          case (acc, (cl, app)) =>
+            val v =
+              if (cl.kind == "delete") col(s"t.$c")
+              else if (cl.assignments.isEmpty)
+                (if (source.columns.contains(c)) col(s"s.$c") else col(s"t.$c"))
+              else cl.assignments.get(c).map(expr).getOrElse(col(s"t.$c"))
+            acc.when(app, v)
+        }
+        chain.otherwise(col(s"t.$c")).as(c)
+      }
+      joined.filter(anyApplied).select(
+        (Seq(col(s"t.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
+          col(s"t.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
+          substring_index(col(s"t.${MetaCols.FileName}"), "_", 1).as(WritePipeline.FileIdCol),
+          delFlag.as(WritePipeline.DeleteCol)) ++ valueCols): _*)
+    }
+
+    // ---- not-matched side: anti join, insert clauses only
+    val insertClauses = clauses.filter(_.kind == "insert")
+    val inserts = if (insertClauses.isEmpty) None else Some {
+      val anti = srcKeyed.alias("s").join(target.alias("t"),
+        keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left_anti")
+      var remaining = lit(true)
+      val applied = insertClauses.map { c =>
+        val cond = c.condition.map(expr).getOrElse(lit(true))
+        val app = remaining && cond
+        remaining = remaining && !coalesce(cond, lit(false))
+        (c, app)
+      }
+      val anyApplied = applied.map(_._2).reduce(_ || _)
+      val valueCols = dataCols.map { c =>
+        val chain = applied.foldLeft(when(lit(false), lit(null))) {
+          case (acc, (cl, app)) =>
+            val v =
+              if (cl.assignments.isEmpty)
+                (if (source.columns.contains(c)) col(s"s.$c") else lit(null))
+              else cl.assignments.get(c).map(expr).getOrElse(lit(null))
+            acc.when(app, v)
+        }
+        chain.otherwise(lit(null)).as(c)
+      }
+      anti.filter(anyApplied).select(
+        (Seq(col(s"s.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
+          col(s"s.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
+          lit(null).cast("string").as(WritePipeline.FileIdCol),
+          lit(false).as(WritePipeline.DeleteCol)) ++ valueCols): _*)
+    }
+
+    val resolved = (matched, inserts) match {
+      case (Some(m), Some(i)) => m.unionByName(i)
+      case (Some(m), None) => m
+      case (None, Some(i)) => i
+      case (None, None) => throw new IllegalArgumentException("no clauses")
+    }
+    t.writeResolved(resolved, "merge")
+  }
+}

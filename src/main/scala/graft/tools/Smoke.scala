@@ -61,6 +61,31 @@ object Smoke {
     println(s"[smoke] final snapshot=${Readers.snapshot(t).count()}")
     println(s"[smoke] timeline=${t.timeline.completedInstants().map(i => i.action).mkString(",")}")
 
+    // MERGE INTO: delete low-price, double high-price, insert new key
+    val mergeSrc = Readers.snapshot(t).select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .limit(20).withColumn("o_totalprice", lit(50000.0))
+      .unionByName(src.limit(1).withColumn("o_orderkey", lit(123456789L)))
+    val nBefore = Readers.snapshot(t).count()
+    t.mergeInto(mergeSrc)
+      .whenMatchedUpdate(Some("s.o_totalprice > t.o_totalprice"), Map("o_totalprice" -> "s.o_totalprice"))
+      .whenNotMatchedInsert(None)
+      .execute()
+    val snapM = Readers.snapshot(t)
+    println(s"[smoke] merge: rows=${snapM.count()} (expect ${nBefore + 1}) updated=${snapM.filter(col("o_totalprice") === 50000.0).count()}")
+
+    // UPDATE / DELETE by predicate
+    t.update("o_totalprice = 50000.0", Map("o_orderpriority" -> "'0-URGENT'"))
+    println(s"[smoke] update: urgent=${Readers.snapshot(t).filter(col("o_orderpriority") === "0-URGENT").count()}")
+    t.deleteWhere("o_orderkey = 123456789")
+    println(s"[smoke] deleteWhere: rows=${Readers.snapshot(t).count()} (expect $nBefore)")
+
+    // streaming sink replay-safety
+    graft.streaming.Streaming.writeBatch(t, src.limit(5).withColumn("o_orderkey", col("o_orderkey") + 700000000L), 0L)
+    val afterB0 = Readers.snapshot(t).count()
+    graft.streaming.Streaming.writeBatch(t, src.limit(50).withColumn("o_orderkey", col("o_orderkey") + 710000000L), 0L) // replay id=0: skipped
+    println(s"[smoke] streaming: batch0=${afterB0 - nBefore} (expect 5) replay_skipped=${Readers.snapshot(t).count() == afterB0}")
+
     // plan inspection: does the snapshot scan push filters into parquet?
     val plan = Readers.snapshot(t).filter(col("o_totalprice") === 7777.0)
       .queryExecution.executedPlan.toString
