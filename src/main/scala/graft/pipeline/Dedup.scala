@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. Five families:
+  * exact (hash), MinHash+LSH (Jaccard near-dup), SimHash (Hamming
+  * near-dup), n-gram Jaccard verification, and embedding-cosine near-dup.
+  *
+  * Scale design: every operator is shuffle-bounded — signatures are
+  * computed row-local with higher-order functions (codegen'd, no UDFs);
+  * candidate generation is a band/bucket equi-join (shuffle on bucket id,
+  * never a cross join); winners resolve with one aggregation. Nothing is
+  * collected to the driver.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized-text hash: keep the lowest `idCol` per
+    * fingerprint group (deterministic winner).
+    */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(TextStats.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_ddup_rn", row_number().over(w))
+      .filter(col("_ddup_rn") === 1)
+      .drop("_ddup_rn")
+  }
+
+  /** Character shingles of length n, deduplicated. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
+        i => substring(norm, lit(1) + i, lit(n))),
+      s => length(s) === n))
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes over the
+    * shingle set. Hash family h_i(s) = xxhash64(s || '#' || i) — computed
+    * entirely inside whole-stage codegen via transform+aggregate.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 5): Column = {
+    val sh = shingles(text, shingleN)
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      coalesce(
+        aggregate(sh, lit(Long.MaxValue),
+          (acc, s) => least(acc, xxhash64(concat(s, lit("#"), i)))),
+        lit(Long.MaxValue)))
+  }
+
+  /** LSH band ids from a minhash signature: signature split into `bands`
+    * bands of rows hashed together; two docs sharing any band id are
+    * candidates (standard banding: P[candidate] ≈ 1-(1-j^r)^b).
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand))), b).as("bucket")))
+
+  /** Estimated Jaccard similarity between two equal-length signatures:
+    * fraction of agreeing minhashes.
+    */
+  def signatureSimilarity(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+      .cast("double") / size(a)
+
+  /** MinHash-LSH near-duplicate removal: docs whose estimated Jaccard with
+    * a lower-id doc ≥ `threshold` are dropped. One shuffle for banding,
+    * one band-equi-join (AQE handles hot buckets), one aggregation.
+    */
+  def minhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("_d_id"), minhashSignature(col(textCol), numHashes, shingleN).as("_d_sig"))
+    val banded = sig.select(col("_d_id"), col("_d_sig"),
+        explode(lshBands(col("_d_sig"), bands, rows)).as("_d_band"))
+      .select(col("_d_id"), col("_d_sig"),
+        col("_d_band.band").as("_d_b"), col("_d_band.bucket").as("_d_k"))
+    val l = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_l_id"), col("_d_sig").as("_l_sig"))
+    val r = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_r_id"), col("_d_sig").as("_r_sig"))
+    val dupIds = l.join(r, Seq("_d_b", "_d_k"))
+      .filter(col("_l_id") < col("_r_id"))
+      .filter(signatureSimilarity(col("_l_sig"), col("_r_sig")) >= threshold)
+      .select(col("_r_id").as("_dup_id")).distinct()
+    df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j is the sign of the sum
+    * of ±1 votes from each token's hash bit j. Pure expression tree.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextStats.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => {
+        val vote = aggregate(hashes, lit(0L),
+          (a, h) => a + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
+      })
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup removal: candidates share one of 4 16-bit chunks
+    * (any pair within Hamming distance 3 must agree on ≥1 chunk —
+    * pigeonhole), verified by full Hamming distance ≤ `maxDistance`.
+    */
+  def simhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxDistance: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("_s_id"), simhash(col(textCol)).as("_s_sh"))
+    val chunked = sh.select(col("_s_id"), col("_s_sh"),
+      explode(transform(sequence(lit(0), lit(3)), c =>
+        struct(c.as("c"), call_function("shiftright", col("_s_sh"), c * 16).bitwiseAND(0xFFFFL).as("v")))).as("_s_ch"))
+      .select(col("_s_id"), col("_s_sh"), col("_s_ch.c").as("_s_c"), col("_s_ch.v").as("_s_v"))
+    val l = chunked.select(col("_s_c"), col("_s_v"), col("_s_id").as("_l_id"), col("_s_sh").as("_l_sh"))
+    val r = chunked.select(col("_s_c"), col("_s_v"), col("_s_id").as("_r_id"), col("_s_sh").as("_r_sh"))
+    val dupIds = l.join(r, Seq("_s_c", "_s_v"))
+      .filter(col("_l_id") < col("_r_id"))
+      .filter(hamming(col("_l_sh"), col("_r_sh")) <= maxDistance)
+      .select(col("_r_id").as("_dup_id")).distinct()
+    df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard between two text columns (verification metric
+    * for candidate pairs).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = shingles(a, n); val sb = shingles(b, n)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Near-dup removal with MinHash-LSH candidates verified by EXACT n-gram
+    * Jaccard (two-phase: cheap probabilistic recall, exact precision).
+    */
+  def ngramJaccardDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.8, n: Int = 5): DataFrame = {
+    val sig = df.select(col(idCol).as("_d_id"), col(textCol).as("_d_text"),
+      minhashSignature(col(textCol), 64, n).as("_d_sig"))
+    val banded = sig.select(col("_d_id"), col("_d_text"),
+        explode(lshBands(col("_d_sig"), 16, 4)).as("_d_band"))
+      .select(col("_d_id"), col("_d_text"),
+        col("_d_band.band").as("_d_b"), col("_d_band.bucket").as("_d_k"))
+    val l = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_l_id"), col("_d_text").as("_l_t"))
+    val r = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_r_id"), col("_d_text").as("_r_t"))
+    val dupIds = l.join(r, Seq("_d_b", "_d_k"))
+      .filter(col("_l_id") < col("_r_id"))
+      .filter(ngramJaccard(col("_l_t"), col("_r_t"), n) >= threshold)
+      .select(col("_r_id").as("_dup_id")).distinct()
+    df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+  }
+
+  /** Embedding near-dup removal: candidates from random-hyperplane LSH
+    * buckets (sign signature of `planes` pseudo-random projections),
+    * verified by exact cosine ≥ `threshold`. The hyperplanes are generated
+    * from a hash of (dimension, plane) — deterministic, nothing broadcast.
+    */
+  def embeddingDedup(df: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95, planes: Int = 16): DataFrame = {
+    val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)
+    val sig = df.select(col(idCol).as("_e_id"), col(vecCol).as("_e_v"), sigCol.as("_e_sig"))
+    val l = sig.select(col("_e_sig"), col("_e_id").as("_l_id"), col("_e_v").as("_l_v"))
+    val r = sig.select(col("_e_sig"), col("_e_id").as("_r_id"), col("_e_v").as("_r_v"))
+    val dupIds = l.join(r, Seq("_e_sig"))
+      .filter(col("_l_id") < col("_r_id"))
+      .filter(Similarity.cosine(col("_l_v"), col("_r_v")) >= threshold)
+      .select(col("_r_id").as("_dup_id")).distinct()
+    df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+  }
+}

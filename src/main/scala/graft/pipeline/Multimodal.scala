@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: images/audio/video ride along as opaque
+  * `binary` columns with typed metadata structs; decode/feature steps are
+  * iterator-to-iterator `mapPartitions` transforms over typed Datasets —
+  * the Scala analog of `mapInPandas` batch UDFs (per-partition streaming,
+  * constant memory, schema declared up front).
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * environment): `FakeCodec` derives deterministic pseudo-metadata from the
+  * bytes. The Spark-side plumbing — schemas, batch iteration, partitioning,
+  * explode shapes — is real and is what matters at 100 TB: decode
+  * parallelism scales with partitions, and binary payloads never pass
+  * through a shuffle unless the caller asks for one.
+  */
+object Multimodal {
+
+  final case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
+  final case class DecodedImage(id: Long, meta: ImageMeta, byteLen: Long)
+  final case class Frame(id: Long, frameIdx: Int, tsMillis: Long, frame: Array[Byte])
+  final case class AudioFeatures(id: Long, sampleRate: Int, durationMs: Long,
+      mfcc: Array[Float])
+
+  /** STUB decode — replace with a real codec (javax.imageio / ffmpeg
+    * bindings) in production. Deterministic so tests are stable.
+    */
+  object FakeCodec {
+    def imageMeta(bytes: Array[Byte]): ImageMeta = {
+      val h = java.util.Arrays.hashCode(bytes)
+      ImageMeta(
+        width = 64 + math.abs(h % 1024),
+        height = 64 + math.abs((h / 7) % 1024),
+        channels = 3,
+        format = if (h % 2 == 0) "jpeg" else "png")
+    }
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val step = math.max(1, bytes.length / math.max(n, 1))
+      (0 until n).map(i => bytes.slice(i * step, math.min((i + 1) * step, bytes.length)))
+    }
+    def mfcc(bytes: Array[Byte], coeffs: Int): Array[Float] = {
+      val h = java.util.Arrays.hashCode(bytes)
+      Array.tabulate(coeffs)(i => ((h * (i + 1)) % 1000) / 1000.0f)
+    }
+  }
+
+  /** Synthesize a binary content column from any seed column —
+    * deterministic stand-in for reading blobs off object storage.
+    */
+  def withFakeBinary(df: DataFrame, seedCol: String, sizeBytes: Int = 256,
+      out: String = "content"): DataFrame =
+    df.withColumn(out,
+      // repeat a hash-derived hex string and cut to size: cheap, codegen'd
+      unhex(substring(repeat(md5(col(seedCol).cast("string")), sizeBytes / 8), 1, sizeBytes * 2)))
+
+  /** Decode image metadata: batched per-partition pass over (id, bytes).
+    * Output schema is declared via the case-class encoder.
+    */
+  def decodeImages(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "content"): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // iterator-to-iterator: the whole partition streams through the
+        // "codec" in one batch pipeline, never materialized
+        it.map { case (id, bytes) =>
+          DecodedImage(id, FakeCodec.imageMeta(bytes), bytes.length.toLong)
+        }
+      }
+  }
+
+  /** Resize stub: declares the real transform shape (binary in → binary
+    * out + new dims), runs the fake codec.
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int, idCol: String = "doc_id",
+      binCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, bytes.take(math.max(16, bytes.length / 4)), w, h) // stub resample
+        }
+      }.toDF(idCol, "content_resized", "width", "height")
+  }
+
+  /** Frame sampling for "video" blobs: one input row explodes to n frame
+    * rows with timestamps — the shape a caption/embedding stage consumes.
+    */
+  def sampleFrames(df: DataFrame, n: Int, frameIntervalMs: Long = 1000L,
+      idCol: String = "doc_id", binCol: String = "content"): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        FakeCodec.frames(bytes, n).zipWithIndex.map { case (fb, i) =>
+          Frame(id, i, i * frameIntervalMs, fb)
+        }
+      }
+  }
+
+  /** Audio feature extraction stub: fixed-length float vector per blob. */
+  def audioFeatures(df: DataFrame, coeffs: Int = 13, idCol: String = "doc_id",
+      binCol: String = "content"): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          AudioFeatures(id, 16000, bytes.length * 10L, FakeCodec.mfcc(bytes, coeffs))
+        }
+      }
+  }
+}

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: random
+  * hyperplane LSH bucketing (sublinear candidates) and an IVF variant
+  * (coarse quantizer via sampled centroids + cluster-pruned probe).
+  * Dot products are `zip_with`+`aggregate` higher-order expressions —
+  * codegen'd, no UDFs, no driver loops.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2Norm(a) * l2Norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v))
+
+  /** Sign signature of `planes` pseudo-random hyperplane projections.
+    * Plane p's component for dimension i is a deterministic hash-derived
+    * value in [-1,1] — no stored model, identical across executors.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int = 16): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (v, i) => v * (pmod(xxhash64(concat(i, lit("_"), p)), lit(2001L)) - 1000L)
+              .cast("double") / 1000.0),
+          lit(0.0d), (a, v) => a + v)
+        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
+      })
+
+  /** Exact brute-force top-k neighbors for every query row:
+    * `queries × corpus` broadcast join scored by cosine, per-query window
+    * top-k. Correct at any scale where queries fit in a broadcast
+    * (the corpus side streams — never collected).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_c_v"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("_q_v"), col("_c_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Approximate top-k via hyperplane-LSH: only corpus vectors sharing the
+    * query's bucket are scored. Multi-probe: `probeBits` one-bit
+    * perturbations of the query signature widen recall. Candidates shrink
+    * by ~2^planes relative to brute force — the 100 TB path.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+      probeBits: Int = 2,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_c_v"),
+      hyperplaneSignature(col(corpusVec), planes).as("_bucket"))
+    // query probes: own bucket + single-bit flips (multi-probe LSH)
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"),
+        hyperplaneSignature(col(queryVec), planes).as("_sig"))
+      .withColumn("_bucket", explode(concat(
+        array(col("_sig")),
+        slice(transform(sequence(lit(0), lit(planes - 1)),
+          b => col("_sig").bitwiseXOR(call_function("shiftleft", lit(1L), b))), 1, probeBits))))
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("_q_v"), col("_c_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.groupBy("query_id", "neighbor_id", "score").agg(first("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** IVF index build: pick `nlist` corpus rows as coarse centroids
+    * (deterministic hash-ordered sample — a k-means seeding analog), then
+    * assign every vector to its nearest centroid. Returns
+    * (assignments, centroids); persist both for repeated queries.
+    */
+  def ivfBuild(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val centroids = corpus
+      .orderBy(xxhash64(col(idCol).cast("string")))
+      .limit(nlist)
+      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("_ct_v"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("_d", l2Distance(col(vecCol), col("_ct_v")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_d"))
+    val assignments = assigned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    (assignments, centroids)
+  }
+
+  /** IVF query: score only vectors in the `nprobe` closest clusters to
+    * each query — the standard inverted-file pruning.
+    */
+  def ivfTopK(assignments: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4,
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
+    val qProbes = q.crossJoin(broadcast(centroids))
+      .withColumn("_d", l2Distance(col("_q_v"), col("_ct_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_d"))
+    val probes = qProbes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_q_v"), col("centroid_id"))
+    val cand = assignments.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col(assignments.columns.head))
+    val scored = cand.withColumn("score", cosine(col("_q_v"), col(assignments.columns(1))))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(assignments.columns.head).as("neighbor_id"),
+        col("score"), col("rank"))
+  }
+}

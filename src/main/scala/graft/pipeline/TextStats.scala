@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language id, fingerprinting. Everything is built from
+  * codegen'd Spark SQL functions (no UDFs), so the operators stream
+  * through whole-stage codegen and scale linearly with executors — no
+  * shuffle at all for the per-document columns.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation runs — the
+    * usual cheap proxy for tokenizer length (≈ GPT-2 regex family).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, """(?=[\p{L}\p{N}])(?<![\p{L}\p{N}])|(?<=[\p{L}\p{N}])(?![\p{L}\p{N}])|\s+"""),
+      t => length(t) > 0))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]"))).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") / length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / length(text))
+
+  def avgWordLen(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        tokenCount(text))
+
+  private val enStop = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "was",
+    "for", "on", "are", "as", "with", "at", "be", "this", "have", "or")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column =
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
+        .cast("double") / tokenCount(text))
+
+  /** Composite quality score in [0,1] — the C4/Gopher-style heuristic mix:
+    * reasonable length, word shape, some stopwords, not mostly
+    * punctuation/digits.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(charCount(text).between(50, 100000), 1.0)
+      .when(charCount(text) < 50, charCount(text) / 50.0).otherwise(0.5)
+    val wordOk = when(avgWordLen(text).between(3.0, 12.0), 1.0).otherwise(0.4)
+    val stopOk = when(stopwordRatio(text) > 0.05, 1.0)
+      .otherwise(stopwordRatio(text) / 0.05 * 0.5 + 0.5)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - (punctRatio(text) - 0.2) * 2))
+    val digitOk = when(digitRatio(text) < 0.3, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - digitRatio(text)))
+    round((lenOk * 0.25 + wordOk * 0.2 + stopOk * 0.2 + punctOk * 0.2 + digitOk * 0.15), 4)
+  }
+
+  /** Stopword-profile language id over a fixed language set — the
+    * classic cheap n-gram/wordlist heuristic. Returns the language code
+    * with the highest stopword-hit count, 'und' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+      "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "para"),
+      "it" -> Seq("il", "la", "di", "e", "che", "non", "per", "una", "sono", "con"),
+      "pt" -> Seq("o", "a", "de", "e", "que", "do", "da", "em", "um", "para"),
+      "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te", "niet"))
+    val toks = tokens(lower(text))
+    val scored = profiles.map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit hash of whitespace/case-normalized text —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Convenience: annotate a documents frame with the full stat set. */
+  def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpe", bpeishTokenCount(t))
+      .withColumn("n_chars_m", charCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("digit_ratio", round(digitRatio(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("avg_word_len", round(avgWordLen(t), 4))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

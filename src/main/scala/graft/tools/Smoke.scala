@@ -86,6 +86,23 @@ object Smoke {
     graft.streaming.Streaming.writeBatch(t, src.limit(50).withColumn("o_orderkey", col("o_orderkey") + 710000000L), 0L) // replay id=0: skipped
     println(s"[smoke] streaming: batch0=${afterB0 - nBefore} (expect 5) replay_skipped=${Readers.snapshot(t).count() == afterB0}")
 
+    // LLM-pipeline operators over documents/embeddings testdata
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    import graft.pipeline._
+    val nd = docs.count()
+    val plantedDocs = docs.limit(10).withColumn("doc_id", col("doc_id") + 900000L)
+    println(s"[smoke] dedup_exact: ${Dedup.exact(docs.unionByName(plantedDocs)).count()} (expect $nd)")
+    val selfDeduped = Dedup.minhashDedup(docs, threshold = 0.6)
+    println(s"[smoke] dedup_minhash: $nd -> ${selfDeduped.count()} docs")
+    val stats = TextStats.annotate(docs.limit(100))
+    println(s"[smoke] text_stats: avg_quality=${stats.agg(avg("quality")).first().getDouble(0)}")
+    val q5 = embs.limit(3)
+    val ann = Similarity.bruteForceTopK(embs, q5, 5)
+    println(s"[smoke] ann_bruteforce: ${ann.count()} results (expect 15), max_score=${ann.agg(max("score")).first().getDouble(0)}")
+    val mm = Multimodal.decodeImages(Multimodal.withFakeBinary(docs.limit(20), "doc_id"))
+    println(s"[smoke] multimodal_decode: ${mm.count()} images, widths>=${mm.agg(min(col("meta.width"))).first().getInt(0)}")
+
     // plan inspection: does the snapshot scan push filters into parquet?
     val plan = Readers.snapshot(t).filter(col("o_totalprice") === 7777.0)
       .queryExecution.executedPlan.toString

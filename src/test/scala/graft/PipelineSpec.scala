@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sf001/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sf001/embeddings.parquet").cache()
+
+  test("exact dedup keeps lowest id per duplicate text") {
+    val df = Seq((1L, "hello  world"), (2L, "Hello World"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df)
+    assert(out.count() === 2)
+    assert(out.filter($"doc_id" === 1L).count() === 1) // min id wins
+    assert(out.filter($"doc_id" === 2L).count() === 0)
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away from home"),
+      (3L, "completely unrelated text about apache spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val sigs = near.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
+    val s12 = sigs.as("a").join(sigs.as("b"), $"a.doc_id" === 1 && $"b.doc_id" === 2)
+      .select(Dedup.signatureSimilarity($"a.sig", $"b.sig")).first().getDouble(0)
+    val s13 = sigs.as("a").join(sigs.as("b"), $"a.doc_id" === 1 && $"b.doc_id" === 3)
+      .select(Dedup.signatureSimilarity($"a.sig", $"b.sig")).first().getDouble(0)
+    assert(s12 > 0.6, s"near-dup pair similarity $s12")
+    assert(s13 < 0.2, s"unrelated pair similarity $s13")
+  }
+
+  // note: the synthetic docs are drawn from a tiny vocabulary, so distinct
+  // doc_ids can genuinely be near-duplicates of each other — self-dedup the
+  // base first, then plant dups and check only they get removed.
+  test("minhash dedup drops planted near-duplicates from real documents") {
+    val base = Dedup.minhashDedup(docs.limit(200), threshold = 0.5).cache()
+    val planted = base.limit(20)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" extra")))
+    val out = Dedup.minhashDedup(base.unionByName(planted), threshold = 0.5)
+    assert(out.filter($"doc_id" >= 1000000L).count() === 0) // planted dups gone
+    assert(out.filter($"doc_id" < 1000000L).count() === base.count()) // base kept
+    base.unpersist()
+  }
+
+  test("simhash dedup catches small edits") {
+    val base = Dedup.simhashDedup(docs.limit(200), maxDistance = 3).cache()
+    val planted = base.limit(15)
+      .withColumn("doc_id", $"doc_id" + 2000000L) // identical text, new id
+    val out = Dedup.simhashDedup(base.unionByName(planted), maxDistance = 3)
+    assert(out.filter($"doc_id" >= 2000000L).count() === 0)
+    assert(out.filter($"doc_id" < 2000000L).count() === base.count())
+    base.unpersist()
+  }
+
+  test("ngram jaccard: exact verification works") {
+    val j = Seq((1L)).toDF("x").select(
+      Dedup.ngramJaccard(lit("abcdefgh"), lit("abcdefgh"), 3).as("same"),
+      Dedup.ngramJaccard(lit("abcdefgh"), lit("zzzzzzzz"), 3).as("diff"))
+      .first()
+    assert(j.getDouble(0) === 1.0)
+    assert(j.getDouble(1) === 0.0)
+  }
+
+  test("embedding dedup drops duplicated vectors") {
+    val base = embs.limit(200)
+    val planted = base.limit(10).withColumn("vec_id", $"vec_id" + 5000000L)
+    val out = Dedup.embeddingDedup(base.unionByName(planted), threshold = 0.999)
+    assert(out.filter($"vec_id" >= 5000000L).count() === 0)
+  }
+
+  test("brute-force topK finds the planted nearest neighbor") {
+    val corpus = embs.limit(500)
+    val q = corpus.filter($"vec_id" === corpus.select(min("vec_id")).first().getLong(0))
+    // plant an identical vector under a new id: must rank #1 with score ~1
+    val qid = q.first().getLong(0)
+    val planted = q.withColumn("vec_id", lit(7777777L))
+    val res = Similarity.bruteForceTopK(corpus.unionByName(planted), q, k = 5)
+    val top = res.filter($"rank" === 1).first()
+    assert(top.getLong(1) === 7777777L)
+    assert(top.getDouble(2) > 0.999)
+  }
+
+  test("LSH topK finds planted close neighbors (same-bucket guarantee)") {
+    // random vectors have no close neighbors, so test the property LSH
+    // actually provides: a near-identical vector lands in the same bucket
+    val corpus = embs.limit(300).cache()
+    val queries = corpus.limit(8)
+    val planted = queries.withColumn("vec_id", $"vec_id" + 7000000L) // exact copies
+    val res = Similarity.lshTopK(corpus.unionByName(planted), queries, 5,
+      planes = 8, probeBits = 2)
+    val hits = res.filter($"neighbor_id" >= 7000000L && $"rank" === 1).count()
+    assert(hits === 8, s"planted copy ranked #1 for $hits/8 queries")
+    corpus.unpersist()
+  }
+
+  test("IVF topK returns sane neighbors") {
+    val corpus = embs.limit(300)
+    val (assignments, centroids) = Similarity.ivfBuild(corpus, nlist = 8)
+    assert(assignments.count() === 300)
+    val queries = corpus.limit(3)
+    val res = Similarity.ivfTopK(assignments, centroids, queries, k = 5, nprobe = 4)
+    assert(res.groupBy("query_id").count().filter($"count" =!= 5).count() === 0)
+    assert(res.filter($"score" > 1.0001).count() === 0)
+  }
+
+  test("text stats annotate: sane ranges on real docs") {
+    val out = TextStats.annotate(docs.limit(300)).cache()
+    assert(out.filter($"n_tokens" <= 0).count() === 0)
+    assert(out.filter($"quality" < 0 || $"quality" > 1).count() === 0)
+    assert(out.filter($"punct_ratio" < 0 || $"punct_ratio" > 1).count() === 0)
+    // fingerprint is stable: identical normalized text → same fingerprint
+    val fp = Seq(("a  b", 1), ("A b ", 2)).toDF("text", "i")
+      .select(TextStats.fingerprint($"text").as("f")).distinct()
+    assert(fp.count() === 1)
+    out.unpersist()
+  }
+
+  test("langId identifies stopword-bearing sentences") {
+    // the synthetic docs' lang labels don't correlate with their (English
+    // token soup) text — use real sentences per language instead
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with the sun"),
+      ("de", "der hund ist nicht mit der katze und das ist ein problem"),
+      ("fr", "le chat est dans la maison et il ne mange pas pour une heure"),
+      ("es", "el perro no es una amenaza para los gatos y por eso que"),
+      ("und", "xyzzy plugh quux")).toDF("expected", "text")
+    val got = samples.withColumn("pred", TextStats.langId($"text"))
+    assert(got.filter($"pred" =!= $"expected").count() === 0)
+    // the synthetic token soup carries almost no stopwords: predictions
+    // must stay within {en (the), pt (a), und} — never a confident wrong hit
+    val docsPred = docs.limit(200).withColumn("pred", TextStats.langId($"text"))
+    assert(docsPred.filter(!$"pred".isin("en", "pt", "und")).count() === 0)
+  }
+
+  test("multimodal: decode, resize, frame-sample, audio plumbing") {
+    val blobs = Multimodal.withFakeBinary(docs.limit(50), "doc_id")
+    val decoded = Multimodal.decodeImages(blobs)
+    assert(decoded.count() === 50)
+    assert(decoded.filter(d => d.meta.width < 64 || d.meta.channels != 3).count() === 0)
+    val resized = Multimodal.resizeImages(blobs, 224, 224)
+    assert(resized.columns.toSeq === Seq("doc_id", "content_resized", "width", "height"))
+    assert(resized.filter($"width" =!= 224).count() === 0)
+    val frames = Multimodal.sampleFrames(blobs.limit(10), n = 4)
+    assert(frames.count() === 40)
+    assert(frames.filter(_.tsMillis > 3000).count() === 0)
+    val audio = Multimodal.audioFeatures(blobs.limit(10))
+    assert(audio.filter(_.mfcc.length != 13).count() === 0)
+  }
+}
