@@ -1,23 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Headliners cover the three catalog groups:
+  * relational plans, table write/read ops, and pipeline operators.
+  */
 object Bench {
+  /** Names must exist in SparkEntry.queries. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_window_topk", "q13_events_hourly",
+    "t_bulk_insert", "t_upsert", "t_merge_into", "t_mor_upsert",
+    "p_dedup_exact", "p_dedup_minhash", "p_text_stats", "p_ann_bruteforce")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val fns = SparkEntry.queries
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case _: Throwable =>
+          try { fns(name)(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,27 +27,38 @@ object Dedup {
       .drop("_ddup_rn")
   }
 
-  /** Character shingles of length n, deduplicated. */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
-        i => substring(norm, lit(1) + i, lit(n))),
-      s => length(s) === n))
+  /** Word n-gram shingles, deduplicated. Word grams (not char grams) keep
+    * the element count linear in tokens — a char-gram variant re-runs the
+    * normalization regex per element, which is O(len²) per document.
+    * Texts shorter than n words collapse to a single whole-text shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: `numHashes` independent min-hashes over the
-    * shingle set. Hash family h_i(s) = xxhash64(s || '#' || i) — computed
-    * entirely inside whole-stage codegen via transform+aggregate.
+  /** MinHash signature over a MATERIALIZED shingle-array column. Hash
+    * family h_i(s) = xxhash64(s || '#' || i) — pure expression tree.
+    * Callers must materialize the shingle array first (projection +
+    * shuffle boundary — see minhashDedup); referencing `shingles(...)`
+    * here directly would re-evaluate the array once per hash function.
     */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 5): Column = {
-    val sh = shingles(text, shingleN)
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       coalesce(
         aggregate(sh, lit(Long.MaxValue),
           (acc, s) => least(acc, xxhash64(concat(s, lit("#"), i)))),
         lit(Long.MaxValue)))
-  }
+
+  /** Convenience form for ad-hoc use/tests (inline shingles — fine for
+    * single evaluations, not for the 64-hash pipelines).
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column =
+    minhashSignatureFromShingles(shingles(text, shingleN), numHashes)
 
   /** LSH band ids from a minhash signature: signature split into `bands`
     * bands of rows hashed together; two docs sharing any band id are
@@ -72,9 +83,18 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 5): DataFrame = {
+      shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("_d_id"), minhashSignature(col(textCol), numHashes, shingleN).as("_d_sig"))
+    // The repartition is load-bearing twice over: it spreads signature
+    // computation across the cluster (a single parquet file would
+    // otherwise pin it to one task), and the shuffle materializes the
+    // shingle array so the 64 min-hash aggregates read a column instead of
+    // re-deriving the array per hash.
+    val prepared = df
+      .select(col(idCol).as("_d_id"), shingles(col(textCol), shingleN).as("_d_sh"))
+      .repartition(col("_d_id"))
+    val sig = prepared.select(col("_d_id"),
+      minhashSignatureFromShingles(col("_d_sh"), numHashes).as("_d_sig"))
     val banded = sig.select(col("_d_id"), col("_d_sig"),
         explode(lshBands(col("_d_sig"), bands, rows)).as("_d_band"))
       .select(col("_d_id"), col("_d_sig"),
@@ -91,18 +111,8 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: bit j is the sign of the sum
     * of ±1 votes from each token's hash bit j. Pure expression tree.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextStats.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        val vote = aggregate(hashes, lit(0L),
-          (a, h) => a + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
-      })
-  }
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextStats.tokens(lower(text)), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -111,9 +121,28 @@ object Dedup {
     * (any pair within Hamming distance 3 must agree on ≥1 chunk —
     * pigeonhole), verified by full Hamming distance ≤ `maxDistance`.
     */
+  /** SimHash from a materialized token-hash array (see simhash for the
+    * bit-vote construction).
+    */
+  def simhashFromHashes(hashes: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => {
+        val vote = aggregate(hashes, lit(0L),
+          (a, h) => a + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
+      })
+
   def simhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxDistance: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("_s_id"), simhash(col(textCol)).as("_s_sh"))
+    // materialize token hashes through the shuffle (parallelism + avoids
+    // 64 re-evaluations of the tokenize+hash array — one per bit)
+    val prepared = df
+      .select(col(idCol).as("_s_id"),
+        transform(TextStats.tokens(lower(col(textCol))), t => xxhash64(t)).as("_s_th"))
+      .repartition(col("_s_id"))
+    val sh = prepared.select(col("_s_id"), simhashFromHashes(col("_s_th")).as("_s_sh"))
     val chunked = sh.select(col("_s_id"), col("_s_sh"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("c"), call_function("shiftright", col("_s_sh"), c * 16).bitwiseAND(0xFFFFL).as("v")))).as("_s_ch"))
@@ -141,9 +170,13 @@ object Dedup {
     * Jaccard (two-phase: cheap probabilistic recall, exact precision).
     */
   def ngramJaccardDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.8, n: Int = 5): DataFrame = {
-    val sig = df.select(col(idCol).as("_d_id"), col(textCol).as("_d_text"),
-      minhashSignature(col(textCol), 64, n).as("_d_sig"))
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val prepared = df
+      .select(col(idCol).as("_d_id"), col(textCol).as("_d_text"),
+        shingles(col(textCol), n).as("_d_sh"))
+      .repartition(col("_d_id"))
+    val sig = prepared.select(col("_d_id"), col("_d_text"),
+      minhashSignatureFromShingles(col("_d_sh"), 64).as("_d_sig"))
     val banded = sig.select(col("_d_id"), col("_d_text"),
         explode(lshBands(col("_d_sig"), 16, 4)).as("_d_band"))
       .select(col("_d_id"), col("_d_text"),

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query catalog over the raw testdata tables — the operator
+  * categories the reference delegates to its host engine (SURVEY §2.5):
+  * joins (broadcast/shuffle, semi/anti), aggregations (hash, distinct,
+  * rollup), windows, set ops, scalar functions, time-bucketed aggs.
+  * Every query has a DuckDB oracle twin; aggregate doubles are rounded in
+  * BOTH engines to absorb summation-order differences.
+  */
+object Relational {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan + filter + hash agg, fully pushed down
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // TPC-H Q3 shape: 3-way join (dim side broadcastable) + agg
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1997-01-01"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q5 shape: 5-way snowflake join through region/nation
+    "q5_local_supplier" -> ((s, d) => {
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey") &&
+          sup("s_nationkey") === cust("c_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q6 shape: tight filter + single-row agg
+    "q6_forecast_revenue" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // window: top-3 orders per customer
+    "q7_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // grouping sets
+    "q8_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+    }),
+
+    // distinct aggregation
+    "q9_distinct_parts" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // semi + anti joins: customer order activity
+    "q10_semi_anti" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val active = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+      val inactive = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+      active.join(inactive, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+    }),
+
+    // set operation: customers ordering in both years
+    "q11_intersect_years" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(ord.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+    }),
+
+    // scalar function projection battery
+    "q12_scalar_funcs" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_retailprice") * 2).as("double_price"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod"),
+        length(col("p_name")).as("name_len"),
+        when(col("p_size") > 25, "large").otherwise("small").as("size_class"))
+    }),
+
+    // time-bucketed aggregation over the events stream table
+    "q13_events_hourly" -> ((s, d) => {
+      QUtil.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    }),
+
+    // conditional aggregation (TPC-H Q12 shape)
+    "q14_priority_by_year" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(when(col("o_orderpriority").startsWith("1") ||
+            col("o_orderpriority").startsWith("2"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!(col("o_orderpriority").startsWith("1") ||
+            col("o_orderpriority").startsWith("2")), 1L).otherwise(0L)).as("low_line_count"),
+          (sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_price"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin,
+    "q8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q9_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q10_semi_anti" ->
+      """SELECT c_mktsegment,
+        |count(*) FILTER (WHERE has_o) AS with_orders,
+        |count(*) FILTER (WHERE NOT has_o) AS without_orders
+        |FROM (SELECT c_mktsegment,
+        |  EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+        |  FROM customer)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q11_intersect_years" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey,
+        |upper(substring(p_name, 1, 8)) AS name_prefix,
+        |concat_ws('/', p_brand, p_type) AS brand_type,
+        |p_retailprice * 2 AS double_price,
+        |p_partkey % 7 AS key_mod,
+        |length(p_name) AS name_len,
+        |CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+        |FROM part""".stripMargin,
+    "q13_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q14_priority_by_year" ->
+      """SELECT year(o_orderdate) AS yr,
+        |sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS high_line_count,
+        |sum(CASE WHEN NOT (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') THEN 1 ELSE 0 END) AS low_line_count,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin)
+}

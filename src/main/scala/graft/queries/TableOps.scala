@@ -1,0 +1,317 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.keygen.KeyGen
+import graft.read.Readers
+import graft.streaming.Streaming
+import graft.table.{GraftTable, Services, WritePipeline}
+
+/** Table-operation catalog: every write op / query type / table service
+  * from SURVEY §2 exercised end-to-end against a table built from the
+  * scale-factor inputs, with the expected result expressed as DuckDB SQL
+  * over the raw tables. Each query is self-contained (rebuilds its table
+  * under /tmp) and deterministic.
+  */
+object TableOps {
+  private val OrdersCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val OrdersSql = OrdersCols.mkString(", ")
+
+  private def orders(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/orders.parquet")
+
+  private def cfg(tt: String, props: Map[String, String] = Map.empty) = TableConfig(
+    "orders_q", tt, Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate", props)
+
+  private def fresh(s: SparkSession, d: String, name: String, c: TableConfig): GraftTable = {
+    val p = s"/tmp/graft_q/${name}_${Integer.toHexString(d.hashCode)}"
+    WritePipeline.deleteRecursively(Paths.get(p))
+    GraftTable.create(s, p, c)
+  }
+
+  private def data(df: DataFrame, cols: Seq[String] = OrdersCols): DataFrame =
+    df.select(cols.map(col): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bulk_insert" -> ((s, d) => {
+      val t = fresh(s, d, "t_bulk_insert", cfg(TableType.CopyOnWrite))
+      t.bulkInsert(orders(s, d))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_upsert" -> ((s, d) => {
+      val t = fresh(s, d, "t_upsert", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_delete" -> ((s, d) => {
+      val t = fresh(s, d, "t_delete", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.delete(src.filter(col("o_orderkey") % 5 === 0))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_insert_small_file_pack" -> ((s, d) => {
+      val t = fresh(s, d, "t_insert_pack", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      t.insert(src.filter(col("o_orderkey") % 2 =!= 0))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_precombine_dedup" -> ((s, d) => {
+      val t = fresh(s, d, "t_precombine", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      val v1 = src.withColumn("o_totalprice", lit(1.0))
+      // +1 HOUR, not +1 DAY: a Dec-31 +1d would cross the partition-year
+      // boundary and correctly become a different record (partition-scoped
+      // keys, like the reference's non-global index)
+      val v2 = src.withColumn("o_totalprice", lit(2.0))
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 HOUR"))
+      t.upsert(v1.unionByName(v2)) // precombine on o_orderdate: v2 wins
+      data(Readers.snapshot(t))
+    }),
+
+    "t_time_travel" -> ((s, d) => {
+      val t = fresh(s, d, "t_time_travel", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      val c1 = t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 3 === 0).withColumn("o_totalprice", lit(-1.0)))
+      data(Readers.timeTravel(t, c1))
+    }),
+
+    "t_incremental" -> ((s, d) => {
+      val t = fresh(s, d, "t_incremental", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      val c1 = t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(Readers.incremental(t, c1))
+    }),
+
+    "t_insert_overwrite" -> ((s, d) => {
+      val t = fresh(s, d, "t_insert_overwrite", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.insertOverwrite(src.filter(year(col("o_orderdate")) === 1995)
+        .withColumn("o_totalprice", lit(1.0)))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_delete_partition" -> ((s, d) => {
+      val t = fresh(s, d, "t_delete_partition", cfg(TableType.CopyOnWrite))
+      t.bulkInsert(orders(s, d))
+      t.deletePartitions(Seq("1995"))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_merge_into" -> ((s, d) => {
+      val t = fresh(s, d, "t_merge_into", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val updSource = src.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 0.5)
+      val insSource = src.filter(col("o_orderkey") % 11 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+      t.mergeInto(updSource.unionByName(insSource))
+        .whenMatchedDelete(Some("t.o_orderkey % 6 = 0"))
+        .whenMatchedUpdate(None, Map("o_totalprice" -> "s.o_totalprice"))
+        .whenNotMatchedInsert(None)
+        .execute()
+      data(Readers.snapshot(t))
+    }),
+
+    "t_update_where" -> ((s, d) => {
+      val t = fresh(s, d, "t_update_where", cfg(TableType.CopyOnWrite))
+      t.bulkInsert(orders(s, d))
+      t.update("o_orderstatus = 'P'", Map("o_orderpriority" -> "'X-PENDING'"))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_delete_where" -> ((s, d) => {
+      val t = fresh(s, d, "t_delete_where", cfg(TableType.CopyOnWrite))
+      t.bulkInsert(orders(s, d))
+      t.deleteWhere("o_orderstatus = 'F'")
+      data(Readers.snapshot(t))
+    }),
+
+    "t_filter_exists" -> ((s, d) => {
+      val t = fresh(s, d, "t_filter_exists", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      data(t.filterExists(src))
+    }),
+
+    "t_rollback" -> ((s, d) => {
+      val t = fresh(s, d, "t_rollback", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val c2 = t.upsert(src.limit(500).withColumn("o_orderkey", col("o_orderkey") + 90000000L))
+      Services.rollback(t, c2)
+      data(Readers.snapshot(t))
+    }),
+
+    "t_savepoint_restore" -> ((s, d) => {
+      val t = fresh(s, d, "t_savepoint_restore", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      val c1 = t.bulkInsert(src)
+      Services.savepoint(t, c1)
+      t.upsert(src.limit(300).withColumn("o_totalprice", lit(-1.0)))
+      t.delete(src.limit(100))
+      Services.restore(t, c1)
+      data(Readers.snapshot(t))
+    }),
+
+    "t_clean" -> ((s, d) => {
+      val t = fresh(s, d, "t_clean", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val upd = src.filter(col("o_orderkey") % 7 === 0)
+      t.upsert(upd.withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.upsert(upd.withColumn("o_totalprice", col("o_totalprice") * 4))
+      Services.clean(t, retainCommits = 2)
+      data(Readers.snapshot(t))
+    }),
+
+    "t_cluster" -> ((s, d) => {
+      val t = fresh(s, d, "t_cluster",
+        cfg(TableType.CopyOnWrite, Map(ConfigKeys.MaxFileSize -> (256L * 1024).toString)))
+      t.bulkInsert(orders(s, d)) // tiny target size ⇒ many small file groups
+      Services.cluster(t, sortColumns = Seq("o_orderkey"))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_schema_evolution" -> ((s, d) => {
+      val t = fresh(s, d, "t_schema_evo", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 13 === 0).withColumn("note", lit("x")))
+      data(Readers.snapshot(t), OrdersCols :+ "note")
+    }),
+
+    "t_mor_upsert" -> ((s, d) => {
+      val t = fresh(s, d, "t_mor_upsert",
+        cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_mor_read_optimized" -> ((s, d) => {
+      val t = fresh(s, d, "t_mor_ro",
+        cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(Readers.readOptimized(t)) // deltas not merged: original values
+    }),
+
+    "t_mor_compaction" -> ((s, d) => {
+      val t = fresh(s, d, "t_mor_compact",
+        cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(src.filter(col("o_orderkey") % 9 === 0))
+      Services.compact(t)
+      data(Readers.readOptimized(t)) // compacted base now carries the merge
+    }),
+
+    "t_mor_incremental" -> ((s, d) => {
+      val t = fresh(s, d, "t_mor_incr",
+        cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      val c1 = t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(Readers.incremental(t, c1))
+    }),
+
+    "t_streaming_sync" -> ((s, d) => {
+      val evCfg = TableConfig("events_q", TableType.CopyOnWrite,
+        Seq("event_id"), "date_format(ts, 'yyyy-MM-dd')", "ts")
+      val src = fresh(s, d, "t_stream_src", evCfg)
+      val dst = fresh(s, d, "t_stream_dst", evCfg.copy(tableName = "events_dst"))
+      src.bulkInsert(QUtil.events(s, d))
+      Streaming.syncOnce(src, dst)
+      Readers.snapshot(dst)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    }))
+
+  private val ordersAll = s"SELECT $OrdersSql FROM orders"
+
+  val oracles: Map[String, String] = Map(
+    "t_bulk_insert" -> ordersAll,
+    "t_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_delete" -> s"$ordersAll WHERE o_orderkey % 5 <> 0",
+    "t_insert_small_file_pack" -> ordersAll,
+    "t_precombine_dedup" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, 2.0 AS o_totalprice,
+         |o_orderdate + INTERVAL 1 HOUR AS o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_time_travel" -> ordersAll,
+    "t_incremental" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "t_insert_overwrite" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN year(o_orderdate) = 1995 THEN 1.0 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_delete_partition" -> s"$ordersAll WHERE year(o_orderdate) <> 1995",
+    "t_merge_into" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 0.5 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 6 <> 0
+         |UNION ALL
+         |SELECT o_orderkey + 50000000, o_custkey, o_orderstatus, o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 11 = 1""".stripMargin,
+    "t_update_where" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |CASE WHEN o_orderstatus = 'P' THEN 'X-PENDING' ELSE o_orderpriority END AS o_orderpriority
+         |FROM orders""".stripMargin,
+    "t_delete_where" -> s"$ordersAll WHERE o_orderstatus <> 'F'",
+    "t_filter_exists" -> s"$ordersAll WHERE o_orderkey % 2 <> 0",
+    "t_rollback" -> ordersAll,
+    "t_savepoint_restore" -> ordersAll,
+    "t_clean" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 4 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_cluster" -> ordersAll,
+    "t_schema_evolution" ->
+      s"""SELECT $OrdersSql,
+         |CASE WHEN o_orderkey % 13 = 0 THEN 'x' ELSE NULL END AS note FROM orders""".stripMargin,
+    "t_mor_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_mor_read_optimized" -> ordersAll,
+    "t_mor_compaction" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 9 <> 0""".stripMargin,
+    "t_mor_incremental" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "t_streaming_sync" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |user_id, event_type, value, props FROM events""".stripMargin)
+}
