@@ -1,0 +1,167 @@
+package graft.spark
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{TableConfig, TableType}
+import graft.read.Readers
+import graft.streaming.Streaming
+import graft.table.GraftTable
+
+/** `format("graft")` integration — the analog of the reference's
+  * DefaultSource (reference hudi-spark/.../DefaultSource.scala:48-172):
+  *
+  * Read:
+  * {{{
+  * spark.read.format("graft")
+  *   .option("queryType", "snapshot" | "read_optimized" | "incremental")
+  *   .option("asOfInstant", ts)          // time travel
+  *   .option("beginInstant", ts)         // incremental range
+  *   .option("endInstant", ts)
+  *   .load(path)
+  * }}}
+  *
+  * Write:
+  * {{{
+  * df.write.format("graft")
+  *   .option("operation", "upsert" | "insert" | "bulk_insert" | "delete" |
+  *                        "insert_overwrite" | "insert_overwrite_table")
+  *   .option("recordKeyFields", "k1,k2")
+  *   .option("partitionPathExpr", "date_format(ts,'yyyy')")
+  *   .option("precombineField", "ts")
+  *   .option("tableType", "COPY_ON_WRITE" | "MERGE_ON_READ")
+  *   .mode(Append).save(path)
+  * }}}
+  *
+  * Streaming sink (micro-batch upsert with replay-safe batch ids):
+  * `df.writeStream.format("graft").option(...).start(path)`.
+  *
+  * The relation implements PrunedFilteredScan: pruning/filters re-enter
+  * the underlying snapshot plan as Catalyst expressions, so parquet
+  * pushdown still happens inside the wrapped plan.
+  */
+class GraftDataSource
+    extends RelationProvider
+    with SchemaRelationProvider
+    with CreatableRelationProvider
+    with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    createRelation(sqlContext, parameters, null)
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option is required"))
+    val spark = sqlContext.sparkSession
+    val table = GraftTable.load(spark, path)
+    val df = parameters.getOrElse("queryType", "snapshot") match {
+      case "snapshot" =>
+        Readers.snapshot(table, asOf = parameters.get("asOfInstant"))
+      case "read_optimized" =>
+        Readers.readOptimized(table, asOf = parameters.get("asOfInstant"))
+      case "incremental" =>
+        Readers.incremental(table,
+          parameters.getOrElse("beginInstant", "0"),
+          parameters.get("endInstant"))
+      case other => throw new IllegalArgumentException(s"unknown queryType '$other'")
+    }
+    GraftRelation(sqlContext, df)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], df: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option is required"))
+    val spark = sqlContext.sparkSession
+    val table = loadOrCreate(spark, path, parameters)
+    val op = parameters.getOrElse("operation",
+      if (mode == SaveMode.Overwrite) "insert_overwrite_table" else "upsert")
+    op match {
+      case "upsert" => table.upsert(df)
+      case "insert" => table.insert(df)
+      case "bulk_insert" => table.bulkInsert(df)
+      case "delete" => table.delete(df)
+      case "insert_overwrite" => table.insertOverwrite(df)
+      case "insert_overwrite_table" => table.insertOverwriteTable(df)
+      case other => throw new IllegalArgumentException(s"unknown operation '$other'")
+    }
+    GraftRelation(sqlContext, Readers.snapshot(table))
+  }
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option is required"))
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // streaming hands us a streaming-tagged frame; rebind rows to a
+        // batch frame before the table write (HoodieStreamingSink does the
+        // same data round trip)
+        val spark = sqlContext.sparkSession
+        val batch = spark.createDataFrame(
+          data.collectAsList(), data.schema)
+        val table = loadOrCreate(spark, path, parameters)
+        Streaming.writeBatch(table, batch, batchId)
+      }
+      override def toString: String = s"GraftSink[$path]"
+    }
+  }
+
+  private def loadOrCreate(spark: org.apache.spark.sql.SparkSession, path: String,
+      parameters: Map[String, String]): GraftTable = {
+    if (TableConfig.exists(java.nio.file.Paths.get(path))) GraftTable.load(spark, path)
+    else {
+      val keys = parameters.getOrElse("recordKeyFields",
+        throw new IllegalArgumentException("'recordKeyFields' required to create a table"))
+      GraftTable.create(spark, path, TableConfig(
+        tableName = parameters.getOrElse("tableName", new java.io.File(path).getName),
+        tableType = parameters.getOrElse("tableType", TableType.CopyOnWrite),
+        recordKeyFields = keys.split(",").map(_.trim).toSeq,
+        partitionPathExpr = parameters.getOrElse("partitionPathExpr", ""),
+        precombineField = parameters.getOrElse("precombineField", "")))
+    }
+  }
+}
+
+/** Read relation: pruning + filter pushdown re-enter the wrapped plan. */
+final case class GraftRelation(sqlContext: SQLContext, df: DataFrame)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = df.schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.foldLeft(df)((d, f) => translate(f).map(d.filter).getOrElse(d))
+    val pruned =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.rdd
+  }
+
+  // minimal source-Filter → Column translation; unsupported filters are
+  // simply left for Spark to re-apply above the scan
+  private def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case And(l, r) => for (a <- translate(l); b <- translate(r)) yield a && b
+    case Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}

@@ -112,22 +112,29 @@ final class GraftTable(
   def insert(df: DataFrame, dropDups: Boolean = false): String =
     runCommit(commitAction, "insert") { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
-      val input = if (dropDups) antiJoinExisting(keyed) else keyed
-      val routed = assignInsertBuckets(input.withColumn(FileIdCol, lit(null).cast("string")))
-      writeMerged(routed, instant)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val input = if (dropDups) antiJoinExisting(keyed) else keyed
+        val routed = assignInsertBuckets(input.withColumn(FileIdCol, lit(null).cast("string")))
+        writeMerged(routed, instant)
+      } finally keyed.unpersist()
     }
 
   /** Upsert: batch precombine-dedup → index tag → route → per-group merge
     * (reference SparkRDDWriteClient.upsert :149-159 and the §2.2 pipeline).
     */
   def upsert(df: DataFrame): String = runCommit(commitAction, "upsert") { instant =>
+    // persist the deduped batch: tagging, profiling, routing and the write
+    // each launch a job, and without the cache every one of them would
+    // re-run the dedup window + source scan (the reference persists at the
+    // same point — BaseSparkCommitActionExecutor.java:115-120)
     val keyed = precombineDedup(KeyGen.withKeyColumns(alignToTableSchema(df), cfg))
-    val tagged = tagLocation(keyed)
-    if (cfg.isMor) morWrite(tagged, instant)
-    else {
-      val routed = assignInsertBuckets(tagged)
-      writeMerged(routed, instant)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tagged = tagLocation(keyed)
+      if (cfg.isMor) morWrite(tagged, instant)
+      else writeMerged(assignInsertBuckets(tagged), instant)
+    } finally keyed.unpersist()
   }
 
   /** Delete by key: incoming rows only need the record-key (and partition
@@ -135,12 +142,15 @@ final class GraftTable(
     * row (reference SparkDeleteHelper.java — EmptyHoodieRecordPayload).
     */
   def delete(df: DataFrame): String = runCommit(commitAction, "delete") { instant =>
-    val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
-      .withColumn(DeleteCol, lit(true))
-    val tagged = tagLocation(precombineDedup(keyed))
-      .filter(col(FileIdCol).isNotNull) // deleting a missing key is a no-op
-    if (cfg.isMor) morWrite(tagged, instant)
-    else writeMerged(tagged, instant)
+    val keyed = precombineDedup(KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+        .withColumn(DeleteCol, lit(true)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tagged = tagLocation(keyed)
+        .filter(col(FileIdCol).isNotNull) // deleting a missing key is a no-op
+      if (cfg.isMor) morWrite(tagged, instant)
+      else writeMerged(tagged, instant)
+    } finally keyed.unpersist()
   }
 
   /** Replace all file groups of the partitions the batch touches
@@ -229,8 +239,11 @@ final class GraftTable(
               col(f.name).cast(f.dataType).as(f.name))): _*)
         case None => resolved
       }
-      if (cfg.isMor) morWrite(cast, instant)
-      else writeMerged(assignInsertBuckets(cast), instant)
+      val cached = cast.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (cfg.isMor) morWrite(cached, instant)
+        else writeMerged(assignInsertBuckets(cached), instant)
+      } finally cached.unpersist()
     }
 
   /** Prune records whose key already exists in the table

@@ -103,6 +103,24 @@ object Smoke {
     val mm = Multimodal.decodeImages(Multimodal.withFakeBinary(docs.limit(20), "doc_id"))
     println(s"[smoke] multimodal_decode: ${mm.count()} images, widths>=${mm.agg(min(col("meta.width"))).first().getInt(0)}")
 
+    // format("graft") surface: write options route ops, read round-trips
+    val dsDir = out + "_ds"
+    graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(dsDir))
+    src.write.format("graft")
+      .option("recordKeyFields", "o_orderkey")
+      .option("partitionPathExpr", "date_format(o_orderdate, 'yyyy')")
+      .option("precombineField", "o_orderdate")
+      .option("operation", "bulk_insert")
+      .save(dsDir)
+    src.limit(30).withColumn("o_totalprice", lit(1.25))
+      .write.format("graft").mode("append").save(dsDir) // default op: upsert
+    val dsBack = spark.read.format("graft").load(dsDir)
+    println(s"[smoke] datasource: rows=${dsBack.count()} (expect ${src.count()}) upserted=${dsBack.filter(col("o_totalprice") === 1.25).count()} (expect 30)")
+
+    // probe: reading a non-table path through the format fails cleanly
+    try { spark.read.format("graft").load("/tmp/graft_not_a_table").count(); println("[smoke] datasource-missing: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"[smoke] datasource-missing: ${e.getClass.getSimpleName}") }
+
     // plan inspection: does the snapshot scan push filters into parquet?
     val plan = Readers.snapshot(t).filter(col("o_totalprice") === 7777.0)
       .queryExecution.executedPlan.toString
