@@ -64,7 +64,7 @@ class GraftDataSource
       throw new IllegalArgumentException("'path' option is required"))
     val spark = sqlContext.sparkSession
     val table = GraftTable.load(spark, path)
-    val df = parameters.getOrElse("queryType", "snapshot") match {
+    def mkDf(): DataFrame = parameters.getOrElse("queryType", "snapshot") match {
       case "snapshot" =>
         Readers.snapshot(table, asOf = parameters.get("asOfInstant"))
       case "read_optimized" =>
@@ -75,7 +75,16 @@ class GraftDataSource
           parameters.get("endInstant"))
       case other => throw new IllegalArgumentException(s"unknown queryType '$other'")
     }
-    GraftRelation(sqlContext, df)
+    val df = mkDf()
+    // a meta-column-free frame is what SQL views want: `INSERT *` in MERGE
+    // expands over the target schema and must not demand meta columns.
+    // Catalog tables pass their stored (meta-free) schema back in — honor it.
+    def visible(frame: DataFrame): DataFrame =
+      if (schema != null) frame.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      else if (parameters.getOrElse("includeMetaColumns", "true") == "false")
+        frame.drop(graft.core.MetaCols.All: _*)
+      else frame
+    GraftRelation(sqlContext, visible(df).schema, () => visible(mkDf()), table)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -95,7 +104,10 @@ class GraftDataSource
       case "insert_overwrite_table" => table.insertOverwriteTable(df)
       case other => throw new IllegalArgumentException(s"unknown operation '$other'")
     }
-    GraftRelation(sqlContext, Readers.snapshot(table))
+    // the relation a CTAS hands to the catalog defines the table's SQL
+    // schema: keep it meta-free so INSERT INTO arity matches user columns
+    def snap() = Readers.snapshot(table).drop(graft.core.MetaCols.All: _*)
+    GraftRelation(sqlContext, snap().schema, () => snap(), table)
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
@@ -117,8 +129,9 @@ class GraftDataSource
     }
   }
 
-  private def loadOrCreate(spark: org.apache.spark.sql.SparkSession, path: String,
+  private def loadOrCreate(spark: org.apache.spark.sql.SparkSession, path0: String,
       parameters: Map[String, String]): GraftTable = {
+    val path = GraftTable.normalize(path0)
     if (TableConfig.exists(java.nio.file.Paths.get(path))) GraftTable.load(spark, path)
     else {
       val keys = parameters.getOrElse("recordKeyFields",
@@ -133,14 +146,27 @@ class GraftDataSource
   }
 }
 
-/** Read relation: pruning + filter pushdown re-enter the wrapped plan. */
-final case class GraftRelation(sqlContext: SQLContext, df: DataFrame)
-    extends BaseRelation with PrunedFilteredScan {
+/** Read relation: the frame is rebuilt per scan (`mkDf`), so catalog- or
+  * view-cached relations always see the table's current snapshot — no
+  * stale file lists after writes. Pruning + filter pushdown re-enter the
+  * rebuilt plan; InsertableRelation routes catalog `INSERT INTO
+  * [OVERWRITE]` to the engine's insert / insert_overwrite_table ops.
+  */
+final case class GraftRelation(sqlContext: SQLContext, schema: StructType,
+    mkDf: () => DataFrame, table: GraftTable)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  override def schema: StructType = df.schema
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    // catalog INSERT resolves by position: restore the table's data
+    // column names before handing off
+    val dataCols = schema.fieldNames
+      .filterNot(graft.core.MetaCols.All.contains).toIndexedSeq
+    val renamed = data.toDF(dataCols.take(data.columns.length): _*)
+    if (overwrite) table.insertOverwriteTable(renamed) else table.insert(renamed)
+  }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.foldLeft(df)((d, f) => translate(f).map(d.filter).getOrElse(d))
+    val filtered = filters.foldLeft(mkDf())((d, f) => translate(f).map(d.filter).getOrElse(d))
     val pruned =
       if (requiredColumns.isEmpty) filtered
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)

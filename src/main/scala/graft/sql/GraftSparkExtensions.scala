@@ -1,0 +1,137 @@
+package graft.sql
+
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.spark.GraftRelation
+import graft.table.GraftTable
+
+/** SQL DML for graft tables (reference HoodieSparkSessionExtension.scala:
+  * 29-44 + HoodieAnalysis.scala:39-180): resolution rules rewrite Spark's
+  * UPDATE / DELETE / MERGE INTO logical plans into commands running the
+  * engine's native operations. Unlike the reference (which serializes the
+  * merge actions and evaluates them per record through Janino-compiled
+  * Avro payloads — ExpressionPayload.scala:53-160), the actions are
+  * re-rendered as SQL over the target/source aliases and compiled by
+  * Catalyst into the merge projection — one codegen'd plan, no
+  * per-record interpretation.
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")`
+  * and address tables through a view or catalog entry backed by
+  * `format("graft")`. CREATE TABLE / CTAS / INSERT INTO need no rules:
+  * they flow through the V1 source (CreatableRelationProvider /
+  * InsertableRelation).
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectResolutionRule(session => GraftDmlRules(session))
+  }
+}
+
+final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(target, assignments, condition)
+        if u.childrenResolved && graftOf(target).isDefined =>
+      GraftUpdateCommand(graftOf(target).get,
+        assignments.map(a => assignKey(a.key) -> renderPlain(a.value)).toMap,
+        condition.map(renderPlain).getOrElse("true"))
+
+    case d @ DeleteFromTable(target, condition)
+        if d.childrenResolved && graftOf(target).isDefined =>
+      GraftDeleteCommand(graftOf(target).get, renderPlain(condition))
+
+    case m @ MergeIntoTable(target, source, _, matched, notMatched, notMatchedBySource, _)
+        if m.childrenResolved && graftOf(target).isDefined =>
+      require(notMatchedBySource.isEmpty,
+        "WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
+      val tOut = AttributeSet(target.output)
+      val sOut = AttributeSet(source.output)
+      def render(e: Expression): String = renderQualified(e, tOut, sOut)
+      val clauses = (matched ++ notMatched).map {
+        case UpdateAction(cond, assigns, _) =>
+          MergeClauseSpec("update", cond.map(render),
+            assigns.map(a => assignKey(a.key) -> render(a.value)).toMap)
+        case UpdateStarAction(cond) =>
+          MergeClauseSpec("update", cond.map(render), Map.empty)
+        case DeleteAction(cond) =>
+          MergeClauseSpec("delete", cond.map(render), Map.empty)
+        case InsertAction(cond, assigns) =>
+          MergeClauseSpec("insert", cond.map(render),
+            assigns.map(a => assignKey(a.key) -> render(a.value)).toMap)
+        case InsertStarAction(cond) =>
+          MergeClauseSpec("insert", cond.map(render), Map.empty)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported merge action: $other")
+      }
+      GraftMergeCommand(graftOf(target).get, source, clauses)
+  }
+
+  private def graftOf(plan: LogicalPlan): Option[GraftTable] =
+    plan.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+        lr.relation.asInstanceOf[GraftRelation].table
+    }
+
+  private def assignKey(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => other.sql
+  }
+
+  /** Render for single-table predicates: strip qualifiers so the SQL
+    * re-parses against the snapshot frame.
+    */
+  private def renderPlain(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
+
+  /** Render for merge actions: requalify attributes by originating side
+    * so the SQL re-parses against the t/s join aliases.
+    */
+  private def renderQualified(e: Expression, tOut: AttributeSet, sOut: AttributeSet): String =
+    e.transform {
+      case a: AttributeReference if sOut.contains(a) => UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference if tOut.contains(a) => UnresolvedAttribute(Seq("t", a.name))
+    }.sql
+}
+
+final case class MergeClauseSpec(kind: String, condition: Option[String],
+    assignments: Map[String, String])
+
+final case class GraftUpdateCommand(table: GraftTable,
+    set: Map[String, String], condition: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.update(condition, set); Seq.empty
+  }
+}
+
+final case class GraftDeleteCommand(table: GraftTable,
+    condition: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.deleteWhere(condition); Seq.empty
+  }
+}
+
+final case class GraftMergeCommand(table: GraftTable, source: LogicalPlan,
+    clauses: Seq[MergeClauseSpec]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sourceDf = GraftSqlBridge.ofRows(spark, source)
+    val builder = table.mergeInto(sourceDf)
+    clauses.foreach {
+      case MergeClauseSpec("update", cond, assigns) => builder.whenMatchedUpdate(cond, assigns)
+      case MergeClauseSpec("delete", cond, _) => builder.whenMatchedDelete(cond)
+      case MergeClauseSpec("insert", cond, assigns) => builder.whenNotMatchedInsert(cond, assigns)
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    builder.execute()
+    Seq.empty
+  }
+}

@@ -519,8 +519,15 @@ final class GraftTable(
 }
 
 object GraftTable {
+  /** Accept both plain paths and file: URIs (the session catalog hands
+    * LOCATIONs to data sources in URI form).
+    */
+  def normalize(path: String): String =
+    if (path.startsWith("file:")) java.net.URI.create(path).getPath else path
+
   /** Create a new table (errors if one exists at the path). */
-  def create(spark: SparkSession, path: String, cfg: TableConfig): GraftTable = {
+  def create(spark: SparkSession, path0: String, cfg: TableConfig): GraftTable = {
+    val path = normalize(path0)
     val base = Paths.get(path)
     require(!TableConfig.exists(base), s"table already exists at $path")
     Files.createDirectories(base)
@@ -528,13 +535,13 @@ object GraftTable {
     new GraftTable(spark, base, cfg)
   }
 
-  def load(spark: SparkSession, path: String): GraftTable = {
-    val base = Paths.get(path)
+  def load(spark: SparkSession, path0: String): GraftTable = {
+    val base = Paths.get(normalize(path0))
     new GraftTable(spark, base, TableConfig.load(base))
   }
 
   def createOrLoad(spark: SparkSession, path: String, cfg: TableConfig): GraftTable = {
-    val base = Paths.get(path)
+    val base = Paths.get(normalize(path))
     if (TableConfig.exists(base)) load(spark, path) else create(spark, path, cfg)
   }
 }

@@ -22,6 +22,7 @@ object Smoke {
       .appName("graft-smoke")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -120,6 +121,19 @@ object Smoke {
     // probe: reading a non-table path through the format fails cleanly
     try { spark.read.format("graft").load("/tmp/graft_not_a_table").count(); println("[smoke] datasource-missing: NO ERROR (bad)") }
     catch { case e: Throwable => println(s"[smoke] datasource-missing: ${e.getClass.getSimpleName}") }
+
+    // SQL DML surface: UPDATE / DELETE / MERGE INTO via spark.sql
+    spark.read.format("graft").option("includeMetaColumns", "false")
+      .load(dsDir).createOrReplaceTempView("sql_t")
+    spark.sql("UPDATE sql_t SET o_orderpriority = 'Z-SQL' WHERE o_totalprice = 1.25")
+    println(s"[smoke] sql_update: z=${spark.sql("SELECT count(*) FROM sql_t WHERE o_orderpriority = 'Z-SQL'").first().getLong(0)} (expect 30)")
+    spark.sql("DELETE FROM sql_t WHERE o_orderpriority = 'Z-SQL'")
+    println(s"[smoke] sql_delete: remaining=${spark.sql("SELECT count(*) FROM sql_t").first().getLong(0)} (expect ${src.count() - 30})")
+    spark.sql("SELECT o_orderkey AS id, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM sql_t LIMIT 5")
+      .withColumn("o_orderkey", col("id") + 990000000L).drop("id")
+      .createOrReplaceTempView("sql_src")
+    spark.sql("MERGE INTO sql_t t USING sql_src s ON t.o_orderkey = s.o_orderkey WHEN NOT MATCHED THEN INSERT *")
+    println(s"[smoke] sql_merge: rows=${spark.sql("SELECT count(*) FROM sql_t").first().getLong(0)} (expect ${src.count() - 30 + 5})")
 
     // plan inspection: does the snapshot scan push filters into parquet?
     val plan = Readers.snapshot(t).filter(col("o_totalprice") === 7777.0)

@@ -11,6 +11,7 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
