@@ -246,6 +246,16 @@ final class GraftTable(
       } finally cached.unpersist()
     }
 
+  /** TRUNCATE TABLE analog: a replacecommit logically dropping every live
+    * file group (reference TruncateHoodieTableCommand).
+    */
+  def truncate(): String =
+    runCommit(Action.ReplaceCommit, "truncate") { _ =>
+      val replaced = view.fileSlices(None)
+        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
+      (Seq.empty, replaced, latestSchema.map(_.json).getOrElse(""))
+    }
+
   /** Prune records whose key already exists in the table
     * (reference SparkRDDWriteClient.filterExists :131-141).
     */
@@ -475,6 +485,10 @@ final class GraftTable(
     * instant markers are removed (auto-rollback of inflight writes).
     */
   private def runCommit(action: String, opType: String)(
+      body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String =
+    TableLock.withLock(basePath) { runCommitLocked(action, opType)(body) }
+
+  private def runCommitLocked(action: String, opType: String)(
       body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String = {
     val ts = InstantTime.newInstant()
     val inst = timeline.createRequested(ts, action)

@@ -20,7 +20,7 @@ object Services {
     * by an IO budget. Plan is persisted in the requested instant so a
     * separate process could execute it (reference two-phase compaction).
     */
-  def scheduleCompaction(t: GraftTable, ioBudgetBytes: Long = Long.MaxValue): Option[String] = {
+  def scheduleCompaction(t: GraftTable, ioBudgetBytes: Long = Long.MaxValue): Option[String] = graft.core.TableLock.withLock(t.basePath) {
     val candidates = t.view.fileSlices(None)
       .filter(_.deltaFiles.nonEmpty)
       .sortBy(-_.totalDeltaBytes)
@@ -45,7 +45,7 @@ object Services {
     * distributed job for all groups; the window shuffle is bounded by the
     * compacted data volume, and tombstones are physically dropped here.
     */
-  def runCompaction(t: GraftTable, ts: String): String = {
+  def runCompaction(t: GraftTable, ts: String): String = graft.core.TableLock.withLock(t.basePath) {
     val plan = Json.read[CompactionPlan](t.timeline.readRequestedContent(ts, Action.Compaction))
     val inst = t.timeline.transitionToInflight(GraftInstant(ts, Action.Compaction, State.Requested))
     try {
@@ -103,7 +103,7 @@ object Services {
     * (reference SparkClusteringPlanActionExecutor filters the same way).
     */
   def cluster(t: GraftTable, sortColumns: Seq[String] = Seq.empty,
-      smallFileLimit: Long = -1L): Option[String] = {
+      smallFileLimit: Long = -1L): Option[String] = graft.core.TableLock.withLock(t.basePath) {
     val limit = if (smallFileLimit > 0) smallFileLimit else t.smallFileLimit
     val groups = t.view.fileSlices(None)
       .filter(s => s.deltaFiles.isEmpty && s.baseFile.exists(_.sizeBytes < limit))
@@ -161,7 +161,7 @@ object Services {
     * at or before the earliest retained instant; savepointed snapshots are
     * spared.
     */
-  def clean(t: GraftTable, retainCommits: Int = ConfigKeys.DefaultCleanerRetained): Option[String] = {
+  def clean(t: GraftTable, retainCommits: Int = ConfigKeys.DefaultCleanerRetained): Option[String] = graft.core.TableLock.withLock(t.basePath) {
     val dataInstants = t.timeline.completedDataInstants()
     if (dataInstants.size <= retainCommits) return None
     val earliestRetained = dataInstants(dataInstants.size - retainCommits).ts
@@ -207,7 +207,7 @@ object Services {
     * (reference BaseRollbackActionExecutor + marker-file strategy — our
     * staging dir is the marker analog for in-flight writes).
     */
-  def rollback(t: GraftTable, ts: String): String = {
+  def rollback(t: GraftTable, ts: String): String = graft.core.TableLock.withLock(t.basePath) {
     val all = t.timeline.listInstants().filter(_.ts == ts)
     require(all.nonEmpty, s"no instant $ts")
     val action = all.head.action
@@ -233,7 +233,7 @@ object Services {
   /** Pin an instant's files against cleaning (reference
     * SavepointActionExecutor).
     */
-  def savepoint(t: GraftTable, ts: String): String = {
+  def savepoint(t: GraftTable, ts: String): String = graft.core.TableLock.withLock(t.basePath) {
     require(t.timeline.completedDataInstants().exists(_.ts == ts), s"no completed instant $ts")
     val sts = InstantTime.newInstant()
     val inst = t.timeline.createRequested(sts, Action.Savepoint)
@@ -245,7 +245,7 @@ object Services {
   /** Restore to an instant: roll back everything after it, newest first
     * (reference BaseRestoreActionExecutor).
     */
-  def restore(t: GraftTable, ts: String): String = {
+  def restore(t: GraftTable, ts: String): String = graft.core.TableLock.withLock(t.basePath) {
     val toUndo = t.timeline.completedDataInstants().filter(_.ts > ts).reverse
     toUndo.foreach(i => rollback(t, i.ts))
     val rts = InstantTime.newInstant()

@@ -43,6 +43,21 @@ object Probe {
     // probe 6: concurrent-ish double delete of same keys (idempotence)
     t.delete(Seq((1L, 0L)).toDF("id", "v")); t.delete(Seq((1L, 0L)).toDF("id", "v"))
     println(s"[probe] double-delete: snapshot=${Readers.snapshot(t).count()} (expect 1)")
+    // probe 7: truncate then write again
+    t.truncate()
+    println(s"[probe] truncate: snapshot=${Readers.snapshot(t).count()} (expect 0)")
+    t.upsert(Seq((7L, 1L)).toDF("id", "v"))
+    println(s"[probe] post-truncate-write: snapshot=${Readers.snapshot(t).count()} (expect 1)")
+
+    // probe 8: reentrant lock — MOR inline compaction runs inside the
+    // commit's lock scope (deltacommit -> postCommit -> compact)
+    val morDir = "/tmp/graft_probe_mor"
+    graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(morDir))
+    val mor = GraftTable.create(spark, morDir, TableConfig("pm", TableType.MergeOnRead,
+      Seq("id"), "", "v", Map(ConfigKeys.CompactDeltaCommits -> "1")))
+    mor.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    mor.upsert(Seq((1L, 2L)).toDF("id", "v")) // triggers inline compact under held lock
+    println(s"[probe] reentrant-lock-inline-compact: compactions=${mor.timeline.completedInstants().count(_.action == Action.Compaction)} snapshot=${Readers.snapshot(mor).count()}")
     spark.stop()
     println("[probe] DONE")
   }
