@@ -85,16 +85,15 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    // The repartition is load-bearing twice over: it spreads signature
-    // computation across the cluster (a single parquet file would
-    // otherwise pin it to one task), and the shuffle materializes the
-    // shingle array so the 64 min-hash aggregates read a column instead of
-    // re-deriving the array per hash.
-    val prepared = df
-      .select(col(idCol).as("_d_id"), shingles(col(textCol), shingleN).as("_d_sh"))
+    // repartition spreads signature computation across the cluster (a
+    // single parquet file would otherwise pin it to one task); the
+    // signature itself is the native MinHashSig expression — one tight
+    // loop per row instead of 64 interpreted array aggregates.
+    val sig = df
+      .select(col(idCol).as("_d_id"), col(textCol).as("_d_t"))
       .repartition(col("_d_id"))
-    val sig = prepared.select(col("_d_id"),
-      minhashSignatureFromShingles(col("_d_sh"), numHashes).as("_d_sig"))
+      .select(col("_d_id"),
+        graft.functions.MinHashSig.minhashSig(col("_d_t"), numHashes, shingleN).as("_d_sig"))
     val banded = sig.select(col("_d_id"), col("_d_sig"),
         explode(lshBands(col("_d_sig"), bands, rows)).as("_d_band"))
       .select(col("_d_id"), col("_d_sig"),
