@@ -59,6 +59,22 @@ object InstantTime {
     }) {}
     fmt.format(JInstant.ofEpochMilli(candidate))
   }
+
+  /** Timeline-aware allocation for multi-writer safety: a second writer
+    * process (or a host with clock skew) must never allocate a ts ≤ an
+    * instant already on the timeline — a collision would let the completed
+    * instant file of one commit shadow another's. Callers hold TableLock,
+    * so reading the timeline here is race-free.
+    */
+  def newInstant(timeline: Timeline): String = {
+    timeline.listInstants().map(_.ts).maxOption.foreach { maxTs =>
+      val maxMillis = JInstant.from(fmt.parse(maxTs)).toEpochMilli
+      var prev = lastMillis.get()
+      while (prev < maxMillis && !lastMillis.compareAndSet(prev, maxMillis))
+        prev = lastMillis.get()
+    }
+    newInstant()
+  }
 }
 
 /** The active timeline of a table: ordered instants persisted as files.
@@ -114,9 +130,13 @@ final class Timeline(val basePath: Path) {
 
   /** Atomic publish: the completed instant file appears (with its metadata
     * as content) in one rename; requested/inflight markers are removed.
+    * Create-new semantics: a pre-existing completed instant at the same ts
+    * means another writer already committed under this timestamp —
+    * overwriting it would orphan that commit's files (silent data loss), so
+    * fail instead.
     */
   def saveAsComplete(i: GraftInstant, metadataJson: String): GraftInstant = {
-    atomicWrite(dir.resolve(s"${i.ts}.${i.action}"), metadataJson)
+    atomicWrite(dir.resolve(s"${i.ts}.${i.action}"), metadataJson, replaceExisting = false)
     Files.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Requested}"))
     Files.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Inflight}"))
     GraftInstant(i.ts, i.action, State.Completed)
@@ -153,9 +173,35 @@ final class Timeline(val basePath: Path) {
     toArchive.size
   }
 
-  private def atomicWrite(target: Path, content: String): Unit = {
+  /** Replay the archive log: completed instants (with their metadata JSON)
+    * that were moved off the active timeline. Incremental readers whose
+    * begin falls before the earliest active instant consult this so change
+    * records are never silently dropped (reference keeps the analogous
+    * archived timeline readable for the same reason).
+    */
+  def archivedInstants(): Seq[(GraftInstant, String)] = {
+    val log = archiveDir.resolve("archived.jsonl")
+    if (!Files.exists(log)) return Seq.empty
+    Files.readAllLines(log).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val m = Json.read[Map[String, String]](line)
+      (GraftInstant(m("ts"), m("action"), State.Completed), m("metadata"))
+    }.sortBy(_._1.ts)
+  }
+
+  /** Earliest completed ts still on the active timeline (archived ones
+    * excluded), if any.
+    */
+  def earliestActiveCompleted(): Option[String] =
+    completedInstants().headOption.map(_.ts)
+
+  private def atomicWrite(target: Path, content: String, replaceExisting: Boolean = true): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.write(tmp, content.getBytes(UTF_8))
+    if (!replaceExisting && Files.exists(target)) {
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(
+        s"instant file already exists (concurrent-writer ts collision): $target")
+    }
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -40,7 +40,10 @@ object PipelineQueries {
       val base = embs(s, d)
       val planted = base.filter(col("vec_id") % 5 === 0)
         .withColumn("vec_id", col("vec_id") + 10000000L)
+      // project the array column out of the result: the gate's pandas
+      // row-sort can't hash ndarrays (round-1 checker crash)
       Dedup.embeddingDedup(base.unionByName(planted), threshold = 0.999)
+        .select(col("vec_id"), col("label"))
     }),
 
     // text stats with exact SQL twins
@@ -97,6 +100,17 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p_dedup_exact" -> "SELECT * FROM documents",
+    // ground truth = brute-force cosine dedup (ours is hyperplane-LSH
+    // accelerated; exact copies hash to the same bucket, and the data has
+    // no natural pair above 0.51 cosine, so recall is exact here)
+    "p_dedup_embedding" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding, label FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT vec_id, label FROM u a WHERE NOT EXISTS (
+        |  SELECT 1 FROM u b WHERE b.vec_id < a.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.999)""".stripMargin,
     "p_text_stats" ->
       raw"""SELECT doc_id,
            |len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,

@@ -215,8 +215,8 @@ object Relational {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q14_priority_by_year" ->
       """SELECT year(o_orderdate) AS yr,
-        |sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS high_line_count,
-        |sum(CASE WHEN NOT (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') THEN 1 ELSE 0 END) AS low_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN NOT (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin)
 }

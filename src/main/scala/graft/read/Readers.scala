@@ -85,10 +85,23 @@ object Readers {
       beginTs: String,
       endTs: Option[String] = None): DataFrame = {
     val end = endTs.getOrElse("99999999999999999")
-    val instants = t.timeline.completedInstants()
+    val active = t.timeline.completedInstants()
       .filter(i => Action.DataActions.contains(i.action))
       .filter(i => i.ts > beginTs && i.ts <= end)
-    val metas = instants.map(i => i -> CommitMetadata.fromJson(t.timeline.readContent(i)))
+      .map(i => i -> t.timeline.readContent(i))
+    // A begin older than the earliest active instant can span commits that
+    // postCommit archiving moved off the active timeline — replay the
+    // archive log for those so a consumer with an old checkpoint never
+    // silently loses change records (round-1 ADVICE; reference reads the
+    // archived timeline for the same case).
+    val archived =
+      if (t.timeline.earliestActiveCompleted().forall(e => beginTs < e))
+        t.timeline.archivedInstants()
+          .filter { case (i, _) => Action.DataActions.contains(i.action) }
+          .filter { case (i, _) => i.ts > beginTs && i.ts <= end }
+      else Seq.empty
+    val metas = (archived ++ active)
+      .map { case (i, content) => i -> CommitMetadata.fromJson(content) }
       // compaction/clustering rewrite existing records — no logical change
       .filter { case (i, m) =>
         i.action != Action.Compaction && m.operationType != "cluster"

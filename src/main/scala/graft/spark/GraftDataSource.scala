@@ -116,12 +116,11 @@ class GraftDataSource
       throw new IllegalArgumentException("'path' option is required"))
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
-        // streaming hands us a streaming-tagged frame; rebind rows to a
-        // batch frame before the table write (HoodieStreamingSink does the
-        // same data round trip)
+        // streaming hands us a streaming-tagged frame; re-root it as a
+        // batch plan over the SAME distributed rows (no driver collect —
+        // a large micro-batch must not OOM the driver)
         val spark = sqlContext.sparkSession
-        val batch = spark.createDataFrame(
-          data.collectAsList(), data.schema)
+        val batch = org.apache.spark.sql.GraftSqlBridge.rebatch(data)
         val table = loadOrCreate(spark, path, parameters)
         Streaming.writeBatch(table, batch, batchId)
       }

@@ -44,21 +44,15 @@ object Streaming {
     var done = false
     while (!done) {
       try {
-        val ts = t.upsert(batch)
-        stampBatchId(t, ts, batchId)
+        // batch id rides in the commit itself — atomic with the data
+        // publish, so a crash can never leave a committed batch unstamped
+        t.upsert(batch, extraMetadata = Map(BatchIdKey -> batchId.toString))
         done = true
       } catch {
         case e: Throwable if attempt < retries => attempt += 1
         case e: Throwable => throw e
       }
     }
-  }
-
-  private def stampBatchId(t: GraftTable, ts: String, batchId: Long): Unit = {
-    val inst = t.timeline.completedInstants().find(_.ts == ts).get
-    val md = CommitMetadata.fromJson(t.timeline.readContent(inst))
-    t.timeline.saveAsComplete(inst,
-      Json.write(md.copy(extraMetadata = md.extraMetadata + (BatchIdKey -> batchId.toString))))
   }
 
   def lastCommittedBatchId(t: GraftTable): Option[Long] =
@@ -100,12 +94,9 @@ object Streaming {
     val (batch, newOffset) = pollIncremental(src, lastCkpt)
     newOffset match {
       case Some(off) if !lastCkpt.contains(off) =>
-        val ts = dst.upsert(transform(batch))
-        val inst = dst.timeline.completedInstants().find(_.ts == ts).get
-        val md = CommitMetadata.fromJson(dst.timeline.readContent(inst))
-        dst.timeline.saveAsComplete(inst,
-          Json.write(md.copy(extraMetadata = md.extraMetadata + (CheckpointKey -> off))))
-        Some(ts)
+        // checkpoint rides in the destination commit (reference stores
+        // CHECKPOINT_KEY in commit metadata the same way)
+        Some(dst.upsert(transform(batch), extraMetadata = Map(CheckpointKey -> off)))
       case _ => None
     }
   }

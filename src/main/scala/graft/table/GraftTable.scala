@@ -123,7 +123,8 @@ final class GraftTable(
   /** Upsert: batch precombine-dedup → index tag → route → per-group merge
     * (reference SparkRDDWriteClient.upsert :149-159 and the §2.2 pipeline).
     */
-  def upsert(df: DataFrame): String = runCommit(commitAction, "upsert") { instant =>
+  def upsert(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String =
+    runCommit(commitAction, "upsert", extraMetadata) { instant =>
     // persist the deduped batch: tagging, profiling, routing and the write
     // each launch a job, and without the cache every one of them would
     // re-run the dedup window + source scan (the reference persists at the
@@ -421,9 +422,12 @@ final class GraftTable(
         .withColumn(FileIdCol, substring_index(col(MetaCols.FileName), "_", 1))
         .withColumn(DeleteCol, lit(false))
         .unionByName(newData, allowMissingColumns = true)
+    // CommitSeqno tiebreak keeps the winner deterministic when commit time
+    // AND precombine tie (same-batch duplicates on the writeResolved path)
     val ord =
-      if (cfg.precombineField.isEmpty) Seq(col(MetaCols.CommitTime).desc)
-      else Seq(col(MetaCols.CommitTime).desc, col(cfg.precombineField).desc)
+      (if (cfg.precombineField.isEmpty) Seq(col(MetaCols.CommitTime).desc)
+       else Seq(col(MetaCols.CommitTime).desc, col(cfg.precombineField).desc)) :+
+        col(MetaCols.CommitSeqno).desc
     val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
       .orderBy(ord: _*)
     val merged = unioned
@@ -484,18 +488,20 @@ final class GraftTable(
     * atomic completed-instant publish. On failure the staging dir and
     * instant markers are removed (auto-rollback of inflight writes).
     */
-  private def runCommit(action: String, opType: String)(
+  private def runCommit(action: String, opType: String,
+      extraMetadata: Map[String, String] = Map.empty)(
       body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String =
-    TableLock.withLock(basePath) { runCommitLocked(action, opType)(body) }
+    TableLock.withLock(basePath) { runCommitLocked(action, opType, extraMetadata)(body) }
 
-  private def runCommitLocked(action: String, opType: String)(
+  private def runCommitLocked(action: String, opType: String,
+      extraMetadata: Map[String, String])(
       body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String = {
-    val ts = InstantTime.newInstant()
+    val ts = InstantTime.newInstant(timeline) // clamped above all timeline instants
     val inst = timeline.createRequested(ts, action)
     timeline.transitionToInflight(inst)
     try {
       val (stats, replaced, schemaJson) = body(ts)
-      val md = CommitMetadata(opType, stats, replaced, schemaJson)
+      val md = CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)
       timeline.saveAsComplete(inst, Json.write(md))
       postCommit()
       ts

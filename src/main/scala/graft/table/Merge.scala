@@ -54,7 +54,27 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     val dataCols = t.dataSchema.map(_.fieldNames.toSeq)
       .getOrElse(source.columns.toSeq)
 
-    val srcKeyed = KeyGen.withKeyColumns(source, t.cfg)
+    // ANSI MERGE forbids a target row matching >1 source row. Collapse
+    // duplicate source keys by precombine (highest wins, like the
+    // reference's payload preCombine); without a precombine field a
+    // multi-match would be nondeterministic, so it errors instead.
+    val srcRaw = KeyGen.withKeyColumns(source, t.cfg)
+    val pc = t.cfg.precombineField
+    val srcKeyed =
+      if (pc.nonEmpty && source.columns.contains(pc)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+          .orderBy(col(pc).desc)
+        srcRaw.withColumn("_graft_src_rn", row_number().over(w))
+          .filter(col("_graft_src_rn") === 1).drop("_graft_src_rn")
+      } else {
+        val dups = srcRaw.groupBy(MetaCols.PartitionPath, MetaCols.RecordKey)
+          .count().filter(col("count") > 1).limit(1).collect()
+        require(dups.isEmpty,
+          s"MERGE source has multiple rows for key ${dups.headOption.map(_.getString(1)).getOrElse("")} " +
+            "and the table has no precombine field to resolve them (ANSI MERGE multi-match)")
+        srcRaw
+      }
     val parts = srcKeyed.select(MetaCols.PartitionPath).distinct()
       .collect().map(_.getString(0)).toSeq
     val target = Readers.snapshot(t, partitions = Some(parts))

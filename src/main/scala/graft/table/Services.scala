@@ -34,7 +34,7 @@ object Services {
       s.partitionPath, s.fileId,
       s.baseFile.map(_.relPath).getOrElse(""),
       s.deltaFiles.map(_.relPath))))
-    val ts = InstantTime.newInstant()
+    val ts = InstantTime.newInstant(t.timeline)
     t.timeline.createRequested(ts, Action.Compaction, Json.write(plan))
     Some(ts)
   }
@@ -110,7 +110,7 @@ object Services {
       .groupBy(_.partitionPath)
       .filter(_._2.size > 1)
     if (groups.isEmpty) return None
-    val ts = InstantTime.newInstant()
+    val ts = InstantTime.newInstant(t.timeline)
     val plan = ClusteringPlan(
       groups.toSeq.map { case (p, ss) =>
         ClusteringGroup(p, ss.map(_.fileId), ss.flatMap(_.baseFile).map(_.relPath))
@@ -191,7 +191,7 @@ object Services {
     }.filterNot(f => protectedPaths.contains(f.relPath)).toSeq
 
     if (deletable.isEmpty) return None
-    val ts = InstantTime.newInstant()
+    val ts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(ts, Action.Clean)
     t.timeline.transitionToInflight(inst)
     deletable.foreach(f => Files.deleteIfExists(t.basePath.resolve(f.relPath)))
@@ -223,7 +223,7 @@ object Services {
     }
     WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
     t.timeline.deleteInstantFiles(ts, action)
-    val rts = InstantTime.newInstant()
+    val rts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(rts, Action.Rollback)
     t.timeline.transitionToInflight(inst)
     t.timeline.saveAsComplete(inst, Json.write(RollbackMetadata(Seq(ts), deleted.toSeq)))
@@ -235,7 +235,7 @@ object Services {
     */
   def savepoint(t: GraftTable, ts: String): String = graft.core.TableLock.withLock(t.basePath) {
     require(t.timeline.completedDataInstants().exists(_.ts == ts), s"no completed instant $ts")
-    val sts = InstantTime.newInstant()
+    val sts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(sts, Action.Savepoint)
     t.timeline.transitionToInflight(inst)
     t.timeline.saveAsComplete(inst, Json.write(SavepointMetadata(ts)))
@@ -248,7 +248,7 @@ object Services {
   def restore(t: GraftTable, ts: String): String = graft.core.TableLock.withLock(t.basePath) {
     val toUndo = t.timeline.completedDataInstants().filter(_.ts > ts).reverse
     toUndo.foreach(i => rollback(t, i.ts))
-    val rts = InstantTime.newInstant()
+    val rts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(rts, Action.Restore)
     t.timeline.transitionToInflight(inst)
     t.timeline.saveAsComplete(inst,

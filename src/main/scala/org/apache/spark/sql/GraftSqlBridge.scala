@@ -18,4 +18,15 @@ object GraftSqlBridge {
     classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Rebind a streaming micro-batch frame as a batch DataFrame WITHOUT
+    * collecting it to the driver: the physical rows stay distributed
+    * (`queryExecution.toRdd`) and only the plan is re-rooted. This is how
+    * the reference's streaming sink keeps addBatch scalable.
+    */
+  def rebatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

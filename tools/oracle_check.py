@@ -30,6 +30,23 @@ for name in names:
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         fails.append((name, f"schema: got {gc} vs oracle {ec}")); continue
+    # The driver's hash is dtype-sensitive for int-vs-float (e.g. DuckDB
+    # sum(int) -> HUGEINT -> pandas float64 vs Spark bigint -> int64
+    # hashed q14's counts as "920.0" vs "920" in round 1). Fail loudly.
+    for c in gc:
+        a_k, b_k = got[c].dtype.kind, exp[c].dtype.kind
+        if {a_k, b_k} == {"i", "f"}:
+            fails.append((name, f"dtype: col {c} got {got[c].dtype} vs oracle {exp[c].dtype}"
+                          " (int-vs-float hashes differently in the driver; CAST the oracle)"))
+    if fails and fails[-1][0] == name:
+        continue
+    # list/array columns are unhashable for pandas sort -> stringify first
+    # (round 1: p_dedup_embedding crashed the checker)
+    import numpy as np
+    for df_ in (got, exp):
+        for c in gc:
+            if len(df_) and isinstance(df_[c].iloc[0], (list, np.ndarray)):
+                df_[c] = df_[c].map(lambda v: str(list(v)))
     g = got[gc].sort_values(by=gc, na_position="first").reset_index(drop=True)
     e = exp[ec].sort_values(by=ec, na_position="first").reset_index(drop=True)
     if len(g) != len(e):
