@@ -107,25 +107,28 @@ object Dedup {
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit j is the sign of the sum
+  /** 60-bit portable token hash: the top 15 hex chars of md5 parsed as an
+    * integer. md5 is bit-identical in every engine (the DuckDB oracle
+    * recomputes it), and 60 bits keeps values positive in signed-64 SQL.
+    */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over whitespace tokens: bit j is the sign of the sum
     * of ±1 votes from each token's hash bit j. Pure expression tree.
     */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(TextStats.tokens(lower(text)), t => xxhash64(t)))
+    simhashFromHashes(transform(TextStats.tokens(lower(text)), t => tokenHash60(t)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup removal: candidates share one of 4 16-bit chunks
-    * (any pair within Hamming distance 3 must agree on ≥1 chunk —
-    * pigeonhole), verified by full Hamming distance ≤ `maxDistance`.
-    */
   /** SimHash from a materialized token-hash array (see simhash for the
-    * bit-vote construction).
+    * bit-vote construction). 60 bits, positive in a signed long.
     */
   def simhashFromHashes(hashes: Column): Column =
     aggregate(
-      sequence(lit(0), lit(63)),
+      sequence(lit(0), lit(59)),
       lit(0L),
       (acc, j) => {
         val vote = aggregate(hashes, lit(0L),
@@ -133,18 +136,22 @@ object Dedup {
         acc + when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
       })
 
+  /** SimHash near-dup removal: candidates share one of 4 15-bit chunks
+    * (any pair within Hamming distance 3 must agree on ≥1 chunk —
+    * pigeonhole), verified by full Hamming distance ≤ `maxDistance`.
+    */
   def simhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxDistance: Int = 3): DataFrame = {
     // materialize token hashes through the shuffle (parallelism + avoids
-    // 64 re-evaluations of the tokenize+hash array — one per bit)
+    // 60 re-evaluations of the tokenize+hash array — one per bit)
     val prepared = df
       .select(col(idCol).as("_s_id"),
-        transform(TextStats.tokens(lower(col(textCol))), t => xxhash64(t)).as("_s_th"))
+        transform(TextStats.tokens(lower(col(textCol))), t => tokenHash60(t)).as("_s_th"))
       .repartition(col("_s_id"))
     val sh = prepared.select(col("_s_id"), simhashFromHashes(col("_s_th")).as("_s_sh"))
     val chunked = sh.select(col("_s_id"), col("_s_sh"),
       explode(transform(sequence(lit(0), lit(3)), c =>
-        struct(c.as("c"), call_function("shiftright", col("_s_sh"), c * 16).bitwiseAND(0xFFFFL).as("v")))).as("_s_ch"))
+        struct(c.as("c"), call_function("shiftright", col("_s_sh"), c * 15).bitwiseAND(0x7FFFL).as("v")))).as("_s_ch"))
       .select(col("_s_id"), col("_s_sh"), col("_s_ch.c").as("_s_c"), col("_s_ch.v").as("_s_v"))
     val l = chunked.select(col("_s_c"), col("_s_v"), col("_s_id").as("_l_id"), col("_s_sh").as("_l_sh"))
     val r = chunked.select(col("_s_c"), col("_s_v"), col("_s_id").as("_r_id"), col("_s_sh").as("_r_sh"))
@@ -170,12 +177,14 @@ object Dedup {
     */
   def ngramJaccardDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val prepared = df
-      .select(col(idCol).as("_d_id"), col(textCol).as("_d_text"),
-        shingles(col(textCol), n).as("_d_sh"))
+    // candidates via the native MinHashSig (same FNV family as
+    // minhashDedup — one tight loop per row, and portable enough for the
+    // DuckDB oracle to replicate band membership exactly)
+    val sig = df
+      .select(col(idCol).as("_d_id"), col(textCol).as("_d_text"))
       .repartition(col("_d_id"))
-    val sig = prepared.select(col("_d_id"), col("_d_text"),
-      minhashSignatureFromShingles(col("_d_sh"), 64).as("_d_sig"))
+      .select(col("_d_id"), col("_d_text"),
+        graft.functions.MinHashSig.minhashSig(col("_d_text"), 64, n).as("_d_sig"))
     val banded = sig.select(col("_d_id"), col("_d_text"),
         explode(lshBands(col("_d_sig"), 16, 4)).as("_d_band"))
       .select(col("_d_id"), col("_d_text"),

@@ -29,10 +29,13 @@ object Multimodal {
     */
   object FakeCodec {
     def imageMeta(bytes: Array[Byte]): ImageMeta = {
-      val h = java.util.Arrays.hashCode(bytes)
+      // 56-bit unsigned big-endian of the first 7 bytes: positive, and
+      // portable — any engine can recompute it from the hex of the bytes
+      var h = 0L
+      bytes.take(7).foreach(b => h = (h << 8) | (b & 0xffL))
       ImageMeta(
-        width = 64 + math.abs(h % 1024),
-        height = 64 + math.abs((h / 7) % 1024),
+        width = 64 + (h % 1024).toInt,
+        height = 64 + ((h / 7) % 1024).toInt,
         channels = 3,
         format = if (h % 2 == 0) "jpeg" else "png")
     }

@@ -31,6 +31,9 @@ object Similarity {
   /** Sign signature of `planes` pseudo-random hyperplane projections.
     * Plane p's component for dimension i is a deterministic hash-derived
     * value in [-1,1] — no stored model, identical across executors.
+    * The component hash is md5-based (top 15 hex chars as an integer), so
+    * any engine with md5 reproduces the exact same hyperplanes — the
+    * DuckDB oracle replays the whole signature.
     */
   def hyperplaneSignature(vec: Column, planes: Int = 16): Column =
     aggregate(
@@ -39,8 +42,8 @@ object Similarity {
       (acc, p) => {
         val proj = aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (v, i) => v * (pmod(xxhash64(concat(i, lit("_"), p)), lit(2001L)) - 1000L)
-              .cast("double") / 1000.0),
+            (v, i) => v * (pmod(conv(substring(md5(concat(i, lit("_"), p)), 1, 15), 16, 10)
+              .cast("long"), lit(2001L)) - 1000L).cast("double") / 1000.0),
           lit(0.0d), (a, v) => a + v)
         acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
       })
@@ -98,13 +101,21 @@ object Similarity {
     */
   def ivfBuild(corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    // md5-ordered sample + row_number ids: fully deterministic and
+    // reproducible by the oracle (monotonically_increasing_id would depend
+    // on partition layout)
     val centroids = corpus
-      .orderBy(xxhash64(col(idCol).cast("string")))
+      .select(col(idCol).as("_seed_id"), col(vecCol).as("_ct_v"),
+        md5(col(idCol).cast("string")).as("_seed_h"))
+      .orderBy(col("_seed_h"), col("_seed_id"))
       .limit(nlist)
-      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("_ct_v"))
+      .withColumn("centroid_id", row_number().over(
+        Window.orderBy(col("_seed_h"), col("_seed_id"))) - 1)
+      .select(col("centroid_id"), col("_ct_v"))
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("_d", l2Distance(col(vecCol), col("_ct_v")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_d"))
+    // centroid_id tiebreak keeps equidistant assignments deterministic
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_d"), col("centroid_id"))
     val assignments = assigned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
@@ -120,14 +131,15 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
     val qProbes = q.crossJoin(broadcast(centroids))
       .withColumn("_d", l2Distance(col("_q_v"), col("_ct_v")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("_d"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("centroid_id"))
     val probes = qProbes.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("_q_v"), col("centroid_id"))
     val cand = assignments.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col(assignments.columns.head))
     val scored = cand.withColumn("score", cosine(col("_q_v"), col(assignments.columns(1))))
-    val w2 = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(assignments.columns.head))
     scored.withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(assignments.columns.head).as("neighbor_id"),

@@ -97,6 +97,13 @@ object TextStats {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Portable fingerprint: md5 hex of the normalized text. Same dedup
+    * semantics as [[fingerprint]] but reproducible by any engine with md5
+    * (the DuckDB oracle computes the identical value).
+    */
+  def fingerprintHex(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Convenience: annotate a documents frame with the full stat set. */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -57,13 +57,13 @@ object PipelineQueries {
         round(TextStats.avgWordLen(t), 4).as("avg_word_len"))
     }),
 
-    // heuristic scores: declared without oracle (rows-only check)
+    // heuristic scores — deterministic arithmetic, oracled in full SQL
     "p_text_quality_lang" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"),
         TextStats.langId(col("text")).as("lang_pred"),
-        TextStats.fingerprint(col("text")).as("fingerprint"))),
+        TextStats.fingerprintHex(col("text")).as("fingerprint"))),
 
     // exact ANN baseline: cosine top-k for three fixed query vectors
     "p_ann_bruteforce" -> ((s, d) => {
@@ -74,8 +74,11 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // double math end-to-end (like the brute-force baseline) so the
+    // DuckDB oracle's IEEE arithmetic matches bit for bit
     "p_ann_lsh" -> ((s, d) => {
       val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
       Similarity.lshTopK(all, all.filter(col("vec_id") < 3), k = 10,
           planes = 8, probeBits = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -83,6 +86,7 @@ object PipelineQueries {
 
     "p_ann_ivf" -> ((s, d) => {
       val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
       val (assignments, centroids) = Similarity.ivfBuild(all, nlist = 16)
       Similarity.ivfTopK(assignments, centroids, all.filter(col("vec_id") < 3),
           k = 10, nprobe = 4)
@@ -98,8 +102,181 @@ object PipelineQueries {
           col("byteLen").as("byte_len"))
     }))
 
+  // ---- portable-hash SQL fragments for the dedup oracles --------------
+  //
+  // MinHashSig (graft.functions.MinHashSig) uses FNV-1a64 + the
+  // Kirsch–Mitzenmacher two-hash family — pure 64-bit arithmetic, so the
+  // DuckDB oracle replays it exactly (mod-2^64 via HUGEINT, signed-min via
+  // explicit wrap). Band membership is replayed as direct slice equality
+  // (two docs share an LSH bucket iff their band values are equal).
+  private val fnvSigCtes: String =
+    raw"""toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents
+         |), shp AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+         |    THEN list_transform(generate_series(1, len(tk)-2), i -> array_to_string(list_slice(tk, i, i+2), ' '))
+         |    ELSE [array_to_string(tk, ' ')] END) AS s
+         |  FROM toks
+         |), hs AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(14695981039346656037::UBIGINT, codes),
+         |      (acc,x) -> ((xor(acc,x)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h1,
+         |    (list_reduce(list_prepend(9521211207457086692::UBIGINT, codes),
+         |      (acc,x) -> ((xor(acc,x)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) | 1::UBIGINT) AS h2
+         |  FROM (SELECT doc_id, list_transform(generate_series(1, length(s)), i -> unicode(substr(s,i,1))::UBIGINT) AS codes FROM shp)
+         |), mh AS (
+         |  SELECT doc_id, i,
+         |    min(CASE WHEN m >= 9223372036854775808::HUGEINT THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE m::BIGINT END) AS sigv
+         |  FROM (SELECT doc_id, i, ((h1::HUGEINT + i * h2::HUGEINT) % 18446744073709551616::HUGEINT) AS m
+         |        FROM hs, (SELECT unnest(generate_series(0,63)) AS i))
+         |  GROUP BY doc_id, i
+         |), sig AS (SELECT doc_id, list(sigv ORDER BY i) AS sg FROM mh GROUP BY doc_id)""".stripMargin
+
+  private val bandEq: String = (0 until 16)
+    .map(b => s"list_slice(l.sg, ${4 * b + 1}, ${4 * b + 4}) = list_slice(r.sg, ${4 * b + 1}, ${4 * b + 4})")
+    .mkString("(", "\n     OR ", ")")
+
+  private val minhashOracle: String =
+    s"""WITH $fnvSigCtes,
+       |dup AS (
+       |  SELECT DISTINCT r.doc_id AS dup_id
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |   AND $bandEq
+       |  WHERE len(list_filter(list_transform(generate_series(1,64), j -> l.sg[j] = r.sg[j]), x -> x))::DOUBLE / 64 >= 0.6
+       |)
+       |SELECT d.* FROM documents d WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup_id = d.doc_id)""".stripMargin
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $fnvSigCtes,
+       |shs AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 3
+       |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(list_slice(tk, i, i+2), ' ')))
+       |    ELSE [array_to_string(tk, ' ')] END AS ss
+       |  FROM toks
+       |),
+       |dup AS (
+       |  SELECT DISTINCT r.doc_id AS dup_id
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |   AND $bandEq
+       |  JOIN shs sl ON sl.doc_id = l.doc_id
+       |  JOIN shs sr ON sr.doc_id = r.doc_id
+       |  WHERE CASE WHEN len(list_distinct(list_concat(sl.ss, sr.ss))) = 0 THEN 0.0
+       |    ELSE len(list_intersect(sl.ss, sr.ss))::DOUBLE / len(list_distinct(list_concat(sl.ss, sr.ss))) END >= 0.8
+       |)
+       |SELECT d.* FROM documents d WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup_id = d.doc_id)""".stripMargin
+
+  // SQL fragments mirroring Similarity's expression trees exactly: left
+  // folds seeded at 0.0 match list_reduce's first-element seeding because
+  // 0.0 + x == x for finite doubles.
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))"
+  private def sqlCosine(a: String, b: String): String =
+    s"""CASE WHEN ${sqlNorm(a)} * ${sqlNorm(b)} = 0 THEN 0.0
+       |      ELSE ${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}) END""".stripMargin
+  private def sqlL2(a: String, b: String): String =
+    s"sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y))"
+
+  private val lshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, emb,
+       |    list_sum(list_transform(generate_series(0, 7), p ->
+       |      CASE WHEN list_reduce(
+       |          list_transform(generate_series(1, len(emb)), i ->
+       |            emb[i] * ((('0x'||substr(md5((i-1)::VARCHAR || '_' || p::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0)),
+       |          (x,y) -> x+y) > 0
+       |        THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS sig
+       |  FROM e
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, unnest([sig, xor(sig,1), xor(sig,2), xor(sig,4)]) AS b
+       |  FROM sigs WHERE vec_id < 3
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+       |  FROM probes p JOIN sigs s ON s.sig = p.b AND s.vec_id <> p.query_id
+       |),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${sqlCosine("q.emb", "n.emb")} AS score
+       |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10""".stripMargin
+
+  private val ivfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY h, svid) - 1 AS centroid_id, cv FROM (
+       |    SELECT md5(vec_id::VARCHAR) AS h, vec_id AS svid, emb AS cv FROM e ORDER BY 1, 2 LIMIT 16)
+       |),
+       |assign AS (
+       |  SELECT vec_id, emb, centroid_id FROM (
+       |    SELECT a.vec_id, a.emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlL2("a.emb", "c.cv")}, c.centroid_id) AS rn
+       |    FROM e a CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlL2("q.emb", "c.cv")}, c.centroid_id) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3)
+       |  WHERE rn <= 4
+       |),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${sqlCosine("q.emb", "a.emb")} AS score
+       |  FROM probes p
+       |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10""".stripMargin
+
+  private val simhashChunkEq: String = (0 until 4)
+    .map(c => s"((l.s >> ${15 * c}) & 32767) = ((r.s >> ${15 * c}) & 32767)")
+    .mkString("(", " OR ", ")")
+
+  private val simhashOracle: String =
+    raw"""WITH toksd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents
+         |), hsd AS (
+         |  SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hs FROM toksd
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(generate_series(0,59), j ->
+         |      CASE WHEN 2*len(list_filter(hs, h -> ((h >> j) & 1) = 1)) - len(hs) > 0
+         |        THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS s
+         |  FROM hsd
+         |),
+         |dup AS (
+         |  SELECT DISTINCT r.doc_id AS dup_id
+         |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+         |   AND $simhashChunkEq
+         |  WHERE bit_count(xor(l.s, r.s)) <= 2
+         |)
+         |SELECT d.* FROM documents d WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup_id = d.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p_dedup_exact" -> "SELECT * FROM documents",
+    "p_dedup_minhash" -> minhashOracle,
+    "p_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "p_dedup_simhash" -> simhashOracle,
+    "p_ann_lsh" -> lshOracle,
+    "p_ann_ivf" -> ivfOracle,
     // ground truth = brute-force cosine dedup (ours is hyperplane-LSH
     // accelerated; exact copies hash to the same bucket, and the data has
     // no natural pair above 0.51 cosine, so recall is exact here)
@@ -122,6 +299,59 @@ object PipelineQueries {
            |  / len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)), 4)
            |  AS avg_word_len
            |FROM documents""".stripMargin,
+    // exact SQL twin of TextStats.qualityScore / langId / fingerprintHex
+    "p_text_quality_lang" ->
+      raw"""WITH s AS (
+           |  SELECT doc_id, text, length(text) AS nch,
+           |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+           |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, text, nch, ltoks, len(toks) AS ntok,
+           |    CASE WHEN len(toks)=0 THEN 0.0
+           |      ELSE list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) END AS awl,
+           |    CASE WHEN nch=0 THEN 0.0
+           |      ELSE (nch - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / nch END AS pr,
+           |    CASE WHEN nch=0 THEN 0.0
+           |      ELSE (nch - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / nch END AS dr,
+           |    CASE WHEN len(toks)=0 THEN 0.0
+           |      ELSE len(list_filter(ltoks,
+           |        x -> list_contains(['the','of','and','to','in','a','is','that','it','was','for','on','are','as','with','at','be','this','have','or'], x)))::DOUBLE
+           |        / len(toks) END AS sr
+           |  FROM s
+           |)
+           |SELECT doc_id,
+           |  round(
+           |    (CASE WHEN nch BETWEEN 50 AND 100000 THEN 1.0 WHEN nch < 50 THEN nch/50.0 ELSE 0.5 END) * 0.25
+           |    + (CASE WHEN awl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+           |    + (CASE WHEN sr > 0.05 THEN 1.0 ELSE sr/0.05*0.5 + 0.5 END) * 0.2
+           |    + (CASE WHEN pr < 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2)*2) END) * 0.2
+           |    + (CASE WHEN dr < 0.3 THEN 1.0 ELSE greatest(0.0, 1.0 - dr) END) * 0.15, 4) AS quality,
+           |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+           |FROM (
+           |  SELECT *, list_max([
+           |    {'hits': len(list_intersect(ltoks, ['the','and','of','to','in','is','that','it','was','for'])), 'lang': 'en'},
+           |    {'hits': len(list_intersect(ltoks, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])), 'lang': 'de'},
+           |    {'hits': len(list_intersect(ltoks, ['le','la','les','et','est','pas','pour','que','une','dans'])), 'lang': 'fr'},
+           |    {'hits': len(list_intersect(ltoks, ['el','la','los','y','es','no','por','que','una','para'])), 'lang': 'es'},
+           |    {'hits': len(list_intersect(ltoks, ['il','la','di','e','che','non','per','una','sono','con'])), 'lang': 'it'},
+           |    {'hits': len(list_intersect(ltoks, ['o','a','de','e','que','do','da','em','um','para'])), 'lang': 'pt'},
+           |    {'hits': len(list_intersect(ltoks, ['de','het','een','en','van','is','dat','op','te','niet'])), 'lang': 'nl'}
+           |  ]) AS best FROM m
+           |)""".stripMargin,
+    // the fake codec derives metadata from the first 7 content bytes, and
+    // the content is unhex(repeat(md5(doc_id))) — so the oracle recomputes
+    // h straight from md5(doc_id)
+    "p_multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(64 + (h % 1024) AS BIGINT) AS width,
+        |  CAST(64 + ((h // 7) % 1024) AS BIGINT) AS height,
+        |  CASE WHEN h % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+        |  CAST(256 AS BIGINT) AS byte_len
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT AS h
+        |  FROM documents)""".stripMargin,
     "p_ann_bruteforce" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
