@@ -27,6 +27,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the session before timing: whole-stage codegen, parquet
+    // reader/writer, shuffle, window and broadcast machinery all JIT on
+    // first use — without this the first query absorbs ~6s of one-time
+    // JVM setup that has nothing to do with the plan under test.
+    {
+      val w = spark.read.parquet(s"$sfDir/orders.parquet").limit(2000).cache()
+      w.count()
+      val p = "/tmp/graft_bench_warm"
+      graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+      val t = graft.table.GraftTable.create(spark, p, graft.core.TableConfig(
+        "warm", graft.core.TableType.CopyOnWrite,
+        Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+      t.bulkInsert(w)
+      t.upsert(w.limit(200))
+      graft.read.Readers.snapshot(t).groupBy("o_orderstatus").count()
+        .write.mode("overwrite").format("noop").save()
+      w.unpersist()
+      graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+    }
+
     val fns = SparkEntry.queries
     val results = headline.map { name =>
       val t0 = System.nanoTime()

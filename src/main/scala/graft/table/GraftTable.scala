@@ -115,8 +115,9 @@ final class GraftTable(
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val input = if (dropDups) antiJoinExisting(keyed) else keyed
-        val routed = assignInsertBuckets(input.withColumn(FileIdCol, lit(null).cast("string")))
-        writeMerged(routed, instant)
+        val (routed, touched) = assignInsertBucketsWithIds(
+          input.withColumn(FileIdCol, lit(null).cast("string")))
+        writeMerged(routed, instant, knownTouched = Some(touched))
       } finally keyed.unpersist()
     }
 
@@ -125,17 +126,22 @@ final class GraftTable(
     */
   def upsert(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String =
     runCommit(commitAction, "upsert", extraMetadata) { instant =>
-    // persist the deduped batch: tagging, profiling, routing and the write
-    // each launch a job, and without the cache every one of them would
-    // re-run the dedup window + source scan (the reference persists at the
-    // same point — BaseSparkCommitActionExecutor.java:115-120)
+    // persist the deduped batch AND the tagged join: tagging, profiling,
+    // routing and the write each launch a job, and without the caches the
+    // dedup window + source scan + index join would re-run per job (the
+    // reference persists at the same point —
+    // BaseSparkCommitActionExecutor.java:115-120)
     val keyed = precombineDedup(KeyGen.withKeyColumns(alignToTableSchema(df), cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = tagLocation(keyed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tagged = tagLocation(keyed)
       if (cfg.isMor) morWrite(tagged, instant)
-      else writeMerged(assignInsertBuckets(tagged), instant)
-    } finally keyed.unpersist()
+      else {
+        val (routed, touched) = assignInsertBucketsWithIds(tagged)
+        writeMerged(routed, instant, knownTouched = Some(touched))
+      }
+    } finally { tagged.unpersist(); keyed.unpersist() }
   }
 
   /** Delete by key: incoming rows only need the record-key (and partition
@@ -146,12 +152,13 @@ final class GraftTable(
     val keyed = precombineDedup(KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
         .withColumn(DeleteCol, lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = tagLocation(keyed)
+      .filter(col(FileIdCol).isNotNull) // deleting a missing key is a no-op
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tagged = tagLocation(keyed)
-        .filter(col(FileIdCol).isNotNull) // deleting a missing key is a no-op
-      if (cfg.isMor) morWrite(tagged, instant)
+      if (cfg.isMor) morWrite(tagged, instant, allDeletes = true)
       else writeMerged(tagged, instant)
-    } finally keyed.unpersist()
+    } finally { tagged.unpersist(); keyed.unpersist() }
   }
 
   /** Replace all file groups of the partitions the batch touches
@@ -243,7 +250,10 @@ final class GraftTable(
       val cached = cast.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (cfg.isMor) morWrite(cached, instant)
-        else writeMerged(assignInsertBuckets(cached), instant)
+        else {
+          val (routed, touched) = assignInsertBucketsWithIds(cached)
+          writeMerged(routed, instant, knownTouched = Some(touched))
+        }
       } finally cached.unpersist()
     }
 
@@ -317,13 +327,16 @@ final class GraftTable(
 
   /** SIMPLE-index tagging (reference SparkHoodieSimpleIndex.java:91-109):
     * left-outer equi-join of the batch against the affected partitions'
-    * key scan; matched rows carry their file group id.
+    * key scan; matched rows carry their file group id. Affected partitions
+    * and the incoming key range come from ONE aggregation job.
     */
   private def tagLocation(keyed: DataFrame): DataFrame = {
-    val parts = keyed.select(MetaCols.PartitionPath).distinct().collect()
-      .map(_.getString(0)).toSet
-    val range = keyed.agg(min(MetaCols.RecordKey), max(MetaCols.RecordKey)).collect().head
-    val kr = if (range.isNullAt(0)) None else Some((range.getString(0), range.getString(1)))
+    val pr = keyed.groupBy(MetaCols.PartitionPath)
+      .agg(min(MetaCols.RecordKey).as("mn"), max(MetaCols.RecordKey).as("mx")).collect()
+    val parts = pr.map(_.getString(0)).toSet
+    val mins = pr.flatMap(r => Option(r.getString(1)))
+    val maxs = pr.flatMap(r => Option(r.getString(2)))
+    val kr = if (mins.isEmpty) None else Some((mins.min, maxs.max))
     val existing = existingKeys(Some(parts), kr)
     keyed.join(existing, Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_outer")
   }
@@ -343,15 +356,26 @@ final class GraftTable(
     * `hash(key) mod totalWeight` against cumulative weight ranges, so
     * routing is one broadcast join — no custom Partitioner, no skew pin.
     */
-  private def assignInsertBuckets(tagged: DataFrame): DataFrame = {
+  private def assignInsertBuckets(tagged: DataFrame): DataFrame =
+    assignInsertBucketsWithIds(tagged)._1
+
+  /** Routes insert rows into small-file / fresh buckets and returns the
+    * full set of touched file-group ids alongside — ONE workload-profile
+    * job yields both the per-partition insert counts and the updated
+    * fileIds (the reference's countByKey profile,
+    * BaseSparkCommitActionExecutor.java:148-179).
+    */
+  private def assignInsertBucketsWithIds(tagged: DataFrame): (DataFrame, Set[String]) = {
+    val profile = tagged.groupBy(MetaCols.PartitionPath, FileIdCol).count().collect()
+    val updatedIds = profile.filter(!_.isNullAt(1)).map(_.getString(1)).toSet
+    val insertCounts = profile.filter(_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    if (insertCounts.isEmpty) return (tagged, updatedIds)
     val inserts = tagged.filter(col(FileIdCol).isNull)
-    val profile = inserts.groupBy(MetaCols.PartitionPath).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (profile.isEmpty) return tagged
     val recSize = avgRecordSize
     val perNew = math.max(1L, maxFileSize / recSize)
     val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, String)]()
-    profile.foreach { case (part, n) =>
+    insertCounts.foreach { case (part, n) =>
       var lo = 0L
       view.smallFiles(part, smallFileLimit).foreach { f =>
         val cap = math.max(1L, (maxFileSize - f.sizeBytes) / recSize)
@@ -370,7 +394,8 @@ final class GraftTable(
         col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
       .withColumn(FileIdCol, col("_b_fid"))
       .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
-    tagged.filter(col(FileIdCol).isNotNull).unionByName(routedInserts)
+    val routed = tagged.filter(col(FileIdCol).isNotNull).unionByName(routedInserts)
+    (routed, updatedIds ++ rows.map(_._5))
   }
 
   /** Route every row to a fresh, size-targeted file group (overwrite ops —
@@ -404,7 +429,8 @@ final class GraftTable(
     * merge (HoodieMergeHandle.java:201-326), with Spark's shuffle providing
     * the spill the reference gets from ExternalSpillableMap.
     */
-  private def writeMerged(routed: DataFrame, instant: String)
+  private def writeMerged(routed: DataFrame, instant: String,
+      knownTouched: Option[Set[String]] = None)
       : (Seq[WriteStat], Map[String, Seq[String]], String) = {
     import org.apache.spark.sql.expressions.Window
     val withDel =
@@ -412,8 +438,10 @@ final class GraftTable(
       else routed.withColumn(DeleteCol, lit(false))
     val newData = withCommitMeta(withDel, instant, isDelta = false)
 
-    // file groups being rewritten = every group any row routes to
-    val touchedIds = routed.select(FileIdCol).distinct().collect().map(_.getString(0)).toSet
+    // file groups being rewritten = every group any row routes to (the
+    // caller's profile job usually already knows this set)
+    val touchedIds = knownTouched.getOrElse(
+      routed.select(FileIdCol).distinct().collect().map(_.getString(0)).toSet)
     val liveBases = view.fileSlices(None).flatMap(_.baseFile)
       .filter(b => touchedIds.contains(b.fileId))
     val unioned =
@@ -445,7 +473,7 @@ final class GraftTable(
     * log-append analog, reference HoodieAppendHandle.java — ours are small
     * parquet files, not Avro blocks); inserts open fresh base files.
     */
-  private def morWrite(tagged: DataFrame, instant: String)
+  private def morWrite(tagged: DataFrame, instant: String, allDeletes: Boolean = false)
       : (Seq[WriteStat], Map[String, Seq[String]], String) = {
     val withDel =
       if (tagged.columns.contains(DeleteCol)) tagged
@@ -454,7 +482,8 @@ final class GraftTable(
     val inserts = withDel.filter(col(FileIdCol).isNull)
 
     val deltaStats = writeFiles(spark, basePath,
-      withCommitMeta(updates, instant, isDelta = true), instant, isDelta = true)
+      withCommitMeta(updates, instant, isDelta = true), instant, isDelta = true,
+      allDeletes = allDeletes)
     val insertRouted = assignInsertBucketsFresh(inserts.drop(FileIdCol, DeleteCol))
     val baseStats =
       if (insertRouted.isEmpty) Seq.empty

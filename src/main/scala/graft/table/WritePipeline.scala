@@ -70,7 +70,8 @@ object WritePipeline {
       instant: String,
       isDelta: Boolean,
       alreadyPartitioned: Boolean = false,
-      sortCols: Seq[String] = Seq.empty): Seq[WriteStat] = {
+      sortCols: Seq[String] = Seq.empty,
+      allDeletes: Boolean = false): Seq[WriteStat] = {
     val staging = stagingDir(basePath, instant)
     Files.createDirectories(staging)
 
@@ -96,29 +97,13 @@ object WritePipeline {
     val anyStaged = listDirs(staging).exists(_.getFileName.toString.startsWith(s"$GP="))
     if (!anyStaged) { deleteRecursively(staging); return Seq.empty }
 
-    // Per-file stats from the staged output — a scan of the key column only
-    // (cheaper than persisting the input plan for a second pass). Partition
-    // type inference is disabled for the round-trip so values like "01"
-    // come back verbatim.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    val stats =
-      try {
-        val staged = spark.read.option("basePath", staging.toString).parquet(staging.toString)
-        val delCol = if (staged.columns.contains(DeleteCol)) col(DeleteCol) else lit(false)
-        staged.groupBy(col(GP), col(GF))
-          .agg(count(lit(1)).as("n"),
-            min(col(MetaCols.RecordKey)).as("mink"),
-            max(col(MetaCols.RecordKey)).as("maxk"),
-            sum(when(delCol, 1L).otherwise(0L)).as("ndel"))
-          .collect()
-      } finally {
-        prevInfer match {
-          case Some(v) => spark.conf.set(inferKey, v)
-          case None => spark.conf.unset(inferKey)
-        }
-      }
+    // Per-file stats come from the parquet FOOTERS: row counts and the
+    // record-key column's min/max are already there, so publishing needs
+    // zero data IO beyond footer bytes (at 100 TB a stats re-scan would
+    // double the write's read volume). numDeletes is informational commit
+    // metadata (mirroring the reference's write stats); it's exact for
+    // pure-delete batches via `allDeletes` and recorded as 0 for mixed
+    // delta batches rather than paying a scan.
 
     // Map decoded partition value -> staged partition dir, by walking what
     // Spark actually wrote (avoids re-implementing the escape function).
@@ -128,30 +113,56 @@ object WritePipeline {
       .toMap
 
     val out = scala.collection.mutable.ArrayBuffer[WriteStat]()
-    stats.foreach { row =>
-      val partition = Option(row.getString(0)).getOrElse("")
-      val fileId = row.getString(1)
-      val n = row.getLong(2)
-      val minK = Option(row.getString(3)).getOrElse("")
-      val maxK = Option(row.getString(4)).getOrElse("")
-      val nDel = row.getLong(5)
-      val leaf = partDirs(partition).resolve(s"$GF=$fileId")
-      val parts = listParquet(leaf)
-      require(parts.nonEmpty, s"no staged file for ($partition, $fileId)")
+    partDirs.foreach { case (partition, pdir) =>
       val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
       Files.createDirectories(partDir)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val nm = if (isDelta) deltaFileName(fileId, instant, i) else baseFileName(fileId, instant, i)
-        val dest = partDir.resolve(nm)
-        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-        val (nn, mk, xk, nd) =
-          if (i == 0) (n, minK, maxK, nDel) else (0L, "", "", 0L) // stats on token 0
-        out += WriteStat(fileId, relPath(basePath, dest), partition, nn, nd,
-          Files.size(dest), mk, xk, isDelta)
+      listDirs(pdir).filter(_.getFileName.toString.startsWith(s"$GF=")).foreach { leaf =>
+        val fileId = leaf.getFileName.toString.stripPrefix(s"$GF=")
+        val parts = listParquet(leaf)
+        require(parts.nonEmpty, s"no staged file for ($partition, $fileId)")
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val nm = if (isDelta) deltaFileName(fileId, instant, i) else baseFileName(fileId, instant, i)
+          val dest = partDir.resolve(nm)
+          Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+          val (nn, mk, xk) = footerStats(dest)
+          out += WriteStat(fileId, relPath(basePath, dest), partition, nn,
+            if (allDeletes) nn else 0L,
+            Files.size(dest), mk, xk, isDelta)
+        }
       }
     }
     deleteRecursively(staging)
     out.toSeq
+  }
+
+  /** Row count + record-key min/max straight from the parquet footer —
+    * per-file exact, zero data IO beyond the footer bytes.
+    */
+  private def footerStats(file: Path): (Long, String, String) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var n = 0L
+      var mn: String = null
+      var mx: String = null
+      reader.getFooter.getBlocks.forEach { b =>
+        n += b.getRowCount
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == MetaCols.RecordKey) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val bmin = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              val bmax = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              if (mn == null || bmin < mn) mn = bmin
+              if (mx == null || bmax > mx) mx = bmax
+            }
+          }
+        }
+      }
+      (n, Option(mn).getOrElse(""), Option(mx).getOrElse(""))
+    } finally reader.close()
   }
 
   def stagingDir(basePath: Path, instant: String): Path =
