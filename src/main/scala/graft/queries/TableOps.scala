@@ -9,7 +9,7 @@ import graft.core._
 import graft.keygen.KeyGen
 import graft.read.Readers
 import graft.streaming.Streaming
-import graft.table.{GraftTable, Services, WritePipeline}
+import graft.table.{GraftTable, Services, SortMode, TableAdmin, WritePipeline}
 
 /** Table-operation catalog: every write op / query type / table service
   * from SURVEY §2 exercised end-to-end against a table built from the
@@ -241,6 +241,75 @@ object TableOps {
       data(Readers.incremental(t, c1))
     }),
 
+    // METADATA_ONLY bootstrap: adopt the raw parquet in place, then prove
+    // a normal upsert merges against the adopted (external) base file
+    "t_bootstrap" -> ((s, d) => {
+      val p = s"/tmp/graft_q/t_bootstrap_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(Paths.get(p))
+      val t = GraftTable.bootstrap(s, p, TableConfig(
+        "orders_boot", TableType.CopyOnWrite, Seq("o_orderkey"), "", "o_orderdate"),
+        Seq(s"$d/orders.parquet"))
+      t.upsert(orders(s, d).filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      data(Readers.snapshot(t))
+    }),
+
+    // GLOBAL index with partition-path update: moving a record's partition
+    // value migrates it (tombstone old partition + insert new)
+    "t_global_index_upsert" -> ((s, d) => {
+      val t = fresh(s, d, "t_global_idx", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsertGlobal(src.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 YEAR")))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_insert_overwrite_table" -> ((s, d) => {
+      val t = fresh(s, d, "t_iot", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.insertOverwriteTable(src.filter(year(col("o_orderdate")) >= 1999)
+        .withColumn("o_totalprice", lit(9.0)))
+      data(Readers.snapshot(t))
+    }),
+
+    "t_truncate" -> ((s, d) => {
+      val t = fresh(s, d, "t_truncate", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.truncate()
+      t.insert(src.filter(col("o_orderkey") % 4 === 1))
+      data(Readers.snapshot(t))
+    }),
+
+    // INSERT_DROP_DUPS: records whose key already exists are dropped
+    "t_insert_drop_dups" -> ((s, d) => {
+      val t = fresh(s, d, "t_drop_dups", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      t.insert(src.withColumn("o_totalprice", lit(7.0)), dropDups = true)
+      data(Readers.snapshot(t))
+    }),
+
+    // PARTITION_SORT bulk-insert layout (same rows, cheaper shuffle)
+    "t_bulk_insert_psort" -> ((s, d) => {
+      val t = fresh(s, d, "t_bulk_psort", cfg(TableType.CopyOnWrite))
+      t.bulkInsert(orders(s, d), SortMode.PartitionSort)
+      data(Readers.snapshot(t))
+    }),
+
+    // admin surface (CLI analog): commit log derived from metadata only
+    "t_admin_commits" -> ((s, d) => {
+      val t = fresh(s, d, "t_admin", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 3 === 0))
+      t.delete(src.filter(col("o_orderkey") % 50 === 0))
+      TableAdmin.commits(t).select(col("operation"), col("action"))
+        .orderBy("operation")
+    }),
+
     "t_streaming_sync" -> ((s, d) => {
       val evCfg = TableConfig("events_q", TableType.CopyOnWrite,
         Seq("event_id"), "date_format(ts, 'yyyy-MM-dd')", "ts")
@@ -313,5 +382,25 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "t_streaming_sync" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
-        |user_id, event_type, value, props FROM events""".stripMargin)
+        |user_id, event_type, value, props FROM events""".stripMargin,
+    "t_bootstrap" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_global_index_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |CASE WHEN o_orderkey % 10 = 0 THEN o_orderdate + INTERVAL 1 YEAR ELSE o_orderdate END AS o_orderdate,
+         |o_orderpriority FROM orders""".stripMargin,
+    "t_insert_overwrite_table" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, 9.0 AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE year(o_orderdate) >= 1999""".stripMargin,
+    "t_truncate" -> s"$ordersAll WHERE o_orderkey % 4 = 1",
+    "t_insert_drop_dups" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 7.0 END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_bulk_insert_psort" -> ordersAll,
+    "t_admin_commits" ->
+      """SELECT * FROM (VALUES ('bulk_insert','commit'),('delete','commit'),('upsert','commit'))
+        |t(operation, action)""".stripMargin)
 }

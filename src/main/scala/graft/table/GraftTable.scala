@@ -83,24 +83,39 @@ final class GraftTable(
 
   // ------------------------------------------------------------ write ops
 
-  /** Initial/large load: global-sort layout, sized file groups, no index
-    * lookup (reference SparkRDDWriteClient.bulkInsert :223-243 with
-    * GLOBAL_SORT — GlobalSortPartitioner.java:34-51).
+  /** Initial/large load: sized file groups, no index lookup (reference
+    * SparkRDDWriteClient.bulkInsert :223-243). `sortMode` mirrors the
+    * reference's bulk-insert sort modes (execution/bulkinsert package):
+    * GLOBAL_SORT (range-partition + sort — clustered layout, best
+    * key-range file skipping), PARTITION_SORT (hash-partition, sort within
+    * tasks — cheaper shuffle, still locally ordered), NONE (hash-partition
+    * only — fastest load, no layout guarantees).
     */
-  def bulkInsert(df: DataFrame): String = runCommit(commitAction, "bulk_insert") { instant =>
+  def bulkInsert(df: DataFrame, sortMode: String = SortMode.GlobalSort): String =
+    runCommit(commitAction, "bulk_insert") { instant =>
     val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
     val targetBytes = math.max(1L,
       keyed.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / 3) // in-mem est. ≈ 3x parquet
     val numFiles = math.max(1, math.ceil(targetBytes.toDouble / maxFileSize).toInt)
     val prefix = newFileIdPrefix()
-    // fileId embeds a partition-path hash: a range partition straddling two
+    // fileId embeds a partition-path hash: a spark partition straddling two
     // partition paths must not share one file-group id across them
-    val ranged = keyed
-      .repartitionByRange(numFiles, col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
-      .withColumn(FileIdCol,
-        concat(format_string("%05d", spark_partition_id()), lit("-"),
-          substring(md5(col(MetaCols.PartitionPath)), 1, 6), lit("-" + prefix)))
-      .sortWithinPartitions(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+    val fileIdExpr = concat(format_string("%05d", spark_partition_id()), lit("-"),
+      substring(md5(col(MetaCols.PartitionPath)), 1, 6), lit("-" + prefix))
+    val ranged = sortMode match {
+      case SortMode.GlobalSort =>
+        keyed.repartitionByRange(numFiles, col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+          .withColumn(FileIdCol, fileIdExpr)
+          .sortWithinPartitions(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+      case SortMode.PartitionSort =>
+        keyed.repartition(numFiles, col(MetaCols.PartitionPath))
+          .withColumn(FileIdCol, fileIdExpr)
+          .sortWithinPartitions(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
+      case SortMode.NoSort =>
+        keyed.repartition(numFiles)
+          .withColumn(FileIdCol, fileIdExpr)
+      case other => throw new IllegalArgumentException(s"unknown sort mode '$other'")
+    }
     val stats = writeFiles(spark, basePath, withCommitMeta(ranged, instant, isDelta = false),
       instant, isDelta = false, alreadyPartitioned = true)
     (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
@@ -142,6 +157,54 @@ final class GraftTable(
         writeMerged(routed, instant, knownTouched = Some(touched))
       }
     } finally { tagged.unpersist(); keyed.unpersist() }
+  }
+
+  /** GLOBAL-index upsert (reference SparkHoodieGlobalSimpleIndex.java
+    * :62-120 with `hoodie.simple.index.update.partition.path=true`): keys
+    * are unique across the WHOLE table, and an incoming row whose
+    * partition value changed migrates the record — tombstone in the old
+    * partition + insert in the new one, atomically in one commit.
+    */
+  def upsertGlobal(df: DataFrame): String =
+    runCommit(commitAction, "upsert_global") { instant =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed0 = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+    // global precombine: one winner per record key across partitions
+    val keyed = (if (cfg.precombineField.isEmpty) keyed0.dropDuplicates(MetaCols.RecordKey)
+      else {
+        val w = Window.partitionBy(col(MetaCols.RecordKey)).orderBy(col(cfg.precombineField).desc)
+        keyed0.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1).drop("_graft_rn")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global tag: join on record key only, against every partition
+    val existing = existingKeys(None, None)
+      .withColumnRenamed(MetaCols.PartitionPath, "_g_old_part")
+      .withColumnRenamed(FileIdCol, "_g_old_fid")
+    val joined = keyed.join(existing, Seq(MetaCols.RecordKey), "left_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stay = joined
+        .filter(col("_g_old_part").isNull || col("_g_old_part") === col(MetaCols.PartitionPath))
+        .withColumn(FileIdCol,
+          when(col("_g_old_part") === col(MetaCols.PartitionPath), col("_g_old_fid")))
+        .withColumn(DeleteCol, lit(false))
+      val moved = joined
+        .filter(col("_g_old_part").isNotNull && col("_g_old_part") =!= col(MetaCols.PartitionPath))
+      val movedInserts = moved
+        .withColumn(FileIdCol, lit(null).cast("string"))
+        .withColumn(DeleteCol, lit(false))
+      val tombstones = moved
+        .withColumn(MetaCols.PartitionPath, col("_g_old_part"))
+        .withColumn(FileIdCol, col("_g_old_fid"))
+        .withColumn(DeleteCol, lit(true))
+      val all = stay.unionByName(movedInserts).unionByName(tombstones)
+        .drop("_g_old_part", "_g_old_fid")
+      if (cfg.isMor) morWrite(all, instant)
+      else {
+        val (routed, touched) = assignInsertBucketsWithIds(all)
+        writeMerged(routed, instant, knownTouched = Some(touched))
+      }
+    } finally { joined.unpersist(); keyed.unpersist() }
   }
 
   /** Delete by key: incoming rows only need the record-key (and partition
@@ -266,6 +329,37 @@ final class GraftTable(
         .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       (Seq.empty, replaced, latestSchema.map(_.json).getOrElse(""))
     }
+
+  /** METADATA_ONLY bootstrap (reference BootstrapMode.java:24-34,
+    * SparkBootstrapCommitActionExecutor): adopt existing parquet files
+    * without rewriting a byte. Each source file becomes a file group whose
+    * base file points OUTSIDE the table (absolute path); meta columns are
+    * synthesized at read time from the key generator, and the first
+    * upsert/delete touching a group rewrites it as a normal slice (the
+    * external file is never modified or deleted). Nonpartitioned tables
+    * only — adopting a hive-partitioned tree needs a per-file partition
+    * mapping, which callers can do by invoking this per partition.
+    */
+  def bootstrapCommit(sourceFiles: Seq[String]): String = {
+    require(cfg.partitionPathExpr.isEmpty,
+      "METADATA_ONLY bootstrap adopts files into the root partition; " +
+        "partitioned sources need a per-file partition mapping")
+    runCommit(commitAction, "bootstrap") { _ =>
+      val stats = sourceFiles.map { f =>
+        val p = Paths.get(f)
+        require(p.isAbsolute && Files.exists(p), s"bootstrap source not found: $f")
+        val fileId = "boot-" + java.util.UUID.nameUUIDFromBytes(
+          f.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(12)
+        WriteStat(fileId, f, "", WritePipeline.footerRowCount(p), 0L,
+          Files.size(p), "", "", isDelta = false)
+      }
+      val srcSchema = spark.read.parquet(sourceFiles: _*).schema
+      val metaFields = MetaCols.All.map(n =>
+        StructField(n, org.apache.spark.sql.types.StringType, nullable = true))
+      (stats, Map.empty[String, Seq[String]],
+        StructType(metaFields ++ srcSchema.fields).json)
+    }
+  }
 
   /** Prune records whose key already exists in the table
     * (reference SparkRDDWriteClient.filterExists :131-141).
@@ -493,7 +587,9 @@ final class GraftTable(
   }
 
   /** Read a set of committed files with the table schema (schema evolution:
-    * files written before a column was added surface nulls).
+    * files written before a column was added surface nulls). Bootstrap
+    * entries (absolute paths outside the table) are read raw and their
+    * meta columns synthesized from the key generator.
     */
   def readEntriesRaw(entries: Seq[FileEntry]): DataFrame = {
     val schema = latestSchema
@@ -501,14 +597,45 @@ final class GraftTable(
       val s = schema.getOrElse(StructType(Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val paths = entries.map(e => basePath.resolve(e.relPath).toString)
+    val (ext, internal) = entries.partition(e => Paths.get(e.relPath).isAbsolute)
+    val frames = Seq(
+      if (internal.isEmpty) None else Some {
+        val paths = internal.map(e => basePath.resolve(e.relPath).toString)
+        val reader = spark.read
+        val withDelete = internal.exists(_.isDelta)
+        val readSchema = schema.map { s =>
+          if (withDelete) StructType(s.fields :+ StructField(DeleteCol, BooleanType, nullable = true))
+          else s
+        }
+        readSchema.map(reader.schema).getOrElse(reader).parquet(paths: _*)
+      },
+      if (ext.isEmpty) None else Some(readExternal(ext, schema))
+    ).flatten
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Bootstrap read path: raw source files + synthesized meta columns
+    * (reference HoodieBootstrapRelation stitches a skeleton file instead;
+    * computing the key expressions inline avoids writing skeletons at all).
+    */
+  private def readExternal(ext: Seq[FileEntry], schema: Option[StructType]): DataFrame = {
+    val dataSchema0 = schema.map(s =>
+      StructType(s.fields.filterNot(f => MetaCols.All.contains(f.name))))
     val reader = spark.read
-    val withDelete = entries.exists(_.isDelta)
-    val readSchema = schema.map { s =>
-      if (withDelete) StructType(s.fields :+ StructField(DeleteCol, BooleanType, nullable = true))
-      else s
-    }
-    readSchema.map(reader.schema).getOrElse(reader).parquet(paths: _*)
+    val raw = dataSchema0.map(reader.schema).getOrElse(reader).parquet(ext.map(_.relPath): _*)
+    val keyed = KeyGen.withKeyColumns(raw, cfg)
+    // per-file (fileId, instant) via an input_file_name lookup map
+    val kv = ext.flatMap(e => Seq(lit(e.relPath), lit(s"${e.fileId}|${e.instant}")))
+    val tag = element_at(map(kv: _*),
+      regexp_replace(input_file_name(), "^file:/+", "/"))
+    val fid = split(tag, "\\|").getItem(0)
+    val instant = split(tag, "\\|").getItem(1)
+    val withMeta = keyed
+      .withColumn(MetaCols.CommitTime, instant)
+      .withColumn(MetaCols.CommitSeqno, concat(instant, lit("_ext")))
+      .withColumn(MetaCols.FileName, concat(fid, lit("_0_"), instant, lit(".parquet")))
+    val dataCols = withMeta.columns.filterNot(c => MetaCols.All.contains(c))
+    withMeta.select((MetaCols.All ++ dataCols).map(col): _*)
   }
 
   // ------------------------------------------------------------- commit
@@ -567,12 +694,29 @@ final class GraftTable(
   }
 }
 
+/** Bulk-insert layout modes (reference execution/bulkinsert Partitioners). */
+object SortMode {
+  val GlobalSort = "GLOBAL_SORT"
+  val PartitionSort = "PARTITION_SORT"
+  val NoSort = "NONE"
+}
+
 object GraftTable {
   /** Accept both plain paths and file: URIs (the session catalog hands
     * LOCATIONs to data sources in URI form).
     */
   def normalize(path: String): String =
     if (path.startsWith("file:")) java.net.URI.create(path).getPath else path
+
+  /** Create a table by adopting existing parquet files in place —
+    * METADATA_ONLY bootstrap (see GraftTable.bootstrapCommit).
+    */
+  def bootstrap(spark: SparkSession, path: String, cfg: TableConfig,
+      sourceFiles: Seq[String]): GraftTable = {
+    val t = create(spark, path, cfg)
+    t.bootstrapCommit(sourceFiles.map(f => Paths.get(f).toAbsolutePath.toString))
+    t
+  }
 
   /** Create a new table (errors if one exists at the path). */
   def create(spark: SparkSession, path0: String, cfg: TableConfig): GraftTable = {

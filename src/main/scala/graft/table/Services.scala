@@ -188,7 +188,11 @@ object Services {
                 (f.isDelta && f.instant <= hb.instant))
         }
       }
-    }.filterNot(f => protectedPaths.contains(f.relPath)).toSeq
+    }.filterNot(f => protectedPaths.contains(f.relPath))
+      // bootstrap-adopted files live outside the table and are never ours
+      // to delete
+      .filterNot(f => java.nio.file.Paths.get(f.relPath).isAbsolute)
+      .toSeq
 
     if (deletable.isEmpty) return None
     val ts = InstantTime.newInstant(t.timeline)
@@ -218,7 +222,9 @@ object Services {
         s"only the latest completed instant can be rolled back (latest=${completedData.lastOption.map(_.ts)})")
       val md = CommitMetadata.fromJson(t.timeline.readContent(all.find(_.isCompleted).get))
       md.writeStats.foreach { ws =>
-        if (Files.deleteIfExists(t.basePath.resolve(ws.path))) deleted += ws.path
+        // never touch bootstrap-adopted files outside the table dir
+        val p = t.basePath.resolve(ws.path)
+        if (p.startsWith(t.basePath) && Files.deleteIfExists(p)) deleted += ws.path
       }
     }
     WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))

@@ -135,6 +135,18 @@ object WritePipeline {
     out.toSeq
   }
 
+  /** Footer row count only (bootstrap adoption of files that don't carry
+    * meta columns yet).
+    */
+  def footerRowCount(file: Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   /** Row count + record-key min/max straight from the parquet footer —
     * per-file exact, zero data IO beyond the footer bytes.
     */

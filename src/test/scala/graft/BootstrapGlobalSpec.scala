@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{GraftTable, Services, SortMode}
+
+/** Bootstrap adoption, global-index upsert, and bulk-insert sort modes. */
+class BootstrapGlobalSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private val src = "/root/testdata/sf0.001/orders.parquet"
+
+  test("METADATA_ONLY bootstrap: snapshot reads adopted file, upsert rewrites the group") {
+    val dir = tmpDir("boot")
+    val t = GraftTable.bootstrap(spark, dir.toString,
+      TableConfig("b", TableType.CopyOnWrite, Seq("o_orderkey"), "", "o_orderdate"),
+      Seq(src))
+    val n = spark.read.parquet(src).count()
+    val snap0 = Readers.snapshot(t)
+    assert(snap0.count() === n)
+    // meta columns synthesized for the external file
+    assert(snap0.filter(col(MetaCols.RecordKey).isNull).count() === 0)
+    assert(snap0.filter(col(MetaCols.CommitTime).isNull).count() === 0)
+
+    val before = java.nio.file.Files.size(java.nio.file.Paths.get(src))
+    t.upsert(spark.read.parquet(src).filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", lit(42.0)))
+    val snap1 = Readers.snapshot(t)
+    assert(snap1.count() === n)
+    assert(snap1.filter($"o_totalprice" === 42.0).count() ===
+      spark.read.parquet(src).filter($"o_orderkey" % 10 === 0).count())
+    // the adopted source file is never modified
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(src)) === before)
+    // clean never deletes the external file
+    Services.clean(t, retainCommits = 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+  }
+
+  test("global-index upsert migrates records whose partition changed") {
+    val dir = tmpDir("glob")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "g", TableType.CopyOnWrite, Seq("id"), "p", "ver"))
+    t.bulkInsert(Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "b", 1L)).toDF("id", "p", "ver"))
+    // move id=1 from partition a to b; update id=3 in place; insert id=4
+    t.upsertGlobal(Seq((1L, "b", 2L), (3L, "b", 2L), (4L, "c", 2L)).toDF("id", "p", "ver"))
+    val snap = Readers.snapshot(t).select("id", "p", "ver")
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap === Set((1L, "b", 2L), (2L, "a", 1L), (3L, "b", 2L), (4L, "c", 2L)))
+    // exactly one row per key — the old-partition copy of id=1 is gone
+    assert(Readers.snapshot(t).groupBy("id").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("bulk-insert sort modes produce identical rows") {
+    val df = spark.read.parquet(src)
+    val expected = df.count()
+    Seq(SortMode.GlobalSort, SortMode.PartitionSort, SortMode.NoSort).foreach { m =>
+      val dir = tmpDir(s"bsm_${m.toLowerCase}")
+      val t = GraftTable.create(spark, dir.toString, TableConfig(
+        s"bsm", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+      t.bulkInsert(df, m)
+      assert(Readers.snapshot(t).count() === expected, s"mode $m")
+    }
+  }
+}
