@@ -35,4 +35,26 @@ object KeyGen {
   def withKeyColumns(df: DataFrame, cfg: TableConfig): DataFrame =
     df.withColumn(MetaCols.RecordKey, recordKeyCol(cfg.recordKeyFields))
       .withColumn(MetaCols.PartitionPath, partitionPathCol(cfg.partitionPathExpr))
+
+  /** TimestampBasedAvroKeyGenerator analog (reference
+    * keygen/TimestampBasedAvroKeyGenerator.java:50-112): build the
+    * partition-path expression from (field, input interpretation, output
+    * format). The reference configures this with properties; here the same
+    * four input modes compile to a plain Spark SQL expression string that
+    * plugs into TableConfig.partitionPathExpr.
+    */
+  def timestampPartitionExpr(field: String, timestampType: String,
+      outputFormat: String, inputFormat: String = "yyyy-MM-dd"): String =
+    timestampType match {
+      case "UNIX_TIMESTAMP" => // seconds since epoch
+        s"date_format(to_timestamp($field), '$outputFormat')"
+      case "EPOCHMILLISECONDS" =>
+        s"date_format(timestamp_millis(cast($field as bigint)), '$outputFormat')"
+      case "DATE_STRING" =>
+        s"date_format(to_timestamp($field, '$inputFormat'), '$outputFormat')"
+      case "SCALAR" => // value counts days since epoch (reference's default scalar unit)
+        s"date_format(timestamp_millis(cast($field as bigint) * 86400000), '$outputFormat')"
+      case other =>
+        throw new IllegalArgumentException(s"unknown timestamp type '$other'")
+    }
 }

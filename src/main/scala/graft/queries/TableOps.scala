@@ -299,6 +299,33 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // timestamp-based key generation: epoch-millis input partitioned as
+    // yyyy/MM (reference TimestampBasedAvroKeyGenerator)
+    "t_keygen_timestamp" -> ((s, d) => {
+      val c = TableConfig("orders_ts", TableType.CopyOnWrite, Seq("o_orderkey"),
+        KeyGen.timestampPartitionExpr("ts_ms", "EPOCHMILLISECONDS", "yyyy/MM"),
+        "o_orderdate")
+      val t = fresh(s, d, "t_keygen_ts", c)
+      // NTZ -> LTZ cast is identity under the UTC session timezone
+      t.bulkInsert(orders(s, d)
+        .withColumn("ts_ms", expr("unix_millis(cast(o_orderdate as timestamp))")))
+      Readers.snapshot(t).select(
+        (OrdersCols.map(col) :+ col(MetaCols.PartitionPath).as("part")): _*)
+    }),
+
+    // composite record keys: `f1:v1,f2:v2` format (reference ComplexKeyGenerator)
+    "t_keygen_complex" -> ((s, d) => {
+      val c = TableConfig("orders_ck", TableType.CopyOnWrite,
+        Seq("o_orderkey", "o_custkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate")
+      val t = fresh(s, d, "t_keygen_complex", c)
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 21 === 0)
+        .withColumn("o_totalprice", lit(5.0)))
+      Readers.snapshot(t).select(
+        (OrdersCols.map(col) :+ col(MetaCols.RecordKey).as("rkey")): _*)
+    }),
+
     // admin surface (CLI analog): commit log derived from metadata only
     "t_admin_commits" -> ((s, d) => {
       val t = fresh(s, d, "t_admin", cfg(TableType.CopyOnWrite))
@@ -400,6 +427,14 @@ object TableOps {
          |CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 7.0 END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_bulk_insert_psort" -> ordersAll,
+    "t_keygen_timestamp" ->
+      s"""SELECT $OrdersSql, strftime(o_orderdate, '%Y/%m') AS part FROM orders""",
+    "t_keygen_complex" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 21 = 0 THEN 5.0 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority,
+         |'o_orderkey:' || o_orderkey || ',o_custkey:' || o_custkey AS rkey
+         |FROM orders""".stripMargin,
     "t_admin_commits" ->
       """SELECT * FROM (VALUES ('bulk_insert','commit'),('delete','commit'),('upsert','commit'))
         |t(operation, action)""".stripMargin)

@@ -140,7 +140,21 @@ final class GraftTable(
     * (reference SparkRDDWriteClient.upsert :149-159 and the §2.2 pipeline).
     */
   def upsert(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String =
-    runCommit(commitAction, "upsert", extraMetadata) { instant =>
+    runCommit(commitAction, "upsert", extraMetadata)(upsertBody(df))
+
+  /** Optimistic-concurrency upsert (reference TransactionManager +
+    * SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-85):
+    * the expensive tag/route/write work runs WITHOUT the table lock; only
+    * instant allocation and the conflict-check + publish serialize.
+    * Throws [[WriteConflictException]] when a commit that completed after
+    * this writer's read point touched any of the same file groups —
+    * callers retry.
+    */
+  def upsertOptimistic(df: DataFrame): String =
+    runCommitOptimistic(commitAction, "upsert")(upsertBody(df))
+
+  private def upsertBody(df: DataFrame)(instant: String)
+      : (Seq[WriteStat], Map[String, Seq[String]], String) = {
     // persist the deduped batch AND the tagged join: tagging, profiling,
     // routing and the write each launch a job, and without the caches the
     // dedup window + source scan + index join would re-run per job (the
@@ -669,6 +683,63 @@ final class GraftTable(
     }
   }
 
+  /** Test hook: runs between the optimistic body and the publish lock. */
+  private[graft] var beforeOptimisticPublish: () => Unit = () => ()
+
+  /** Optimistic commit protocol: allocate + mark inflight under a short
+    * lock, run the write unlocked, then re-acquire the lock to validate
+    * (fileId-overlap conflict check against commits completed since the
+    * read point) and publish. The loser's already-renamed files are
+    * removed on conflict, so a failed optimistic write leaves no trace.
+    */
+  private def runCommitOptimistic(action: String, opType: String,
+      extraMetadata: Map[String, String] = Map.empty)(
+      body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String = {
+    val readPoint = timeline.completedDataInstants().lastOption.map(_.ts).getOrElse("0")
+    val (ts, inst) = TableLock.withLock(basePath) {
+      val ts = InstantTime.newInstant(timeline)
+      val i = timeline.createRequested(ts, action)
+      (ts, timeline.transitionToInflight(i))
+    }
+    var written: Seq[WriteStat] = Seq.empty
+    try {
+      val (stats, replaced, schemaJson) = body(ts)
+      written = stats
+      beforeOptimisticPublish()
+      TableLock.withLock(basePath) {
+        val mine: Set[(String, String)] =
+          stats.map(s => (s.partitionPath, s.fileId)).toSet ++
+            replaced.toSeq.flatMap { case (p, fids) => fids.map(p -> _) }
+        val conflict = timeline.completedDataInstants()
+          .filter(i => i.ts > readPoint && i.ts != ts)
+          .find { i =>
+            val md = CommitMetadata.fromJson(timeline.readContent(i))
+            val theirs = md.writeStats.map(s => (s.partitionPath, s.fileId)).toSet ++
+              md.replacedFileIds.toSeq.flatMap { case (p, fids) => fids.map(p -> _) }
+            mine.exists(theirs.contains)
+          }
+        conflict.foreach { c =>
+          throw new WriteConflictException(
+            s"commit $ts conflicts with ${c.ts}: overlapping file groups " +
+              s"written after read point $readPoint")
+        }
+        timeline.saveAsComplete(inst,
+          Json.write(CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)))
+        postCommit()
+      }
+      ts
+    } catch {
+      case e: Throwable =>
+        WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
+        written.foreach { ws =>
+          val p = basePath.resolve(ws.path)
+          if (p.startsWith(basePath)) Files.deleteIfExists(p)
+        }
+        timeline.deleteInstantFiles(ts, action)
+        throw e
+    }
+  }
+
   /** Inline table services after a successful commit: MOR compaction every
     * N delta commits (reference inline compaction,
     * HoodieCompactionConfig.java:79-95) and timeline archiving.
@@ -693,6 +764,13 @@ final class GraftTable(
     }
   }
 }
+
+/** Optimistic-concurrency conflict: another writer committed an
+  * overlapping file group first (reference ConcurrentModificationException
+  * from SimpleConcurrentFileWritesConflictResolutionStrategy). Retry the
+  * write.
+  */
+final class WriteConflictException(msg: String) extends RuntimeException(msg)
 
 /** Bulk-insert layout modes (reference execution/bulkinsert Partitioners). */
 object SortMode {
