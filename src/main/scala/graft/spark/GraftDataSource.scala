@@ -50,9 +50,32 @@ class GraftDataSource
     with SchemaRelationProvider
     with CreatableRelationProvider
     with StreamSinkProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming source: `spark.readStream.format("graft").load(path)` ----
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option is required"))
+    val table = GraftTable.load(sqlContext.sparkSession, path)
+    val s = schema.orElse(table.latestSchema).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path has no commits yet — cannot infer stream schema"))
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters("path")
+    val table = GraftTable.load(sqlContext.sparkSession, path)
+    val s = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    new graft.streaming.GraftStreamSource(sqlContext.sparkSession, table, s)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =

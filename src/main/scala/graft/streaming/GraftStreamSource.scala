@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** Commit-timestamp offset for the streaming source. Serialized verbatim
+  * (the fixed-width yyyyMMddHHmmssSSS format orders lexicographically).
+  */
+final case class GraftOffset(ts: String) extends Offset {
+  override def json: String = ts
+}
+
+/** Structured-Streaming source over a graft table: offsets are commit
+  * timestamps and each micro-batch is the incremental read between them —
+  * the same offset model as the reference's HoodieStreamSource
+  * (reference hudi-spark/.../streaming/HoodieStreamSource.scala:104-169,
+  * HoodieSourceOffset.scala). Combined with the graft sink this gives
+  * table-to-table continuous pipelines entirely inside Structured
+  * Streaming (`readStream.format("graft") ... writeStream.format("graft")`).
+  */
+final class GraftStreamSource(
+    spark: SparkSession,
+    table: GraftTable,
+    override val schema: StructType) extends Source {
+
+  private def tsOf(o: Offset): String = o match {
+    case GraftOffset(ts) => ts
+    case other => other.json // SerializedOffset round trip from the offset log
+  }
+
+  override def getOffset: Option[Offset] =
+    table.timeline.lastCompleted().map(i => GraftOffset(i.ts))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val begin = start.map(tsOf).getOrElse("0")
+    val batch = Readers.incremental(table, begin, Some(tsOf(end)))
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    org.apache.spark.sql.GraftSqlBridge.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+}

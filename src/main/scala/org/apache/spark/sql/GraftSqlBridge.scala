@@ -29,4 +29,14 @@ object GraftSqlBridge {
     val spark = ds.sparkSession
     spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** The inverse direction: tag a batch plan as streaming so a V1
+    * streaming Source can hand it to MicroBatchExecution (which asserts
+    * isStreaming on getBatch results).
+    */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

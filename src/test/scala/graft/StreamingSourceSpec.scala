@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core._
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** The Structured-Streaming read path: `readStream.format("graft")` as a
+  * commit-offset source, end-to-end into the graft sink, and standard
+  * streaming operators (watermark + window, mapGroupsWithState) on top.
+  */
+class StreamingSourceSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def mkSrc(name: String): GraftTable = {
+    val dir = tmpDir(name)
+    GraftTable.create(spark, dir.toString, TableConfig(
+      name, TableType.CopyOnWrite, Seq("id"), "", "ver"))
+  }
+
+  test("readStream(graft) -> writeStream(graft): continuous table replication") {
+    val src = mkSrc("ss_src")
+    val dstDir = tmpDir("ss_dst")
+    src.bulkInsert((1L to 20L).map(i => (i, 1L)).toDF("id", "ver"))
+
+    val q = spark.readStream.format("graft").load(src.basePath.toString)
+      .drop(MetaCols.All: _*)
+      .writeStream.format("graft")
+      .option("recordKeyFields", "id")
+      .option("precombineField", "ver")
+      .option("checkpointLocation", tmpDir("ss_ckpt").toString)
+      .start(dstDir.toString)
+    try {
+      q.processAllAvailable()
+      val dst = GraftTable.load(spark, dstDir.toString)
+      assert(Readers.snapshot(dst).count() === 20)
+
+      // new commits on the source flow through as incremental batches
+      src.upsert(Seq((1L, 2L), (21L, 2L)).toDF("id", "ver"))
+      q.processAllAvailable()
+      val snap = Readers.snapshot(dst)
+      assert(snap.count() === 21)
+      assert(snap.filter($"id" === 1).select("ver").as[Long].head() === 2L)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation over the graft stream") {
+    val src = mkSrc("ss_win")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    src.bulkInsert((1 to 30).map(i => (i.toLong, at(i % 10), 1L)).toDF("id", "ts", "ver"))
+
+    val agg = spark.readStream.format("graft").load(src.basePath.toString)
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ss_win_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ss_win_out").select("n").as[Long].collect().sorted
+      assert(rows.sum === 30)
+      assert(rows.length === 2) // minutes 0-4 and 5-9
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization over the graft stream") {
+    val src = mkSrc("ss_state")
+    src.bulkInsert((1 to 12).map(i => (i.toLong, (i % 3).toString, 1L)).toDF("id", "user", "ver"))
+
+    val counts = spark.readStream.format("graft").load(src.basePath.toString)
+      .selectExpr("user", "id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.toDF("user", "n").writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ss_state_out").start()
+    try {
+      q.processAllAvailable()
+      val byUser = spark.table("ss_state_out").groupBy("user").agg(max("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(byUser === Map("0" -> 4L, "1" -> 4L, "2" -> 4L))
+    } finally q.stop()
+  }
+}
