@@ -37,7 +37,7 @@ object Readers {
       case None => slices0
     }
     val (withDeltas, plainSlices) = slices.partition(_.deltaFiles.nonEmpty)
-    val plain = t.readEntriesRaw(plainSlices.flatMap(_.baseFile))
+    val plain = readBases(t, plainSlices.flatMap(_.baseFile))
     if (withDeltas.isEmpty) plain
     else plain.unionByName(mergeSlices(t, withDeltas), allowMissingColumns = true)
   }
@@ -46,7 +46,36 @@ object Readers {
     * (reference's `_ro` view).
     */
   def readOptimized(t: GraftTable, asOf: Option[String] = None): DataFrame =
-    t.readEntriesRaw(t.view.fileSlices(asOf).flatMap(_.baseFile))
+    readBases(t, t.view.fileSlices(asOf).flatMap(_.baseFile))
+
+  /** Base-file scan through [[GraftFileIndex]]: Catalyst prunes partitions
+    * from WHERE clauses at plan time and pushes predicates/projections to
+    * parquet — no pre-listed path set. Bootstrap-adopted (external) files
+    * go through the meta-synthesis reader instead.
+    */
+  private def readBases(t: GraftTable, bases: Seq[FileEntry]): DataFrame = {
+    val (ext, internal) = bases.partition(e =>
+      java.nio.file.Paths.get(e.relPath).isAbsolute)
+    val frames = Seq(
+      if (internal.isEmpty) None else Some(fileIndexScan(t, internal)),
+      if (ext.isEmpty) None else Some(t.readEntriesRaw(ext))
+    ).flatten
+    if (frames.isEmpty) t.readEntriesRaw(Seq.empty)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def fileIndexScan(t: GraftTable, entries: Seq[FileEntry]): DataFrame = {
+    t.latestSchema match {
+      case None => t.readEntriesRaw(entries) // pre-first-commit fallback
+      case Some(schema) =>
+        // the partition column comes from the index, not the file bytes
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == MetaCols.PartitionPath))
+        val scan = org.apache.spark.sql.GraftSqlBridge.parquetScan(
+          t.spark, new GraftFileIndex(t.spark, t.basePath, entries), dataSchema)
+        scan.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
 
   /** Merge-on-read for the slices that need it: base ∪ deltas →
     * latest-wins window → tombstones dropped (the DataFrame form of the

@@ -390,6 +390,9 @@ final class GraftTable(
     val metaFields = MetaCols.All.map(n => StructField(n, org.apache.spark.sql.types.StringType, nullable = true))
     val dataFields = keyed.schema.fields
       .filterNot(f => MetaCols.All.contains(f.name) || f.name == FileIdCol || f.name == DeleteCol)
+      // stored as nullable: schema evolution backfills old files with null,
+      // and parquet reads are nullable regardless of the writer frame
+      .map(_.copy(nullable = true))
     StructType(metaFields ++ dataFields).json
   }
 

@@ -30,6 +30,30 @@ object GraftSqlBridge {
     spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
 
+  /** Build a DataFrame over a custom FileIndex + ParquetFileFormat — the
+    * native scan path: partition pruning via the index's listFiles,
+    * parquet filter pushdown, column pruning and vectorized reading all
+    * come from the standard HadoopFsRelation machinery.
+    */
+  def parquetScan(spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    // file sources always read as nullable (DataSource.resolveRelation
+    // applies asNullable); constructing the relation directly must do the
+    // same or nulls in files backfilled by schema evolution come back as
+    // type-default garbage (0.0 / empty) under a non-nullable spec
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema.asNullable,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(cs)
+    classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
+
   /** The inverse direction: tag a batch plan as streaming so a V1
     * streaming Source can hand it to MicroBatchExecution (which asserts
     * isStreaming on getBatch results).

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** The metadata-driven FileIndex read path: plan-time partition pruning
+  * from WHERE clauses, parquet filter pushdown, column pruning.
+  */
+class FileIndexSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private lazy val table: GraftTable = {
+    val dir = tmpDir("fidx")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "fi", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+    t.bulkInsert(spark.read.parquet("/root/testdata/sf0.001/orders.parquet"))
+    t
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst { case f: FileSourceScanExec => f }.get
+
+  test("WHERE on the partition column prunes partitions at plan time") {
+    val all = Readers.snapshot(table)
+    val years = all.select(MetaCols.PartitionPath).distinct().count()
+    assert(years > 1)
+
+    val filtered = all.filter(col(MetaCols.PartitionPath) === "1995")
+    val scan = scanOf(filtered)
+    val listed = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(listed.size === 1, "only the 1995 partition should be listed")
+    // and the result is still correct
+    assert(filtered.count() ===
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(year($"o_orderdate") === 1995).count())
+  }
+
+  test("data predicates reach the parquet scan (PushedFilters)") {
+    val df = Readers.snapshot(table).filter($"o_orderkey" === 42L)
+    val scan = scanOf(df)
+    assert(scan.metadata("PushedFilters").contains("o_orderkey"),
+      s"expected pushdown, got ${scan.metadata("PushedFilters")}")
+  }
+
+  test("projection prunes the read schema") {
+    val df = Readers.snapshot(table).select("o_orderkey", "o_totalprice")
+    val scan = scanOf(df)
+    val read = scan.requiredSchema.fieldNames.toSet
+    assert(read === Set("o_orderkey", "o_totalprice"),
+      s"scan should read 2 columns, reads $read")
+  }
+
+  test("snapshot through the index equals the source rows") {
+    val snap = Readers.snapshot(table)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    assert(snap.exceptAll(src).count() === 0)
+    assert(src.exceptAll(snap).count() === 0)
+  }
+}
