@@ -2,9 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,17 +16,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocating per element). This expression does one tight JVM loop per
   * row and uses the standard two-hash family h_i(s) = h1(s) + i·h2(s)
   * (Kirsch–Mitzenmacher), so each shingle is hashed twice, not 64 times.
-  * ~10-50× less work per row; still a pure scalar expression the planner
-  * can pipeline anywhere (CodegenFallback costs one virtual call per row).
+  * `doGenCode` emits a static call, so the expression stays inside
+  * whole-stage codegen (no fallback row iterator). The FNV-1a64 family is
+  * pure 64-bit arithmetic — the DuckDB correctness oracle replays it
+  * exactly.
   */
 final case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], numHashes, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig$$.MODULE$$.compute($c, $numHashes, $shingleN)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** One pass over the text: tokenize, shingle, two FNV hashes per
+    * distinct shingle, rolling min per hash function.
+    */
+  def compute(input: UTF8String, numHashes: Int, shingleN: Int): ArrayData = {
+    val text = input.toString
     val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     val shingleIt: Iterator[String] =
       if (toks.length >= shingleN) toks.sliding(shingleN).map(_.mkString(" "))
@@ -60,11 +76,6 @@ final case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
     h
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-object MinHashSig {
   /** Column-level entry point. */
   def minhashSig(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -85,6 +85,28 @@ object Streaming {
     */
   val CheckpointKey = "graft.ingest.checkpoint"
 
+  /** SqlQueryBasedTransformer analog (reference
+    * transform/SqlQueryBasedTransformer.java:37-64): an arbitrary SQL
+    * template over the incoming batch, `<SRC>` standing for the batch.
+    */
+  def sqlTransformer(sql: String): DataFrame => DataFrame = { df =>
+    val view = s"graft_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(view)
+    df.sparkSession.sql(sql.replace("<SRC>", view))
+  }
+
+  /** Chain transformers left-to-right (reference ChainedTransformer). */
+  def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =
+    ts.foldLeft(identity[DataFrame] _)(_ andThen _)
+
+  /** Multi-table ingest tick (reference HoodieMultiTableDeltaStreamer):
+    * one syncOnce per (source, destination, transform) triple; returns the
+    * commits produced this round.
+    */
+  def syncAll(pipelines: Seq[(GraftTable, GraftTable, DataFrame => DataFrame)])
+      : Seq[Option[String]] =
+    pipelines.map { case (s, d, tr) => syncOnce(s, d, tr) }
+
   def syncOnce(src: GraftTable, dst: GraftTable,
       transform: DataFrame => DataFrame = identity): Option[String] = {
     val lastCkpt = dst.timeline.completedDataInstants().reverse.iterator

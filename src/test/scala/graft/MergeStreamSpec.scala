@@ -115,4 +115,22 @@ class MergeStreamSpec extends AnyFunSuite {
     assert(Streaming.syncOnce(src, dst, df => df.withColumn("price", $"price" * 10)).isDefined)
     assert(Readers.snapshot(dst).filter($"id" === 2L).select("price").first().getDouble(0) === 50.0)
   }
+
+  test("SQL transformer + chained transforms + multi-table sync") {
+    val srcA = freshTable("mt_src_a")
+    val dstA = freshTable("mt_dst_a")
+    val srcB = freshTable("mt_src_b")
+    val dstB = freshTable("mt_dst_b")
+    srcA.bulkInsert(Seq((1L, 1L, 4.0)).toDF("id", "ver", "price"))
+    srcB.bulkInsert(Seq((9L, 1L, 3.0)).toDF("id", "ver", "price"))
+    val sqlT = Streaming.sqlTransformer(
+      "SELECT id, ver, price * 2 AS price FROM <SRC>")
+    val chained = Streaming.chain(sqlT, df => df.withColumn("price", $"price" + 1))
+    val results = Streaming.syncAll(Seq(
+      (srcA, dstA, chained),
+      (srcB, dstB, sqlT)))
+    assert(results.forall(_.isDefined))
+    assert(Readers.snapshot(dstA).select("price").as[Double].head() === 9.0)  // 4*2+1
+    assert(Readers.snapshot(dstB).select("price").as[Double].head() === 6.0)  // 3*2
+  }
 }
