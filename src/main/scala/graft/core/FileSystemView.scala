@@ -16,7 +16,9 @@ final case class FileEntry(
     isDelta: Boolean,
     minKey: String = "",
     maxKey: String = "",
-    numRecords: Long = 0L)
+    numRecords: Long = 0L,
+    colMin: Map[String, String] = Map.empty,
+    colMax: Map[String, String] = Map.empty)
 
 /** Latest view of one file group at some instant: newest base file plus the
   * delta files written after it (reference model/FileSlice.java:32-53).
@@ -75,7 +77,8 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
       val md = CommitMetadata.fromJson(timeline.readContent(i))
       entries = entries ++ md.writeStats.map(ws => FileEntry(
         ws.partitionPath, ws.fileId, i.ts, ws.path, ws.fileSizeInBytes,
-        ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites))
+        ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites,
+        ws.colMin, ws.colMax))
       md.replacedFileIds.foreach { case (part, fids) =>
         fids.foreach { fid =>
           val k = ViewState.groupKey(part, fid)

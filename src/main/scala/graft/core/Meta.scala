@@ -34,7 +34,13 @@ final case class WriteStat(
     minRecordKey: String,
     maxRecordKey: String,
     isDelta: Boolean = false,
-    baseInstant: String = "") // for delta files: instant of the base file they attach to
+    baseInstant: String = "", // for delta files: instant of the base file they attach to
+    // per-column min/max captured from the parquet footer at write time —
+    // powers data skipping on arbitrary columns (a capability the
+    // reference lacks; values stringified, parsed by the filter literal's
+    // type at prune time)
+    colMin: Map[String, String] = Map.empty,
+    colMax: Map[String, String] = Map.empty)
 
 /** Commit metadata JSON stored as the content of a completed instant file.
   * Mirrors the reference's HoodieCommitMetadata / HoodieReplaceCommitMetadata:

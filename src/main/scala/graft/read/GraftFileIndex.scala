@@ -3,9 +3,9 @@ package graft.read
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{FileEntry, MetaCols}
@@ -48,9 +48,83 @@ final class GraftFileIndex(
     }
     byPartition.toSeq.sortBy(_._1).flatMap { case (part, files) =>
       val row = InternalRow(UTF8String.fromString(part))
-      if (predicate.forall(_.eval(row)))
-        Some(PartitionDirectory(row, files.map(toStatus).toArray))
-      else None
+      if (predicate.forall(_.eval(row))) {
+        // data skipping: drop files whose recorded column ranges cannot
+        // satisfy the pushed predicates (beyond-reference capability —
+        // the stats ride in commit metadata, so this is zero-IO too)
+        val kept = files.filter(f => dataFilters.forall(mayMatch(f, _)))
+        if (kept.nonEmpty) Some(PartitionDirectory(row, kept.map(toStatus).toArray))
+        else None
+      } else None
+    }
+  }
+
+  /** Conservative range check: false only when the file's recorded
+    * [min,max] for the predicate column provably excludes every match.
+    * Unknown shapes, missing stats, or unsupported types keep the file.
+    */
+  private def mayMatch(f: FileEntry, filter: Expression): Boolean = filter match {
+    case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+    case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+    case EqualTo(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, "=")
+    case EqualTo(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, "=")
+    case GreaterThan(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, ">")
+    case GreaterThan(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, "<")
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, ">=")
+    case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, "<=")
+    case LessThan(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, "<")
+    case LessThan(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, ">")
+    case LessThanOrEqual(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, "<=")
+    case LessThanOrEqual(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, ">=")
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, t) => inRange(f, a.name, t, v, "=") }
+    case _ => true
+  }
+
+  /** op is the comparison `col <op> lit`; answers "could any row match". */
+  private def inRange(f: FileEntry, colName: String, t: DataType, lit: Any,
+      op: String): Boolean = {
+    if (lit == null) return true
+    val (loS, hiS) = (f.colMin.get(colName), f.colMax.get(colName)) match {
+      case (Some(lo), Some(hi)) => (lo, hi)
+      case _ =>
+        if (colName == MetaCols.RecordKey && f.minKey.nonEmpty && f.maxKey.nonEmpty)
+          (f.minKey, f.maxKey)
+        else return true
+    }
+    // exact decimal comparison (a double round-trip could mis-prune longs
+    // past 2^53); unparseable stats (NaN/Infinity footers) keep the file
+    def dec(s: String): Option[BigDecimal] =
+      scala.util.Try(BigDecimal(s)).toOption
+    val litDec: Option[BigDecimal] = t match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType =>
+        scala.util.Try(BigDecimal(lit.toString)).toOption
+      case TimestampType | TimestampNTZType => // stored/compared as epoch micros
+        Some(BigDecimal(lit.asInstanceOf[Long]))
+      case DateType => // days since epoch
+        Some(BigDecimal(lit.asInstanceOf[Int]))
+      case StringType =>
+        val v = lit.toString
+        return op match {
+          case "=" => loS <= v && v <= hiS
+          case ">" => hiS > v
+          case ">=" => hiS >= v
+          case "<" => loS < v
+          case "<=" => loS <= v
+          case _ => true
+        }
+      case _ => return true
+    }
+    (dec(loS), dec(hiS), litDec) match {
+      case (Some(lo), Some(hi), Some(v)) => op match {
+        case "=" => lo <= v && v <= hi
+        case ">" => hi > v
+        case ">=" => hi >= v
+        case "<" => lo < v
+        case "<=" => lo <= v
+        case _ => true
+      }
+      case _ => true
     }
   }
 

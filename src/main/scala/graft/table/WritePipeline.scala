@@ -124,10 +124,11 @@ object WritePipeline {
           val nm = if (isDelta) deltaFileName(fileId, instant, i) else baseFileName(fileId, instant, i)
           val dest = partDir.resolve(nm)
           Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-          val (nn, mk, xk) = footerStats(dest)
-          out += WriteStat(fileId, relPath(basePath, dest), partition, nn,
-            if (allDeletes) nn else 0L,
-            Files.size(dest), mk, xk, isDelta)
+          val fs = footerStats(dest)
+          out += WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
+            if (allDeletes) fs.rows else 0L,
+            Files.size(dest), fs.minKey, fs.maxKey, isDelta,
+            colMin = fs.colMin, colMax = fs.colMax)
         }
       }
     }
@@ -147,34 +148,63 @@ object WritePipeline {
     finally reader.close()
   }
 
-  /** Row count + record-key min/max straight from the parquet footer —
-    * per-file exact, zero data IO beyond the footer bytes.
+  final case class FooterStats(rows: Long, minKey: String, maxKey: String,
+      colMin: Map[String, String], colMax: Map[String, String])
+
+  /** Row count + per-column min/max straight from the parquet footer —
+    * per-file exact, zero data IO beyond the footer bytes. Column stats
+    * (every comparable top-level primitive, meta columns excluded) power
+    * data skipping on arbitrary predicates in GraftFileIndex.
     */
-  private def footerStats(file: Path): (Long, String, String) = {
+  private def footerStats(file: Path): FooterStats = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       var n = 0L
-      var mn: String = null
-      var mx: String = null
+      val mins = scala.collection.mutable.HashMap[String, Comparable[Any]]()
+      val maxs = scala.collection.mutable.HashMap[String, Comparable[Any]]()
       reader.getFooter.getBlocks.forEach { b =>
         n += b.getRowCount
         b.getColumns.forEach { c =>
-          if (c.getPath.toDotString == MetaCols.RecordKey) {
+          val name = c.getPath.toDotString
+          if (!name.contains('.')) { // top-level primitives only
             val st = c.getStatistics
             if (st != null && st.hasNonNullValue) {
-              val bmin = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-              val bmax = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-              if (mn == null || bmin < mn) mn = bmin
-              if (mx == null || bmax > mx) mx = bmax
+              (statValue(st.genericGetMin.asInstanceOf[AnyRef]), statValue(st.genericGetMax.asInstanceOf[AnyRef])) match {
+                case (Some(lo), Some(hi)) =>
+                  val l = lo.asInstanceOf[Comparable[Any]]
+                  val h = hi.asInstanceOf[Comparable[Any]]
+                  mins.updateWith(name)(cur => Some(cur.filter(_.compareTo(l) <= 0).getOrElse(l)))
+                  maxs.updateWith(name)(cur => Some(cur.filter(_.compareTo(h) >= 0).getOrElse(h)))
+                case _ => ()
+              }
             }
           }
         }
       }
-      (n, Option(mn).getOrElse(""), Option(mx).getOrElse(""))
+      val keep = (m: scala.collection.Map[String, Comparable[Any]]) =>
+        m.collect { case (k, v) if !MetaCols.All.contains(k) || k == MetaCols.RecordKey =>
+          k -> v.toString
+        }.toMap
+      FooterStats(n,
+        mins.get(MetaCols.RecordKey).map(_.toString).getOrElse(""),
+        maxs.get(MetaCols.RecordKey).map(_.toString).getOrElse(""),
+        keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey)
     } finally reader.close()
+  }
+
+  /** Normalize a parquet statistics value to a comparable JVM value whose
+    * toString round-trips (binary-UTF8 -> String, numerics as-is).
+    */
+  private def statValue(v: AnyRef): Option[AnyRef] = v match {
+    case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i)
+    case d: java.lang.Double => Some(d)
+    case f: java.lang.Float => Some(f)
+    case _ => None // boolean/int96/other: not useful for range pruning
   }
 
   def stagingDir(basePath: Path, instant: String): Path =

@@ -57,6 +57,27 @@ class FileIndexSpec extends AnyFunSuite {
       s"scan should read 2 columns, reads $read")
   }
 
+  test("column-stats data skipping prunes files by value range") {
+    val dir = tmpDir("fidx_skip")
+    import spark.implicits._
+    // two file groups with disjoint id ranges (small-file packing off)
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "sk", TableType.CopyOnWrite, Seq("id"), "", "ver",
+      Map(ConfigKeys.SmallFileLimit -> "1")))
+    t.bulkInsert((1L to 50L).map(i => (i, 1L)).toDF("id", "ver"))
+    t.insert((51L to 100L).map(i => (i, 1L)).toDF("id", "ver"))
+
+    val df = Readers.snapshot(t).filter($"id" > 60L)
+    val scan = scanOf(df)
+    val files = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).flatMap(_.files)
+    assert(files.size === 1, "the id<=50 file group should be skipped")
+    assert(df.count() === 40)
+    // no skipping without a predicate
+    val all = scanOf(Readers.snapshot(t))
+    assert(all.relation.location.listFiles(Nil, Nil).flatMap(_.files).size === 2)
+  }
+
   test("snapshot through the index equals the source rows") {
     val snap = Readers.snapshot(table)
       .select("o_orderkey", "o_totalprice", "o_orderdate")
