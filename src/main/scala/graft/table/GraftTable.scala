@@ -334,6 +334,22 @@ final class GraftTable(
       } finally cached.unpersist()
     }
 
+  /** ALTER TABLE ADD COLUMNS analog (reference
+    * AlterHoodieTableAddColumnsCommand): records the widened schema in a
+    * commit with no data files. Readers fill the new columns with null
+    * for all existing rows; subsequent writes may populate them.
+    */
+  def addColumns(cols: Seq[StructField]): String = {
+    val current = latestSchema.getOrElse(throw new IllegalStateException(
+      "cannot alter a table with no commits"))
+    val dup = cols.map(_.name).intersect(current.fieldNames.toSeq)
+    require(dup.isEmpty, s"columns already exist: ${dup.mkString(", ")}")
+    runCommit(commitAction, "alter_add_columns") { _ =>
+      (Seq.empty, Map.empty,
+        StructType(current.fields ++ cols.map(_.copy(nullable = true))).json)
+    }
+  }
+
   /** TRUNCATE TABLE analog: a replacecommit logically dropping every live
     * file group (reference TruncateHoodieTableCommand).
     */

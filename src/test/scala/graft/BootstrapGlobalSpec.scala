@@ -54,6 +54,25 @@ class BootstrapGlobalSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).groupBy("id").count().filter($"count" > 1).count() === 0)
   }
 
+  test("ALTER TABLE ADD COLUMNS widens the schema; old rows read null") {
+    val dir = tmpDir("alter")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "al", TableType.CopyOnWrite, Seq("id"), "", "ver"))
+    t.bulkInsert(Seq((1L, 1L)).toDF("id", "ver"))
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+      "tag", org.apache.spark.sql.types.StringType)))
+    val snap = Readers.snapshot(t)
+    assert(snap.columns.contains("tag"))
+    assert(snap.select("tag").first().isNullAt(0))
+    // duplicate add rejected; new column writable
+    intercept[IllegalArgumentException] {
+      t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+        "tag", org.apache.spark.sql.types.StringType)))
+    }
+    t.upsert(Seq((2L, 1L, "x")).toDF("id", "ver", "tag"))
+    assert(Readers.snapshot(t).filter($"tag" === "x").count() === 1)
+  }
+
   test("bulk-insert sort modes produce identical rows") {
     val df = spark.read.parquet(src)
     val expected = df.count()
