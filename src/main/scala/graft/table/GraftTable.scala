@@ -529,9 +529,13 @@ final class GraftTable(
     * never touches existing groups).
     */
   private def assignFreshBuckets(keyed: DataFrame): DataFrame =
-    assignInsertBucketsFresh(keyed)
+    assignInsertBucketsFresh(keyed)._1
 
-  private def assignInsertBucketsFresh(keyed: DataFrame): DataFrame = {
+  /** Returns (routed, hasRows) — the profile job already knows whether the
+    * frame is empty, so callers can skip launching a write job for an
+    * empty insert side (common for pure-update MOR upserts).
+    */
+  private def assignInsertBucketsFresh(keyed: DataFrame): (DataFrame, Boolean) = {
     val profile = keyed.groupBy(MetaCols.PartitionPath).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val perNew = math.max(1L, maxFileSize / avgRecordSize)
@@ -540,14 +544,15 @@ final class GraftTable(
         (part, lo, math.min(lo + perNew, n), n, newFileIdPrefix()))
     }
     if (rows.isEmpty)
-      return keyed.withColumn(FileIdCol, lit(newFileIdPrefix()))
+      return (keyed.withColumn(FileIdCol, lit(newFileIdPrefix())), false)
     import spark.implicits._
     val buckets = rows.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
     val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
-    keyed.join(broadcast(buckets),
+    val routed = keyed.join(broadcast(buckets),
         col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
       .withColumn(FileIdCol, col("_b_fid"))
       .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+    (routed, true)
   }
 
   /** COW merge write: rewrite every touched file group as
@@ -611,9 +616,10 @@ final class GraftTable(
     val deltaStats = writeFiles(spark, basePath,
       withCommitMeta(updates, instant, isDelta = true), instant, isDelta = true,
       allDeletes = allDeletes)
-    val insertRouted = assignInsertBucketsFresh(inserts.drop(FileIdCol, DeleteCol))
+    val (insertRouted, hasInserts) =
+      assignInsertBucketsFresh(inserts.drop(FileIdCol, DeleteCol))
     val baseStats =
-      if (insertRouted.isEmpty) Seq.empty
+      if (!hasInserts) Seq.empty
       else writeFiles(spark, basePath,
         withCommitMeta(insertRouted, instant, isDelta = false), instant, isDelta = false)
     (deltaStats ++ baseStats, Map.empty, schemaJsonFor(tagged))

@@ -75,6 +75,9 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
             "and the table has no precombine field to resolve them (ANSI MERGE multi-match)")
         srcRaw
       }
+    // the keyed source feeds both join sides across several jobs (profile,
+    // write) — cache it once
+    srcKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val parts = srcKeyed.select(MetaCols.PartitionPath).distinct()
       .collect().map(_.getString(0)).toSeq
     val target = Readers.snapshot(t, partitions = Some(parts))
@@ -153,6 +156,7 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
       case (None, Some(i)) => i
       case (None, None) => throw new IllegalArgumentException("no clauses")
     }
-    t.writeResolved(resolved, "merge")
+    try t.writeResolved(resolved, "merge")
+    finally srcKeyed.unpersist()
   }
 }
