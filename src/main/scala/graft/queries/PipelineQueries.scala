@@ -7,10 +7,10 @@ import graft.pipeline._
 
 /** LLM-data-pipeline catalog: dedup family, similarity search, text
   * analysis, multimodal plumbing over the `documents`/`embeddings` tables.
-  * SQL-expressible operators carry DuckDB oracles; the probabilistic ones
-  * (MinHash/SimHash/LSH/IVF) are declared without oracles — the driver
-  * records a rows-only check for those, and their exact-arithmetic parts
-  * are covered by the ScalaTest suite.
+  * EVERY entry carries a DuckDB oracle — including the probabilistic
+  * operators: their hashing is portable arithmetic (FNV-1a64 / md5), so
+  * the oracle replays signatures, band membership, hyperplanes and IVF
+  * seeding exactly rather than settling for a rows-only check.
   */
 object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame =

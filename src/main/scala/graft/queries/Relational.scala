@@ -133,6 +133,33 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
     }),
 
+    // global top-k: total order + limit
+    "q15_top_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // HAVING: post-aggregation filter
+    "q16_big_customers" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_spend"))
+        .filter(col("n_orders") >= 10)
+    }),
+
+    // correlated EXISTS subquery shape (decorrelated by Catalyst)
+    "q17_custs_with_urgent" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      t(s, d, "customer")
+        .join(ord.filter(col("o_orderpriority").startsWith("1"))
+          .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
     // conditional aggregation (TPC-H Q12 shape)
     "q14_priority_by_year" -> ((s, d) => {
       t(s, d, "orders")
@@ -213,6 +240,17 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
         |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q15_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q16_big_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin,
+    "q17_custs_with_urgent" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%')""".stripMargin,
     "q14_priority_by_year" ->
       """SELECT year(o_orderdate) AS yr,
         |CAST(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
