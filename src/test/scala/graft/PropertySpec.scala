@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** Property-style invariants over randomized write sequences (SURVEY §5:
+  * upsert idempotence, preCombine commutativity, replay determinism).
+  * Cases are ScalaCheck-generated from fixed seeds so runs are
+  * deterministic; sizes stay small because every case runs real Spark
+  * jobs.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private val recGen: Gen[(Long, Long, String)] = for {
+    id <- Gen.choose(1L, 40L)
+    ver <- Gen.choose(1L, 9L)
+    v <- Gen.alphaStr.map(_.take(6))
+  } yield (id, ver, v)
+
+  private def batches(seed: Long, nBatches: Int): Seq[Seq[(Long, Long, String)]] =
+    (0 until nBatches).map { b =>
+      Gen.listOfN(15, recGen)
+        .pureApply(Gen.Parameters.default, Seed(seed * 100 + b))
+    }
+
+  private def df(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.toDF("id", "ver", "v")
+
+  private def mk(name: String): GraftTable =
+    GraftTable.create(spark, tmpDir(name).toString,
+      TableConfig(name, TableType.CopyOnWrite, Seq("id"), "", "ver"))
+
+  private def snap(t: GraftTable): Set[(Long, Long, String)] =
+    Readers.snapshot(t).select("id", "ver", "v")
+      .as[(Long, Long, String)].collect().toSet
+
+  test("upsert is idempotent: replaying a batch does not change the table") {
+    (1 to 3).foreach { trial =>
+      val bs = batches(trial.toLong, 2)
+      val t = mk(s"prop_idem_$trial")
+      t.bulkInsert(df(bs.head))
+      t.upsert(df(bs(1)))
+      val once = snap(t)
+      t.upsert(df(bs(1))) // replay
+      assert(snap(t) === once, s"trial $trial")
+    }
+  }
+
+  test("within-batch precombine is row-order independent (max version wins)") {
+    // NOTE cross-batch semantics are last-commit-wins (the reference's
+    // default OverwriteWithLatest payload): a later upsert replaces the
+    // stored row even with a lower precombine value. Commutativity holds
+    // WITHIN a batch, where preCombine collapses duplicates by max ver.
+    (1 to 3).foreach { trial =>
+      val bs = batches(100L + trial, 2)
+      val combined = bs.head ++ bs(1)
+      val ta = mk(s"prop_comm_a_$trial")
+      val tb = mk(s"prop_comm_b_$trial")
+      ta.upsert(df(combined))
+      tb.upsert(df(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(trial)).shuffle(combined)))
+      val expected = combined.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val va = snap(ta).map(r => r._1 -> r._2).toMap
+      assert(va === expected, s"trial $trial: batch dedup must keep max ver")
+      assert(snap(tb).map(r => r._1 -> r._2).toMap === expected, s"trial $trial shuffled")
+    }
+  }
+
+  test("replaying an identical op sequence yields an identical snapshot") {
+    (1 to 2).foreach { trial =>
+      val bs = batches(200L + trial, 3)
+      def run(name: String): Set[(Long, Long, String)] = {
+        val t = mk(name)
+        t.bulkInsert(df(bs.head))
+        t.upsert(df(bs(1)))
+        t.delete(df(bs(2).take(5)))
+        t.upsert(df(bs(2).drop(5)))
+        snap(t)
+      }
+      assert(run(s"prop_replay_a_$trial") === run(s"prop_replay_b_$trial"),
+        s"trial $trial")
+    }
+  }
+}
