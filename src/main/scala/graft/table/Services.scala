@@ -11,6 +11,16 @@ import graft.core._
   * clean, rollback, savepoint/restore). All planning is a pure function
   * over the metadata view; all data movement is a declarative Spark job.
   */
+/** Compaction candidate-selection strategies (reference
+  * compact/strategy package).
+  */
+object CompactionStrategy {
+  val LogFileSize = "LOG_FILE_SIZE"
+  val DayBased = "DAY_BASED"
+  val BoundedPartition = "BOUNDED_PARTITION"
+  val Unbounded = "UNBOUNDED"
+}
+
 object Services {
 
   // ------------------------------------------------------------ compaction
@@ -19,11 +29,30 @@ object Services {
     * volume first (reference LogFileSizeBasedCompactionStrategy), bounded
     * by an IO budget. Plan is persisted in the requested instant so a
     * separate process could execute it (reference two-phase compaction).
+    *
+    * `strategy` mirrors the reference's compaction strategies
+    * (reference hudi-client-common/.../compact/strategy/):
+    *  - LOG_FILE_SIZE: largest pending delta volume first (default)
+    *  - DAY_BASED: newest partitions first (time-partitioned tables
+    *    compact hot data before cold)
+    *  - BOUNDED_PARTITION: at most `maxPartitions` partitions per run
+    *  - UNBOUNDED: everything with pending deltas
     */
-  def scheduleCompaction(t: GraftTable, ioBudgetBytes: Long = Long.MaxValue): Option[String] = graft.core.TableLock.withLock(t.basePath) {
-    val candidates = t.view.fileSlices(None)
-      .filter(_.deltaFiles.nonEmpty)
-      .sortBy(-_.totalDeltaBytes)
+  def scheduleCompaction(t: GraftTable, ioBudgetBytes: Long = Long.MaxValue,
+      strategy: String = CompactionStrategy.LogFileSize,
+      maxPartitions: Int = Int.MaxValue): Option[String] = graft.core.TableLock.withLock(t.basePath) {
+    val pending = t.view.fileSlices(None).filter(_.deltaFiles.nonEmpty)
+    val candidates = strategy match {
+      case CompactionStrategy.LogFileSize => pending.sortBy(-_.totalDeltaBytes)
+      case CompactionStrategy.DayBased =>
+        pending.sortBy(s => (s.partitionPath, s.fileId))(
+          Ordering.Tuple2(Ordering.String.reverse, Ordering.String))
+      case CompactionStrategy.BoundedPartition =>
+        val parts = pending.map(_.partitionPath).distinct.sorted.reverse.take(maxPartitions).toSet
+        pending.filter(s => parts.contains(s.partitionPath)).sortBy(-_.totalDeltaBytes)
+      case CompactionStrategy.Unbounded => pending
+      case other => throw new IllegalArgumentException(s"unknown compaction strategy '$other'")
+    }
     var budget = ioBudgetBytes
     val picked = candidates.takeWhile { s =>
       val cost = s.totalDeltaBytes + s.baseFile.map(_.sizeBytes).getOrElse(0L)

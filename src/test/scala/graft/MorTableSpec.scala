@@ -90,6 +90,36 @@ class MorTableSpec extends AnyFunSuite {
     assert(snap.agg(min("ver")).first().getLong(0) === 3L)
   }
 
+  test("compaction strategies pick different candidate sets") {
+    val dir = tmpDir("mor_strat")
+    val t = GraftTable.create(spark, dir.toString, cfg())
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    t.bulkInsert(src)
+    // deltas across several year partitions
+    t.upsert(src.filter(col("o_orderkey") % 4 === 0).withColumn("o_totalprice", lit(1.0)))
+    val partsWithDeltas = t.view.fileSlices(None).filter(_.deltaFiles.nonEmpty)
+      .map(_.partitionPath).distinct.sorted
+    assert(partsWithDeltas.size > 2)
+
+    // BOUNDED_PARTITION limits the plan to the newest partition
+    val ts = Services.scheduleCompaction(t,
+      strategy = graft.table.CompactionStrategy.BoundedPartition, maxPartitions = 1).get
+    val plan = Json.read[CompactionPlan](
+      t.timeline.readRequestedContent(ts, Action.Compaction))
+    assert(plan.operations.map(_.partitionPath).distinct === Seq(partsWithDeltas.last))
+    Services.runCompaction(t, ts)
+    // remaining partitions still pending; UNBOUNDED takes them all
+    val ts2 = Services.scheduleCompaction(t,
+      strategy = graft.table.CompactionStrategy.Unbounded).get
+    val plan2 = Json.read[CompactionPlan](
+      t.timeline.readRequestedContent(ts2, Action.Compaction))
+    assert(plan2.operations.map(_.partitionPath).distinct.sorted ===
+      partsWithDeltas.filterNot(_ == partsWithDeltas.last))
+    Services.runCompaction(t, ts2)
+    assert(t.view.fileSlices(None).forall(_.deltaFiles.isEmpty))
+    assert(Readers.snapshot(t).count() === src.count())
+  }
+
   test("MOR time travel and incremental across deltacommits") {
     val dir = tmpDir("mor_tt")
     import spark.implicits._
