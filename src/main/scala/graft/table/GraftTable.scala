@@ -360,6 +360,30 @@ final class GraftTable(
       (Seq.empty, replaced, latestSchema.map(_.json).getOrElse(""))
     }
 
+  /** Global delete (reference GlobalDeleteKeyGenerator): remove records
+    * by record key alone — the incoming frame only needs the key fields,
+    * and the record is tombstoned in whatever partition it lives in.
+    */
+  def deleteGlobal(df: DataFrame): String =
+    runCommit(commitAction, "delete_global") { instant =>
+    val incoming = df
+      .withColumn(MetaCols.RecordKey, KeyGen.recordKeyCol(cfg.recordKeyFields))
+      .select(MetaCols.RecordKey).distinct()
+    // locate each key anywhere in the table; partition comes from storage
+    val located = graft.read.Readers.snapshot(this)
+      .join(incoming, Seq(MetaCols.RecordKey), "left_semi")
+    val dataCols = located.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+    val tombstones = located.select(
+      (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+        substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
+        lit(true).as(DeleteCol)) ++ dataCols.map(col)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cfg.isMor) morWrite(tombstones, instant, allDeletes = true)
+      else writeMerged(tombstones, instant)
+    } finally tombstones.unpersist()
+  }
+
   /** METADATA_ONLY bootstrap (reference BootstrapMode.java:24-34,
     * SparkBootstrapCommitActionExecutor): adopt existing parquet files
     * without rewriting a byte. Each source file becomes a file group whose
@@ -598,7 +622,15 @@ final class GraftTable(
       .withColumn(MetaCols.FileName, concat(col(FileIdCol), lit(s"_0_$instant.parquet")))
 
     val stats = writeFiles(spark, basePath, merged, instant, isDelta = false)
-    (stats, Map.empty, schemaJsonFor(routed))
+    // a group whose merge produced NO rows (every record tombstoned) writes
+    // no file — record it as replaced or its old base would stay the
+    // latest slice and the deleted rows would resurrect
+    val written = stats.map(_.fileId).toSet
+    val replaced = liveBases
+      .filter(b => touchedIds.contains(b.fileId) && !written.contains(b.fileId))
+      .groupBy(_.partitionPath)
+      .map { case (p, es) => p -> es.map(_.fileId).distinct }
+    (stats, replaced, schemaJsonFor(routed))
   }
 
   /** MOR write: updates/deletes append to per-group delta files (the

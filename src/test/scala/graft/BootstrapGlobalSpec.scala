@@ -54,6 +54,33 @@ class BootstrapGlobalSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).groupBy("id").count().filter($"count" > 1).count() === 0)
   }
 
+  test("global delete removes records by key across partitions") {
+    val dir = tmpDir("gdel")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "gd", TableType.CopyOnWrite, Seq("id"), "p", "ver"))
+    t.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "p", "ver"))
+    // delete ids 1 and 3 knowing only the key — no partition info supplied
+    t.deleteGlobal(Seq(Tuple1(1L), Tuple1(3L)).toDF("id"))
+    val snap = Readers.snapshot(t).select("id").as[Long].collect().toSeq
+    assert(snap === Seq(2L))
+    // deleting a missing key is a no-op
+    t.deleteGlobal(Seq(Tuple1(99L)).toDF("id"))
+    assert(Readers.snapshot(t).count() === 1)
+  }
+
+  test("deleting every record of a file group replaces it (no resurrection)") {
+    val dir = tmpDir("gdel_all")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "ga", TableType.CopyOnWrite, Seq("id"), "p", "ver"))
+    t.bulkInsert(Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "b", 1L)).toDF("id", "p", "ver"))
+    // wipe partition a's whole group via keyed delete (not delete_partition)
+    t.delete(Seq((1L, "a", 1L), (2L, "a", 1L)).toDF("id", "p", "ver"))
+    assert(Readers.snapshot(t).select("id").as[Long].collect().toSeq === Seq(3L))
+    // and the table still accepts new rows for that partition
+    t.upsert(Seq((5L, "a", 2L)).toDF("id", "p", "ver"))
+    assert(Readers.snapshot(t).count() === 2)
+  }
+
   test("ALTER TABLE ADD COLUMNS widens the schema; old rows read null") {
     val dir = tmpDir("alter")
     val t = GraftTable.create(spark, dir.toString, TableConfig(
