@@ -11,8 +11,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_window_topk", "q13_events_hourly",
+    "q15_top_orders",
     "t_bulk_insert", "t_upsert", "t_merge_into", "t_mor_upsert",
-    "p_dedup_exact", "p_dedup_minhash", "p_text_stats", "p_ann_bruteforce")
+    "p_dedup_exact", "p_dedup_minhash", "p_dedup_simhash",
+    "p_text_stats", "p_text_quality_lang", "p_ann_bruteforce")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -148,7 +148,10 @@ object Dedup {
       .select(col(idCol).as("_s_id"),
         transform(TextStats.tokens(lower(col(textCol))), t => tokenHash60(t)).as("_s_th"))
       .repartition(col("_s_id"))
-    val sh = prepared.select(col("_s_id"), simhashFromHashes(col("_s_th")).as("_s_sh"))
+    // native bit-vote expression: one JVM loop per row instead of 60
+    // interpreted per-token aggregates (22s -> sub-second at sf0.1)
+    val sh = prepared.select(col("_s_id"),
+      graft.functions.SimHash60.simhash60(col("_s_th")).as("_s_sh"))
     val chunked = sh.select(col("_s_id"), col("_s_sh"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("c"), call_function("shiftright", col("_s_sh"), c * 15).bitwiseAND(0x7FFFL).as("v")))).as("_s_ch"))
