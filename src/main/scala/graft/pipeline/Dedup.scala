@@ -89,19 +89,28 @@ object Dedup {
     // single parquet file would otherwise pin it to one task); the
     // signature itself is the native MinHashSig expression — one tight
     // loop per row instead of 64 interpreted array aggregates.
+    // signatures once per doc; band rows carry only (id, band, bucket) so
+    // the 16-way explode never duplicates the signature arrays through
+    // the shuffle, and candidate PAIRS are deduped before verification
+    // (near-dup docs match in many bands — verifying per band match would
+    // redo the similarity work per band)
     val sig = df
       .select(col(idCol).as("_d_id"), col(textCol).as("_d_t"))
       .repartition(col("_d_id"))
       .select(col("_d_id"),
         graft.functions.MinHashSig.minhashSig(col("_d_t"), numHashes, shingleN).as("_d_sig"))
-    val banded = sig.select(col("_d_id"), col("_d_sig"),
+    val banded = sig.select(col("_d_id"),
         explode(lshBands(col("_d_sig"), bands, rows)).as("_d_band"))
-      .select(col("_d_id"), col("_d_sig"),
+      .select(col("_d_id"),
         col("_d_band.band").as("_d_b"), col("_d_band.bucket").as("_d_k"))
-    val l = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_l_id"), col("_d_sig").as("_l_sig"))
-    val r = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_r_id"), col("_d_sig").as("_r_sig"))
-    val dupIds = l.join(r, Seq("_d_b", "_d_k"))
+    val pairs = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_l_id"))
+      .join(banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_r_id")),
+        Seq("_d_b", "_d_k"))
       .filter(col("_l_id") < col("_r_id"))
+      .select("_l_id", "_r_id").distinct()
+    val dupIds = pairs
+      .join(sig.select(col("_d_id").as("_l_id"), col("_d_sig").as("_l_sig")), Seq("_l_id"))
+      .join(sig.select(col("_d_id").as("_r_id"), col("_d_sig").as("_r_sig")), Seq("_r_id"))
       .filter(signatureSimilarity(col("_l_sig"), col("_r_sig")) >= threshold)
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
@@ -182,21 +191,34 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3): DataFrame = {
     // candidates via the native MinHashSig (same FNV family as
     // minhashDedup — one tight loop per row, and portable enough for the
-    // DuckDB oracle to replicate band membership exactly)
-    val sig = df
+    // DuckDB oracle to replicate band membership exactly); shingle SETS
+    // are materialized once per doc so the exact-jaccard verification
+    // compares arrays instead of re-tokenizing text per candidate pair
+    // band rows carry ids only; candidate pairs dedup BEFORE the exact
+    // jaccard verify, then shingle sets join back in by id — no arrays
+    // ride the 16-way explode, and each pair is verified exactly once
+    val keyedSrc = df
       .select(col(idCol).as("_d_id"), col(textCol).as("_d_text"))
       .repartition(col("_d_id"))
-      .select(col("_d_id"), col("_d_text"),
-        graft.functions.MinHashSig.minhashSig(col("_d_text"), 64, n).as("_d_sig"))
-    val banded = sig.select(col("_d_id"), col("_d_text"),
+    val sig = keyedSrc.select(col("_d_id"),
+      graft.functions.MinHashSig.minhashSig(col("_d_text"), 64, n).as("_d_sig"))
+    val shs = keyedSrc.select(col("_d_id"), shingles(col("_d_text"), n).as("_d_sh"))
+    val banded = sig.select(col("_d_id"),
         explode(lshBands(col("_d_sig"), 16, 4)).as("_d_band"))
-      .select(col("_d_id"), col("_d_text"),
+      .select(col("_d_id"),
         col("_d_band.band").as("_d_b"), col("_d_band.bucket").as("_d_k"))
-    val l = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_l_id"), col("_d_text").as("_l_t"))
-    val r = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_r_id"), col("_d_text").as("_r_t"))
-    val dupIds = l.join(r, Seq("_d_b", "_d_k"))
+    val pairs = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_l_id"))
+      .join(banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_r_id")),
+        Seq("_d_b", "_d_k"))
       .filter(col("_l_id") < col("_r_id"))
-      .filter(ngramJaccard(col("_l_t"), col("_r_t"), n) >= threshold)
+      .select("_l_id", "_r_id").distinct()
+    val inter = size(array_intersect(col("_l_sh"), col("_r_sh"))).cast("double")
+    val union = size(array_union(col("_l_sh"), col("_r_sh"))).cast("double")
+    val jac = when(union === 0, 0.0).otherwise(inter / union)
+    val dupIds = pairs
+      .join(shs.select(col("_d_id").as("_l_id"), col("_d_sh").as("_l_sh")), Seq("_l_id"))
+      .join(shs.select(col("_d_id").as("_r_id"), col("_d_sh").as("_r_sh")), Seq("_r_id"))
+      .filter(jac >= threshold)
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }

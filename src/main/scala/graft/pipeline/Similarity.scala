@@ -36,6 +36,13 @@ object Similarity {
     * DuckDB oracle replays the whole signature.
     */
   def hyperplaneSignature(vec: Column, planes: Int = 16): Column =
+    graft.functions.HyperplaneSig.hyperplaneSig(vec, planes)
+
+  /** The declarative formulation the native expression replaces —
+    * bit-identical, kept for documentation/tests (evaluates dims×planes
+    * md5 expressions per row, so don't use it on a hot path).
+    */
+  def hyperplaneSignatureHof(vec: Column, planes: Int = 16): Column =
     aggregate(
       sequence(lit(0), lit(planes - 1)),
       lit(0L),
