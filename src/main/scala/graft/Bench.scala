@@ -24,6 +24,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's default 64 MB advisory size would coalesce the small-SF
+      // shuffles to one task and serialize every write stage; 8 MB keeps
+      // bench-scale stages parallel while staying irrelevant at real scale
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -96,7 +96,14 @@ final class GraftTable(
     val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
     val targetBytes = math.max(1L,
       keyed.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / 3) // in-mem est. ≈ 3x parquet
-    val numFiles = math.max(1, math.ceil(targetBytes.toDouble / maxFileSize).toInt)
+    // Size-driven file count, but floored so a load smaller than one target
+    // file still fans out across the cluster instead of funneling the whole
+    // write through one task (file-size targets govern at scale; parallelism
+    // governs below it).
+    val sizeFiles = math.ceil(targetBytes.toDouble / maxFileSize).toInt
+    val parFloor = math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(targetBytes / (8.0 * 1024 * 1024)).toInt)
+    val numFiles = math.max(1, math.max(sizeFiles, parFloor))
     val prefix = newFileIdPrefix()
     // fileId embeds a partition-path hash: a spark partition straddling two
     // partition paths must not share one file-group id across them
@@ -287,27 +294,76 @@ final class GraftTable(
   /** SQL UPDATE analog: read-filter-assign-rewrite (reference
     * UpdateHoodieTableCommand). Rows carry their file location from the
     * snapshot scan, so no index join is needed.
+    *
+    * COW runs two passes: a pruned probe (predicate pushdown + column
+    * stats skipping find the file groups with matching rows — most groups
+    * are never opened) then a full read of ONLY those groups, assignments
+    * applied in place, complete-group rewrite with no dedup. MOR appends
+    * just the changed rows as deltas instead (subset path).
     */
   def update(condition: String, set: Map[String, String]): String = {
-    val snap = graft.read.Readers.snapshot(this).filter(expr(condition))
-    val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
-    val assigned = set.foldLeft(snap) { case (df, (c, e)) => df.withColumn(c, expr(e)) }
-    val resolved = assigned.select(
-      (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
-        substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
-        lit(false).as(DeleteCol)) ++ dataCols.map(col)): _*)
-    writeResolved(resolved, "update")
+    if (cfg.isMor) {
+      val snap = graft.read.Readers.snapshot(this).filter(expr(condition))
+      val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+      val assigned = set.foldLeft(snap) { case (df, (c, e)) => df.withColumn(c, expr(e)) }
+      val resolved = assigned.select(
+        (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+          substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
+          lit(false).as(DeleteCol)) ++ dataCols.map(col)): _*)
+      writeResolved(resolved, "update")
+    } else {
+      val cond = coalesce(expr(condition), lit(false))
+      val rows = readTouchedGroups(expr(condition))
+      val dataCols = rows.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+      val resolved = rows.select(
+        (Seq(
+          when(cond, lit(null)).otherwise(col(MetaCols.CommitTime)).as(MetaCols.CommitTime),
+          when(cond, lit(null)).otherwise(col(MetaCols.CommitSeqno)).as(MetaCols.CommitSeqno),
+          col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+          substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
+          lit(false).as(DeleteCol), cond.as(ModifiedCol)) ++
+          dataCols.map(c => set.get(c)
+            .map(e => when(cond, expr(e).cast(rows.schema(c).dataType)).otherwise(col(c)))
+            .getOrElse(col(c)).as(c))): _*)
+      writeCompleteGroups(resolved, "update")
+    }
   }
 
-  /** SQL DELETE analog (reference DeleteHoodieTableCommand). */
+  /** SQL DELETE analog (reference DeleteHoodieTableCommand). Same pruned
+    * two-pass complete-group shape as [[update]] on COW.
+    */
   def deleteWhere(condition: String): String = {
-    val snap = graft.read.Readers.snapshot(this).filter(expr(condition))
-    val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
-    val resolved = snap.select(
-      (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
-        substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
-        lit(true).as(DeleteCol)) ++ dataCols.map(col)): _*)
-    writeResolved(resolved, "delete")
+    if (cfg.isMor) {
+      val snap = graft.read.Readers.snapshot(this).filter(expr(condition))
+      val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+      val resolved = snap.select(
+        (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+          substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
+          lit(true).as(DeleteCol)) ++ dataCols.map(col)): _*)
+      writeResolved(resolved, "delete")
+    } else {
+      val cond = coalesce(expr(condition), lit(false))
+      val rows = readTouchedGroups(expr(condition))
+      val dataCols = rows.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+      val resolved = rows.select(
+        (Seq(col(MetaCols.CommitTime), col(MetaCols.CommitSeqno),
+          col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+          substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
+          cond.as(DeleteCol), cond.as(ModifiedCol)) ++ dataCols.map(col)): _*)
+      writeCompleteGroups(resolved, "delete")
+    }
+  }
+
+  /** Pruned probe + full read of only the file groups holding rows that
+    * match `cond` — the read side of the COW complete-group DML path.
+    */
+  private def readTouchedGroups(cond: Column): DataFrame = {
+    val snap = graft.read.Readers.snapshot(this)
+    val touched = snap.filter(cond)
+      .select(substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol))
+      .distinct().collect().map(_.getString(0)).toSet
+    readEntriesRaw(view.fileSlices(None).flatMap(_.baseFile)
+      .filter(b => touched.contains(b.fileId)))
   }
 
   /** Write a batch whose rows are already key'd, located (`_graft_file_id`
@@ -521,8 +577,18 @@ final class GraftTable(
     val updatedIds = profile.filter(!_.isNullAt(1)).map(_.getString(1)).toSet
     val insertCounts = profile.filter(_.isNullAt(1))
       .map(r => r.getString(0) -> r.getLong(2)).toMap
-    if (insertCounts.isEmpty) return (tagged, updatedIds)
-    val inserts = tagged.filter(col(FileIdCol).isNull)
+    val (routed, newIds) = routeInserts(tagged, insertCounts)
+    (routed, updatedIds ++ newIds)
+  }
+
+  /** Routes the frame's null-fileId rows into small-file top-up buckets
+    * then fresh size-targeted buckets; the bucket table (one row per
+    * target file) is broadcast. Returns the routed frame plus the bucket
+    * fileIds used.
+    */
+  private def routeInserts(frame: DataFrame,
+      insertCounts: Map[String, Long]): (DataFrame, Set[String]) = {
+    if (insertCounts.isEmpty) return (frame, Set.empty)
     val recSize = avgRecordSize
     val perNew = math.max(1L, maxFileSize / recSize)
     val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, String)]()
@@ -540,13 +606,16 @@ final class GraftTable(
     import spark.implicits._
     val buckets = rows.toSeq.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
     val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
-    val routedInserts = inserts.drop(FileIdCol)
+    // single pass: located rows fail the join condition and keep their
+    // fileId; insert rows match exactly one bucket range
+    val routed = frame
       .join(broadcast(buckets),
-        col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
-      .withColumn(FileIdCol, col("_b_fid"))
+        col(FileIdCol).isNull && col(MetaCols.PartitionPath) === col("_b_part") &&
+          h >= col("_b_lo") && h < col("_b_hi"),
+        "left_outer")
+      .withColumn(FileIdCol, coalesce(col(FileIdCol), col("_b_fid")))
       .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
-    val routed = tagged.filter(col(FileIdCol).isNotNull).unionByName(routedInserts)
-    (routed, updatedIds ++ rows.map(_._5))
+    (routed, rows.map(_._5).toSet)
   }
 
   /** Route every row to a fresh, size-targeted file group (overwrite ops —
@@ -580,15 +649,23 @@ final class GraftTable(
   }
 
   /** COW merge write: rewrite every touched file group as
-    * `old ∪ new → row_number-dedup → drop tombstones` — the DataFrame
+    * `old ∪ new → latest-wins dedup → drop tombstones` — the DataFrame
     * equivalent of the reference's per-file HoodieMergeHandle streaming
     * merge (HoodieMergeHandle.java:201-326), with Spark's shuffle providing
     * the spill the reference gets from ExternalSpillableMap.
+    *
+    * The dedup shares its ONE shuffle with the write layout: rows are
+    * hash-distributed by (partition, fileId) — which also co-locates each
+    * key, since a key maps to exactly one file group — sorted so every
+    * key's winner comes first, then collapsed by a linear per-partition
+    * scan (the same repartitionAndSortWithinPartitions + streaming-merge
+    * shape as the reference, BaseSparkCommitActionExecutor.java:190-210).
+    * A window over (partition, key) would add a second full exchange
+    * before the write's (partition, fileId) distribution.
     */
   private def writeMerged(routed: DataFrame, instant: String,
       knownTouched: Option[Set[String]] = None)
       : (Seq[WriteStat], Map[String, Seq[String]], String) = {
-    import org.apache.spark.sql.expressions.Window
     val withDel =
       if (routed.columns.contains(DeleteCol)) routed
       else routed.withColumn(DeleteCol, lit(false))
@@ -606,22 +683,12 @@ final class GraftTable(
         .withColumn(FileIdCol, substring_index(col(MetaCols.FileName), "_", 1))
         .withColumn(DeleteCol, lit(false))
         .unionByName(newData, allowMissingColumns = true)
-    // CommitSeqno tiebreak keeps the winner deterministic when commit time
-    // AND precombine tie (same-batch duplicates on the writeResolved path)
-    val ord =
-      (if (cfg.precombineField.isEmpty) Seq(col(MetaCols.CommitTime).desc)
-       else Seq(col(MetaCols.CommitTime).desc, col(cfg.precombineField).desc)) :+
-        col(MetaCols.CommitSeqno).desc
-    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
-      .orderBy(ord: _*)
-    val merged = unioned
-      .withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1 && !col(DeleteCol))
-      .drop("_graft_rn", DeleteCol)
+    val merged = dedupLatestWins(unioned)
       // rewritten rows land in a new physical file: refresh the name column
       .withColumn(MetaCols.FileName, concat(col(FileIdCol), lit(s"_0_$instant.parquet")))
 
-    val stats = writeFiles(spark, basePath, merged, instant, isDelta = false)
+    val stats = writeFiles(spark, basePath, merged, instant, isDelta = false,
+      alreadyPartitioned = true)
     // a group whose merge produced NO rows (every record tombstoned) writes
     // no file — record it as replaced or its old base would stay the
     // latest slice and the deleted rows would resurrect
@@ -632,6 +699,101 @@ final class GraftTable(
       .map { case (p, es) => p -> es.map(_.fileId).distinct }
     (stats, replaced, schemaJsonFor(routed))
   }
+
+  /** Latest-wins key dedup fused with the write distribution: one shuffle
+    * by (partition, fileId), sort placing each key's winner first
+    * (commit time desc, precombine desc, seqno desc — the same ordering
+    * the MOR read-side window uses), then a linear first-row-per-key scan
+    * that also drops tombstone winners. (partition, key) → fileId is
+    * functional — an old row's location and an update's tagged location
+    * agree, and routed inserts are new keys — so co-locating by fileId
+    * co-locates keys; Catalyst can't infer that dependency, hence the
+    * explicit scan instead of a window (which would re-exchange).
+    */
+  private def dedupLatestWins(unioned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(MetaCols.RecordKey).asc) ++
+      (if (cfg.precombineField.isEmpty) Seq(col(MetaCols.CommitTime).desc)
+       else Seq(col(MetaCols.CommitTime).desc, col(cfg.precombineField).desc)) :+
+      col(MetaCols.CommitSeqno).desc
+    // window partitioned by the WRITE layout, ordered so each key's winner
+    // leads its run — Catalyst reuses the repartition exchange (the window
+    // only needs clustering by a prefix), so dedup + write share one shuffle
+    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(FileIdCol)).orderBy(ord: _*)
+    unioned
+      .repartition(col(MetaCols.PartitionPath), col(FileIdCol))
+      .withColumn("_graft_prev", lag(col(MetaCols.RecordKey), 1).over(w))
+      .filter((col("_graft_prev").isNull ||
+        col("_graft_prev") =!= col(MetaCols.RecordKey)) && !col(DeleteCol))
+      .drop("_graft_prev", DeleteCol)
+  }
+
+  /** Complete-group rewrite (COW MERGE / UPDATE / DELETE fast path): the
+    * caller supplies EVERY row of every candidate group — values already
+    * merged, keys already unique — plus insert rows with a null fileId,
+    * and a boolean [[WritePipeline.ModifiedCol]] marking rows an action
+    * actually changed. Groups with no modified row are skipped (left
+    * untouched on disk); the rest are rewritten with NO dedup pass and no
+    * read-back — one profile job, one shuffle, one distributed write,
+    * reading the target exactly once (upstream, in the caller's join).
+    *
+    * Frame contract: `_hoodie_commit_time`/`_hoodie_commit_seqno` carry
+    * the ORIGINAL stamps on carried-over rows and null on modified or
+    * inserted rows (nulls are stamped with this commit's instant), which
+    * preserves incremental-query semantics: only genuinely changed rows
+    * advance their commit time.
+    */
+  private[table] def writeCompleteGroups(resolved: DataFrame, opType: String): String =
+    runCommit(commitAction, opType) { instant =>
+      {
+        val cached = resolved
+        // the profile projects only (partition, fileId, modified) — column
+        // pruning reaches through the caller's join, so this pass scans the
+        // target narrowly; only the write pass below evaluates full rows
+        // (cheaper than materializing the whole resolved frame to a cache)
+        val profile = cached.groupBy(MetaCols.PartitionPath, FileIdCol)
+          .agg(count(lit(1)).as("n"), max(col(ModifiedCol)).as("m")).collect()
+        val insertCounts = profile.filter(_.isNullAt(1))
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        val modifiedIds = profile
+          .filter(r => !r.isNullAt(1) && r.getBoolean(3)).map(_.getString(1)).toSet
+        // untouched groups (no action applied to any row) stay on disk as-is
+        val kept = cached.filter(col(FileIdCol).isNull ||
+          col(FileIdCol).isin(modifiedIds.toSeq: _*))
+        val (routed, insertTargetIds) = routeInserts(kept, insertCounts)
+        // small-file packing may direct inserts into live groups whose rows
+        // are NOT in the frame — union those groups' bases in (keys stay
+        // unique: packed inserts matched nothing)
+        val live = view.fileSlices(None).flatMap(_.baseFile)
+        val extraIds = (insertTargetIds -- modifiedIds)
+          .intersect(live.map(_.fileId).toSet)
+        val withExtra =
+          if (extraIds.isEmpty) routed
+          else routed.unionByName(
+            readEntriesRaw(live.filter(b => extraIds.contains(b.fileId)))
+              .withColumn(FileIdCol, substring_index(col(MetaCols.FileName), "_", 1))
+              .withColumn(DeleteCol, lit(false))
+              .withColumn(ModifiedCol, lit(false)),
+            allowMissingColumns = true)
+        val stamped = withExtra
+          .filter(!col(DeleteCol)).drop(DeleteCol, ModifiedCol)
+          .withColumn(MetaCols.CommitTime, coalesce(col(MetaCols.CommitTime), lit(instant)))
+          .withColumn(MetaCols.CommitSeqno, coalesce(col(MetaCols.CommitSeqno),
+            concat(lit(instant + "_"), monotonically_increasing_id().cast("string"))))
+          .withColumn(MetaCols.FileName, concat(col(FileIdCol), lit(s"_0_$instant.parquet")))
+        val dataCols = stamped.columns.filterNot(c => MetaCols.All.contains(c))
+        val framed = stamped.select((MetaCols.All ++ dataCols).map(col): _*)
+        val stats = writeFiles(spark, basePath, framed, instant, isDelta = false)
+        val written = stats.map(_.fileId).toSet
+        // a rewritten group that wrote no file (all rows deleted) must be
+        // recorded as replaced or its old base stays the latest slice
+        val replaced = live
+          .filter(b => (modifiedIds.contains(b.fileId) || extraIds.contains(b.fileId)) &&
+            !written.contains(b.fileId))
+          .groupBy(_.partitionPath).map { case (p, es) => p -> es.map(_.fileId).distinct }
+        (stats, replaced, schemaJsonFor(framed))
+      }
+    }
 
   /** MOR write: updates/deletes append to per-group delta files (the
     * log-append analog, reference HoodieAppendHandle.java — ours are small

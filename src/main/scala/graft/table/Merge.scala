@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core._
@@ -82,36 +82,117 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
       .collect().map(_.getString(0)).toSeq
     val target = Readers.snapshot(t, partitions = Some(parts))
 
-    val keyCols = Seq(MetaCols.RecordKey, MetaCols.PartitionPath)
+    try {
+      if (t.cfg.isMor) executeTwoPass(target, srcKeyed, dataCols)
+      else executeCow(target, srcKeyed, dataCols)
+    } finally srcKeyed.unpersist()
+  }
 
-    // ---- matched side: inner join, first-applicable clause projects the row
+  private val keyCols = Seq(MetaCols.RecordKey, MetaCols.PartitionPath)
+
+  /** First-match-wins application flags for a clause list. */
+  private def applyFlags(cs: Seq[Clause]): Seq[(Clause, Column)] = {
+    var remaining = lit(true)
+    cs.map { c =>
+      val cond = c.condition.map(expr).getOrElse(lit(true))
+      val app = remaining && cond
+      remaining = remaining && !coalesce(cond, lit(false))
+      (c, app)
+    }
+  }
+
+  private def matchedValueCol(applied: Seq[(Clause, Column)], c: String): Column = {
+    val chain = applied.foldLeft(when(lit(false), lit(null))) {
+      case (acc, (cl, app)) =>
+        val v =
+          if (cl.kind == "delete") col(s"t.$c")
+          else if (cl.assignments.isEmpty)
+            (if (source.columns.contains(c)) col(s"s.$c") else col(s"t.$c"))
+          else cl.assignments.get(c).map(expr).getOrElse(col(s"t.$c"))
+        acc.when(app, v)
+    }
+    chain.otherwise(col(s"t.$c"))
+  }
+
+  private def insertValueCol(applied: Seq[(Clause, Column)], c: String): Column = {
+    val chain = applied.foldLeft(when(lit(false), lit(null))) {
+      case (acc, (cl, app)) =>
+        val v =
+          if (cl.assignments.isEmpty)
+            (if (source.columns.contains(c)) col(s"s.$c") else lit(null))
+          else cl.assignments.get(c).map(expr).getOrElse(lit(null))
+        acc.when(app, v)
+    }
+    chain.otherwise(lit(null))
+  }
+
+  /** COW fast path: ONE full-outer join reads the target exactly once and
+    * yields every row of the affected partitions already merged — matched
+    * rows projected through their first applicable clause, carried-over
+    * rows untouched (original commit stamps preserved), not-matched
+    * source rows as inserts. No dedup pass and no read-back follows:
+    * [[GraftTable.writeCompleteGroups]] skips groups where nothing
+    * changed and rewrites the rest in a single shuffle. (The reference's
+    * MergeHandle also streams the base file exactly once —
+    * HoodieMergeHandle.java:201-326 — where the two-pass shape would scan
+    * it three times.)
+    */
+  private def executeCow(target: DataFrame, srcKeyed: DataFrame,
+      dataCols: Seq[String]): String = {
+    val matchedClauses = clauses.filter(c => c.kind == "update" || c.kind == "delete")
+    val insertClauses = clauses.filter(_.kind == "insert")
+
+    val joined = target.alias("t").join(srcKeyed.alias("s"),
+      keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
+    val tM = col(s"t.${MetaCols.RecordKey}").isNotNull
+    val sM = col(s"s.${MetaCols.RecordKey}").isNotNull
+
+    val mApplied = applyFlags(matchedClauses)
+    val mAny = mApplied.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+    val delFlag = mApplied.collect { case (c, app) if c.kind == "delete" => app }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val iApplied = applyFlags(insertClauses)
+    val iAny = iApplied.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+
+    val modified = tM && sM && coalesce(mAny, lit(false))
+    val keep = tM || (sM && coalesce(iAny, lit(false)))
+    val valueCols = dataCols.map { c =>
+      when(tM && sM, matchedValueCol(mApplied, c))
+        .when(!tM, insertValueCol(iApplied, c))
+        .otherwise(col(s"t.$c")).as(c)
+    }
+    val resolved = joined.filter(keep).select(
+      (Seq(
+        when(modified || !tM, lit(null))
+          .otherwise(col(s"t.${MetaCols.CommitTime}")).as(MetaCols.CommitTime),
+        when(modified || !tM, lit(null))
+          .otherwise(col(s"t.${MetaCols.CommitSeqno}")).as(MetaCols.CommitSeqno),
+        coalesce(col(s"t.${MetaCols.RecordKey}"), col(s"s.${MetaCols.RecordKey}"))
+          .as(MetaCols.RecordKey),
+        coalesce(col(s"t.${MetaCols.PartitionPath}"), col(s"s.${MetaCols.PartitionPath}"))
+          .as(MetaCols.PartitionPath),
+        when(tM, substring_index(col(s"t.${MetaCols.FileName}"), "_", 1))
+          .otherwise(lit(null).cast("string")).as(WritePipeline.FileIdCol),
+        when(modified, delFlag).otherwise(lit(false)).as(WritePipeline.DeleteCol),
+        (modified || !tM).as(WritePipeline.ModifiedCol)) ++ valueCols): _*)
+    t.writeCompleteGroups(resolved, "merge")
+  }
+
+  /** MOR path: matched rows (inner join) and inserts (anti join) only —
+    * the changed subset appends as delta files, so reading full groups
+    * would be wasted IO there.
+    */
+  private def executeTwoPass(target: DataFrame, srcKeyed: DataFrame,
+      dataCols: Seq[String]): String = {
     val matchedClauses = clauses.filter(c => c.kind == "update" || c.kind == "delete")
     val matched = if (matchedClauses.isEmpty) None else Some {
       val joined = target.alias("t").join(srcKeyed.alias("s"),
         keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "inner")
-      // first-match-wins application flags
-      var remaining = lit(true)
-      val applied = matchedClauses.map { c =>
-        val cond = c.condition.map(expr).getOrElse(lit(true))
-        val app = remaining && cond
-        remaining = remaining && !coalesce(cond, lit(false))
-        (c, app)
-      }
+      val applied = applyFlags(matchedClauses)
       val anyApplied = applied.map(_._2).reduce(_ || _)
       val delFlag = applied.collect { case (c, app) if c.kind == "delete" => app }
         .reduceOption(_ || _).getOrElse(lit(false))
-      val valueCols = dataCols.map { c =>
-        val chain = applied.foldLeft(when(lit(false), lit(null))) {
-          case (acc, (cl, app)) =>
-            val v =
-              if (cl.kind == "delete") col(s"t.$c")
-              else if (cl.assignments.isEmpty)
-                (if (source.columns.contains(c)) col(s"s.$c") else col(s"t.$c"))
-              else cl.assignments.get(c).map(expr).getOrElse(col(s"t.$c"))
-            acc.when(app, v)
-        }
-        chain.otherwise(col(s"t.$c")).as(c)
-      }
+      val valueCols = dataCols.map(c => matchedValueCol(applied, c).as(c))
       joined.filter(anyApplied).select(
         (Seq(col(s"t.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
           col(s"t.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
@@ -119,30 +200,13 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
           delFlag.as(WritePipeline.DeleteCol)) ++ valueCols): _*)
     }
 
-    // ---- not-matched side: anti join, insert clauses only
     val insertClauses = clauses.filter(_.kind == "insert")
     val inserts = if (insertClauses.isEmpty) None else Some {
       val anti = srcKeyed.alias("s").join(target.alias("t"),
         keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left_anti")
-      var remaining = lit(true)
-      val applied = insertClauses.map { c =>
-        val cond = c.condition.map(expr).getOrElse(lit(true))
-        val app = remaining && cond
-        remaining = remaining && !coalesce(cond, lit(false))
-        (c, app)
-      }
+      val applied = applyFlags(insertClauses)
       val anyApplied = applied.map(_._2).reduce(_ || _)
-      val valueCols = dataCols.map { c =>
-        val chain = applied.foldLeft(when(lit(false), lit(null))) {
-          case (acc, (cl, app)) =>
-            val v =
-              if (cl.assignments.isEmpty)
-                (if (source.columns.contains(c)) col(s"s.$c") else lit(null))
-              else cl.assignments.get(c).map(expr).getOrElse(lit(null))
-            acc.when(app, v)
-        }
-        chain.otherwise(lit(null)).as(c)
-      }
+      val valueCols = dataCols.map(c => insertValueCol(applied, c).as(c))
       anti.filter(anyApplied).select(
         (Seq(col(s"s.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
           col(s"s.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
@@ -156,7 +220,6 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
       case (None, Some(i)) => i
       case (None, None) => throw new IllegalArgumentException("no clauses")
     }
-    try t.writeResolved(resolved, "merge")
-    finally srcKeyed.unpersist()
+    t.writeResolved(resolved, "merge")
   }
 }

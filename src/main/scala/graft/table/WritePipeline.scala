@@ -31,6 +31,11 @@ object WritePipeline {
   val FileIdCol = MetaCols.FileId
   val DeleteCol = MetaCols.DeleteFlag
 
+  /** Transient boolean column marking rows a DML action actually changed;
+    * complete-group writes skip groups with no modified row. Never persisted.
+    */
+  val ModifiedCol = "_graft_modified"
+
   def baseFileName(fileId: String, instant: String, token: Int = 0): String =
     s"${fileId}_${token}_$instant.parquet"
   def deltaFileName(fileId: String, instant: String, token: Int = 0): String =
