@@ -46,12 +46,17 @@ object ConfigKeys {
   val CompactDeltaCommits = "graft.compact.max.delta.commits"   // 5
   val ArchiveMinCommits = "graft.archive.min.commits"       // 20
   val ArchiveMaxCommits = "graft.archive.max.commits"       // 30
+  val IndexType = "graft.index.type"                        // SIMPLE | BLOOM
+  val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
+  val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024
   val DefaultSmallFileLimit: Long = 100L * 1024 * 1024
   val DefaultRecordSize: Long = 1024L
   val DefaultCleanerRetained = 10
   val DefaultCompactDeltaCommits = 5
+  val DefaultBloomNumEntries: Long = 60000L
+  val DefaultBloomFpp = "1.0E-9"
 }
 
 object TableConfig {

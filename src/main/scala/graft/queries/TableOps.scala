@@ -292,6 +292,19 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // BLOOM index: sidecar filters built per base file at write time;
+    // upsert tagging probes them to prune candidate files (NoSort layout
+    // makes key ranges overlap, so the pruning is genuinely bloom-driven)
+    "t_bloom_index_upsert" -> ((s, d) => {
+      val t = fresh(s, d, "t_bloom_idx", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.IndexType -> "BLOOM")))
+      val src = orders(s, d)
+      t.bulkInsert(src, SortMode.NoSort)
+      t.upsert(src.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(Readers.snapshot(t))
+    }),
+
     // PARTITION_SORT bulk-insert layout (same rows, cheaper shuffle)
     "t_bulk_insert_psort" -> ((s, d) => {
       val t = fresh(s, d, "t_bulk_psort", cfg(TableType.CopyOnWrite))
@@ -427,6 +440,10 @@ object TableOps {
          |CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 7.0 END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_bulk_insert_psort" -> ordersAll,
+    "t_bloom_index_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_keygen_timestamp" ->
       s"""SELECT $OrdersSql, strftime(o_orderdate, '%Y/%m') AS part FROM orders""",
     "t_keygen_complex" ->

@@ -1,0 +1,123 @@
+package graft.table
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.core._
+
+/** Opt-in BLOOM index (`graft.index.type=BLOOM`) — the analog of the
+  * reference's bloom-filter record index (reference
+  * hudi-client/hudi-spark-client/.../index/bloom/SparkHoodieBloomIndex.java
+  * :70-133; filter sizing HoodieIndexConfig.java:56-80).
+  *
+  * Every base-file write stores a sidecar bloom filter over the file's
+  * record keys under `.graft/blooms/` (the reference embeds them in
+  * parquet footer metadata; a sidecar keeps us off custom footer writes
+  * while costing the same one-footer-sized read). Upsert tagging then
+  * runs a probe pass: each incoming key is tested against the filters of
+  * the candidate files whose [minKey, maxKey] range covers it, and only
+  * files with at least one probable hit are scanned for the index join —
+  * on tables whose key ranges overlap across files (random-key layouts,
+  * PARTITION_SORT/NONE loads) this prunes the files the range check
+  * cannot. False positives are harmless: the join against the file's
+  * actual keys is the verification (the reference verifies with
+  * HoodieKeyLookupHandle the same way).
+  *
+  * Scale shape: building filters is one distributed pass over the keys
+  * just written (key column only); probing is one distributed pass over
+  * the incoming batch with the candidate filters broadcast. Nothing
+  * driver-side beyond the sidecar bytes of range-surviving candidates.
+  */
+object BloomIndex {
+
+  def enabled(cfg: TableConfig): Boolean =
+    cfg.prop(ConfigKeys.IndexType, "SIMPLE") == "BLOOM"
+
+  private def bloomDir(base: Path): Path = base.resolve(".graft").resolve("blooms")
+
+  /** Sidecar path for a base file, keyed by its table-relative path (so a
+    * rewritten file group's new base gets a new sidecar and stale ones are
+    * simply never referenced again).
+    */
+  def sidecarPath(base: Path, relPath: String): Path =
+    bloomDir(base).resolve(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(relPath.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".bloom")
+
+  /** Build + persist one bloom sidecar per freshly-written base file, in a
+    * single distributed pass (key column + file name only). Sized by
+    * config like the reference (60k entries, fpp 1e-9), not by a count
+    * pass.
+    */
+  def buildSidecars(spark: SparkSession, base: Path, stats: Seq[WriteStat],
+      cfg: TableConfig): Unit = {
+    val baseStats = stats.filterNot(_.isDelta).filter(_.numWrites > 0)
+    if (baseStats.isEmpty) return
+    val entries = cfg.propLong(ConfigKeys.BloomNumEntries, ConfigKeys.DefaultBloomNumEntries)
+    val fpp = cfg.prop(ConfigKeys.BloomFpp, ConfigKeys.DefaultBloomFpp).toDouble
+    // map the scan's file URI back to the table-relative path
+    val byUri = baseStats.map { ws =>
+      base.resolve(ws.path).toUri.getPath -> ws.path
+    }.toMap
+    val paths = baseStats.map(ws => base.resolve(ws.path).toString)
+    import spark.implicits._
+    val perFile = spark.read.parquet(paths: _*)
+      .select(col(MetaCols.RecordKey).as[String],
+        regexp_replace(input_file_name(), "^file:/+", "/").as[String])
+      .groupByKey(_._2)
+      .mapGroups { (file, it) =>
+        val bf = BloomFilter.create(entries, fpp)
+        it.foreach(r => bf.putString(r._1))
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (file, bos.toByteArray)
+      }
+      .collect()
+    Files.createDirectories(bloomDir(base))
+    perFile.foreach { case (uri, bytes) =>
+      byUri.get(uri).foreach { rel =>
+        Files.write(sidecarPath(base, rel), bytes)
+      }
+    }
+  }
+
+  /** Prune range-surviving candidate files by probing incoming keys
+    * against their bloom sidecars. Files without a sidecar (pre-BLOOM
+    * commits, bootstrap-adopted externals) are kept unconditionally.
+    * Returns the candidates worth scanning for the index join.
+    */
+  def prune(spark: SparkSession, base: Path, incoming: DataFrame,
+      candidates: Seq[FileEntry]): Seq[FileEntry] = {
+    if (candidates.isEmpty) return candidates
+    val (withBloom, without) = candidates.partition(e =>
+      Files.exists(sidecarPath(base, e.relPath)))
+    if (withBloom.isEmpty) return candidates
+    val payload = withBloom.map(e => (e.partitionPath, e.fileId, e.minKey, e.maxKey,
+      Files.readAllBytes(sidecarPath(base, e.relPath))))
+    val bc = spark.sparkContext.broadcast(payload)
+    import spark.implicits._
+    val hits = incoming
+      .select(col(MetaCols.PartitionPath).as[String], col(MetaCols.RecordKey).as[String])
+      .mapPartitions { it =>
+        val byPart: Map[String, Seq[(String, String, String, BloomFilter)]] = bc.value
+          .map { case (p, f, mn, mx, b) =>
+            (p, (f, mn, mx, BloomFilter.readFrom(new ByteArrayInputStream(b))))
+          }
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSeq }
+        it.flatMap { case (p, k) =>
+          byPart.getOrElse(p, Seq.empty).iterator
+            .filter { case (_, mn, mx, bf) =>
+              (mn.isEmpty || mx.isEmpty || (mn <= k && k <= mx)) && bf.mightContainString(k)
+            }
+            .map { case (f, _, _, _) => ViewState.groupKey(p, f) }
+        }
+      }
+      .distinct().collect().toSet
+    withBloom.filter(e => hits.contains(ViewState.groupKey(e.partitionPath, e.fileId))) ++
+      without
+  }
+}

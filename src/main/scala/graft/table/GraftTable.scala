@@ -514,13 +514,21 @@ final class GraftTable(
     * SparkHoodieBloomIndex.java:165-191 — ours come from commit metadata).
     */
   private def existingKeys(affectedPartitions: Option[Set[String]],
-      incomingKeyRange: Option[(String, String)]): DataFrame = {
+      incomingKeyRange: Option[(String, String)],
+      bloomProbe: Option[DataFrame] = None): DataFrame = {
     val slices = view.fileSlices(None)
       .filter(s => affectedPartitions.forall(_.contains(s.partitionPath)))
-    val bases = slices.flatMap(_.baseFile)
+    val ranged = slices.flatMap(_.baseFile)
       .filter(b => incomingKeyRange.forall { case (lo, hi) =>
         b.minKey.isEmpty || b.maxKey.isEmpty || (b.minKey <= hi && b.maxKey >= lo)
       })
+    // BLOOM index: probe incoming keys against per-file bloom sidecars to
+    // drop range-overlapping files that contain none of the batch's keys
+    val bases = bloomProbe match {
+      case Some(incoming) if BloomIndex.enabled(cfg) =>
+        BloomIndex.prune(spark, basePath, incoming, ranged)
+      case _ => ranged
+    }
     if (bases.isEmpty) {
       import org.apache.spark.sql.types.StringType
       val s = StructType(Seq(MetaCols.RecordKey, MetaCols.PartitionPath, FileIdCol)
@@ -544,7 +552,7 @@ final class GraftTable(
     val mins = pr.flatMap(r => Option(r.getString(1)))
     val maxs = pr.flatMap(r => Option(r.getString(2)))
     val kr = if (mins.isEmpty) None else Some((mins.min, maxs.max))
-    val existing = existingKeys(Some(parts), kr)
+    val existing = existingKeys(Some(parts), kr, bloomProbe = Some(keyed))
     keyed.join(existing, Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_outer")
   }
 
@@ -890,6 +898,7 @@ final class GraftTable(
     timeline.transitionToInflight(inst)
     try {
       val (stats, replaced, schemaJson) = body(ts)
+      if (BloomIndex.enabled(cfg)) BloomIndex.buildSidecars(spark, basePath, stats, cfg)
       val md = CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)
       timeline.saveAsComplete(inst, Json.write(md))
       postCommit()
@@ -924,6 +933,7 @@ final class GraftTable(
     try {
       val (stats, replaced, schemaJson) = body(ts)
       written = stats
+      if (BloomIndex.enabled(cfg)) BloomIndex.buildSidecars(spark, basePath, stats, cfg)
       beforeOptimisticPublish()
       TableLock.withLock(basePath) {
         val mine: Set[(String, String)] =

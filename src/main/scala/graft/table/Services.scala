@@ -227,7 +227,11 @@ object Services {
     val ts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(ts, Action.Clean)
     t.timeline.transitionToInflight(inst)
-    deletable.foreach(f => Files.deleteIfExists(t.basePath.resolve(f.relPath)))
+    deletable.foreach { f =>
+      Files.deleteIfExists(t.basePath.resolve(f.relPath))
+      // a cleaned base file's bloom sidecar is unreachable too
+      if (!f.isDelta) Files.deleteIfExists(BloomIndex.sidecarPath(t.basePath, f.relPath))
+    }
     val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
     t.timeline.saveAsComplete(inst, Json.write(md))
     Some(ts)
