@@ -305,6 +305,30 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // CDC apply (AWS-DMS-style op column): I/U upsert, D deletes, one commit
+    "t_cdc_apply" -> ((s, d) => {
+      val t = fresh(s, d, "t_cdc", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val cdc = src.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3).withColumn("Op", lit("U"))
+        .unionByName(src.filter(col("o_orderkey") % 9 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 70000000L).withColumn("Op", lit("I")))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 5).withColumn("Op", lit("D")))
+      t.applyCdc(cdc)
+      data(Readers.snapshot(t))
+    }),
+
+    // clustering restricted to the newest partitions (recent-days analog)
+    "t_cluster_recent" -> ((s, d) => {
+      val t = fresh(s, d, "t_cluster_recent",
+        cfg(TableType.CopyOnWrite, Map(ConfigKeys.MaxFileSize -> (256L * 1024).toString)))
+      t.bulkInsert(orders(s, d))
+      Services.cluster(t, sortColumns = Seq("o_orderkey"),
+        strategy = Services.ClusterPlanStrategy.RecentPartitions(2))
+      data(Readers.snapshot(t))
+    }),
+
     // PARTITION_SORT bulk-insert layout (same rows, cheaper shuffle)
     "t_bulk_insert_psort" -> ((s, d) => {
       val t = fresh(s, d, "t_bulk_psort", cfg(TableType.CopyOnWrite))
@@ -440,6 +464,14 @@ object TableOps {
          |CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 7.0 END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_bulk_insert_psort" -> ordersAll,
+    "t_cdc_apply" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 5
+         |UNION ALL
+         |SELECT o_orderkey + 70000000, o_custkey, o_orderstatus, o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
+    "t_cluster_recent" -> ordersAll,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

@@ -245,6 +245,30 @@ final class GraftTable(
     } finally { tagged.unpersist(); keyed.unpersist() }
   }
 
+  /** Apply a CDC batch in ONE commit (reference AWSDmsTransformer, which
+    * maps a change-op column onto the delete payload): rows whose `opCol`
+    * is D/DELETE tombstone the record, everything else upserts. Deletes
+    * for keys the table doesn't hold are no-ops.
+    */
+  def applyCdc(df: DataFrame, opCol: String = "Op"): String =
+    runCommit(commitAction, "cdc_apply") { instant =>
+      val isDel = upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")
+      val keyed = precombineDedup(KeyGen.withKeyColumns(
+          alignToTableSchema(df.withColumn(DeleteCol, isDel).drop(opCol)), cfg))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tagged = tagLocation(keyed)
+        // a delete for an absent key must not become an insert row
+        .filter(col(FileIdCol).isNotNull || !col(DeleteCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (cfg.isMor) morWrite(tagged, instant)
+        else {
+          val (routed, touched) = assignInsertBucketsWithIds(tagged)
+          writeMerged(routed, instant, knownTouched = Some(touched))
+        }
+      } finally { tagged.unpersist(); keyed.unpersist() }
+    }
+
   /** Replace all file groups of the partitions the batch touches
     * (reference SparkInsertOverwriteCommitActionExecutor — replacecommit).
     */

@@ -126,15 +126,41 @@ object Services {
 
   // ------------------------------------------------------------ clustering
 
+  /** Clustering plan strategies — which partitions are eligible for a
+    * clustering run (reference plan strategies:
+    * SparkRecentDaysClusteringPlanStrategy.java:54-123 filters to the
+    * newest partition paths; SparkSelectedPartitionsClusteringPlanStrategy
+    * takes an explicit list; default considers everything).
+    */
+  sealed trait ClusterPlanStrategy
+  object ClusterPlanStrategy {
+    case object AllPartitions extends ClusterPlanStrategy
+    /** Newest `n` partition paths by lexicographic order — the recent-days
+      * analog for date-derived partitions.
+      */
+    final case class RecentPartitions(n: Int) extends ClusterPlanStrategy
+    final case class SelectedPartitions(parts: Seq[String]) extends ClusterPlanStrategy
+  }
+
   /** Clustering (reference SparkSortAndSizeExecutionStrategy.java:51-68):
     * rewrite many small base files into few sorted, size-targeted file
     * groups via replacecommit. Only slices without pending deltas qualify
     * (reference SparkClusteringPlanActionExecutor filters the same way).
     */
   def cluster(t: GraftTable, sortColumns: Seq[String] = Seq.empty,
-      smallFileLimit: Long = -1L): Option[String] = graft.core.TableLock.withLock(t.basePath) {
+      smallFileLimit: Long = -1L,
+      strategy: ClusterPlanStrategy = ClusterPlanStrategy.AllPartitions): Option[String] =
+      graft.core.TableLock.withLock(t.basePath) {
     val limit = if (smallFileLimit > 0) smallFileLimit else t.smallFileLimit
-    val groups = t.view.fileSlices(None)
+    val slices0 = t.view.fileSlices(None)
+    val eligibleParts: Set[String] = strategy match {
+      case ClusterPlanStrategy.AllPartitions => slices0.map(_.partitionPath).toSet
+      case ClusterPlanStrategy.RecentPartitions(n) =>
+        slices0.map(_.partitionPath).distinct.sorted.takeRight(n).toSet
+      case ClusterPlanStrategy.SelectedPartitions(ps) => ps.toSet
+    }
+    val groups = slices0
+      .filter(s => eligibleParts.contains(s.partitionPath))
       .filter(s => s.deltaFiles.isEmpty && s.baseFile.exists(_.sizeBytes < limit))
       .groupBy(_.partitionPath)
       .filter(_._2.size > 1)
