@@ -27,7 +27,7 @@ object Bench {
       // AQE's default 64 MB advisory size would coalesce the small-SF
       // shuffles to one task and serialize every write stage; 8 MB keeps
       // bench-scale stages parallel while staying irrelevant at real scale
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

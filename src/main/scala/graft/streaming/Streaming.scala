@@ -122,4 +122,64 @@ object Streaming {
       case _ => None
     }
   }
+
+  /** Continuous ingest — the `--continuous` mode of the reference's
+    * DeltaStreamer (HoodieDeltaStreamer.java, `SparkAsyncCompactService`):
+    * a driver loop runs syncOnce on a poll interval, while a second driver
+    * thread compacts a MOR destination asynchronously so ingest latency
+    * never pays for compaction (the table lock serializes the actual
+    * commits). `start()` returns immediately; `stop()` drains both loops.
+    */
+  final class ContinuousIngest(
+      src: GraftTable,
+      dst: GraftTable,
+      transform: DataFrame => DataFrame = identity,
+      pollIntervalMs: Long = 200L,
+      asyncCompact: Boolean = true) {
+    import scala.jdk.CollectionConverters._
+    @volatile private var stopped = false
+    @volatile private var error: Option[Throwable] = None
+    private val produced = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val compacted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private var threads: Seq[Thread] = Seq.empty
+
+    def commits: Seq[String] = produced.iterator().asScala.toSeq
+    def compactions: Seq[String] = compacted.iterator().asScala.toSeq
+    def failure: Option[Throwable] = error
+
+    def start(): ContinuousIngest = {
+      val ingest = new Thread(() => {
+        while (!stopped && error.isEmpty) {
+          try syncOnce(src, dst, transform).foreach(produced.add)
+          catch { case e: Throwable => error = Some(e) }
+          Thread.sleep(pollIntervalMs)
+        }
+      }, "graft-continuous-ingest")
+      val comp = new Thread(() => {
+        val trigger = dst.cfg.propLong(
+          ConfigKeys.CompactDeltaCommits, ConfigKeys.DefaultCompactDeltaCommits)
+        while (!stopped && error.isEmpty) {
+          try {
+            val completed = dst.timeline.completedInstants()
+            val lastCompaction = completed.filter(_.action == Action.Compaction).lastOption
+            val deltas = completed.filter(_.action == Action.DeltaCommit)
+              .count(i => lastCompaction.forall(c => i.ts > c.ts))
+            if (deltas >= trigger)
+              graft.table.Services.compact(dst).foreach(compacted.add)
+          } catch { case e: Throwable => error = Some(e) }
+          Thread.sleep(pollIntervalMs * 2)
+        }
+      }, "graft-async-compact")
+      threads = Seq(ingest) ++
+        (if (asyncCompact && dst.cfg.isMor) Seq(comp) else Seq.empty)
+      threads.foreach { t => t.setDaemon(true); t.start() }
+      this
+    }
+
+    def stop(): Unit = {
+      stopped = true
+      threads.foreach(_.join(30000))
+      failure.foreach(e => throw e)
+    }
+  }
 }

@@ -126,11 +126,12 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     chain.otherwise(lit(null))
   }
 
-  /** COW fast path: ONE full-outer join reads the target exactly once and
-    * yields every row of the affected partitions already merged — matched
-    * rows projected through their first applicable clause, carried-over
-    * rows untouched (original commit stamps preserved), not-matched
-    * source rows as inserts. No dedup pass and no read-back follows:
+  /** COW fast path: the target streams ONCE through a left-outer join
+    * (source side broadcast-able — a full-outer would forbid it) and
+    * comes out already merged — matched rows projected through their
+    * first applicable clause, carried-over rows untouched with their
+    * original commit stamps. Inserts come from a key-column anti join
+    * (target read narrowly). No dedup pass and no read-back follows:
     * [[GraftTable.writeCompleteGroups]] skips groups where nothing
     * changed and rewrites the rest in a single shuffle. (The reference's
     * MergeHandle also streams the base file exactly once —
@@ -143,38 +144,55 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     val insertClauses = clauses.filter(_.kind == "insert")
 
     val joined = target.alias("t").join(srcKeyed.alias("s"),
-      keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
-    val tM = col(s"t.${MetaCols.RecordKey}").isNotNull
+      keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left_outer")
     val sM = col(s"s.${MetaCols.RecordKey}").isNotNull
 
     val mApplied = applyFlags(matchedClauses)
     val mAny = mApplied.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
     val delFlag = mApplied.collect { case (c, app) if c.kind == "delete" => app }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val iApplied = applyFlags(insertClauses)
-    val iAny = iApplied.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
 
-    val modified = tM && sM && coalesce(mAny, lit(false))
-    val keep = tM || (sM && coalesce(iAny, lit(false)))
-    val valueCols = dataCols.map { c =>
-      when(tM && sM, matchedValueCol(mApplied, c))
-        .when(!tM, insertValueCol(iApplied, c))
-        .otherwise(col(s"t.$c")).as(c)
-    }
-    val resolved = joined.filter(keep).select(
+    // pin every data column to the table schema's type (assignment and
+    // insert expressions may carry narrower source types)
+    val colType: Map[String, org.apache.spark.sql.types.DataType] =
+      t.dataSchema.map(_.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    def typed(c: String, e: Column): Column =
+      colType.get(c).map(e.cast).getOrElse(e).as(c)
+
+    val modified = sM && coalesce(mAny, lit(false))
+    val matchedAndCarried = joined.select(
       (Seq(
-        when(modified || !tM, lit(null))
+        when(modified, lit(null))
           .otherwise(col(s"t.${MetaCols.CommitTime}")).as(MetaCols.CommitTime),
-        when(modified || !tM, lit(null))
+        when(modified, lit(null))
           .otherwise(col(s"t.${MetaCols.CommitSeqno}")).as(MetaCols.CommitSeqno),
-        coalesce(col(s"t.${MetaCols.RecordKey}"), col(s"s.${MetaCols.RecordKey}"))
-          .as(MetaCols.RecordKey),
-        coalesce(col(s"t.${MetaCols.PartitionPath}"), col(s"s.${MetaCols.PartitionPath}"))
-          .as(MetaCols.PartitionPath),
-        when(tM, substring_index(col(s"t.${MetaCols.FileName}"), "_", 1))
-          .otherwise(lit(null).cast("string")).as(WritePipeline.FileIdCol),
+        col(s"t.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
+        col(s"t.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
+        substring_index(col(s"t.${MetaCols.FileName}"), "_", 1).as(WritePipeline.FileIdCol),
         when(modified, delFlag).otherwise(lit(false)).as(WritePipeline.DeleteCol),
-        (modified || !tM).as(WritePipeline.ModifiedCol)) ++ valueCols): _*)
+        modified.as(WritePipeline.ModifiedCol)) ++
+        dataCols.map(c =>
+          typed(c, when(sM, matchedValueCol(mApplied, c)).otherwise(col(s"t.$c"))))): _*)
+
+    val resolved =
+      if (insertClauses.isEmpty) matchedAndCarried
+      else {
+        val anti = srcKeyed.alias("s").join(target.alias("t"),
+          keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left_anti")
+        val iApplied = applyFlags(insertClauses)
+        val iAny = iApplied.map(_._2).reduce(_ || _)
+        val inserts = anti.filter(iAny).select(
+          (Seq(
+            lit(null).cast("string").as(MetaCols.CommitTime),
+            lit(null).cast("string").as(MetaCols.CommitSeqno),
+            col(s"s.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
+            col(s"s.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
+            lit(null).cast("string").as(WritePipeline.FileIdCol),
+            lit(false).as(WritePipeline.DeleteCol),
+            lit(true).as(WritePipeline.ModifiedCol)) ++
+            dataCols.map(c => typed(c, insertValueCol(iApplied, c)))): _*)
+        matchedAndCarried.unionByName(inserts)
+      }
     t.writeCompleteGroups(resolved, "merge")
   }
 

@@ -22,6 +22,42 @@ class StreamingSourceSpec extends AnyFunSuite {
       name, TableType.CopyOnWrite, Seq("id"), "", "ver"))
   }
 
+  test("continuous ingest loop with async MOR compaction (DeltaStreamer --continuous)") {
+    val src = mkSrc("ci_src")
+    val dst = GraftTable.create(spark, tmpDir("ci_dst").toString, TableConfig(
+      "ci_dst", TableType.MergeOnRead, Seq("id"), "", "ver",
+      // async service owns compaction: inline off, trigger after 2 deltas
+      Map("graft.compact.inline" -> "false", ConfigKeys.CompactDeltaCommits -> "2")))
+    src.bulkInsert((1L to 50L).map(i => (i, 1L)).toDF("id", "ver"))
+
+    val ingest = new graft.streaming.Streaming.ContinuousIngest(
+      src, dst, pollIntervalMs = 100L).start()
+    try {
+      // three more source commits while the loop runs
+      (2L to 4L).foreach { v =>
+        src.upsert((1L to 50L).filter(_ % v == 0).map(i => (i, v)).toDF("id", "ver"))
+        Thread.sleep(400L)
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      def caughtUp: Boolean =
+        graft.read.Readers.snapshot(dst).count() == 50 &&
+          graft.read.Readers.snapshot(dst).filter(col("ver") === 4L).count() ==
+            (1L to 50L).count(_ % 4 == 0)
+      while (!caughtUp && System.currentTimeMillis() < deadline) Thread.sleep(250L)
+      assert(caughtUp, "continuous ingest never caught up with the source")
+      // ≥3 delta commits with trigger=2 ⇒ the async compactor must have run
+      val compactDeadline = System.currentTimeMillis() + 30000
+      while (ingest.compactions.isEmpty && System.currentTimeMillis() < compactDeadline)
+        Thread.sleep(250L)
+      assert(ingest.compactions.nonEmpty, "async compaction never ran")
+      assert(ingest.commits.size >= 3)
+    } finally ingest.stop()
+    // post-stop: destination equals source snapshot exactly
+    val a = graft.read.Readers.snapshot(src).select("id", "ver").orderBy("id").collect()
+    val b = graft.read.Readers.snapshot(dst).select("id", "ver").orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("readStream(graft) -> writeStream(graft): continuous table replication") {
     val src = mkSrc("ss_src")
     val dstDir = tmpDir("ss_dst")
