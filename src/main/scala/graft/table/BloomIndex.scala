@@ -88,10 +88,13 @@ object BloomIndex {
   /** Prune range-surviving candidate files by probing incoming keys
     * against their bloom sidecars. Files without a sidecar (pre-BLOOM
     * commits, bootstrap-adopted externals) are kept unconditionally.
+    * `global = true` is the GLOBAL_BLOOM analog (reference
+    * SparkHoodieGlobalBloomIndex): keys are probed against EVERY
+    * partition's filters, not just their own partition's.
     * Returns the candidates worth scanning for the index join.
     */
   def prune(spark: SparkSession, base: Path, incoming: DataFrame,
-      candidates: Seq[FileEntry]): Seq[FileEntry] = {
+      candidates: Seq[FileEntry], global: Boolean = false): Seq[FileEntry] = {
     if (candidates.isEmpty) return candidates
     val (withBloom, without) = candidates.partition(e =>
       Files.exists(sidecarPath(base, e.relPath)))
@@ -100,20 +103,27 @@ object BloomIndex {
       Files.readAllBytes(sidecarPath(base, e.relPath))))
     val bc = spark.sparkContext.broadcast(payload)
     import spark.implicits._
-    val hits = incoming
-      .select(col(MetaCols.PartitionPath).as[String], col(MetaCols.RecordKey).as[String])
+    val isGlobal = global // stable local for the closure
+    val keyed =
+      if (global)
+        incoming.select(lit("").as[String], col(MetaCols.RecordKey).as[String])
+      else
+        incoming.select(col(MetaCols.PartitionPath).as[String],
+          col(MetaCols.RecordKey).as[String])
+    val hits = keyed
       .mapPartitions { it =>
-        val byPart: Map[String, Seq[(String, String, String, BloomFilter)]] = bc.value
+        val all: Seq[(String, String, String, String, BloomFilter)] = bc.value
           .map { case (p, f, mn, mx, b) =>
-            (p, (f, mn, mx, BloomFilter.readFrom(new ByteArrayInputStream(b))))
-          }
-          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSeq }
+            (p, f, mn, mx, BloomFilter.readFrom(new ByteArrayInputStream(b)))
+          }.toSeq
+        val byPart = all.groupBy(_._1)
         it.flatMap { case (p, k) =>
-          byPart.getOrElse(p, Seq.empty).iterator
-            .filter { case (_, mn, mx, bf) =>
+          val cands = if (isGlobal) all else byPart.getOrElse(p, Seq.empty)
+          cands.iterator
+            .filter { case (_, _, mn, mx, bf) =>
               (mn.isEmpty || mx.isEmpty || (mn <= k && k <= mx)) && bf.mightContainString(k)
             }
-            .map { case (f, _, _, _) => ViewState.groupKey(p, f) }
+            .map { case (cp, f, _, _, _) => ViewState.groupKey(cp, f) }
         }
       }
       .distinct().collect().toSet

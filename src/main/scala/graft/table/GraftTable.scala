@@ -197,8 +197,9 @@ final class GraftTable(
         keyed0.withColumn("_graft_rn", row_number().over(w))
           .filter(col("_graft_rn") === 1).drop("_graft_rn")
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // global tag: join on record key only, against every partition
-    val existing = existingKeys(None, None)
+    // global tag: join on record key only, against every partition (with
+    // GLOBAL_BLOOM probe-pruning of the candidate files when enabled)
+    val existing = existingKeys(None, None, bloomProbe = Some(keyed), bloomGlobal = true)
       .withColumnRenamed(MetaCols.PartitionPath, "_g_old_part")
       .withColumnRenamed(FileIdCol, "_g_old_fid")
     val joined = keyed.join(existing, Seq(MetaCols.RecordKey), "left_outer")
@@ -539,7 +540,8 @@ final class GraftTable(
     */
   private def existingKeys(affectedPartitions: Option[Set[String]],
       incomingKeyRange: Option[(String, String)],
-      bloomProbe: Option[DataFrame] = None): DataFrame = {
+      bloomProbe: Option[DataFrame] = None,
+      bloomGlobal: Boolean = false): DataFrame = {
     val slices = view.fileSlices(None)
       .filter(s => affectedPartitions.forall(_.contains(s.partitionPath)))
     val ranged = slices.flatMap(_.baseFile)
@@ -550,7 +552,7 @@ final class GraftTable(
     // drop range-overlapping files that contain none of the batch's keys
     val bases = bloomProbe match {
       case Some(incoming) if BloomIndex.enabled(cfg) =>
-        BloomIndex.prune(spark, basePath, incoming, ranged)
+        BloomIndex.prune(spark, basePath, incoming, ranged, global = bloomGlobal)
       case _ => ranged
     }
     if (bases.isEmpty) {

@@ -75,6 +75,34 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(pruned.size <= math.max(2, bases.size / 2))
   }
 
+  test("GLOBAL_BLOOM: keys probe every partition's filters; upsertGlobal migrates partitions") {
+    val dir = tmpDir("bloom_global")
+    val t = GraftTable.create(spark, dir.toString, bloomCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    t.bulkInsert(src)
+    val bases = t.view.fileSlices(None).flatMap(_.baseFile)
+    // probe with keys from one partition but a WRONG partition column —
+    // global probing must still find their true files
+    val one = bases.head
+    val keys = spark.read.parquet(t.basePath.resolve(one.relPath).toString)
+      .select(col(MetaCols.RecordKey), lit("not-a-partition").as(MetaCols.PartitionPath))
+      .limit(40)
+    val prunedLocal = BloomIndex.prune(spark, t.basePath, keys, bases)
+    assert(!prunedLocal.map(_.fileId).contains(one.fileId),
+      "partition-scoped probe must miss keys labeled with a foreign partition")
+    val prunedGlobal = BloomIndex.prune(spark, t.basePath, keys, bases, global = true)
+    assert(prunedGlobal.map(_.fileId).contains(one.fileId))
+    assert(prunedGlobal.size < bases.size)
+
+    // end-to-end: global upsert with partition migration under BLOOM
+    val moved = src.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("o_orderdate", col("o_orderdate") + org.apache.spark.sql.functions.expr("INTERVAL 1 YEAR"))
+    t.upsertGlobal(moved)
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === src.count()) // migrated, not duplicated
+    assert(snap.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("files without sidecars are kept (conservative fallback)") {
     val dir = tmpDir("bloom_missing")
     // start as SIMPLE (no sidecars written), then flip config to BLOOM
