@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on a normalized-text hash: keep the lowest `idCol` per
-    * fingerprint group (deterministic winner).
+    * fingerprint group (deterministic winner). Shaped as an aggregation,
+    * not a window: `min_by` gets a map-side partial (only one candidate
+    * row per fingerprint crosses the shuffle) where a window would
+    * shuffle + sort every row.
     */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(TextStats.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_ddup_rn", row_number().over(w))
-      .filter(col("_ddup_rn") === 1)
-      .drop("_ddup_rn")
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(TextStats.fingerprint(col(textCol)).as("_ddup_fp"))
+      .agg(min_by(all, col(idCol)).as("_ddup_row"))
+      .select(df.columns.map(c => col("_ddup_row").getField(c).as(c)): _*)
   }
 
   /** Word n-gram shingles, deduplicated. Word grams (not char grams) keep

@@ -305,6 +305,19 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // dedup as a table service: near-dup tombstoning in one commit over a
+    // graft table holding the documents corpus (planted exact dups lose)
+    "t_dedup_service" -> ((s, d) => {
+      val t = fresh(s, d, "t_dedup_svc", TableConfig(
+        "docs_svc", TableType.CopyOnWrite, Seq("doc_id"), "", "doc_id"))
+      val base = s.read.parquet(s"$d/documents.parquet")
+      val planted = base.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      t.bulkInsert(base.unionByName(planted))
+      Services.dedupe(t, graft.pipeline.Dedup.exact(_))
+      Readers.snapshot(t).select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // CDC apply (AWS-DMS-style op column): I/U upsert, D deletes, one commit
     "t_cdc_apply" -> ((s, d) => {
       val t = fresh(s, d, "t_cdc", cfg(TableType.CopyOnWrite))
@@ -464,6 +477,7 @@ object TableOps {
          |CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 7.0 END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_bulk_insert_psort" -> ordersAll,
+    "t_dedup_service" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "t_cdc_apply" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,

@@ -2,6 +2,7 @@ package graft.table
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -261,6 +262,29 @@ object Services {
     val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
     t.timeline.saveAsComplete(inst, Json.write(md))
     Some(ts)
+  }
+
+  /** Dedup as a TABLE SERVICE: apply a pipeline dedup strategy to the
+    * snapshot and tombstone the losing records in one commit (SURVEY §7
+    * step 10 — the LLM-pipeline operators running against the table
+    * format itself, not just raw frames). `keep` maps the snapshot to its
+    * SURVIVING rows — any `graft.pipeline.Dedup` operator fits, e.g.
+    * `Services.dedupe(t, Dedup.exact(_))`. Returns None when the table
+    * was already duplicate-free.
+    */
+  def dedupe(t: GraftTable, keep: DataFrame => DataFrame): Option[String] = {
+    val snap = graft.read.Readers.snapshot(t)
+    val keptKeys = keep(snap)
+      .select(col(MetaCols.RecordKey), col(MetaCols.PartitionPath))
+    val dups = snap.join(keptKeys,
+      Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_anti")
+    if (dups.limit(1).isEmpty) return None
+    val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
+    val resolved = dups.select(
+      (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
+        substring_index(col(MetaCols.FileName), "_", 1).as(WritePipeline.FileIdCol),
+        lit(true).as(WritePipeline.DeleteCol)) ++ dataCols.map(col)): _*)
+    Some(t.writeResolved(resolved, "dedup"))
   }
 
   // -------------------------------------------------- rollback / restore
