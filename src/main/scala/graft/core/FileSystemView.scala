@@ -52,6 +52,19 @@ object ViewState {
   def groupKey(partition: String, fileId: String): String = s"$partition|$fileId"
 }
 
+object FileSystemView {
+  private[core] final class Cached(val fingerprint: Set[String], val state: ViewState) {
+    private val slicesRef = new java.util.concurrent.atomic.AtomicReference[Seq[FileSlice]]()
+    /** Memoized slice list for this state (compute-once, thread-safe). */
+    def slices(compute: => Seq[FileSlice]): Seq[FileSlice] = {
+      val cur = slicesRef.get()
+      if (cur != null) cur
+      else { val s = compute; slicesRef.compareAndSet(null, s); slicesRef.get() }
+    }
+  }
+  private[core] val cache = new java.util.concurrent.ConcurrentHashMap[Path, Cached]()
+}
+
 /** Table file-system view derived purely from commit metadata — zero
   * directory listing, unlike the reference's listing-based
   * AbstractTableFileSystemView. Every commit records the files it added
@@ -59,13 +72,43 @@ object ViewState {
   * a fold over completed instants. At 100 TB / ~1M files this fold is a
   * driver-side O(files-touched-since-last-index) pass over small JSON, and
   * the periodic index snapshot keeps it bounded.
+  *
+  * The latest-state fold is cached per table, keyed by the set of completed
+  * instant files (one cheap directory listing revalidates it): a write op
+  * consults the view several times — index tag, small-file lookup, merge
+  * read, replaced-group check — and foreign commits from other writer
+  * processes are still picked up because the fingerprint changes. New
+  * commits extend the cached fold incrementally; anything that removes
+  * instants (rollback, restore, archive) triggers a full refold (which
+  * re-seats on the latest index snapshot).
   */
 final class FileSystemView(basePath: Path, timeline: Timeline) {
   private val indexDir = basePath.resolve(".graft").resolve("index")
 
-  /** Build the fold state at `asOf` (None ⇒ latest). */
-  def state(asOf: Option[String] = None): ViewState = {
-    val base = loadIndex(asOf)
+  /** Build the fold state at `asOf` (None ⇒ latest; cached). */
+  def state(asOf: Option[String] = None): ViewState = asOf match {
+    case Some(_) => computeState(asOf, ViewState("", Seq.empty, Map.empty), useIndex = true)
+    case None =>
+      val fp = timeline.completedInstants()
+        .filter(i => Action.DataActions.contains(i.action)).map(_.fileName).toSet
+      val cached = FileSystemView.cache.get(basePath)
+      if (cached != null && cached.fingerprint == fp) cached.state
+      else {
+        val incremental = cached != null && cached.fingerprint.subsetOf(fp) &&
+          (fp -- cached.fingerprint).forall(_.takeWhile(_ != '.') > cached.state.asOfInstant)
+        val st =
+          if (incremental) computeState(None, cached.state, useIndex = false)
+          else computeState(None, ViewState("", Seq.empty, Map.empty), useIndex = true)
+        FileSystemView.cache.put(basePath, new FileSystemView.Cached(fp, st))
+        st
+      }
+  }
+
+  private def computeState(asOf: Option[String], seed: ViewState, useIndex: Boolean): ViewState = {
+    val base = if (useIndex) {
+      val idx = loadIndex(asOf)
+      if (idx.asOfInstant >= seed.asOfInstant) idx else seed
+    } else seed
     val instants = timeline.completedInstants()
       .filter(i => Action.DataActions.contains(i.action))
       .filter(i => i.ts > base.asOfInstant)
@@ -90,9 +133,20 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
     ViewState(last, entries, replaced)
   }
 
-  /** Latest file slice per live file group at `asOf`. */
+  /** Latest file slice per live file group at `asOf`. The latest view's
+    * slice list is memoized next to the cached fold (several view consumers
+    * per write op would otherwise each re-group the full entry list).
+    */
   def fileSlices(asOf: Option[String] = None): Seq[FileSlice] = {
-    val st = state(asOf)
+    if (asOf.isEmpty) {
+      val st = state(None) // ensures cache entry is current
+      val c = FileSystemView.cache.get(basePath)
+      if (c != null && (c.state eq st)) return c.slices(computeSlices(st, None))
+    }
+    computeSlices(state(asOf), asOf)
+  }
+
+  private def computeSlices(st: ViewState, asOf: Option[String]): Seq[FileSlice] = {
     st.entries
       .filter(e => !st.replacedAt(e.partitionPath, e.fileId).exists(rts => asOf.forall(rts <= _)))
       .groupBy(e => (e.partitionPath, e.fileId))

@@ -342,6 +342,18 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // z-order clustering: multi-column Morton layout (beyond the
+    // reference's linear sort) — rows unchanged, file ranges tightened
+    "t_cluster_zorder" -> ((s, d) => {
+      val t = fresh(s, d, "t_cluster_zorder",
+        cfg(TableType.CopyOnWrite, Map(ConfigKeys.MaxFileSize -> (128L * 1024).toString)))
+      val src = orders(s, d)
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0))
+      Services.cluster(t, zorderColumns = Seq("o_custkey", "o_totalprice"))
+      data(Readers.snapshot(t))
+    }),
+
     // PARTITION_SORT bulk-insert layout (same rows, cheaper shuffle)
     "t_bulk_insert_psort" -> ((s, d) => {
       val t = fresh(s, d, "t_bulk_psort", cfg(TableType.CopyOnWrite))
@@ -385,6 +397,39 @@ object TableOps {
       t.delete(src.filter(col("o_orderkey") % 50 === 0))
       TableAdmin.commits(t).select(col("operation"), col("action"))
         .orderBy("operation")
+    }),
+
+    // ALTER TABLE CHANGE COLUMN: files written before the widening keep the
+    // narrow physical type and are widened at scan; post-widening writes
+    // carry full precision
+    "t_alter_change_column" -> ((s, d) => {
+      val t = fresh(s, d, "t_alter_change", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.withColumn("o_totalprice", col("o_totalprice").cast("float")))
+      t.changeColumn("o_totalprice", org.apache.spark.sql.types.DoubleType)
+      t.upsert(src.filter(col("o_orderkey") % 4 === 0))
+      data(Readers.snapshot(t))
+    }),
+
+    // DFS file-drop ingest with mod-time checkpoint in commit metadata
+    // (reference {Parquet,Json,Csv}DFSSource + DFSPathSelector)
+    "t_ingest_dfs" -> ((s, d) => {
+      val t = fresh(s, d, "t_ingest_dfs", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      val drop = s"/tmp/graft_q/ingest_drop_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(Paths.get(drop))
+      def dropBatch(df: DataFrame, sub: String, mtime: Long): Unit = {
+        df.write.parquet(s"$drop/$sub")
+        java.nio.file.Files.walk(Paths.get(s"$drop/$sub")).forEach(p =>
+          java.nio.file.Files.setLastModifiedTime(
+            p, java.nio.file.attribute.FileTime.fromMillis(mtime)))
+      }
+      val source = new graft.streaming.DfsSource(drop)
+      dropBatch(data(src.filter(col("o_orderkey") % 2 === 0)), "batch1", 1000000L)
+      graft.streaming.IngestJob.syncOnce(s, source, t)
+      dropBatch(data(src.filter(col("o_orderkey") % 2 =!= 0)), "batch2", 2000000L)
+      graft.streaming.IngestJob.syncOnce(s, source, t)
+      data(Readers.snapshot(t))
     }),
 
     "t_streaming_sync" -> ((s, d) => {
@@ -486,6 +531,7 @@ object TableOps {
          |SELECT o_orderkey + 70000000, o_custkey, o_orderstatus, o_totalprice,
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
     "t_cluster_recent" -> ordersAll,
+    "t_cluster_zorder" -> ordersAll,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
@@ -498,6 +544,12 @@ object TableOps {
          |o_orderdate, o_orderpriority,
          |'o_orderkey:' || o_orderkey || ',o_custkey:' || o_custkey AS rkey
          |FROM orders""".stripMargin,
+    "t_alter_change_column" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice
+         |ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_ingest_dfs" -> ordersAll,
     "t_admin_commits" ->
       """SELECT * FROM (VALUES ('bulk_insert','commit'),('delete','commit'),('upsert','commit'))
         |t(operation, action)""".stripMargin)

@@ -162,12 +162,16 @@ final class GraftTable(
 
   private def upsertBody(df: DataFrame)(instant: String)
       : (Seq[WriteStat], Map[String, Seq[String]], String) = {
-    // persist the deduped batch AND the tagged join: tagging, profiling,
+    // persist the keyed batch AND the tagged join: tagging, profiling,
     // routing and the write each launch a job, and without the caches the
-    // dedup window + source scan + index join would re-run per job (the
-    // reference persists at the same point —
-    // BaseSparkCommitActionExecutor.java:115-120)
-    val keyed = precombineDedup(KeyGen.withKeyColumns(alignToTableSchema(df), cfg))
+    // source scan + index join would re-run per job (the reference
+    // persists at the same point —
+    // BaseSparkCommitActionExecutor.java:115-120).
+    // COW skips the standalone precombine window: writeMerged's fused
+    // dedup (same precombine-then-seqno ordering) collapses within-batch
+    // duplicates in the write shuffle itself, one exchange cheaper. MOR
+    // must dedup up front or duplicate rows would persist into delta files.
+    val keyed = maybePrecombine(KeyGen.withKeyColumns(alignToTableSchema(df), cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tagged = tagLocation(keyed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -234,7 +238,7 @@ final class GraftTable(
     * row (reference SparkDeleteHelper.java — EmptyHoodieRecordPayload).
     */
   def delete(df: DataFrame): String = runCommit(commitAction, "delete") { instant =>
-    val keyed = precombineDedup(KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+    val keyed = maybePrecombine(KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
         .withColumn(DeleteCol, lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tagged = tagLocation(keyed)
@@ -254,7 +258,7 @@ final class GraftTable(
   def applyCdc(df: DataFrame, opCol: String = "Op"): String =
     runCommit(commitAction, "cdc_apply") { instant =>
       val isDel = upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")
-      val keyed = precombineDedup(KeyGen.withKeyColumns(
+      val keyed = maybePrecombine(KeyGen.withKeyColumns(
           alignToTableSchema(df.withColumn(DeleteCol, isDel).drop(opCol)), cfg))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tagged = tagLocation(keyed)
@@ -431,6 +435,42 @@ final class GraftTable(
     }
   }
 
+  /** ALTER TABLE CHANGE COLUMN analog (reference
+    * AlterHoodieTableChangeColumnCommand): widen a column's type via a
+    * schema-evolution commit with no data files. Only loss-free upcasts are
+    * allowed (int→long, float→double, …— `Cast.canUpCast`, the same rule
+    * Spark applies for store assignment); existing files keep the narrow
+    * physical type and the parquet reader widens at scan time.
+    */
+  def changeColumn(name: String, newType: org.apache.spark.sql.types.DataType): String = {
+    val current = latestSchema.getOrElse(throw new IllegalStateException(
+      "cannot alter a table with no commits"))
+    val idx = current.fieldNames.indexOf(name)
+    require(idx >= 0, s"column not found: $name")
+    require(!MetaCols.All.contains(name), s"cannot alter meta column $name")
+    val oldType = current.fields(idx).dataType
+    require(oldType == newType ||
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(oldType, newType),
+      s"cannot change $name from ${oldType.simpleString} to ${newType.simpleString}: " +
+        "only loss-free widening is supported")
+    runCommit(commitAction, "alter_change_column") { _ =>
+      val fields = current.fields.updated(idx, current.fields(idx).copy(dataType = newType))
+      (Seq.empty, Map.empty, StructType(fields).json)
+    }
+  }
+
+  /** ALTER TABLE RENAME analog (reference AlterHoodieTableRenameCommand):
+    * updates the table name recorded in table config — the base path and
+    * data are untouched (catalog re-registration is the caller's job, as in
+    * the reference where the Hive sync handles it).
+    */
+  def renameTable(newName: String): GraftTable = {
+    require(newName.nonEmpty, "table name must be non-empty")
+    val updated = cfg.copy(tableName = newName)
+    TableConfig.save(basePath, updated)
+    new GraftTable(spark, basePath, updated)
+  }
+
   /** TRUNCATE TABLE analog: a replacecommit logically dropping every live
     * file group (reference TruncateHoodieTableCommand).
     */
@@ -521,6 +561,13 @@ final class GraftTable(
     * wins (reference SparkWriteHelper.java:50-66 reduceByKey → here a
     * window, or dropDuplicates when no precombine field is configured).
     */
+  /** Batch dedup for paths whose write fuses its own (COW writeMerged):
+    * only MOR pays the standalone window, since its delta append would
+    * otherwise persist duplicate rows.
+    */
+  private def maybePrecombine(keyed: DataFrame): DataFrame =
+    if (cfg.isMor) precombineDedup(keyed) else keyed
+
   private def precombineDedup(keyed: DataFrame): DataFrame =
     if (cfg.precombineField.isEmpty)
       keyed.dropDuplicates(MetaCols.RecordKey :: MetaCols.PartitionPath :: Nil)

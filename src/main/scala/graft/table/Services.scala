@@ -150,7 +150,8 @@ object Services {
     */
   def cluster(t: GraftTable, sortColumns: Seq[String] = Seq.empty,
       smallFileLimit: Long = -1L,
-      strategy: ClusterPlanStrategy = ClusterPlanStrategy.AllPartitions): Option[String] =
+      strategy: ClusterPlanStrategy = ClusterPlanStrategy.AllPartitions,
+      zorderColumns: Seq[String] = Seq.empty): Option[String] =
       graft.core.TableLock.withLock(t.basePath) {
     val limit = if (smallFileLimit > 0) smallFileLimit else t.smallFileLimit
     val slices0 = t.view.fileSlices(None)
@@ -178,24 +179,58 @@ object Services {
         .filter(s => plan.groups.exists(g => g.partitionPath == s.partitionPath && g.fileIds.contains(s.fileId)))
         .flatMap(_.baseFile)
       val data = t.readEntriesRaw(entries)
-      // fresh size-targeted groups per partition, sorted layout inside files
       val perFile = math.max(1L, t.maxFileSize / t.avgRecordSize)
-      val counts = entries.groupBy(_.partitionPath).map { case (p, es) => p -> es.map(_.numRecords).sum }
-      import t.spark.implicits._
-      val buckets = counts.toSeq.flatMap { case (p, n) =>
-        (0L until math.max(n, 1L) by perFile).map(lo =>
-          (p, lo, math.min(lo + perFile, n), math.max(n, 1L), WritePipeline.newFileIdPrefix()))
-      }.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
-      val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
-      val routed = data
-        .join(broadcast(buckets),
-          col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
-        .withColumn(WritePipeline.FileIdCol, col("_b_fid"))
-        .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
-        .withColumn(MetaCols.FileName,
-          concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.parquet")))
-      val stats = WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
-        isDelta = false, sortCols = sortColumns)
+      val totalRows = math.max(1L, entries.map(_.numRecords).sum)
+      val stats =
+        if (sortColumns.nonEmpty || zorderColumns.nonEmpty) {
+          // Sorted layout: rows are RANGE-distributed across size-targeted
+          // file groups, then sorted within each — the whole clustering
+          // batch is globally ordered, so per-file [min,max] ranges don't
+          // overlap and key-range / column-stats skipping actually prunes
+          // (reference SparkSortAndSizeExecutionStrategy bulk-inserts with
+          // GLOBAL_SORT for the same reason). With z-order columns the sort
+          // key is a Morton code, giving EVERY z-column tight per-file
+          // ranges instead of only the first sort column.
+          val withKey =
+            if (zorderColumns.nonEmpty) ZOrder.withZColumn(data, zorderColumns)
+            else data
+          val sortExprs = Seq(col(MetaCols.PartitionPath)) ++
+            (if (zorderColumns.nonEmpty) Seq(col(ZOrder.ZCol))
+             else sortColumns.map(col))
+          val numFiles = math.max(1L, math.min(
+            math.ceil(totalRows.toDouble / perFile).toLong,
+            10000L)).toInt
+          val prefix = WritePipeline.newFileIdPrefix()
+          val fileIdExpr = concat(format_string("%05d", spark_partition_id()), lit("-"),
+            substring(md5(col(MetaCols.PartitionPath)), 1, 6), lit("-" + prefix))
+          val routed = withKey
+            .repartitionByRange(numFiles, sortExprs: _*)
+            .sortWithinPartitions(sortExprs: _*)
+            .withColumn(WritePipeline.FileIdCol, fileIdExpr)
+            .withColumn(MetaCols.FileName,
+              concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.parquet")))
+            .drop(ZOrder.ZCol)
+          WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
+            isDelta = false, alreadyPartitioned = true)
+        } else {
+          // pure small-file coalescing: hash-route into fresh size-targeted
+          // groups per partition (no ordering requirement, no range shuffle)
+          val counts = entries.groupBy(_.partitionPath).map { case (p, es) => p -> es.map(_.numRecords).sum }
+          import t.spark.implicits._
+          val buckets = counts.toSeq.flatMap { case (p, n) =>
+            (0L until math.max(n, 1L) by perFile).map(lo =>
+              (p, lo, math.min(lo + perFile, n), math.max(n, 1L), WritePipeline.newFileIdPrefix()))
+          }.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+          val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
+          val routed = data
+            .join(broadcast(buckets),
+              col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
+            .withColumn(WritePipeline.FileIdCol, col("_b_fid"))
+            .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
+            .withColumn(MetaCols.FileName,
+              concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.parquet")))
+          WritePipeline.writeFiles(t.spark, t.basePath, routed, ts, isDelta = false)
+        }
       val replaced = plan.groups.map(g => g.partitionPath -> g.fileIds).toMap
       val md = CommitMetadata("cluster", stats, replaced,
         t.latestSchema.map(_.json).getOrElse(""))

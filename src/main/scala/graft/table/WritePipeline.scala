@@ -117,28 +117,45 @@ object WritePipeline {
       .map(d => decodePartition(d.getFileName.toString.stripPrefix(s"$GP=")) -> d)
       .toMap
 
-    val out = scala.collection.mutable.ArrayBuffer[WriteStat]()
-    partDirs.foreach { case (partition, pdir) =>
-      val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
-      Files.createDirectories(partDir)
-      listDirs(pdir).filter(_.getFileName.toString.startsWith(s"$GF=")).foreach { leaf =>
-        val fileId = leaf.getFileName.toString.stripPrefix(s"$GF=")
-        val parts = listParquet(leaf)
-        require(parts.nonEmpty, s"no staged file for ($partition, $fileId)")
-        parts.zipWithIndex.foreach { case (p, i) =>
-          val nm = if (isDelta) deltaFileName(fileId, instant, i) else baseFileName(fileId, instant, i)
-          val dest = partDir.resolve(nm)
-          Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-          val fs = footerStats(dest)
-          out += WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
-            if (allDeletes) fs.rows else 0L,
-            Files.size(dest), fs.minKey, fs.maxKey, isDelta,
-            colMin = fs.colMin, colMax = fs.colMax)
+    // Publish is parallelized across a bounded pool: each file costs a
+    // rename plus a parquet-footer read, and doing them serially would make
+    // driver finalization O(#files) wall-clock (the reference parallelizes
+    // the analogous marker reconciliation through its engine context).
+    val work: Seq[(String, String, Path, Int)] = partDirs.toSeq.flatMap {
+      case (partition, pdir) =>
+        val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
+        Files.createDirectories(partDir)
+        listDirs(pdir).filter(_.getFileName.toString.startsWith(s"$GF=")).flatMap { leaf =>
+          val fileId = leaf.getFileName.toString.stripPrefix(s"$GF=")
+          val parts = listParquet(leaf)
+          require(parts.nonEmpty, s"no staged file for ($partition, $fileId)")
+          parts.zipWithIndex.map { case (p, i) => (partition, fileId, p, i) }
         }
-      }
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, work.size)))
+    val out =
+      try {
+        val futures = work.map { case (partition, fileId, p, i) =>
+          pool.submit(new java.util.concurrent.Callable[WriteStat] {
+            override def call(): WriteStat = {
+              val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
+              val nm = if (isDelta) deltaFileName(fileId, instant, i)
+                       else baseFileName(fileId, instant, i)
+              val dest = partDir.resolve(nm)
+              Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+              val fs = footerStats(dest)
+              WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
+                if (allDeletes) fs.rows else 0L,
+                Files.size(dest), fs.minKey, fs.maxKey, isDelta,
+                colMin = fs.colMin, colMax = fs.colMax)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
     deleteRecursively(staging)
-    out.toSeq
+    out
   }
 
   /** Footer row count only (bootstrap adoption of files that don't carry

@@ -1,0 +1,83 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton) layout for clustering — beyond the reference's linear
+  * sort-and-size strategy (SparkSortAndSizeExecutionStrategy sorts
+  * lexicographically, so only the FIRST sort column gets tight per-file
+  * ranges). Interleaving quantile-bucket bits of several columns gives
+  * every z-column locality inside each written file, which turns the
+  * engine's per-file column min/max stats (GraftFileIndex data skipping)
+  * into an effective multi-column file-pruning index — the property that
+  * matters at 100 TB, where a point/range predicate on any clustered
+  * column should open a small fraction of files.
+  *
+  * Mechanics (all whole-stage-codegen'd built-ins, no UDF):
+  *  1. per column: 255 approximate quantile cuts (one driver-side
+  *     `approxQuantile` over a sample — skew-robust, unlike fixed-width
+  *     `width_bucket` bins)
+  *  2. per row: bucket index = #cuts ≤ value (an 8-bit rank), via a
+  *     literal-array `filter` + `size`
+  *  3. z-value = bit-interleave of the bucket indices (shift/or chain)
+  *  4. rows range-partition + sort by z-value within file groups
+  */
+object ZOrder {
+  private val Bits = 8 // 256 buckets per column
+
+  /** True for types a z-order column may have (orderable primitives the
+    * quantile sketch understands after a double cast).
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Append a `_graft_z` Morton-code column computed from `cols`. */
+  def withZColumn(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(supported(dt), s"z-order column $c has unsupported type ${dt.simpleString}")
+    }
+    val asDouble = cols.map(c => df.schema(c).dataType match {
+      case DateType => col(c).cast("timestamp").cast("double")
+      case _: TimestampType | _: TimestampNTZType => col(c).cast("double")
+      case _ => col(c).cast("double")
+    })
+    val probe = df.select(asDouble.zipWithIndex.map { case (e, i) => e.as(s"_z$i") }: _*)
+    val nCuts = (1 << Bits) - 1
+    val qs = (1 to nCuts).map(_.toDouble / (1 << Bits)).toArray
+    val buckets: Seq[Column] = cols.indices.map { i =>
+      // duplicate cuts are kept ON PURPOSE: for low-cardinality columns a
+      // repeated quantile value makes the bucket index jump by the number
+      // of repeats, keeping buckets rank-proportional across the full
+      // 0..255 range — distinct-ing would compress the index and leave the
+      // column's high bits constant (z degenerates to the other columns)
+      val cuts = probe.stat.approxQuantile(s"_z$i", qs, 0.001).sorted
+      if (cuts.isEmpty) lit(0L)
+      else {
+        // bucket = number of cuts <= value; nulls sort first (bucket 0)
+        val arr = array(cuts.map(lit): _*)
+        val v = asDouble(i)
+        when(v.isNull, lit(0L))
+          .otherwise(size(filter(arr, cut => cut <= v)).cast("long"))
+    }
+    }
+    df.withColumn(ZCol, interleave(buckets))
+  }
+
+  val ZCol = "_graft_z"
+
+  /** Morton interleave: bit j of bucket i lands at position j*k + i. */
+  private def interleave(buckets: Seq[Column]): Column = {
+    val k = buckets.size
+    var z = lit(0L)
+    for (bit <- 0 until Bits; (b, i) <- buckets.zipWithIndex) {
+      val extracted = shiftright(b, bit).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(extracted, bit * k + i))
+    }
+    z
+  }
+}

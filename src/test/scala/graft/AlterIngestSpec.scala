@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.core._
+import graft.read.Readers
+import graft.streaming.{DfsSource, IngestJob, SqlSource}
+import graft.table.GraftTable
+
+/** ALTER TABLE CHANGE COLUMN / RENAME (schema evolution beyond ADD) and
+  * the DFS-drop ingest source with mod-time checkpointing.
+  */
+class AlterIngestSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def ordersCfg = TableConfig("orders_ai", TableType.CopyOnWrite,
+    Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate")
+
+  test("changeColumn widens a type; pre-widening files read widened") {
+    val dir = tmpDir("alter_widen")
+    val t = GraftTable.create(spark, dir.toString, ordersCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    t.bulkInsert(src.withColumn("o_totalprice", col("o_totalprice").cast("float")))
+    t.changeColumn("o_totalprice", DoubleType)
+    assert(t.latestSchema.get("o_totalprice").dataType === DoubleType)
+    // untouched float files surface as double
+    val snap = Readers.snapshot(t)
+    assert(snap.schema("o_totalprice").dataType === DoubleType)
+    assert(snap.count() === src.count())
+    // post-widening writes carry full double precision
+    t.upsert(src.filter(col("o_orderkey") % 4 === 0))
+    val after = Readers.snapshot(t).cache()
+    val exact = after.join(src.select(col("o_orderkey"), col("o_totalprice").as("exp")), "o_orderkey")
+      .filter(col("o_orderkey") % 4 === 0)
+      .filter(col("o_totalprice") === col("exp")).count()
+    assert(exact === src.filter(col("o_orderkey") % 4 === 0).count())
+    after.unpersist()
+  }
+
+  test("changeColumn rejects narrowing and unknown columns") {
+    val dir = tmpDir("alter_reject")
+    val t = GraftTable.create(spark, dir.toString, ordersCfg)
+    t.bulkInsert(spark.read.parquet(s"$sf001/orders.parquet"))
+    intercept[IllegalArgumentException](t.changeColumn("o_totalprice", IntegerType))
+    intercept[IllegalArgumentException](t.changeColumn("no_such_col", LongType))
+  }
+
+  test("renameTable updates config in place") {
+    val dir = tmpDir("alter_rename")
+    val t = GraftTable.create(spark, dir.toString, ordersCfg)
+    t.bulkInsert(spark.read.parquet(s"$sf001/orders.parquet"))
+    val renamed = t.renameTable("orders_renamed")
+    assert(renamed.cfg.tableName === "orders_renamed")
+    assert(TableConfig.load(Paths.get(dir.toString)).tableName === "orders_renamed")
+    assert(Readers.snapshot(renamed).count() > 0)
+  }
+
+  test("DfsSource ingests only files newer than the checkpoint") {
+    val dir = tmpDir("ingest_dfs")
+    val drop = tmpDir("ingest_drop")
+    val t = GraftTable.create(spark, dir.toString, ordersCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+    def dropBatch(df: org.apache.spark.sql.DataFrame, sub: String, mtime: Long): Unit = {
+      df.write.parquet(s"$drop/$sub")
+      Files.walk(Paths.get(s"$drop/$sub")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mtime)))
+    }
+
+    val source = new DfsSource(drop.toString)
+    dropBatch(src.filter(col("o_orderkey") % 2 === 0), "b1", 1000000L)
+    val c1 = IngestJob.syncOnce(spark, source, t)
+    assert(c1.isDefined)
+    assert(IngestJob.lastCheckpoint(t) === Some("1000000"))
+    val n1 = Readers.snapshot(t).count()
+    assert(n1 === src.filter(col("o_orderkey") % 2 === 0).count())
+
+    // nothing new -> no commit
+    assert(IngestJob.syncOnce(spark, source, t).isEmpty)
+    assert(t.timeline.completedDataInstants().size === 1)
+
+    // second drop at a later mod time: only its rows are added
+    dropBatch(src.filter(col("o_orderkey") % 2 =!= 0), "b2", 2000000L)
+    val c2 = IngestJob.syncOnce(spark, source, t)
+    assert(c2.isDefined)
+    assert(IngestJob.lastCheckpoint(t) === Some("2000000"))
+    assert(Readers.snapshot(t).count() === src.count())
+  }
+
+  test("SqlSource runs the query each tick; transformer applies") {
+    val dir = tmpDir("ingest_sql")
+    val t = GraftTable.create(spark, dir.toString, ordersCfg)
+    spark.read.parquet(s"$sf001/orders.parquet").limit(100)
+      .createOrReplaceTempView("ai_orders_src")
+    val source = new SqlSource("SELECT * FROM ai_orders_src")
+    IngestJob.syncOnce(spark, source, t,
+      transform = _.withColumn("o_orderpriority", lit("INGESTED")))
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === 100)
+    assert(snap.filter(col("o_orderpriority") === "INGESTED").count() === 100)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{GraftTable, Services, ZOrder}
+
+/** Z-order clustering layout: multi-column locality and the file-skipping
+  * it buys through per-file column stats.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def ordersCfg(props: Map[String, String] = Map.empty) =
+    TableConfig("orders_z", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "", "o_orderdate", props) // nonpartitioned: isolates the z-layout effect
+
+  test("z-order cluster preserves rows and tightens per-file ranges on BOTH columns") {
+    val dir = tmpDir("zorder")
+    val t = GraftTable.create(spark, dir.toString,
+      ordersCfg(Map(ConfigKeys.MaxFileSize -> (4L * 1024).toString)))
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    // two disjoint loads => >1 slice, so clustering has something to do
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0))
+    val commit = Services.cluster(t, zorderColumns = Seq("o_custkey", "o_totalprice"))
+    assert(commit.nonEmpty, "clustering should run")
+    assert(Readers.snapshot(t).count() === src.count())
+
+    val bases = t.view.fileSlices(None).flatMap(_.baseFile)
+    assert(bases.size > 3, s"want several z-files, got ${bases.size}")
+    def spanFraction(colName: String): Double = {
+      val los = bases.map(_.colMin(colName).toDouble)
+      val his = bases.map(_.colMax(colName).toDouble)
+      val glo = los.min; val ghi = his.max
+      val spans = bases.indices.map(i => (his(i) - los(i)) / math.max(1e-9, ghi - glo))
+      spans.sum / spans.size
+    }
+    // a random/hash layout gives each file ~ the full range (fraction ≈ 1);
+    // z-order must tighten both dimensions simultaneously
+    val fCust = spanFraction("o_custkey")
+    val fPrice = spanFraction("o_totalprice")
+    assert(fCust < 0.6, s"o_custkey avg span fraction $fCust")
+    assert(fPrice < 0.6, s"o_totalprice avg span fraction $fPrice")
+  }
+
+  test("z-order rejects unsupported or too-few columns") {
+    val dir = tmpDir("zorder_bad")
+    val t = GraftTable.create(spark, dir.toString, ordersCfg())
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    t.bulkInsert(src)
+    intercept[IllegalArgumentException](
+      ZOrder.withZColumn(Readers.snapshot(t), Seq("o_custkey")))
+    intercept[IllegalArgumentException](
+      ZOrder.withZColumn(Readers.snapshot(t), Seq("o_custkey", "o_orderstatus")))
+  }
+}
