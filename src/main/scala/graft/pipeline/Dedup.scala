@@ -17,16 +17,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on a normalized-text hash: keep the lowest `idCol` per
-    * fingerprint group (deterministic winner). Shaped as an aggregation,
-    * not a window: `min_by` gets a map-side partial (only one candidate
-    * row per fingerprint crosses the shuffle) where a window would
-    * shuffle + sort every row.
+    * fingerprint group (deterministic winner). The aggregation buffer is a
+    * single long (`min(id)`), so it stays in codegen'd HashAggregate with
+    * map-side partials; a `min_by(struct(*))` shape would carry the full
+    * row (text included) in an ObjectHashAggregate buffer, which falls
+    * back to sort-based aggregation past 128 groups per partition —
+    * catastrophic when nearly every fingerprint is unique. Winners then
+    * rejoin by (fingerprint, id) semi-join, a plain shuffled equi-join.
     */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val all = struct(df.columns.map(col): _*)
-    df.groupBy(TextStats.fingerprint(col(textCol)).as("_ddup_fp"))
-      .agg(min_by(all, col(idCol)).as("_ddup_row"))
-      .select(df.columns.map(c => col("_ddup_row").getField(c).as(c)): _*)
+    val fp = TextStats.fingerprint(col(textCol))
+    val keep = df
+      .select(fp.as("_ddup_fp"), col(idCol).as("_ddup_keep"))
+      .groupBy("_ddup_fp").agg(min(col("_ddup_keep")).as("_ddup_keep"))
+    df.join(keep,
+        fp === col("_ddup_fp") && col(idCol) === col("_ddup_keep"), "left_semi")
   }
 
   /** Word n-gram shingles, deduplicated. Word grams (not char grams) keep
