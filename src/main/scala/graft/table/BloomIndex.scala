@@ -1,7 +1,7 @@
 package graft.table
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,10 +27,19 @@ import graft.core._
   * actual keys is the verification (the reference verifies with
   * HoodieKeyLookupHandle the same way).
   *
-  * Scale shape: building filters is one distributed pass over the keys
-  * just written (key column only); probing is one distributed pass over
-  * the incoming batch with the candidate filters broadcast. Nothing
-  * driver-side beyond the sidecar bytes of range-surviving candidates.
+  * Scale shape — NO filter bytes ever sit on the driver:
+  *  - build: one distributed pass over the just-written keys; each task
+  *    serializes its file's filter and publishes the sidecar itself
+  *    (atomic tmp+rename), the driver only triggers the job.
+  *  - probe: the driver broadcasts only NARROW candidate metadata
+  *    (partition, key range, sidecar path — ~100 bytes/file); executors
+  *    explode range-surviving (file, key) pairs, shuffle them by file, and
+  *    each group task reads that one sidecar and short-circuits on the
+  *    first probable hit. This is the reference's explode +
+  *    repartitionAndSortWithinPartitions + per-file lazy-load shape
+  *    (SparkHoodieBloomIndex.java:230-299, HoodieBloomIndexCheckFunction
+  *    .java:42-96) — a 100 TB table's ~10^6 filters would be hundreds of
+  *    GB, so a broadcast-the-filters design cannot scale past toy tables.
   */
 object BloomIndex {
 
@@ -51,7 +60,8 @@ object BloomIndex {
   /** Build + persist one bloom sidecar per freshly-written base file, in a
     * single distributed pass (key column + file name only). Sized by
     * config like the reference (60k entries, fpp 1e-9), not by a count
-    * pass.
+    * pass. Each executor task writes its own sidecar (tmp + atomic move) —
+    * the filter bytes never travel to the driver.
     */
   def buildSidecars(spark: SparkSession, base: Path, stats: Seq[WriteStat],
       cfg: TableConfig): Unit = {
@@ -64,25 +74,31 @@ object BloomIndex {
       base.resolve(ws.path).toUri.getPath -> ws.path
     }.toMap
     val paths = baseStats.map(ws => base.resolve(ws.path).toString)
+    Files.createDirectories(bloomDir(base)) // pre-create: executors only write files
+    val baseStr = base.toString
+    val bcByUri = spark.sparkContext.broadcast(byUri)
     import spark.implicits._
-    val perFile = spark.read.parquet(paths: _*)
+    spark.read.parquet(paths: _*)
       .select(col(MetaCols.RecordKey).as[String],
         regexp_replace(input_file_name(), "^file:/+", "/").as[String])
       .groupByKey(_._2)
       .mapGroups { (file, it) =>
         val bf = BloomFilter.create(entries, fpp)
         it.foreach(r => bf.putString(r._1))
-        val bos = new ByteArrayOutputStream()
-        bf.writeTo(bos)
-        (file, bos.toByteArray)
+        bcByUri.value.get(file).foreach { rel =>
+          val target = sidecarPath(Paths.get(baseStr), rel)
+          val tmp = target.resolveSibling(
+            target.getFileName.toString + "." + java.util.UUID.randomUUID + ".tmp")
+          val bos = new ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Files.write(tmp, bos.toByteArray)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        1
       }
-      .collect()
-    Files.createDirectories(bloomDir(base))
-    perFile.foreach { case (uri, bytes) =>
-      byUri.get(uri).foreach { rel =>
-        Files.write(sidecarPath(base, rel), bytes)
-      }
-    }
+      .count() // action: triggers the distributed build+publish
+    bcByUri.destroy()
   }
 
   /** Prune range-surviving candidate files by probing incoming keys
@@ -99,9 +115,10 @@ object BloomIndex {
     val (withBloom, without) = candidates.partition(e =>
       Files.exists(sidecarPath(base, e.relPath)))
     if (withBloom.isEmpty) return candidates
-    val payload = withBloom.map(e => (e.partitionPath, e.fileId, e.minKey, e.maxKey,
-      Files.readAllBytes(sidecarPath(base, e.relPath))))
-    val bc = spark.sparkContext.broadcast(payload)
+    // narrow metadata only: (partition, minKey, maxKey, sidecar rel path)
+    val meta = withBloom.map(e => (e.partitionPath, e.minKey, e.maxKey, e.relPath))
+    val bc = spark.sparkContext.broadcast(meta)
+    val baseStr = base.toString
     import spark.implicits._
     val isGlobal = global // stable local for the closure
     val keyed =
@@ -110,24 +127,32 @@ object BloomIndex {
       else
         incoming.select(col(MetaCols.PartitionPath).as[String],
           col(MetaCols.RecordKey).as[String])
-    val hits = keyed
-      .mapPartitions { it =>
-        val all: Seq[(String, String, String, String, BloomFilter)] = bc.value
-          .map { case (p, f, mn, mx, b) =>
-            (p, f, mn, mx, BloomFilter.readFrom(new ByteArrayInputStream(b)))
-          }.toSeq
-        val byPart = all.groupBy(_._1)
-        it.flatMap { case (p, k) =>
-          val cands = if (isGlobal) all else byPart.getOrElse(p, Seq.empty)
-          cands.iterator
-            .filter { case (_, _, mn, mx, bf) =>
-              (mn.isEmpty || mx.isEmpty || (mn <= k && k <= mx)) && bf.mightContainString(k)
-            }
-            .map { case (cp, f, _, _, _) => ViewState.groupKey(cp, f) }
-        }
+    // explode candidate (sidecar, key) pairs after the range check — the
+    // same candidate explosion the reference performs; pairs are two short
+    // strings, so the shuffle stays proportional to keys × avg overlap
+    val pairs = keyed.mapPartitions { it =>
+      val all = bc.value
+      val byPart = all.groupBy(_._1)
+      it.flatMap { case (p, k) =>
+        val cands = if (isGlobal) all else byPart.getOrElse(p, Seq.empty)
+        cands.iterator
+          .filter { case (_, mn, mx, _) =>
+            mn.isEmpty || mx.isEmpty || (mn <= k && k <= mx)
+          }
+          .map { case (_, _, _, rel) => (rel, k) }
       }
-      .distinct().collect().toSet
-    withBloom.filter(e => hits.contains(ViewState.groupKey(e.partitionPath, e.fileId))) ++
-      without
+    }
+    // one sidecar load per file, executor-side, any-hit short-circuit
+    val hitRels = pairs
+      .groupByKey(_._1)
+      .flatMapGroups { (rel, it) =>
+        val bytes = Files.readAllBytes(sidecarPath(Paths.get(baseStr), rel))
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+        if (it.exists(t => bf.mightContainString(t._2))) Iterator.single(rel)
+        else Iterator.empty
+      }
+      .collect().toSet
+    bc.destroy()
+    withBloom.filter(e => hitRels.contains(e.relPath)) ++ without
   }
 }
