@@ -1,0 +1,98 @@
+package graft.tools
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.pipeline.Dedup
+import graft.read.Readers
+import graft.table.{GraftTable, WritePipeline}
+
+/** Scale-linearity stress (dev tool): replicates the sf0.1 inputs N× (default
+  * 10×, ~1.5M orders / ~50k documents) with shifted keys and times the
+  * bench-headline operators at 1× and N×. An operator whose N× time grows
+  * by much more than N has a super-linear term (pair explosion, driver
+  * materialization, single-task funnel) that would be fatal at 100 TB —
+  * this harness is how those are caught before the data is big.
+  *
+  * The duplicated documents are byte-identical 10-way clusters, which is the
+  * adversarial case for the near-dup operators: every cluster contributes
+  * C(10,2)=45 candidate pairs in every matching band, so candidate-pair
+  * dedup before verification (and any-hit short-circuits) get exercised at
+  * their worst ratio.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_STRESS_MULT", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame =
+      (0 until n).map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
+        .reduce(_.unionByName(_))
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    def report(name: String, t1: Double, tN: Double): Unit = {
+      val ratio = tN / math.max(t1, 1e-9)
+      val verdict = if (ratio <= mult * 1.8) "OK" else "SUPER-LINEAR"
+      println(f"[stress] $name%-18s 1x=${t1}%6.2fs  ${mult}x=${tN}%7.2fs  ratio=${ratio}%5.1f  $verdict")
+    }
+
+    val orders1 = spark.read.parquet(s"$sfDir/orders.parquet")
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ordersN = replicate(orders1, "o_orderkey", mult)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsN = replicate(docs1, "doc_id", mult)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] orders ${orders1.count()} -> ${ordersN.count()}, " +
+      s"documents ${docs1.count()} -> ${docsN.count()}")
+
+    def freshTable(name: String): GraftTable = {
+      val p = s"/tmp/graft_stress/$name"
+      WritePipeline.deleteRecursively(Paths.get(p))
+      GraftTable.create(spark, p, TableConfig(
+        name, TableType.CopyOnWrite,
+        Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+    }
+
+    // warm the JVM on the small shapes first
+    { val t = freshTable("warm"); t.bulkInsert(orders1.limit(2000)) }
+
+    def upsertCycle(src: DataFrame, name: String): Unit = {
+      val t = freshTable(name)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      Readers.snapshot(t).write.mode("overwrite").format("noop").save()
+    }
+    report("cow_upsert_cycle", time(upsertCycle(orders1, "u1")),
+      time(upsertCycle(ordersN, "uN")))
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    report("dedup_exact", time(noop(Dedup.exact(docs1))), time(noop(Dedup.exact(docsN))))
+    report("dedup_minhash",
+      time(noop(Dedup.minhashDedup(docs1, threshold = 0.6))),
+      time(noop(Dedup.minhashDedup(docsN, threshold = 0.6))))
+    report("dedup_simhash",
+      time(noop(Dedup.simhashDedup(docs1, maxDistance = 2))),
+      time(noop(Dedup.simhashDedup(docsN, maxDistance = 2))))
+
+    println("[stress] DONE")
+    spark.stop()
+  }
+}
