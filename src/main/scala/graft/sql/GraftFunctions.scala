@@ -1,0 +1,90 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{HyperplaneSig, MinHashSig, SimHash60}
+import graft.pipeline.{Dedup, Similarity, TextStats}
+
+/** SQL registrations for the LLM-pipeline operators — installed by
+  * [[GraftSparkExtensions]], so `SELECT graft_quality_score(text) FROM
+  * docs` works anywhere the extension is active. The native expressions
+  * (minhash / simhash / hyperplane signatures) register directly; the
+  * Column-composed operators (text stats, cosine, jaccard) register
+  * through the Column↔Expression bridge and resolve to the same codegen'd
+  * built-in trees the DataFrame API produces. The reference has no SQL
+  * scalar surface of its own (its extension only injects DML rules —
+  * HoodieSparkSessionExtension.scala:29-44); this is part of the
+  * training-data-pipeline layer our engine adds on top.
+  */
+object GraftFunctions {
+  type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def fromColumns(name: String, arity: Int, doc: String)
+      (f: Seq[Column] => Column): FnDef =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.sql.GraftFunctions", name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
+        GraftSqlBridge.expressionOf(f(args.map(GraftSqlBridge.column)))
+      })
+
+  val all: Seq[FnDef] = Seq(
+    // native signature expressions (variadic int config via literals)
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinHashSig(t, 64, 3)
+        case Seq(t, n, s) => MinHashSig(t,
+          intLit(n, "graft_minhash_sig", "numHashes"),
+          intLit(s, "graft_minhash_sig", "shingleN"))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_sig(text[, numHashes, shingleN])")
+      }),
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h) => SimHash60(h)
+        case _ => throw new IllegalArgumentException("graft_simhash60(tokenHashes)")
+      }),
+    (FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => HyperplaneSig(v, 16)
+        case Seq(v, p) => HyperplaneSig(v, intLit(p, "graft_hyperplane_sig", "planes"))
+        case _ => throw new IllegalArgumentException("graft_hyperplane_sig(vec[, planes])")
+      }),
+
+    // text analysis (Column-composed, resolve to codegen'd built-ins)
+    fromColumns("graft_token_count", 1,
+      "whitespace token count")(a => TextStats.tokenCount(a.head)),
+    fromColumns("graft_token_count_bpe", 1,
+      "BPE-ish subword count")(a => TextStats.bpeishTokenCount(a.head)),
+    fromColumns("graft_quality_score", 1,
+      "composite [0,1] quality heuristic")(a => TextStats.qualityScore(a.head)),
+    fromColumns("graft_lang_id", 1,
+      "stopword-profile language id")(a => TextStats.langId(a.head)),
+    fromColumns("graft_fingerprint", 1,
+      "64-bit normalized-text hash")(a => TextStats.fingerprint(a.head)),
+    fromColumns("graft_fingerprint_hex", 1,
+      "md5 hex of normalized text")(a => TextStats.fingerprintHex(a.head)),
+    fromColumns("graft_simhash", 1,
+      "60-bit simhash of text")(a => Dedup.simhash(a.head)),
+
+    // similarity
+    fromColumns("graft_cosine", 2,
+      "cosine similarity of two numeric arrays")(a => Similarity.cosine(a(0), a(1))),
+    fromColumns("graft_ngram_jaccard", 2,
+      "exact 3-gram jaccard of two texts")(a => Dedup.ngramJaccard(a(0), a(1))),
+    fromColumns("graft_hamming", 2,
+      "hamming distance of two 64-bit hashes")(a => Dedup.hamming(a(0), a(1))))
+}

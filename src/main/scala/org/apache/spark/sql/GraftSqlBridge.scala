@@ -16,8 +16,16 @@ object GraftSqlBridge {
     */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Eager Column → Expression conversion. `ExpressionUtils.expression`
+    * wraps the column node LAZILY (`ColumnNodeExpression`), which only
+    * resolves when the surrounding plan goes through Dataset analysis —
+    * an expression returned from a FunctionRegistry builder skips that
+    * path and would stay Unevaluable. Converting the node eagerly yields
+    * the same tree Dataset analysis would produce.
+    */
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Rebind a streaming micro-batch frame as a batch DataFrame WITHOUT
     * collecting it to the driver: the physical rows stay distributed

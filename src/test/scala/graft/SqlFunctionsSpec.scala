@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity, TextStats}
+
+/** SQL registrations of the pipeline operators (GraftFunctions): each
+  * SQL invocation must agree with its DataFrame-API twin.
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the bank"),
+    (3L, "numbers 123 456 789 0 and punctuation !!! ??? ..."),
+    (4L, "der hund ist nicht mit der katze und das haus"))
+    .toDF("id", "text")
+
+  test("native signature functions: sql == dataframe") {
+    docs.createOrReplaceTempView("fdocs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_minhash_sig(text) AS mh, graft_minhash_sig(text, 16, 2) AS mh16,
+        |graft_simhash(text) AS sh FROM fdocs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2), r.getLong(3)))).toMap
+    val viaDf = docs.select(col("id"),
+        graft.functions.MinHashSig.minhashSig(col("text")).as("mh"),
+        graft.functions.MinHashSig.minhashSig(col("text"), 16, 2).as("mh16"),
+        Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2), r.getLong(3)))).toMap
+    assert(viaSql === viaDf)
+    // identical docs agree, distinct docs do not
+    val bySig = spark.sql("SELECT graft_minhash_sig(text) AS s FROM fdocs")
+      .collect().map(_.getSeq[Long](0))
+    assert(bySig(0) === bySig(1))
+    assert(bySig(0) !== bySig(2))
+  }
+
+  test("text-stat functions: sql == dataframe") {
+    docs.createOrReplaceTempView("fdocs2")
+    val viaSql = spark.sql(
+      """SELECT id, graft_token_count(text) AS tc, graft_quality_score(text) AS q,
+        |graft_lang_id(text) AS lang, graft_fingerprint_hex(text) AS fp
+        |FROM fdocs2 ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3), r.getString(4)))
+    val viaDf = docs.select(col("id"),
+        TextStats.tokenCount(col("text")).as("tc"),
+        TextStats.qualityScore(col("text")).as("q"),
+        TextStats.langId(col("text")).as("lang"),
+        TextStats.fingerprintHex(col("text")).as("fp"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3), r.getString(4)))
+    assert(viaSql === viaDf)
+    assert(viaSql.find(_._1 == 4L).get._4 === "de")
+    assert(viaSql.find(_._1 == 1L).get._4 === "en")
+  }
+
+  test("similarity functions") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+      .toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("fvecs")
+    val got = spark.sql(
+      "SELECT id, graft_cosine(a, b) AS c, graft_hyperplane_sig(a) AS hs FROM fvecs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(math.abs(got(0)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(1)._2) < 1e-12)
+    // hyperplane sig from SQL matches the DataFrame expression
+    val sqlSig = spark.sql("SELECT graft_hyperplane_sig(a, 8) FROM fvecs WHERE id = 1")
+      .first().getLong(0)
+    val dfSig = vecs.filter($"id" === 1)
+      .select(Similarity.hyperplaneSignature(col("a"), 8)).first().getLong(0)
+    assert(sqlSig === dfSig)
+
+    val j = spark.sql(
+      """SELECT graft_ngram_jaccard('a b c d', 'a b c d') AS same,
+        |graft_ngram_jaccard('a b c d', 'x y z w') AS diff,
+        |graft_hamming(7, 1) AS h""".stripMargin).first()
+    assert(j.getDouble(0) === 1.0)
+    assert(j.getDouble(1) === 0.0)
+    assert(j.getInt(2) === 2)
+  }
+}
