@@ -84,13 +84,14 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => x === y), p => p))
       .cast("double") / size(a)
 
-  /** MinHash-LSH near-duplicate removal: docs whose estimated Jaccard with
-    * a lower-id doc ≥ `threshold` are dropped. One shuffle for banding,
-    * one band-equi-join (AQE handles hot buckets), one aggregation.
+  /** Verified near-dup pairs (`_l_id < _r_id`) from MinHash-LSH banding:
+    * the shared candidate engine behind [[minhashDedup]] and
+    * [[minhashClusters]]. One shuffle for banding, one band-equi-join
+    * (AQE handles hot buckets), pair-dedup BEFORE the signature-similarity
+    * verification so each pair is verified exactly once.
     */
-  def minhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3): DataFrame = {
+  private[graft] def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     val rows = numHashes / bands
     // repartition spreads signature computation across the cluster (a
     // single parquet file would otherwise pin it to one task); the
@@ -98,9 +99,7 @@ object Dedup {
     // loop per row instead of 64 interpreted array aggregates.
     // signatures once per doc; band rows carry only (id, band, bucket) so
     // the 16-way explode never duplicates the signature arrays through
-    // the shuffle, and candidate PAIRS are deduped before verification
-    // (near-dup docs match in many bands — verifying per band match would
-    // redo the similarity work per band)
+    // the shuffle
     val sig = df
       .select(col(idCol).as("_d_id"), col(textCol).as("_d_t"))
       .repartition(col("_d_id"))
@@ -115,12 +114,71 @@ object Dedup {
         Seq("_d_b", "_d_k"))
       .filter(col("_l_id") < col("_r_id"))
       .select("_l_id", "_r_id").distinct()
-    val dupIds = pairs
+    pairs
       .join(sig.select(col("_d_id").as("_l_id"), col("_d_sig").as("_l_sig")), Seq("_l_id"))
       .join(sig.select(col("_d_id").as("_r_id"), col("_d_sig").as("_r_sig")), Seq("_r_id"))
       .filter(signatureSimilarity(col("_l_sig"), col("_r_sig")) >= threshold)
+      .select("_l_id", "_r_id")
+  }
+
+  /** MinHash-LSH near-duplicate removal: docs whose estimated Jaccard with
+    * a lower-id doc ≥ `threshold` are dropped.
+    */
+  def minhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val dupIds = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands, shingleN)
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+  }
+
+  /** Transitive duplicate clustering: connected components over the
+    * MinHash-LSH near-dup pair graph, as (id, cluster_id = min id in the
+    * component). Pairwise dedup is NOT transitive (A≈B and B≈C may hold
+    * while A≉C); training-data pipelines cluster first and then pick one
+    * representative per cluster.
+    *
+    * Shape: min-label propagation — labels start at self and each round
+    * every node takes the min label among itself and its neighbors, until
+    * a fixpoint. Each round is one equi-join + one aggregation (both
+    * shuffle-bounded, nothing driver-side but the convergence count), and
+    * the round count is the component diameter — tiny for duplicate
+    * clusters (the capped worst case covers pathological chains). This is
+    * the standard large-graph CC-by-label-propagation shape, expressed on
+    * DataFrames so AQE handles the skewed-bucket joins.
+    */
+  def minhashClusters(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands, shingleN)
+    val edges = pairs.select(col("_l_id").as("_cc_src"), col("_r_id").as("_cc_dst"))
+      .unionByName(pairs.select(col("_r_id").as("_cc_src"), col("_l_id").as("_cc_dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = df.select(col(idCol).as("_cc_id"), col(idCol).as("_cc_label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val fromNeighbors = edges
+          .join(labels, col("_cc_src") === col("_cc_id"))
+          .select(col("_cc_dst").as("_cc_id"), col("_cc_label"))
+        val next = labels.unionByName(fromNeighbors)
+          .groupBy("_cc_id").agg(min("_cc_label").as("_cc_label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.alias("n")
+          .join(labels.alias("o"), col("n._cc_id") === col("o._cc_id"))
+          .filter(col("n._cc_label") =!= col("o._cc_label"))
+          .limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("_cc_id").as(idCol), col("_cc_label").as("cluster_id"))
+        // materialize before the persisted frames unpersist in finally
+        .localCheckpoint(eager = true)
+    } finally { edges.unpersist(); labels.unpersist() }
   }
 
   /** 60-bit portable token hash: the top 15 hex chars of md5 parsed as an

@@ -30,6 +30,11 @@ object PipelineQueries {
     "p_dedup_minhash" -> ((s, d) =>
       Dedup.minhashDedup(docs(s, d), threshold = 0.6)),
 
+    // transitive clustering over the same near-dup pair graph: connected
+    // components by min-label propagation, (doc_id, cluster_id = min id)
+    "p_dedup_cluster" -> ((s, d) =>
+      Dedup.minhashClusters(docs(s, d), threshold = 0.6)),
+
     "p_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(docs(s, d), maxDistance = 2)),
 
@@ -270,9 +275,30 @@ object PipelineQueries {
          |)
          |SELECT d.* FROM documents d WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup_id = d.doc_id)""".stripMargin
 
+  // connected components replayed in SQL: the verified pair graph (same
+  // band + similarity machinery as the dedup oracle), closed transitively
+  // with a recursive CTE — (id, label) pairs are finite and UNION dedups,
+  // so the fixpoint is exactly min-reachable-id per node
+  private val clusterOracle: String =
+    s"""WITH RECURSIVE $fnvSigCtes,
+       |pr AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |   AND $bandEq
+       |  WHERE len(list_filter(list_transform(generate_series(1,64), j -> l.sg[j] = r.sg[j]), x -> x))::DOUBLE / 64 >= 0.6
+       |),
+       |edges AS (SELECT a AS s, b AS d FROM pr UNION ALL SELECT b AS s, a AS d FROM pr),
+       |cc AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.d AS id, cc.label FROM cc JOIN edges e ON e.s = cc.id
+       |)
+       |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p_dedup_exact" -> "SELECT * FROM documents",
     "p_dedup_minhash" -> minhashOracle,
+    "p_dedup_cluster" -> clusterOracle,
     "p_dedup_ngram_jaccard" -> ngramJaccardOracle,
     "p_dedup_simhash" -> simhashOracle,
     "p_ann_lsh" -> lshOracle,

@@ -50,6 +50,29 @@ class PipelineSpec extends AnyFunSuite {
     base.unpersist()
   }
 
+  test("minhash clusters: transitive components, min-id labels") {
+    // A≈B, B≈C chain (one-word steps) plus an isolated doc: the cluster
+    // must close transitively even if A and C alone would not pair
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (10L, base),
+      (11L, base + " one"),
+      (12L, base + " one two"),
+      (99L, "completely unrelated text about catalyst optimizer rule injection"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashClusters(df, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) === 10L)
+    assert(out(11L) === 10L)
+    assert(out(12L) === 10L) // transitive: via 11
+    assert(out(99L) === 99L) // singleton labels itself
+    // agreement with pairwise dedup: every dropped doc is a non-representative
+    val kept = Dedup.minhashDedup(df, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reps = out.filter { case (id, label) => id == label }.keySet
+    assert(reps.subsetOf(kept))
+  }
+
   test("simhash dedup catches small edits") {
     val base = Dedup.simhashDedup(docs.limit(200), maxDistance = 3).cache()
     val planted = base.limit(15)
