@@ -91,7 +91,8 @@ object Dedup {
     * verification so each pair is verified exactly once.
     */
   private[graft] def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
+      threshold: Double, numHashes: Int, bands: Int, shingleN: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = numHashes / bands
     // repartition spreads signature computation across the cluster (a
     // single parquet file would otherwise pin it to one task); the
@@ -105,10 +106,22 @@ object Dedup {
       .repartition(col("_d_id"))
       .select(col("_d_id"),
         graft.functions.MinHashSig.minhashSig(col("_d_t"), numHashes, shingleN).as("_d_sig"))
-    val banded = sig.select(col("_d_id"),
+    val banded0 = sig.select(col("_d_id"),
         explode(lshBands(col("_d_sig"), bands, rows)).as("_d_band"))
       .select(col("_d_id"),
         col("_d_band.band").as("_d_b"), col("_d_band.bucket").as("_d_k"))
+    // optional scale guard: the self-join is quadratic in bucket width, so
+    // one degenerate bucket (e.g. 10k byte-identical docs — run exact
+    // dedup first) would emit ~10^8 pairs. Capping drops oversized buckets
+    // entirely (bounded recall loss, the standard production-LSH
+    // tradeoff); default off so results replay exactly in the oracle.
+    val banded = maxBucketSize match {
+      case None => banded0
+      case Some(cap) =>
+        val small = banded0.groupBy("_d_b", "_d_k").count()
+          .filter(col("count") <= cap).drop("count")
+        banded0.join(small, Seq("_d_b", "_d_k"), "left_semi")
+    }
     val pairs = banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_l_id"))
       .join(banded.select(col("_d_b"), col("_d_k"), col("_d_id").as("_r_id")),
         Seq("_d_b", "_d_k"))
@@ -126,8 +139,9 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3): DataFrame = {
-    val dupIds = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands, shingleN)
+      shingleN: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
+    val dupIds = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands,
+        shingleN, maxBucketSize)
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }
@@ -149,8 +163,10 @@ object Dedup {
     */
   def minhashClusters(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands, shingleN)
+      shingleN: Int = 3, maxIters: Int = 20,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val pairs = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands,
+      shingleN, maxBucketSize)
     val edges = pairs.select(col("_l_id").as("_cc_src"), col("_r_id").as("_cc_dst"))
       .unionByName(pairs.select(col("_r_id").as("_cc_src"), col("_l_id").as("_cc_dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

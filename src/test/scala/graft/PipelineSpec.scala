@@ -73,6 +73,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(reps.subsetOf(kept))
   }
 
+  test("minhash bucket cap bounds degenerate buckets (recall tradeoff)") {
+    // 40 byte-identical docs land in the same bucket of every band; a cap
+    // below 40 drops those buckets so no pairs are generated for them,
+    // while normal-width buckets still pair
+    val identical = (1L to 40L).map(i => (i, "same exact text repeated in every document here"))
+    val pairDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today and yesterday"),
+      (101L, "the quick brown fox jumps over the lazy dog today and tomorrow"))
+    val df = (identical ++ pairDocs).toDF("doc_id", "text")
+    val capped = Dedup.minhashDedup(df, threshold = 0.5, maxBucketSize = Some(10))
+    assert(capped.filter($"doc_id" <= 40L).count() === 40) // cap skipped them
+    assert(capped.filter($"doc_id" >= 100L).count() === 1) // normal pair deduped
+    val uncapped = Dedup.minhashDedup(df, threshold = 0.5)
+    assert(uncapped.filter($"doc_id" <= 40L).count() === 1) // default: exact behavior
+  }
+
   test("simhash dedup catches small edits") {
     val base = Dedup.simhashDedup(docs.limit(200), maxDistance = 3).cache()
     val planted = base.limit(15)
