@@ -91,6 +91,11 @@ object Stress {
     report("dedup_simhash",
       time(noop(Dedup.simhashDedup(docs1, maxDistance = 2))),
       time(noop(Dedup.simhashDedup(docsN, maxDistance = 2))))
+    // label propagation over N-way duplicate clusters: every replicated
+    // doc pairs with all its copies, so components are size-N cliques
+    report("dedup_clusters",
+      time(noop(Dedup.minhashClusters(docs1, threshold = 0.6))),
+      time(noop(Dedup.minhashClusters(docsN, threshold = 0.6))))
 
     println("[stress] DONE")
     spark.stop()
