@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{TableConfig, TableType}
+import graft.read.Readers
+import graft.table.{GraftTable, WritePipeline}
+
+/** IVF vector index persisted as graft tables — the index-once /
+  * query-many shape for similarity search at table scale.
+  * [[Similarity.ivfTopK]] rebuilds assignments per query run; here the
+  * build is a one-time table-service job and every search afterward is a
+  * pruned scan:
+  *
+  *  - `assignments` is a graft table PARTITIONED BY centroid id, so a
+  *    search's probe set turns into plan-time partition pruning — only
+  *    `nprobe`/`nlist` of the index's bytes are ever listed or read. At
+  *    100 TB of embeddings with nlist=1024, nprobe=8, a search scans
+  *    <1% of the index.
+  *  - `centroids` is a tiny unpartitioned graft table (nlist rows),
+  *    broadcast into the probe computation.
+  *
+  * Both tables are transactional: a rebuild is an insert_overwrite_table
+  * replacecommit, so concurrent searches keep reading the previous index
+  * snapshot until the new one publishes (and time travel can pin an old
+  * index version). Seeding/assignment math is [[Similarity.ivfBuild]] —
+  * deterministic and replayed exactly by the DuckDB oracle.
+  */
+object VectorIndex {
+
+  final case class IvfIndex(assignments: GraftTable, centroids: GraftTable)
+
+  private def partitionOf(cid: Any): String = s"c=$cid"
+
+  /** Build (or transactionally rebuild) the IVF index under `path`. */
+  def buildIvf(spark: SparkSession, path: String, corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val (assignments, centroids) = Similarity.ivfBuild(corpus, nlist, idCol, vecCol)
+    val aDf = assignments.select(col(idCol), col(vecCol), col("centroid_id"))
+    val cDf = centroids.select(col("centroid_id"), col("_ct_v").as(vecCol))
+    val aT = loadOrCreate(spark, s"$path/ivf_assignments", TableConfig(
+      "ivf_assignments", TableType.CopyOnWrite,
+      Seq(idCol), "concat('c=', centroid_id)", ""))
+    val cT = loadOrCreate(spark, s"$path/ivf_centroids", TableConfig(
+      "ivf_centroids", TableType.CopyOnWrite, Seq("centroid_id"), "", ""))
+    if (aT.timeline.completedDataInstants().isEmpty) aT.bulkInsert(aDf)
+    else aT.insertOverwriteTable(aDf)
+    if (cT.timeline.completedDataInstants().isEmpty) cT.bulkInsert(cDf)
+    else cT.insertOverwriteTable(cDf)
+    IvfIndex(aT, cT)
+  }
+
+  def load(spark: SparkSession, path: String): IvfIndex = IvfIndex(
+    GraftTable.load(spark, s"$path/ivf_assignments"),
+    GraftTable.load(spark, s"$path/ivf_centroids"))
+
+  /** Top-k cosine search against a persisted index. Probes the `nprobe`
+    * nearest centroids per query, then snapshot-reads ONLY the probed
+    * centroid partitions of the assignments table.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val idxCols = index.assignments.cfg.recordKeyFields
+    val idCol = idxCols.head
+    val vecCol = queryVec
+    val cents = Readers.snapshot(index.centroids)
+      .select(col("centroid_id"), col(vecCol).as("_ct_v"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
+    val qProbes = q.crossJoin(broadcast(cents))
+      .withColumn("_d", Similarity.l2Distance(col("_q_v"), col("_ct_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("centroid_id"))
+    val probes = qProbes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_q_v"), col("centroid_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // probed centroid set is bounded by nlist — a tiny driver collect
+      // that becomes plan-time partition pruning on the index scan
+      val probed = probes.select("centroid_id").distinct()
+        .collect().map(r => partitionOf(r.get(0))).toSeq
+      val cand = Readers.snapshot(index.assignments, partitions = Some(probed))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("_c_v"), col("centroid_id"))
+        .join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      val scored = cand.withColumn("score", Similarity.cosine(col("_q_v"), col("_c_v")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+        .localCheckpoint(eager = true)
+    } finally probes.unpersist()
+  }
+
+  private def loadOrCreate(spark: SparkSession, path: String, cfg: TableConfig): GraftTable =
+    if (graft.core.TableConfig.exists(Paths.get(GraftTable.normalize(path))))
+      GraftTable.load(spark, path)
+    else GraftTable.create(spark, path, cfg)
+}

@@ -98,6 +98,19 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // index-as-a-table: same IVF math, but the index persists in graft
+    // tables (assignments partitioned by centroid — searches prune to the
+    // probed partitions) and the search runs against the stored snapshot
+    "p_ann_ivf_table" -> ((s, d) => {
+      val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val p = s"/tmp/graft_q/ann_ivf_idx_${Integer.toHexString(d.hashCode)}"
+      graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+      val idx = VectorIndex.buildIvf(s, p, all, nlist = 16)
+      VectorIndex.ivfSearch(idx, all.filter(col("vec_id") < 3), k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // multimodal plumbing: schema-correct decode over binary columns
     "p_multimodal_decode" -> ((s, d) => {
       val blobs = Multimodal.withFakeBinary(docs(s, d), "doc_id")
@@ -303,6 +316,8 @@ object PipelineQueries {
     "p_dedup_simhash" -> simhashOracle,
     "p_ann_lsh" -> lshOracle,
     "p_ann_ivf" -> ivfOracle,
+    // identical math to p_ann_ivf — persistence must not change results
+    "p_ann_ivf_table" -> ivfOracle,
     // ground truth = brute-force cosine dedup (ours is hyperplane-LSH
     // accelerated; exact copies hash to the same bucket, and the data has
     // no natural pair above 0.51 cosine, so recall is exact here)

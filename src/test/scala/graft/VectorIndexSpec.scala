@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Similarity, VectorIndex}
+import graft.table.WritePipeline
+
+class VectorIndexSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+    .cache()
+
+  private def freshPath(name: String): String = {
+    val p = s"/tmp/graft_vidx/$name"
+    WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+    p
+  }
+
+  test("persisted IVF search == in-memory ivfTopK") {
+    val p = freshPath("parity")
+    val idx = VectorIndex.buildIvf(spark, p, embs, nlist = 8)
+    val queries = embs.filter(col("vec_id") < 5)
+    val viaTable = VectorIndex.ivfSearch(idx, queries, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (a, c) = Similarity.ivfBuild(embs, nlist = 8)
+    val direct = Similarity.ivfTopK(a, c, queries, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaTable === direct)
+    assert(viaTable.nonEmpty)
+  }
+
+  test("assignments table is partitioned by centroid; search prunes to probes") {
+    val p = freshPath("prune")
+    val idx = VectorIndex.buildIvf(spark, p, embs, nlist = 8)
+    val parts = idx.assignments.view.partitions()
+    assert(parts.size === 8)
+    assert(parts.forall(_.startsWith("c=")))
+    // a 1-probe search must touch exactly one partition's files
+    val q = embs.filter(col("vec_id") === 0)
+    val out = VectorIndex.ivfSearch(idx, q, k = 3, nprobe = 1)
+    assert(out.count() === 3)
+    // pruned snapshot of a single partition reads a strict subset of files
+    val one = graft.read.Readers.snapshot(idx.assignments,
+      partitions = Some(Seq(parts.head)))
+    val all = graft.read.Readers.snapshot(idx.assignments)
+    assert(one.count() < all.count())
+  }
+
+  test("rebuild is transactional insert_overwrite_table") {
+    val p = freshPath("rebuild")
+    VectorIndex.buildIvf(spark, p, embs.filter(col("vec_id") < 100), nlist = 4)
+    val idx2 = VectorIndex.buildIvf(spark, p, embs, nlist = 8)
+    // second build replaced the first: full corpus indexed, 8 partitions
+    val n = graft.read.Readers.snapshot(idx2.assignments).count()
+    assert(n === embs.count())
+    assert(idx2.assignments.view.partitions().size === 8)
+    // reload from disk sees the same state
+    val reloaded = VectorIndex.load(spark, p)
+    assert(graft.read.Readers.snapshot(reloaded.assignments).count() === n)
+  }
+}
