@@ -90,4 +90,63 @@ class PropertySpec extends AnyFunSuite {
         s"trial $trial")
     }
   }
+
+  /** Fuzz for the incremental/time-travel contract (SURVEY §7 hard part:
+    * begin-exclusive end-inclusive ranges over random write sequences):
+    *
+    *  - time travel at every commit equals a driver-side model replay
+    *  - for EVERY instant pair i<j, overlaying incremental(ts_i, ts_j]
+    *    onto snapshot@ts_i reconstructs snapshot@ts_j (upsert sequences —
+    *    this is exactly how an incremental consumer maintains a replica)
+    *  - a deletion is visible to the range containing it: the key is
+    *    absent from the incremental output AND from the reconstruction
+    */
+  test("fuzz: incremental ranges compose between arbitrary instants") {
+    (1 to 2).foreach { trial =>
+      // batches made unique per id up front: a within-batch precombine TIE
+      // (same id, same ver, different value) resolves by write seqno —
+      // deterministic in the engine but not worth modeling here, and
+      // bulk_insert intentionally never combines (reference semantics)
+      def uniq(rows: Seq[(Long, Long, String)]): Seq[(Long, Long, String)] =
+        rows.groupBy(_._1).values.map(_.maxBy(v => (v._2, v._3))).toSeq
+      val bs = batches(300L + trial, 5).map(uniq)
+      val t = mk(s"prop_incr_$trial")
+      // model replay: each batch overlays the map
+      var model = Map.empty[Long, (Long, String)]
+      var states = Vector.empty[(String, Map[Long, (Long, String)])]
+      def apply(rows: Seq[(Long, Long, String)], ts: String): Unit = {
+        rows.foreach { case (id, ver, v) => model = model.updated(id, (ver, v)) }
+        states :+= (ts -> model)
+      }
+      apply(bs.head, t.bulkInsert(df(bs.head)))
+      (1 until 5).foreach(i => apply(bs(i), t.upsert(df(bs(i)))))
+
+      // time travel at each commit equals the model at that point
+      states.foreach { case (ts, m) =>
+        val got = Readers.timeTravel(t, ts).select("id", "ver", "v")
+          .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got === m, s"trial $trial time travel @$ts")
+      }
+
+      // overlay composition for every instant pair
+      for (i <- states.indices; j <- (i + 1) until states.size) {
+        val (tsI, mI) = states(i); val (tsJ, mJ) = states(j)
+        val delta = Readers.incremental(t, tsI, Some(tsJ))
+          .select("id", "ver", "v")
+          .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(mI ++ delta === mJ, s"trial $trial overlay ($tsI, $tsJ]")
+      }
+
+      // delete visibility: remove some keys, check the spanning range
+      val victims = model.keys.take(3).toSeq
+      val preDeleteTs = states.last._1
+      t.delete(victims.map(id => (id, 99L, "")).toDF("id", "ver", "v"))
+      val afterDelete = Readers.incremental(t, preDeleteTs, None)
+        .select("id").as[Long].collect().toSet
+      assert(victims.forall(v => !afterDelete.contains(v)),
+        s"trial $trial: deleted keys must not appear in the incremental range")
+      val snapNow = snap(t).map(_._1)
+      assert(victims.forall(v => !snapNow.contains(v)), s"trial $trial: delete applied")
+    }
+  }
 }
