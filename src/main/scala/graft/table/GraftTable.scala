@@ -101,8 +101,11 @@ final class GraftTable(
     // write through one task (file-size targets govern at scale; parallelism
     // governs below it).
     val sizeFiles = math.ceil(targetBytes.toDouble / maxFileSize).toInt
+    // 128 KB per task floor: a load under one target file still spreads
+    // across the cluster (a 2 MB load serialized through one task wastes
+    // the cluster; at real scale sizeFiles >> parallelism and governs)
     val parFloor = math.min(spark.sparkContext.defaultParallelism,
-      math.ceil(targetBytes / (8.0 * 1024 * 1024)).toInt)
+      math.ceil(targetBytes / (128.0 * 1024)).toInt)
     val numFiles = math.max(1, math.max(sizeFiles, parFloor))
     val prefix = newFileIdPrefix()
     // fileId embeds a partition-path hash: a spark partition straddling two
