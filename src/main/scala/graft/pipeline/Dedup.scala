@@ -24,6 +24,11 @@ object Dedup {
     * back to sort-based aggregation past 128 groups per partition —
     * catastrophic when nearly every fingerprint is unique. Winners then
     * rejoin by (fingerprint, id) semi-join, a plain shuffled equi-join.
+    *
+    * Contract: `idCol` must be unique across rows (a record key). The
+    * winner is identified by (fingerprint, id), so duplicate ids sharing
+    * the winning value would all survive the semi-join — exactly one row
+    * per fingerprint is only guaranteed for unique ids.
     */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val fp = TextStats.fingerprint(col(textCol))
@@ -191,6 +196,14 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      // a component wider than maxIters hops would exit with partially
+      // propagated labels — wrong cluster_ids with no signal; fail loudly
+      if (!converged)
+        throw new IllegalStateException(
+          s"minhashClusters did not converge after $maxIters rounds: a " +
+            "connected component's diameter exceeds maxIters, so labels are " +
+            "only partially propagated. Raise maxIters (rounds needed = " +
+            "component diameter; near-dup clusters are normally 1-3 hops).")
       labels.select(col("_cc_id").as(idCol), col("_cc_label").as("cluster_id"))
         // materialize before the persisted frames unpersist in finally
         .localCheckpoint(eager = true)

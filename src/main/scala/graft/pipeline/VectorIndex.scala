@@ -24,19 +24,36 @@ import graft.table.{GraftTable, WritePipeline}
   *  - `centroids` is a tiny unpartitioned graft table (nlist rows),
   *    broadcast into the probe computation.
   *
-  * Both tables are transactional: a rebuild is an insert_overwrite_table
-  * replacecommit, so concurrent searches keep reading the previous index
-  * snapshot until the new one publishes (and time travel can pin an old
-  * index version). Seeding/assignment math is [[Similarity.ivfBuild]] —
-  * deterministic and replayed exactly by the DuckDB oracle.
+  * Both tables are transactional (a rebuild is an insert_overwrite_table
+  * replacecommit), and the PAIR is versioned by a manifest: after both
+  * commits publish, `ivf_manifest.json` is atomically renamed into place
+  * recording the (assignments, centroids) instants that belong together.
+  * Searches pin both tables to the manifest's instants via time travel,
+  * so a reader never observes new assignments with old centroids (or
+  * vice versa) during a rebuild — the index version is a single atomic
+  * marker, not two independent table heads. Seeding/assignment math is
+  * [[Similarity.ivfBuild]] — deterministic and replayed exactly by the
+  * DuckDB oracle.
   */
 object VectorIndex {
 
-  final case class IvfIndex(assignments: GraftTable, centroids: GraftTable)
+  /** A consistent index snapshot: both tables pinned to the instants the
+    * manifest published together (None = pre-manifest table head, only
+    * seen for indexes written by older builds).
+    */
+  final case class IvfIndex(assignments: GraftTable, centroids: GraftTable,
+      assignInstant: Option[String] = None, centInstant: Option[String] = None)
 
   private def partitionOf(cid: Any): String = s"c=$cid"
 
-  /** Build (or transactionally rebuild) the IVF index under `path`. */
+  private def manifestPath(path: String) =
+    Paths.get(GraftTable.normalize(path)).resolve("ivf_manifest.json")
+
+  /** Build (or transactionally rebuild) the IVF index under `path`. The
+    * new version becomes visible to [[load]]ers atomically when the
+    * manifest rename lands; concurrent searches loaded from the previous
+    * manifest keep reading the previous snapshot of BOTH tables.
+    */
   def buildIvf(spark: SparkSession, path: String, corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val (assignments, centroids) = Similarity.ivfBuild(corpus, nlist, idCol, vecCol)
@@ -47,16 +64,40 @@ object VectorIndex {
       Seq(idCol), "concat('c=', centroid_id)", ""))
     val cT = loadOrCreate(spark, s"$path/ivf_centroids", TableConfig(
       "ivf_centroids", TableType.CopyOnWrite, Seq("centroid_id"), "", ""))
-    if (aT.timeline.completedDataInstants().isEmpty) aT.bulkInsert(aDf)
-    else aT.insertOverwriteTable(aDf)
-    if (cT.timeline.completedDataInstants().isEmpty) cT.bulkInsert(cDf)
-    else cT.insertOverwriteTable(cDf)
-    IvfIndex(aT, cT)
+    val aInst =
+      if (aT.timeline.completedDataInstants().isEmpty) aT.bulkInsert(aDf)
+      else aT.insertOverwriteTable(aDf)
+    val cInst =
+      if (cT.timeline.completedDataInstants().isEmpty) cT.bulkInsert(cDf)
+      else cT.insertOverwriteTable(cDf)
+    // atomic version marker: temp write + rename (same publish protocol as
+    // timeline instants) — readers see either the old pair or the new pair
+    val mf = manifestPath(path)
+    val tmp = mf.resolveSibling(s".ivf_manifest.${aInst}.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"assignments_instant":"$aInst","centroids_instant":"$cInst"}""")
+    java.nio.file.Files.move(tmp, mf,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    IvfIndex(aT, cT, Some(aInst), Some(cInst))
   }
 
-  def load(spark: SparkSession, path: String): IvfIndex = IvfIndex(
-    GraftTable.load(spark, s"$path/ivf_assignments"),
-    GraftTable.load(spark, s"$path/ivf_centroids"))
+  /** Load the index pinned to the manifest's consistent version (falls
+    * back to the table heads when no manifest exists).
+    */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val (ai, ci) = {
+      val mf = manifestPath(path)
+      if (java.nio.file.Files.exists(mf)) {
+        val m = graft.core.Json.read[Map[String, String]](
+          java.nio.file.Files.readString(mf))
+        (m.get("assignments_instant"), m.get("centroids_instant"))
+      } else (None, None)
+    }
+    IvfIndex(
+      GraftTable.load(spark, s"$path/ivf_assignments"),
+      GraftTable.load(spark, s"$path/ivf_centroids"), ai, ci)
+  }
 
   /** Top-k cosine search against a persisted index. Probes the `nprobe`
     * nearest centroids per query, then snapshot-reads ONLY the probed
@@ -67,7 +108,7 @@ object VectorIndex {
     val idxCols = index.assignments.cfg.recordKeyFields
     val idCol = idxCols.head
     val vecCol = queryVec
-    val cents = Readers.snapshot(index.centroids)
+    val cents = Readers.snapshot(index.centroids, asOf = index.centInstant)
       .select(col("centroid_id"), col(vecCol).as("_ct_v"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
     val qProbes = q.crossJoin(broadcast(cents))
@@ -82,7 +123,8 @@ object VectorIndex {
       // that becomes plan-time partition pruning on the index scan
       val probed = probes.select("centroid_id").distinct()
         .collect().map(r => partitionOf(r.get(0))).toSeq
-      val cand = Readers.snapshot(index.assignments, partitions = Some(probed))
+      val cand = Readers.snapshot(index.assignments, asOf = index.assignInstant,
+          partitions = Some(probed))
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("_c_v"), col("centroid_id"))
         .join(broadcast(probes), Seq("centroid_id"))
         .filter(col("query_id") =!= col("neighbor_id"))

@@ -1,7 +1,7 @@
 package graft.table
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,6 +40,14 @@ import graft.core._
   *    (SparkHoodieBloomIndex.java:230-299, HoodieBloomIndexCheckFunction
   *    .java:42-96) — a 100 TB table's ~10^6 filters would be hundreds of
   *    GB, so a broadcast-the-filters design cannot scale past toy tables.
+  *
+  * Executor-side sidecar IO goes through Hadoop's FileSystem API resolved
+  * from the sidecar URI — on a cluster the same code targets whatever
+  * store backs the table path (hdfs://, s3a://, ...); locally it resolves
+  * to the file:// implementation. Publication is create-temp + rename
+  * (atomic on HDFS and local FS; object stores get last-writer-wins
+  * semantics, which is safe here because sidecars are content-addressed
+  * by base-file path and thus written exactly once per file).
   */
 object BloomIndex {
 
@@ -48,14 +56,47 @@ object BloomIndex {
 
   private def bloomDir(base: Path): Path = base.resolve(".graft").resolve("blooms")
 
+  private def sidecarName(relPath: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(relPath.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".bloom"
+
   /** Sidecar path for a base file, keyed by its table-relative path (so a
     * rewritten file group's new base gets a new sidecar and stale ones are
     * simply never referenced again).
     */
   def sidecarPath(base: Path, relPath: String): Path =
-    bloomDir(base).resolve(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(relPath.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".bloom")
+    bloomDir(base).resolve(sidecarName(relPath))
+
+  // -- executor-side sidecar IO: Hadoop FileSystem resolved per-URI, so the
+  //    same tasks run against file://, hdfs://, s3a://, ... (never java.nio,
+  //    which only reaches a driver-local or shared-POSIX path)
+
+  private def hPath(baseUri: String, relPath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$baseUri/.graft/blooms/${sidecarName(relPath)}")
+
+  private def writeSidecar(baseUri: String, relPath: String, bf: BloomFilter): Unit = {
+    val target = hPath(baseUri, relPath)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = target.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.toString + "." + java.util.UUID.randomUUID + ".tmp")
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val out = fs.create(tmp, true)
+    try out.write(bos.toByteArray) finally out.close()
+    // atomic publish on HDFS/local; an existing target (idempotent replay
+    // of the same write) is replaced
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) { fs.delete(tmp, false) }
+  }
+
+  private def readSidecar(baseUri: String, relPath: String): BloomFilter = {
+    val p = hPath(baseUri, relPath)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try BloomFilter.readFrom(in) finally in.close()
+  }
 
   /** Build + persist one bloom sidecar per freshly-written base file, in a
     * single distributed pass (key column + file name only). Sized by
@@ -75,7 +116,7 @@ object BloomIndex {
     }.toMap
     val paths = baseStats.map(ws => base.resolve(ws.path).toString)
     Files.createDirectories(bloomDir(base)) // pre-create: executors only write files
-    val baseStr = base.toString
+    val baseUri = base.toUri.toString.stripSuffix("/")
     val bcByUri = spark.sparkContext.broadcast(byUri)
     import spark.implicits._
     spark.read.parquet(paths: _*)
@@ -85,16 +126,7 @@ object BloomIndex {
       .mapGroups { (file, it) =>
         val bf = BloomFilter.create(entries, fpp)
         it.foreach(r => bf.putString(r._1))
-        bcByUri.value.get(file).foreach { rel =>
-          val target = sidecarPath(Paths.get(baseStr), rel)
-          val tmp = target.resolveSibling(
-            target.getFileName.toString + "." + java.util.UUID.randomUUID + ".tmp")
-          val bos = new ByteArrayOutputStream()
-          bf.writeTo(bos)
-          Files.write(tmp, bos.toByteArray)
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+        bcByUri.value.get(file).foreach(rel => writeSidecar(baseUri, rel, bf))
         1
       }
       .count() // action: triggers the distributed build+publish
@@ -118,7 +150,7 @@ object BloomIndex {
     // narrow metadata only: (partition, minKey, maxKey, sidecar rel path)
     val meta = withBloom.map(e => (e.partitionPath, e.minKey, e.maxKey, e.relPath))
     val bc = spark.sparkContext.broadcast(meta)
-    val baseStr = base.toString
+    val baseUri = base.toUri.toString.stripSuffix("/")
     import spark.implicits._
     val isGlobal = global // stable local for the closure
     val keyed =
@@ -146,8 +178,7 @@ object BloomIndex {
     val hitRels = pairs
       .groupByKey(_._1)
       .flatMapGroups { (rel, it) =>
-        val bytes = Files.readAllBytes(sidecarPath(Paths.get(baseStr), rel))
-        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+        val bf = readSidecar(baseUri, rel)
         if (it.exists(t => bf.mightContainString(t._2))) Iterator.single(rel)
         else Iterator.empty
       }

@@ -63,4 +63,25 @@ class VectorIndexSpec extends AnyFunSuite {
     val reloaded = VectorIndex.load(spark, p)
     assert(graft.read.Readers.snapshot(reloaded.assignments).count() === n)
   }
+
+  test("manifest pins a consistent (assignments, centroids) version") {
+    val p = freshPath("manifest")
+    VectorIndex.buildIvf(spark, p, embs.filter(col("vec_id") < 100), nlist = 4)
+    // a loader from BEFORE the rebuild keeps reading the old pair even
+    // after new table heads publish — the two-commit window is invisible
+    val oldIdx = VectorIndex.load(spark, p)
+    val oldCentroids = graft.read.Readers
+      .snapshot(oldIdx.centroids, asOf = oldIdx.centInstant).count()
+    VectorIndex.buildIvf(spark, p, embs, nlist = 8)
+    assert(graft.read.Readers
+      .snapshot(oldIdx.centroids, asOf = oldIdx.centInstant).count() === oldCentroids)
+    val out = VectorIndex.ivfSearch(oldIdx, embs.filter(col("vec_id") === 1), k = 3)
+    assert(out.count() === 3)
+    // a fresh load is pinned to the new pair
+    val newIdx = VectorIndex.load(spark, p)
+    assert(newIdx.assignInstant.isDefined && newIdx.centInstant.isDefined)
+    assert(newIdx.assignInstant !== oldIdx.assignInstant)
+    assert(graft.read.Readers
+      .snapshot(newIdx.centroids, asOf = newIdx.centInstant).count() === 8)
+  }
 }
