@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines:
+  * stratified downsampling (domain/source mixing) and train/test
+  * splitting. Everything keys off a PORTABLE content hash of the row id
+  * (md5 → 60-bit int, the same family the dedup/simhash operators use),
+  * so samples are:
+  *
+  *  - reproducible across runs, engines and cluster sizes (no RNG, no
+  *    partition-dependent seed — unlike `DataFrame.sample`, adding an
+  *    executor never changes membership);
+  *  - stable under data growth — a row's bucket never changes, so
+  *    yesterday's sample is a subset of today's at the same rate;
+  *  - verifiable row-for-row by the DuckDB oracle.
+  *
+  * Scale shape: the membership test is a pure per-row expression inside
+  * whole-stage codegen (no shuffle at all); per-stratum rates arrive via
+  * a broadcast join against a tiny (stratum, rate) table.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, 10000): md5 of the id, top 15 hex chars as a
+    * 60-bit int, mod 10⁴ — two decimal places of sampling resolution.
+    */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), lit(10000L))
+
+  /** Uniform deterministic sample: keep ~`rate` of rows by id bucket. */
+  def sample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit((rate * 10000).round))
+
+  /** Stratified sample: per-stratum keep rates (e.g. downweight a crawl
+    * source, upweight curated text). Strata absent from `rates` keep
+    * `defaultRate`. The rate table is broadcast — strata counts are
+    * human-scale (sources, languages, quality tiers), never row-scale.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF("_smp_stratum", "_smp_rate")
+    df.join(broadcast(rateDf), col(strataCol) === col("_smp_stratum"), "left_outer")
+      .filter(hashBucket(col(idCol)) <
+        (coalesce(col("_smp_rate"), lit(defaultRate)) * 10000).cast("long"))
+      .drop("_smp_stratum", "_smp_rate")
+  }
+
+  /** Mix strata toward target WEIGHTS (proportions of the output): one
+    * small count aggregation derives the per-stratum keep rate that hits
+    * the largest achievable sample honoring the weights, then delegates
+    * to [[stratifiedSample]]. Weights are normalized; a stratum with no
+    * weight is dropped.
+    */
+  def mixToWeights(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val total = weights.values.sum
+    require(total > 0, "weights must have a positive sum")
+    val norm = weights.view.mapValues(_ / total).toMap
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum determines the output size: output N maximal
+    // s.t. for every stratum, N * w_s <= count_s
+    val n = norm.collect { case (s, w) if w > 0 && counts.contains(s) =>
+      counts(s) / w
+    }.minOption.getOrElse(0.0)
+    val rates = norm.collect { case (s, w) if counts.contains(s) =>
+      s -> math.min(1.0, n * w / counts(s))
+    }
+    stratifiedSample(df, strataCol, idCol, rates, defaultRate = 0.0)
+  }
+
+  /** Deterministic train/validation/test split tag: `split` column from
+    * disjoint id-hash bucket ranges (test gets [0, testFrac), validation
+    * the next band, train the rest). Membership is content-stable, so
+    * re-running on grown data never leaks test rows into train.
+    */
+  def trainTestSplit(df: DataFrame, idCol: String, testFrac: Double = 0.1,
+      validFrac: Double = 0.0): DataFrame = {
+    val b = hashBucket(col(idCol))
+    val testHi = (testFrac * 10000).round
+    val validHi = testHi + (validFrac * 10000).round
+    df.withColumn("split",
+      when(b < testHi, "test").when(b < validHi, "valid").otherwise("train"))
+  }
+}

@@ -118,7 +118,45 @@ object PipelineQueries {
         .select(col("id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.format").as("format"),
           col("byteLen").as("byte_len"))
-    }))
+    }),
+
+    // gap-based sessionization: one shuffle on user, shared-sort windows
+    "p_sessionize" -> ((s, d) =>
+      Sessions.sessionStats(QUtil.events(s, d), maxGapSeconds = 1800)
+        .select(col("user_id"), col("session_seq"),
+          col("n_events"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_s"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_s"),
+          col("total_value"), col("duration_s"))),
+
+    // as-of join (attribution): each click picks up the latest same-user
+    // view at or before it — union + one ordered window, no range explosion
+    "p_asof_join" -> ((s, d) => {
+      val ev = QUtil.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      AsofJoin.asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts",
+          rightCols = Seq("view_id", "view_ts"), tieBreak = Seq("view_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          col("view_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts_s"))
+    }),
+
+    // deterministic stratified sample: portable md5 bucket vs per-source
+    // keep rates — membership replays row-for-row in any engine
+    "p_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(docs(s, d), "source", "doc_id",
+        rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.75),
+        defaultRate = 1.0)),
+
+    // content-stable train/valid/test split tags
+    "p_train_test_split" -> ((s, d) =>
+      Sampling.trainTestSplit(docs(s, d), "doc_id", testFrac = 0.1, validFrac = 0.1)
+        .select(col("doc_id"), col("source"), col("split"))))
 
   // ---- portable-hash SQL fragments for the dedup oracles --------------
   //
@@ -308,7 +346,55 @@ object PipelineQueries {
        |)
        |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin
 
+  private val sessionizeOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM o
+      |)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_s,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+      |FROM s GROUP BY user_id, session_seq""".stripMargin
+
+  private val asofOracle: String =
+    """SELECT c.event_id, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  v.event_id AS view_id,
+      |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts_s
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
+
+  private val stratifiedOracle: String =
+    """SELECT * FROM documents
+      |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) <
+      |  CAST(10000 * (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+      |    WHEN 'src2' THEN 0.75 ELSE 1.0 END) AS BIGINT)""".stripMargin
+
+  private val splitOracle: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN b < 1000 THEN 'test' WHEN b < 2000 THEN 'valid'
+      |    ELSE 'train' END AS split
+      |FROM (SELECT doc_id, source,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p_sessionize" -> sessionizeOracle,
+    "p_asof_join" -> asofOracle,
+    "p_sample_stratified" -> stratifiedOracle,
+    "p_train_test_split" -> splitOracle,
     "p_dedup_exact" -> "SELECT * FROM documents",
     "p_dedup_minhash" -> minhashOracle,
     "p_dedup_cluster" -> clusterOracle,

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{AsofJoin, Sampling, Sessions}
+
+class SessionsSamplingSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, sec: Long): (Long, java.sql.Timestamp, Long, Double) =
+    (id, new java.sql.Timestamp(sec * 1000L), user, 1.0)
+
+  test("sessionize: gap splits, order is per-entity") {
+    // user 1: events at 0s, 10s, [gap] 4000s; user 2: one event
+    val df = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 4000), ev(10, 2, 5))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessions.sessionize(df, maxGapSeconds = 1800)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out(1) === 1L && out(2) === 1L)
+    assert(out(3) === 2L) // past the gap → new session
+    assert(out(10) === 1L)
+    val stats = Sessions.sessionStats(df, maxGapSeconds = 1800)
+    val s11 = stats.filter($"user_id" === 1 && $"session_seq" === 1).collect().head
+    assert(s11.getAs[Long]("n_events") === 2L)
+    assert(s11.getAs[Long]("duration_s") === 10L)
+  }
+
+  test("asofJoin: inclusive <=, latest-right wins, unmatched survive") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
+      .map { case (id, u, s) => (id, u, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("id", "user_id", "ts")
+    val right = Seq((50L, 100L, 10L, "a"), (51L, 100L, 20L, "b"), (52L, 300L, 1L, "c"))
+      .map { case (id, u, s, v) => (id, u, new java.sql.Timestamp(s * 1000L), v) }
+      .toDF("rid", "user_id", "rts", "tag")
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "rts",
+        rightCols = Seq("rid", "tag"), tieBreak = Seq("rid"))
+      .select("id", "rid", "tag").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) === (Some(50L), Some("a"))) // equal ts matches (inclusive)
+    assert(out(2L) === (Some(51L), Some("b"))) // latest right ≤ 25
+    assert(out(3L) === (None, None))           // no right rows for user 200
+  }
+
+  test("sampling: deterministic, growth-stable, stratified rates hold") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val s1 = Sampling.sample(docs, "doc_id", 0.3).select("doc_id").collect().toSet
+    val s2 = Sampling.sample(docs, "doc_id", 0.3).select("doc_id").collect().toSet
+    assert(s1 === s2) // same membership every run
+    // raising the rate only ADDS rows (bucket membership is stable)
+    val s3 = Sampling.sample(docs, "doc_id", 0.5).select("doc_id").collect().toSet
+    assert(s1.subsetOf(s3))
+    // split tags partition the table and are disjoint from each other
+    val split = Sampling.trainTestSplit(docs, "doc_id", 0.2, 0.2)
+    assert(split.count() === docs.count())
+    val byTag = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byTag.keySet === Set("train", "valid", "test"))
+    // 500 docs, 20% bands: binomial bounds loose enough to never flake
+    assert(byTag("test") > 50 && byTag("test") < 150)
+    // stratified: a 0-rate stratum vanishes, a 1-rate stratum is complete
+    val strat = Sampling.stratifiedSample(docs, "source", "doc_id",
+      rates = Map("src0" -> 0.0, "src1" -> 1.0), defaultRate = 0.0)
+    assert(strat.filter($"source" === "src0").count() === 0)
+    assert(strat.filter($"source" === "src1").count() ===
+      docs.filter($"source" === "src1").count())
+  }
+
+  test("mixToWeights: output proportions approach targets") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"source".isin("src0", "src1", "src2"))
+    val out = Sampling.mixToWeights(docs, "source", "doc_id",
+      weights = Map("src0" -> 2.0, "src1" -> 1.0))
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("src2")) // unweighted stratum dropped
+    // src0 should outnumber src1 roughly 2:1 (hash-rounding tolerance)
+    assert(counts("src0") > counts.getOrElse("src1", 0L))
+  }
+}
