@@ -60,6 +60,15 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     // multi-match would be nondeterministic, so it errors instead.
     val srcRaw = KeyGen.withKeyColumns(source, t.cfg)
     val pc = t.cfg.precombineField
+    // ONE aggregation job yields both the touched-partition list (for the
+    // pruned target snapshot) and the per-partition max key multiplicity
+    // (the ANSI multi-match check) — the partition set is invariant under
+    // precombine dedup, so it can come from the raw source
+    val partStats = srcRaw.groupBy(MetaCols.PartitionPath, MetaCols.RecordKey)
+      .count()
+      .groupBy(MetaCols.PartitionPath).agg(max(col("count")).as("_mx"))
+      .collect()
+    val parts = partStats.map(_.getString(0)).toSeq
     val srcKeyed =
       if (pc.nonEmpty && source.columns.contains(pc)) {
         val w = org.apache.spark.sql.expressions.Window
@@ -68,18 +77,14 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
         srcRaw.withColumn("_graft_src_rn", row_number().over(w))
           .filter(col("_graft_src_rn") === 1).drop("_graft_src_rn")
       } else {
-        val dups = srcRaw.groupBy(MetaCols.PartitionPath, MetaCols.RecordKey)
-          .count().filter(col("count") > 1).limit(1).collect()
-        require(dups.isEmpty,
-          s"MERGE source has multiple rows for key ${dups.headOption.map(_.getString(1)).getOrElse("")} " +
-            "and the table has no precombine field to resolve them (ANSI MERGE multi-match)")
+        require(partStats.forall(_.getLong(1) <= 1),
+          "MERGE source has multiple rows for one record key and the table " +
+            "has no precombine field to resolve them (ANSI MERGE multi-match)")
         srcRaw
       }
     // the keyed source feeds both join sides across several jobs (profile,
     // write) — cache it once
     srcKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val parts = srcKeyed.select(MetaCols.PartitionPath).distinct()
-      .collect().map(_.getString(0)).toSeq
     val target = Readers.snapshot(t, partitions = Some(parts))
 
     try {
