@@ -30,6 +30,14 @@ final case class TableConfig(
   def prop(key: String, default: String): String = props.getOrElse(key, default)
   def propLong(key: String, default: Long): Long =
     props.get(key).map(_.toLong).getOrElse(default)
+
+  /** Base-file format: "parquet" (default) or "orc" — the reference's
+    * HoodieFileFormat choice (reference model/HoodieFileFormat.java,
+    * DefaultSource.scala:199-200; HFILE is out of scope). MOR delta files
+    * stay parquet regardless, like the reference's log format being
+    * independent of the base format.
+    */
+  def baseFormat: String = prop(ConfigKeys.BaseFormat, "parquet")
 }
 
 object TableType {
@@ -47,6 +55,7 @@ object ConfigKeys {
   val ArchiveMinCommits = "graft.archive.min.commits"       // 20
   val ArchiveMaxCommits = "graft.archive.max.commits"       // 30
   val IndexType = "graft.index.type"                        // SIMPLE | BLOOM
+  val BaseFormat = "graft.base.format"                      // parquet | orc
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
 

@@ -209,6 +209,17 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // ORC base format: same upsert semantics, different columnar bytes
+    "t_orc_upsert" -> ((s, d) => {
+      val t = fresh(s, d, "t_orc_upsert",
+        cfg(TableType.CopyOnWrite, Map(graft.core.ConfigKeys.BaseFormat -> "orc")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(Readers.snapshot(t))
+    }),
+
     "t_mor_read_optimized" -> ((s, d) => {
       val t = fresh(s, d, "t_mor_ro",
         cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
@@ -491,6 +502,10 @@ object TableOps {
       s"""SELECT $OrdersSql,
          |CASE WHEN o_orderkey % 13 = 0 THEN 'x' ELSE NULL END AS note FROM orders""".stripMargin,
     "t_mor_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_orc_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,

@@ -71,9 +71,16 @@ object Readers {
         // the partition column comes from the index, not the file bytes
         val dataSchema = org.apache.spark.sql.types.StructType(
           schema.fields.filterNot(_.name == MetaCols.PartitionPath))
-        val scan = org.apache.spark.sql.GraftSqlBridge.parquetScan(
-          t.spark, new GraftFileIndex(t.spark, t.basePath, entries), dataSchema)
-        scan.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        // one native scan per base format (mixed only for tables whose
+        // format changed mid-history) — both push filters and vectorize
+        entries.groupBy(e => graft.table.WritePipeline.formatOf(e.relPath))
+          .toSeq.sortBy(_._1)
+          .map { case (fmt, es) =>
+            org.apache.spark.sql.GraftSqlBridge.fileScan(
+                t.spark, new GraftFileIndex(t.spark, t.basePath, es), dataSchema, fmt)
+              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          }
+          .reduce(_.unionByName(_))
     }
   }
 

@@ -119,9 +119,12 @@ object BloomIndex {
     val baseUri = base.toUri.toString.stripSuffix("/")
     val bcByUri = spark.sparkContext.broadcast(byUri)
     import spark.implicits._
-    spark.read.parquet(paths: _*)
+    // one write's base files share a format; read key column natively.
+    // _metadata.file_path (not input_file_name) keeps this scan immune to
+    // CacheManager substitution of a user-cached scan of the same files
+    spark.read.format(WritePipeline.formatOf(baseStats.head.path)).load(paths: _*)
       .select(col(MetaCols.RecordKey).as[String],
-        regexp_replace(input_file_name(), "^file:/+", "/").as[String])
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as[String])
       .groupByKey(_._2)
       .mapGroups { (file, it) =>
         val bf = BloomFilter.create(entries, fpp)

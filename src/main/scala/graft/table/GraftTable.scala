@@ -126,8 +126,9 @@ final class GraftTable(
           .withColumn(FileIdCol, fileIdExpr)
       case other => throw new IllegalArgumentException(s"unknown sort mode '$other'")
     }
-    val stats = writeFiles(spark, basePath, withCommitMeta(ranged, instant, isDelta = false),
-      instant, isDelta = false, alreadyPartitioned = true)
+    val stats = writeFiles(spark, basePath,
+      withCommitMeta(ranged, instant, isDelta = false, baseFormat = cfg.baseFormat),
+      instant, isDelta = false, alreadyPartitioned = true, baseFormat = cfg.baseFormat)
     (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
   }
 
@@ -289,8 +290,9 @@ final class GraftTable(
         .filter(s => touched.contains(s.partitionPath))
         .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       val routed = assignFreshBuckets(keyed)
-      val stats = writeFiles(spark, basePath, withCommitMeta(routed, instant, isDelta = false),
-        instant, isDelta = false)
+      val stats = writeFiles(spark, basePath,
+        withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
+        instant, isDelta = false, baseFormat = cfg.baseFormat)
       (stats, replaced, schemaJsonFor(keyed))
     }
 
@@ -303,8 +305,9 @@ final class GraftTable(
       val replaced = view.fileSlices(None)
         .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       val routed = assignFreshBuckets(keyed)
-      val stats = writeFiles(spark, basePath, withCommitMeta(routed, instant, isDelta = false),
-        instant, isDelta = false)
+      val stats = writeFiles(spark, basePath,
+        withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
+        instant, isDelta = false, baseFormat = cfg.baseFormat)
       (stats, replaced, schemaJsonFor(keyed))
     }
 
@@ -753,7 +756,8 @@ final class GraftTable(
     val withDel =
       if (routed.columns.contains(DeleteCol)) routed
       else routed.withColumn(DeleteCol, lit(false))
-    val newData = withCommitMeta(withDel, instant, isDelta = false)
+    val newData = withCommitMeta(withDel, instant, isDelta = false,
+      baseFormat = cfg.baseFormat)
 
     // file groups being rewritten = every group any row routes to (the
     // caller's profile job usually already knows this set)
@@ -769,10 +773,11 @@ final class GraftTable(
         .unionByName(newData, allowMissingColumns = true)
     val merged = dedupLatestWins(unioned)
       // rewritten rows land in a new physical file: refresh the name column
-      .withColumn(MetaCols.FileName, concat(col(FileIdCol), lit(s"_0_$instant.parquet")))
+      .withColumn(MetaCols.FileName,
+        concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
 
     val stats = writeFiles(spark, basePath, merged, instant, isDelta = false,
-      alreadyPartitioned = true)
+      alreadyPartitioned = true, baseFormat = cfg.baseFormat)
     // a group whose merge produced NO rows (every record tombstoned) writes
     // no file — record it as replaced or its old base would stay the
     // latest slice and the deleted rows would resurrect
@@ -864,10 +869,12 @@ final class GraftTable(
           .withColumn(MetaCols.CommitTime, coalesce(col(MetaCols.CommitTime), lit(instant)))
           .withColumn(MetaCols.CommitSeqno, coalesce(col(MetaCols.CommitSeqno),
             concat(lit(instant + "_"), monotonically_increasing_id().cast("string"))))
-          .withColumn(MetaCols.FileName, concat(col(FileIdCol), lit(s"_0_$instant.parquet")))
+          .withColumn(MetaCols.FileName,
+            concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
         val dataCols = stamped.columns.filterNot(c => MetaCols.All.contains(c))
         val framed = stamped.select((MetaCols.All ++ dataCols).map(col): _*)
-        val stats = writeFiles(spark, basePath, framed, instant, isDelta = false)
+        val stats = writeFiles(spark, basePath, framed, instant, isDelta = false,
+          baseFormat = cfg.baseFormat)
         val written = stats.map(_.fileId).toSet
         // a rewritten group that wrote no file (all rows deleted) must be
         // recorded as replaced or its old base stays the latest slice
@@ -899,7 +906,8 @@ final class GraftTable(
     val baseStats =
       if (!hasInserts) Seq.empty
       else writeFiles(spark, basePath,
-        withCommitMeta(insertRouted, instant, isDelta = false), instant, isDelta = false)
+        withCommitMeta(insertRouted, instant, isDelta = false, baseFormat = cfg.baseFormat),
+        instant, isDelta = false, baseFormat = cfg.baseFormat)
     (deltaStats ++ baseStats, Map.empty, schemaJsonFor(tagged))
   }
 
@@ -915,19 +923,21 @@ final class GraftTable(
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
     val (ext, internal) = entries.partition(e => Paths.get(e.relPath).isAbsolute)
-    val frames = Seq(
-      if (internal.isEmpty) None else Some {
-        val paths = internal.map(e => basePath.resolve(e.relPath).toString)
+    // per-format scan (ORC base files coexist with parquet delta files;
+    // commit metadata records full names, so each file reads natively)
+    val internalFrames = internal.groupBy(e => WritePipeline.formatOf(e.relPath))
+      .toSeq.sortBy(_._1).map { case (fmt, es) =>
+        val paths = es.map(e => basePath.resolve(e.relPath).toString)
         val reader = spark.read
-        val withDelete = internal.exists(_.isDelta)
+        val withDelete = es.exists(_.isDelta)
         val readSchema = schema.map { s =>
           if (withDelete) StructType(s.fields :+ StructField(DeleteCol, BooleanType, nullable = true))
           else s
         }
-        readSchema.map(reader.schema).getOrElse(reader).parquet(paths: _*)
-      },
-      if (ext.isEmpty) None else Some(readExternal(ext, schema))
-    ).flatten
+        readSchema.map(reader.schema).getOrElse(reader).format(fmt).load(paths: _*)
+      }
+    val frames = internalFrames ++
+      (if (ext.isEmpty) None else Some(readExternal(ext, schema)))
     frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
@@ -940,17 +950,25 @@ final class GraftTable(
       StructType(s.fields.filterNot(f => MetaCols.All.contains(f.name))))
     val reader = spark.read
     val raw = dataSchema0.map(reader.schema).getOrElse(reader).parquet(ext.map(_.relPath): _*)
+      // the hidden file-metadata column, NOT input_file_name(): requesting
+      // _metadata makes this scan's plan distinct from any user-cached
+      // plain scan of the same files, so the CacheManager never substitutes
+      // an InMemoryRelation (whose input_file_name() is empty — the lookup
+      // below would tag every row null); it is also the supported per-file
+      // provenance API
+      .withColumn("_graft_src_file", col("_metadata.file_path"))
     val keyed = KeyGen.withKeyColumns(raw, cfg)
-    // per-file (fileId, instant) via an input_file_name lookup map
+    // per-file (fileId, instant) via a file-path lookup map
     val kv = ext.flatMap(e => Seq(lit(e.relPath), lit(s"${e.fileId}|${e.instant}")))
     val tag = element_at(map(kv: _*),
-      regexp_replace(input_file_name(), "^file:/+", "/"))
+      regexp_replace(col("_graft_src_file"), "^file:/+", "/"))
     val fid = split(tag, "\\|").getItem(0)
     val instant = split(tag, "\\|").getItem(1)
     val withMeta = keyed
       .withColumn(MetaCols.CommitTime, instant)
       .withColumn(MetaCols.CommitSeqno, concat(instant, lit("_ext")))
       .withColumn(MetaCols.FileName, concat(fid, lit("_0_"), instant, lit(".parquet")))
+      .drop("_graft_src_file")
     val dataCols = withMeta.columns.filterNot(c => MetaCols.All.contains(c))
     withMeta.select((MetaCols.All ++ dataCols).map(col): _*)
   }

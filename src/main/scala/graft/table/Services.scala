@@ -98,8 +98,10 @@ object Services {
         .withColumn(WritePipeline.FileIdCol,
           substring_index(col(MetaCols.FileName), "_", 1))
         .withColumn(MetaCols.FileName,
-          concat(substring_index(col(MetaCols.FileName), "_", 1), lit(s"_0_$ts.parquet")))
-      val stats = WritePipeline.writeFiles(t.spark, t.basePath, merged, ts, isDelta = false)
+          concat(substring_index(col(MetaCols.FileName), "_", 1),
+            lit(s"_0_$ts.${t.cfg.baseFormat}")))
+      val stats = WritePipeline.writeFiles(t.spark, t.basePath, merged, ts,
+        isDelta = false, baseFormat = t.cfg.baseFormat)
       val md = CommitMetadata("compact", stats, Map.empty,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))
@@ -208,10 +210,10 @@ object Services {
             .sortWithinPartitions(sortExprs: _*)
             .withColumn(WritePipeline.FileIdCol, fileIdExpr)
             .withColumn(MetaCols.FileName,
-              concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.parquet")))
+              concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
             .drop(ZOrder.ZCol)
           WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
-            isDelta = false, alreadyPartitioned = true)
+            isDelta = false, alreadyPartitioned = true, baseFormat = t.cfg.baseFormat)
         } else {
           // pure small-file coalescing: hash-route into fresh size-targeted
           // groups per partition (no ordering requirement, no range shuffle)
@@ -228,8 +230,9 @@ object Services {
             .withColumn(WritePipeline.FileIdCol, col("_b_fid"))
             .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
             .withColumn(MetaCols.FileName,
-              concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.parquet")))
-          WritePipeline.writeFiles(t.spark, t.basePath, routed, ts, isDelta = false)
+              concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
+          WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
+            isDelta = false, baseFormat = t.cfg.baseFormat)
         }
       val replaced = plan.groups.map(g => g.partitionPath -> g.fileIds).toMap
       val md = CommitMetadata("cluster", stats, replaced,

@@ -36,12 +36,20 @@ object WritePipeline {
     */
   val ModifiedCol = "_graft_modified"
 
-  def baseFileName(fileId: String, instant: String, token: Int = 0): String =
-    s"${fileId}_${token}_$instant.parquet"
+  def baseFileName(fileId: String, instant: String, token: Int = 0,
+      format: String = "parquet"): String =
+    s"${fileId}_${token}_$instant.$format"
   def deltaFileName(fileId: String, instant: String, token: Int = 0): String =
     s"${fileId}_${token}_$instant.delta.parquet"
   def isDeltaFile(name: String): Boolean = name.endsWith(".delta.parquet")
   def fileIdOf(name: String): String = name.takeWhile(_ != '_')
+
+  /** Data-file format by extension — commit metadata records full file
+    * names, so mixed-format tables (e.g. a format switched mid-history)
+    * resolve per file.
+    */
+  def formatOf(path: String): String =
+    if (path.endsWith(".orc")) "orc" else "parquet"
 
   /** Fresh file-group id: globally unique, no underscores (underscore is
     * the file-name field separator).
@@ -52,8 +60,9 @@ object WritePipeline {
     * to a frame that already has key/partition/fileId columns, ordering
     * meta columns first (reference meta-column layout).
     */
-  def withCommitMeta(df: DataFrame, instant: String, isDelta: Boolean): DataFrame = {
-    val suffix = if (isDelta) s"_0_$instant.delta.parquet" else s"_0_$instant.parquet"
+  def withCommitMeta(df: DataFrame, instant: String, isDelta: Boolean,
+      baseFormat: String = "parquet"): DataFrame = {
+    val suffix = if (isDelta) s"_0_$instant.delta.parquet" else s"_0_$instant.$baseFormat"
     val withCols = df
       .withColumn(MetaCols.CommitTime, lit(instant))
       .withColumn(MetaCols.CommitSeqno,
@@ -76,7 +85,11 @@ object WritePipeline {
       isDelta: Boolean,
       alreadyPartitioned: Boolean = false,
       sortCols: Seq[String] = Seq.empty,
-      allDeletes: Boolean = false): Seq[WriteStat] = {
+      allDeletes: Boolean = false,
+      baseFormat: String = "parquet"): Seq[WriteStat] = {
+    // delta files are always parquet (analog: the reference's Avro log
+    // format is independent of the base format)
+    val format = if (isDelta) "parquet" else baseFormat
     val staging = stagingDir(basePath, instant)
     Files.createDirectories(staging)
 
@@ -96,7 +109,8 @@ object WritePipeline {
       .drop(FileIdCol)
       .write.mode("overwrite")
       .partitionBy(GP, GF)
-      .parquet(staging.toString)
+      .format(format)
+      .save(staging.toString)
 
     // Empty input ⇒ no staged files ⇒ nothing to publish.
     val anyStaged = listDirs(staging).exists(_.getFileName.toString.startsWith(s"$GP="))
@@ -127,7 +141,7 @@ object WritePipeline {
         Files.createDirectories(partDir)
         listDirs(pdir).filter(_.getFileName.toString.startsWith(s"$GF=")).flatMap { leaf =>
           val fileId = leaf.getFileName.toString.stripPrefix(s"$GF=")
-          val parts = listParquet(leaf)
+          val parts = listDataFiles(leaf, format)
           require(parts.nonEmpty, s"no staged file for ($partition, $fileId)")
           parts.zipWithIndex.map { case (p, i) => (partition, fileId, p, i) }
         }
@@ -141,10 +155,10 @@ object WritePipeline {
             override def call(): WriteStat = {
               val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
               val nm = if (isDelta) deltaFileName(fileId, instant, i)
-                       else baseFileName(fileId, instant, i)
+                       else baseFileName(fileId, instant, i, format)
               val dest = partDir.resolve(nm)
               Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-              val fs = footerStats(dest)
+              val fs = if (format == "orc") orcFooterStats(dest) else footerStats(dest)
               WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
                 if (allDeletes) fs.rows else 0L,
                 Files.size(dest), fs.minKey, fs.maxKey, isDelta,
@@ -217,6 +231,48 @@ object WritePipeline {
     } finally reader.close()
   }
 
+  /** ORC twin of [[footerStats]]: row count + per-column min/max from the
+    * ORC file tail — same zero-data-IO contract as the parquet path.
+    */
+  private def orcFooterStats(file: Path): FooterStats = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try {
+      val schema = reader.getSchema // struct<...> of top-level columns
+      val names = schema.getFieldNames.asScala.toSeq
+      val kids = schema.getChildren.asScala.toSeq
+      val stats = reader.getStatistics // index 0 = root struct
+      val mins = scala.collection.mutable.HashMap[String, String]()
+      val maxs = scala.collection.mutable.HashMap[String, String]()
+      names.zip(kids).foreach { case (name, typ) =>
+        val st = stats(typ.getId)
+        (st match {
+          case s: org.apache.orc.StringColumnStatistics =>
+            (Option(s.getMinimum), Option(s.getMaximum))
+          case s: org.apache.orc.IntegerColumnStatistics =>
+            (Some(s.getMinimum.toString), Some(s.getMaximum.toString))
+          case s: org.apache.orc.DoubleColumnStatistics =>
+            (Some(s.getMinimum.toString), Some(s.getMaximum.toString))
+          case _ => (None, None) // nested/other: no range pruning
+        }) match {
+          case (Some(lo), Some(hi)) if st.getNumberOfValues > 0 =>
+            mins(name) = lo; maxs(name) = hi
+          case _ => ()
+        }
+      }
+      val keep = (m: scala.collection.Map[String, String]) =>
+        m.collect { case (k, v) if !MetaCols.All.contains(k) || k == MetaCols.RecordKey =>
+          k -> v
+        }.toMap
+      FooterStats(reader.getNumberOfRows,
+        mins.getOrElse(MetaCols.RecordKey, ""),
+        maxs.getOrElse(MetaCols.RecordKey, ""),
+        keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey)
+    } finally reader.close()
+  }
+
   /** Normalize a parquet statistics value to a comparable JVM value whose
     * toString round-trips (binary-UTF8 -> String, numerics as-is).
     */
@@ -239,10 +295,10 @@ object WritePipeline {
     Files.list(dir).iterator().asScala.filter(Files.isDirectory(_)).toSeq
   }
 
-  private def listParquet(dir: Path): Seq[Path] = {
+  private def listDataFiles(dir: Path, format: String): Seq[Path] = {
     if (!Files.isDirectory(dir)) return Seq.empty
     Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => p.getFileName.toString.endsWith(s".$format"))
       .toSeq.sortBy(_.getFileName.toString)
   }
 

@@ -38,15 +38,22 @@ object GraftSqlBridge {
     spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
 
-  /** Build a DataFrame over a custom FileIndex + ParquetFileFormat — the
-    * native scan path: partition pruning via the index's listFiles,
-    * parquet filter pushdown, column pruning and vectorized reading all
-    * come from the standard HadoopFsRelation machinery.
+  /** Build a DataFrame over a custom FileIndex + a columnar FileFormat —
+    * the native scan path: partition pruning via the index's listFiles,
+    * filter pushdown, column pruning and vectorized reading all come from
+    * the standard HadoopFsRelation machinery. `format` is "parquet" or
+    * "orc" (both vectorize; both push filters).
     */
-  def parquetScan(spark: SparkSession,
+  def fileScan(spark: SparkSession,
       index: org.apache.spark.sql.execution.datasources.FileIndex,
-      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+      dataSchema: org.apache.spark.sql.types.StructType,
+      format: String): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
+    val ff = format match {
+      case "parquet" => new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case other => throw new IllegalArgumentException(s"unsupported base format '$other'")
+    }
     // file sources always read as nullable (DataSource.resolveRelation
     // applies asNullable); constructing the relation directly must do the
     // same or nulls in files backfilled by schema evolution come back as
@@ -56,11 +63,16 @@ object GraftSqlBridge {
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema.asNullable,
       bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      fileFormat = ff,
       options = Map.empty)(cs)
     classic.Dataset.ofRows(cs,
       org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
   }
+
+  def parquetScan(spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    fileScan(spark, index, dataSchema, "parquet")
 
   /** The inverse direction: tag a batch plan as streaming so a V1
     * streaming Source can hand it to MicroBatchExecution (which asserts
