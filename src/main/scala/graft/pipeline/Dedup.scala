@@ -31,12 +31,18 @@ object Dedup {
     * per fingerprint is only guaranteed for unique ids.
     */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val fp = TextStats.fingerprint(col(textCol))
-    val keep = df
-      .select(fp.as("_ddup_fp"), col(idCol).as("_ddup_keep"))
-      .groupBy("_ddup_fp").agg(min(col("_ddup_keep")).as("_ddup_keep"))
-    df.join(keep,
-        fp === col("_ddup_fp") && col(idCol) === col("_ddup_keep"), "left_semi")
+    // materialize the fingerprint ONCE per row: the normalization regex is
+    // the expensive part on real documents, and referencing the raw
+    // expression in both the winner aggregation and the join condition
+    // would evaluate it twice per row
+    val tagged = df.withColumn("_ddup_fp", TextStats.fingerprint(col(textCol)))
+    val keep = tagged
+      .select(col("_ddup_fp").as("_ddup_fp2"), col(idCol).as("_ddup_keep"))
+      .groupBy("_ddup_fp2").agg(min(col("_ddup_keep")).as("_ddup_keep"))
+    tagged.join(keep,
+        col("_ddup_fp") === col("_ddup_fp2") && col(idCol) === col("_ddup_keep"),
+        "left_semi")
+      .drop("_ddup_fp")
   }
 
   /** Word n-gram shingles, deduplicated. Word grams (not char grams) keep

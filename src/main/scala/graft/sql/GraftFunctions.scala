@@ -86,5 +86,12 @@ object GraftFunctions {
     fromColumns("graft_ngram_jaccard", 2,
       "exact 3-gram jaccard of two texts")(a => Dedup.ngramJaccard(a(0), a(1))),
     fromColumns("graft_hamming", 2,
-      "hamming distance of two 64-bit hashes")(a => Dedup.hamming(a(0), a(1))))
+      "hamming distance of two 64-bit hashes")(a => Dedup.hamming(a(0), a(1))),
+
+    // deterministic sampling (portable md5 bucket in [0,10000) — membership
+    // replays in any engine; `WHERE graft_hash_bucket(id) < 2500` is a
+    // stable 25% sample)
+    fromColumns("graft_hash_bucket", 1,
+      "stable sampling bucket in [0,10000) from an id")(
+      a => graft.pipeline.Sampling.hashBucket(a.head)))
 }

@@ -83,4 +83,21 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(j.getDouble(1) === 0.0)
     assert(j.getInt(2) === 2)
   }
+
+  test("graft_hash_bucket: sql == dataframe, usable as sampling predicate") {
+    docs.createOrReplaceTempView("fdocs")
+    val viaSql = spark.sql("SELECT id, graft_hash_bucket(id) AS b FROM fdocs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = docs.select(col("id"),
+        graft.pipeline.Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaDf)
+    assert(viaSql.values.forall(b => b >= 0 && b < 10000))
+    // predicate form selects the same rows as Sampling.sample
+    val viaPred = spark.sql("SELECT id FROM fdocs WHERE graft_hash_bucket(id) < 5000")
+      .collect().map(_.getLong(0)).toSet
+    val viaOp = graft.pipeline.Sampling.sample(docs, "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaPred === viaOp)
+  }
 }
