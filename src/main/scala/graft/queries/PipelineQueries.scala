@@ -120,6 +120,34 @@ object PipelineQueries {
           col("byteLen").as("byte_len"))
     }),
 
+    // incremental sessionization SERVICE: events land in a bucket-
+    // partitioned graft table in two batches; each sync incrementally
+    // pulls new commits, recomputes ONLY the affected entity buckets from
+    // the pruned snapshot, and publishes one partition-replacing commit.
+    // The final sessions table must equal a from-scratch sessionization —
+    // the oracle replays exactly that
+    "p_sessionize_incremental" -> ((s, d) => {
+      import graft.core.{TableConfig, TableType}
+      import graft.table.{GraftTable, WritePipeline}
+      val ev = QUtil.events(s, d).select("event_id", "ts", "user_id", "value")
+      val root = s"/tmp/graft_q/sess_svc_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(java.nio.file.Paths.get(root))
+      val evT = GraftTable.create(s, s"$root/events", TableConfig(
+        "sess_events", TableType.CopyOnWrite, Seq("event_id"), "pmod(user_id, 16)", ""))
+      val ssT = GraftTable.create(s, s"$root/sessions", TableConfig(
+        "sessions", TableType.CopyOnWrite, Seq("user_id", "session_seq"),
+        "pmod(user_id, 16)", ""))
+      evT.bulkInsert(ev.filter(col("event_id") % 4 =!= 0))
+      SessionService.sync(evT, ssT, buckets = 16)
+      evT.upsert(ev.filter(col("event_id") % 4 === 0))
+      SessionService.sync(evT, ssT, buckets = 16)
+      graft.read.Readers.snapshot(ssT)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_s"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_s"),
+          col("total_value"), col("duration_s"))
+    }),
+
     // gap-based sessionization: one shuffle on user, shared-sort windows
     "p_sessionize" -> ((s, d) =>
       Sessions.sessionStats(QUtil.events(s, d), maxGapSeconds = 1800)
@@ -392,6 +420,8 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p_sessionize" -> sessionizeOracle,
+    // the incremental service must converge to the from-scratch answer
+    "p_sessionize_incremental" -> sessionizeOracle,
     "p_asof_join" -> asofOracle,
     "p_sample_stratified" -> stratifiedOracle,
     "p_train_test_split" -> splitOracle,

@@ -281,8 +281,8 @@ final class GraftTable(
   /** Replace all file groups of the partitions the batch touches
     * (reference SparkInsertOverwriteCommitActionExecutor — replacecommit).
     */
-  def insertOverwrite(df: DataFrame): String =
-    runCommit(Action.ReplaceCommit, "insert_overwrite") { instant =>
+  def insertOverwrite(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String =
+    runCommit(Action.ReplaceCommit, "insert_overwrite", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
       val touched = keyed.select(MetaCols.PartitionPath).distinct()
         .collect().map(_.getString(0)).toSet
