@@ -170,9 +170,33 @@ object Relational {
           sum(when(!(col("o_orderpriority").startsWith("1") ||
             col("o_orderpriority").startsWith("2")), 1L).otherwise(0L)).as("low_line_count"),
           (sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_price"))
+    }),
+
+    // CUBE: all grouping-column combinations in one aggregation pass
+    "q18_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+    }),
+
+    // GROUPING SETS via rollup-free explicit sets (Spark SQL surface)
+    "q19_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, year(o_orderdate) AS yr, count(*) AS n
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
+    "q18_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q19_grouping_sets" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS yr, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -97,6 +97,35 @@ object Stress {
       time(noop(Dedup.minhashClusters(docs1, threshold = 0.6))),
       time(noop(Dedup.minhashClusters(docsN, threshold = 0.6))))
 
+    // temporal ops: replicate events by offsetting user ids (entity count
+    // scales; per-entity history length stays constant — the scale axis a
+    // 100 TB log actually grows on)
+    val events1 = graft.queries.QUtil.events(spark, sfDir)
+    val eventsN = (0 until mult)
+      .map(i => events1
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+      .reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    eventsN.count()
+    report("sessionize",
+      time(noop(graft.pipeline.Sessions.sessionStats(events1))),
+      time(noop(graft.pipeline.Sessions.sessionStats(eventsN))))
+    def asof(ev: DataFrame): DataFrame = {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      graft.pipeline.AsofJoin.asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts",
+        Seq("view_id", "view_ts"), tieBreak = Seq("view_id"))
+    }
+    report("asof_join", time(noop(asof(events1))), time(noop(asof(eventsN))))
+    report("sample_stratified",
+      time(noop(graft.pipeline.Sampling.stratifiedSample(docs1, "source", "doc_id",
+        Map("src0" -> 0.5), 0.9))),
+      time(noop(graft.pipeline.Sampling.stratifiedSample(docsN, "source", "doc_id",
+        Map("src0" -> 0.5), 0.9))))
+
     println("[stress] DONE")
     spark.stop()
   }
