@@ -65,4 +65,20 @@ object TableAdmin {
     t.timeline.pendingInstants().map(i => (i.ts, i.action, i.state))
       .toDF("instant", "action", "state")
   }
+
+  /** Live base-file size distribution quantiles: `stats filesizes`
+    * analog — the small-file-health check behind compaction/clustering
+    * decisions.
+    */
+  def fileSizes(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    val sizes = t.view.fileSlices(None).flatMap(_.baseFile).map(_.sizeBytes).sorted
+    def q(p: Double): Long =
+      if (sizes.isEmpty) 0L
+      else sizes(math.min(sizes.size - 1, (p * sizes.size).toInt))
+    Seq((sizes.size.toLong, sizes.headOption.getOrElse(0L), q(0.5), q(0.9),
+      sizes.lastOption.getOrElse(0L), if (sizes.isEmpty) 0L else sizes.sum / sizes.size))
+      .toDF("num_files", "min_bytes", "p50_bytes", "p90_bytes", "max_bytes", "avg_bytes")
+  }
+
 }

@@ -195,4 +195,19 @@ class CowTableSpec extends AnyFunSuite {
     assert(snap.count() === 100)
     assert(snap.filter(col("ver") === 4L).count() === 100)
   }
+
+  test("TableAdmin.fileSizes reports live base-file distribution") {
+    val dir = tmpDir("admfs")
+    val t = GraftTable.create(spark, dir.toString,
+      TableConfig("afs", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+    t.bulkInsert(spark.read.parquet(s"$sf001/orders.parquet"))
+    val fs = graft.table.TableAdmin.fileSizes(t).collect().head
+    val live = t.view.fileSlices(None).flatMap(_.baseFile)
+    assert(fs.getAs[Long]("num_files") === live.size.toLong)
+    assert(fs.getAs[Long]("min_bytes") <= fs.getAs[Long]("p50_bytes"))
+    assert(fs.getAs[Long]("p50_bytes") <= fs.getAs[Long]("p90_bytes"))
+    assert(fs.getAs[Long]("p90_bytes") <= fs.getAs[Long]("max_bytes"))
+    assert(fs.getAs[Long]("max_bytes") === live.map(_.sizeBytes).max)
+  }
 }
