@@ -1109,13 +1109,31 @@ object GraftTable {
   def normalize(path: String): String =
     if (path.startsWith("file:")) java.net.URI.create(path).getPath else path
 
-  /** Create a table by adopting existing parquet files in place —
-    * METADATA_ONLY bootstrap (see GraftTable.bootstrapCommit).
-    */
+  /** Bootstrap modes (reference client/bootstrap/BootstrapMode.java:24-34). */
+  object BootstrapMode {
+    /** Adopt files in place — zero data rewrite, meta columns synthesized
+      * at read. Requires a non-partitioned target.
+      */
+    val MetadataOnly = "METADATA_ONLY"
+    /** Rewrite the source into table-owned, size-targeted, sorted base
+      * files (one bulk insert). Pays the copy once; afterwards the table
+      * is indistinguishable from a native load — partitioned layouts,
+      * key-range clustering and footer stats all apply.
+      */
+    val FullRecord = "FULL_RECORD"
+  }
+
+  /** Create a table from existing parquet files (see [[BootstrapMode]]). */
   def bootstrap(spark: SparkSession, path: String, cfg: TableConfig,
-      sourceFiles: Seq[String]): GraftTable = {
+      sourceFiles: Seq[String],
+      mode: String = BootstrapMode.MetadataOnly): GraftTable = {
+    val abs = sourceFiles.map(f => Paths.get(f).toAbsolutePath.toString)
     val t = create(spark, path, cfg)
-    t.bootstrapCommit(sourceFiles.map(f => Paths.get(f).toAbsolutePath.toString))
+    mode match {
+      case BootstrapMode.MetadataOnly => t.bootstrapCommit(abs)
+      case BootstrapMode.FullRecord => t.bulkInsert(spark.read.parquet(abs: _*))
+      case other => throw new IllegalArgumentException(s"unknown bootstrap mode '$other'")
+    }
     t
   }
 

@@ -40,6 +40,28 @@ class BootstrapGlobalSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
   }
 
+  test("FULL_RECORD bootstrap: partitioned rewrite, source untouched") {
+    val dir = tmpDir("bootfr")
+    val before = java.nio.file.Files.size(java.nio.file.Paths.get(src))
+    val t = GraftTable.bootstrap(spark, dir.toString,
+      TableConfig("bfr", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate"),
+      Seq(src), mode = GraftTable.BootstrapMode.FullRecord)
+    val n = spark.read.parquet(src).count()
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === n)
+    // unlike METADATA_ONLY: partitioned layout + owned files + footer stats
+    assert(t.view.partitions().forall(_.matches("\\d{4}")))
+    assert(t.view.fileSlices(None).flatMap(_.baseFile)
+      .forall(b => !java.nio.file.Paths.get(b.relPath).isAbsolute && b.minKey.nonEmpty))
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(src)) === before)
+    // upserts are plain table writes from here on
+    t.upsert(spark.read.parquet(src).filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", lit(7.0)))
+    assert(Readers.snapshot(t).filter($"o_totalprice" === 7.0).count() ===
+      spark.read.parquet(src).filter($"o_orderkey" % 10 === 0).count())
+  }
+
   test("global-index upsert migrates records whose partition changed") {
     val dir = tmpDir("glob")
     val t = GraftTable.create(spark, dir.toString, TableConfig(
