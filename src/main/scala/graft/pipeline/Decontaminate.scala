@@ -1,0 +1,37 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: drop training documents that share word
+  * n-grams with an evaluation/benchmark set — the standard guard against
+  * test-set leakage in LLM training corpora (n-gram overlap checks, n
+  * around 8-13 words).
+  *
+  * Scale shape: both sides explode to (shingle, id) pairs and meet in ONE
+  * equi-join on the shingle string — shuffle volume is O(total shingles),
+  * never a doc×doc comparison. The contaminated-id set then drops train
+  * rows via a left-anti join. The benchmark side is usually small enough
+  * that Catalyst/AQE broadcasts it; nothing in the shape requires it.
+  */
+object Decontaminate {
+
+  /** Training rows whose text shares at least one word `n`-gram with any
+    * benchmark text are removed. Uses [[Dedup.shingles]] (distinct word
+    * n-grams; texts shorter than `n` words collapse to one whole-text
+    * shingle, so exact short-text copies still match).
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 8): DataFrame = {
+    val trainShingles = train
+      .select(col(idCol).as("_dc_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("_dc_s"))
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("_dc_s"))
+      .distinct()
+    val contaminated = trainShingles
+      .join(benchShingles, Seq("_dc_s"))
+      .select(col("_dc_id")).distinct()
+    train.join(contaminated, col(idCol) === col("_dc_id"), "left_anti")
+  }
+}

@@ -184,7 +184,21 @@ object PipelineQueries {
     // content-stable train/valid/test split tags
     "p_train_test_split" -> ((s, d) =>
       Sampling.trainTestSplit(docs(s, d), "doc_id", testFrac = 0.1, validFrac = 0.1)
-        .select(col("doc_id"), col("source"), col("split"))))
+        .select(col("doc_id"), col("source"), col("split"))),
+
+    // benchmark decontamination: docs sharing an 8-word-gram with the
+    // held-out set (doc_id % 97 == 0) are dropped from the training side
+    "p_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontaminate.decontaminate(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), n = 8)
+    }),
+
+    // sequence packing: ~2048-token bins within stable hash buckets
+    "p_pack_bins" -> ((s, d) =>
+      Packing.packIntoBins(docs(s, d), maxTokensPerBin = 2048, buckets = 16)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin_id"))))
 
   // ---- portable-hash SQL fragments for the dedup oracles --------------
   //
@@ -418,7 +432,44 @@ object PipelineQueries {
       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
       |  FROM documents)""".stripMargin
 
+  private val decontaminateOracle: String =
+    raw"""WITH tkd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 8
+         |    THEN list_distinct(list_transform(generate_series(1, len(tk)-7), i -> array_to_string(list_slice(tk, i, i+7), ' ')))
+         |    ELSE [array_to_string(tk, ' ')] END AS ss
+         |  FROM tkd
+         |), bench AS (
+         |  SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id % 97 = 0
+         |), bad AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id % 97 <> 0) t
+         |  JOIN bench b ON t.s = b.s
+         |)
+         |SELECT d.* FROM documents d WHERE d.doc_id % 97 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)""".stripMargin
+
+  private val packBinsOracle: String =
+    raw"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0))::BIGINT AS n_tokens,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) % 16 AS bucket
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens, bucket,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, bucket,
+         |  bucket || '/' || CAST(CAST(floor(cum / 2048.0) AS BIGINT) AS VARCHAR) AS bin_id
+         |FROM c""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p_decontaminate" -> decontaminateOracle,
+    "p_pack_bins" -> packBinsOracle,
     "p_sessionize" -> sessionizeOracle,
     // the incremental service must converge to the from-scratch answer
     "p_sessionize_incremental" -> sessionizeOracle,

@@ -15,8 +15,7 @@ object Probe8 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = Seq("p_sessionize", "p_sessionize_incremental", "p_asof_join",
-      "p_sample_stratified", "p_train_test_split")
+    val names = Seq("p_decontaminate", "p_pack_bins")
     for (n <- names) {
       graft.SparkEntry.queries(n)(spark, d)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$n.parquet")

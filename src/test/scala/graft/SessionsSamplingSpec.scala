@@ -66,6 +66,45 @@ class SessionsSamplingSpec extends AnyFunSuite {
       docs.filter($"source" === "src1").count())
   }
 
+  test("decontaminate: overlapping docs dropped, clean docs survive") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally unrelated content with no overlap whatsoever here now"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      // shares the 8-gram "one two ... eight" with doc 2
+      (100L, "zero one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Decontaminate.decontaminate(train, bench, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L))
+    // short texts: whole-text shingle still catches exact copies
+    val shortTrain = Seq((10L, "tiny doc"), (11L, "other doc")).toDF("doc_id", "text")
+    val shortBench = Seq((200L, "tiny doc")).toDF("doc_id", "text")
+    val out2 = graft.pipeline.Decontaminate.decontaminate(shortTrain, shortBench, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out2 === Set(11L))
+  }
+
+  test("packIntoBins: bins respect the cumulative-start rule") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val packed = graft.pipeline.Packing.packIntoBins(docs,
+      maxTokensPerBin = 500, buckets = 4)
+    assert(packed.count() === docs.count())
+    val stats = graft.pipeline.Packing.binStats(packed)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every bin's START obeys the rule, so total ≤ max + one straddling doc
+    val maxDoc = packed.agg(max("n_tokens")).head.getLong(0)
+    assert(stats.forall { case (_, _, total) => total <= 500 + maxDoc })
+    // deterministic: same input → same bins
+    val again = graft.pipeline.Packing.packIntoBins(docs,
+      maxTokensPerBin = 500, buckets = 4)
+      .select("doc_id", "bin_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === packed.select("doc_id", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("mixToWeights: output proportions approach targets") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .filter($"source".isin("src0", "src1", "src2"))
