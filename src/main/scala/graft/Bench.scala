@@ -15,7 +15,8 @@ object Bench {
     "t_bulk_insert", "t_upsert", "t_merge_into", "t_mor_upsert",
     "p_dedup_exact", "p_dedup_minhash", "p_dedup_simhash",
     "p_text_stats", "p_text_quality_lang", "p_ann_bruteforce",
-    "p_sessionize", "p_asof_join", "p_sample_stratified")
+    "p_sessionize", "p_asof_join", "p_sample_stratified",
+    "p_decontaminate", "p_pack_bins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

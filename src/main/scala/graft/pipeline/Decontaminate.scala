@@ -23,9 +23,14 @@ object Decontaminate {
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 8): DataFrame = {
+    // spread shingle computation across the cluster before exploding — a
+    // few-file source would otherwise run the whole tokenize+gram pass in
+    // as many tasks as input splits (same shape as the dedup operators)
     val trainShingles = train
-      .select(col(idCol).as("_dc_id"),
-        explode(Dedup.shingles(col(textCol), n)).as("_dc_s"))
+      .select(col(idCol).as("_dc_id"), col(textCol).as("_dc_t"))
+      .repartition(col("_dc_id"))
+      .select(col("_dc_id"),
+        explode(Dedup.shingles(col("_dc_t"), n)).as("_dc_s"))
     val benchShingles = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("_dc_s"))
       .distinct()

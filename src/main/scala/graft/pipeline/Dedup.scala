@@ -49,15 +49,12 @@ object Dedup {
     * the element count linear in tokens — a char-gram variant re-runs the
     * normalization regex per element, which is O(len²) per document.
     * Texts shorter than n words collapse to a single whole-text shingle.
+    * Backed by the native [[graft.functions.WordGrams]] expression (the
+    * equivalent higher-order-function tree evaluates interpreted and
+    * copies a token sub-array per gram — ~10x slower per document).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", toks))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordGrams.wordGrams(text, n)
 
   /** MinHash signature over a MATERIALIZED shingle-array column. Hash
     * family h_i(s) = xxhash64(s || '#' || i) — pure expression tree.
