@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{HyperplaneSig, MinHashSig, SimHash60}
+import graft.functions.{HyperplaneSig, MinHashSig, SimHash60, WordGrams}
 import graft.pipeline.{Dedup, Similarity, TextStats}
 
 /** SQL registrations for the LLM-pipeline operators — installed by
@@ -55,6 +55,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(h) => SimHash60(h)
         case _ => throw new IllegalArgumentException("graft_simhash60(tokenHashes)")
+      }),
+    (FunctionIdentifier("graft_word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "graft_word_grams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => WordGrams(t, 3)
+        case Seq(t, n) => WordGrams(t, intLit(n, "graft_word_grams", "n"))
+        case _ => throw new IllegalArgumentException("graft_word_grams(text[, n])")
       }),
     (FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),

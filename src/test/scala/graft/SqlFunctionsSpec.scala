@@ -84,6 +84,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(j.getInt(2) === 2)
   }
 
+  test("graft_word_grams: sql == dataframe shingles") {
+    docs.createOrReplaceTempView("fdocs")
+    val viaSql = spark.sql("SELECT id, graft_word_grams(text, 3) AS g FROM fdocs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val viaDf = docs.select(col("id"), Dedup.shingles(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(viaSql === viaDf)
+    assert(viaSql(1L).contains("the quick brown"))
+  }
+
   test("graft_hash_bucket: sql == dataframe, usable as sampling predicate") {
     docs.createOrReplaceTempView("fdocs")
     val viaSql = spark.sql("SELECT id, graft_hash_bucket(id) AS b FROM fdocs")
