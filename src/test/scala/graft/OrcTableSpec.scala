@@ -81,6 +81,27 @@ class OrcTableSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).count() === orders.count())
   }
 
+  test("BLOOM index builds and probes over ORC base files") {
+    val p = java.nio.file.Paths.get("/tmp/graft_orc/bloom")
+    WritePipeline.deleteRecursively(p)
+    val t = GraftTable.create(spark, p.toString, TableConfig(
+      "orcbloom", TableType.CopyOnWrite, Seq("o_orderkey"), "year(o_orderdate)", "",
+      props = Map(ConfigKeys.BaseFormat -> "orc", ConfigKeys.IndexType -> "BLOOM")))
+    t.bulkInsert(orders)
+    // sidecars exist for every orc base file
+    val bases = t.view.fileSlices(None).flatMap(_.baseFile)
+    assert(bases.nonEmpty && bases.forall(_.relPath.endsWith(".orc")))
+    assert(bases.forall(b => java.nio.file.Files.exists(
+      graft.table.BloomIndex.sidecarPath(t.basePath, b.relPath))))
+    // upsert probes the sidecars (executor-side) and stays correct
+    t.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderkey") % 7 === 0)
+      .filter(col("o_totalprice") === 0).count() === 0)
+  }
+
   test("time travel and incremental over ORC") {
     val t = fresh("tt", TableType.CopyOnWrite)
     val c1 = t.bulkInsert(orders)
