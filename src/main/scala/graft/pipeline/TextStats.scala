@@ -11,11 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** One-pass native featurization (counts + language) — every ratio
+    * below reads a field of this struct instead of re-scanning the text
+    * with interpreted higher-order passes (see
+    * [[graft.functions.TextFeatures]]); the ratio arithmetic itself stays
+    * declarative, so result doubles are unchanged.
+    */
+  private def feats(text: Column): Column =
+    graft.functions.TextFeatures.textFeatures(text)
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = feats(text).getField("n_tokens")
 
   /** BPE-ish subword count: word pieces + digits + punctuation runs — the
     * usual cheap proxy for tokenizer length (≈ GPT-2 regex family).
@@ -29,27 +38,30 @@ object TextStats {
 
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]"))).cast("double") / length(text))
+      feats(text).getField("n_punct").cast("double") / length(text))
 
   def digitRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") / length(text))
+      feats(text).getField("n_digit").cast("double") / length(text))
 
   def upperRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / length(text))
+      feats(text).getField("n_upper").cast("double") / length(text))
 
   def avgWordLen(text: Column): Column =
     when(tokenCount(text) === 0, 0.0).otherwise(
-      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        tokenCount(text))
+      feats(text).getField("sum_word_len").cast("double") / tokenCount(text))
 
   private val enStop = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "was",
     "for", "on", "are", "as", "with", "at", "be", "this", "have", "or")
 
+  /** Custom stopword lists fall back to the declarative form; the default
+    * list reads the native count.
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column =
     when(tokenCount(text) === 0, 0.0).otherwise(
-      size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
+      (if (stopwords == enStop) feats(text).getField("n_stop")
+       else size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*))))
         .cast("double") / tokenCount(text))
 
   /** Composite quality score in [0,1] — the C4/Gopher-style heuristic mix:
@@ -73,23 +85,7 @@ object TextStats {
     * classic cheap n-gram/wordlist heuristic. Returns the language code
     * with the highest stopword-hit count, 'und' when nothing matches.
     */
-  def langId(text: Column): Column = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
-      "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "para"),
-      "it" -> Seq("il", "la", "di", "e", "che", "non", "per", "una", "sono", "con"),
-      "pt" -> Seq("o", "a", "de", "e", "que", "do", "da", "em", "um", "para"),
-      "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te", "niet"))
-    val toks = tokens(lower(text))
-    val scored = profiles.map { case (lang, words) =>
-      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column = feats(text).getField("lang_pred")
 
   /** Document fingerprint: 64-bit hash of whitespace/case-normalized text —
     * the exact-dedup key.
