@@ -467,6 +467,23 @@ object PipelineQueries {
          |  bucket || '/' || CAST(CAST(floor(cum / 2048.0) AS BIGINT) AS VARCHAR) AS bin_id
          |FROM c""".stripMargin
 
+  /** Exact dedup replayed semantically (min doc_id per normalized-text
+    * fingerprint over the planted union) — robust to NATURAL duplicate
+    * texts in the corpus, which exist at sf0.1; a `SELECT * FROM
+    * documents` shortcut is only valid when every text is unique.
+    */
+  private[queries] val exactDedupOracle: String =
+    raw"""WITH u AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 3 = 0
+         |), f AS (
+         |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM u
+         |), keep AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY fp)
+         |SELECT doc_id, text, lang, source, n_chars
+         |FROM f JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.k""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p_decontaminate" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
@@ -476,7 +493,7 @@ object PipelineQueries {
     "p_asof_join" -> asofOracle,
     "p_sample_stratified" -> stratifiedOracle,
     "p_train_test_split" -> splitOracle,
-    "p_dedup_exact" -> "SELECT * FROM documents",
+    "p_dedup_exact" -> exactDedupOracle,
     "p_dedup_minhash" -> minhashOracle,
     "p_dedup_cluster" -> clusterOracle,
     "p_dedup_ngram_jaccard" -> ngramJaccardOracle,

@@ -537,7 +537,8 @@ object TableOps {
          |CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 7.0 END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_bulk_insert_psort" -> ordersAll,
-    "t_dedup_service" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // semantic replay (min-id per fingerprint) — see PipelineQueries
+    "t_dedup_service" -> PipelineQueries.exactDedupOracle,
     "t_cdc_apply" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
