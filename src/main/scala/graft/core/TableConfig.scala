@@ -55,6 +55,7 @@ object ConfigKeys {
   val ArchiveMinCommits = "graft.archive.min.commits"       // 20
   val ArchiveMaxCommits = "graft.archive.max.commits"       // 30
   val IndexType = "graft.index.type"                        // SIMPLE | BLOOM
+  val Payload = "graft.payload.class"  // OVERWRITE_LATEST | EVENT_TIME | PARTIAL_UPDATE
   val BaseFormat = "graft.base.format"                      // parquet | orc
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9

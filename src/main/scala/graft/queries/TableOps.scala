@@ -209,6 +209,55 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // EVENT_TIME payload (reference DefaultHoodieRecordPayload): the
+    // precombine field is an event time that OUTRANKS commit order — rows
+    // arriving with a lower event time than the stored row never overwrite
+    // it. One batch carries winners (price doubled ⇒ higher ordering
+    // value) and late losers (price forced to -5 ⇒ lower) — losers must
+    // leave the table untouched.
+    "t_payload_event_time" -> ((s, d) => {
+      val t = fresh(s, d, "t_payload_evt", TableConfig(
+        "orders_q", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_totalprice",
+        Map(ConfigKeys.Payload -> graft.table.Payload.EventTime)))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val wins = src.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val lateLosers = src.filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice", lit(-5.0))
+      t.upsert(wins.unionByName(lateLosers))
+      data(Readers.snapshot(t))
+    }),
+
+    // PARTIAL_UPDATE payload (reference
+    // OverwriteNonDefaultsWithLatestAvroPayload): writers send only the
+    // columns that changed; null columns keep the stored value. Two MOR
+    // delta rounds touch DIFFERENT columns of the same records, so the
+    // snapshot merge must stitch the record from three versions
+    // (base + two deltas).
+    "t_payload_partial" -> ((s, d) => {
+      val t = fresh(s, d, "t_payload_partial", TableConfig(
+        "orders_q", TableType.MergeOnRead, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "",
+        Map(ConfigKeys.Payload -> graft.table.Payload.PartialUpdate,
+          "graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val hit = src.filter(col("o_orderkey") % 5 === 0)
+      t.upsert(hit
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("o_custkey", lit(null).cast("long"))
+        .withColumn("o_orderstatus", lit(null).cast("string"))
+        .withColumn("o_orderpriority", lit(null).cast("string")))
+      t.upsert(hit
+        .withColumn("o_orderstatus", lit("PP"))
+        .withColumn("o_totalprice", lit(null).cast("double"))
+        .withColumn("o_custkey", lit(null).cast("long"))
+        .withColumn("o_orderpriority", lit(null).cast("string")))
+      data(Readers.snapshot(t))
+    }),
+
     // ORC base format: same upsert semantics, different columnar bytes
     "t_orc_upsert" -> ((s, d) => {
       val t = fresh(s, d, "t_orc_upsert",
@@ -443,6 +492,46 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // Snapshot export (reference HoodieSnapshotExporter --output-format
+    // parquet): latest snapshot written as plain partitioned parquet for
+    // non-engine consumers; verified by reading the EXPORTED files back.
+    "t_snapshot_export" -> ((s, d) => {
+      val t = fresh(s, d, "t_snapshot_export", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      val out = s"/tmp/graft_q/export_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(Paths.get(out))
+      TableAdmin.exportSnapshot(t, out)
+      data(s.read.parquet(out))
+    }),
+
+    // Snapshot copy (reference HoodieSnapshotCopier): byte-copy of the
+    // latest file slices + timeline into a new LOADABLE table; verified by
+    // snapshot-reading the copy.
+    "t_snapshot_copy" -> ((s, d) => {
+      val t = fresh(s, d, "t_snapshot_copy",
+        cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      val out = s"/tmp/graft_q/copy_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(Paths.get(out))
+      val copy = TableAdmin.copyTable(t, out)
+      data(Readers.snapshot(copy))
+    }),
+
+    // FlatteningTransformer (reference transform/FlatteningTransformer):
+    // nested structs expand recursively to parent_child leaf columns.
+    "t_flatten_transform" -> ((s, d) => {
+      val nested = orders(s, d).select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          struct(col("o_totalprice").as("amount")).as("fare")).as("info"))
+      Streaming.flatten(nested)
+    }),
+
     "t_streaming_sync" -> ((s, d) => {
       val evCfg = TableConfig("events_q", TableType.CopyOnWrite,
         Seq("event_id"), "date_format(ts, 'yyyy-MM-dd')", "ts")
@@ -505,6 +594,15 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_payload_event_time" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_payload_partial" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |CASE WHEN o_orderkey % 5 = 0 THEN 'PP' ELSE o_orderstatus END AS o_orderstatus,
+         |CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_orc_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
@@ -566,6 +664,17 @@ object TableOps {
          |ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_ingest_dfs" -> ordersAll,
+    "t_snapshot_export" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_snapshot_copy" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_flatten_transform" ->
+      """SELECT o_orderkey, o_orderstatus AS info_status,
+        |o_totalprice AS info_fare_amount FROM orders""".stripMargin,
     "t_admin_commits" ->
       """SELECT * FROM (VALUES ('bulk_insert','commit'),('delete','commit'),('upsert','commit'))
         |t(operation, action)""".stripMargin)

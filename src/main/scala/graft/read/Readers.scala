@@ -96,15 +96,9 @@ object Readers {
     val unioned = bases.unionByName(
       deltas.withColumn(del, coalesce(col(del), lit(false))),
       allowMissingColumns = true)
-    val ord = Seq(col(MetaCols.CommitTime).desc) ++
-      (if (t.cfg.precombineField.nonEmpty) Seq(col(t.cfg.precombineField).desc) else Nil) ++
-      Seq(col(MetaCols.CommitSeqno).desc)
-    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
-      .orderBy(ord: _*)
-    unioned
-      .withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1 && !col(del))
-      .drop("_graft_rn", del)
+    // version resolution (ordering + column combination) is the table's
+    // payload strategy — see graft.table.Payload
+    graft.table.Payload.mergeVersions(t.cfg, unioned, del)
   }
 
   /** Time travel — snapshot as of an instant (reference `as.of.instant`). */
@@ -158,14 +152,10 @@ object Readers {
       else raw.withColumn(del, lit(false))
     val inRange = withDel.filter(
       col(MetaCols.CommitTime) > beginTs && col(MetaCols.CommitTime) <= end)
-    val ord = Seq(col(MetaCols.CommitTime).desc) ++
-      (if (t.cfg.precombineField.nonEmpty) Seq(col(t.cfg.precombineField).desc) else Nil) ++
-      Seq(col(MetaCols.CommitSeqno).desc)
-    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
-      .orderBy(ord: _*)
-    inRange
-      .withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1 && !col(del))
-      .drop("_graft_rn", del)
+    // payload-resolved latest state of each changed record (PARTIAL_UPDATE
+    // caveat: columns whose latest non-null version predates the range
+    // surface as null — the range's files are the only inputs, like the
+    // reference's incremental file-list scan)
+    graft.table.Payload.mergeVersions(t.cfg, inRange, del)
   }
 }

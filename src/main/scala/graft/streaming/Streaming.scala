@@ -99,6 +99,28 @@ object Streaming {
   def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =
     ts.foldLeft(identity[DataFrame] _)(_ andThen _)
 
+  /** FlatteningTransformer analog (reference
+    * transform/FlatteningTransformer.java: nested record → flat columns
+    * named `parent_child` via a recursive SQL projection): every struct
+    * column expands recursively into its leaves; non-struct columns pass
+    * through. Pure projection — codegen'd, no shuffle, no UDF.
+    */
+  def flatten(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    def leaves(c: Column, name: String,
+        dt: org.apache.spark.sql.types.DataType): Seq[Column] = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => leaves(c.getField(f.name), s"${name}_${f.name}", f.dataType))
+      case _ => Seq(c.as(name))
+    }
+    df.select(df.schema.fields.toSeq.flatMap(f =>
+      leaves(col(f.name), f.name, f.dataType)): _*)
+  }
+
+  def flattenTransformer: DataFrame => DataFrame = flatten
+
   /** Multi-table ingest tick (reference HoodieMultiTableDeltaStreamer):
     * one syncOnce per (source, destination, transform) triple; returns the
     * commits produced this round.

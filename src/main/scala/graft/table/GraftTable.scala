@@ -771,7 +771,16 @@ final class GraftTable(
         .withColumn(FileIdCol, substring_index(col(MetaCols.FileName), "_", 1))
         .withColumn(DeleteCol, lit(false))
         .unionByName(newData, allowMissingColumns = true)
-    val merged = dedupLatestWins(unioned)
+    // PARTIAL_UPDATE resolves each column down the version stack, which
+    // needs per-key window frames — one (partition, key) exchange, then
+    // re-clustered for the write. The simple payloads fuse dedup into the
+    // write exchange itself (dedupLatestWins).
+    val deduped =
+      if (Payload.of(cfg) == Payload.PartialUpdate)
+        Payload.mergeVersions(cfg, unioned, DeleteCol)
+          .repartition(col(MetaCols.PartitionPath), col(FileIdCol))
+      else dedupLatestWins(unioned)
+    val merged = deduped
       // rewritten rows land in a new physical file: refresh the name column
       .withColumn(MetaCols.FileName,
         concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
@@ -801,10 +810,10 @@ final class GraftTable(
     */
   private def dedupLatestWins(unioned: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = Seq(col(MetaCols.RecordKey).asc) ++
-      (if (cfg.precombineField.isEmpty) Seq(col(MetaCols.CommitTime).desc)
-       else Seq(col(MetaCols.CommitTime).desc, col(cfg.precombineField).desc)) :+
-      col(MetaCols.CommitSeqno).desc
+    // version ordering comes from the payload: OVERWRITE_LATEST ranks by
+    // commit order, EVENT_TIME ranks the precombine field above it (a
+    // late-arriving lower event time never overwrites)
+    val ord = col(MetaCols.RecordKey).asc +: Payload.ordering(cfg)
     // window partitioned by the WRITE layout, ordered so each key's winner
     // leads its run — Catalyst reuses the repartition exchange (the window
     // only needs clustering by a prefix), so dedup + write share one shuffle

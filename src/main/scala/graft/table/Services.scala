@@ -86,15 +86,9 @@ object Services {
       val deltas = t.readEntriesRaw(slices.flatMap(_.deltaFiles))
       val unioned = bases.unionByName(
         deltas.withColumn(del, coalesce(col(del), lit(false))), allowMissingColumns = true)
-      val ord = Seq(col(MetaCols.CommitTime).desc) ++
-        (if (t.cfg.precombineField.nonEmpty) Seq(col(t.cfg.precombineField).desc) else Nil) ++
-        Seq(col(MetaCols.CommitSeqno).desc)
-      val w = Window.partitionBy(col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
-        .orderBy(ord: _*)
-      val merged = unioned
-        .withColumn("_graft_rn", row_number().over(w))
-        .filter(col("_graft_rn") === 1 && !col(del))
-        .drop("_graft_rn", del)
+      // version resolution honors the table's payload strategy, so a
+      // compacted group reads identically to its pre-compaction merge
+      val merged = Payload.mergeVersions(t.cfg, unioned, del)
         .withColumn(WritePipeline.FileIdCol,
           substring_index(col(MetaCols.FileName), "_", 1))
         .withColumn(MetaCols.FileName,

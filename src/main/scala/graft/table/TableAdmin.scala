@@ -1,6 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.core._
 
@@ -64,6 +65,79 @@ object TableAdmin {
     import t.spark.implicits._
     t.timeline.pendingInstants().map(i => (i.ts, i.action, i.state))
       .toDF("instant", "action", "state")
+  }
+
+  /** Export the latest snapshot as PLAIN files for non-engine consumers —
+    * the analog of the reference's HoodieSnapshotExporter in its non-hudi
+    * output modes (reference hudi-utilities/.../HoodieSnapshotExporter.java,
+    * `--output-format parquet|json`). One distributed write of the
+    * snapshot read (so MOR merging, replaced-group filtering and schema
+    * evolution all apply), meta columns stripped, laid out by the table's
+    * partition path when `partitioned`. Returns the exported instant.
+    */
+  def exportSnapshot(t: GraftTable, outputDir: String, format: String = "parquet",
+      partitioned: Boolean = true): String = {
+    require(Seq("parquet", "json", "orc").contains(format),
+      s"unsupported export format '$format'")
+    val latest = t.timeline.lastCompleted().map(_.ts).getOrElse(
+      throw new IllegalStateException("nothing committed to export"))
+    val snap = graft.read.Readers.snapshot(t)
+    if (partitioned && t.cfg.partitionPathExpr.nonEmpty)
+      snap.drop(MetaCols.All.filterNot(_ == MetaCols.PartitionPath): _*)
+        .write.mode("overwrite").format(format)
+        .partitionBy(MetaCols.PartitionPath).save(outputDir)
+    else
+      snap.drop(MetaCols.All: _*)
+        .write.mode("overwrite").format(format).save(outputDir)
+    latest
+  }
+
+  /** Copy the latest snapshot's FILES into a new, loadable table pinned at
+    * that instant — the HoodieSnapshotCopier analog (reference
+    * hudi-utilities/.../HoodieSnapshotCopier.java: latest file slices +
+    * the metadata dir). The copy is distributed (one task per file, IO via
+    * Hadoop's FileSystem so the same code targets hdfs://s3a://file://)
+    * and carries table config plus the commit metadata of the instants
+    * that own the copied files, so snapshot reads on the copy resolve
+    * exactly; older history is intentionally absent (as in the reference,
+    * the copy is a backup of ONE snapshot, not the full timeline).
+    */
+  def copyTable(t: GraftTable, outputDir: String): GraftTable = {
+    val spark = t.spark
+    val latest = t.timeline.lastCompleted().map(_.ts).getOrElse(
+      throw new IllegalStateException("nothing committed to copy"))
+    val slices = t.view.fileSlices(None)
+    val files = slices.flatMap(_.allFiles).map(_.relPath)
+      .filterNot(p => java.nio.file.Paths.get(p).isAbsolute) // bootstrap externals stay shared
+    val srcBase = t.basePath.toUri.toString.stripSuffix("/")
+    val dstBase = java.nio.file.Paths.get(GraftTable.normalize(outputDir))
+      .toAbsolutePath.toUri.toString.stripSuffix("/")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(GraftTable.normalize(outputDir)))
+    // distributed copy: one task per file, streamed through Hadoop FS
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 64)))
+      .foreach { rel =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val from = new org.apache.hadoop.fs.Path(s"$srcBase/$rel")
+        val to = new org.apache.hadoop.fs.Path(s"$dstBase/$rel")
+        val fs = to.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(
+          from.getFileSystem(conf), from, fs, to, false, true, conf)
+      }
+    // table config + the COMPLETE completed timeline (the reference copies
+    // the whole .hoodie metadata dir) — the copy's file-system view then
+    // resolves latest slices / replaced groups exactly like the source;
+    // only pre-latest file versions are absent, so time travel below the
+    // copied snapshot errors loudly instead of silently missing data
+    val dstPath = java.nio.file.Paths.get(GraftTable.normalize(outputDir))
+    TableConfig.save(dstPath, t.cfg)
+    val dstTimeline = new Timeline(dstPath)
+    dstTimeline.init()
+    t.timeline.completedInstants().foreach { i =>
+      val inst = dstTimeline.createRequested(i.ts, i.action)
+      dstTimeline.transitionToInflight(inst)
+      dstTimeline.saveAsComplete(inst, t.timeline.readContent(i))
+    }
+    GraftTable.load(spark, outputDir)
   }
 
   /** Live base-file size distribution quantiles: `stats filesizes`

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Round-7 probe: dump only the round's new queries for a fast local
+  * oracle check (full Verify runs the whole catalog).
+  */
+object Probe11 {
+  val names = Seq("t_payload_event_time", "t_payload_partial",
+    "t_snapshot_export", "t_snapshot_copy", "t_flatten_transform")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_probe11"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    for (n <- names) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      println(f"[probe11] $n%-24s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

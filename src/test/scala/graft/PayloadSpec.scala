@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{GraftTable, Payload, Services}
+
+/** Merge-payload strategies (reference HoodieRecordPayload family):
+  * EVENT_TIME (DefaultHoodieRecordPayload — event time outranks commit
+  * order) and PARTIAL_UPDATE (OverwriteNonDefaultsWithLatestAvroPayload —
+  * null columns keep stored values), on COW and MOR, including the
+  * tombstone fence and compaction parity.
+  */
+class PayloadSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def cfg(tt: String, payload: String, precombine: String) = TableConfig(
+    tableName = "orders_t",
+    tableType = tt,
+    recordKeyFields = Seq("o_orderkey"),
+    partitionPathExpr = "date_format(o_orderdate, 'yyyy')",
+    precombineField = precombine,
+    props = Map(ConfigKeys.Payload -> payload, "graft.compact.inline" -> "false"))
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+
+  test("EVENT_TIME: lower event time never overwrites, on COW and MOR") {
+    for (tt <- Seq(TableType.CopyOnWrite, TableType.MergeOnRead)) {
+      val t = GraftTable.create(spark, tmpDir("evt").toString,
+        cfg(tt, Payload.EventTime, "o_totalprice"))
+      val src = orders
+      t.bulkInsert(src)
+      val sample = src.filter(col("o_orderkey") % 10 === 0)
+      // late batch: LOWER ordering value — must be ignored entirely
+      t.upsert(sample.withColumn("o_totalprice", col("o_totalprice") - 1))
+      // on-time batch: HIGHER ordering value — must land
+      t.upsert(sample.withColumn("o_totalprice", col("o_totalprice") + 1))
+      // another late batch after the winner — still ignored
+      t.upsert(sample.withColumn("o_totalprice", lit(0.0)))
+      val got = Readers.snapshot(t)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")).orderBy("o_orderkey").collect()
+      val want = sample.select(col("o_orderkey"), col("o_totalprice") + 1)
+        .orderBy("o_orderkey").collect()
+      assert(got.sameElements(want), s"event-time merge mismatch on $tt")
+    }
+  }
+
+  test("EVENT_TIME: a late delete (lower event time) does not remove the record") {
+    val t = GraftTable.create(spark, tmpDir("evtdel").toString,
+      cfg(TableType.CopyOnWrite, Payload.EventTime, "o_totalprice"))
+    val src = orders
+    t.bulkInsert(src)
+    val n = src.count()
+    // tombstones carrying a lower ordering value than stored rows
+    t.delete(src.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") - 1))
+    assert(Readers.snapshot(t).count() === n, "late tombstone must lose")
+    // tombstones with a higher ordering value do delete
+    val doomed = src.filter(col("o_orderkey") % 10 === 0)
+    t.delete(doomed.withColumn("o_totalprice", col("o_totalprice") + 1))
+    assert(Readers.snapshot(t).count() === n - doomed.count())
+  }
+
+  test("PARTIAL_UPDATE: null columns keep stored values across a MOR version stack") {
+    val t = GraftTable.create(spark, tmpDir("partial").toString,
+      cfg(TableType.MergeOnRead, Payload.PartialUpdate, ""))
+    val src = orders
+    t.bulkInsert(src)
+    val hit = src.filter(col("o_orderkey") % 10 === 0)
+    t.upsert(hit.withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("o_orderstatus", lit(null).cast("string"))
+      .withColumn("o_custkey", lit(null).cast("long"))
+      .withColumn("o_orderpriority", lit(null).cast("string")))
+    t.upsert(hit.withColumn("o_orderstatus", lit("PP"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .withColumn("o_custkey", lit(null).cast("long"))
+      .withColumn("o_orderpriority", lit(null).cast("string")))
+    val got = Readers.snapshot(t).filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey").collect()
+    val want = hit.select(col("o_orderkey"), col("o_custkey"), lit("PP"),
+        col("o_totalprice") + 100, col("o_orderpriority"))
+      .orderBy("o_orderkey").collect()
+    assert(got.sameElements(want))
+    // compaction resolves the stack identically
+    Services.compact(t)
+    val compacted = Readers.snapshot(t).filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey").collect()
+    assert(compacted.sameElements(want), "compaction changed partial-update results")
+    // compacted groups carry no pending deltas
+    assert(t.view.fileSlices(None).forall(_.deltaFiles.isEmpty))
+  }
+
+  test("PARTIAL_UPDATE: tombstone fences the stack — re-insert does not resurrect old columns") {
+    val t = GraftTable.create(spark, tmpDir("fence").toString,
+      cfg(TableType.MergeOnRead, Payload.PartialUpdate, ""))
+    val src = orders
+    t.bulkInsert(src)
+    val hit = src.filter(col("o_orderkey") % 100 === 0)
+    t.delete(hit)
+    // re-insert with a null status: values from before the delete must NOT
+    // bleed through the tombstone
+    t.upsert(hit.withColumn("o_orderstatus", lit(null).cast("string"))
+      .withColumn("o_totalprice", lit(7.0)))
+    val got = Readers.snapshot(t).filter(col("o_orderkey") % 100 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    val want = hit.select(col("o_orderkey"), lit(null).cast("string"), lit(7.0))
+      .orderBy("o_orderkey").collect()
+    assert(got.sameElements(want), "pre-tombstone values resurrected")
+  }
+
+  test("PARTIAL_UPDATE on COW: stored values fill incoming nulls at rewrite") {
+    val t = GraftTable.create(spark, tmpDir("partialcow").toString,
+      cfg(TableType.CopyOnWrite, Payload.PartialUpdate, ""))
+    val src = orders
+    t.bulkInsert(src)
+    val hit = src.filter(col("o_orderkey") % 10 === 0)
+    t.upsert(hit.withColumn("o_orderstatus", lit("QQ"))
+      .withColumn("o_totalprice", lit(null).cast("double")))
+    val got = Readers.snapshot(t).filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    val want = hit.select(col("o_orderkey"), lit("QQ"), col("o_totalprice"))
+      .orderBy("o_orderkey").collect()
+    assert(got.sameElements(want))
+    // key uniqueness after the per-key merge
+    val snap = Readers.snapshot(t)
+    assert(snap.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+    assert(snap.count() === src.count())
+  }
+
+  test("EVENT_TIME requires a precombine field; unknown payloads rejected") {
+    intercept[IllegalArgumentException] {
+      Payload.of(cfg(TableType.CopyOnWrite, Payload.EventTime, ""))
+    }
+    intercept[IllegalArgumentException] {
+      Payload.of(cfg(TableType.CopyOnWrite, "BOGUS", "x"))
+    }
+  }
+}
