@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CommitMetadata, TableConfig, TableType}
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** INCREMENTAL MinHash-LSH deduplication as a table service: maintain a
+  * near-dup-free `clean` table from an append-shaped `source` documents
+  * table, with per-tick cost proportional to the NEW data — the shape a
+  * 100 TB training-data dedup actually runs as (a from-scratch
+  * [[Dedup.minhashDedup]] over the corpus per arrival batch would be
+  * O(corpus) per tick).
+  *
+  * The LSH state persists in two graft tables under `indexPath`:
+  *
+  *  - `bands` (band, bucket, doc_id) — every band row of every doc EVER
+  *    SEEN (kept and dropped: from-scratch semantics drop a doc that
+  *    near-dups ANY lower-id doc, surviving or not, so dropped docs keep
+  *    vetoing their later near-dups). PARTITIONED BY `pmod(bucket, P)`:
+  *    a tick's probe computes its distinct bucket hashes and reads ONLY
+  *    the matching partitions — plan-time pruning bounds probe IO by the
+  *    tick's band fan-out, not the corpus.
+  *  - `sigs` (doc_id, sig) — signatures for candidate verification,
+  *    partitioned by `pmod(doc_id, SP)` for the same pruned lookup of
+  *    the candidate ids' signatures.
+  *
+  * Each tick: incremental-pull new docs since the checkpoint → candidate
+  * pairs from (a) an in-batch band self-join and (b) a pruned probe of
+  * the persisted band index → signature-similarity verification → losers
+  * dropped, survivors upserted into `clean` with the source checkpoint in
+  * the SAME commit metadata (crash-atomic), and all pulled docs' band
+  * rows + signatures appended to the index.
+  *
+  * Crash safety: index appends land BEFORE the clean commit; a replayed
+  * tick re-pulls the same range (checkpoint unchanged), and duplicate
+  * band/sig rows are harmless — candidate pairs dedup before
+  * verification, `l < r` excludes self-pairs, and the clean upsert is
+  * keyed. So the service is effectively-once without multi-table
+  * transactions.
+  *
+  * Result contract: when batches arrive in nondecreasing `idCol` order
+  * (the natural contract for monotonic ingest ids), the clean table is
+  * BIT-IDENTICAL to a from-scratch `Dedup.minhashDedup` of the full
+  * corpus — verified by the DuckDB oracle. Out-of-order arrival degrades
+  * gracefully to first-seen-wins (the standard production semantic).
+  */
+object DedupService {
+
+  val CheckpointKey = "graft.dedup.source.checkpoint"
+  private val BucketPartsKey = "graft.dedup.bucket.partitions"
+  private val SigPartsKey = "graft.dedup.sig.partitions"
+
+  final case class DedupIndex(bands: GraftTable, sigs: GraftTable) {
+    def bucketParts: Int = bands.cfg.propLong(BucketPartsKey, 64L).toInt
+    def sigParts: Int = sigs.cfg.propLong(SigPartsKey, 32L).toInt
+  }
+
+  /** Create (or load) the persisted LSH index tables under `indexPath`. */
+  def openIndex(spark: SparkSession, indexPath: String,
+      bucketParts: Int = 64, sigParts: Int = 32): DedupIndex = {
+    val bands = GraftTable.createOrLoad(spark, s"$indexPath/bands", TableConfig(
+      "dedup_bands", TableType.CopyOnWrite,
+      Seq("band", "bucket", "doc_id"),
+      s"concat('p=', cast(pmod(bucket, $bucketParts) as string))", "",
+      Map(BucketPartsKey -> bucketParts.toString)))
+    val sigs = GraftTable.createOrLoad(spark, s"$indexPath/sigs", TableConfig(
+      "dedup_sigs", TableType.CopyOnWrite,
+      Seq("doc_id"),
+      s"concat('s=', cast(pmod(doc_id, $sigParts) as string))", "",
+      Map(SigPartsKey -> sigParts.toString)))
+    DedupIndex(bands, sigs)
+  }
+
+  def lastCheckpoint(clean: GraftTable): Option[String] =
+    clean.timeline.completedDataInstants().reverse.iterator
+      .map(i => CommitMetadata.fromJson(clean.timeline.readContent(i)))
+      .flatMap(_.extraMetadata.get(CheckpointKey))
+      .take(1).toSeq.headOption
+
+  /** One tick. Returns the clean-table commit ts, or None when the source
+    * has nothing new. Parameters must stay FIXED across the life of an
+    * index (signatures/bands of old ticks were computed with them).
+    */
+  def sync(source: GraftTable, clean: GraftTable, index: DedupIndex,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): Option[String] = {
+    val spark = source.spark
+    val head = source.timeline.completedDataInstants().lastOption.map(_.ts)
+      .getOrElse(return None)
+    val ckpt = lastCheckpoint(clean)
+    if (ckpt.contains(head)) return None
+    val rows = numHashes / bands
+
+    val pulledRaw = ckpt match {
+      case None => Readers.snapshot(source, asOf = Some(head))
+      case Some(b) => Readers.incremental(source, b, Some(head))
+    }
+    val dataCols = pulledRaw.columns.filterNot(graft.core.MetaCols.All.contains)
+    val pulled = pulledRaw.select(dataCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // signatures once per doc (native expression), band rows id-only —
+      // the same shuffle discipline as Dedup.minhashDupPairs
+      val sig = pulled
+        .select(col(idCol).as("_d_id"), col(textCol).as("_d_t"))
+        .repartition(col("_d_id"))
+        .select(col("_d_id"),
+          graft.functions.MinHashSig.minhashSig(col("_d_t"), numHashes, shingleN).as("_d_sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandRows = sig.select(col("_d_id"),
+          explode(Dedup.lshBands(col("_d_sig"), bands, rows)).as("_d_band"))
+        .select(col("_d_id"),
+          col("_d_band.band").as("band"), col("_d_band.bucket").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // (a) in-batch candidates: band equi-self-join, each pair once
+        val l = bandRows.select(col("band"), col("bucket"), col("_d_id").as("_l_id"))
+        val r = bandRows.select(col("band"), col("bucket"), col("_d_id").as("_r_id"))
+        val batchPairs = l.join(r, Seq("band", "bucket"))
+          .filter(col("_l_id") < col("_r_id"))
+          .select("_l_id", "_r_id")
+
+        // (b) corpus candidates: probe ONLY the index partitions this
+        // tick's buckets hash into (plan-time pruning)
+        val indexPairs =
+          if (index.bands.timeline.completedDataInstants().isEmpty) None
+          else {
+            val parts = bandRows
+              .select(pmod(col("bucket"), lit(index.bucketParts.toLong)).as("p"))
+              .distinct().collect().map(x => s"p=${x.getLong(0)}").toSeq
+            val stored = Readers.snapshot(index.bands, partitions = Some(parts))
+              .select(col("band"), col("bucket"), col("doc_id").as("_l_id"))
+            Some(stored.join(
+                bandRows.select(col("band"), col("bucket"), col("_d_id").as("_r_id")),
+                Seq("band", "bucket"))
+              .filter(col("_l_id") < col("_r_id"))
+              .select("_l_id", "_r_id"))
+          }
+        val pairs = indexPairs.map(batchPairs.unionByName(_)).getOrElse(batchPairs)
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        // l-side signatures: from the batch, else from the sigs table
+        // pruned to the candidate ids' partitions
+        val dups = try {
+          val lIds = pairs.select(col("_l_id")).distinct()
+          val missing = lIds.join(sig.select(col("_d_id").as("_l_id")), Seq("_l_id"), "left_anti")
+            .select(pmod(col("_l_id"), lit(index.sigParts.toLong)).as("p"))
+            .distinct().collect().map(x => s"s=${x.getLong(0)}").toSeq
+          val storedSigs =
+            if (missing.isEmpty || index.sigs.timeline.completedDataInstants().isEmpty)
+              sig.select(col("_d_id"), col("_d_sig"))
+            else Readers.snapshot(index.sigs, partitions = Some(missing))
+              .select(col("doc_id").as("_d_id"), col("sig").as("_d_sig"))
+              .unionByName(sig.select(col("_d_id"), col("_d_sig")))
+          pairs
+            .join(storedSigs.select(col("_d_id").as("_l_id"), col("_d_sig").as("_l_sig")), Seq("_l_id"))
+            .join(sig.select(col("_d_id").as("_r_id"), col("_d_sig").as("_r_sig")), Seq("_r_id"))
+            .filter(Dedup.signatureSimilarity(col("_l_sig"), col("_r_sig")) >= threshold)
+            .select(col("_r_id").as("_dup_id")).distinct()
+            .localCheckpoint(eager = true)
+        } finally pairs.unpersist()
+
+        val survivors = pulled.join(dups, col(idCol) === col("_dup_id"), "left_anti")
+
+        // index appends FIRST (crash-replay safe — see scaladoc), then the
+        // clean commit carries the checkpoint
+        index.bands.insert(bandRows.select(
+          col("band"), col("bucket"), col("_d_id").as("doc_id")))
+        index.sigs.insert(sig.select(col("_d_id").as("doc_id"), col("_d_sig").as("sig")))
+        Some(clean.upsert(survivors, extraMetadata = Map(CheckpointKey -> head)))
+      } finally { bandRows.unpersist(); sig.unpersist() }
+    } finally pulled.unpersist()
+  }
+}

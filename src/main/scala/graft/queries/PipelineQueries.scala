@@ -35,6 +35,34 @@ object PipelineQueries {
     "p_dedup_cluster" -> ((s, d) =>
       Dedup.minhashClusters(docs(s, d), threshold = 0.6)),
 
+    // INCREMENTAL dedup service: the corpus arrives in three id-ordered
+    // batches; each tick probes the persisted LSH band index (pruned to
+    // the tick's bucket partitions) instead of re-scanning the corpus.
+    // The final clean table must be BIT-IDENTICAL to the from-scratch
+    // minhash dedup — same oracle as p_dedup_minhash.
+    "p_dedup_incremental" -> ((s, d) => {
+      import graft.core.{TableConfig, TableType}
+      import graft.table.{GraftTable, WritePipeline}
+      val base = docs(s, d)
+      val root = s"/tmp/graft_q/dedup_incr_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(java.nio.file.Paths.get(root))
+      val docsCfg = TableConfig("docs_src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
+      val srcT = GraftTable.create(s, s"$root/source", docsCfg)
+      val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
+      val idx = DedupService.openIndex(s, s"$root/index")
+      val mx = base.agg(max("doc_id")).head.getLong(0)
+      val ticks = Seq(
+        base.filter(col("doc_id") <= mx / 3),
+        base.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+        base.filter(col("doc_id") > 2 * mx / 3))
+      for (tick <- ticks) {
+        srcT.bulkInsert(tick)
+        DedupService.sync(srcT, cleanT, idx, threshold = 0.6)
+      }
+      graft.read.Readers.snapshot(cleanT)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     "p_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(docs(s, d), maxDistance = 2)),
 
@@ -495,6 +523,8 @@ object PipelineQueries {
     "p_train_test_split" -> splitOracle,
     "p_dedup_exact" -> exactDedupOracle,
     "p_dedup_minhash" -> minhashOracle,
+    // incremental service must converge to the from-scratch answer
+    "p_dedup_incremental" -> minhashOracle,
     "p_dedup_cluster" -> clusterOracle,
     "p_dedup_ngram_jaccard" -> ngramJaccardOracle,
     "p_dedup_simhash" -> simhashOracle,

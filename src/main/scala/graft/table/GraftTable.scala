@@ -1005,6 +1005,7 @@ final class GraftTable(
       val md = CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)
       timeline.saveAsComplete(inst, Json.write(md))
       postCommit()
+      fireCommitCallbacks(ts, opType, stats)
       ts
     } catch {
       case e: Throwable =>
@@ -1016,6 +1017,34 @@ final class GraftTable(
 
   /** Test hook: runs between the optimistic body and the publish lock. */
   private[graft] var beforeOptimisticPublish: () => Unit = () => ()
+
+  // -------------------------------------------------------- commit callbacks
+
+  /** Register a commit callback — the analog of the reference's
+    * HoodieWriteCommitCallback (reference hudi-client-common/.../callback/
+    * HoodieWriteCommitCallback.java + HoodieWriteCommitCallbackMessage):
+    * invoked once per SUCCESSFUL data commit, after the instant publishes
+    * and before control returns to the writer. The reference ships HTTP
+    * and Kafka transports; here the transport is the caller's function
+    * (zero-egress environment), the message carries the same fields. A
+    * callback failure propagates like the reference's default
+    * (the commit itself is already durable — callers choosing at-least-once
+    * notification should catch inside the callback).
+    */
+  def registerCommitCallback(cb: GraftTable.CommitCallbackMessage => Unit): GraftTable = {
+    commitCallbacks :+= cb
+    this
+  }
+  private var commitCallbacks: Seq[GraftTable.CommitCallbackMessage => Unit] = Seq.empty
+
+  private def fireCommitCallbacks(instant: String, opType: String,
+      stats: Seq[WriteStat]): Unit =
+    if (commitCallbacks.nonEmpty) {
+      val msg = GraftTable.CommitCallbackMessage(
+        instant, cfg.tableName, basePath.toString, opType,
+        stats.map(_.numWrites).sum, stats.map(_.numDeletes).sum)
+      commitCallbacks.foreach(_(msg))
+    }
 
   /** Optimistic commit protocol: allocate + mark inflight under a short
     * lock, run the write unlocked, then re-acquire the lock to validate
@@ -1059,6 +1088,7 @@ final class GraftTable(
           Json.write(CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)))
         postCommit()
       }
+      fireCommitCallbacks(ts, opType, written)
       ts
     } catch {
       case e: Throwable =>
@@ -1112,6 +1142,19 @@ object SortMode {
 }
 
 object GraftTable {
+  /** What a commit callback receives (reference
+    * HoodieWriteCommitCallbackMessage: commitTime + tableName + basePath;
+    * operation and row counts added because every consumer immediately
+    * wants them).
+    */
+  final case class CommitCallbackMessage(
+      commitTime: String,
+      tableName: String,
+      basePath: String,
+      operationType: String,
+      numWrites: Long,
+      numDeletes: Long)
+
   /** Accept both plain paths and file: URIs (the session catalog hands
     * LOCATIONs to data sources in URI form).
     */

@@ -8,7 +8,8 @@ import java.nio.file.{Files, Paths}
   */
 object Probe11 {
   val names = Seq("t_payload_event_time", "t_payload_partial",
-    "t_snapshot_export", "t_snapshot_copy", "t_flatten_transform")
+    "t_snapshot_export", "t_snapshot_copy", "t_flatten_transform",
+    "p_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{TableConfig, TableType}
+import graft.pipeline.{Dedup, DedupService}
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** Incremental MinHash dedup service: per-tick probe of the persisted
+  * band index must converge to the from-scratch answer, duplicates must
+  * be caught ACROSS ticks, and an unchanged source must be a no-op.
+  */
+class DedupServiceSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docsCfg(name: String) =
+    TableConfig(name, TableType.CopyOnWrite, Seq("doc_id"), "", "")
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("three id-ordered ticks equal the from-scratch minhash dedup") {
+    val root = tmpDir("dedup_svc").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DedupService.openIndex(spark, s"$root/index")
+    val base = docs
+    val mx = base.agg(max("doc_id")).head.getLong(0)
+    val ticks = Seq(
+      base.filter(col("doc_id") <= mx / 3),
+      base.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+      base.filter(col("doc_id") > 2 * mx / 3))
+    for (t <- ticks) {
+      srcT.bulkInsert(t)
+      assert(DedupService.sync(srcT, cleanT, idx, threshold = 0.6).nonEmpty)
+    }
+    val got = Readers.snapshot(cleanT).select("doc_id").orderBy("doc_id").collect()
+    val want = Dedup.minhashDedup(base, threshold = 0.6)
+      .select("doc_id").orderBy("doc_id").collect()
+    assert(got.sameElements(want), "incremental != from-scratch")
+    // duplicates were actually found across ticks (not all kept)
+    assert(got.length < base.count())
+  }
+
+  test("unchanged source is a no-op tick; cross-tick exact copies dropped") {
+    val root = tmpDir("dedup_svc2").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DedupService.openIndex(spark, s"$root/index")
+    val base = docs.filter(col("doc_id") < 100)
+    srcT.bulkInsert(base)
+    assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
+    val n1 = Readers.snapshot(cleanT).count()
+    // no new source commits -> None, clean untouched
+    assert(DedupService.sync(srcT, cleanT, idx).isEmpty)
+    assert(Readers.snapshot(cleanT).count() === n1)
+    // tick 2: exact copies of tick-1 docs under NEW higher ids — every one
+    // must be vetoed by the persisted index, none survive
+    srcT.bulkInsert(base.withColumn("doc_id", col("doc_id") + 10000000L))
+    assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
+    assert(Readers.snapshot(cleanT).count() === n1, "cross-tick duplicates survived")
+  }
+}
