@@ -56,6 +56,8 @@ object ConfigKeys {
   val ArchiveMaxCommits = "graft.archive.max.commits"       // 30
   val IndexType = "graft.index.type"                        // SIMPLE | BLOOM
   val Payload = "graft.payload.class"  // OVERWRITE_LATEST | EVENT_TIME | PARTIAL_UPDATE
+  val FailedWritesPolicy = "graft.failed.writes.policy"     // EAGER | LAZY | NEVER
+  val FailedWritesStaleMs = "graft.failed.writes.stale.ms"  // LAZY staleness window
   val BaseFormat = "graft.base.format"                      // parquet | orc
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9

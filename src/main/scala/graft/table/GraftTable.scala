@@ -996,6 +996,16 @@ final class GraftTable(
   private def runCommitLocked(action: String, opType: String,
       extraMetadata: Map[String, String])(
       body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String = {
+    // reap crashed writers before starting (reference startCommit runs
+    // rollbackFailedWrites the same way; see Services.rollbackFailedWrites
+    // for the EAGER/LAZY policy semantics). Costs one pending-instant
+    // listing when the timeline is clean.
+    cfg.prop(ConfigKeys.FailedWritesPolicy, "LAZY") match {
+      case "EAGER" => Services.rollbackFailedWrites(this, 0L)
+      case "LAZY" => Services.rollbackFailedWrites(this,
+        cfg.propLong(ConfigKeys.FailedWritesStaleMs, 3600000L))
+      case _ => () // NEVER: explicit admin calls only
+    }
     val ts = InstantTime.newInstant(timeline) // clamped above all timeline instants
     val inst = timeline.createRequested(ts, action)
     timeline.transitionToInflight(inst)

@@ -351,6 +351,81 @@ object Services {
     rts
   }
 
+  /** Roll back FAILED (crashed) writes: pending commit/deltacommit
+    * instants — and inflight replacecommits — older than `olderThanMs`,
+    * deleting any data files the dead writer already moved into the table
+    * layout plus its staging dir, then recording a rollback instant. The
+    * reference runs this eagerly at every startCommit under its EAGER
+    * failed-writes policy (reference AbstractHoodieWriteClient.java:667-668,
+    * CleanerUtils.rollbackFailedWrites) and finds the dead writer's files
+    * by listing (ListingBasedRollbackHelper).
+    *
+    * Excluded: compaction instants (a requested compaction is a RETRYABLE
+    * plan — runCompaction's failure path deliberately preserves it) and
+    * requested-only replacecommits (a scheduled clustering plan awaiting
+    * execution).
+    *
+    * Divergence from the reference's EAGER default: plain and optimistic
+    * writers may legally interleave here (an optimistic writer holds an
+    * inflight marker while running unlocked), so the auto-hook defaults to
+    * LAZY — only pending instants older than the staleness window
+    * (`graft.failed.writes.stale.ms`, default 1h — the heartbeat-expiry
+    * analog) are reaped. Strict single-writer deployments set
+    * `graft.failed.writes.policy=EAGER` to reclaim immediately.
+    */
+  def rollbackFailedWrites(t: GraftTable, olderThanMs: Long = 0L): Seq[String] =
+    graft.core.TableLock.withLock(t.basePath) {
+      val now = System.currentTimeMillis()
+      val stale = t.timeline.pendingInstants()
+        .filter(i => i.action == Action.Commit || i.action == Action.DeltaCommit ||
+          (i.action == Action.ReplaceCommit && i.state == State.Inflight))
+        .map(_.ts).distinct
+        // a zero window means "all pending" — instants can clamp a tick
+        // above wall clock, so a literal age>=0 check would skip them
+        .filter(ts => olderThanMs <= 0L || now - instantEpochMs(ts) >= olderThanMs)
+      stale.map { ts =>
+        val deleted = orphanDataFiles(t, ts).map { p =>
+          val rel = t.basePath.relativize(p).toString
+          Files.deleteIfExists(p)
+          rel
+        }
+        WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
+        val action = t.timeline.listInstants().filter(_.ts == ts).map(_.action)
+          .headOption.getOrElse(Action.Commit)
+        t.timeline.deleteInstantFiles(ts, action)
+        val rts = InstantTime.newInstant(t.timeline)
+        val inst = t.timeline.createRequested(rts, Action.Rollback)
+        t.timeline.transitionToInflight(inst)
+        t.timeline.saveAsComplete(inst, Json.write(RollbackMetadata(Seq(ts), deleted)))
+        rts
+      }
+    }
+
+  /** Listing-based discovery of a dead writer's already-published data
+    * files: every data file in the table layout stamped with the pending
+    * instant (file names embed their instant — fileId_token_instant.ext).
+    * Only used on the failure path; normal operation never walks.
+    */
+  private def orphanDataFiles(t: GraftTable, ts: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val marker = "_" + ts + "."
+    Files.walk(t.basePath).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.startsWith(t.basePath.resolve(".graft")))
+      .filter(_.getFileName.toString.contains(marker))
+      .toSeq
+  }
+
+  /** Epoch millis of an instant timestamp (yyyyMMddHHmmssSSS; counter-
+    * clamped instants parse the same way). Unparseable ⇒ MaxValue age.
+    */
+  private def instantEpochMs(ts: String): Long =
+    try {
+      java.time.LocalDateTime.parse(ts.take(17),
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch { case _: Exception => Long.MinValue }
+
   /** Pin an instant's files against cleaning (reference
     * SavepointActionExecutor).
     */
