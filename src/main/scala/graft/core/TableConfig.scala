@@ -58,6 +58,9 @@ object ConfigKeys {
   val Payload = "graft.payload.class"  // OVERWRITE_LATEST | EVENT_TIME | PARTIAL_UPDATE
   val FailedWritesPolicy = "graft.failed.writes.policy"     // EAGER | LAZY | NEVER
   val FailedWritesStaleMs = "graft.failed.writes.stale.ms"  // LAZY staleness window
+  val ClusterInline = "graft.cluster.inline"                // false
+  val ClusterInlineMaxCommits = "graft.cluster.inline.max.commits" // 4
+  val ClusterSortColumns = "graft.cluster.sort.columns"     // comma-separated
   val BaseFormat = "graft.base.format"                      // parquet | orc
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9

@@ -157,16 +157,20 @@ object Streaming {
       dst: GraftTable,
       transform: DataFrame => DataFrame = identity,
       pollIntervalMs: Long = 200L,
-      asyncCompact: Boolean = true) {
+      asyncCompact: Boolean = true,
+      asyncCluster: Boolean = false,
+      clusterEveryCommits: Int = 4) {
     import scala.jdk.CollectionConverters._
     @volatile private var stopped = false
     @volatile private var error: Option[Throwable] = None
     private val produced = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private val compacted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val clustered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private var threads: Seq[Thread] = Seq.empty
 
     def commits: Seq[String] = produced.iterator().asScala.toSeq
     def compactions: Seq[String] = compacted.iterator().asScala.toSeq
+    def clusterings: Seq[String] = clustered.iterator().asScala.toSeq
     def failure: Option[Throwable] = error
 
     def start(): ContinuousIngest = {
@@ -192,8 +196,30 @@ object Streaming {
           Thread.sleep(pollIntervalMs * 2)
         }
       }, "graft-async-compact")
+      // async clustering (reference SparkAsyncClusteringService /
+      // HoodieClusteringJob): coalesce the destination's small file groups
+      // every `clusterEveryCommits` data commits, off the ingest path —
+      // the table lock serializes the replacecommit against ingest commits
+      val clus = new Thread(() => {
+        while (!stopped && error.isEmpty) {
+          try {
+            val completed = dst.timeline.completedInstants()
+            val lastCluster = completed
+              .filter(_.action == Action.ReplaceCommit)
+              .filter(i => CommitMetadata.fromJson(
+                dst.timeline.readContent(i)).operationType == "cluster")
+              .lastOption
+            val dataSince = dst.timeline.completedDataInstants()
+              .count(i => lastCluster.forall(c => i.ts > c.ts))
+            if (dataSince >= clusterEveryCommits)
+              graft.table.Services.cluster(dst).foreach(clustered.add)
+          } catch { case e: Throwable => error = Some(e) }
+          Thread.sleep(pollIntervalMs * 2)
+        }
+      }, "graft-async-cluster")
       threads = Seq(ingest) ++
-        (if (asyncCompact && dst.cfg.isMor) Seq(comp) else Seq.empty)
+        (if (asyncCompact && dst.cfg.isMor) Seq(comp) else Seq.empty) ++
+        (if (asyncCluster) Seq(clus) else Seq.empty)
       threads.foreach { t => t.setDaemon(true); t.start() }
       this
     }

@@ -1126,6 +1126,25 @@ final class GraftTable(
         .count(i => lastCompaction.forall(c => i.ts > c.ts))
       if (deltasSince >= n) Services.compact(this)
     }
+    // inline clustering every N data commits (reference
+    // HoodieClusteringConfig: hoodie.clustering.inline +
+    // inline.max.commits, default 4) — small-file coalescing keeps pace
+    // with ingest without a separate scheduler
+    if (cfg.prop(ConfigKeys.ClusterInline, "false") == "true") {
+      val n = cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L)
+      val completed = timeline.completedInstants()
+      val lastCluster = completed
+        .filter(_.action == Action.ReplaceCommit)
+        .filter(i => CommitMetadata.fromJson(timeline.readContent(i)).operationType == "cluster")
+        .lastOption
+      val dataSince = timeline.completedDataInstants()
+        .count(i => lastCluster.forall(c => i.ts > c.ts))
+      if (dataSince >= n) {
+        val sortCols = cfg.prop(ConfigKeys.ClusterSortColumns, "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Services.cluster(this, sortColumns = sortCols)
+      }
+    }
     val maxCommits = cfg.propLong(ConfigKeys.ArchiveMaxCommits, 30L).toInt
     val minCommits = cfg.propLong(ConfigKeys.ArchiveMinCommits, 20L).toInt
     val completed = timeline.completedInstants()
