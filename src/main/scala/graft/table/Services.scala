@@ -121,6 +121,35 @@ object Services {
   def compact(t: GraftTable): Option[String] =
     scheduleCompaction(t).map(ts => runCompaction(t, ts))
 
+  /** Unschedule a pending compaction plan (reference
+    * HoodieCompactionAdminTool UNSCHEDULE_PLAN): removes the requested
+    * instant so its deltas merge in a later plan instead. Refuses plans
+    * already executing or executed.
+    */
+  def unscheduleCompaction(t: GraftTable, ts: String): Unit =
+    graft.core.TableLock.withLock(t.basePath) {
+      val states = t.timeline.listInstants().filter(i => i.ts == ts && i.action == Action.Compaction)
+      require(states.nonEmpty, s"no compaction instant $ts")
+      require(states.forall(_.state == State.Requested),
+        s"compaction $ts is ${states.map(_.state).mkString(",")} — only requested plans unschedule")
+      t.timeline.deleteInstantFiles(ts, Action.Compaction)
+    }
+
+  /** Validate a pending compaction plan (reference
+    * HoodieCompactionAdminTool VALIDATE): one row per planned operation,
+    * flagging inputs that no longer exist (e.g. cleaned by mistake).
+    */
+  def validateCompaction(t: GraftTable, ts: String): org.apache.spark.sql.DataFrame = {
+    val plan = Json.read[CompactionPlan](t.timeline.readRequestedContent(ts, Action.Compaction))
+    import t.spark.implicits._
+    plan.operations.map { op =>
+      val baseOk = op.baseFilePath.isEmpty || Files.exists(t.basePath.resolve(op.baseFilePath))
+      val missingDeltas = op.deltaFilePaths.filterNot(p => Files.exists(t.basePath.resolve(p)))
+      (op.partitionPath, op.fileId, baseOk, op.deltaFilePaths.size.toLong,
+        missingDeltas.size.toLong, baseOk && missingDeltas.isEmpty)
+    }.toDF("partition", "file_id", "base_present", "num_deltas", "missing_deltas", "valid")
+  }
+
   // ------------------------------------------------------------ clustering
 
   /** Clustering plan strategies — which partitions are eligible for a

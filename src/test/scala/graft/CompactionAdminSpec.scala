@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{GraftTable, Services}
+
+/** Compaction admin ops (reference HoodieCompactionAdminTool:
+  * VALIDATE / UNSCHEDULE_PLAN) and MOR savepoint/restore.
+  */
+class CompactionAdminSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def morCfg = TableConfig(
+    "mor_admin", TableType.MergeOnRead, Seq("o_orderkey"),
+    "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+    Map("graft.compact.inline" -> "false"))
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+
+  test("validate reports plan health; unschedule removes a requested plan") {
+    val t = GraftTable.create(spark, tmpDir("cadmin").toString, morCfg)
+    val src = orders.limit(400).cache(); src.count()
+    t.bulkInsert(src)
+    t.upsert(src.limit(100).withColumn("o_totalprice", lit(2.0)))
+    val ts = Services.scheduleCompaction(t).get
+    val v = Services.validateCompaction(t, ts)
+    assert(v.filter(!col("valid")).count() === 0)
+    assert(v.count() > 0)
+    // unschedule removes the plan; deltas merge in a later plan instead
+    Services.unscheduleCompaction(t, ts)
+    assert(!t.timeline.pendingInstants().exists(_.ts == ts))
+    val ts2 = Services.scheduleCompaction(t).get
+    Services.runCompaction(t, ts2)
+    assert(Readers.snapshot(t).filter(col("o_totalprice") === 2.0).count() === 100)
+    // an executed compaction refuses unscheduling
+    intercept[IllegalArgumentException](Services.unscheduleCompaction(t, ts2))
+    src.unpersist()
+  }
+
+  test("validate flags a plan whose input file vanished") {
+    val t = GraftTable.create(spark, tmpDir("cadmin2").toString, morCfg)
+    val src = orders.limit(300).cache(); src.count()
+    t.bulkInsert(src)
+    t.upsert(src.limit(80).withColumn("o_totalprice", lit(2.0)))
+    val ts = Services.scheduleCompaction(t).get
+    val plan = Json.read[CompactionPlan](t.timeline.readRequestedContent(ts, Action.Compaction))
+    val victim = plan.operations.flatMap(_.deltaFilePaths).head
+    java.nio.file.Files.delete(t.basePath.resolve(victim))
+    val v = Services.validateCompaction(t, ts)
+    assert(v.filter(!col("valid")).count() === 1)
+    assert(v.filter(col("missing_deltas") > 0).count() === 1)
+    src.unpersist()
+  }
+
+  test("MOR savepoint + restore returns the table to the pinned snapshot") {
+    val t = GraftTable.create(spark, tmpDir("morsr").toString, morCfg)
+    val src = orders.limit(400).cache(); src.count()
+    t.bulkInsert(src)
+    val c1 = t.upsert(src.limit(100).withColumn("o_totalprice", lit(2.0)))
+    Services.savepoint(t, c1)
+    val want = Readers.snapshot(t).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    t.upsert(src.limit(200).withColumn("o_totalprice", lit(9.0)))
+    t.delete(src.limit(40))
+    Services.compact(t)
+    Services.restore(t, c1)
+    val got = Readers.snapshot(t).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    assert(got.sameElements(want), "MOR restore diverged from the savepointed snapshot")
+    src.unpersist()
+  }
+}
