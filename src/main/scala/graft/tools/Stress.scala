@@ -126,6 +126,28 @@ object Stress {
       time(noop(graft.pipeline.Sampling.stratifiedSample(docsN, "source", "doc_id",
         Map("src0" -> 0.5), 0.9))))
 
+    // incremental dedup: FIXED tick size against a 1x vs Nx corpus index —
+    // the service's claim is per-tick cost ∝ new data, so the ratio must
+    // stay well below the corpus multiplier (the probe's pruned index read
+    // grows with corpus/P per touched partition, hence sublinear, not flat)
+    def dedupTick(corpus: DataFrame, name: String): Double = {
+      val root = s"/tmp/graft_stress/$name"
+      WritePipeline.deleteRecursively(Paths.get(root))
+      val dc = TableConfig("src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
+      val srcT = GraftTable.create(spark, s"$root/src", dc)
+      val cleanT = GraftTable.create(spark, s"$root/clean", dc.copy(tableName = "clean"))
+      val idx = graft.pipeline.DedupService.openIndex(spark, s"$root/idx")
+      srcT.bulkInsert(corpus)
+      graft.pipeline.DedupService.sync(srcT, cleanT, idx, threshold = 0.6) // index build, untimed
+      val tick = docs1.limit(2000).withColumn("doc_id", col("doc_id") + 900000000L)
+      srcT.bulkInsert(tick)
+      time(graft.pipeline.DedupService.sync(srcT, cleanT, idx, threshold = 0.6))
+    }
+    val (dt1, dtN) = (dedupTick(docs1, "dt1"), dedupTick(docsN, "dtN"))
+    val tickRatio = dtN / math.max(dt1, 1e-9)
+    println(f"[stress] dedup_svc_tick     1x=${dt1}%6.2fs  ${mult}x=${dtN}%7.2fs  " +
+      f"ratio=${tickRatio}%5.1f  ${if (tickRatio <= mult * 0.8) "OK (sublinear)" else "NEAR-LINEAR"}")
+
     println("[stress] DONE")
     spark.stop()
   }
