@@ -163,7 +163,12 @@ class GraftDataSource
         tableType = parameters.getOrElse("tableType", TableType.CopyOnWrite),
         recordKeyFields = keys.split(",").map(_.trim).toSeq,
         partitionPathExpr = parameters.getOrElse("partitionPathExpr", ""),
-        precombineField = parameters.getOrElse("precombineField", "")))
+        precombineField = parameters.getOrElse("precombineField", ""),
+        // every graft.* option becomes a persisted table property, so the
+        // payload class, index type, file sizing, policies etc. are all
+        // settable from the DataFrame/SQL surface (the reference reads its
+        // hoodie.* write options the same way)
+        props = parameters.filter { case (k, _) => k.startsWith("graft.") }))
     }
   }
 }

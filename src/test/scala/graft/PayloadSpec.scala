@@ -134,6 +134,25 @@ class PayloadSpec extends AnyFunSuite {
     assert(snap.count() === src.count())
   }
 
+  test("graft.* options persist as table properties through the DataSource") {
+    val dir = tmpDir("dsprops").toString + "/t"
+    val src = orders.limit(100)
+    src.write.format("graft")
+      .option("recordKeyFields", "o_orderkey")
+      .option("precombineField", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .option(ConfigKeys.Payload, Payload.EventTime)
+      .option(ConfigKeys.MaxFileSize, (4L * 1024 * 1024).toString)
+      .save(dir)
+    val t = GraftTable.load(spark, dir)
+    assert(Payload.of(t.cfg) === Payload.EventTime)
+    assert(t.maxFileSize === 4L * 1024 * 1024)
+    // the payload actually governs merges on the created table: a batch
+    // with a LOWER ordering value (-5) must be ignored entirely
+    t.upsert(src.limit(30).withColumn("o_totalprice", lit(-5.0)))
+    assert(Readers.snapshot(t).filter(col("o_totalprice") === -5.0).count() === 0)
+  }
+
   test("EVENT_TIME requires a precombine field; unknown payloads rejected") {
     intercept[IllegalArgumentException] {
       Payload.of(cfg(TableType.CopyOnWrite, Payload.EventTime, ""))
