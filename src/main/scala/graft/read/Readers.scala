@@ -37,36 +37,39 @@ object Readers {
       case None => slices0
     }
     val (withDeltas, plainSlices) = slices.partition(_.deltaFiles.nonEmpty)
-    val plain = readBases(t, plainSlices.flatMap(_.baseFile))
+    val plain = readBases(t, plainSlices.flatMap(_.baseFile), asOf)
     if (withDeltas.isEmpty) plain
-    else plain.unionByName(mergeSlices(t, withDeltas), allowMissingColumns = true)
+    else plain.unionByName(mergeSlices(t, withDeltas, asOf), allowMissingColumns = true)
   }
 
   /** Read-optimized view: latest base files only, no delta merge
     * (reference's `_ro` view).
     */
   def readOptimized(t: GraftTable, asOf: Option[String] = None): DataFrame =
-    readBases(t, t.view.fileSlices(asOf).flatMap(_.baseFile))
+    readBases(t, t.view.fileSlices(asOf).flatMap(_.baseFile), asOf)
 
   /** Base-file scan through [[GraftFileIndex]]: Catalyst prunes partitions
     * from WHERE clauses at plan time and pushes predicates/projections to
     * parquet — no pre-listed path set. Bootstrap-adopted (external) files
-    * go through the meta-synthesis reader instead.
+    * go through the meta-synthesis reader instead. Time-travel reads
+    * resolve the schema AS OF the pinned instant.
     */
-  private def readBases(t: GraftTable, bases: Seq[FileEntry]): DataFrame = {
+  private def readBases(t: GraftTable, bases: Seq[FileEntry],
+      asOf: Option[String] = None): DataFrame = {
     val (ext, internal) = bases.partition(e =>
       java.nio.file.Paths.get(e.relPath).isAbsolute)
     val frames = Seq(
-      if (internal.isEmpty) None else Some(fileIndexScan(t, internal)),
-      if (ext.isEmpty) None else Some(t.readEntriesRaw(ext))
+      if (internal.isEmpty) None else Some(fileIndexScan(t, internal, asOf)),
+      if (ext.isEmpty) None else Some(t.readEntriesRaw(ext, asOf))
     ).flatten
-    if (frames.isEmpty) t.readEntriesRaw(Seq.empty)
+    if (frames.isEmpty) t.readEntriesRaw(Seq.empty, asOf)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  private def fileIndexScan(t: GraftTable, entries: Seq[FileEntry]): DataFrame = {
-    t.latestSchema match {
-      case None => t.readEntriesRaw(entries) // pre-first-commit fallback
+  private def fileIndexScan(t: GraftTable, entries: Seq[FileEntry],
+      asOf: Option[String] = None): DataFrame = {
+    t.schemaAsOf(asOf) match {
+      case None => t.readEntriesRaw(entries, asOf) // pre-first-commit fallback
       case Some(schema) =>
         // the partition column comes from the index, not the file bytes
         val dataSchema = org.apache.spark.sql.types.StructType(
@@ -88,11 +91,12 @@ object Readers {
     * latest-wins window → tombstones dropped (the DataFrame form of the
     * reference's per-slice merge iterators, HoodieMergeOnReadRDD.scala:58-305).
     */
-  private def mergeSlices(t: GraftTable, slices: Seq[FileSlice]): DataFrame = {
+  private def mergeSlices(t: GraftTable, slices: Seq[FileSlice],
+      asOf: Option[String] = None): DataFrame = {
     val del = MetaCols.DeleteFlag
-    val bases = t.readEntriesRaw(slices.flatMap(_.baseFile))
+    val bases = t.readEntriesRaw(slices.flatMap(_.baseFile), asOf)
       .withColumn(del, lit(false))
-    val deltas = t.readEntriesRaw(slices.flatMap(_.deltaFiles))
+    val deltas = t.readEntriesRaw(slices.flatMap(_.deltaFiles), asOf)
     val unioned = bases.unionByName(
       deltas.withColumn(del, coalesce(col(del), lit(false))),
       allowMissingColumns = true)

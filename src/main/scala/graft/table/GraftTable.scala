@@ -44,11 +44,22 @@ final class GraftTable(
     * file-footer fallback which we never need because every commit records
     * its writer schema.
     */
-  def latestSchema: Option[StructType] =
+  def latestSchema: Option[StructType] = schemaAsOf(None)
+
+  /** Schema as of an instant — time-travel reads resolve the schema the
+    * table HAD at the queried commit (the reference's TableSchemaResolver
+    * reads the queried commit's metadata the same way), so a snapshot
+    * below an ALTER shows the pre-ALTER columns. Instants archived off
+    * the active timeline resolve to the oldest active schema (their files
+    * are cleaned before their schemas matter).
+    */
+  def schemaAsOf(asOf: Option[String]): Option[StructType] =
     timeline.completedDataInstants().reverse.iterator
+      .filter(i => asOf.forall(i.ts <= _))
       .map(i => CommitMetadata.fromJson(timeline.readContent(i)))
       .find(_.schemaJson.nonEmpty)
       .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+      .orElse(if (asOf.isDefined) latestSchema else None)
 
   def dataSchema: Option[StructType] =
     latestSchema.map(s => StructType(s.fields.filterNot(f => MetaCols.All.contains(f.name))))
@@ -925,8 +936,8 @@ final class GraftTable(
     * entries (absolute paths outside the table) are read raw and their
     * meta columns synthesized from the key generator.
     */
-  def readEntriesRaw(entries: Seq[FileEntry]): DataFrame = {
-    val schema = latestSchema
+  def readEntriesRaw(entries: Seq[FileEntry], asOf: Option[String] = None): DataFrame = {
+    val schema = schemaAsOf(asOf)
     if (entries.isEmpty) {
       val s = schema.getOrElse(StructType(Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)

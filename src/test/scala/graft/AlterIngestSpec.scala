@@ -42,6 +42,22 @@ class AlterIngestSpec extends AnyFunSuite {
     after.unpersist()
   }
 
+  test("time travel below a schema-evolution commit shows the old schema") {
+    val t = GraftTable.create(spark, tmpDir("tt_schema").toString, ordersCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet").limit(200).cache()
+    src.count()
+    val c1 = t.bulkInsert(src)
+    t.upsert(src.limit(40).withColumn("note", lit("x"))) // additive evolution
+    // head: evolved schema, nulls backfilled
+    assert(Readers.snapshot(t).columns.contains("note"))
+    // pinned below the evolution: the schema the table HAD at c1
+    val pinned = Readers.timeTravel(t, c1)
+    assert(!pinned.columns.contains("note"),
+      "time travel leaked a column added after the pinned instant")
+    assert(pinned.count() === 200)
+    src.unpersist()
+  }
+
   test("changeColumn rejects narrowing and unknown columns") {
     val dir = tmpDir("alter_reject")
     val t = GraftTable.create(spark, dir.toString, ordersCfg)
