@@ -95,6 +95,13 @@ object Streaming {
     df.sparkSession.sql(sql.replace("<SRC>", view))
   }
 
+  /** SqlFileBasedTransformer analog (reference
+    * transform/SqlFileBasedTransformer.java): the SQL template lives in a
+    * file — deploy-time configurable pipelines without code changes.
+    */
+  def sqlFileTransformer(path: String): DataFrame => DataFrame =
+    sqlTransformer(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   /** Chain transformers left-to-right (reference ChainedTransformer). */
   def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =
     ts.foldLeft(identity[DataFrame] _)(_ andThen _)

@@ -122,4 +122,14 @@ class AlterIngestSpec extends AnyFunSuite {
     assert(snap.count() === 100)
     assert(snap.filter(col("o_orderpriority") === "INGESTED").count() === 100)
   }
+
+  test("sqlFileTransformer reads its template from a file") {
+    val f = tmpDir("sqlfile").resolve("tr.sql")
+    Files.writeString(f, "SELECT o_orderkey, o_totalprice * 10 AS o_totalprice FROM <SRC>")
+    val src = spark.read.parquet(s"$sf001/orders.parquet").limit(5)
+    val out = graft.streaming.Streaming.sqlFileTransformer(f.toString)(src)
+    assert(out.columns.toSeq === Seq("o_orderkey", "o_totalprice"))
+    assert(out.agg(min(col("o_totalprice"))).head.getDouble(0) >=
+      src.agg(min(col("o_totalprice") * 10)).head.getDouble(0))
+  }
 }
