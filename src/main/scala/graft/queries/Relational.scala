@@ -196,9 +196,46 @@ object Relational {
         """SELECT o_orderstatus, year(o_orderdate) AS yr, count(*) AS n
           |FROM gs_orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())""".stripMargin)
+    }),
+
+    // window FRAMES: per-customer moving average over the last 3 orders
+    // (ROWS BETWEEN) — the frame-based window family q7's ranking misses
+    "q20_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      // exact decimal frame-sum then ONE double division: engines may
+      // accumulate frame doubles in different orders, decimals they can't
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        (sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg3"))
+    }),
+
+    // lead/lag offsets: days between a customer's consecutive orders
+    "q21_order_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q20_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |  / count(*) OVER w AS avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q21_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(date_diff('day',
+        |  lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  o_orderdate) AS INT) AS days_since_prev
+        |FROM orders""".stripMargin,
     "q18_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
