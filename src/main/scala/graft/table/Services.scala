@@ -86,16 +86,37 @@ object Services {
       val deltas = t.readEntriesRaw(slices.flatMap(_.deltaFiles))
       val unioned = bases.unionByName(
         deltas.withColumn(del, coalesce(col(del), lit(false))), allowMissingColumns = true)
-      // version resolution honors the table's payload strategy, so a
-      // compacted group reads identically to its pre-compaction merge
-      val merged = Payload.mergeVersions(t.cfg, unioned, del)
         .withColumn(WritePipeline.FileIdCol,
           substring_index(col(MetaCols.FileName), "_", 1))
+      // Version resolution honors the table's payload strategy, so a
+      // compacted group reads identically to its pre-compaction merge.
+      // A key never leaves its file group (updates tag to the key's
+      // group), so for the winner-row payloads the merge fuses into the
+      // write's (partition, fileId) exchange — ONE shuffle of the
+      // compacted bytes, same shape as the COW merged write, instead of a
+      // (partition, key) window followed by the write re-exchange.
+      // PARTIAL_UPDATE needs per-key window frames and keeps the two-pass
+      // shape.
+      val merged0 =
+        if (Payload.of(t.cfg) == Payload.PartialUpdate)
+          Payload.mergeVersions(t.cfg, unioned, del)
+            .repartition(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
+        else {
+          val ord = col(MetaCols.RecordKey).asc +: Payload.ordering(t.cfg)
+          val w = Window.partitionBy(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
+            .orderBy(ord: _*)
+          unioned
+            .repartition(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
+            .withColumn("_graft_prev", lag(col(MetaCols.RecordKey), 1).over(w))
+            .filter((col("_graft_prev").isNull ||
+              col("_graft_prev") =!= col(MetaCols.RecordKey)) && !col(del))
+            .drop("_graft_prev", del)
+        }
+      val merged = merged0
         .withColumn(MetaCols.FileName,
-          concat(substring_index(col(MetaCols.FileName), "_", 1),
-            lit(s"_0_$ts.${t.cfg.baseFormat}")))
+          concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
       val stats = WritePipeline.writeFiles(t.spark, t.basePath, merged, ts,
-        isDelta = false, baseFormat = t.cfg.baseFormat)
+        isDelta = false, alreadyPartitioned = true, baseFormat = t.cfg.baseFormat)
       val md = CommitMetadata("compact", stats, Map.empty,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))

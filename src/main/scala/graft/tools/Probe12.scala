@@ -75,6 +75,20 @@ object Probe12 {
       orders.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_orderstatus", lit(null).cast("string"))))
 
+    // MOR compaction: merge fused into the write exchange — expect the
+    // same stage shape as a merged write (one shuffle of compacted bytes)
+    val mor = {
+      val p = "/tmp/graft_p12/mor"
+      WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+      GraftTable.create(spark, p, TableConfig("p12m", TableType.MergeOnRead,
+        Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+        Map("graft.compact.inline" -> "false")))
+    }
+    mor.bulkInsert(orders)
+    mor.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    audit("mor compaction (fused)")(graft.table.Services.compact(mor))
+
     // DedupService probe pruning: after one tick, probe a single doc and
     // count files the pruned bands snapshot lists vs the full snapshot
     val docs = spark.read.parquet(s"$d/documents.parquet")
