@@ -101,6 +101,31 @@ class PropertySpec extends AnyFunSuite {
     *  - a deletion is visible to the range containing it: the key is
     *    absent from the incremental output AND from the reconstruction
     */
+  test("EVENT_TIME payload: upserts commute — arrival order cannot change the table") {
+    // value is a pure function of (id, ver), so even ordering ties pick
+    // identical rows; with event-time ranking above commit order the final
+    // state must then be invariant under ANY batch arrival permutation —
+    // the late-data guarantee DefaultHoodieRecordPayload exists for.
+    (1 to 3).foreach { trial =>
+      val bs = batches(trial + 50L, 3)
+        .map(_.map { case (id, ver, _) => (id, ver, s"$id-$ver") })
+      def run(order: Seq[Int]): Set[(Long, Long, String)] = {
+        val t = GraftTable.create(spark,
+          tmpDir(s"prop_evt_${trial}_${order.mkString}").toString,
+          TableConfig("prop_evt", TableType.CopyOnWrite, Seq("id"), "", "ver",
+            Map(ConfigKeys.Payload -> graft.table.Payload.EventTime)))
+        order.foreach(i => t.upsert(df(bs(i))))
+        snap(t)
+      }
+      val a = run(Seq(0, 1, 2))
+      assert(a === run(Seq(2, 1, 0)), s"trial $trial: reversed order diverged")
+      assert(a === run(Seq(1, 2, 0)), s"trial $trial: rotated order diverged")
+      // and the winner per id is the maximum event time seen anywhere
+      val want = bs.flatten.groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      assert(a === want, s"trial $trial: winners are not the max event time")
+    }
+  }
+
   test("fuzz: incremental ranges compose between arbitrary instants") {
     (1 to 2).foreach { trial =>
       // batches made unique per id up front: a within-batch precombine TIE
