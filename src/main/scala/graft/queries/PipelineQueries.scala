@@ -614,4 +614,40 @@ object PipelineQueries {
         |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin)
+
+  /** Documents surviving a quality threshold — the SQL twin of
+    * `TextStats.qualityScore(text) >= thr` for the quality-filter table
+    * service oracle.
+    */
+  def qualityFilterOracle(thr: Double): String =
+    raw"""WITH s AS (
+         |  SELECT doc_id, text, length(text) AS nch,
+         |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, nch,
+         |    CASE WHEN len(toks)=0 THEN 0.0
+         |      ELSE list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) END AS awl,
+         |    CASE WHEN nch=0 THEN 0.0
+         |      ELSE (nch - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / nch END AS pr,
+         |    CASE WHEN nch=0 THEN 0.0
+         |      ELSE (nch - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / nch END AS dr,
+         |    CASE WHEN len(toks)=0 THEN 0.0
+         |      ELSE len(list_filter(ltoks,
+         |        x -> list_contains(['the','of','and','to','in','a','is','that','it','was','for','on','are','as','with','at','be','this','have','or'], x)))::DOUBLE
+         |        / len(toks) END AS sr
+         |  FROM s
+         |), q AS (
+         |  SELECT doc_id, round(
+         |    (CASE WHEN nch BETWEEN 50 AND 100000 THEN 1.0 WHEN nch < 50 THEN nch/50.0 ELSE 0.5 END) * 0.25
+         |    + (CASE WHEN awl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         |    + (CASE WHEN sr > 0.05 THEN 1.0 ELSE sr/0.05*0.5 + 0.5 END) * 0.2
+         |    + (CASE WHEN pr < 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2)*2) END) * 0.2
+         |    + (CASE WHEN dr < 0.3 THEN 1.0 ELSE greatest(0.0, 1.0 - dr) END) * 0.15, 4) AS quality
+         |  FROM m
+         |)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |WHERE q.quality >= $thr""".stripMargin
 }

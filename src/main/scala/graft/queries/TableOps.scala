@@ -378,6 +378,18 @@ object TableOps {
       Readers.snapshot(t).select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // quality filtering as a table service: the SAME keep-function hook as
+    // dedupe composes any pipeline predicate with the table format — here
+    // TextStats.qualityScore tombstones low-quality documents in one commit
+    "t_quality_service" -> ((s, d) => {
+      val t = fresh(s, d, "t_quality_svc", TableConfig(
+        "docs_q", TableType.CopyOnWrite, Seq("doc_id"), "", "doc_id"))
+      t.bulkInsert(s.read.parquet(s"$d/documents.parquet"))
+      Services.dedupe(t, _.filter(
+        graft.pipeline.TextStats.qualityScore(col("text")) >= 0.95))
+      Readers.snapshot(t).select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // CDC apply (AWS-DMS-style op column): I/U upsert, D deletes, one commit
     "t_cdc_apply" -> ((s, d) => {
       val t = fresh(s, d, "t_cdc", cfg(TableType.CopyOnWrite))
@@ -637,6 +649,7 @@ object TableOps {
     "t_bulk_insert_psort" -> ordersAll,
     // semantic replay (min-id per fingerprint) — see PipelineQueries
     "t_dedup_service" -> PipelineQueries.exactDedupOracle,
+    "t_quality_service" -> PipelineQueries.qualityFilterOracle(0.95),
     "t_cdc_apply" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
