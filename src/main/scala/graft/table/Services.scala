@@ -336,11 +336,25 @@ object Services {
     val ts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(ts, Action.Clean)
     t.timeline.transitionToInflight(inst)
-    deletable.foreach { f =>
-      Files.deleteIfExists(t.basePath.resolve(f.relPath))
-      // a cleaned base file's bloom sidecar is unreachable too
-      if (!f.isDelta) Files.deleteIfExists(BloomIndex.sidecarPath(t.basePath, f.relPath))
+    // distributed deletion (reference cleans with parallelism 200 through
+    // its engine context — HoodieCompactionConfig cleaner.parallelism): a
+    // serial driver loop over a 100 TB table's obsolete files would make
+    // the clean wall-clock O(files). IO goes through Hadoop's FileSystem,
+    // so the same tasks target hdfs:// or object stores. A cleaned base
+    // file's bloom sidecar (computed driver-side) is unreachable too.
+    val baseUri = t.basePath.toUri.toString.stripSuffix("/")
+    val targets: Seq[String] = deletable.flatMap { f =>
+      Seq(f.relPath) ++
+        (if (f.isDelta) Nil
+         else Seq(t.basePath.relativize(BloomIndex.sidecarPath(t.basePath, f.relPath)).toString))
     }
+    t.spark.sparkContext
+      .parallelize(targets, math.max(1, math.min(targets.size, 200)))
+      .foreach { rel =>
+        val p = new org.apache.hadoop.fs.Path(s"$baseUri/$rel")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.delete(p, false)
+      }
     val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
     t.timeline.saveAsComplete(inst, Json.write(md))
     Some(ts)
