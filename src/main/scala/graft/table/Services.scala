@@ -400,10 +400,22 @@ object Services {
       require(completedData.lastOption.exists(_.ts == ts),
         s"only the latest completed instant can be rolled back (latest=${completedData.lastOption.map(_.ts)})")
       val md = CommitMetadata.fromJson(t.timeline.readContent(all.find(_.isCompleted).get))
-      md.writeStats.foreach { ws =>
-        // never touch bootstrap-adopted files outside the table dir
-        val p = t.basePath.resolve(ws.path)
-        if (p.startsWith(t.basePath) && Files.deleteIfExists(p)) deleted += ws.path
+      // never touch bootstrap-adopted files outside the table dir; the
+      // deletes fan out as one job (a rolled-back bulk load can own
+      // thousands of files — reference ListingBasedRollbackHelper also
+      // deletes through its distributed engine context)
+      val victims = md.writeStats.map(_.path)
+        .filter(p => t.basePath.resolve(p).startsWith(t.basePath))
+      if (victims.nonEmpty) {
+        val baseUri = t.basePath.toUri.toString.stripSuffix("/")
+        t.spark.sparkContext
+          .parallelize(victims, math.max(1, math.min(victims.size, 200)))
+          .foreach { rel =>
+            val p = new org.apache.hadoop.fs.Path(s"$baseUri/$rel")
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            fs.delete(p, false)
+          }
+        deleted ++= victims
       }
     }
     WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
