@@ -60,6 +60,46 @@ object TableAdmin {
       }.toSeq.toDF("partition", "num_file_groups", "total_bytes", "base_records")
   }
 
+  /** Archived commits (reference ArchivedCommitsCommand): instants moved
+    * off the active timeline, read back from the archive log.
+    */
+  def archivedCommits(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.archivedInstants().map { case (i, content) =>
+      val op = if (Action.DataActions.contains(i.action))
+        CommitMetadata.fromJson(content).operationType else ""
+      (i.ts, i.action, op)
+    }.toDF("instant", "action", "operation")
+  }
+
+  /** Clean history (reference CleansCommand): one row per clean run. */
+  def cleans(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.completedInstants().filter(_.action == Action.Clean).map { i =>
+      val md = Json.read[CleanMetadata](t.timeline.readContent(i))
+      (i.ts, md.earliestRetainedInstant, md.deletedPaths.size.toLong)
+    }.toDF("instant", "earliest_retained", "files_deleted")
+  }
+
+  /** Rollback history (reference RollbacksCommand). */
+  def rollbacks(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.completedInstants()
+      .filter(i => i.action == Action.Rollback || i.action == Action.Restore)
+      .map { i =>
+        val md = Json.read[RollbackMetadata](t.timeline.readContent(i))
+        (i.ts, i.action, md.rolledBackInstants.mkString(","), md.deletedPaths.size.toLong)
+      }.toDF("instant", "action", "rolled_back", "files_deleted")
+  }
+
+  /** Savepoints (reference SavepointsCommand). */
+  def savepoints(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.completedInstants().filter(_.action == Action.Savepoint).map { i =>
+      (i.ts, Json.read[SavepointMetadata](t.timeline.readContent(i)).savepointedInstant)
+    }.toDF("instant", "savepointed_instant")
+  }
+
   /** Pending (requested/inflight) instants — stuck-write triage. */
   def pending(t: GraftTable): DataFrame = {
     import t.spark.implicits._

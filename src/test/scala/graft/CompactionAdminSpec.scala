@@ -55,6 +55,36 @@ class CompactionAdminSpec extends AnyFunSuite {
     src.unpersist()
   }
 
+  test("admin views: cleans / rollbacks / savepoints / archived commits") {
+    import graft.table.TableAdmin
+    val t = GraftTable.create(spark, tmpDir("adminv").toString, TableConfig(
+      "adm", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+    val src = orders.limit(200).cache(); src.count()
+    t.bulkInsert(src)
+    val c2 = t.upsert(src.limit(50).withColumn("o_totalprice", lit(2.0)))
+    t.upsert(src.limit(50).withColumn("o_totalprice", lit(3.0)))
+    Services.clean(t, retainCommits = 2)
+    assert(TableAdmin.cleans(t).count() >= 1)
+    assert(TableAdmin.cleans(t).collect().head.getLong(2) > 0, "clean deleted nothing")
+    Services.savepoint(t, c2)
+    val c4 = t.upsert(src.limit(20).withColumn("o_totalprice", lit(4.0)))
+    Services.rollback(t, c4)
+    assert(TableAdmin.savepoints(t).collect().map(_.getString(1)).toSeq === Seq(c2))
+    assert(TableAdmin.rollbacks(t).collect().exists(_.getString(2).contains(c4)))
+
+    // archived view: separate table with tiny thresholds
+    val ta = GraftTable.create(spark, tmpDir("adminv2").toString, TableConfig(
+      "adm2", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+      Map(ConfigKeys.ArchiveMaxCommits -> "4", ConfigKeys.ArchiveMinCommits -> "3")))
+    ta.bulkInsert(src)
+    (2 to 6).foreach(v => ta.upsert(src.limit(10).withColumn("o_totalprice", lit(v.toDouble))))
+    assert(TableAdmin.archivedCommits(ta).count() > 0,
+      "no instants archived despite tiny archive thresholds")
+    src.unpersist()
+  }
+
   test("MOR savepoint + restore returns the table to the pinned snapshot") {
     val t = GraftTable.create(spark, tmpDir("morsr").toString, morCfg)
     val src = orders.limit(400).cache(); src.count()
