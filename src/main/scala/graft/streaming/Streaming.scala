@@ -209,18 +209,9 @@ object Streaming {
       // the table lock serializes the replacecommit against ingest commits
       val clus = new Thread(() => {
         while (!stopped && error.isEmpty) {
-          try {
-            val completed = dst.timeline.completedInstants()
-            val lastCluster = completed
-              .filter(_.action == Action.ReplaceCommit)
-              .filter(i => CommitMetadata.fromJson(
-                dst.timeline.readContent(i)).operationType == "cluster")
-              .lastOption
-            val dataSince = dst.timeline.completedDataInstants()
-              .count(i => lastCluster.forall(c => i.ts > c.ts))
-            if (dataSince >= clusterEveryCommits)
-              graft.table.Services.cluster(dst).foreach(clustered.add)
-          } catch { case e: Throwable => error = Some(e) }
+          try graft.table.Services.clusterIfDue(dst, clusterEveryCommits)
+            .foreach(clustered.add)
+          catch { case e: Throwable => error = Some(e) }
           Thread.sleep(pollIntervalMs * 2)
         }
       }, "graft-async-cluster")

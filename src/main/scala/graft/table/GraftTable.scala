@@ -53,13 +53,23 @@ final class GraftTable(
     * the active timeline resolve to the oldest active schema (their files
     * are cleaned before their schemas matter).
     */
-  def schemaAsOf(asOf: Option[String]): Option[StructType] =
+  def schemaAsOf(asOf: Option[String]): Option[StructType] = {
+    def parse(m: CommitMetadata) =
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     timeline.completedDataInstants().reverse.iterator
       .filter(i => asOf.forall(i.ts <= _))
       .map(i => CommitMetadata.fromJson(timeline.readContent(i)))
       .find(_.schemaJson.nonEmpty)
-      .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-      .orElse(if (asOf.isDefined) latestSchema else None)
+      .map(parse)
+      // asOf below the active horizon (its commits archived): the OLDEST
+      // active schema is the closest survivor — never the newest, which
+      // would leak later ALTERs into the pinned past
+      .orElse(if (asOf.isEmpty) None
+      else timeline.completedDataInstants().iterator
+        .map(i => CommitMetadata.fromJson(timeline.readContent(i)))
+        .find(_.schemaJson.nonEmpty)
+        .map(parse))
+  }
 
   def dataSchema: Option[StructType] =
     latestSchema.map(s => StructType(s.fields.filterNot(f => MetaCols.All.contains(f.name))))
@@ -1020,18 +1030,26 @@ final class GraftTable(
     val ts = InstantTime.newInstant(timeline) // clamped above all timeline instants
     val inst = timeline.createRequested(ts, action)
     timeline.transitionToInflight(inst)
+    // once saveAsComplete lands the commit is DURABLE: a failure in
+    // post-commit work (inline services, user callbacks) must propagate
+    // without un-publishing it — the catch below only rolls back writes
+    // that never published
+    var published = false
     try {
       val (stats, replaced, schemaJson) = body(ts)
       if (BloomIndex.enabled(cfg)) BloomIndex.buildSidecars(spark, basePath, stats, cfg)
       val md = CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)
       timeline.saveAsComplete(inst, Json.write(md))
+      published = true
       postCommit()
       fireCommitCallbacks(ts, opType, stats)
       ts
     } catch {
       case e: Throwable =>
-        WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
-        timeline.deleteInstantFiles(ts, action)
+        if (!published) {
+          WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
+          timeline.deleteInstantFiles(ts, action)
+        }
         throw e
     }
   }
@@ -1083,12 +1101,22 @@ final class GraftTable(
       (ts, timeline.transitionToInflight(i))
     }
     var written: Seq[WriteStat] = Seq.empty
+    var published = false
     try {
       val (stats, replaced, schemaJson) = body(ts)
       written = stats
       if (BloomIndex.enabled(cfg)) BloomIndex.buildSidecars(spark, basePath, stats, cfg)
       beforeOptimisticPublish()
       TableLock.withLock(basePath) {
+        // a failed-writes reap may have rolled this writer back mid-flight
+        // (LAZY staleness window exceeded): its inflight marker is gone and
+        // its files deleted — publishing would commit dangling file refs.
+        // Fail cleanly instead; the caller retries like any conflict.
+        if (!timeline.listInstants().exists(i =>
+          i.ts == ts && i.state == State.Inflight))
+          throw new WriteConflictException(
+            s"commit $ts was rolled back while in flight (failed-writes reap " +
+              "— the write outlived graft.failed.writes.stale.ms); retry")
         val mine: Set[(String, String)] =
           stats.map(s => (s.partitionPath, s.fileId)).toSet ++
             replaced.toSeq.flatMap { case (p, fids) => fids.map(p -> _) }
@@ -1107,18 +1135,23 @@ final class GraftTable(
         }
         timeline.saveAsComplete(inst,
           Json.write(CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)))
+        published = true
         postCommit()
       }
       fireCommitCallbacks(ts, opType, written)
       ts
     } catch {
       case e: Throwable =>
-        WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
-        written.foreach { ws =>
-          val p = basePath.resolve(ws.path)
-          if (p.startsWith(basePath)) Files.deleteIfExists(p)
+        // only roll back what never published — a post-publish failure
+        // (inline service, user callback) must not destroy a durable commit
+        if (!published) {
+          WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
+          written.foreach { ws =>
+            val p = basePath.resolve(ws.path)
+            if (p.startsWith(basePath)) Files.deleteIfExists(p)
+          }
+          timeline.deleteInstantFiles(ts, action)
         }
-        timeline.deleteInstantFiles(ts, action)
         throw e
     }
   }
@@ -1142,19 +1175,10 @@ final class GraftTable(
     // inline.max.commits, default 4) — small-file coalescing keeps pace
     // with ingest without a separate scheduler
     if (cfg.prop(ConfigKeys.ClusterInline, "false") == "true") {
-      val n = cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L)
-      val completed = timeline.completedInstants()
-      val lastCluster = completed
-        .filter(_.action == Action.ReplaceCommit)
-        .filter(i => CommitMetadata.fromJson(timeline.readContent(i)).operationType == "cluster")
-        .lastOption
-      val dataSince = timeline.completedDataInstants()
-        .count(i => lastCluster.forall(c => i.ts > c.ts))
-      if (dataSince >= n) {
-        val sortCols = cfg.prop(ConfigKeys.ClusterSortColumns, "")
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        Services.cluster(this, sortColumns = sortCols)
-      }
+      val sortCols = cfg.prop(ConfigKeys.ClusterSortColumns, "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      Services.clusterIfDue(this,
+        cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L), sortCols)
     }
     val maxCommits = cfg.propLong(ConfigKeys.ArchiveMaxCommits, 30L).toInt
     val minCommits = cfg.propLong(ConfigKeys.ArchiveMinCommits, 20L).toInt

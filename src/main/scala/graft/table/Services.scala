@@ -142,6 +142,23 @@ object Services {
   def compact(t: GraftTable): Option[String] =
     scheduleCompaction(t).map(ts => runCompaction(t, ts))
 
+  /** Run a clustering pass when `everyNCommits` data commits accumulated
+    * since the last one — the shared trigger behind inline clustering
+    * (GraftTable.postCommit) and the async clustering thread
+    * (Streaming.ContinuousIngest).
+    */
+  def clusterIfDue(t: GraftTable, everyNCommits: Long,
+      sortColumns: Seq[String] = Seq.empty): Option[String] = {
+    val completed = t.timeline.completedInstants()
+    val lastCluster = completed
+      .filter(_.action == Action.ReplaceCommit)
+      .filter(i => CommitMetadata.fromJson(t.timeline.readContent(i)).operationType == "cluster")
+      .lastOption
+    val dataSince = t.timeline.completedDataInstants()
+      .count(i => lastCluster.forall(c => i.ts > c.ts))
+    if (dataSince >= everyNCommits) cluster(t, sortColumns = sortColumns) else None
+  }
+
   /** Unschedule a pending compaction plan (reference
     * HoodieCompactionAdminTool UNSCHEDULE_PLAN): removes the requested
     * instant so its deltas merge in a later plan instead. Refuses plans
@@ -339,22 +356,14 @@ object Services {
     // distributed deletion (reference cleans with parallelism 200 through
     // its engine context — HoodieCompactionConfig cleaner.parallelism): a
     // serial driver loop over a 100 TB table's obsolete files would make
-    // the clean wall-clock O(files). IO goes through Hadoop's FileSystem,
-    // so the same tasks target hdfs:// or object stores. A cleaned base
-    // file's bloom sidecar (computed driver-side) is unreachable too.
-    val baseUri = t.basePath.toUri.toString.stripSuffix("/")
+    // the clean wall-clock O(files). A cleaned base file's bloom sidecar
+    // (computed driver-side) is unreachable too.
     val targets: Seq[String] = deletable.flatMap { f =>
       Seq(f.relPath) ++
         (if (f.isDelta) Nil
          else Seq(t.basePath.relativize(BloomIndex.sidecarPath(t.basePath, f.relPath)).toString))
     }
-    t.spark.sparkContext
-      .parallelize(targets, math.max(1, math.min(targets.size, 200)))
-      .foreach { rel =>
-        val p = new org.apache.hadoop.fs.Path(s"$baseUri/$rel")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        fs.delete(p, false)
-      }
+    distributedDelete(t, targets)
     val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
     t.timeline.saveAsComplete(inst, Json.write(md))
     Some(ts)
@@ -403,20 +412,12 @@ object Services {
       // never touch bootstrap-adopted files outside the table dir; the
       // deletes fan out as one job (a rolled-back bulk load can own
       // thousands of files — reference ListingBasedRollbackHelper also
-      // deletes through its distributed engine context)
+      // deletes through its distributed engine context). Only files that
+      // actually existed are recorded, so the persisted metadata and the
+      // rollbacks admin view stay truthful for triage.
       val victims = md.writeStats.map(_.path)
         .filter(p => t.basePath.resolve(p).startsWith(t.basePath))
-      if (victims.nonEmpty) {
-        val baseUri = t.basePath.toUri.toString.stripSuffix("/")
-        t.spark.sparkContext
-          .parallelize(victims, math.max(1, math.min(victims.size, 200)))
-          .foreach { rel =>
-            val p = new org.apache.hadoop.fs.Path(s"$baseUri/$rel")
-            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            fs.delete(p, false)
-          }
-        deleted ++= victims
-      }
+      deleted ++= distributedDelete(t, victims)
     }
     WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
     t.timeline.deleteInstantFiles(ts, action)
@@ -425,6 +426,37 @@ object Services {
     t.timeline.transitionToInflight(inst)
     t.timeline.saveAsComplete(inst, Json.write(RollbackMetadata(Seq(ts), deleted.toSeq)))
     rts
+  }
+
+  /** Distributed file deletion under the table base: one bounded Spark job
+    * (≤200 tasks, the reference's cleaner parallelism), IO through Hadoop's
+    * FileSystem so the same tasks target hdfs:// and object stores. The
+    * driver's full Hadoop configuration ships to the tasks as properties —
+    * a bare executor-side `new Configuration()` would drop `spark.hadoop.*`
+    * settings (object-store credentials) and re-parse XML per file.
+    * Returns the paths that existed and were deleted.
+    */
+  private def distributedDelete(t: GraftTable, relPaths: Seq[String]): Seq[String] = {
+    if (relPaths.isEmpty) return Seq.empty
+    val baseUri = t.basePath.toUri.toString.stripSuffix("/")
+    val hadoopProps: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      t.spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    }
+    t.spark.sparkContext
+      .parallelize(relPaths, math.max(1, math.min(relPaths.size, 200)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        it.filter { rel =>
+          val p = new org.apache.hadoop.fs.Path(s"$baseUri/$rel")
+          if (fs == null) fs = p.getFileSystem(conf)
+          fs.delete(p, false)
+        }
+      }
+      .collect().toSeq
   }
 
   /** Roll back FAILED (crashed) writes: pending commit/deltacommit
@@ -493,14 +525,16 @@ object Services {
   }
 
   /** Epoch millis of an instant timestamp (yyyyMMddHHmmssSSS; counter-
-    * clamped instants parse the same way). Unparseable ⇒ MaxValue age.
+    * clamped instants parse the same way). Unparseable (corrupted marker
+    * file) ⇒ 0, i.e. maximal age WITHOUT overflowing `now - epoch` — a
+    * garbage pending instant must count as stale, not immortal.
     */
   private def instantEpochMs(ts: String): Long =
     try {
       java.time.LocalDateTime.parse(ts.take(17),
           java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    } catch { case _: Exception => Long.MinValue }
+    } catch { case _: Exception => 0L }
 
   /** Pin an instant's files against cleaning (reference
     * SavepointActionExecutor).

@@ -177,6 +177,27 @@ object TableAdmin {
       dstTimeline.transitionToInflight(inst)
       dstTimeline.saveAsComplete(inst, t.timeline.readContent(i))
     }
+    // archived commits and files-index snapshots carry over too: for a
+    // table whose early commits were archived, the view resolves file
+    // groups through the archive/index — without them the copy would
+    // silently miss every group owned by an archived commit
+    for (sub <- Seq(Seq("archive", "archived.jsonl"))) {
+      val from = sub.foldLeft(t.basePath.resolve(".graft"))(_ resolve _)
+      if (java.nio.file.Files.exists(from)) {
+        val to = sub.foldLeft(dstPath.resolve(".graft"))(_ resolve _)
+        java.nio.file.Files.createDirectories(to.getParent)
+        java.nio.file.Files.copy(from, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val idxDir = t.basePath.resolve(".graft").resolve("index")
+    if (java.nio.file.Files.isDirectory(idxDir)) {
+      val dstIdx = dstPath.resolve(".graft").resolve("index")
+      java.nio.file.Files.createDirectories(dstIdx)
+      java.nio.file.Files.list(idxDir).forEach(p =>
+        java.nio.file.Files.copy(p, dstIdx.resolve(p.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    }
     GraftTable.load(spark, outputDir)
   }
 

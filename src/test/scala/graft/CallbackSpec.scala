@@ -35,4 +35,42 @@ class CallbackSpec extends AnyFunSuite {
     assert(seen.size === 2)
     src.unpersist()
   }
+
+  test("a throwing callback propagates but cannot un-publish the durable commit") {
+    val t = GraftTable.create(spark, tmpDir("cbthrow").toString, TableConfig(
+      "cbt", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+    val src = spark.read.parquet(s"$sf001/orders.parquet").limit(100).cache()
+    src.count()
+    t.bulkInsert(src)
+    t.registerCommitCallback(_ => throw new RuntimeException("notify failed"))
+    val before = t.timeline.completedDataInstants().size
+    intercept[RuntimeException] {
+      t.upsert(src.limit(10).withColumn("o_totalprice", lit(42.0)))
+    }
+    // the commit itself is durable: instant present, data visible
+    assert(t.timeline.completedDataInstants().size === before + 1,
+      "post-publish callback failure destroyed the commit")
+    assert(graft.read.Readers.snapshot(t)
+      .filter(col("o_totalprice") === 42.0).count() === 10)
+    src.unpersist()
+  }
+
+  test("an optimistic write reaped mid-flight fails cleanly instead of publishing dangling refs") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("cbreap").toString, TableConfig(
+      "reap", TableType.CopyOnWrite, Seq("id"), "", "ver"))
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "ver"))
+    val n = graft.read.Readers.snapshot(t).count()
+    // simulate the failed-writes reaper firing while the optimistic body
+    // has finished writing but not yet published
+    t.beforeOptimisticPublish =
+      () => graft.table.Services.rollbackFailedWrites(t)
+    try intercept[graft.table.WriteConflictException] {
+      t.upsertOptimistic(Seq((1L, 2L)).toDF("id", "ver"))
+    } finally t.beforeOptimisticPublish = () => ()
+    // table unharmed and fully readable — no dangling file references
+    assert(t.timeline.pendingInstants().isEmpty)
+    assert(graft.read.Readers.snapshot(t).count() === n)
+  }
 }

@@ -85,6 +85,50 @@ class CompactionAdminSpec extends AnyFunSuite {
     src.unpersist()
   }
 
+  test("copyTable preserves file groups owned by ARCHIVED commits") {
+    import graft.table.TableAdmin
+    val t = GraftTable.create(spark, tmpDir("cparch").toString, TableConfig(
+      "cparch", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+      Map(ConfigKeys.ArchiveMaxCommits -> "4", ConfigKeys.ArchiveMinCommits -> "3")))
+    val src = orders.limit(300).cache(); src.count()
+    t.bulkInsert(src) // owns most base files; will be archived below
+    (2 to 7).foreach(v => t.upsert(src.limit(10).withColumn("o_totalprice", lit(v.toDouble))))
+    assert(TableAdmin.archivedCommits(t).count() > 0, "premise: nothing archived")
+    val out = tmpDir("cparch_out").toString + "/copy"
+    val copy = TableAdmin.copyTable(t, out)
+    val a = Readers.snapshot(t).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    val b = Readers.snapshot(copy).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    assert(a.length === 300)
+    assert(a.sameElements(b), "copy lost file groups owned by archived commits")
+    src.unpersist()
+  }
+
+  test("schemaAsOf below the archive horizon resolves the OLDEST active schema") {
+    val t = GraftTable.create(spark, tmpDir("schidx").toString, TableConfig(
+      "schidx", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+      Map(ConfigKeys.ArchiveMaxCommits -> "4", ConfigKeys.ArchiveMinCommits -> "3")))
+    val src = orders.limit(100).cache(); src.count()
+    val c1 = t.bulkInsert(src)
+    // enough pre-evolution commits that archiving pushes c1 off while
+    // pre-evolution commits SURVIVE on the active timeline
+    (2 to 5).foreach(v => t.upsert(src.limit(5).withColumn("o_totalprice", lit(v.toDouble))))
+    assert(t.timeline.earliestActiveCompleted().exists(_ > c1), "premise: c1 still active")
+    // evolve AFTER the archive horizon moved past c1
+    t.upsert(src.limit(5).withColumn("note", lit("x")))
+    assert(t.latestSchema.get.fieldNames.contains("note"))
+    // pinned below the horizon: the oldest surviving schema — which must
+    // not include the later-added column
+    val s = t.schemaAsOf(Some(c1))
+    assert(s.isDefined)
+    assert(!s.get.fieldNames.contains("note"),
+      "pre-evolution pin leaked a column added later")
+    src.unpersist()
+  }
+
   test("MOR savepoint + restore returns the table to the pinned snapshot") {
     val t = GraftTable.create(spark, tmpDir("morsr").toString, morCfg)
     val src = orders.limit(400).cache(); src.count()
