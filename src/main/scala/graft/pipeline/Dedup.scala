@@ -213,6 +213,29 @@ object Dedup {
     } finally { edges.unpersist(); labels.unpersist() }
   }
 
+  /** One REPRESENTATIVE per near-dup cluster, chosen by a caller-supplied
+    * score (highest wins; ties break to the lowest id) — production
+    * pipelines keep the best copy of a duplicate cluster (longest /
+    * highest-quality / most recent), not the lowest-id one. Composes
+    * [[minhashClusters]] with one scoring projection and a per-cluster
+    * window: cost = clustering + one shuffle on cluster_id.
+    */
+  def clusterRepresentatives(df: DataFrame, score: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, maxIters: Int = 20): DataFrame = {
+    val clusters = minhashClusters(df, textCol, idCol, threshold, numHashes,
+      bands, shingleN, maxIters)
+    val scored = df.select(col(idCol), score.as("_rep_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_rep_score").desc, col(idCol).asc)
+    clusters.join(scored, Seq(idCol))
+      .withColumn("_rep_rn", row_number().over(w))
+      .filter(col("_rep_rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("rep_id"),
+        col("_rep_score").as("rep_score"))
+  }
+
   /** 60-bit portable token hash: the top 15 hex chars of md5 parsed as an
     * integer. md5 is bit-identical in every engine (the DuckDB oracle
     * recomputes it), and 60 bits keeps values positive in signed-64 SQL.

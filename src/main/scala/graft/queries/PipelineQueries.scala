@@ -63,6 +63,12 @@ object PipelineQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // best-copy selection: one representative per near-dup cluster, by
+    // quality score (ties to lowest id) — what a training pipeline keeps
+    "p_dedup_representatives" -> ((s, d) =>
+      Dedup.clusterRepresentatives(docs(s, d),
+        TextStats.qualityScore(col("text")), threshold = 0.6)),
+
     "p_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(docs(s, d), maxDistance = 2)),
 
@@ -525,6 +531,55 @@ object PipelineQueries {
     "p_dedup_minhash" -> minhashOracle,
     // incremental service must converge to the from-scratch answer
     "p_dedup_incremental" -> minhashOracle,
+    // cluster closure + quality argmax, both replayed exactly
+    "p_dedup_representatives" ->
+      raw"""WITH RECURSIVE $fnvSigCtes,
+           |pr AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b
+           |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+           |   AND $bandEq
+           |  WHERE len(list_filter(list_transform(generate_series(1,64), j -> l.sg[j] = r.sg[j]), x -> x))::DOUBLE / 64 >= 0.6
+           |),
+           |edges AS (SELECT a AS s, b AS d FROM pr UNION ALL SELECT b AS s, a AS d FROM pr),
+           |cc AS (
+           |  SELECT doc_id AS id, doc_id AS label FROM documents
+           |  UNION
+           |  SELECT e.d AS id, cc.label FROM cc JOIN edges e ON e.s = cc.id
+           |),
+           |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id),
+           |qs0 AS (
+           |  SELECT doc_id, text, length(text) AS nch,
+           |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS qtoks,
+           |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS qltoks
+           |  FROM documents
+           |), qm AS (
+           |  SELECT doc_id, nch,
+           |    CASE WHEN len(qtoks)=0 THEN 0.0
+           |      ELSE list_sum(list_transform(qtoks, x -> len(x)))::DOUBLE / len(qtoks) END AS awl,
+           |    CASE WHEN nch=0 THEN 0.0
+           |      ELSE (nch - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / nch END AS pr2,
+           |    CASE WHEN nch=0 THEN 0.0
+           |      ELSE (nch - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / nch END AS dr,
+           |    CASE WHEN len(qtoks)=0 THEN 0.0
+           |      ELSE len(list_filter(qltoks,
+           |        x -> list_contains(['the','of','and','to','in','a','is','that','it','was','for','on','are','as','with','at','be','this','have','or'], x)))::DOUBLE
+           |        / len(qtoks) END AS sr
+           |  FROM qs0
+           |), qq AS (
+           |  SELECT doc_id, round(
+           |    (CASE WHEN nch BETWEEN 50 AND 100000 THEN 1.0 WHEN nch < 50 THEN nch/50.0 ELSE 0.5 END) * 0.25
+           |    + (CASE WHEN awl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+           |    + (CASE WHEN sr > 0.05 THEN 1.0 ELSE sr/0.05*0.5 + 0.5 END) * 0.2
+           |    + (CASE WHEN pr2 < 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr2 - 0.2)*2) END) * 0.2
+           |    + (CASE WHEN dr < 0.3 THEN 1.0 ELSE greatest(0.0, 1.0 - dr) END) * 0.15, 4) AS quality
+           |  FROM qm
+           |)
+           |SELECT cluster_id, doc_id AS rep_id, quality AS rep_score FROM (
+           |  SELECT c.cluster_id, c.doc_id, q.quality,
+           |    row_number() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY q.quality DESC, c.doc_id) AS rn
+           |  FROM clusters c JOIN qq q USING (doc_id))
+           |WHERE rn = 1""".stripMargin,
     "p_dedup_cluster" -> clusterOracle,
     "p_dedup_ngram_jaccard" -> ngramJaccardOracle,
     "p_dedup_simhash" -> simhashOracle,
