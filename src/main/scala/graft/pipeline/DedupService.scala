@@ -54,26 +54,44 @@ object DedupService {
   val CheckpointKey = "graft.dedup.source.checkpoint"
   private val BucketPartsKey = "graft.dedup.bucket.partitions"
   private val SigPartsKey = "graft.dedup.sig.partitions"
+  private val ThresholdKey = "graft.dedup.threshold"
+  private val NumHashesKey = "graft.dedup.num.hashes"
+  private val BandsKey = "graft.dedup.bands"
+  private val ShingleKey = "graft.dedup.shingle.n"
 
   final case class DedupIndex(bands: GraftTable, sigs: GraftTable) {
     def bucketParts: Int = bands.cfg.propLong(BucketPartsKey, 64L).toInt
     def sigParts: Int = sigs.cfg.propLong(SigPartsKey, 32L).toInt
+    def threshold: Double = bands.cfg.prop(ThresholdKey, "0.7").toDouble
+    def numHashes: Int = bands.cfg.propLong(NumHashesKey, 64L).toInt
+    def numBands: Int = bands.cfg.propLong(BandsKey, 16L).toInt
+    def shingleN: Int = bands.cfg.propLong(ShingleKey, 3L).toInt
   }
 
-  /** Create (or load) the persisted LSH index tables under `indexPath`. */
+  /** Create (or load) the persisted LSH index tables under `indexPath`.
+    * ALL matching parameters persist as index-table properties and every
+    * tick reads them back — old ticks' signatures and band rows were
+    * computed with them, so a drifting per-call parameter would silently
+    * corrupt results. Loading an existing index ignores the arguments and
+    * returns the stored parameters.
+    */
   def openIndex(spark: SparkSession, indexPath: String,
-      bucketParts: Int = 64, sigParts: Int = 32): DedupIndex = {
-    val bands = GraftTable.createOrLoad(spark, s"$indexPath/bands", TableConfig(
+      bucketParts: Int = 64, sigParts: Int = 32,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): DedupIndex = {
+    val bandsT = GraftTable.createOrLoad(spark, s"$indexPath/bands", TableConfig(
       "dedup_bands", TableType.CopyOnWrite,
       Seq("band", "bucket", "doc_id"),
       s"concat('p=', cast(pmod(bucket, $bucketParts) as string))", "",
-      Map(BucketPartsKey -> bucketParts.toString)))
-    val sigs = GraftTable.createOrLoad(spark, s"$indexPath/sigs", TableConfig(
+      Map(BucketPartsKey -> bucketParts.toString,
+        ThresholdKey -> threshold.toString, NumHashesKey -> numHashes.toString,
+        BandsKey -> bands.toString, ShingleKey -> shingleN.toString)))
+    val sigsT = GraftTable.createOrLoad(spark, s"$indexPath/sigs", TableConfig(
       "dedup_sigs", TableType.CopyOnWrite,
       Seq("doc_id"),
       s"concat('s=', cast(pmod(doc_id, $sigParts) as string))", "",
       Map(SigPartsKey -> sigParts.toString)))
-    DedupIndex(bands, sigs)
+    DedupIndex(bandsT, sigsT)
   }
 
   def lastCheckpoint(clean: GraftTable): Option[String] =
@@ -83,13 +101,13 @@ object DedupService {
       .take(1).toSeq.headOption
 
   /** One tick. Returns the clean-table commit ts, or None when the source
-    * has nothing new. Parameters must stay FIXED across the life of an
-    * index (signatures/bands of old ticks were computed with them).
+    * has nothing new. Matching parameters come from the INDEX (persisted
+    * at openIndex), so they cannot drift between ticks.
     */
   def sync(source: GraftTable, clean: GraftTable, index: DedupIndex,
-      textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3): Option[String] = {
+      textCol: String = "text", idCol: String = "doc_id"): Option[String] = {
+    val (threshold, numHashes, bands, shingleN) =
+      (index.threshold, index.numHashes, index.numBands, index.shingleN)
     val spark = source.spark
     val head = source.timeline.completedDataInstants().lastOption.map(_.ts)
       .getOrElse(return None)

@@ -49,7 +49,7 @@ object PipelineQueries {
       val docsCfg = TableConfig("docs_src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
       val srcT = GraftTable.create(s, s"$root/source", docsCfg)
       val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
-      val idx = DedupService.openIndex(s, s"$root/index")
+      val idx = DedupService.openIndex(s, s"$root/index", threshold = 0.6)
       val mx = base.agg(max("doc_id")).head.getLong(0)
       val ticks = Seq(
         base.filter(col("doc_id") <= mx / 3),
@@ -57,7 +57,7 @@ object PipelineQueries {
         base.filter(col("doc_id") > 2 * mx / 3))
       for (tick <- ticks) {
         srcT.bulkInsert(tick)
-        DedupService.sync(srcT, cleanT, idx, threshold = 0.6)
+        DedupService.sync(srcT, cleanT, idx)
       }
       graft.read.Readers.snapshot(cleanT)
         .select("doc_id", "text", "lang", "source", "n_chars")

@@ -829,23 +829,8 @@ final class GraftTable(
     * co-locates keys; Catalyst can't infer that dependency, hence the
     * explicit scan instead of a window (which would re-exchange).
     */
-  private def dedupLatestWins(unioned: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // version ordering comes from the payload: OVERWRITE_LATEST ranks by
-    // commit order, EVENT_TIME ranks the precombine field above it (a
-    // late-arriving lower event time never overwrites)
-    val ord = col(MetaCols.RecordKey).asc +: Payload.ordering(cfg)
-    // window partitioned by the WRITE layout, ordered so each key's winner
-    // leads its run — Catalyst reuses the repartition exchange (the window
-    // only needs clustering by a prefix), so dedup + write share one shuffle
-    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(FileIdCol)).orderBy(ord: _*)
-    unioned
-      .repartition(col(MetaCols.PartitionPath), col(FileIdCol))
-      .withColumn("_graft_prev", lag(col(MetaCols.RecordKey), 1).over(w))
-      .filter((col("_graft_prev").isNull ||
-        col("_graft_prev") =!= col(MetaCols.RecordKey)) && !col(DeleteCol))
-      .drop("_graft_prev", DeleteCol)
-  }
+  private def dedupLatestWins(unioned: DataFrame): DataFrame =
+    Payload.mergeFusedWithWriteLayout(cfg, unioned, DeleteCol)
 
   /** Complete-group rewrite (COW MERGE / UPDATE / DELETE fast path): the
     * caller supplies EVERY row of every candidate group — values already
@@ -1011,22 +996,35 @@ final class GraftTable(
     */
   private def runCommit(action: String, opType: String,
       extraMetadata: Map[String, String] = Map.empty)(
-      body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String =
-    TableLock.withLock(basePath) { runCommitLocked(action, opType, extraMetadata)(body) }
-
-  private def runCommitLocked(action: String, opType: String,
-      extraMetadata: Map[String, String])(
       body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String = {
-    // reap crashed writers before starting (reference startCommit runs
-    // rollbackFailedWrites the same way; see Services.rollbackFailedWrites
-    // for the EAGER/LAZY policy semantics). Costs one pending-instant
-    // listing when the timeline is clean.
+    val (ts, stats, opT) = TableLock.withLock(basePath) {
+      runCommitLocked(action, opType, extraMetadata)(body)
+    }
+    // callbacks fire OUTSIDE the table lock: a slow notification transport
+    // must not stall other writers or the async service threads (the
+    // optimistic path already fires after its publish lock releases)
+    fireCommitCallbacks(ts, opT, stats)
+    ts
+  }
+
+  /** Reap crashed writers before starting (reference startCommit runs
+    * rollbackFailedWrites the same way; see Services.rollbackFailedWrites
+    * for the EAGER/LAZY policy semantics). Costs one pending-instant
+    * listing when the timeline is clean.
+    */
+  private def reapFailedWritesPerPolicy(): Unit =
     cfg.prop(ConfigKeys.FailedWritesPolicy, "LAZY") match {
       case "EAGER" => Services.rollbackFailedWrites(this, 0L)
       case "LAZY" => Services.rollbackFailedWrites(this,
         cfg.propLong(ConfigKeys.FailedWritesStaleMs, 3600000L))
       case _ => () // NEVER: explicit admin calls only
     }
+
+  private def runCommitLocked(action: String, opType: String,
+      extraMetadata: Map[String, String])(
+      body: String => (Seq[WriteStat], Map[String, Seq[String]], String))
+      : (String, Seq[WriteStat], String) = {
+    reapFailedWritesPerPolicy()
     val ts = InstantTime.newInstant(timeline) // clamped above all timeline instants
     val inst = timeline.createRequested(ts, action)
     timeline.transitionToInflight(inst)
@@ -1042,8 +1040,7 @@ final class GraftTable(
       timeline.saveAsComplete(inst, Json.write(md))
       published = true
       postCommit()
-      fireCommitCallbacks(ts, opType, stats)
-      ts
+      (ts, stats, opType)
     } catch {
       case e: Throwable =>
         if (!published) {
@@ -1096,6 +1093,9 @@ final class GraftTable(
       body: String => (Seq[WriteStat], Map[String, Seq[String]], String)): String = {
     val readPoint = timeline.completedDataInstants().lastOption.map(_.ts).getOrElse("0")
     val (ts, inst) = TableLock.withLock(basePath) {
+      // optimistic-only deployments must reclaim crashed writers too —
+      // LAZY's staleness window keeps live unlocked writers safe
+      reapFailedWritesPerPolicy()
       val ts = InstantTime.newInstant(timeline)
       val i = timeline.createRequested(ts, action)
       (ts, timeline.transitionToInflight(i))
@@ -1174,12 +1174,9 @@ final class GraftTable(
     // HoodieClusteringConfig: hoodie.clustering.inline +
     // inline.max.commits, default 4) — small-file coalescing keeps pace
     // with ingest without a separate scheduler
-    if (cfg.prop(ConfigKeys.ClusterInline, "false") == "true") {
-      val sortCols = cfg.prop(ConfigKeys.ClusterSortColumns, "")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (cfg.prop(ConfigKeys.ClusterInline, "false") == "true")
       Services.clusterIfDue(this,
-        cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L), sortCols)
-    }
+        cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L))
     val maxCommits = cfg.propLong(ConfigKeys.ArchiveMaxCommits, 30L).toInt
     val minCommits = cfg.propLong(ConfigKeys.ArchiveMinCommits, 20L).toInt
     val completed = timeline.completedInstants()

@@ -61,6 +61,28 @@ object Payload {
         col(MetaCols.CommitSeqno).desc
   }
 
+  /** Winner-row collapse FUSED with the write layout: one exchange by
+    * (partition, fileId) — which co-locates keys, since a key maps to
+    * exactly one file group — sorted so each key's winner leads its run,
+    * then a linear first-row-per-key scan dropping tombstone winners.
+    * The shared shape behind the COW merged write and MOR compaction
+    * (simple payloads only; PARTIAL_UPDATE needs [[mergeVersions]]).
+    */
+  def mergeFusedWithWriteLayout(cfg: TableConfig, unioned: DataFrame,
+      del: String): DataFrame = {
+    require(of(cfg) != PartialUpdate,
+      "PARTIAL_UPDATE needs per-key frames — use mergeVersions")
+    val ord = col(MetaCols.RecordKey).asc +: ordering(cfg)
+    val w = Window.partitionBy(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
+      .orderBy(ord: _*)
+    unioned
+      .repartition(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
+      .withColumn("_graft_prev", lag(col(MetaCols.RecordKey), 1).over(w))
+      .filter((col("_graft_prev").isNull ||
+        col("_graft_prev") =!= col(MetaCols.RecordKey)) && !col(del))
+      .drop("_graft_prev", del)
+  }
+
   /** Collapse a multi-version frame (meta columns + a boolean `del`
     * tombstone flag, several rows per record) to the record's latest
     * state under the table's payload; deleted records are dropped and

@@ -101,17 +101,7 @@ object Services {
         if (Payload.of(t.cfg) == Payload.PartialUpdate)
           Payload.mergeVersions(t.cfg, unioned, del)
             .repartition(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
-        else {
-          val ord = col(MetaCols.RecordKey).asc +: Payload.ordering(t.cfg)
-          val w = Window.partitionBy(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
-            .orderBy(ord: _*)
-          unioned
-            .repartition(col(MetaCols.PartitionPath), col(WritePipeline.FileIdCol))
-            .withColumn("_graft_prev", lag(col(MetaCols.RecordKey), 1).over(w))
-            .filter((col("_graft_prev").isNull ||
-              col("_graft_prev") =!= col(MetaCols.RecordKey)) && !col(del))
-            .drop("_graft_prev", del)
-        }
+        else Payload.mergeFusedWithWriteLayout(t.cfg, unioned, del)
       val merged = merged0
         .withColumn(MetaCols.FileName,
           concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
@@ -145,10 +135,12 @@ object Services {
   /** Run a clustering pass when `everyNCommits` data commits accumulated
     * since the last one — the shared trigger behind inline clustering
     * (GraftTable.postCommit) and the async clustering thread
-    * (Streaming.ContinuousIngest).
+    * (Streaming.ContinuousIngest). Sort columns default to the table's
+    * `graft.cluster.sort.columns` config, so every trigger path produces
+    * the layout the table was configured for.
     */
   def clusterIfDue(t: GraftTable, everyNCommits: Long,
-      sortColumns: Seq[String] = Seq.empty): Option[String] = {
+      sortColumns: Option[Seq[String]] = None): Option[String] = {
     val completed = t.timeline.completedInstants()
     val lastCluster = completed
       .filter(_.action == Action.ReplaceCommit)
@@ -156,7 +148,10 @@ object Services {
       .lastOption
     val dataSince = t.timeline.completedDataInstants()
       .count(i => lastCluster.forall(c => i.ts > c.ts))
-    if (dataSince >= everyNCommits) cluster(t, sortColumns = sortColumns) else None
+    val sortCols = sortColumns.getOrElse(
+      t.cfg.prop(ConfigKeys.ClusterSortColumns, "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    if (dataSince >= everyNCommits) cluster(t, sortColumns = sortCols) else None
   }
 
   /** Unschedule a pending compaction plan (reference
@@ -439,16 +434,11 @@ object Services {
   private def distributedDelete(t: GraftTable, relPaths: Seq[String]): Seq[String] = {
     if (relPaths.isEmpty) return Seq.empty
     val baseUri = t.basePath.toUri.toString.stripSuffix("/")
-    val hadoopProps: Map[String, String] = {
-      import scala.jdk.CollectionConverters._
-      t.spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap
-    }
+    val hadoopProps = shippedHadoopProps(t.spark)
     t.spark.sparkContext
       .parallelize(relPaths, math.max(1, math.min(relPaths.size, 200)))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+        val conf = executorHadoopConf(hadoopProps)
         var fs: org.apache.hadoop.fs.FileSystem = null
         it.filter { rel =>
           val p = new org.apache.hadoop.fs.Path(s"$baseUri/$rel")
@@ -457,6 +447,25 @@ object Services {
         }
       }
       .collect().toSeq
+  }
+
+  /** The driver's full Hadoop configuration as plain properties, for
+    * shipping into executor tasks — a bare executor-side
+    * `new Configuration()` drops `spark.hadoop.*` overrides (object-store
+    * credentials) and re-parses XML per use.
+    */
+  private[table] def shippedHadoopProps(
+      spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private[table] def executorHadoopConf(
+      props: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => conf.set(k, v) }
+    conf
   }
 
   /** Roll back FAILED (crashed) writes: pending commit/deltacommit
@@ -483,7 +492,14 @@ object Services {
     */
   def rollbackFailedWrites(t: GraftTable, olderThanMs: Long = 0L): Seq[String] =
     graft.core.TableLock.withLock(t.basePath) {
-      val now = System.currentTimeMillis()
+      // Age is measured against max(wall clock, newest completed instant):
+      // instants clamp above the timeline max to tolerate writer clock
+      // skew, so a pending instant stamped in this host's future must
+      // still age out as the (clamped) timeline advances — against wall
+      // clock alone it would stay "fresh" for hours.
+      val headEpoch = t.timeline.completedInstants().lastOption
+        .map(i => instantEpochMs(i.ts)).getOrElse(0L)
+      val now = math.max(System.currentTimeMillis(), headEpoch)
       val stale = t.timeline.pendingInstants()
         .filter(i => i.action == Action.Commit || i.action == Action.DeltaCommit ||
           (i.action == Action.ReplaceCommit && i.state == State.Inflight))
@@ -495,6 +511,10 @@ object Services {
         val deleted = orphanDataFiles(t, ts).map { p =>
           val rel = t.basePath.relativize(p).toString
           Files.deleteIfExists(p)
+          // a reaped base file's bloom sidecar is unreachable too (clean
+          // removes sidecars the same way)
+          if (!WritePipeline.isDeltaFile(rel))
+            Files.deleteIfExists(BloomIndex.sidecarPath(t.basePath, rel))
           rel
         }
         WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))

@@ -154,14 +154,17 @@ object TableAdmin {
       .toAbsolutePath.toUri.toString.stripSuffix("/")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(GraftTable.normalize(outputDir)))
     // distributed copy: one task per file, streamed through Hadoop FS
+    // (driver config shipped — see Services.shippedHadoopProps)
+    val hadoopProps = Services.shippedHadoopProps(spark)
     spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 64)))
-      .foreach { rel =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val from = new org.apache.hadoop.fs.Path(s"$srcBase/$rel")
-        val to = new org.apache.hadoop.fs.Path(s"$dstBase/$rel")
-        val fs = to.getFileSystem(conf)
-        org.apache.hadoop.fs.FileUtil.copy(
-          from.getFileSystem(conf), from, fs, to, false, true, conf)
+      .foreachPartition { it =>
+        val conf = Services.executorHadoopConf(hadoopProps)
+        it.foreach { rel =>
+          val from = new org.apache.hadoop.fs.Path(s"$srcBase/$rel")
+          val to = new org.apache.hadoop.fs.Path(s"$dstBase/$rel")
+          org.apache.hadoop.fs.FileUtil.copy(
+            from.getFileSystem(conf), from, to.getFileSystem(conf), to, false, true, conf)
+        }
       }
     // table config + the COMPLETE completed timeline (the reference copies
     // the whole .hoodie metadata dir) — the copy's file-system view then

@@ -98,9 +98,9 @@ object Probe12 {
       TableConfig("src", TableType.CopyOnWrite, Seq("doc_id"), "", ""))
     val cleanT = GraftTable.create(spark, s"$root/clean",
       TableConfig("clean", TableType.CopyOnWrite, Seq("doc_id"), "", ""))
-    val idx = DedupService.openIndex(spark, s"$root/idx")
+    val idx = DedupService.openIndex(spark, s"$root/idx", threshold = 0.6)
     srcT.bulkInsert(docs)
-    audit("dedup sync tick1")(DedupService.sync(srcT, cleanT, idx, threshold = 0.6))
+    audit("dedup sync tick1")(DedupService.sync(srcT, cleanT, idx))
     val allParts = idx.bands.view.fileSlices(None).map(_.partitionPath).distinct
     val prunedFiles = Readers.snapshot(idx.bands,
       partitions = Some(allParts.take(3))).inputFiles.length

@@ -136,12 +136,12 @@ object Stress {
       val dc = TableConfig("src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
       val srcT = GraftTable.create(spark, s"$root/src", dc)
       val cleanT = GraftTable.create(spark, s"$root/clean", dc.copy(tableName = "clean"))
-      val idx = graft.pipeline.DedupService.openIndex(spark, s"$root/idx")
+      val idx = graft.pipeline.DedupService.openIndex(spark, s"$root/idx", threshold = 0.6)
       srcT.bulkInsert(corpus)
-      graft.pipeline.DedupService.sync(srcT, cleanT, idx, threshold = 0.6) // index build, untimed
+      graft.pipeline.DedupService.sync(srcT, cleanT, idx) // index build, untimed
       val tick = docs1.limit(2000).withColumn("doc_id", col("doc_id") + 900000000L)
       srcT.bulkInsert(tick)
-      time(graft.pipeline.DedupService.sync(srcT, cleanT, idx, threshold = 0.6))
+      time(graft.pipeline.DedupService.sync(srcT, cleanT, idx))
     }
     val (dt1, dtN) = (dedupTick(docs1, "dt1"), dedupTick(docsN, "dtN"))
     val tickRatio = dtN / math.max(dt1, 1e-9)

@@ -24,7 +24,7 @@ class DedupServiceSpec extends AnyFunSuite {
     val root = tmpDir("dedup_svc").toString
     val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
     val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
-    val idx = DedupService.openIndex(spark, s"$root/index")
+    val idx = DedupService.openIndex(spark, s"$root/index", threshold = 0.6)
     val base = docs
     val mx = base.agg(max("doc_id")).head.getLong(0)
     val ticks = Seq(
@@ -33,7 +33,7 @@ class DedupServiceSpec extends AnyFunSuite {
       base.filter(col("doc_id") > 2 * mx / 3))
     for (t <- ticks) {
       srcT.bulkInsert(t)
-      assert(DedupService.sync(srcT, cleanT, idx, threshold = 0.6).nonEmpty)
+      assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
     }
     val got = Readers.snapshot(cleanT).select("doc_id").orderBy("doc_id").collect()
     val want = Dedup.minhashDedup(base, threshold = 0.6)
@@ -47,7 +47,7 @@ class DedupServiceSpec extends AnyFunSuite {
     val root = tmpDir("dedup_svc2").toString
     val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
     val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
-    val idx = DedupService.openIndex(spark, s"$root/index")
+    val idx = DedupService.openIndex(spark, s"$root/index", threshold = 0.6)
     val base = docs.filter(col("doc_id") < 100)
     srcT.bulkInsert(base)
     assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
