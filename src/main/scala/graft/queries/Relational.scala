@@ -212,6 +212,16 @@ object Relational {
           count(lit(1)).over(w)).as("avg3"))
     }),
 
+    // PIVOT-style conditional aggregation: status × priority count matrix
+    // (engine-portable form of PIVOT — same SQL shape in DuckDB)
+    "q22_pivot_priority" -> ((s, d) => {
+      def cnt(p: String) = count(when(col("o_orderpriority") === p, 1))
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(cnt("1-URGENT").as("p_urgent"), cnt("2-HIGH").as("p_high"),
+          cnt("3-MEDIUM").as("p_medium"), cnt("5-LOW").as("p_low"),
+          count(lit(1)).as("total"))
+    }),
+
     // lead/lag offsets: days between a customer's consecutive orders
     "q21_order_gaps" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -223,6 +233,13 @@ object Relational {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q22_pivot_priority" ->
+      """SELECT o_orderstatus,
+        |count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+        |count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+        |count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+        |count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low,
+        |count(*) AS total FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q20_moving_avg" ->
       """SELECT o_custkey, o_orderkey,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)

@@ -126,6 +126,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PARTIAL_UPDATE: column-split upserts converge to the full-row upsert") {
+    // sending each column in its own batch must stitch to the same table
+    // as sending full rows — the contract partial updates exist for
+    (1 to 2).foreach { trial =>
+      val rows = batches(trial + 90L, 1).head
+        .map { case (id, ver, _) => (id, ver, s"v-$id") }.distinctBy(_._1)
+      def mk(name: String) = GraftTable.create(spark,
+        tmpDir(name).toString,
+        TableConfig("prop_pu", TableType.CopyOnWrite, Seq("id"), "", "",
+          Map(ConfigKeys.Payload -> graft.table.Payload.PartialUpdate)))
+      val full = mk(s"pu_full_$trial")
+      full.upsert(rows.toDF("id", "ver", "v"))
+      val split = mk(s"pu_split_$trial")
+      split.upsert(rows.toDF("id", "ver", "v")
+        .withColumn("v", lit(null).cast("string")))   // column ver first
+      split.upsert(rows.toDF("id", "ver", "v")
+        .withColumn("ver", lit(null).cast("long")))   // column v second
+      assert(snap(full) === snap(split), s"trial $trial: split-column upserts diverged")
+      // replaying a partial batch is a no-op
+      val before = snap(split)
+      split.upsert(rows.toDF("id", "ver", "v").withColumn("ver", lit(null).cast("long")))
+      assert(snap(split) === before, s"trial $trial: partial replay changed the table")
+    }
+  }
+
   test("fuzz: incremental ranges compose between arbitrary instants") {
     (1 to 2).foreach { trial =>
       // batches made unique per id up front: a within-batch precombine TIE
