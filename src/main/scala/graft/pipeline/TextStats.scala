@@ -26,13 +26,14 @@ object TextStats {
 
   def tokenCount(text: Column): Column = feats(text).getField("n_tokens")
 
-  /** BPE-ish subword count: word pieces + digits + punctuation runs — the
-    * usual cheap proxy for tokenizer length (≈ GPT-2 regex family).
+  /** BPE-ish subword count: alphanumeric runs + punctuation runs — the
+    * usual cheap proxy for tokenizer length (≈ GPT-2 regex family's
+    * word/number/punct pieces). Run extraction, not boundary splitting:
+    * the same definition replays in any regex engine (RE2 included).
     */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
-      split(text, """(?=[\p{L}\p{N}])(?<![\p{L}\p{N}])|(?<=[\p{L}\p{N}])(?![\p{L}\p{N}])|\s+"""),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit("""[\p{L}\p{N}]+"""), lit(0))) +
+      size(regexp_extract_all(text, lit("""[^\p{L}\p{N}\s]+"""), lit(0)))
 
   def charCount(text: Column): Column = length(text)
 

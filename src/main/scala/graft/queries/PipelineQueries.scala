@@ -91,6 +91,7 @@ object PipelineQueries {
       docs(s, d).select(
         col("doc_id"),
         TextStats.tokenCount(t).as("n_tokens"),
+        TextStats.bpeishTokenCount(t).cast("long").as("n_bpeish"),
         TextStats.charCount(t).as("n_chars_m"),
         round(TextStats.digitRatio(t), 4).as("digit_ratio"),
         round(TextStats.avgWordLen(t), 4).as("avg_word_len"))
@@ -601,6 +602,8 @@ object PipelineQueries {
     "p_text_stats" ->
       raw"""SELECT doc_id,
            |len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+           |len(regexp_extract_all(text, '[\pL\pN]+'))
+           |  + len(regexp_extract_all(text, '[^\pL\pN\s]+')) AS n_bpeish,
            |length(text) AS n_chars_m,
            |round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
            |  / length(text), 4) AS digit_ratio,
