@@ -216,6 +216,12 @@ object PipelineQueries {
         rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.75),
         defaultRate = 1.0)),
 
+    // weight-targeted source mixing: keep rates derived so the output hits
+    // the target proportions at the largest achievable size
+    "p_sample_mix" -> ((s, d) =>
+      Sampling.mixToWeights(docs(s, d), "source", "doc_id",
+        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))),
+
     // content-stable train/valid/test split tags
     "p_train_test_split" -> ((s, d) =>
       Sampling.trainTestSplit(docs(s, d), "doc_id", testFrac = 0.1, validFrac = 0.1)
@@ -527,6 +533,17 @@ object PipelineQueries {
     "p_sessionize_incremental" -> sessionizeOracle,
     "p_asof_join" -> asofOracle,
     "p_sample_stratified" -> stratifiedOracle,
+    // replays the rate derivation: N = min(count/weight) over strata,
+    // rate = min(1, N*w/count); floor matches Spark's long-cast truncation
+    "p_sample_mix" ->
+      """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |w(s, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+        |n AS (SELECT min(c / wt) AS nv FROM counts JOIN w ON source = s),
+        |rates AS (SELECT s, least(1.0, (SELECT nv FROM n) * wt / c) AS rate
+        |          FROM w JOIN counts ON source = s)
+        |SELECT d.* FROM documents d JOIN rates r ON d.source = r.s
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) <
+        |  CAST(floor(r.rate * 10000) AS BIGINT)""".stripMargin,
     "p_train_test_split" -> splitOracle,
     "p_dedup_exact" -> exactDedupOracle,
     "p_dedup_minhash" -> minhashOracle,
