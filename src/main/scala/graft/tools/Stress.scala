@@ -81,6 +81,23 @@ object Stress {
     report("cow_upsert_cycle", time(upsertCycle(orders1, "u1")),
       time(upsertCycle(ordersN, "uN")))
 
+    // MOR: delta-append write + merged snapshot read (the read pays the
+    // base ∪ delta window only for delta-bearing groups)
+    def morCycle(src: DataFrame, name: String): Unit = {
+      val p = s"/tmp/graft_stress/$name"
+      WritePipeline.deleteRecursively(Paths.get(p))
+      val t = GraftTable.create(spark, p, TableConfig(
+        name, TableType.MergeOnRead,
+        Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+        Map("graft.compact.inline" -> "false")))
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      Readers.snapshot(t).write.mode("overwrite").format("noop").save()
+    }
+    report("mor_upsert_cycle", time(morCycle(orders1, "m1")),
+      time(morCycle(ordersN, "mN")))
+
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
