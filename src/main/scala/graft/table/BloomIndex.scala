@@ -44,7 +44,9 @@ import graft.core._
   * Executor-side sidecar IO goes through Hadoop's FileSystem API resolved
   * from the sidecar URI — on a cluster the same code targets whatever
   * store backs the table path (hdfs://, s3a://, ...); locally it resolves
-  * to the file:// implementation. Publication is create-temp + rename
+  * to the file:// implementation. Tasks rebuild the driver's Hadoop
+  * configuration from shipped properties (never a bare
+  * `new Configuration()`, which would lose `spark.hadoop.*` credentials). Publication is create-temp + rename
   * (atomic on HDFS and local FS; object stores get last-writer-wins
   * semantics, which is safe here because sidecars are content-addressed
   * by base-file path and thus written exactly once per file).
@@ -69,15 +71,19 @@ object BloomIndex {
 
   // -- executor-side sidecar IO: Hadoop FileSystem resolved per-URI, so the
   //    same tasks run against file://, hdfs://, s3a://, ... (never java.nio,
-  //    which only reaches a driver-local or shared-POSIX path)
+  //    which only reaches a driver-local or shared-POSIX path). The driver's
+  //    Hadoop configuration ships into the tasks as plain properties — a
+  //    bare executor-side `new Configuration()` would drop `spark.hadoop.*`
+  //    overrides (object-store credentials) and re-parse XML per sidecar.
 
   private def hPath(baseUri: String, relPath: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       s"$baseUri/.graft/blooms/${sidecarName(relPath)}")
 
-  private def writeSidecar(baseUri: String, relPath: String, bf: BloomFilter): Unit = {
+  private def writeSidecar(baseUri: String, relPath: String, bf: BloomFilter,
+      hadoopProps: Map[String, String]): Unit = {
     val target = hPath(baseUri, relPath)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = Services.executorHadoopConf(hadoopProps)
     val fs = target.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(
       target.toString + "." + java.util.UUID.randomUUID + ".tmp")
@@ -91,9 +97,10 @@ object BloomIndex {
     if (!fs.rename(tmp, target)) { fs.delete(tmp, false) }
   }
 
-  private def readSidecar(baseUri: String, relPath: String): BloomFilter = {
+  private def readSidecar(baseUri: String, relPath: String,
+      hadoopProps: Map[String, String]): BloomFilter = {
     val p = hPath(baseUri, relPath)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(Services.executorHadoopConf(hadoopProps))
     val in = fs.open(p)
     try BloomFilter.readFrom(in) finally in.close()
   }
@@ -117,6 +124,7 @@ object BloomIndex {
     val paths = baseStats.map(ws => base.resolve(ws.path).toString)
     Files.createDirectories(bloomDir(base)) // pre-create: executors only write files
     val baseUri = base.toUri.toString.stripSuffix("/")
+    val hProps = Services.shippedHadoopProps(spark)
     val bcByUri = spark.sparkContext.broadcast(byUri)
     import spark.implicits._
     // one write's base files share a format; read key column natively.
@@ -129,7 +137,7 @@ object BloomIndex {
       .mapGroups { (file, it) =>
         val bf = BloomFilter.create(entries, fpp)
         it.foreach(r => bf.putString(r._1))
-        bcByUri.value.get(file).foreach(rel => writeSidecar(baseUri, rel, bf))
+        bcByUri.value.get(file).foreach(rel => writeSidecar(baseUri, rel, bf, hProps))
         1
       }
       .count() // action: triggers the distributed build+publish
@@ -154,6 +162,7 @@ object BloomIndex {
     val meta = withBloom.map(e => (e.partitionPath, e.minKey, e.maxKey, e.relPath))
     val bc = spark.sparkContext.broadcast(meta)
     val baseUri = base.toUri.toString.stripSuffix("/")
+    val hProps = Services.shippedHadoopProps(spark)
     import spark.implicits._
     val isGlobal = global // stable local for the closure
     val keyed =
@@ -181,7 +190,7 @@ object BloomIndex {
     val hitRels = pairs
       .groupByKey(_._1)
       .flatMapGroups { (rel, it) =>
-        val bf = readSidecar(baseUri, rel)
+        val bf = readSidecar(baseUri, rel, hProps)
         if (it.exists(t => bf.mightContainString(t._2))) Iterator.single(rel)
         else Iterator.empty
       }
