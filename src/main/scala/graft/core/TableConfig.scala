@@ -54,7 +54,7 @@ object ConfigKeys {
   val CompactDeltaCommits = "graft.compact.max.delta.commits"   // 5
   val ArchiveMinCommits = "graft.archive.min.commits"       // 20
   val ArchiveMaxCommits = "graft.archive.max.commits"       // 30
-  val IndexType = "graft.index.type"                        // SIMPLE | BLOOM
+  val IndexType = "graft.index.type"                        // SIMPLE | BLOOM | RECORD
   val Payload = "graft.payload.class"  // OVERWRITE_LATEST | EVENT_TIME | PARTIAL_UPDATE
   val FailedWritesPolicy = "graft.failed.writes.policy"     // EAGER | LAZY | NEVER
   val FailedWritesStaleMs = "graft.failed.writes.stale.ms"  // LAZY staleness window
@@ -64,6 +64,7 @@ object ConfigKeys {
   val BaseFormat = "graft.base.format"                      // parquet | orc
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
+  val RecordIndexBuckets = "graft.index.record.buckets"     // 16 (thousands at 100 TB)
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024
   val DefaultSmallFileLimit: Long = 100L * 1024 * 1024
@@ -72,6 +73,7 @@ object ConfigKeys {
   val DefaultCompactDeltaCommits = 5
   val DefaultBloomNumEntries: Long = 60000L
   val DefaultBloomFpp = "1.0E-9"
+  val DefaultRecordIndexBuckets: Long = 16L
 }
 
 object TableConfig {

@@ -365,6 +365,22 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // record-level index: update + delete + re-insert all tagged through
+    // the persisted key→file-group mapping (no data-file key scan)
+    "t_record_index_upsert" -> ((s, d) => {
+      val t = fresh(s, d, "t_record_idx", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.IndexType -> "RECORD")))
+      val src = orders(s, d)
+      t.bulkInsert(src, SortMode.NoSort)
+      t.upsert(src.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(src.filter(col("o_orderkey") % 15 === 0)
+        .select("o_orderkey", "o_orderdate"))
+      t.upsert(src.filter(col("o_orderkey") % 30 === 0)
+        .withColumn("o_totalprice", lit(42.0)))
+      data(Readers.snapshot(t))
+    }),
+
     // dedup as a table service: near-dup tombstoning in one commit over a
     // graft table holding the documents corpus (planted exact dups lose)
     "t_dedup_service" -> ((s, d) => {
@@ -663,6 +679,13 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_record_index_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 30 = 0 THEN 42.0
+         |WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+         |ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE o_orderkey % 15 <> 0 OR o_orderkey % 30 = 0""".stripMargin,
     "t_keygen_timestamp" ->
       s"""SELECT $OrdersSql, strftime(o_orderdate, '%Y/%m') AS part FROM orders""",
     "t_keygen_complex" ->

@@ -640,12 +640,25 @@ final class GraftTable(
         substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol))
   }
 
+  /** Index tagging dispatch: RECORD uses the persisted key → file-group
+    * index (O(changeset), no data-file scan — see [[RecordIndex]]), with
+    * SIMPLE as the always-correct fallback when the index can't sync.
+    */
+  private def tagLocation(keyed: DataFrame): DataFrame = {
+    if (RecordIndex.enabled(cfg))
+      RecordIndex.tag(this, keyed) match {
+        case Some(tagged) => return tagged
+        case None => // fall through to SIMPLE
+      }
+    simpleTag(keyed)
+  }
+
   /** SIMPLE-index tagging (reference SparkHoodieSimpleIndex.java:91-109):
     * left-outer equi-join of the batch against the affected partitions'
     * key scan; matched rows carry their file group id. Affected partitions
     * and the incoming key range come from ONE aggregation job.
     */
-  private def tagLocation(keyed: DataFrame): DataFrame = {
+  private def simpleTag(keyed: DataFrame): DataFrame = {
     val pr = keyed.groupBy(MetaCols.PartitionPath)
       .agg(min(MetaCols.RecordKey).as("mn"), max(MetaCols.RecordKey).as("mx")).collect()
     val parts = pr.map(_.getString(0)).toSet
@@ -1003,6 +1016,9 @@ final class GraftTable(
     // callbacks fire OUTSIDE the table lock: a slow notification transport
     // must not stall other writers or the async service threads (the
     // optimistic path already fires after its publish lock releases)
+    // eager record-index maintenance also runs unlocked — best-effort,
+    // changeset-sized; a failure only defers to the next tag's catch-up
+    RecordIndex.maybeSync(this)
     fireCommitCallbacks(ts, opT, stats)
     ts
   }
@@ -1138,6 +1154,7 @@ final class GraftTable(
         published = true
         postCommit()
       }
+      RecordIndex.maybeSync(this)
       fireCommitCallbacks(ts, opType, written)
       ts
     } catch {
