@@ -152,4 +152,61 @@ object Similarity {
       .select(col("query_id"), col(assignments.columns.head).as("neighbor_id"),
         col("score"), col("rank"))
   }
+
+  // -------------------------------------------------- int8 quantization
+
+  /** Per-vector int8 scalar quantization: `struct(lo, step, codes)` with
+    * `code_i = round((x_i - lo) / step)` ∈ [0, 255], `lo = min(vec)`,
+    * `step = (max - min) / 255`. A 100 TB float32 corpus stores as
+    * ~25 TB of codes + two doubles per vector — the standard 4× scan
+    * reduction for first-pass candidate scoring. Constant vectors
+    * (step = 0) encode as all-zero codes. Pure expression tree, every
+    * arithmetic step replayable bit-for-bit by the DuckDB oracle (inputs
+    * should be cast to double first; round() is half-away-from-zero on
+    * the non-negative operand in both engines).
+    */
+  def quantize(vec: Column): Column = {
+    val lo = array_min(vec)
+    val step = (array_max(vec) - lo) / 255.0d
+    struct(
+      lo.as("lo"),
+      step.as("step"),
+      when(step === 0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec, x => round((x - lo) / step).cast("int")))
+        .as("codes"))
+  }
+
+  /** Inverse of [[quantize]]: `lo + code * step` per element (doubles). */
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"),
+      c => q.getField("lo") + c.cast("double") * q.getField("step"))
+
+  /** Two-stage quantized top-k: coarse scores against the DEQUANTIZED
+    * corpus (at scale, read from a stored int8 index — 4× less IO than
+    * full precision), exact cosine rescoring of the `k × oversample`
+    * survivors against the full vectors. Queries stay full precision
+    * (asymmetric quantization — no query-side error). Deterministic
+    * tiebreaks at both stages keep results oracle-replayable.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      oversample: Int = 4,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val qz = quantize(col(corpusVec))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("_c_full"), dequantize(qz).as("_c_deq"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("_coarse", cosine(col("_q_v"), col("_c_deq")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("_coarse").desc, col("neighbor_id"))
+    val survivors = coarse.withColumn("_crank", row_number().over(wc))
+      .filter(col("_crank") <= k * oversample)
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    survivors.withColumn("score", cosine(col("_q_v"), col("_c_full")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
 }

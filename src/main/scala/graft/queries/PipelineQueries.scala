@@ -114,6 +114,31 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // int8 scalar quantization of the embedding corpus: per-vector
+    // parameters + integer code stats (exact) — the stored-index shape
+    // that cuts first-pass ANN scan bytes 4×
+    "p_embed_quantize" -> ((s, d) => {
+      val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val q = Similarity.quantize(col("embedding"))
+      all.select(
+        col("vec_id"),
+        q.getField("lo").as("lo"),
+        q.getField("step").as("step"),
+        aggregate(q.getField("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(q.getField("codes")).as("code_min"),
+        array_max(q.getField("codes")).as("code_max"))
+    }),
+
+    // two-stage quantized ANN: coarse top-40 on dequantized int8 codes,
+    // exact rescore to top-10
+    "p_ann_quantized" -> ((s, d) => {
+      val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      Similarity.quantizedTopK(all, all.filter(col("vec_id") < 3), k = 10, oversample = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // double math end-to-end (like the brute-force baseline) so the
     // DuckDB oracle's IEEE arithmetic matches bit for bit
     "p_ann_lsh" -> ((s, d) => {
@@ -688,6 +713,51 @@ object PipelineQueries {
         |  row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    // exact SQL twin of Similarity.quantize: lo/step are single IEEE ops on
+    // the (double-cast) inputs, codes are integers — all hash-exact
+    "p_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT vec_id, v, list_min(v) AS lo, (list_max(v) - list_min(v)) / 255.0 AS step
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id, lo, step,
+        |    CASE WHEN step = 0 THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(round((x - lo) / step) AS INTEGER)) END AS codes
+        |  FROM p
+        |)
+        |SELECT vec_id, lo, step,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  list_min(codes) AS code_min, list_max(codes) AS code_max
+        |FROM c""".stripMargin,
+    // two-stage replay: coarse rank on dequantized codes, exact rescore
+    "p_ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT vec_id, v, list_min(v) AS lo, (list_max(v) - list_min(v)) / 255.0 AS step
+        |  FROM e
+        |), dq AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN step = 0 THEN list_transform(v, x -> lo)
+        |      ELSE list_transform(v, x -> lo + CAST(CAST(round((x - lo) / step) AS INTEGER) AS DOUBLE) * step)
+        |      END AS deq
+        |  FROM p
+        |), coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv, q.v AS qv,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.deq) DESC, c.vec_id) AS crank
+        |  FROM e q JOIN dq c ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM coarse WHERE crank <= 40)
         |WHERE rank <= 10""".stripMargin)
 
   /** Documents surviving a quality threshold — the SQL twin of

@@ -140,6 +140,33 @@ class PipelineSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("int8 quantization: codes in range, reconstruction error within step/2") {
+    val v = embs.limit(200)
+      .withColumn("embedding", transform($"embedding", x => x.cast("double")))
+      .withColumn("q", Similarity.quantize($"embedding"))
+    val checked = v.select(
+      array_min($"q.codes").as("cmin"), array_max($"q.codes").as("cmax"),
+      // max |x - dequant(x)| must be ≤ step/2 (round-to-nearest)
+      aggregate(
+        zip_with($"embedding", Similarity.dequantize($"q"), (x, y) => abs(x - y)),
+        lit(0.0d), (acc, e) => greatest(acc, e)).as("maxerr"),
+      ($"q.step" / 2 + lit(1e-12)).as("bound")).cache()
+    assert(checked.filter($"cmin" < 0 || $"cmax" > 255).count() === 0)
+    assert(checked.filter($"maxerr" > $"bound").count() === 0)
+    checked.unpersist()
+  }
+
+  test("quantized topK: planted exact copy ranks #1 after rescore") {
+    val corpus = embs.limit(400)
+      .withColumn("embedding", transform($"embedding", x => x.cast("double")))
+    val queries = corpus.limit(4)
+    val planted = queries.withColumn("vec_id", $"vec_id" + 8000000L)
+    val res = Similarity.quantizedTopK(corpus.unionByName(planted), queries, k = 5)
+    val hits = res.filter($"neighbor_id" >= 8000000L && $"rank" === 1)
+    assert(hits.count() === 4)
+    assert(hits.filter($"score" < 0.999).count() === 0)
+  }
+
   test("IVF topK returns sane neighbors") {
     val corpus = embs.limit(300)
     val (assignments, centroids) = Similarity.ivfBuild(corpus, nlist = 8)
