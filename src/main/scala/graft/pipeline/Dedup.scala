@@ -360,4 +360,34 @@ object Dedup {
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    * corpus by k-means-style coarse clusters ([[Similarity.ivfBuild]] —
+    * deterministic hash-seeded centroids, nearest-centroid assignment),
+    * then compare cosine ONLY within a cluster and drop the higher id of
+    * every pair at or above `threshold`.
+    *
+    * Versus [[embeddingDedup]]'s hyperplane-LSH buckets: LSH candidates
+    * are recall-exact for identical vectors but bucket occupancy is
+    * data-independent, while the cluster partition adapts to the corpus
+    * geometry — the published SemDeDup shape for web-scale corpora. The
+    * pairwise stage is an equi-join on `centroid_id`, so per-task work is
+    * bounded by cluster population (choose `nlist` ≈ corpus/50k to bound
+    * the quadratic term; AQE splits skewed clusters). Identical vectors
+    * always share a centroid (the assignment's distance + centroid-id
+    * tie-break is deterministic), so exact copies are never missed.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
+      nlist: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val (assignments, _) = Similarity.ivfBuild(df, nlist, idCol, vecCol)
+    val l = assignments.select(col("centroid_id"),
+      col(idCol).as("_l_id"), col(vecCol).as("_l_v"))
+    val r = assignments.select(col("centroid_id"),
+      col(idCol).as("_r_id"), col(vecCol).as("_r_v"))
+    val dupIds = l.join(r, Seq("centroid_id"))
+      .filter(col("_l_id") < col("_r_id"))
+      .filter(Similarity.cosine(col("_l_v"), col("_r_v")) >= threshold)
+      .select(col("_r_id").as("_dup_id")).distinct()
+    df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+  }
 }

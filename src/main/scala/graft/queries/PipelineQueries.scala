@@ -264,7 +264,56 @@ object PipelineQueries {
     // sequence packing: ~2048-token bins within stable hash buckets
     "p_pack_bins" -> ((s, d) =>
       Packing.packIntoBins(docs(s, d), maxTokensPerBin = 2048, buckets = 16)
-        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin_id"))))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin_id"))),
+
+    // Gopher/C4 repetition signals: row-local n-gram run statistics,
+    // arithmetic replayed exactly by the oracle
+    "p_quality_repetition" -> ((s, d) => {
+      val withSig = docs(s, d)
+        .withColumn("_tk", Repetition.tokens(col("text")))
+        .withColumn("_sig", Repetition.signalsFromTokens(col("_tk")))
+      withSig.select(col("doc_id"),
+        col("_sig.uniq_word_ratio").as("uniq_word_ratio"),
+        col("_sig.top2_frac").as("top2_frac"),
+        col("_sig.top3_frac").as("top3_frac"),
+        col("_sig.dup5_frac").as("dup5_frac"),
+        Repetition.repetitionOk(col("_sig")).as("rep_ok"))
+    }),
+
+    // binned range join (attribution window): views within the 30 min
+    // BEFORE each click — candidates meet on (user, time-bin), never a
+    // per-user cross product
+    "p_range_join" -> ((s, d) => {
+      val ev = QUtil.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withColumn("_lo", col("click_ts") - expr("INTERVAL 30 MINUTES"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val pairs = RangeJoin.pointsInIntervals(views, clicks, Seq("user_id"),
+        "view_ts", "_lo", "click_ts", binSeconds = 1800L)
+      val perClick = pairs.groupBy("click_id")
+        .agg(count(lit(1)).as("n_views"),
+          max(unix_micros(col("view_ts"))).as("last_view_us"))
+      clicks.join(perClick, Seq("click_id"), "left")
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          col("last_view_us"))
+    }),
+
+    // SemDeDup: cluster-partitioned semantic dedup — planted exact copies
+    // vanish; candidate pairs never leave their coarse cluster
+    "p_dedup_semantic" -> ((s, d) => {
+      val base = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val planted = base.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+      Dedup.semanticDedup(base.unionByName(planted), nlist = 16, threshold = 0.999)
+        .select(col("vec_id"), col("label"))
+    }))
 
   // ---- portable-hash SQL fragments for the dedup oracles --------------
   //
@@ -533,6 +582,98 @@ object PipelineQueries {
          |  bucket || '/' || CAST(CAST(floor(cum / 2048.0) AS BIGINT) AS VARCHAR) AS bin_id
          |FROM c""".stripMargin
 
+  // ---- repetition-signal replay --------------------------------------
+  // the oracle replays VALUES, not shape: per-distinct-gram char coverage
+  // (count × gram length) via unnest + group-by equals the sorted-run
+  // fold the Spark expression performs row-locally
+  private def sqlGrams(n: Int): String =
+    s"CASE WHEN len(tk) >= $n THEN list_transform(" +
+      s"generate_series(1, len(tk)-${n - 1}), i -> array_to_string(list_slice(tk, i, i+${n - 1}), ' ')) " +
+      "ELSE [] END"
+
+  private val repetitionOracle: String = {
+    def covAgg(n: Int): String =
+      s"""g$n AS (SELECT doc_id, unnest(s$n) AS gr FROM b),
+         |cnt$n AS (SELECT doc_id, gr, count(*) AS c FROM g$n GROUP BY doc_id, gr),
+         |agg$n AS (
+         |  SELECT doc_id, max(c * len(gr)) AS top_cov,
+         |    sum(CASE WHEN c > 1 THEN c * len(gr) ELSE 0 END) AS dup_cov
+         |  FROM cnt$n GROUP BY doc_id)""".stripMargin
+    raw"""WITH tkd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, tk, len(array_to_string(tk, ' '))::BIGINT AS nc,
+         |    ${sqlGrams(2)} AS s2, ${sqlGrams(3)} AS s3, ${sqlGrams(5)} AS s5
+         |  FROM tkd
+         |),
+         |${covAgg(2)},
+         |${covAgg(3)},
+         |${covAgg(5)},
+         |f AS (
+         |  SELECT b.doc_id,
+         |    round(CASE WHEN len(b.tk) = 0 THEN 0.0 ELSE len(list_distinct(b.tk))::DOUBLE / len(b.tk) END, 4) AS uniq_word_ratio,
+         |    round(CASE WHEN b.nc = 0 THEN 0.0 ELSE least(1.0, coalesce(a2.top_cov, 0)::DOUBLE / b.nc) END, 4) AS top2_frac,
+         |    round(CASE WHEN b.nc = 0 THEN 0.0 ELSE least(1.0, coalesce(a3.top_cov, 0)::DOUBLE / b.nc) END, 4) AS top3_frac,
+         |    round(CASE WHEN b.nc = 0 THEN 0.0 ELSE least(1.0, coalesce(a5.dup_cov, 0)::DOUBLE / b.nc) END, 4) AS dup5_frac
+         |  FROM b
+         |  LEFT JOIN agg2 a2 ON a2.doc_id = b.doc_id
+         |  LEFT JOIN agg3 a3 ON a3.doc_id = b.doc_id
+         |  LEFT JOIN agg5 a5 ON a5.doc_id = b.doc_id
+         |)
+         |SELECT doc_id, uniq_word_ratio, top2_frac, top3_frac, dup5_frac,
+         |  (top2_frac <= 0.2 AND top3_frac <= 0.18 AND dup5_frac <= 0.15) AS rep_ok
+         |FROM f""".stripMargin
+  }
+
+  private val rangeJoinOracle: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+      |), v AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'view'
+      |), pr AS (
+      |  SELECT c.click_id, v.ts AS vts
+      |  FROM c JOIN v ON v.user_id = c.user_id
+      |   AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts
+      |), ag AS (
+      |  SELECT click_id, count(*) AS n_views, max(epoch_us(vts)) AS last_view_us
+      |  FROM pr GROUP BY click_id
+      |)
+      |SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
+      |  coalesce(ag.n_views, 0) AS n_views, ag.last_view_us
+      |FROM c LEFT JOIN ag USING (click_id)""".stripMargin
+
+  // SemDeDup replay: same planted union, same hash-seeded centroids and
+  // nearest-centroid assignment as the IVF oracle, pairwise cosine only
+  // within a cluster
+  private val semanticDedupOracle: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, embedding::DOUBLE[] AS emb, label
+       |  FROM embeddings WHERE vec_id % 5 = 0
+       |),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY h, svid) - 1 AS centroid_id, cv FROM (
+       |    SELECT md5(vec_id::VARCHAR) AS h, vec_id AS svid, emb AS cv FROM u ORDER BY 1, 2 LIMIT 16)
+       |),
+       |assign AS (
+       |  SELECT vec_id, emb, centroid_id FROM (
+       |    SELECT a.vec_id, a.emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlL2("a.emb", "c.cv")}, c.centroid_id) AS rn
+       |    FROM u a CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |),
+       |dup AS (
+       |  SELECT DISTINCT r.vec_id AS dup_id
+       |  FROM assign l JOIN assign r
+       |    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+       |  WHERE ${sqlCosine("l.emb", "r.emb")} >= 0.999
+       |)
+       |SELECT vec_id, label FROM u
+       |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup_id = u.vec_id)""".stripMargin
+
   /** Exact dedup replayed semantically (min doc_id per normalized-text
     * fingerprint over the planted union) — robust to NATURAL duplicate
     * texts in the corpus, which exist at sf0.1; a `SELECT * FROM
@@ -553,6 +694,9 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "p_decontaminate" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
+    "p_quality_repetition" -> repetitionOracle,
+    "p_range_join" -> rangeJoinOracle,
+    "p_dedup_semantic" -> semanticDedupOracle,
     "p_sessionize" -> sessionizeOracle,
     // the incremental service must converge to the from-scratch answer
     "p_sessionize_incremental" -> sessionizeOracle,

@@ -220,4 +220,76 @@ class PipelineSpec extends AnyFunSuite {
     val audio = Multimodal.audioFeatures(blobs.limit(10))
     assert(audio.filter(_.mfcc.length != 13).count() === 0)
   }
+
+  test("repetition signals: hand-computed gram coverage") {
+    val df = Seq(
+      (1L, "a b a b a b"),                       // heavy 2-gram repetition
+      (2L, "spam spam spam spam spam spam"),     // one repeated word
+      (3L, "ab cd ef gh ij kl mn op qr st uv wx yz aa bb cc dd ee ff gg"))  // all distinct
+      .toDF("doc_id", "text")
+    val out = Repetition.annotate(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: tk=[a,b]*3, nc=11; top 2-gram "a b"×3 → 9/11; 3-gram "a b a"×2 → 10/11;
+    // 5-grams both unique → dup5 = 0
+    assert(out(1L).getAs[Double]("uniq_word_ratio") === 0.3333)
+    assert(out(1L).getAs[Double]("top2_frac") === math.rint(9.0 / 11 * 10000) / 10000)
+    assert(out(1L).getAs[Double]("top3_frac") === math.rint(10.0 / 11 * 10000) / 10000)
+    assert(out(1L).getAs[Double]("dup5_frac") === 0.0)
+    assert(!out(1L).getAs[Boolean]("rep_ok"))
+    // doc 2: every gram duplicated; coverage clamps to 1
+    assert(out(2L).getAs[Double]("top2_frac") === 1.0)
+    assert(out(2L).getAs[Double]("dup5_frac") === 1.0)
+    assert(!out(2L).getAs[Boolean]("rep_ok"))
+    // doc 3: all words distinct, long enough that no single gram dominates
+    assert(out(3L).getAs[Double]("uniq_word_ratio") === 1.0)
+    assert(out(3L).getAs[Double]("dup5_frac") === 0.0)
+    assert(out(3L).getAs[Boolean]("rep_ok"))
+  }
+
+  test("repetition signals: in range on real docs, no shuffle in the plan") {
+    val out = Repetition.annotate(docs.limit(200))
+    val bad = out.filter(
+      $"uniq_word_ratio" < 0 || $"uniq_word_ratio" > 1 ||
+        $"top2_frac" < 0 || $"top2_frac" > 1 ||
+        $"top3_frac" < 0 || $"top3_frac" > 1 ||
+        $"dup5_frac" < 0 || $"dup5_frac" > 1)
+    assert(bad.count() === 0)
+    // row-local: the annotation plan must not contain an exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition annotate shuffled:\n$plan")
+  }
+
+  test("binned range join equals the naive theta join") {
+    val ev = graft.queries.QUtil.events(spark, sf001)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withColumn("lo", $"click_ts" - expr("INTERVAL 30 MINUTES"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val binned = RangeJoin.pointsInIntervals(views, clicks, Seq("user_id"),
+        "view_ts", "lo", "click_ts", binSeconds = 1800L)
+      .select($"click_id", $"view_id")
+    val naive = views.join(clicks, Seq("user_id"))
+      .where($"view_ts" >= $"lo" && $"view_ts" <= $"click_ts")
+      .select($"click_id", $"view_id")
+    assert(binned.count() > 0, "no pairs matched — test data assumption broke")
+    assert(binned.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(binned).count() === 0)
+    // a coarser bin must not change the result (more residual filtering)
+    val coarse = RangeJoin.pointsInIntervals(views, clicks, Seq("user_id"),
+        "view_ts", "lo", "click_ts", binSeconds = 86400L)
+      .select($"click_id", $"view_id")
+    assert(coarse.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(coarse).count() === 0)
+  }
+
+  test("semantic dedup drops planted copies, keeps originals") {
+    val base = embs.limit(200)
+      .withColumn("embedding", transform($"embedding", x => x.cast("double")))
+    val planted = base.limit(10).withColumn("vec_id", $"vec_id" + 5000000L)
+    val out = Dedup.semanticDedup(base.unionByName(planted),
+      nlist = 8, threshold = 0.999)
+    assert(out.filter($"vec_id" >= 5000000L).count() === 0)
+    assert(out.count() === base.count())
+  }
 }
