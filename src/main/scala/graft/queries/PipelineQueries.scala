@@ -304,6 +304,20 @@ object PipelineQueries {
           col("last_view_us"))
     }),
 
+    // graded contamination report: per-doc eval-set n-gram overlap
+    "p_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontaminate.contaminationScore(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), n = 8)
+    }),
+
+    // overlapping token-window chunking: stride-24 windows of 32 tokens
+    "p_chunk_docs" -> ((s, d) =>
+      Chunking.chunk(docs(s, d), chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          col("chunk_text"))),
+
     // SemDeDup: cluster-partitioned semantic dedup — planted exact copies
     // vanish; candidate pairs never leave their coarse cluster
     "p_dedup_semantic" -> ((s, d) => {
@@ -674,6 +688,44 @@ object PipelineQueries {
        |SELECT vec_id, label FROM u
        |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup_id = u.vec_id)""".stripMargin
 
+  // graded contamination: same shingle CTEs as the drop variant, counts
+  // instead of an existence filter
+  private val contaminationOracle: String =
+    raw"""WITH tkd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 8
+         |    THEN list_distinct(list_transform(generate_series(1, len(tk)-7), i -> array_to_string(list_slice(tk, i, i+7), ' ')))
+         |    ELSE [array_to_string(tk, ' ')] END AS ss
+         |  FROM tkd
+         |), bench AS (
+         |  SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id % 97 = 0
+         |), tr AS (
+         |  SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id % 97 <> 0
+         |), tot AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id
+         |), h AS (
+         |  SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN bench b ON tr.s = b.s GROUP BY tr.doc_id
+         |)
+         |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+         |  round(coalesce(h.n_hits, 0)::DOUBLE / t.n_shingles, 4) AS contamination
+         |FROM tot t LEFT JOIN h ON h.doc_id = t.doc_id""".stripMargin
+
+  // stride-24 windows of 32 tokens; final window short; every doc yields
+  // at least one (possibly empty) chunk
+  private val chunkOracle: String =
+    raw"""WITH tkd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 24)) AS s FROM tkd
+         |)
+         |SELECT doc_id, ((s - 1) // 24) AS chunk_idx,
+         |  len(list_slice(tk, s, s + 31)) AS chunk_tokens,
+         |  array_to_string(list_slice(tk, s, s + 31), ' ') AS chunk_text
+         |FROM st""".stripMargin
+
   /** Exact dedup replayed semantically (min doc_id per normalized-text
     * fingerprint over the planted union) — robust to NATURAL duplicate
     * texts in the corpus, which exist at sf0.1; a `SELECT * FROM
@@ -697,6 +749,8 @@ object PipelineQueries {
     "p_quality_repetition" -> repetitionOracle,
     "p_range_join" -> rangeJoinOracle,
     "p_dedup_semantic" -> semanticDedupOracle,
+    "p_contamination" -> contaminationOracle,
+    "p_chunk_docs" -> chunkOracle,
     "p_sessionize" -> sessionizeOracle,
     // the incremental service must converge to the from-scratch answer
     "p_sessionize_incremental" -> sessionizeOracle,

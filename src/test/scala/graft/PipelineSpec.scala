@@ -283,6 +283,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(naive.exceptAll(coarse).count() === 0)
   }
 
+  test("contamination score: graded overlap, zero for clean docs") {
+    val bench = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // 9 tokens -> 2 distinct 8-grams, one of which is the benchmark's
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "totally clean words that never appear in the benchmark text"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contaminationScore(train, bench, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_shingles") === 2L)
+    assert(out(1L).getAs[Long]("n_hits") === 1L)
+    assert(out(1L).getAs[Double]("contamination") === 0.5)
+    assert(out(2L).getAs[Long]("n_hits") === 0L)
+    assert(out(2L).getAs[Double]("contamination") === 0.0)
+    // the hard-drop operator is the contamination > 0 special case
+    val kept = Decontaminate.decontaminate(train, bench, n = 8)
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("chunking: stride windows, short tail, empty doc survives") {
+    val seventy = (1 to 70).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, seventy), (2L, "short text"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunk(df, chunkTokens = 32, overlap = 8)
+    val byDoc = out.collect().groupBy(_.getAs[Long]("doc_id"))
+    // 70 tokens, stride 24 -> starts 1, 25, 49
+    assert(byDoc(1L).map(_.getAs[Int]("chunk_idx")).sorted.toSeq === Seq(0, 1, 2))
+    assert(byDoc(1L).sortBy(_.getAs[Int]("chunk_idx"))
+      .map(_.getAs[Int]("chunk_tokens")).toSeq === Seq(32, 32, 22))
+    // overlap: chunk 1 starts at token 25
+    val c1 = byDoc(1L).find(_.getAs[Int]("chunk_idx") == 1).get
+    assert(c1.getAs[String]("chunk_text").startsWith("w25 w26"))
+    assert(byDoc(2L).length === 1)
+    assert(byDoc(2L).head.getAs[Int]("chunk_tokens") === 2)
+    assert(byDoc(3L).length === 1)
+    assert(byDoc(3L).head.getAs[Int]("chunk_tokens") === 0)
+  }
+
   test("semantic dedup drops planted copies, keeps originals") {
     val base = embs.limit(200)
       .withColumn("embedding", transform($"embedding", x => x.cast("double")))
