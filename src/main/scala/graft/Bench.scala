@@ -16,7 +16,9 @@ object Bench {
     "p_dedup_exact", "p_dedup_minhash", "p_dedup_simhash",
     "p_text_stats", "p_text_quality_lang", "p_ann_bruteforce",
     "p_sessionize", "p_asof_join", "p_sample_stratified",
-    "p_decontaminate", "p_pack_bins")
+    "p_decontaminate", "p_pack_bins",
+    "p_quality_repetition", "p_range_join", "p_chunk_docs",
+    "p_dedup_semantic", "p_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -325,7 +325,7 @@ object PipelineQueries {
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
       val planted = base.filter(col("vec_id") % 5 === 0)
         .withColumn("vec_id", col("vec_id") + 10000000L)
-      Dedup.semanticDedup(base.unionByName(planted), nlist = 16, threshold = 0.999)
+      Dedup.semanticDedup(base.unionByName(planted), nlist = 64, threshold = 0.999)
         .select(col("vec_id"), col("label"))
     }))
 
@@ -669,7 +669,7 @@ object PipelineQueries {
        |),
        |cent AS (
        |  SELECT row_number() OVER (ORDER BY h, svid) - 1 AS centroid_id, cv FROM (
-       |    SELECT md5(vec_id::VARCHAR) AS h, vec_id AS svid, emb AS cv FROM u ORDER BY 1, 2 LIMIT 16)
+       |    SELECT md5(vec_id::VARCHAR) AS h, vec_id AS svid, emb AS cv FROM u ORDER BY 1, 2 LIMIT 64)
        |),
        |assign AS (
        |  SELECT vec_id, emb, centroid_id FROM (
