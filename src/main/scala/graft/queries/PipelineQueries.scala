@@ -304,6 +304,27 @@ object PipelineQueries {
           col("last_view_us"))
     }),
 
+    // corpus vocabulary: global token counts, top-k — partial (map-side)
+    // aggregation does the heavy lifting; only distinct words shuffle
+    "p_vocab_topk" -> ((s, d) =>
+      docs(s, d).select(explode(Repetition.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)),
+
+    // per-dimension embedding stats (the feature-normalization pre-pass):
+    // decimal-cast sums keep the mean order-independent across partitions
+    "p_embed_stats" -> ((s, d) => {
+      val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      all.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(
+          count(col("v")).as("n"),
+          (sum(col("v").cast("decimal(28,10)")).cast("double") / count(col("v")))
+            .as("mean"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    }),
+
     // graded contamination report: per-doc eval-set n-gram overlap
     "p_contamination" -> ((s, d) => {
       val all = docs(s, d)
@@ -751,6 +772,20 @@ object PipelineQueries {
     "p_dedup_semantic" -> semanticDedupOracle,
     "p_contamination" -> contaminationOracle,
     "p_chunk_docs" -> chunkOracle,
+    "p_vocab_topk" ->
+      raw"""WITH tkd AS (
+           |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           |  FROM documents
+           |), w AS (SELECT unnest(tk) AS word FROM tkd)
+           |SELECT word, count(*) AS n FROM w GROUP BY word
+           |ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "p_embed_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(0, (SELECT max(len(emb)) FROM e) - 1)) AS dim)
+        |SELECT d.dim, count(e.emb[d.dim + 1]) AS n,
+        |  CAST(sum(CAST(e.emb[d.dim + 1] AS DECIMAL(28,10))) AS DOUBLE) / count(e.emb[d.dim + 1]) AS mean,
+        |  min(e.emb[d.dim + 1]) AS vmin, max(e.emb[d.dim + 1]) AS vmax
+        |FROM e CROSS JOIN dims d GROUP BY d.dim""".stripMargin,
     "p_sessionize" -> sessionizeOracle,
     // the incremental service must converge to the from-scratch answer
     "p_sessionize_incremental" -> sessionizeOracle,

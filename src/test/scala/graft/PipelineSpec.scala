@@ -322,6 +322,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(3L).head.getAs[Int]("chunk_tokens") === 0)
   }
 
+  test("vocab and embedding stats: exact on hand data") {
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val vocab = df.select(explode(Repetition.tokens($"text")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    val e = Seq((1L, Array(1.0, 3.0)), (2L, Array(3.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val stats = e.select(posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg((sum($"v".cast("decimal(28,10)")).cast("double") / count($"v")).as("mean"),
+        min($"v").as("vmin"), max($"v").as("vmax"))
+      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(stats(0).getAs[Double]("mean") === 2.0)
+    assert(stats(1).getAs[Double]("mean") === 4.0)
+    assert(stats(1).getAs[Double]("vmax") === 5.0)
+  }
+
   test("semantic dedup drops planted copies, keeps originals") {
     val base = embs.limit(200)
       .withColumn("embedding", transform($"embedding", x => x.cast("double")))
