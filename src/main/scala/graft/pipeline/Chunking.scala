@@ -28,7 +28,10 @@ object Chunking {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
     val stride = chunkTokens - overlap
-    val tk = Repetition.tokens(col(textCol))
+    // case-PRESERVING whitespace tokens: chunk text feeds embedding or
+    // training downstream, so unlike the dedup/repetition token streams it
+    // must not normalize away the original casing
+    val tk = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     df.withColumn("_ch_tk", tk)
       .withColumn("_ch_start",
         explode(sequence(lit(1), greatest(size(col("_ch_tk")), lit(1)), lit(stride))))

@@ -34,6 +34,8 @@ object RangeJoin {
       pointTs: String, loCol: String, hiCol: String,
       binSeconds: Long = 1800L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(!points.columns.contains("_rj_bin") && !intervals.columns.contains("_rj_bin"),
+      "_rj_bin is reserved by RangeJoin")
     val p = points.withColumn("_rj_bin",
       floor(unix_micros(col(pointTs)) / (binSeconds * 1000000L)))
     val i = intervals

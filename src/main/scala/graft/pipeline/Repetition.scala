@@ -112,7 +112,12 @@ object Repetition {
       round(dupFrac(c5), 4).as("dup5_frac"))
   }
 
-  /** Convenience single-column form (tokenizes internally). */
+  /** Convenience single-column form. Tokenizes INSIDE the expression, so
+    * every lambda that touches the token array re-runs the split regex per
+    * element under interpreted HOF eval — fine for ad-hoc use, but bulk
+    * annotation should materialize [[tokens]] into a column first and call
+    * [[signalsFromTokens]] (what [[annotate]] does).
+    */
   def signals(text: Column): Column = signalsFromTokens(tokens(text))
 
   /** Gopher-style keep/drop verdict from the (rounded) signals. */

@@ -734,10 +734,11 @@ object PipelineQueries {
          |FROM tot t LEFT JOIN h ON h.doc_id = t.doc_id""".stripMargin
 
   // stride-24 windows of 32 tokens; final window short; every doc yields
-  // at least one (possibly empty) chunk
+  // at least one (possibly empty) chunk. Case-preserving tokens (chunk
+  // text feeds downstream models, not a dedup key)
   private val chunkOracle: String =
     raw"""WITH tkd AS (
-         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
          |  FROM documents
          |), st AS (
          |  SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 24)) AS s FROM tkd
