@@ -217,6 +217,45 @@ object PipelineQueries {
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_s"),
           col("total_value"), col("duration_s"))),
 
+    // STATEFUL STREAMING sessionization: flatMapGroupsWithState over a
+    // bounded replay (three event-time-ordered micro-batches + per-user
+    // sentinel) must converge to the batch answer — same oracle as
+    // p_sessionize. The driver-side collect is the replay HARNESS feeding
+    // MemoryStream, not the operator: the sessionizer itself shuffles
+    // only on user_id and keeps O(active users) state.
+    "p_sessionize_streaming" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StatefulSessions
+      import graft.streaming.StatefulSessions.Ev
+      val evs = QUtil.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .as[Ev].collect().sortBy(e => (e.ts_us, e.event_id))
+      val n = evs.length
+      val (b1, rest) = evs.splitAt(n / 3)
+      val (b2, b3) = rest.splitAt(n / 3)
+      val sentinelTs = evs.map(_.ts_us).max + 86400000000L // +1 day >> gap
+      val sentinels = evs.map(_.user_id).distinct
+        .map(u => Ev(u, -1L, sentinelTs, 0.0)).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[Ev]
+      val sink = s"sess_stream_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = StatefulSessions.sessionize(ms.toDS(), gapSeconds = 1800L)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        Seq(b1.toSeq, b2.toSeq, b3.toSeq, sentinels).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).select(
+        col("user_id"), col("session_seq"), col("n_events"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_s"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_s"),
+        (col("total_scaled").cast("double") / 10000.0).as("total_value"),
+        expr("CAST((end_us - start_us) DIV 1000000 AS BIGINT)").as("duration_s"))
+    }),
+
     // as-of join (attribution): each click picks up the latest same-user
     // view at or before it — union + one ordered window, no range explosion
     "p_asof_join" -> ((s, d) => {
@@ -790,6 +829,8 @@ object PipelineQueries {
     "p_sessionize" -> sessionizeOracle,
     // the incremental service must converge to the from-scratch answer
     "p_sessionize_incremental" -> sessionizeOracle,
+    // streaming flatMapGroupsWithState must converge to the batch answer
+    "p_sessionize_streaming" -> sessionizeOracle,
     "p_asof_join" -> asofOracle,
     "p_sample_stratified" -> stratifiedOracle,
     // replays the rate derivation: N = min(count/weight) over strata,

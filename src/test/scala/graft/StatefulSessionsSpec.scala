@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.Ev
+
+/** Streaming sessionization: cross-batch open-session state, in-batch
+  * ordering, sentinel close-out, exact scaled-decimal sums.
+  */
+class StatefulSessionsSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[Ev]], gapSeconds: Long = 1800L) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val sink = s"sess_spec_${java.util.UUID.randomUUID.toString.take(8)}"
+    val q = StatefulSessions.sessionize(ms.toDS(), gapSeconds)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(sink).as[StatefulSessions.SessionOut].collect().toSeq
+  }
+
+  private val S = 1000000L // 1s in micros
+
+  test("session spanning a batch boundary stays one session") {
+    val out = run(Seq(
+      Seq(Ev(1L, 1L, 0L, 1.5)),
+      // out of order WITHIN the batch + continues the open session
+      Seq(Ev(1L, 3L, 4000 * S, 3.0), Ev(1L, 2L, 10 * S, 2.25)),
+      Seq(Ev(1L, -1L, 1000000 * S, 0.0)))) // sentinel
+    assert(out.map(_.session_seq).sorted === Seq(1L, 2L))
+    val s1 = out.find(_.session_seq == 1L).get
+    assert(s1.n_events === 2L)
+    assert(s1.start_us === 0L && s1.end_us === 10 * S)
+    assert(s1.total_scaled === 37500L) // 1.5000 + 2.2500 scaled by 1e4
+    val s2 = out.find(_.session_seq == 2L).get
+    assert(s2.n_events === 1L && s2.total_scaled === 30000L)
+  }
+
+  test("sentinel session is never emitted; per-user isolation holds") {
+    val out = run(Seq(
+      Seq(Ev(1L, 1L, 0L, 1.0), Ev(2L, 2L, 5 * S, 4.0)),
+      Seq(Ev(1L, -1L, 1000000 * S, 9.9), Ev(2L, -2L, 1000000 * S, 9.9))))
+    // one real session per user; sentinel values never reach an emitted sum
+    assert(out.size === 2)
+    assert(out.map(_.user_id).sorted === Seq(1L, 2L))
+    assert(out.forall(_.total_scaled < 90000L))
+  }
+}
