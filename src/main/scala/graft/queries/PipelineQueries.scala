@@ -256,6 +256,42 @@ object PipelineQueries {
         expr("CAST((end_us - start_us) DIV 1000000 AS BIGINT)").as("duration_s"))
     }),
 
+    // STREAMING windowed aggregation: watermark + 1h tumbling windows in
+    // append mode — finalized windows must equal the batch hourly rollup
+    // (q13's oracle). A single far-future sentinel advances the watermark
+    // past every real window; its own window never finalizes.
+    "p_stream_windowed_agg" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val evs = QUtil.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect().sortBy(e => (e._2, e._1))
+      val n = evs.length
+      val (b1, rest) = evs.splitAt(n / 3)
+      val (b2, b3) = rest.splitAt(n / 3)
+      val sentinel = Seq((-1L, evs.map(_._2).max + 7200000000L, "zz_sentinel", 0.0))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[(Long, Long, String, Double)]
+      val agg = ms.toDS().toDF("event_id", "ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+      val sink = s"win_stream_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        Seq(b1.toSeq, b2.toSeq, b3.toSeq, sentinel).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+    }),
+
     // as-of join (attribution): each click picks up the latest same-user
     // view at or before it — union + one ordered window, no range explosion
     "p_asof_join" -> ((s, d) => {
@@ -831,6 +867,11 @@ object PipelineQueries {
     "p_sessionize_incremental" -> sessionizeOracle,
     // streaming flatMapGroupsWithState must converge to the batch answer
     "p_sessionize_streaming" -> sessionizeOracle,
+    // finalized streaming windows == the batch hourly rollup
+    "p_stream_windowed_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "p_asof_join" -> asofOracle,
     "p_sample_stratified" -> stratifiedOracle,
     // replays the rate derivation: N = min(count/weight) over strata,
