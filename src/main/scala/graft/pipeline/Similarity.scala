@@ -209,4 +209,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  // ------------------------------------------------- text similarity search
+
+  /** TEXT similarity search: top-k corpus documents per query document by
+    * EXACT word n-gram Jaccard, with MinHash-LSH band collisions
+    * generating the candidates — the text analog of [[lshTopK]]:
+    * probabilistic recall, exact rescoring. Candidate generation is a
+    * band-bucket equi-join, O(collisions) — never corpus × queries — and
+    * shingle arrays join back in by id AFTER pair dedup, so nothing wide
+    * rides the band explode. Signature/banding reuses [[Dedup]]'s
+    * portable FNV machinery, so the DuckDB oracle replays band
+    * membership and the exact Jaccard bit-for-bit.
+    */
+  def textTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    def prep(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val id = s"_${tag}_id"
+      val keyed = df.select(col(idCol).as(id), col(textCol).as("_t"))
+        .repartition(col(id))
+      val sig = keyed.select(col(id),
+        graft.functions.MinHashSig.minhashSig(col("_t"), numHashes, shingleN).as("_sig"))
+      val sh = keyed.select(col(id), Dedup.shingles(col("_t"), shingleN).as(s"_${tag}_sh"))
+      val banded = sig.select(col(id),
+          explode(Dedup.lshBands(col("_sig"), bands, rows)).as("_band"))
+        .select(col(id), col("_band.band").as("_b"), col("_band.bucket").as("_k"))
+      (banded, sh)
+    }
+    val (cb, csh) = prep(corpus, "c")
+    val (qb, qsh) = prep(queries, "q")
+    val cand = qb.join(cb, Seq("_b", "_k"))
+      .filter(col("_q_id") =!= col("_c_id"))
+      .select("_q_id", "_c_id").distinct()
+    val inter = size(array_intersect(col("_q_sh"), col("_c_sh"))).cast("double")
+    val union = size(array_union(col("_q_sh"), col("_c_sh"))).cast("double")
+    val jac = when(union === 0, 0.0).otherwise(inter / union)
+    val w = Window.partitionBy(col("_q_id")).orderBy(col("_jac").desc, col("_c_id"))
+    cand.join(qsh, Seq("_q_id")).join(csh, Seq("_c_id"))
+      .withColumn("_jac", jac)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_q_id").as("query_id"), col("_c_id").as("neighbor_id"),
+        round(col("_jac"), 4).as("jaccard"), col("rank"))
+  }
 }

@@ -379,6 +379,13 @@ object PipelineQueries {
           col("last_view_us"))
     }),
 
+    // TEXT similarity search: top-10 by exact n-gram Jaccard, candidates
+    // from MinHash band collisions — the text analog of the ANN queries
+    "p_similar_docs" -> ((s, d) => {
+      val all = docs(s, d)
+      Similarity.textTopK(all, all.filter(col("doc_id") < 3), k = 10)
+    }),
+
     // corpus vocabulary: global token counts, top-k — partial (map-side)
     // aggregation does the heavy lifting; only distinct words shuffle
     "p_vocab_topk" -> ((s, d) =>
@@ -848,6 +855,31 @@ object PipelineQueries {
     "p_dedup_semantic" -> semanticDedupOracle,
     "p_contamination" -> contaminationOracle,
     "p_chunk_docs" -> chunkOracle,
+    // band membership + exact jaccard replayed; rank ties break on id
+    "p_similar_docs" ->
+      s"""WITH $fnvSigCtes,
+         |shs AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3
+         |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(list_slice(tk, i, i+2), ' ')))
+         |    ELSE [array_to_string(tk, ' ')] END AS ss
+         |  FROM toks
+         |),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS qid, r.doc_id AS cid
+         |  FROM sig l JOIN sig r ON l.doc_id < 3 AND r.doc_id <> l.doc_id
+         |   AND $bandEq
+         |),
+         |scored AS (
+         |  SELECT c.qid, c.cid,
+         |    CASE WHEN len(list_distinct(list_concat(sq.ss, sc.ss))) = 0 THEN 0.0
+         |      ELSE len(list_intersect(sq.ss, sc.ss))::DOUBLE / len(list_distinct(list_concat(sq.ss, sc.ss))) END AS jac
+         |  FROM cand c JOIN shs sq ON sq.doc_id = c.qid JOIN shs sc ON sc.doc_id = c.cid
+         |)
+         |SELECT query_id, neighbor_id, jaccard, rank FROM (
+         |  SELECT qid AS query_id, cid AS neighbor_id, round(jac, 4) AS jaccard,
+         |    row_number() OVER (PARTITION BY qid ORDER BY jac DESC, cid) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
     "p_vocab_topk" ->
       raw"""WITH tkd AS (
            |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk

@@ -322,6 +322,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(3L).head.getAs[Int]("chunk_tokens") === 0)
   }
 
+  test("text topK: planted near-identical doc ranks #1") {
+    val base = docs.limit(200)
+    val q = base.filter($"doc_id" === base.select(min("doc_id")).first().getLong(0))
+    val planted = q.withColumn("doc_id", $"doc_id" + 7000000L)
+    val out = Similarity.textTopK(base.unionByName(planted), q, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    val top = out.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("neighbor_id") === q.first().getAs[Long]("doc_id") + 7000000L)
+    assert(top.getAs[Double]("jaccard") === 1.0)
+  }
+
   test("vocab and embedding stats: exact on hand data") {
     val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
     val vocab = df.select(explode(Repetition.tokens($"text")).as("word"))
