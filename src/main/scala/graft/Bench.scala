@@ -53,10 +53,7 @@ object Bench {
       graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(warmDir))
       // events.parquet stores TIMESTAMP(NANOS) — read as long (see QUtil)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tables = java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
-        .iterator()
-      while (tables.hasNext) {
-        val p = tables.next()
+      for (p <- graft.core.PathIO.list(java.nio.file.Paths.get(sfDir))) {
         val n = p.getFileName.toString
         if (n.endsWith(".parquet"))
           spark.read.parquet(p.toString).limit(500)

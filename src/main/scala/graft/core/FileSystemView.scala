@@ -197,7 +197,7 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
   private def loadIndex(asOf: Option[String]): ViewState = {
     if (!Files.isDirectory(indexDir))
       return ViewState("", Seq.empty, Map.empty)
-    val candidates = Files.list(indexDir).iterator().asScala
+    val candidates = PathIO.list(indexDir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("files_") && n.endsWith(".json"))
       .map(n => n.stripPrefix("files_").stripSuffix(".json"))

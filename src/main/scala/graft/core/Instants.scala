@@ -92,11 +92,9 @@ final class Timeline(val basePath: Path) {
   def init(): Unit = Files.createDirectories(dir)
 
   def listInstants(): Seq[GraftInstant] = {
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    PathIO.list(dir)
       .map(_.getFileName.toString)
       .flatMap(parse)
-      .toSeq
       .sortBy(i => (i.ts, i.action))
   }
 

@@ -508,7 +508,7 @@ object TableOps {
       WritePipeline.deleteRecursively(Paths.get(drop))
       def dropBatch(df: DataFrame, sub: String, mtime: Long): Unit = {
         df.write.parquet(s"$drop/$sub")
-        java.nio.file.Files.walk(Paths.get(s"$drop/$sub")).forEach(p =>
+        graft.core.PathIO.walk(Paths.get(s"$drop/$sub")).foreach(p =>
           java.nio.file.Files.setLastModifiedTime(
             p, java.nio.file.attribute.FileTime.fromMillis(mtime)))
       }

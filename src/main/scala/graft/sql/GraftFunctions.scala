@@ -100,5 +100,16 @@ object GraftFunctions {
     // stable 25% sample)
     fromColumns("graft_hash_bucket", 1,
       "stable sampling bucket in [0,10000) from an id")(
-      a => graft.pipeline.Sampling.hashBucket(a.head)))
+      a => graft.pipeline.Sampling.hashBucket(a.head)),
+
+    // repetition / quantization (round-7 operators)
+    fromColumns("graft_rep_signals", 1,
+      "Gopher repetition signal struct (uniq_word_ratio, top2/top3/dup5 fracs)")(
+      a => graft.pipeline.Repetition.signals(a.head)),
+    fromColumns("graft_quantize", 1,
+      "int8 scalar quantization struct (lo, step, codes) of a numeric array")(
+      a => Similarity.quantize(a.head)),
+    fromColumns("graft_dequantize", 1,
+      "reconstruct doubles from a graft_quantize struct")(
+      a => Similarity.dequantize(a.head)))
 }

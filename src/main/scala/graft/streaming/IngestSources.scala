@@ -55,7 +55,7 @@ final class DfsSource(
   private def listNewer(ckpt: Long): Seq[(Path, Long)] = {
     val root = Paths.get(rootPath)
     if (!Files.isDirectory(root)) return Seq.empty
-    Files.walk(root).iterator().asScala
+    graft.core.PathIO.walk(root)
       .filter(p => Files.isRegularFile(p))
       .filter(p => exts.exists(p.getFileName.toString.endsWith(_)))
       .filterNot(p => p.getFileName.toString.startsWith(".") ||

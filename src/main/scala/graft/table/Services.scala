@@ -535,13 +535,11 @@ object Services {
     * Only used on the failure path; normal operation never walks.
     */
   private def orphanDataFiles(t: GraftTable, ts: String): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
     val marker = "_" + ts + "."
-    Files.walk(t.basePath).iterator().asScala
+    graft.core.PathIO.walk(t.basePath)
       .filter(Files.isRegularFile(_))
       .filterNot(_.startsWith(t.basePath.resolve(".graft")))
       .filter(_.getFileName.toString.contains(marker))
-      .toSeq
   }
 
   /** Epoch millis of an instant timestamp (yyyyMMddHHmmssSSS; counter-

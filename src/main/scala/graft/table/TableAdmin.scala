@@ -197,7 +197,7 @@ object TableAdmin {
     if (java.nio.file.Files.isDirectory(idxDir)) {
       val dstIdx = dstPath.resolve(".graft").resolve("index")
       java.nio.file.Files.createDirectories(dstIdx)
-      java.nio.file.Files.list(idxDir).forEach(p =>
+      graft.core.PathIO.list(idxDir).foreach(p =>
         java.nio.file.Files.copy(p, dstIdx.resolve(p.getFileName.toString),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING))
     }

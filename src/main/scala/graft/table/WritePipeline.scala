@@ -290,17 +290,13 @@ object WritePipeline {
 
   def relPath(base: Path, p: Path): String = base.relativize(p).toString
 
-  private def listDirs(dir: Path): Seq[Path] = {
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-  }
+  private def listDirs(dir: Path): Seq[Path] =
+    graft.core.PathIO.list(dir).filter(Files.isDirectory(_))
 
-  private def listDataFiles(dir: Path, format: String): Seq[Path] = {
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+  private def listDataFiles(dir: Path, format: String): Seq[Path] =
+    graft.core.PathIO.list(dir)
       .filter(p => p.getFileName.toString.endsWith(s".$format"))
-      .toSeq.sortBy(_.getFileName.toString)
-  }
+      .sortBy(_.getFileName.toString)
 
   /** Inverse of Spark's partition-value escaping (percent-encoding of
     * special chars — ExternalCatalogUtils.unescapePathName semantics,
@@ -322,9 +318,7 @@ object WritePipeline {
     sb.toString
   }
 
-  def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
-    }
-  }
+  def deleteRecursively(p: Path): Unit =
+    graft.core.PathIO.walk(p).sorted(Ordering[String].on[Path](_.toString).reverse)
+      .foreach(f => Files.deleteIfExists(f))
 }

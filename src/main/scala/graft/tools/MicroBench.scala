@@ -63,11 +63,11 @@ object MicroBench {
       u.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .write.mode("overwrite").format("noop").save()
     }
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp/mb/plain"))
-      .iterator()
+    val files = graft.core.PathIO.list(java.nio.file.Paths.get("/tmp/mb/plain"))
+      .iterator
     var n = 0
     phase("footer stats x files") {
-      files.forEachRemaining { p =>
+      files.foreach { p =>
         if (p.getFileName.toString.endsWith(".parquet")) {
           graft.table.WritePipeline.footerRowCount(p); n += 1
         }

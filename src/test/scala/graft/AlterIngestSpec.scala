@@ -86,7 +86,7 @@ class AlterIngestSpec extends AnyFunSuite {
 
     def dropBatch(df: org.apache.spark.sql.DataFrame, sub: String, mtime: Long): Unit = {
       df.write.parquet(s"$drop/$sub")
-      Files.walk(Paths.get(s"$drop/$sub")).forEach(p =>
+      graft.core.PathIO.walk(Paths.get(s"$drop/$sub")).foreach(p =>
         Files.setLastModifiedTime(p, FileTime.fromMillis(mtime)))
     }
 

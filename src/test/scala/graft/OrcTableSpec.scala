@@ -32,9 +32,9 @@ class OrcTableSpec extends AnyFunSuite {
     val t = fresh("cow", TableType.CopyOnWrite)
     t.bulkInsert(orders)
     // disk holds .orc base files only
-    val files = java.nio.file.Files.walk(t.basePath).iterator()
+    val files = graft.core.PathIO.walk(t.basePath)
     var orc = 0; var pq = 0
-    files.forEachRemaining { p =>
+    files.foreach { p =>
       val n = p.getFileName.toString
       if (n.endsWith(".orc")) orc += 1
       else if (n.endsWith(".parquet") && !p.toString.contains(".graft")) pq += 1

@@ -110,4 +110,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(viaPred === viaOp)
   }
+
+  test("graft_rep_signals / graft_quantize / graft_dequantize: sql == dataframe") {
+    docs.createOrReplaceTempView("fdocs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_rep_signals(text).top2_frac AS t2 FROM fdocs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDf = docs.select(col("id"),
+        graft.pipeline.Repetition.signals(col("text")).getField("top2_frac").as("t2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaDf)
+    val vecs = Seq((1L, Array(0.1, 0.9, 0.5)), (2L, Array(-1.0, 0.0, 1.0)))
+      .toDF("id", "v")
+    vecs.createOrReplaceTempView("fvecs")
+    val qSql = spark.sql(
+      """SELECT id, graft_quantize(v).codes AS codes,
+        |graft_dequantize(graft_quantize(v)) AS back FROM fvecs""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Double](2))).toList
+    val qDf = vecs.select(col("id"),
+        Similarity.quantize(col("v")).getField("codes").as("codes"),
+        Similarity.dequantize(Similarity.quantize(col("v"))).as("back"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Double](2))).toList
+    assert(qSql === qDf)
+  }
 }
