@@ -112,13 +112,13 @@ object Repetition {
       round(dupFrac(c5), 4).as("dup5_frac"))
   }
 
-  /** Convenience single-column form. Tokenizes INSIDE the expression, so
-    * every lambda that touches the token array re-runs the split regex per
-    * element under interpreted HOF eval — fine for ad-hoc use, but bulk
-    * annotation should materialize [[tokens]] into a column first and call
-    * [[signalsFromTokens]] (what [[annotate]] does).
+  /** Single-column form: the NATIVE one-pass expression
+    * ([[graft.functions.RepSignals]] — all four signals from one
+    * tokenization, ~6× the declarative fold). [[signalsFromTokens]] above
+    * is the declarative reference semantics; RepetitionSpec asserts the
+    * two agree value-for-value.
     */
-  def signals(text: Column): Column = signalsFromTokens(tokens(text))
+  def signals(text: Column): Column = graft.functions.RepSignals.repSignals(text)
 
   /** Gopher-style keep/drop verdict from the (rounded) signals. */
   def repetitionOk(sig: Column): Column =
@@ -126,16 +126,16 @@ object Repetition {
       sig.getField("top3_frac") <= lit(0.18) &&
       sig.getField("dup5_frac") <= lit(0.15)
 
-  /** Annotate a documents frame with the repetition signal set. */
+  /** Annotate a documents frame with the repetition signal set (native
+    * one-pass expression).
+    */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val withTk = df.withColumn("_rep_tk", tokens(col(textCol)))
-      .withColumn("_rep_sig", signalsFromTokens(col("_rep_tk")))
-    withTk
+    df.withColumn("_rep_sig", signals(col(textCol)))
       .withColumn("uniq_word_ratio", col("_rep_sig.uniq_word_ratio"))
       .withColumn("top2_frac", col("_rep_sig.top2_frac"))
       .withColumn("top3_frac", col("_rep_sig.top3_frac"))
       .withColumn("dup5_frac", col("_rep_sig.dup5_frac"))
       .withColumn("rep_ok", repetitionOk(col("_rep_sig")))
-      .drop("_rep_tk", "_rep_sig")
+      .drop("_rep_sig")
   }
 }

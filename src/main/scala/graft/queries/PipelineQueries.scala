@@ -341,12 +341,11 @@ object PipelineQueries {
       Packing.packIntoBins(docs(s, d), maxTokensPerBin = 2048, buckets = 16)
         .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin_id"))),
 
-    // Gopher/C4 repetition signals: row-local n-gram run statistics,
+    // Gopher/C4 repetition signals: native one-pass expression,
     // arithmetic replayed exactly by the oracle
     "p_quality_repetition" -> ((s, d) => {
       val withSig = docs(s, d)
-        .withColumn("_tk", Repetition.tokens(col("text")))
-        .withColumn("_sig", Repetition.signalsFromTokens(col("_tk")))
+        .withColumn("_sig", Repetition.signals(col("text")))
       withSig.select(col("doc_id"),
         col("_sig.uniq_word_ratio").as("uniq_word_ratio"),
         col("_sig.top2_frac").as("top2_frac"),

@@ -246,6 +246,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getAs[Boolean]("rep_ok"))
   }
 
+  test("repetition signals: native expression == declarative fold on real docs") {
+    val native = docs.limit(300).select($"doc_id",
+      Repetition.signals($"text").as("s")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getStruct(1).toSeq).toMap
+    val declarative = docs.limit(300)
+      .withColumn("_tk", Repetition.tokens($"text"))
+      .select($"doc_id", Repetition.signalsFromTokens($"_tk").as("s")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getStruct(1).toSeq).toMap
+    assert(native === declarative)
+  }
+
   test("repetition signals: in range on real docs, no shuffle in the plan") {
     val out = Repetition.annotate(docs.limit(200))
     val bad = out.filter(
