@@ -386,7 +386,7 @@ object Dedup {
       col(idCol).as("_r_id"), col(vecCol).as("_r_v"))
     val dupIds = l.join(r, Seq("centroid_id"))
       .filter(col("_l_id") < col("_r_id"))
-      .filter(Similarity.cosine(col("_l_v"), col("_r_v")) >= threshold)
+      .filter(graft.functions.VecMath.cosineNative(col("_l_v"), col("_r_v")) >= threshold)
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (exact). Scale path: random
   * hyperplane LSH bucketing (sublinear candidates) and an IVF variant
   * (coarse quantizer via sampled centroids + cluster-pruned probe).
-  * Dot products are `zip_with`+`aggregate` higher-order expressions —
-  * codegen'd, no UDFs, no driver loops.
+  * Hot-path vector math is the native [[graft.functions.VecMath]]
+  * expressions (one tight loop per pair — HOF folds evaluate
+  * interpreted); the declarative [[dot]]/[[cosine]]/[[l2Distance]]
+  * remain the reference semantics, bit-identical by fold order.
   */
 object Similarity {
 
@@ -66,7 +68,7 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_c_v"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("_q_v"), col("_c_v")))
+      .withColumn("score", graft.functions.VecMath.cosineNative(col("_q_v"), col("_c_v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -93,7 +95,7 @@ object Similarity {
           b => col("_sig").bitwiseXOR(call_function("shiftleft", lit(1L), b))), 1, probeBits))))
     val scored = c.join(broadcast(q), Seq("_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("_q_v"), col("_c_v")))
+      .withColumn("score", graft.functions.VecMath.cosineNative(col("_q_v"), col("_c_v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.groupBy("query_id", "neighbor_id", "score").agg(first("score"))
       .withColumn("rank", row_number().over(w))
@@ -120,7 +122,7 @@ object Similarity {
         Window.orderBy(col("_seed_h"), col("_seed_id"))) - 1)
       .select(col("centroid_id"), col("_ct_v"))
     val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("_d", l2Distance(col(vecCol), col("_ct_v")))
+      .withColumn("_d", graft.functions.VecMath.l2Native(col(vecCol), col("_ct_v")))
     // centroid_id tiebreak keeps equidistant assignments deterministic
     val w = Window.partitionBy(col(idCol)).orderBy(col("_d"), col("centroid_id"))
     val assignments = assigned.withColumn("_rn", row_number().over(w))
@@ -137,14 +139,15 @@ object Similarity {
       queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
     val qProbes = q.crossJoin(broadcast(centroids))
-      .withColumn("_d", l2Distance(col("_q_v"), col("_ct_v")))
+      .withColumn("_d", graft.functions.VecMath.l2Native(col("_q_v"), col("_ct_v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("centroid_id"))
     val probes = qProbes.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("_q_v"), col("centroid_id"))
     val cand = assignments.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col(assignments.columns.head))
-    val scored = cand.withColumn("score", cosine(col("_q_v"), col(assignments.columns(1))))
+    val scored = cand.withColumn("score",
+      graft.functions.VecMath.cosineNative(col("_q_v"), col(assignments.columns(1))))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(assignments.columns.head))
     scored.withColumn("rank", row_number().over(w2))
@@ -197,14 +200,14 @@ object Similarity {
       col(corpusVec).as("_c_full"), dequantize(qz).as("_c_deq"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
     val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("_coarse", cosine(col("_q_v"), col("_c_deq")))
+      .withColumn("_coarse", graft.functions.VecMath.cosineNative(col("_q_v"), col("_c_deq")))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("_coarse").desc, col("neighbor_id"))
     val survivors = coarse.withColumn("_crank", row_number().over(wc))
       .filter(col("_crank") <= k * oversample)
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    survivors.withColumn("score", cosine(col("_q_v"), col("_c_full")))
+    survivors.withColumn("score", graft.functions.VecMath.cosineNative(col("_q_v"), col("_c_full")))
       .withColumn("rank", row_number().over(wf))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")

@@ -112,7 +112,7 @@ object VectorIndex {
       .select(col("centroid_id"), col(vecCol).as("_ct_v"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
     val qProbes = q.crossJoin(broadcast(cents))
-      .withColumn("_d", Similarity.l2Distance(col("_q_v"), col("_ct_v")))
+      .withColumn("_d", graft.functions.VecMath.l2Native(col("_q_v"), col("_ct_v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("centroid_id"))
     val probes = qProbes.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= nprobe)
@@ -128,7 +128,8 @@ object VectorIndex {
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("_c_v"), col("centroid_id"))
         .join(broadcast(probes), Seq("centroid_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
-      val scored = cand.withColumn("score", Similarity.cosine(col("_q_v"), col("_c_v")))
+      val scored = cand.withColumn("score",
+        graft.functions.VecMath.cosineNative(col("_q_v"), col("_c_v")))
       val w2 = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w2))
