@@ -222,6 +222,16 @@ object Relational {
           count(lit(1)).as("total"))
     }),
 
+    // exact discrete percentiles: values are actual data elements, so the
+    // hash comparison is interpolation-free
+    "q23_percentiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
+          count(lit(1)).as("n"))),
+
     // lead/lag offsets: days between a customer's consecutive orders
     "q21_order_gaps" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -233,6 +243,12 @@ object Relational {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q23_percentiles" ->
+      """SELECT o_orderpriority,
+        |quantile_disc(o_totalprice, 0.5) AS p50,
+        |quantile_disc(o_totalprice, 0.9) AS p90,
+        |min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q22_pivot_priority" ->
       """SELECT o_orderstatus,
         |count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
