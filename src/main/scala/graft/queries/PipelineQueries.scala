@@ -217,6 +217,35 @@ object PipelineQueries {
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_s"),
           col("total_value"), col("duration_s"))),
 
+    // STREAMING exact dedup: first-seen-wins over a fingerprint-keyed
+    // stream; with id-ordered batches the winners equal the batch exact
+    // dedup (min id per fingerprint) — oracled as such
+    "p_dedup_streaming" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingDedup
+      val all = docs(s, d)
+      val keyed = all.select(col("doc_id"),
+          TextStats.fingerprintHex(col("text")).as("fp"))
+        .as[StreamingDedup.Keyed].collect().sortBy(_.doc_id)
+      val n = keyed.length
+      val (b1, rest) = keyed.splitAt(n / 3)
+      val (b2, b3) = rest.splitAt(n / 3)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[StreamingDedup.Keyed]
+      val sink = s"dedup_stream_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = StreamingDedup.dedupStream(ms.toDS())
+        .toDF("doc_id")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        Seq(b1.toSeq, b2.toSeq, b3.toSeq).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      all.join(s.table(sink), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // STATEFUL STREAMING sessionization: flatMapGroupsWithState over a
     // bounded replay (three event-time-ordered micro-batches + per-user
     // sentinel) must converge to the batch answer — same oracle as
@@ -898,6 +927,15 @@ object PipelineQueries {
     "p_sessionize_incremental" -> sessionizeOracle,
     // streaming flatMapGroupsWithState must converge to the batch answer
     "p_sessionize_streaming" -> sessionizeOracle,
+    // streaming first-seen dedup over id-ordered batches == min id per
+    // normalized-text fingerprint (no planted union — the corpus's own
+    // natural duplicates are the test)
+    "p_dedup_streaming" ->
+      raw"""WITH f AS (
+           |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents
+           |), keep AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY fp)
+           |SELECT doc_id, text, lang, source, n_chars
+           |FROM f JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.k""".stripMargin,
     // finalized streaming windows == the batch hourly rollup
     "p_stream_windowed_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,

@@ -41,6 +41,27 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(s2.n_events === 1L && s2.total_scaled === 30000L)
   }
 
+  test("streaming dedup: within-batch min wins, later duplicates suppressed") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingDedup.Keyed]
+    val sink = s"dedup_spec_${java.util.UUID.randomUUID.toString.take(8)}"
+    val q = StreamingDedup.dedupStream(ms.toDS()).toDF("doc_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // batch 1: fp "a" arrives twice (ids 5, 2) -> min 2 wins; fp "b" -> 7
+      ms.addData(Seq(StreamingDedup.Keyed(5L, "a"), StreamingDedup.Keyed(2L, "a"),
+        StreamingDedup.Keyed(7L, "b")))
+      q.processAllAvailable()
+      // batch 2: late duplicates of "a"/"b" suppressed; new fp "c" emits
+      ms.addData(Seq(StreamingDedup.Keyed(9L, "a"), StreamingDedup.Keyed(1L, "b"),
+        StreamingDedup.Keyed(11L, "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(sink).as[Long].collect().sorted.toSeq
+    assert(out === Seq(2L, 7L, 11L))
+  }
+
   test("sentinel session is never emitted; per-user isolation holds") {
     val out = run(Seq(
       Seq(Ev(1L, 1L, 0L, 1.0), Ev(2L, 2L, 5 * S, 4.0)),
