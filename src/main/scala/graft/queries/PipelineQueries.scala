@@ -771,6 +771,16 @@ object PipelineQueries {
          |FROM f""".stripMargin
   }
 
+  /** Table-service form: rows surviving the rep_ok verdict (used by
+    * TableOps' `t_repetition_filter`).
+    */
+  private[queries] def repetitionFilterOracle: String =
+    s"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN (
+       |$repetitionOracle
+       |) r ON r.doc_id = d.doc_id
+       |WHERE r.rep_ok""".stripMargin
+
   private val rangeJoinOracle: String =
     """WITH c AS (
       |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'

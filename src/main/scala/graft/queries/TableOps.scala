@@ -406,6 +406,17 @@ object TableOps {
       Readers.snapshot(t).select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // in-place Gopher repetition filter as a table service: drop
+    // too-repetitive docs from a managed table in one replacing commit
+    "t_repetition_filter" -> ((s, d) => {
+      val t = fresh(s, d, "t_rep_filter", TableConfig(
+        "docs_r", TableType.CopyOnWrite, Seq("doc_id"), "", "doc_id"))
+      t.bulkInsert(s.read.parquet(s"$d/documents.parquet"))
+      Services.dedupe(t, _.filter(graft.pipeline.Repetition.repetitionOk(
+        graft.pipeline.Repetition.signals(col("text")))))
+      Readers.snapshot(t).select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // CDC apply (AWS-DMS-style op column): I/U upsert, D deletes, one commit
     "t_cdc_apply" -> ((s, d) => {
       val t = fresh(s, d, "t_cdc", cfg(TableType.CopyOnWrite))
@@ -666,6 +677,7 @@ object TableOps {
     // semantic replay (min-id per fingerprint) — see PipelineQueries
     "t_dedup_service" -> PipelineQueries.exactDedupOracle,
     "t_quality_service" -> PipelineQueries.qualityFilterOracle(0.95),
+    "t_repetition_filter" -> PipelineQueries.repetitionFilterOracle,
     "t_cdc_apply" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
