@@ -422,6 +422,24 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("word"))
         .limit(100)),
 
+    // corpus-frequency commonness score (unigram-LM-lite): per doc, the
+    // mean corpus frequency of its tokens. All sums are exact LONGs (one
+    // double division at the end), so no float-order sensitivity; the
+    // vocab side is an aggregated broadcast, the doc side one shuffle
+    "p_doc_commonness" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(Repetition.tokens(col("text"))).as("word"))
+      val vocab = toks.groupBy("word").agg(count(lit(1)).as("wc"))
+      val total = toks.agg(count(lit(1)).as("total_tokens"))
+      toks.join(broadcast(vocab), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wc")).as("sum_wc"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tokens"), col("sum_wc"),
+          round(col("sum_wc").cast("double") / (col("n_tokens") * col("total_tokens")), 6)
+            .as("commonness"))
+    }),
+
     // per-dimension embedding stats (the feature-normalization pre-pass):
     // decimal-cast sums keep the mean order-independent across partitions
     "p_embed_stats" -> ((s, d) => {
@@ -918,6 +936,20 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY jac DESC, cid) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
+    "p_doc_commonness" ->
+      raw"""WITH tkd AS (
+           |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           |  FROM documents
+           |), w AS (SELECT doc_id, unnest(tk) AS word FROM tkd),
+           |v AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+           |tot AS (SELECT count(*) AS total FROM w),
+           |agg AS (
+           |  SELECT w.doc_id, count(*) AS n_tokens, sum(v.wc)::BIGINT AS sum_wc
+           |  FROM w JOIN v USING (word) GROUP BY w.doc_id
+           |)
+           |SELECT doc_id, n_tokens, sum_wc,
+           |  round(sum_wc::DOUBLE / (n_tokens * (SELECT total FROM tot)), 6) AS commonness
+           |FROM agg""".stripMargin,
     "p_vocab_topk" ->
       raw"""WITH tkd AS (
            |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
