@@ -370,6 +370,20 @@ object PipelineQueries {
       Packing.packIntoBins(docs(s, d), maxTokensPerBin = 2048, buckets = 16)
         .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin_id"))),
 
+    // bin materialization: concatenate each bin's docs (id-ordered, EOS-
+    // separated) into the training sequence — array_sort on (id, text)
+    // structs makes the in-bin order deterministic under any shuffle
+    "p_pack_concat" -> ((s, d) => {
+      val packed = Packing.packIntoBins(docs(s, d), maxTokensPerBin = 2048, buckets = 16)
+      packed.groupBy("bin_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            st => st.getField("text")),
+          " <eos> ").as("packed_text"))
+    }),
+
     // Gopher/C4 repetition signals: native one-pass expression,
     // arithmetic replayed exactly by the oracle
     "p_quality_repetition" -> ((s, d) => {
@@ -903,9 +917,30 @@ object PipelineQueries {
          |SELECT doc_id, text, lang, source, n_chars
          |FROM f JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.k""".stripMargin
 
+  private val packConcatOracle: String =
+    raw"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0))::BIGINT AS n_tokens,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) % 16 AS bucket
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, text, n_tokens, bucket,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+         |  FROM t
+         |), p AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    bucket || '/' || CAST(CAST(floor(cum / 2048.0) AS BIGINT) AS VARCHAR) AS bin_id
+         |  FROM c
+         |)
+         |SELECT bin_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+         |FROM p GROUP BY bin_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p_decontaminate" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
+    "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,
     "p_range_join" -> rangeJoinOracle,
     "p_dedup_semantic" -> semanticDedupOracle,
