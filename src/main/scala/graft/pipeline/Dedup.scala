@@ -160,14 +160,20 @@ object Dedup {
     * while A≉C); training-data pipelines cluster first and then pick one
     * representative per cluster.
     *
-    * Shape: min-label propagation — labels start at self and each round
-    * every node takes the min label among itself and its neighbors, until
-    * a fixpoint. Each round is one equi-join + one aggregation (both
-    * shuffle-bounded, nothing driver-side but the convergence count), and
-    * the round count is the component diameter — tiny for duplicate
-    * clusters (the capped worst case covers pathological chains). This is
-    * the standard large-graph CC-by-label-propagation shape, expressed on
-    * DataFrames so AQE handles the skewed-bucket joins.
+    * Shape: min-label propagation WITH pointer doubling — labels start at
+    * self and each round every node takes the min label among itself, its
+    * neighbors' labels, and its label's label (label chasing). The chase
+    * halves the remaining distance to the component minimum each round,
+    * so convergence is O(log diameter) rounds, not O(diameter): the
+    * default maxIters=20 covers components of diameter ~2^20, i.e. any
+    * real corpus. (A label is always the id of a node reachable from the
+    * holder, so chasing preserves the reachability invariant and the
+    * fixpoint is exactly min-reachable-id.) Each round is two equi-joins
+    * + one aggregation (shuffle-bounded, nothing driver-side but the
+    * convergence count); non-convergence at the cap throws rather than
+    * returning partial labels. This is the standard large-graph CC shape
+    * (cf. the large-star/small-star family), expressed on DataFrames so
+    * AQE handles the skewed-bucket joins.
     */
   def minhashClusters(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
@@ -178,8 +184,12 @@ object Dedup {
     val edges = pairs.select(col("_l_id").as("_cc_src"), col("_r_id").as("_cc_dst"))
       .unionByName(pairs.select(col("_r_id").as("_cc_src"), col("_l_id").as("_cc_dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) per round: the pointer-doubling chase
+    // references the label frame twice, so without lineage truncation the
+    // logical plan would grow ~3x per round and blow planning/tree-string
+    // stacks; an eager checkpoint keeps every round's plan constant-size
     var labels = df.select(col(idCol).as("_cc_id"), col(idCol).as("_cc_label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     try {
       var converged = false
       var iter = 0
@@ -187,14 +197,19 @@ object Dedup {
         val fromNeighbors = edges
           .join(labels, col("_cc_src") === col("_cc_id"))
           .select(col("_cc_dst").as("_cc_id"), col("_cc_label"))
-        val next = labels.unionByName(fromNeighbors)
+        // pointer doubling: chase label -> label(label); labels are node
+        // ids, so this is a self-join of the label frame on (label = id)
+        val chased = labels.select(col("_cc_id"), col("_cc_label").as("_cc_via"))
+          .join(labels.select(col("_cc_id").as("_cc_via"), col("_cc_label")),
+            Seq("_cc_via"))
+          .select(col("_cc_id"), col("_cc_label"))
+        val next = labels.unionByName(fromNeighbors).unionByName(chased)
           .groupBy("_cc_id").agg(min("_cc_label").as("_cc_label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(eager = true)
         val changed = next.alias("n")
           .join(labels.alias("o"), col("n._cc_id") === col("o._cc_id"))
           .filter(col("n._cc_label") =!= col("o._cc_label"))
           .limit(1).count()
-        labels.unpersist()
         labels = next
         converged = changed == 0
         iter += 1
@@ -204,9 +219,9 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"minhashClusters did not converge after $maxIters rounds: a " +
-            "connected component's diameter exceeds maxIters, so labels are " +
-            "only partially propagated. Raise maxIters (rounds needed = " +
-            "component diameter; near-dup clusters are normally 1-3 hops).")
+            "connected component's diameter exceeds ~2^maxIters, so labels " +
+            "are only partially propagated. Raise maxIters (pointer doubling " +
+            "needs ~log2(component diameter) rounds).")
       labels.select(col("_cc_id").as(idCol), col("_cc_label").as("cluster_id"))
         // materialize before the persisted frames unpersist in finally
         .localCheckpoint(eager = true)

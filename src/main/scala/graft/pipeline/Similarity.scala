@@ -118,6 +118,9 @@ object Similarity {
         md5(col(idCol).cast("string")).as("_seed_h"))
       .orderBy(col("_seed_h"), col("_seed_id"))
       .limit(nlist)
+      // unpartitioned window (WindowExec warns "No Partition Defined"):
+      // benign here — the frame is the .limit(nlist) output, bounded to
+      // nlist rows on one task at any corpus size
       .withColumn("centroid_id", row_number().over(
         Window.orderBy(col("_seed_h"), col("_seed_id"))) - 1)
       .select(col("centroid_id"), col("_ct_v"))
@@ -228,6 +231,9 @@ object Similarity {
   def textTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands): a " +
+        "remainder would silently drop signature tail entries from banding")
     val rows = numHashes / bands
     def prep(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
       val id = s"_${tag}_id"

@@ -422,10 +422,22 @@ object PipelineQueries {
     }),
 
     // TEXT similarity search: top-10 by exact n-gram Jaccard, candidates
-    // from MinHash band collisions — the text analog of the ANN queries
+    // from MinHash band collisions — the text analog of the ANN queries.
+    // The query set is planted: 80%-token prefixes of docs 0-2 under
+    // offset ids, so band collisions provably occur at gate scale (the
+    // corpus's natural max query↔corpus Jaccard is ~0.026, below any
+    // sane banding threshold — an unplanted gate passes vacuously at 0
+    // rows). Each query must find its source doc at rank 1.
     "p_similar_docs" -> ((s, d) => {
       val all = docs(s, d)
-      Similarity.textTopK(all, all.filter(col("doc_id") < 3), k = 10)
+      val base = all.filter(col("doc_id") < 3)
+        .select(col("doc_id"), Repetition.tokens(col("text")).as("_tk"))
+      val cut = greatest(lit(1),
+        floor((size(col("_tk")) * 4 + 4) / lit(5)).cast("int"))
+      val qs = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(col("_tk"), lit(1), cut), " ").as("text"))
+      Similarity.textTopK(all, qs, k = 10)
+        .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
     // corpus vocabulary: global token counts, top-k — partial (map-side)
@@ -499,10 +511,10 @@ object PipelineQueries {
   // DuckDB oracle replays it exactly (mod-2^64 via HUGEINT, signed-min via
   // explicit wrap). Band membership is replayed as direct slice equality
   // (two docs share an LSH bucket iff their band values are equal).
-  private val fnvSigCtes: String =
+  private def sigCtes(src: String): String =
     raw"""toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
-         |  FROM documents
+         |  FROM $src
          |), shp AS (
          |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
          |    THEN list_transform(generate_series(1, len(tk)-2), i -> array_to_string(list_slice(tk, i, i+2), ' '))
@@ -522,6 +534,8 @@ object PipelineQueries {
          |        FROM hs, (SELECT unnest(generate_series(0,63)) AS i))
          |  GROUP BY doc_id, i
          |), sig AS (SELECT doc_id, list(sigv ORDER BY i) AS sg FROM mh GROUP BY doc_id)""".stripMargin
+
+  private val fnvSigCtes: String = sigCtes("documents")
 
   private val bandEq: String = (0 until 16)
     .map(b => s"list_slice(l.sg, ${4 * b + 1}, ${4 * b + 4}) = list_slice(r.sg, ${4 * b + 1}, ${4 * b + 4})")
@@ -946,9 +960,16 @@ object PipelineQueries {
     "p_dedup_semantic" -> semanticDedupOracle,
     "p_contamination" -> contaminationOracle,
     "p_chunk_docs" -> chunkOracle,
-    // band membership + exact jaccard replayed; rank ties break on id
+    // band membership + exact jaccard replayed over the corpus UNION the
+    // planted 80%-prefix queries (offset ids); rank ties break on id
     "p_similar_docs" ->
-      s"""WITH $fnvSigCtes,
+      s"""WITH qd AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(list_slice(tk, 1, greatest(1, (len(tk)*4+4)//5)), ' ') AS text
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS tk
+         |        FROM documents WHERE doc_id < 3)
+         |), ad AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM qd),
+         |${sigCtes("ad")},
          |shs AS (
          |  SELECT doc_id, CASE WHEN len(tk) >= 3
          |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(list_slice(tk, i, i+2), ' ')))
@@ -957,7 +978,7 @@ object PipelineQueries {
          |),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS qid, r.doc_id AS cid
-         |  FROM sig l JOIN sig r ON l.doc_id < 3 AND r.doc_id <> l.doc_id
+         |  FROM sig l JOIN sig r ON l.doc_id >= 1000000 AND r.doc_id < 1000000
          |   AND $bandEq
          |),
          |scored AS (
@@ -966,7 +987,7 @@ object PipelineQueries {
          |      ELSE len(list_intersect(sq.ss, sc.ss))::DOUBLE / len(list_distinct(list_concat(sq.ss, sc.ss))) END AS jac
          |  FROM cand c JOIN shs sq ON sq.doc_id = c.qid JOIN shs sc ON sc.doc_id = c.cid
          |)
-         |SELECT query_id, neighbor_id, jaccard, rank FROM (
+         |SELECT query_id - 1000000 AS query_id, neighbor_id, jaccard, rank FROM (
          |  SELECT qid AS query_id, cid AS neighbor_id, round(jac, 4) AS jaccard,
          |    row_number() OVER (PARTITION BY qid ORDER BY jac DESC, cid) AS rank
          |  FROM scored)

@@ -73,6 +73,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(reps.subsetOf(kept))
   }
 
+  test("minhash clusters: >20-hop chain converges within default maxIters") {
+    // sliding-window docs: doc i = tokens 2i..2i+39, so consecutive docs
+    // are near-dups (shingle Jaccard ~0.9) while the signature threshold
+    // kills spans beyond ~5 windows — the 150-doc chain's component
+    // diameter is >20 hops. Plain min-label propagation needs a round per
+    // hop and would blow the default maxIters=20; pointer doubling
+    // converges in O(log diameter).
+    val n = 150
+    val words = (0 until 2 * n + 40).map(i => s"tok$i")
+    val df = (0 until n)
+      .map(i => (i.toLong, words.slice(2 * i, 2 * i + 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashClusters(df, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === n)
+    assert(out.values.toSet === Set(0L)) // one component, min-id label
+  }
+
   test("minhash bucket cap bounds degenerate buckets (recall tradeoff)") {
     // 40 byte-identical docs land in the same bucket of every band; a cap
     // below 40 drops those buckets so no pairs are generated for them,
