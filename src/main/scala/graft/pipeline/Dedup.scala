@@ -391,9 +391,15 @@ object Dedup {
     * the quadratic term; AQE splits skewed clusters). Identical vectors
     * always share a centroid (the assignment's distance + centroid-id
     * tie-break is deterministic), so exact copies are never missed.
+    *
+    * The default `nlist <= 0` auto-scales to ~√N clusters
+    * ([[Similarity.autoNlist]]): a fixed cluster count silently
+    * degenerates toward all-pairs as the corpus grows (N²/nlist pairs).
+    * Pass an explicit positive `nlist` to pin the partition (the oracled
+    * gates do, for replayability).
     */
   def semanticDedup(df: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
-      nlist: Int = 16, threshold: Double = 0.95): DataFrame = {
+      nlist: Int = 0, threshold: Double = 0.95): DataFrame = {
     val (assignments, _) = Similarity.ivfBuild(df, nlist, idCol, vecCol)
     val l = assignments.select(col("centroid_id"),
       col(idCol).as("_l_id"), col(vecCol).as("_l_v"))

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * the Scala analog of `mapInPandas` batch UDFs (per-partition streaming,
   * constant memory, schema declared up front).
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment): `FakeCodec` derives deterministic pseudo-metadata from the
-  * bytes. The Spark-side plumbing — schemas, batch iteration, partitioning,
-  * explode shapes — is real and is what matters at 100 TB: decode
-  * parallelism scales with partitions, and binary payloads never pass
-  * through a shuffle unless the caller asks for one.
+  * Image decode is REAL for the formats the JDK ships readers for
+  * (PNG/JPEG/GIF/BMP via javax.imageio — header-only reads, no pixel
+  * decode): [[ImageCodec]] sniffs the magic bytes and reads
+  * width/height/channels/format from the container. Bytes that are not a
+  * recognized image (and the audio/video paths, which have no JDK codec)
+  * fall back to the deterministic `FakeCodec` stub so synthetic-blob
+  * pipelines stay replayable. The Spark-side plumbing — schemas, batch
+  * iteration, partitioning, explode shapes — is what matters at 100 TB:
+  * decode parallelism scales with partitions, and binary payloads never
+  * pass through a shuffle unless the caller asks for one.
   */
 object Multimodal {
 
@@ -24,8 +28,49 @@ object Multimodal {
   final case class AudioFeatures(id: Long, sampleRate: Int, durationMs: Long,
       mfcc: Array[Float])
 
-  /** STUB decode — replace with a real codec (javax.imageio / ffmpeg
-    * bindings) in production. Deterministic so tests are stable.
+  /** Real JDK image decode (javax.imageio). Header-only: width/height/
+    * component count come from the reader's metadata path, so cost per
+    * blob is a few hundred header bytes regardless of pixel count —
+    * safe inside a 100 TB scan. Only bytes carrying a known container
+    * magic are handed to ImageIO at all: the JDK's WBMP reader accepts
+    * near-arbitrary bytes, which would make decode of synthetic blobs
+    * nondeterministic across JDKs.
+    */
+  object ImageCodec {
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 8 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+    /** Some(meta) for real PNG/JPEG/GIF/BMP bytes; None otherwise. */
+    def imageMeta(bytes: Array[Byte]): Option[ImageMeta] = {
+      if (!looksLikeImage(bytes)) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val types = r.getImageTypes(0)
+            val channels =
+              if (types.hasNext) types.next().getNumComponents else 3
+            Some(ImageMeta(w, h, channels, r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } catch { case _: java.io.IOException => None }
+      finally if (iis != null) iis.close()
+    }
+  }
+
+  /** STUB decode for blobs with no JDK codec (audio/video; non-image
+    * binary). Deterministic so tests are stable.
     */
   object FakeCodec {
     def imageMeta(bytes: Array[Byte]): ImageMeta = {
@@ -59,7 +104,9 @@ object Multimodal {
       unhex(substring(repeat(md5(col(seedCol).cast("string")), sizeBytes / 8), 1, sizeBytes * 2)))
 
   /** Decode image metadata: batched per-partition pass over (id, bytes).
-    * Output schema is declared via the case-class encoder.
+    * Output schema is declared via the case-class encoder. Real
+    * PNG/JPEG/GIF/BMP bytes decode through [[ImageCodec]] (javax.imageio,
+    * header-only); anything else gets the deterministic stub metadata.
     */
   def decodeImages(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "content"): Dataset[DecodedImage] = {
@@ -68,9 +115,11 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // iterator-to-iterator: the whole partition streams through the
-        // "codec" in one batch pipeline, never materialized
+        // codec in one batch pipeline, never materialized
         it.map { case (id, bytes) =>
-          DecodedImage(id, FakeCodec.imageMeta(bytes), bytes.length.toLong)
+          val meta = ImageCodec.imageMeta(bytes)
+            .getOrElse(FakeCodec.imageMeta(bytes))
+          DecodedImage(id, meta, bytes.length.toLong)
         }
       }
   }

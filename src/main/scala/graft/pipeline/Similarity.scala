@@ -103,13 +103,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Corpus-proportional cluster count for callers that don't pick one:
+    * ~√N, clamped to [16, 65536]. √N balances the two costs that move in
+    * opposite directions with nlist — the within-cluster quadratic term
+    * of cluster-pruned pair generation (O(N²/nlist) candidate pairs →
+    * O(N^1.5) at √N, sublinear per row) and the broadcast centroid table
+    * (O(nlist) rows shipped to every task). A FIXED nlist is the 100 TB
+    * trap: 16 clusters over 10^9 vectors puts ~6×10^7 rows in each
+    * cluster and the pair join degenerates toward all-pairs.
+    */
+  def autoNlist(n: Long): Int =
+    math.max(16L, math.min(65536L,
+      math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
+
   /** IVF index build: pick `nlist` corpus rows as coarse centroids
     * (deterministic hash-ordered sample — a k-means seeding analog), then
     * assign every vector to its nearest centroid. Returns
     * (assignments, centroids); persist both for repeated queries.
+    * `nlist <= 0` means auto: [[autoNlist]] of the corpus count (one
+    * count() pass at build time).
     */
   def ivfBuild(corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val k = if (nlist > 0) nlist else autoNlist(corpus.count())
+    ivfBuildK(corpus, k, idCol, vecCol)
+  }
+
+  private def ivfBuildK(corpus: DataFrame, nlist: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     // md5-ordered sample + row_number ids: fully deterministic and
     // reproducible by the oracle (monotonically_increasing_id would depend
     // on partition layout)

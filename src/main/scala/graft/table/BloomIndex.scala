@@ -1,7 +1,7 @@
 package graft.table
 
 import java.io.ByteArrayOutputStream
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -122,8 +122,12 @@ object BloomIndex {
       base.resolve(ws.path).toUri.getPath -> ws.path
     }.toMap
     val paths = baseStats.map(ws => base.resolve(ws.path).toString)
-    Files.createDirectories(bloomDir(base)) // pre-create: executors only write files
     val baseUri = base.toUri.toString.stripSuffix("/")
+    // pre-create through the table's FileSystem (not java.nio: the bloom
+    // dir must exist on whatever store backs the table), so executor
+    // tasks only ever create files
+    val dirPath = new org.apache.hadoop.fs.Path(s"$baseUri/.graft/blooms")
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
     val hProps = Services.shippedHadoopProps(spark)
     val bcByUri = spark.sparkContext.broadcast(byUri)
     import spark.implicits._
@@ -155,8 +159,17 @@ object BloomIndex {
   def prune(spark: SparkSession, base: Path, incoming: DataFrame,
       candidates: Seq[FileEntry], global: Boolean = false): Seq[FileEntry] = {
     if (candidates.isEmpty) return candidates
+    // one FileSystem listing of the bloom dir (not a per-candidate exists
+    // probe — 10^6 candidates would mean 10^6 store RPCs), through the
+    // Hadoop FS so the same driver code runs against any backing store
+    val baseUri0 = base.toUri.toString.stripSuffix("/")
+    val dirPath = new org.apache.hadoop.fs.Path(s"$baseUri0/.graft/blooms")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present: Set[String] =
+      if (!fs.exists(dirPath)) Set.empty
+      else fs.listStatus(dirPath).iterator.map(_.getPath.getName).toSet
     val (withBloom, without) = candidates.partition(e =>
-      Files.exists(sidecarPath(base, e.relPath)))
+      present.contains(sidecarName(e.relPath)))
     if (withBloom.isEmpty) return candidates
     // narrow metadata only: (partition, minKey, maxKey, sidecar rel path)
     val meta = withBloom.map(e => (e.partitionPath, e.minKey, e.maxKey, e.relPath))

@@ -239,6 +239,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(audio.filter(_.mfcc.length != 13).count() === 0)
   }
 
+  test("multimodal: real PNG/JPEG bytes decode through javax.imageio") {
+    // a real 37x23 RGB PNG and an 11x7 JPEG, encoded in-test — the decode
+    // path must return the true container dims/format, not stub metadata
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, encode(37, 23, "png")),
+      (2L, encode(11, 7, "jpg")),
+      (3L, Array.fill[Byte](64)(0x5a))) // not an image -> stub path
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeImages(df).collect()
+      .map(d => d.id -> d.meta).toMap
+    assert(out(1L).width === 37 && out(1L).height === 23)
+    assert(out(1L).format === "png" && out(1L).channels === 3)
+    assert(out(2L).width === 11 && out(2L).height === 7)
+    assert(out(2L).format.startsWith("jp")) // "jpeg"
+    assert(out(3L) === Multimodal.FakeCodec.imageMeta(Array.fill[Byte](64)(0x5a)))
+  }
+
   test("repetition signals: hand-computed gram coverage") {
     val df = Seq(
       (1L, "a b a b a b"),                       // heavy 2-gram repetition
@@ -388,6 +413,23 @@ class PipelineSpec extends AnyFunSuite {
     val out = Dedup.semanticDedup(base.unionByName(planted),
       nlist = 8, threshold = 0.999)
     assert(out.filter($"vec_id" >= 5000000L).count() === 0)
+    assert(out.count() === base.count())
+  }
+
+  test("nlist auto-scales with corpus size; auto semantic dedup still exact") {
+    // a fixed nlist makes within-cluster pairs O(N²/nlist) — the auto
+    // default must grow with N so per-cluster population stays ~√N
+    assert(Similarity.autoNlist(100) === 16)          // clamp floor
+    assert(Similarity.autoNlist(1000000) === 1000)    // √N
+    assert(Similarity.autoNlist(4000000) === 2000)    // grows with N
+    assert(Similarity.autoNlist(Long.MaxValue) === 65536) // clamp ceiling
+    // end-to-end through the auto path (nlist unspecified): exact copies
+    // still share a centroid and get dropped
+    val base = embs.limit(120)
+      .withColumn("embedding", transform($"embedding", x => x.cast("double")))
+    val planted = base.limit(6).withColumn("vec_id", $"vec_id" + 6000000L)
+    val out = Dedup.semanticDedup(base.unionByName(planted), threshold = 0.999)
+    assert(out.filter($"vec_id" >= 6000000L).count() === 0)
     assert(out.count() === base.count())
   }
 }
