@@ -51,33 +51,54 @@ object Bench {
     locally {
       val warmDir = "/tmp/graft_bench_warm_sf"
       graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(warmDir))
-      // events.parquet stores TIMESTAMP(NANOS) — read as long (see QUtil)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       for (p <- graft.core.PathIO.list(java.nio.file.Paths.get(sfDir))) {
         val n = p.getFileName.toString
-        if (n.endsWith(".parquet"))
-          spark.read.parquet(p.toString).limit(500)
-            .coalesce(1).write.mode("overwrite").parquet(s"$warmDir/$n")
+        if (n.endsWith(".parquet")) {
+          // QUtil.events normalizes the events timestamp type; plain
+          // parquet copy is fine for the sampled warm-up tables
+          val df =
+            if (n == "events.parquet") graft.queries.QUtil.events(spark, sfDir)
+            else spark.read.parquet(p.toString)
+          df.limit(500).coalesce(1).write.mode("overwrite").parquet(s"$warmDir/$n")
+        }
       }
       for (name <- headline)
+        // a warm-up failure on 500-row samples is not a bench failure,
+        // but it must never be silent — the timed pass below is strict
         try fns(name)(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] WARM-UP FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(warmDir))
     }
 
-    val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        case _: Throwable =>
-          try { fns(name)(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Timed pass: median of N iterations per query. A single-iteration
+    // bench cannot distinguish JVM/FS noise from regression; a failed
+    // query must surface as a failure, never as a (fast) timing.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    var failed = List.empty[String]
+    val results = headline.flatMap { name =>
+      val times =
+        try {
+          (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            failed ::= name
+            Seq.empty[Double]
+        }
+      if (times.isEmpty) None else Some(name -> times(times.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -127,6 +127,14 @@ class GraftDataSource
       case "insert_overwrite_table" => table.insertOverwriteTable(df)
       case other => throw new IllegalArgumentException(s"unknown operation '$other'")
     }
+    // end-of-commit catalog sync, the reference's hive_sync.enable
+    // convention (reference hudi-spark/.../HoodieSparkSqlWriter.scala
+    // metaSync after commit): `option("catalogSyncDb", db)` publishes or
+    // refreshes the db.table entry for this table
+    parameters.get("catalogSyncDb").foreach { db =>
+      graft.sql.CatalogSync.sync(spark, path, db,
+        parameters.getOrElse("catalogSyncTable", table.cfg.tableName))
+    }
     // the relation a CTAS hands to the catalog defines the table's SQL
     // schema: keep it meta-free so INSERT INTO arity matches user columns
     def snap() = Readers.snapshot(table).drop(graft.core.MetaCols.All: _*)

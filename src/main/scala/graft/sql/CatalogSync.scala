@@ -1,9 +1,11 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.Paths
 
-import graft.core.{MetaCols, TableConfig}
-import graft.read.Readers
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+
+import graft.core.{PathIO, TableConfig}
 import graft.table.GraftTable
 
 /** Catalog registration for graft tables — the in-engine analog of the
@@ -23,20 +25,33 @@ import graft.table.GraftTable
   * entry never deletes data, matching `HiveSyncTool`'s external-table
   * convention.
   *
-  * Schema sync: the catalog entry stores the current meta-free snapshot
-  * schema. On re-sync after schema evolution the entry is dropped and
-  * re-created (the reference's `syncSchema` alter-table path); on
-  * no-change re-sync only the relation cache is refreshed. Partition
-  * sync (`syncAllPartitions` in the reference) is intentionally absent:
-  * pruning happens inside [[graft.read.GraftFileIndex]] against the
-  * table's own file-system view, so the catalog never holds a partition
-  * list that could go stale.
+  * Wiring: the write path runs sync at end-of-commit when the write
+  * carries `option("catalogSyncDb", db)` (the reference's
+  * `hoodie.datasource.hive_sync.enable` convention —
+  * HoodieSparkSqlWriter runs HiveSyncTool after a successful commit);
+  * `sync`/`syncAll` are also direct entry points for restore-on-startup.
+  *
+  * Schema sync: the catalog's STORED schema (not a live relation —
+  * resolving one would re-apply the stored column list and mask drops)
+  * is compared against the current meta-free snapshot schema. On drift
+  * the entry is dropped and re-created (the reference's `syncSchema`
+  * alter-table path); on no-change re-sync only the relation cache is
+  * refreshed. Partition sync (`syncAllPartitions` in the reference) is
+  * intentionally absent: pruning happens inside
+  * [[graft.read.GraftFileIndex]] against the table's own file-system
+  * view, so the catalog never holds a partition list that could go
+  * stale.
+  *
+  * Safety: an existing same-name entry is only ever dropped when it is
+  * a graft entry. A non-graft table under the target name makes sync
+  * refuse (dropping it could delete managed data); a graft entry
+  * pointing at a different location is re-pointed at `path`.
   */
 object CatalogSync {
 
   /** Register (or refresh) the graft table at `path` as `db.table` in
     * the session catalog. Idempotent; drops + re-creates the entry when
-    * the table's schema evolved since the last sync.
+    * the table's schema or location changed since the last sync.
     *
     * @param dbLocation optional explicit database location (defaults to
     *   `spark.sql.warehouse.dir`); only used when the database is first
@@ -46,43 +61,63 @@ object CatalogSync {
   def sync(spark: SparkSession, path: String, db: String, table: String,
       dbLocation: Option[String] = None): Unit = {
     val norm = GraftTable.normalize(path)
-    require(TableConfig.exists(java.nio.file.Paths.get(norm)),
-      s"no graft table at $norm")
-    val loc = dbLocation.map(l => s" LOCATION '$l'").getOrElse("")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`$loc")
-    val full = s"`$db`.`$table`"
-    val current = Readers.snapshot(GraftTable.load(spark, norm))
-      .drop(MetaCols.All: _*).schema
-    val exists = spark.catalog.tableExists(s"$db.$table")
-    val changed = exists && spark.table(full).schema != current
+    require(TableConfig.exists(Paths.get(norm)), s"no graft table at $norm")
+    val loc = dbLocation.map(l => s" LOCATION '${sqlLit(l)}'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ident(db)}$loc")
+    val id = TableIdentifier(table, Some(db))
+    val full = s"${ident(db)}.${ident(table)}"
+    val catalog = spark.sessionState.catalog
+    val current = graft.read.Readers.snapshot(GraftTable.load(spark, norm))
+      .drop(graft.core.MetaCols.All: _*).schema
+    val exists = catalog.tableExists(id)
+    val changed = exists && {
+      // the catalog's stored metadata, NOT spark.table(full): materializing
+      // the relation re-selects the stored column list (AnalysisException on
+      // a dropped column) and reports current types, masking both kinds of
+      // drift
+      val meta = catalog.getTableMetadata(id)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+        s"refusing to sync over existing non-graft table $full " +
+          s"(provider=${meta.provider.getOrElse("none")})")
+      val sameLoc = meta.storage.locationUri
+        .exists(u => GraftTable.normalize(u.toString) == norm)
+      meta.schema != current || !sameLoc
+    }
     if (changed) spark.sql(s"DROP TABLE $full")
     if (!exists || changed)
       spark.sql(
         s"""CREATE TABLE $full USING graft
            |OPTIONS (includeMetaColumns 'false')
-           |LOCATION '$norm'""".stripMargin)
+           |LOCATION '${sqlLit(norm)}'""".stripMargin)
     // V1 relations are cached per catalog identifier; a re-sync after
     // writes must not leave a stale file list behind the cached plan
-    spark.catalog.refreshTable(s"$db.$table")
+    catalog.refreshTable(id)
   }
 
   /** Sync every graft table found one level under `root` (directory name
     * = table name) into `db`. The restore-on-startup path: one call
     * re-publishes a warehouse of path-addressed tables into a fresh
-    * session's catalog. Returns the synced table names.
+    * session's catalog. Returns the synced table names. Directory names
+    * the session catalog cannot hold (`SessionCatalog.validateName`
+    * allows only `[A-Za-z0-9_]`) are skipped — one bad directory must
+    * not abort the restore of a whole warehouse.
     */
   def syncAll(spark: SparkSession, root: String, db: String,
       dbLocation: Option[String] = None): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(GraftTable.normalize(root))
-    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
-    val stream = java.nio.file.Files.list(dir)
-    val found =
-      try stream.iterator().asScala
-        .filter(p => TableConfig.exists(p))
-        .map(_.getFileName.toString).toSeq.sorted
-      finally stream.close()
+    val dir = Paths.get(GraftTable.normalize(root))
+    val found = PathIO.list(dir)
+      .filter(TableConfig.exists)
+      .map(_.getFileName.toString)
+      .filter(_.matches("[A-Za-z0-9_]+")).sorted
     found.foreach(n => sync(spark, s"$dir/$n", db, n, dbLocation))
     found
   }
+
+  /** Backtick-quote an identifier (handles dots/dashes in names; internal
+    * backticks double per the SQL dialect).
+    */
+  private def ident(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Escape a string for a single-quoted SQL literal. */
+  private def sqlLit(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
 }

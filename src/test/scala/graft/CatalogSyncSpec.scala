@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sql.CatalogSync
+
+class CatalogSyncSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def writeTable(dir: String, rows: Seq[(Long, Long, Double)]): Unit =
+    rows.toDF("id", "ver", "price")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("operation", "upsert")
+      .save(dir)
+
+  test("sync registers db.table, re-sync refreshes after new writes") {
+    val dir = tmpDir("csync").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0), (2L, 1L, 20.0)))
+    CatalogSync.sync(spark, dir, "cs_db", "t1")
+    assert(spark.sql("SELECT count(*) FROM cs_db.t1").first().getLong(0) === 2)
+
+    writeTable(dir, Seq((3L, 1L, 30.0)))
+    CatalogSync.sync(spark, dir, "cs_db", "t1")
+    val got = spark.sql("SELECT id, price FROM cs_db.t1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === Array((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // even without a re-sync, the relation rebuilds per scan: a write
+    // after the last sync is still visible through the catalog name
+    writeTable(dir, Seq((4L, 1L, 40.0)))
+    assert(spark.sql("SELECT count(*) FROM cs_db.t1").first().getLong(0) === 4)
+  }
+
+  test("MERGE INTO a catalog-named graft table in SQL") {
+    val dir = tmpDir("csync_m").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0), (2L, 1L, 20.0)))
+    CatalogSync.sync(spark, dir, "cs_db", "tm")
+    Seq((2L, 2L, 99.0), (9L, 1L, 90.0)).toDF("id", "ver", "price")
+      .createOrReplaceTempView("cs_src")
+    spark.sql("""
+      MERGE INTO cs_db.tm t USING cs_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET price = s.price, ver = s.ver
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    CatalogSync.sync(spark, dir, "cs_db", "tm")
+    val got = spark.sql("SELECT id, price FROM cs_db.tm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === Array((1L, 10.0), (2L, 99.0), (9L, 90.0)))
+  }
+
+  test("schema evolution drops and re-creates the catalog entry") {
+    val dir = tmpDir("csync_e").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0)))
+    CatalogSync.sync(spark, dir, "cs_db", "te")
+    assert(spark.table("cs_db.te").schema.fieldNames.toSeq ===
+      Seq("id", "ver", "price"))
+    // widen: a new column arrives via upsert schema evolution
+    Seq((2L, 1L, 20.0, "x")).toDF("id", "ver", "price", "tag")
+      .write.format("graft").option("recordKeyFields", "id")
+      .option("precombineField", "ver").option("operation", "upsert")
+      .save(dir)
+    CatalogSync.sync(spark, dir, "cs_db", "te")
+    assert(spark.table("cs_db.te").schema.fieldNames.contains("tag"))
+    assert(spark.sql("SELECT count(*) FROM cs_db.te").first().getLong(0) === 2)
+  }
+
+  test("refuses to drop a same-named non-graft table") {
+    val dir = tmpDir("csync_r").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0)))
+    spark.sql("CREATE DATABASE IF NOT EXISTS cs_db")
+    spark.sql("DROP TABLE IF EXISTS cs_db.tp")
+    spark.sql("CREATE TABLE cs_db.tp (id BIGINT, ver BIGINT, price DOUBLE) USING parquet")
+    val e = intercept[IllegalArgumentException] {
+      CatalogSync.sync(spark, dir, "cs_db", "tp")
+    }
+    assert(e.getMessage.contains("non-graft"))
+    // the parquet table survived the refused sync
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("tp", Some("cs_db")))
+      .provider.exists(_.equalsIgnoreCase("parquet")))
+    spark.sql("DROP TABLE cs_db.tp")
+  }
+
+  test("re-points a graft entry whose location moved") {
+    val d1 = tmpDir("csync_l1").toString + "/t"
+    val d2 = tmpDir("csync_l2").toString + "/t"
+    writeTable(d1, Seq((1L, 1L, 10.0)))
+    writeTable(d2, Seq((1L, 1L, 10.0), (2L, 1L, 20.0)))
+    CatalogSync.sync(spark, d1, "cs_db", "tl")
+    assert(spark.sql("SELECT count(*) FROM cs_db.tl").first().getLong(0) === 1)
+    // same schema, different path: must re-point, not silently keep d1
+    CatalogSync.sync(spark, d2, "cs_db", "tl")
+    assert(spark.sql("SELECT count(*) FROM cs_db.tl").first().getLong(0) === 2)
+  }
+
+  test("syncAll restores a warehouse directory, skipping unsyncable names") {
+    val root = tmpDir("csync_all").toString
+    writeTable(s"$root/alpha", Seq((1L, 1L, 1.0)))
+    writeTable(s"$root/beta", Seq((1L, 1L, 1.0), (2L, 1L, 2.0)))
+    // the session catalog refuses names outside [A-Za-z0-9_]; one such
+    // directory must not abort the whole warehouse restore
+    writeTable(s"$root/my-table", Seq((1L, 1L, 1.0)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/not_a_table"))
+    val synced = CatalogSync.syncAll(spark, root, "cs_wh")
+    assert(synced === Seq("alpha", "beta"))
+    assert(spark.sql("SELECT count(*) FROM cs_wh.beta").first().getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM cs_wh.alpha").first().getLong(0) === 1)
+  }
+
+  test("write option catalogSyncDb syncs at end of commit") {
+    val dir = tmpDir("csync_opt").toString + "/t"
+    Seq((1L, 1L, 5.0)).toDF("id", "ver", "price")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("operation", "upsert")
+      .option("catalogSyncDb", "cs_db").option("catalogSyncTable", "topt")
+      .save(dir)
+    assert(spark.sql("SELECT price FROM cs_db.topt").first().getDouble(0) === 5.0)
+  }
+}
