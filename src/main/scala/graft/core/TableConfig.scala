@@ -65,6 +65,7 @@ object ConfigKeys {
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
   val RecordIndexBuckets = "graft.index.record.buckets"     // 16 (thousands at 100 TB)
+  val LockProvider = "graft.lock.provider"                  // os | lease
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024
   val DefaultSmallFileLimit: Long = 100L * 1024 * 1024

@@ -28,15 +28,31 @@ object TableLock {
     mon.synchronized {
       val dir = base.resolve(".graft")
       Files.createDirectories(dir)
-      val ch = FileChannel.open(dir.resolve("lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      val fl = ch.lock()
       held.get().add(key)
-      try body
-      finally {
-        held.get().remove(key)
-        fl.release(); ch.close()
-      }
+      try {
+        if (provider(base) == "lease") {
+          // shared stores without byte-range locks (HDFS, object-store
+          // mounts): lease file with heartbeat renewal + TTL takeover
+          val lease = LeaseLock.acquire(dir)
+          try body finally lease.release()
+        } else {
+          val ch = FileChannel.open(dir.resolve("lock"),
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+          val fl = ch.lock()
+          try body finally { fl.release(); ch.close() }
+        }
+      } finally held.get().remove(key)
     }
   }
+
+  /** `graft.lock.provider` table prop: `os` (default — FileChannel
+    * byte-range lock) or `lease` ([[LeaseLock]]). Read from the persisted
+    * table config so every writer process agrees on the protocol; tables
+    * mid-create (no config yet) use the OS lock.
+    */
+  private def provider(base: Path): String =
+    if (TableConfig.exists(base))
+      try TableConfig.load(base).prop(ConfigKeys.LockProvider, "os")
+      catch { case _: java.io.IOException => "os" }
+    else "os"
 }

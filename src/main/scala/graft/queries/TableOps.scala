@@ -131,6 +131,30 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // the end-to-end catalog path: publish via CatalogSync, then address
+    // the table as db.table in SQL MERGE and read back by catalog name —
+    // the reference's Hive-sync-then-query-by-name flow
+    // (reference hudi-sync/hudi-hive-sync/.../HiveSyncTool.java:113-357)
+    "t_catalog_merge" -> ((s, d) => {
+      val t = fresh(s, d, "t_catalog_merge", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      graft.sql.CatalogSync.sync(s, t.basePath.toString, "graft_q", "catalog_merge")
+      src.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 0.5)
+        .unionByName(src.filter(col("o_orderkey") % 11 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+        .createOrReplaceTempView("t_catalog_merge_src")
+      s.sql("""
+        MERGE INTO graft_q.catalog_merge t USING t_catalog_merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderkey % 6 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      data(s.table("graft_q.catalog_merge"))
+    }),
+
     "t_update_where" -> ((s, d) => {
       val t = fresh(s, d, "t_update_where", cfg(TableType.CopyOnWrite))
       t.bulkInsert(orders(s, d))
@@ -531,6 +555,31 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // JDBC incremental ingest (reference sources/JdbcSource.java:63-197):
+    // orders loaded into embedded Derby, pulled in two checkpointed ticks
+    // split on the monotone key. o_orderdate rides as a formatted string
+    // to keep the roundtrip timezone-free on every JVM.
+    "t_ingest_jdbc" -> ((s, d) => {
+      val dbDir = s"/tmp/graft_q/derby_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(Paths.get(dbDir))
+      // Derby boots once per JVM and logs to user.dir unless redirected
+      System.setProperty("derby.stream.error.file", "/tmp/graft_q/derby.log")
+      val url = s"jdbc:derby:$dbDir/db;create=true"
+      val src = orders(s, d).withColumn(
+        "o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      def toDb(df: DataFrame, mode: String): Unit =
+        df.write.format("jdbc").option("url", url)
+          .option("dbtable", "orders_src").mode(mode).save()
+      val t = fresh(s, d, "t_ingest_jdbc", TableConfig(
+        "orders_jdbc", TableType.CopyOnWrite, Seq("o_orderkey"), "", ""))
+      val js = new graft.streaming.JdbcSource(url, "orders_src", Some("o_orderkey"))
+      toDb(src.filter(col("o_orderkey") <= 30000), "overwrite")
+      graft.streaming.IngestJob.syncOnce(s, js, t)
+      toDb(src.filter(col("o_orderkey") > 30000), "append")
+      graft.streaming.IngestJob.syncOnce(s, js, t)
+      data(Readers.snapshot(t))
+    }),
+
     // Snapshot export (reference HoodieSnapshotExporter --output-format
     // parquet): latest snapshot written as plain partitioned parquet for
     // non-engine consumers; verified by reading the EXPORTED files back.
@@ -607,6 +656,13 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_delete_partition" -> s"$ordersAll WHERE year(o_orderdate) <> 1995",
     "t_merge_into" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 0.5 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 6 <> 0
+         |UNION ALL
+         |SELECT o_orderkey + 50000000, o_custkey, o_orderstatus, o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 11 = 1""".stripMargin,
+    "t_catalog_merge" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 0.5 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 6 <> 0
@@ -712,6 +768,10 @@ object TableOps {
          |ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_ingest_dfs" -> ordersAll,
+    "t_ingest_jdbc" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
+         |FROM orders""".stripMargin,
     "t_snapshot_export" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,

@@ -11,8 +11,9 @@ import graft.table.GraftTable
 
 /** Batch ingest sources — the DeltaStreamer source family
   * (reference hudi-utilities/.../sources: {Json,Csv,Parquet}DFSSource with
-  * DFSPathSelector, SqlSource), minus external services (Kafka/JDBC/
-  * schema-registry are out of scope — zero-egress environment).
+  * DFSPathSelector, SqlSource, JdbcSource), minus network services
+  * (Kafka/schema-registry are out of scope — zero-egress environment;
+  * JDBC works against any driver on the classpath).
   *
   * A source returns `(batch, newCheckpoint)` given the last checkpoint;
   * the checkpoint string rides in the destination table's commit metadata
@@ -80,6 +81,66 @@ final class DfsSource(
     }
     Some((df, selected.map(_._2).max.toString))
   }
+}
+
+/** JDBC source (reference sources/JdbcSource.java:63-197): full or
+  * incremental fetch from a relational table through Spark's JDBC reader.
+  * Incremental mode mirrors the reference's ppd-incremental fetch: rows
+  * with `incrementalColumn` strictly greater than the stored checkpoint
+  * are pulled, and the new checkpoint is the batch's max value of that
+  * column (computed distributed, collected as one scalar). The column
+  * must be monotonically non-decreasing for late rows to be impossible —
+  * the same contract the reference documents.
+  *
+  * Scale: a JDBC pull is bounded by the database, not Spark; for large
+  * backfills pass Spark's partitioned-read options
+  * (`partitionColumn`/`lowerBound`/`upperBound`/`numPartitions`) through
+  * `options` so the scan fans out over executors instead of one
+  * connection.
+  */
+final class JdbcSource(
+    url: String,
+    table: String,
+    incrementalColumn: Option[String] = None,
+    options: Map[String, String] = Map.empty) extends IngestSource {
+
+  private def reader(spark: SparkSession, dbtable: String) =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", dbtable).options(options)
+
+  override def fetchNext(spark: SparkSession, checkpoint: Option[String])
+      : Option[(DataFrame, String)] = {
+    import org.apache.spark.sql.functions.{col, max}
+    incrementalColumn match {
+      case None =>
+        // full refresh each tick (the reference's non-incremental mode);
+        // tick-count checkpoint distinguishes "ran" from "new data"
+        val tick = checkpoint.map(_.toLong + 1).getOrElse(0L)
+        Some((reader(spark, table).load(), tick.toString))
+      case Some(ckptCol) =>
+        // quote with the target database's own dialect: Spark-written
+        // tables have exact-case (quoted) column names, so an unquoted
+        // predicate would resolve against the wrong case. Pass the column
+        // name exactly as stored in the database.
+        val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(ckptCol)
+        val pred = checkpoint
+          .map(c => s" WHERE $q > ${literal(c)}").getOrElse("")
+        // predicate inside the dbtable subquery pushes the checkpoint
+        // filter into the database — only new rows cross the wire
+        val df = reader(spark,
+          s"(SELECT * FROM $table$pred) graft_jdbc_incr").load()
+        val maxRow = df.agg(max(col(ckptCol))).first()
+        if (maxRow.isNullAt(0)) None // nothing new
+        else Some((df, maxRow.get(0).toString))
+    }
+  }
+
+  /** Render a checkpoint back into a SQL literal: numerics bare, anything
+    * else (timestamps, strings) single-quoted with quotes doubled.
+    */
+  private def literal(c: String): String =
+    if (c.matches("-?\\d+(\\.\\d+)?")) c
+    else "'" + c.replace("'", "''") + "'"
 }
 
 /** SQL source (reference sources/SqlSource.java): a fixed query evaluated
