@@ -90,7 +90,7 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
     case Some(_) => computeState(asOf, ViewState("", Seq.empty, Map.empty), useIndex = true)
     case None =>
       val fp = timeline.completedInstants()
-        .filter(i => Action.DataActions.contains(i.action)).map(_.fileName).toSet
+        .filter(i => folded(i.action)).map(_.fileName).toSet
       val cached = FileSystemView.cache.get(basePath)
       if (cached != null && cached.fingerprint == fp) cached.state
       else {
@@ -104,28 +104,44 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
       }
   }
 
+  /** Actions the fold consumes: data writes extend the entry list; cleans
+    * SUBTRACT their deleted paths. Folding cleans keeps `entries` bounded
+    * by live files — without it every cleaned version would sit in the
+    * driver-side state forever (unbounded over the lifetime of a
+    * long-running table) and clean itself would re-plan already-deleted
+    * files.
+    */
+  private def folded(action: String): Boolean =
+    Action.DataActions.contains(action) || action == Action.Clean
+
   private def computeState(asOf: Option[String], seed: ViewState, useIndex: Boolean): ViewState = {
     val base = if (useIndex) {
       val idx = loadIndex(asOf)
       if (idx.asOfInstant >= seed.asOfInstant) idx else seed
     } else seed
     val instants = timeline.completedInstants()
-      .filter(i => Action.DataActions.contains(i.action))
+      .filter(i => folded(i.action))
       .filter(i => i.ts > base.asOfInstant)
       .filter(i => asOf.forall(i.ts <= _))
     var entries = base.entries
     var replaced = base.replaced
     var last = base.asOfInstant
     instants.foreach { i =>
-      val md = CommitMetadata.fromJson(timeline.readContent(i))
-      entries = entries ++ md.writeStats.map(ws => FileEntry(
-        ws.partitionPath, ws.fileId, i.ts, ws.path, ws.fileSizeInBytes,
-        ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites,
-        ws.colMin, ws.colMax))
-      md.replacedFileIds.foreach { case (part, fids) =>
-        fids.foreach { fid =>
-          val k = ViewState.groupKey(part, fid)
-          if (!replaced.contains(k)) replaced = replaced.updated(k, i.ts)
+      if (i.action == Action.Clean) {
+        val deleted = Json.read[CleanMetadata](timeline.readContent(i))
+          .deletedPaths.toSet
+        entries = entries.filterNot(e => deleted.contains(e.relPath))
+      } else {
+        val md = CommitMetadata.fromJson(timeline.readContent(i))
+        entries = entries ++ md.writeStats.map(ws => FileEntry(
+          ws.partitionPath, ws.fileId, i.ts, ws.path, ws.fileSizeInBytes,
+          ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites,
+          ws.colMin, ws.colMax))
+        md.replacedFileIds.foreach { case (part, fids) =>
+          fids.foreach { fid =>
+            val k = ViewState.groupKey(part, fid)
+            if (!replaced.contains(k)) replaced = replaced.updated(k, i.ts)
+          }
         }
       }
       last = i.ts

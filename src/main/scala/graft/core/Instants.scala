@@ -50,6 +50,15 @@ object InstantTime {
     * (A multi-writer deployment serializes instant creation under the
     * table lock — see services.TableLock.)
     */
+  /** Render an epoch-millisecond time in instant format — for policies
+    * that compare timeline instants against wall-clock horizons (e.g.
+    * KEEP_LATEST_BY_HOURS cleaning).
+    */
+  def fromEpochMilli(ms: Long): String = fmt.format(JInstant.ofEpochMilli(ms))
+
+  /** Inverse of [[fromEpochMilli]]. */
+  def toEpochMilli(ts: String): Long = JInstant.from(fmt.parse(ts)).toEpochMilli
+
   def newInstant(): String = {
     var candidate = System.currentTimeMillis()
     var prev = lastMillis.get()

@@ -66,6 +66,7 @@ object ConfigKeys {
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
   val RecordIndexBuckets = "graft.index.record.buckets"     // 16 (thousands at 100 TB)
   val LockProvider = "graft.lock.provider"                  // os | lease
+  val AutoClean = "graft.clean.automatic"                   // false (reference: true)
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024
   val DefaultSmallFileLimit: Long = 100L * 1024 * 1024

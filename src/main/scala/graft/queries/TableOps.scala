@@ -207,6 +207,20 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // KEEP_LATEST_FILE_VERSIONS cleaning (reference HoodieCleaningPolicy):
+    // three base versions exist for the touched groups; retaining 1 must
+    // leave the snapshot byte-identical while dropping the old versions
+    "t_clean_versions" -> ((s, d) => {
+      val t = fresh(s, d, "t_clean_versions", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val upd = src.filter(col("o_orderkey") % 7 === 0)
+      t.upsert(upd.withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.upsert(upd.withColumn("o_totalprice", col("o_totalprice") * 4))
+      Services.cleanWith(t, Services.CleanPolicy.KeepLatestFileVersions(1))
+      data(Readers.snapshot(t))
+    }),
+
     "t_cluster" -> ((s, d) => {
       val t = fresh(s, d, "t_cluster",
         cfg(TableType.CopyOnWrite, Map(ConfigKeys.MaxFileSize -> (256L * 1024).toString)))
@@ -580,6 +594,22 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // Symlink-format manifest interop (the Delta-for-Presto/Athena public
+    // pattern; the Spark-native answer to the reference's hudi-hadoop-mr
+    // InputFormats): reading ONLY the manifest-listed parquet with a plain
+    // reader must equal the snapshot — proving superseded file versions
+    // are excluded without any library on the read path
+    "t_symlink_manifest" -> ((s, d) => {
+      val t = fresh(s, d, "t_symlink_manifest", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      TableAdmin.generateSymlinkManifest(t)
+      val files = TableAdmin.manifestFiles(t)
+      data(s.read.parquet(files: _*))
+    }),
+
     // Snapshot export (reference HoodieSnapshotExporter --output-format
     // parquet): latest snapshot written as plain partitioned parquet for
     // non-engine consumers; verified by reading the EXPORTED files back.
@@ -681,6 +711,10 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 4 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_clean_versions" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 4 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_cluster" -> ordersAll,
     "t_schema_evolution" ->
       s"""SELECT $OrdersSql,
@@ -772,6 +806,10 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
          |FROM orders""".stripMargin,
+    "t_symlink_manifest" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_snapshot_export" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,

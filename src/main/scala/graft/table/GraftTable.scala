@@ -1194,6 +1194,15 @@ final class GraftTable(
     if (cfg.prop(ConfigKeys.ClusterInline, "false") == "true")
       Services.clusterIfDue(this,
         cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L))
+    // auto-clean after data commits (reference hoodie.clean.automatic,
+    // CleanerUtils — runs with every commit there). Opt-in here: clean
+    // bounds incremental-read lag to the retention window, and graft's
+    // services are otherwise explicitly scheduled; flipping the default
+    // would silently cap how far back incremental consumers may resume.
+    if (cfg.prop(ConfigKeys.AutoClean, "false") == "true")
+      Services.clean(this,
+        cfg.propLong(ConfigKeys.CleanerCommitsRetained,
+          ConfigKeys.DefaultCleanerRetained.toLong).toInt)
     val maxCommits = cfg.propLong(ConfigKeys.ArchiveMaxCommits, 30L).toInt
     val minCommits = cfg.propLong(ConfigKeys.ArchiveMinCommits, 20L).toInt
     val completed = timeline.completedInstants()

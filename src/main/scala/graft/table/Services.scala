@@ -305,16 +305,53 @@ object Services {
 
   // ------------------------------------------------------------------ clean
 
+  /** Cleaner retention policies (reference CleanPlanner.java:119-392 /
+    * HoodieCleaningPolicy.java): commits-horizon retention (the default),
+    * a hard per-group version count, and a wall-clock horizon.
+    */
+  sealed trait CleanPolicy
+  object CleanPolicy {
+    /** Keep every file reachable by the last `retainCommits` snapshots. */
+    final case class KeepLatestCommits(retainCommits: Int) extends CleanPolicy
+    /** Keep the newest `retainVersions` base files per file group — the
+      * aggressive space-bound policy: replaced groups and pre-horizon
+      * versions go regardless of commit count, so incremental/time-travel
+      * reads older than the retained versions fail loudly rather than
+      * being silently partial (as in the reference).
+      */
+    final case class KeepLatestFileVersions(retainVersions: Int) extends CleanPolicy
+    /** Keep everything reachable by snapshots in the last `hours` of wall
+      * clock (reference KEEP_LATEST_BY_HOURS). `nowMs` is injectable for
+      * deterministic tests.
+      */
+    final case class KeepLatestByHours(hours: Int,
+        nowMs: Long = System.currentTimeMillis()) extends CleanPolicy
+  }
+
   /** Delete file slices no longer reachable by any retained snapshot —
     * KEEP_LATEST_COMMITS policy (reference CleanPlanner.java:119-392):
     * a base file is obsolete once a newer base for the same group exists
     * at or before the earliest retained instant; savepointed snapshots are
     * spared.
     */
-  def clean(t: GraftTable, retainCommits: Int = ConfigKeys.DefaultCleanerRetained): Option[String] = graft.core.TableLock.withLock(t.basePath) {
+  def clean(t: GraftTable, retainCommits: Int = ConfigKeys.DefaultCleanerRetained): Option[String] =
+    cleanWith(t, CleanPolicy.KeepLatestCommits(retainCommits))
+
+  /** Clean under any [[CleanPolicy]]. */
+  def cleanWith(t: GraftTable, policy: CleanPolicy): Option[String] = graft.core.TableLock.withLock(t.basePath) {
+    import CleanPolicy._
     val dataInstants = t.timeline.completedDataInstants()
-    if (dataInstants.size <= retainCommits) return None
-    val earliestRetained = dataInstants(dataInstants.size - retainCommits).ts
+    // instant-horizon policies reduce to the same reachability rule with
+    // different horizons; the versions policy counts per group instead
+    val horizonTs: Option[String] = policy match {
+      case KeepLatestCommits(n) =>
+        if (dataInstants.size <= n) return None
+        Some(dataInstants(dataInstants.size - n).ts)
+      case KeepLatestByHours(h, now) =>
+        if (dataInstants.isEmpty) return None
+        Some(InstantTime.fromEpochMilli(now - h * 3600000L))
+      case _: KeepLatestFileVersions => None
+    }
     val savepointTs = t.timeline.completedInstants()
       .filter(_.action == Action.Savepoint)
       .map(i => Json.read[SavepointMetadata](t.timeline.readContent(i)).savepointedInstant)
@@ -326,17 +363,32 @@ object Services {
     val deletable = byGroup.values.flatMap { files =>
       val bases = files.filterNot(_.isDelta).sortBy(_.instant)
       val replacedAt = files.headOption.flatMap(f => st.replacedAt(f.partitionPath, f.fileId))
-      if (replacedAt.exists(_ <= earliestRetained)) files // whole group replaced pre-horizon
-      else {
-        // newest base at/before the horizon: everything older is unreachable
-        val horizon = bases.filter(_.instant <= earliestRetained).lastOption
-        horizon match {
-          case None => Seq.empty
-          case Some(hb) =>
+      (policy, horizonTs) match {
+        case (KeepLatestFileVersions(n), _) =>
+          if (replacedAt.isDefined) files // superseded group: version count is 0
+          else {
+            val kept = bases.takeRight(math.max(n, 1)).map(_.instant).toSet
+            val oldestKept = bases.takeRight(math.max(n, 1)).headOption
             files.filter(f =>
-              (!f.isDelta && f.instant < hb.instant) ||
-                (f.isDelta && f.instant <= hb.instant))
-        }
+              if (!f.isDelta) !kept.contains(f.instant)
+              // a delta belongs to the newest base at/before it; deltas of
+              // deleted bases are unreadable and go with them
+              else oldestKept.exists(f.instant < _.instant))
+          }
+        case (_, Some(earliestRetained)) =>
+          if (replacedAt.exists(_ <= earliestRetained)) files // whole group replaced pre-horizon
+          else {
+            // newest base at/before the horizon: everything older is unreachable
+            val horizon = bases.filter(_.instant <= earliestRetained).lastOption
+            horizon match {
+              case None => Seq.empty
+              case Some(hb) =>
+                files.filter(f =>
+                  (!f.isDelta && f.instant < hb.instant) ||
+                    (f.isDelta && f.instant <= hb.instant))
+            }
+          }
+        case _ => Seq.empty
       }
     }.filterNot(f => protectedPaths.contains(f.relPath))
       // bootstrap-adopted files live outside the table and are never ours
@@ -345,6 +397,8 @@ object Services {
       .toSeq
 
     if (deletable.isEmpty) return None
+    val earliestRetained = horizonTs.getOrElse(
+      dataInstants.lastOption.map(_.ts).getOrElse(""))
     val ts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(ts, Action.Clean)
     t.timeline.transitionToInflight(inst)

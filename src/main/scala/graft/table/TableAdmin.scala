@@ -132,6 +132,50 @@ object TableAdmin {
     latest
   }
 
+  /** Generate a symlink-format manifest for external engines — the public
+    * interop pattern Delta Lake uses for Presto/Trino/Athena
+    * (`_symlink_format_manifest/<partition>/manifest`, one absolute data
+    * file URI per line): an engine that cannot load this library defines
+    * an external table over the manifest and reads the snapshot's parquet
+    * directly. This is the Spark-native answer to the reference's
+    * hudi-hadoop-mr InputFormats (reference
+    * hudi-hadoop-mr/.../HoodieParquetInputFormat.java — which also
+    * exposes base files only for the RO view): base files of the latest
+    * file slices, so COW reads are exact snapshots and MOR reads are the
+    * read-optimized view (delta files cannot be represented to a plain
+    * parquet reader).
+    *
+    * Listing is driver-side over the already-cached file-system view —
+    * zero data IO; the manifest is tiny (one line per file group).
+    * Returns the number of listed files.
+    */
+  def generateSymlinkManifest(t: GraftTable, asOf: Option[String] = None): Int = {
+    val slices = t.view.fileSlices(asOf)
+    val base = t.basePath.toAbsolutePath.toUri.toString.stripSuffix("/")
+    val root = t.basePath.resolve("_symlink_format_manifest")
+    WritePipeline.deleteRecursively(root)
+    val byPart = slices.filter(_.baseFile.nonEmpty).groupBy(_.partitionPath)
+    byPart.foreach { case (part, ss) =>
+      val dir = if (part.isEmpty) root else root.resolve(part)
+      java.nio.file.Files.createDirectories(dir)
+      val lines = ss.flatMap(_.baseFile).map(f => s"$base/${f.relPath}")
+        .sorted.mkString("", "\n", "\n")
+      java.nio.file.Files.write(dir.resolve("manifest"),
+        lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    byPart.values.map(_.size).sum
+  }
+
+  /** Read back every file URI listed in a table's symlink manifest. */
+  def manifestFiles(t: GraftTable): Seq[String] = {
+    val root = t.basePath.resolve("_symlink_format_manifest")
+    graft.core.PathIO.walk(root)
+      .filter(p => p.getFileName.toString == "manifest")
+      .flatMap(p => new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n"))
+      .filter(_.nonEmpty).sorted
+  }
+
   /** Copy the latest snapshot's FILES into a new, loadable table pinned at
     * that instant — the HoodieSnapshotCopier analog (reference
     * hudi-utilities/.../HoodieSnapshotCopier.java: latest file slices +

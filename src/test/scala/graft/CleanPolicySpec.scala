@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{TableConfig, TableType}
+import graft.table.{GraftTable, Services}
+import graft.table.Services.CleanPolicy._
+
+class CleanPolicySpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def rows(n: Int) =
+    (1 to n).map(i => (i.toLong, 1L, i * 1.0)).toDF("id", "ver", "price")
+
+  private def baseFileCount(t: GraftTable): Int =
+    t.view.allEntries().entries.count(!_.isDelta)
+
+  private def mkTable(name: String): GraftTable = {
+    val dir = tmpDir(name).toString + "/t"
+    GraftTable.create(spark, dir, TableConfig(
+      name, TableType.CopyOnWrite, Seq("id"), "", "ver"))
+  }
+
+  test("KEEP_LATEST_FILE_VERSIONS retains exactly N base versions per group") {
+    val t = mkTable("clean_v")
+    t.bulkInsert(rows(100))
+    t.upsert(rows(100).withColumn("price", col("price") * 2)) // v2
+    t.upsert(rows(100).withColumn("price", col("price") * 3)) // v3
+    assert(baseFileCount(t) >= 3)
+    val cleaned = Services.cleanWith(t, KeepLatestFileVersions(1))
+    assert(cleaned.isDefined)
+    assert(baseFileCount(t) ===
+      t.view.fileSlices(None).count(_.baseFile.nonEmpty)) // only live slices remain
+    val snap = graft.read.Readers.snapshot(t)
+    assert(snap.count() === 100)
+    assert(snap.agg(sum("price")).first().getDouble(0) === (1 to 100).map(_ * 3.0).sum)
+    // nothing further to clean: second run is a no-op
+    assert(Services.cleanWith(t, KeepLatestFileVersions(1)).isEmpty)
+  }
+
+  test("KEEP_LATEST_FILE_VERSIONS spares savepointed snapshots") {
+    val t = mkTable("clean_sp")
+    val c1 = t.bulkInsert(rows(50))
+    Services.savepoint(t, c1)
+    t.upsert(rows(50).withColumn("price", col("price") * 2))
+    t.upsert(rows(50).withColumn("price", col("price") * 4))
+    Services.cleanWith(t, KeepLatestFileVersions(1))
+    // the savepointed v1 file survived: restore to it still works
+    Services.restore(t, c1)
+    assert(graft.read.Readers.snapshot(t)
+      .agg(sum("price")).first().getDouble(0) === (1 to 50).map(_ * 1.0).sum)
+  }
+
+  test("auto-clean runs post-commit when graft.clean.automatic is set") {
+    val dir = tmpDir("clean_auto").toString + "/t"
+    val t = GraftTable.create(spark, dir, TableConfig(
+      "clean_auto", TableType.CopyOnWrite, Seq("id"), "", "ver",
+      Map(graft.core.ConfigKeys.AutoClean -> "true",
+        graft.core.ConfigKeys.CleanerCommitsRetained -> "2")))
+    t.bulkInsert(rows(30))
+    (1 to 3).foreach { i =>
+      t.upsert(rows(30).withColumn("price", col("price") * (i + 1)))
+    }
+    // no explicit Services.clean call: the commits beyond the retention
+    // window must have triggered one
+    val cleans = t.timeline.completedInstants()
+      .count(_.action == graft.core.Action.Clean)
+    assert(cleans >= 1)
+    assert(graft.read.Readers.snapshot(t).count() === 30)
+  }
+
+  test("KEEP_LATEST_BY_HOURS cleans strictly below the wall-clock horizon") {
+    val t = mkTable("clean_h")
+    t.bulkInsert(rows(40))
+    t.upsert(rows(40).withColumn("price", col("price") * 2))
+    val before = baseFileCount(t)
+    // horizon in the past: nothing below it, clean is a no-op
+    assert(Services.cleanWith(t, KeepLatestByHours(1000)).isEmpty)
+    assert(baseFileCount(t) === before)
+    // horizon after every commit: only the latest versions stay reachable.
+    // Derived from the table's own latest instant — the JVM-global instant
+    // clock may run ahead of wall time after other suites' clamp tests
+    val latestMs = graft.core.InstantTime.toEpochMilli(
+      t.timeline.lastCompleted().get.ts)
+    assert(Services.cleanWith(t, KeepLatestByHours(0, nowMs = latestMs + 3600000L)).isDefined)
+    assert(graft.read.Readers.snapshot(t).count() === 40)
+    assert(baseFileCount(t) < before)
+  }
+}
