@@ -569,6 +569,24 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // Multi-table incremental ingest (reference
+    // HoodieMultiTableDeltaStreamer.java): one syncAll tick drives N
+    // (source → dest) pipelines, each with its own checkpoint riding in
+    // its dest's commit metadata; the second tick pulls only the delta
+    "t_ingest_multi" -> ((s, d) => {
+      val src = orders(s, d)
+      def mk(n: String) = fresh(s, d, s"t_ingest_multi_$n", cfg(TableType.CopyOnWrite))
+      val sA = mk("sa"); val sB = mk("sb"); val dA = mk("da"); val dB = mk("db")
+      sA.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      sB.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0))
+      val id = (df: DataFrame) => df
+      Streaming.syncAll(Seq((sA, dA, id), (sB, dB, id)))
+      sA.upsert(src.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      Streaming.syncAll(Seq((sA, dA, id), (sB, dB, id)))
+      data(Readers.snapshot(dA)).unionByName(data(Readers.snapshot(dB)))
+    }),
+
     // JDBC incremental ingest (reference sources/JdbcSource.java:63-197):
     // orders loaded into embedded Derby, pulled in two checkpointed ticks
     // split on the monotone key. o_orderdate rides as a formatted string
@@ -802,6 +820,10 @@ object TableOps {
          |ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_ingest_dfs" -> ordersAll,
+    "t_ingest_multi" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_ingest_jdbc" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
