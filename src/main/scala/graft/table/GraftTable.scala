@@ -1199,10 +1199,18 @@ final class GraftTable(
     // bounds incremental-read lag to the retention window, and graft's
     // services are otherwise explicitly scheduled; flipping the default
     // would silently cap how far back incremental consumers may resume.
-    if (cfg.prop(ConfigKeys.AutoClean, "false") == "true")
-      Services.clean(this,
-        cfg.propLong(ConfigKeys.CleanerCommitsRetained,
-          ConfigKeys.DefaultCleanerRetained.toLong).toInt)
+    if (cfg.prop(ConfigKeys.AutoClean, "false") == "true") {
+      val retained = cfg.propLong(ConfigKeys.CleanerCommitsRetained,
+        ConfigKeys.DefaultCleanerRetained.toLong).toInt
+      // policy selection mirrors the reference's hoodie.cleaner.policy:
+      // the retained count doubles as the version/hour budget
+      val policy = cfg.prop(ConfigKeys.CleanPolicy, "KEEP_LATEST_COMMITS") match {
+        case "KEEP_LATEST_FILE_VERSIONS" => Services.CleanPolicy.KeepLatestFileVersions(retained)
+        case "KEEP_LATEST_BY_HOURS" => Services.CleanPolicy.KeepLatestByHours(retained)
+        case _ => Services.CleanPolicy.KeepLatestCommits(retained)
+      }
+      Services.cleanWith(this, policy)
+    }
     val maxCommits = cfg.propLong(ConfigKeys.ArchiveMaxCommits, 30L).toInt
     val minCommits = cfg.propLong(ConfigKeys.ArchiveMinCommits, 20L).toInt
     val completed = timeline.completedInstants()

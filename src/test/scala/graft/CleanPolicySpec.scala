@@ -71,6 +71,22 @@ class CleanPolicySpec extends AnyFunSuite {
     assert(graft.read.Readers.snapshot(t).count() === 30)
   }
 
+  test("auto-clean honors graft.clean.policy = KEEP_LATEST_FILE_VERSIONS") {
+    val dir = tmpDir("clean_auto_v").toString + "/t"
+    val t = GraftTable.create(spark, dir, TableConfig(
+      "clean_auto_v", TableType.CopyOnWrite, Seq("id"), "", "ver",
+      Map(graft.core.ConfigKeys.AutoClean -> "true",
+        graft.core.ConfigKeys.CleanPolicy -> "KEEP_LATEST_FILE_VERSIONS",
+        graft.core.ConfigKeys.CleanerCommitsRetained -> "1")))
+    t.bulkInsert(rows(20))
+    t.upsert(rows(20).withColumn("price", col("price") * 2))
+    t.upsert(rows(20).withColumn("price", col("price") * 3))
+    // version budget 1: only live bases remain after the auto-cleans
+    assert(baseFileCount(t) === t.view.fileSlices(None).count(_.baseFile.nonEmpty))
+    assert(graft.read.Readers.snapshot(t)
+      .agg(sum("price")).first().getDouble(0) === (1 to 20).map(_ * 3.0).sum)
+  }
+
   test("KEEP_LATEST_BY_HOURS cleans strictly below the wall-clock horizon") {
     val t = mkTable("clean_h")
     t.bulkInsert(rows(40))
