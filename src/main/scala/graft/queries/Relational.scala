@@ -29,6 +29,31 @@ object Relational {
           count(lit(1)).as("count_order"))
     }),
 
+    // correlated scalar-subquery shape (TPC-H Q2's inner aggregate):
+    // customers above their nation's average balance. Spark-first
+    // expression: the correlated aggregate is a window over the nation
+    // partition — one shuffle, no per-row subquery re-execution. The
+    // boundary compare is decimal sum × count, exact in both engines.
+    "q2_above_avg_balance" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+      t(s, d, "customer")
+        .withColumn("nat_sum", sum(col("c_acctbal").cast("decimal(18,4)")).over(w))
+        .withColumn("nat_cnt", count(lit(1)).over(w))
+        .filter(col("c_acctbal").cast("decimal(18,4)") * col("nat_cnt") > col("nat_sum"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    }),
+
+    // TPC-H Q4 shape: EXISTS-driven priority histogram — a left-semi join
+    // with a non-equi residual, then a tiny agg
+    "q4_order_priority" -> ((s, d) => {
+      val ord = t(s, d, "orders").filter(year(col("o_orderdate")) === 1995)
+      val li = t(s, d, "lineitem")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
     // TPC-H Q3 shape: 3-way join (dim side broadcastable) + agg
     "q3_shipping_priority" -> ((s, d) => {
       val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -285,6 +310,19 @@ object Relational {
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_above_avg_balance" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM (
+        |SELECT c_custkey, c_name, c_nationkey,
+        |CAST(c_acctbal AS DECIMAL(18,4)) AS bal,
+        |SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (PARTITION BY c_nationkey) AS nat_sum,
+        |COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_cnt
+        |FROM customer) WHERE bal * nat_cnt > nat_sum""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders o
+        |WHERE year(o_orderdate) = 1995 AND EXISTS (
+        |SELECT 1 FROM lineitem l
+        |WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
         |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

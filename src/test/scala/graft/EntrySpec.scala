@@ -15,7 +15,7 @@ class EntrySpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
     assert(Bench.headline.forall(qs.contains))
-    assert(qs.size === 112)
+    assert(qs.size === 114)
     // every catalog query is oracled — no rows-only checks left
     assert(SparkEntry.oracleSql.keySet === qs.keySet)
   }
