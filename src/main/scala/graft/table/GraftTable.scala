@@ -1251,10 +1251,19 @@ object GraftTable {
       numDeletes: Long)
 
   /** Accept both plain paths and file: URIs (the session catalog hands
-    * LOCATIONs to data sources in URI form).
+    * LOCATIONs to data sources in URI form). Catalog locations are often
+    * UNENCODED file: strings — a raw space or quote in the path is not a
+    * legal URI, so URI parsing gets a textual fallback.
     */
   def normalize(path: String): String =
-    if (path.startsWith("file:")) java.net.URI.create(path).getPath else path
+    if (path.startsWith("file:"))
+      try java.net.URI.create(path).getPath
+      catch {
+        case _: IllegalArgumentException =>
+          val raw = path.stripPrefix("file:")
+          if (raw.startsWith("/")) "/" + raw.dropWhile(_ == '/') else raw
+      }
+    else path
 
   /** Bootstrap modes (reference client/bootstrap/BootstrapMode.java:24-34). */
   object BootstrapMode {

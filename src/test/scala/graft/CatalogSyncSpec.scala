@@ -109,6 +109,13 @@ class CatalogSyncSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cs_wh.alpha").first().getLong(0) === 1)
   }
 
+  test("sync survives a table path containing a quote") {
+    val dir = tmpDir("csync_esc").toString + "/it's here/t"
+    writeTable(dir, Seq((1L, 1L, 7.0)))
+    CatalogSync.sync(spark, dir, "cs_db", "tq")
+    assert(spark.sql("SELECT price FROM cs_db.tq").first().getDouble(0) === 7.0)
+  }
+
   test("write option catalogSyncDb syncs at end of commit") {
     val dir = tmpDir("csync_opt").toString + "/t"
     Seq((1L, 1L, 5.0)).toDF("id", "ver", "price")
