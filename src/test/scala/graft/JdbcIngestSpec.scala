@@ -56,6 +56,26 @@ class JdbcIngestSpec extends AnyFunSuite {
     st.close(); conn.close()
   }
 
+  test("timestamp incremental column checkpoints across ticks") {
+    val url = freshDb("ts")
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE src_ts (id BIGINT NOT NULL, evt TIMESTAMP)")
+    st.execute("INSERT INTO src_ts VALUES (1, TIMESTAMP('2026-01-01 10:00:00'))")
+    st.execute("INSERT INTO src_ts VALUES (2, TIMESTAMP('2026-01-01 11:30:00'))")
+    val src = new JdbcSource(url, "src_ts", Some("EVT"))
+    val Some((b1, c1)) = src.fetchNext(spark, None)
+    assert(b1.count() === 2)
+    // the string checkpoint must round-trip through the SQL literal
+    st.execute("INSERT INTO src_ts VALUES (3, TIMESTAMP('2026-01-01 12:00:00'))")
+    val Some((b2, c2)) = src.fetchNext(spark, Some(c1))
+    assert(b2.count() === 1)
+    assert(b2.select("ID").first().getLong(0) === 3L)
+    assert(c2 > c1)
+    assert(src.fetchNext(spark, Some(c2)).isEmpty)
+    st.close(); conn.close()
+  }
+
   test("full-refresh mode re-pulls the table each tick") {
     val url = freshDb("full")
     val conn = DriverManager.getConnection(url)
