@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the headline relational queries —
+  * the properties the 100 TB story depends on, pinned so a refactor that
+  * silently de-broadcasts a dimension or un-pushes a scan filter fails
+  * here instead of in a cluster bill:
+  *  - dimension joins broadcast (no shuffle of the fact side for dims)
+  *  - scan-level predicate pushdown reaches the parquet reader
+  *  - the hot aggregation paths stay inside whole-stage codegen
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def executed(name: String): String = {
+    val df = graft.queries.Relational.queries(name)(spark, sf001)
+    df.collect() // finalize AQE so codegen spans and final joins appear
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan, agg is codegen'd") {
+    val plan = executed("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("*("), s"no whole-stage codegen span:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q3: customer dimension joins broadcast") {
+    val plan = executed("q3_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("q5: region/nation chain broadcasts; no cartesian anywhere") {
+    val plan = executed("q5_local_supplier")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("q2: correlated aggregate runs as ONE window, not a re-executed subquery") {
+    val plan = executed("q2_above_avg_balance")
+    assert(plan.contains("Window"))
+    assert(!plan.contains("Subquery"), s"subquery re-execution:\n$plan")
+    // one exchange for the nation partition, nothing more
+    assert("Exchange".r.findAllIn(plan).size <= 2, s"extra shuffles:\n$plan")
+  }
+
+  test("q4: EXISTS compiles to a semi join, lineitem scan pruned to two columns") {
+    val plan = executed("q4_order_priority")
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    // column pruning: the lineitem side must read only join+residual cols
+    val readSchemas = "ReadSchema: [^\\n]*lineitem[^\\n]*".r.findAllIn(plan).toSeq
+    val liSchema = "struct<l_orderkey:bigint,l_shipdate:timestamp[^>]*>"
+    assert(plan.contains("l_orderkey") && !plan.contains("l_extendedprice"),
+      s"lineitem scan not pruned:\n${readSchemas.mkString("\n")}")
+  }
+}
