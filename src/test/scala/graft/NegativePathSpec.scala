@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{GraftTable, Services}
+
+/** Negative/edge paths at the library surface: error contracts on misuse,
+  * idempotence of destructive ops, and lock re-entrancy. Mirrors the
+  * reference's guard behavior (e.g. HoodieTableMetaClient refuses re-init
+  * of an existing table; rollback validates the instant is latest —
+  * reference hudi-client-common/.../BaseHoodieWriteClient.java).
+  */
+class NegativePathSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def cfg(name: String) =
+    TableConfig(name, TableType.CopyOnWrite, Seq("id"), "", "v")
+
+  test("create over an existing table refuses") {
+    val dir = tmpDir("neg_create").toString
+    GraftTable.create(spark, dir, cfg("neg1"))
+    intercept[IllegalArgumentException] { GraftTable.create(spark, dir, cfg("neg1")) }
+  }
+
+  test("rollback of a non-latest instant refuses") {
+    val dir = tmpDir("neg_rb").toString
+    val t = GraftTable.create(spark, dir, cfg("neg2"))
+    val c1 = t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    t.upsert(Seq((1L, 2L)).toDF("id", "v"))
+    intercept[IllegalArgumentException] { Services.rollback(t, c1) }
+  }
+
+  test("loading a nonexistent table throws") {
+    intercept[Throwable] { GraftTable.load(spark, tmpDir("neg_nope").toString + "/absent") }
+  }
+
+  test("empty upsert commits and leaves the snapshot unchanged") {
+    val dir = tmpDir("neg_empty").toString
+    val t = GraftTable.create(spark, dir, cfg("neg3"))
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    t.upsert(Seq.empty[(Long, Long)].toDF("id", "v"))
+    assert(Readers.snapshot(t).count() === 2)
+  }
+
+  test("incremental read past the last commit is empty") {
+    val dir = tmpDir("neg_incr").toString
+    val t = GraftTable.create(spark, dir, cfg("neg4"))
+    t.bulkInsert(Seq((1L, 1L)).toDF("id", "v"))
+    assert(Readers.incremental(t, "99999999999999999").count() === 0)
+  }
+
+  test("double delete of the same key is idempotent") {
+    val dir = tmpDir("neg_dd").toString
+    val t = GraftTable.create(spark, dir, cfg("neg5"))
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    t.delete(Seq((1L, 0L)).toDF("id", "v"))
+    t.delete(Seq((1L, 0L)).toDF("id", "v"))
+    assert(Readers.snapshot(t).count() === 1)
+  }
+
+  test("truncate empties the table and the table stays writable") {
+    val dir = tmpDir("neg_tr").toString
+    val t = GraftTable.create(spark, dir, cfg("neg6"))
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    t.truncate()
+    assert(Readers.snapshot(t).count() === 0)
+    t.upsert(Seq((7L, 1L)).toDF("id", "v"))
+    assert(Readers.snapshot(t).count() === 1)
+  }
+
+  test("inline MOR compaction re-enters the commit lock without deadlock") {
+    val dir = tmpDir("neg_lock").toString
+    val t = GraftTable.create(spark, dir, TableConfig("neg7", TableType.MergeOnRead,
+      Seq("id"), "", "v", Map(ConfigKeys.CompactDeltaCommits -> "1")))
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    t.upsert(Seq((1L, 2L)).toDF("id", "v")) // deltacommit -> postCommit -> inline compact
+    assert(t.timeline.completedInstants().count(_.action == Action.Compaction) === 1)
+    assert(Readers.snapshot(t).count() === 2)
+  }
+}
