@@ -612,6 +612,53 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // Kafka incremental ingest (reference sources/JsonKafkaSource.java:62-77
+    // + helpers/KafkaOffsetGen.java:57-147): a deterministic topic bound
+    // over the orders table — 4 partitions keyed by o_orderkey % 4, offset
+    // = rank within partition — consumed through the offset-range planner
+    // in maxEvents-capped ticks until caught up, JSON values parsed back
+    // and upserted. The client's ranged read is a filtered distributed
+    // scan, so the harness itself is scale-shaped (no driver
+    // materialization of messages).
+    "t_ingest_kafka" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val numParts = 4
+      val srcSchema = orders(s, d).schema
+      def log(sp: SparkSession) = orders(sp, d)
+        .withColumn("partition", (col("o_orderkey") % numParts).cast("int"))
+        .withColumn("offset", row_number().over(
+          Window.partitionBy(col("partition")).orderBy(col("o_orderkey"))).cast("long") - 1)
+      val client = new graft.streaming.KafkaClusterClient {
+        override def topicExists(topic: String): Boolean = topic == "orders"
+        override def partitionsFor(topic: String): Seq[Int] = 0 until numParts
+        override def beginningOffsets(topic: String): Map[Int, Long] =
+          (0 until numParts).map(_ -> 0L).toMap
+        override def endOffsets(topic: String): Map[Int, Long] = {
+          val counted = log(s).groupBy(col("partition")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (0 until numParts).map(p => p -> counted.getOrElse(p, 0L)).toMap
+        }
+        override def groupOffsets(topic: String, groupId: String): Map[Int, Long] = Map.empty
+        override def read(sp: SparkSession, topic: String,
+            ranges: Seq[graft.streaming.KafkaOffsetRange]): DataFrame = {
+          val pred = ranges.map(r => col("partition") === r.partition &&
+              col("offset") >= r.fromOffset && col("offset") < r.untilOffset)
+            .reduceOption(_ || _).getOrElse(lit(false))
+          log(sp).filter(pred).select(col("partition"), col("offset"),
+            col("o_orderkey").cast("string").as("key"),
+            to_json(struct(OrdersCols.map(col): _*)).as("value"))
+        }
+      }
+      val t = fresh(s, d, "t_ingest_kafka", TableConfig(
+        "orders_kafka", TableType.CopyOnWrite, Seq("o_orderkey"), "", ""))
+      val src = new graft.streaming.KafkaSource(
+        client, "orders", graft.streaming.KafkaSource.Earliest, maxEvents = 6000)
+      val parse = (df: DataFrame) => df
+        .select(from_json(col("value"), srcSchema).as("r")).select(col("r.*"))
+      while (graft.streaming.IngestJob.syncOnce(s, src, t, parse).isDefined) ()
+      data(Readers.snapshot(t))
+    }),
+
     // Symlink-format manifest interop (the Delta-for-Presto/Athena public
     // pattern; the Spark-native answer to the reference's hudi-hadoop-mr
     // InputFormats): reading ONLY the manifest-listed parquet with a plain
@@ -828,6 +875,7 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
          |FROM orders""".stripMargin,
+    "t_ingest_kafka" -> ordersAll,
     "t_symlink_manifest" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
