@@ -1,0 +1,148 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{TableConfig, TableType}
+
+/** Result of one CLI command: a tabular view or a status line. */
+sealed trait CliResult {
+  /** The frame, for commands that return one. */
+  def frame: DataFrame = this match {
+    case CliFrame(df) => df
+    case CliText(s) => throw new IllegalStateException(s"command returned text: $s")
+  }
+  def text: String = this match {
+    case CliText(s) => s
+    case CliFrame(_) => throw new IllegalStateException("command returned a frame")
+  }
+}
+final case class CliFrame(df: DataFrame) extends CliResult
+final case class CliText(value: String) extends CliResult
+
+/** The reference's interactive admin shell re-expressed as a command
+  * interpreter over the library (reference hudi-cli/.../commands/
+  * TableCommand.java `connect`/`create`/`desc`, CommitsCommand.java
+  * `commits show`/`commit rollback`, CleansCommand, SavepointsCommand,
+  * CompactionCommand, ClusteringCommand, RollbacksCommand,
+  * FileSystemViewCommand `show fsview all`, StatsCommand
+  * `stats filesizes`). Command grammar matches the reference's shell
+  * keys (`<noun> <verb> --opt value …`); results come back as DataFrames
+  * (the reference renders the same tables as ASCII), so output composes
+  * with Spark instead of a terminal.
+  *
+  * Driver-side by design: every command is commit-metadata planning or a
+  * delegation to a distributed service — the CLI itself never touches
+  * data files.
+  */
+final class GraftCli(spark: SparkSession) {
+
+  private var connected: Option[GraftTable] = None
+
+  /** The connected table; commands besides connect/create require one. */
+  def table: GraftTable = connected.getOrElse(throw new IllegalStateException(
+    "no table connected — run: connect --path <basePath>"))
+
+  def run(command: String): CliResult = {
+    val norm = command.trim.replaceAll("\\s+", " ")
+    val (key, handler) = Commands.find { case (k, _) =>
+      norm == k || norm.startsWith(k + " ")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"unknown command '$norm'; known: ${Commands.map(_._1).mkString(", ")}"))
+    handler(parseOpts(norm.drop(key.length).trim))
+  }
+
+  /** `--key value …` option list; values may be single-quoted. */
+  private def parseOpts(rest: String): Map[String, String] = {
+    val Opt = """--(\S+)\s+('[^']*'|\S+)""".r
+    Opt.findAllMatchIn(rest).map { m =>
+      m.group(1) -> m.group(2).stripPrefix("'").stripSuffix("'")
+    }.toMap
+  }
+
+  private def req(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, throw new IllegalArgumentException(s"--$key is required"))
+
+  // Longest-first so "compaction showarchived" wins over "compaction show".
+  private lazy val Commands: Seq[(String, Map[String, String] => CliResult)] = Seq[
+      (String, Map[String, String] => CliResult)](
+    "connect" -> { o =>
+      connected = Some(GraftTable.load(spark, req(o, "path")))
+      CliText(s"Metadata for table ${table.cfg.tableName} loaded")
+    },
+    "create" -> { o =>
+      connected = Some(GraftTable.create(spark, req(o, "path"), TableConfig(
+        req(o, "tableName"),
+        o.getOrElse("tableType", TableType.CopyOnWrite),
+        req(o, "recordKey").split(",").toSeq,
+        o.getOrElse("partitionPath", ""),
+        o.getOrElse("precombine", ""))))
+      CliText(s"Table ${table.cfg.tableName} created")
+    },
+    "desc" -> { _ =>
+      import spark.implicits._
+      val c = table.cfg
+      CliFrame(Seq(
+        "basePath" -> table.basePath.toString,
+        "tableName" -> c.tableName,
+        "tableType" -> c.tableType,
+        "recordKeyFields" -> c.recordKeyFields.mkString(","),
+        "partitionPathExpr" -> c.partitionPathExpr,
+        "precombineField" -> c.precombineField,
+      ).toDF("property", "value"))
+    },
+    "fetch table schema" -> { _ =>
+      CliText(table.latestSchema.map(_.json).getOrElse(""))
+    },
+    "commits showarchived" -> { _ => CliFrame(TableAdmin.archivedCommits(table)) },
+    "commits show" -> { _ => CliFrame(TableAdmin.commits(table)) },
+    "commit rollback" -> { o =>
+      CliText(s"Commit ${req(o, "commit")} rolled back as " +
+        Services.rollback(table, req(o, "commit")))
+    },
+    "clean showpartitions" -> { _ => CliFrame(TableAdmin.partitionStats(table)) },
+    "cleans run" -> { o =>
+      val done = o.get("retain") match {
+        case Some(n) => Services.clean(table, n.toInt)
+        case None => Services.clean(table)
+      }
+      CliText(done.map(ts => s"Cleaned as $ts").getOrElse("Nothing to clean"))
+    },
+    "cleans show" -> { _ => CliFrame(TableAdmin.cleans(table)) },
+    "compactions show all" -> { _ =>
+      import org.apache.spark.sql.functions.col
+      CliFrame(TableAdmin.timeline(table).filter(col("action") === "compaction"))
+    },
+    "compaction schedule" -> { _ =>
+      CliText(Services.scheduleCompaction(table)
+        .map(ts => s"Compaction scheduled as $ts").getOrElse("Nothing to compact"))
+    },
+    "compaction run" -> { o =>
+      CliText(s"Compacted as ${Services.runCompaction(table, req(o, "instant"))}")
+    },
+    "compaction validate" -> { o =>
+      CliFrame(Services.validateCompaction(table, req(o, "instant")))
+    },
+    "compaction unschedule" -> { o =>
+      Services.unscheduleCompaction(table, req(o, "instant"))
+      CliText(s"Compaction ${req(o, "instant")} unscheduled")
+    },
+    "clustering run" -> { o =>
+      val sortCols = o.get("sortColumns").map(_.split(",").toSeq).getOrElse(Seq.empty)
+      CliText(Services.cluster(table, sortColumns = sortCols)
+        .map(ts => s"Clustered as $ts").getOrElse("Nothing to cluster"))
+    },
+    "savepoints show" -> { _ => CliFrame(TableAdmin.savepoints(table)) },
+    "savepoint create" -> { o =>
+      CliText(s"Savepoint created as ${Services.savepoint(table, req(o, "commit"))}")
+    },
+    "savepoint rollback" -> { o =>
+      CliText(s"Restored to ${req(o, "savepoint")} as " +
+        Services.restore(table, req(o, "savepoint")))
+    },
+    "show rollbacks" -> { _ => CliFrame(TableAdmin.rollbacks(table)) },
+    "show fsview all" -> { _ => CliFrame(TableAdmin.fileGroups(table)) },
+    "stats filesizes" -> { _ => CliFrame(TableAdmin.fileSizes(table)) },
+    "export instants" -> { _ => CliFrame(TableAdmin.timeline(table)) },
+    "pending show" -> { _ => CliFrame(TableAdmin.pending(table)) },
+  ).sortBy(-_._1.length)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{CliText, GraftCli, GraftTable}
+
+/** The admin shell grammar end-to-end: a full table lifecycle driven only
+  * through CLI command strings, asserting both status lines and the
+  * returned frames.
+  */
+class GraftCliSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  test("create/connect/desc/fetch schema") {
+    val dir = tmpDir("cli_create").toString + "/t"
+    val cli = new GraftCli(spark)
+    intercept[IllegalStateException] { cli.run("commits show") } // not connected
+    val made = cli.run(
+      s"create --path $dir --tableName cli_t --recordKey id --precombine v")
+    assert(made.text.contains("created"))
+    cli.table.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+
+    val cli2 = new GraftCli(spark)
+    assert(cli2.run(s"connect --path $dir").text.contains("cli_t"))
+    val desc = cli2.run("desc").frame.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("tableName") === "cli_t")
+    assert(desc("recordKeyFields") === "id")
+    assert(cli2.run("fetch table schema").text.contains("\"id\""))
+  }
+
+  test("commits / rollback / savepoint / cleans / stats through the shell") {
+    val dir = tmpDir("cli_life").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_l --recordKey id --precombine v")
+    val t = cli.table
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "v"))
+    t.upsert(Seq((1L, 2L)).toDF("id", "v"))
+    t.upsert(Seq((2L, 2L)).toDF("id", "v"))
+
+    val commits = cli.run("commits show").frame
+    assert(commits.count() === 3)
+    val firstTs = commits.orderBy(col("instant")).first().getString(0)
+
+    // savepoint the first commit, roll back the last one by command
+    assert(cli.run(s"savepoint create --commit $firstTs").text.contains("Savepoint"))
+    assert(cli.run("savepoints show").frame.count() === 1)
+    val lastTs = commits.orderBy(col("instant").desc).first().getString(0)
+    assert(cli.run(s"commit rollback --commit $lastTs").text.contains("rolled back"))
+    assert(cli.run("show rollbacks").frame.count() === 1)
+    assert(Readers.snapshot(t).filter(col("id") === 2 && col("v") === 1).count() === 1)
+
+    assert(cli.run("show fsview all").frame.count() >= 1)
+    assert(cli.run("stats filesizes").frame.first().getLong(0) >= 1)
+    assert(cli.run("export instants").frame.count() >= 4)
+    // restore back to the savepoint via the shell
+    assert(cli.run(s"savepoint rollback --savepoint $firstTs").text.contains("Restored"))
+    assert(Readers.snapshot(t).filter(col("v") === 2).count() === 0)
+    // cleans: nothing left to clean after restore
+    assert(cli.run("cleans run").text.nonEmpty)
+    assert(cli.run("cleans show").frame.count() <= 1)
+  }
+
+  test("MOR compaction scheduled, validated, run through the shell") {
+    val dir = tmpDir("cli_mor").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_m --recordKey id " +
+      "--tableType MERGE_ON_READ --precombine v")
+    val t = cli.table
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    t.upsert(Seq((1L, 5L)).toDF("id", "v"))
+
+    val sched = cli.run("compaction schedule").text
+    assert(sched.contains("scheduled as"))
+    val ts = sched.split(" ").last
+    assert(cli.run("compactions show all").frame.count() >= 1)
+    assert(cli.run(s"compaction validate --instant $ts").frame.count() >= 1)
+    assert(cli.run(s"compaction run --instant $ts").text.contains("Compacted"))
+    assert(Readers.snapshot(t).filter(col("id") === 1)
+      .select("v").first().getLong(0) === 5L)
+    // scheduling again with no deltas: nothing to compact
+    assert(cli.run("compaction schedule").text === "Nothing to compact")
+  }
+
+  test("clustering and unknown commands") {
+    val dir = tmpDir("cli_clu").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_c --recordKey id --precombine v")
+    cli.table.bulkInsert(Seq((1L, 1L)).toDF("id", "v"))
+    cli.table.upsert(Seq((2L, 1L)).toDF("id", "v"))
+    val res = cli.run("clustering run --sortColumns id")
+    assert(res.isInstanceOf[CliText])
+    intercept[IllegalArgumentException] { cli.run("frobnicate all") }
+    intercept[IllegalArgumentException] { cli.run("commit rollback") } // missing --commit
+  }
+}
