@@ -95,6 +95,38 @@ final class GraftCli(spark: SparkSession) {
     },
     "commits showarchived" -> { _ => CliFrame(TableAdmin.archivedCommits(table)) },
     "commits show" -> { _ => CliFrame(TableAdmin.commits(table)) },
+    "commits compare" -> { o =>
+      CliFrame(TableAdmin.compareCommits(table,
+        GraftTable.load(spark, req(o, "path"))))
+    },
+    "commit showfiles" -> { o =>
+      CliFrame(TableAdmin.commitFiles(table, req(o, "commit")))
+    },
+    "commit showpartitions" -> { o =>
+      CliFrame(TableAdmin.commitPartitions(table, req(o, "commit")))
+    },
+    "show logfile metadata" -> { _ => CliFrame(TableAdmin.logFiles(table)) },
+    "metadata list-partitions" -> { _ =>
+      import spark.implicits._
+      CliFrame(table.view.fileSlices(None).map(_.partitionPath)
+        .distinct.sorted.toDF("partition"))
+    },
+    "repair deduplicate" -> { _ =>
+      // keep the precombine-winner (falling back to latest commit) per
+      // (key, partition); reference RepairsCommand `repair deduplicate`
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, desc, row_number}
+      val orderCol =
+        if (table.cfg.precombineField.nonEmpty) table.cfg.precombineField
+        else graft.core.MetaCols.CommitTime
+      val done = Services.dedupe(table, df => df
+        .withColumn("_cli_rank", row_number().over(
+          Window.partitionBy(col(graft.core.MetaCols.RecordKey),
+            col(graft.core.MetaCols.PartitionPath))
+            .orderBy(desc(orderCol), desc(graft.core.MetaCols.CommitTime))))
+        .filter(col("_cli_rank") === 1).drop("_cli_rank"))
+      CliText(done.map(ts => s"Deduplicated as $ts").getOrElse("No duplicates found"))
+    },
     "commit rollback" -> { o =>
       CliText(s"Commit ${req(o, "commit")} rolled back as " +
         Services.rollback(table, req(o, "commit")))

@@ -28,6 +28,56 @@ object TableAdmin {
       "total_deletes", "total_bytes", "replaced_groups")
   }
 
+  /** Per-file write stats of ONE commit: `commit showfiles` analog
+    * (reference CommitsCommand.java showCommitFiles).
+    */
+  def commitFiles(t: GraftTable, ts: String): DataFrame = {
+    import t.spark.implicits._
+    val i = t.timeline.completedDataInstants().find(_.ts == ts)
+      .getOrElse(throw new IllegalArgumentException(s"no completed commit $ts"))
+    CommitMetadata.fromJson(t.timeline.readContent(i)).writeStats.map { w =>
+      (w.partitionPath, w.fileId, w.path, w.numWrites, w.numDeletes,
+        w.fileSizeInBytes, w.isDelta)
+    }.toDF("partition", "file_id", "path", "num_writes", "num_deletes",
+      "bytes", "is_delta")
+  }
+
+  /** Per-partition rollup of ONE commit: `commit showpartitions` analog. */
+  def commitPartitions(t: GraftTable, ts: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum}
+    commitFiles(t, ts).groupBy(col("partition")).agg(
+      count(col("file_id")).as("num_files"),
+      sum(col("num_writes")).as("total_records"),
+      sum(col("num_deletes")).as("total_deletes"),
+      sum(col("bytes")).as("total_bytes"))
+  }
+
+  /** Timeline diff against another table: `commits compare` analog
+    * (reference CommitsCommand.java compareCommits) — which completed data
+    * instants each side has that the other lacks.
+    */
+  def compareCommits(t: GraftTable, other: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    val mine = t.timeline.completedDataInstants().map(_.ts).toSet
+    val theirs = other.timeline.completedDataInstants().map(_.ts).toSet
+    ((mine -- theirs).toSeq.sorted.map((_, "only_here")) ++
+      (theirs -- mine).toSeq.sorted.map((_, "only_other")))
+      .toDF("instant", "side")
+  }
+
+  /** MOR delta ("log") files of live slices: `show logfile metadata`
+    * analog (reference HoodieLogFileCommand.java) — our log format is
+    * mini-parquet delta files, so metadata comes from the FS view + commit
+    * stats rather than log-block headers.
+    */
+  def logFiles(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.view.fileSlices(None).flatMap { s =>
+      s.deltaFiles.map(d => (s.partitionPath, s.fileId, d.instant, d.relPath,
+        d.sizeBytes, d.numRecords))
+    }.toDF("partition", "file_id", "instant", "path", "bytes", "records")
+  }
+
   /** Every instant on the active timeline, any state: `timeline` analog. */
   def timeline(t: GraftTable): DataFrame = {
     import t.spark.implicits._

@@ -86,6 +86,44 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli.run("compaction schedule").text === "Nothing to compact")
   }
 
+  test("per-commit views, compare, logfiles, repair through the shell") {
+    val dir = tmpDir("cli_pc").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_pc --recordKey id --precombine v")
+    val t = cli.table
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    val ts2 = t.upsert(Seq((1L, 9L)).toDF("id", "v"))
+
+    val files = cli.run(s"commit showfiles --commit $ts2").frame
+    assert(files.count() >= 1)
+    assert(files.agg(sum("num_writes")).first().getLong(0) === 2) // rewritten group
+    val parts = cli.run(s"commit showpartitions --commit $ts2").frame
+    assert(parts.count() === 1)
+    assert(cli.run("metadata list-partitions").frame.count() === 1)
+
+    // compare against a copy that is one commit behind
+    val dir2 = tmpDir("cli_pc2").toString + "/t"
+    val cli2 = new GraftCli(spark)
+    cli2.run(s"create --path $dir2 --tableName cli_pc2 --recordKey id --precombine v")
+    cli2.table.bulkInsert(Seq((9L, 1L)).toDF("id", "v"))
+    val cmp = cli.run(s"commits compare --path $dir2").frame
+    assert(cmp.filter(col("side") === "only_here").count() === 2)
+    assert(cmp.filter(col("side") === "only_other").count() === 1)
+
+    // MOR log files visible; COW table has none
+    assert(cli.run("show logfile metadata").frame.count() === 0)
+    val dirM = tmpDir("cli_pcm").toString + "/t"
+    val cliM = new GraftCli(spark)
+    cliM.run(s"create --path $dirM --tableName cli_pcm --recordKey id " +
+      "--tableType MERGE_ON_READ --precombine v")
+    cliM.table.bulkInsert(Seq((1L, 1L)).toDF("id", "v"))
+    cliM.table.upsert(Seq((1L, 2L)).toDF("id", "v"))
+    assert(cliM.run("show logfile metadata").frame.count() === 1)
+
+    // repair deduplicate: clean table reports nothing to do
+    assert(cli.run("repair deduplicate").text === "No duplicates found")
+  }
+
   test("clustering and unknown commands") {
     val dir = tmpDir("cli_clu").toString + "/t"
     val cli = new GraftCli(spark)
