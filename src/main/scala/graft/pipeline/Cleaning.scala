@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus cleaning for LLM training data: C4-style line/document filters
+  * (the public rules from "Exploring the Limits of Transfer Learning with
+  * a Unified Text-to-Text Transformer", §2.2 — terminal-punctuation lines,
+  * minimum word counts, boilerplate and code markers) and PII scrubbing
+  * (the standard email/IP/phone redaction pass corpora like The Pile and
+  * RefinedWeb document publicly).
+  *
+  * Everything here is a row-local codegen'd expression — no shuffle, no
+  * UDF — so cleaning 100 TB is one map-shaped scan that fuses into
+  * whatever reads or writes surround it.
+  */
+object Cleaning {
+
+  // ------------------------------------------------------------------ PII
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses and NNN-NNN-NNNN phone numbers with
+    * typed placeholder tokens. Order matters: emails first (an address
+    * can contain digit runs), then IPs (dotted digits would otherwise
+    * half-match the phone pattern), then phones.
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of PII matches (pre-scrub), for audit reporting. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  // ------------------------------------------------------- C4 line rules
+
+  /** Does one line survive C4's line filters? Ends in terminal
+    * punctuation (`.`, `!`, `?`, `"`), has at least `minWords` words, and
+    * carries no javascript boilerplate marker.
+    */
+  def c4KeepLine(line: Column, minWords: Int = 5): Column = {
+    val t = trim(line)
+    t.rlike("[.!?\"]$") &&
+      size(split(t, "\\s+")) >= minWords &&
+      !lower(t).contains("javascript")
+  }
+
+  /** Apply C4's cleaning to `textCol`: drop failing lines; drop the whole
+    * document when it contains a blocklist marker (`lorem ipsum`, `{`) or
+    * fewer than `minLines` lines survive. The cleaned text replaces
+    * `textCol`; surviving line count is exposed as `n_lines`.
+    */
+  def c4Clean(df: DataFrame, textCol: String = "text",
+      minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val kept = filter(split(col(textCol), "\n"),
+      l => c4KeepLine(l, minWords))
+    df.withColumn("_c4_kept", kept)
+      .filter(!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{") &&
+        size(col("_c4_kept")) >= minLines)
+      .withColumn(textCol, array_join(transform(col("_c4_kept"), trim(_)), "\n"))
+      .withColumn("n_lines", size(col("_c4_kept")))
+      .drop("_c4_kept")
+  }
+}

@@ -487,6 +487,41 @@ object PipelineQueries {
         all.filter(col("doc_id") % 97 === 0), n = 8)
     }),
 
+    // PII scrubbing: plant a deterministic email/IP/phone mix per doc
+    // (email on even ids, phone on ids % 3 == 0, IP always), redact, and
+    // report the pre-scrub match count — one codegen'd map pass
+    "p_pii_scrub" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com please")))
+          .otherwise(lit("")),
+        concat(lit(" node 10.0."), col("doc_id") % 200, lit(".7 up")),
+        when(col("doc_id") % 3 === 0, lit(" call 555-123-4567 now"))
+          .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+        Cleaning.scrubPii(col("text")).as("clean_text"),
+        Cleaning.piiCount(col("text")).as("n_pii"))
+    }),
+
+    // C4 line/document cleaning over deterministically structured docs:
+    // per-line terminal-punctuation / min-words / javascript rules, whole-
+    // doc lorem-ipsum and min-surviving-lines rules
+    "p_c4_clean" -> ((s, d) => {
+      val lines = array(
+        concat(lit("the quick brown fox jumps over dock "), col("doc_id"), lit(".")),
+        lit("too short."),
+        lit("no terminal punctuation here at all"),
+        lit("please enable javascript to view this page."),
+        when(col("doc_id") % 3 =!= 0, lit("a second good line stays right here."))
+          .otherwise(lit("short one.")),
+        lit("the third good line survives the cleaning pass."))
+      val text = when(col("doc_id") % 7 === 0,
+        concat(array_join(lines, "\n"), lit("\nlorem ipsum dolor sit amet.")))
+        .otherwise(array_join(lines, "\n"))
+      Cleaning.c4Clean(docs(s, d).select(col("doc_id"), text.as("text")))
+    }),
+
     // overlapping token-window chunking: stride-24 windows of 32 tokens
     "p_chunk_docs" -> ((s, d) =>
       Chunking.chunk(docs(s, d), chunkTokens = 32, overlap = 8)
@@ -952,6 +987,30 @@ object PipelineQueries {
          |FROM p GROUP BY bin_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 2 = 0
+         |         THEN ' contact user' || doc_id || '@example.com please' ELSE '' END
+         |    || ' node 10.0.' || (doc_id % 200) || '.7 up'
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567 now' ELSE '' END
+         |    AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END + 1
+         |     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_pii
+         |FROM planted""".stripMargin,
+    "p_c4_clean" ->
+      s"""SELECT doc_id,
+         |  'the quick brown fox jumps over dock ' || doc_id || '.' || chr(10) ||
+         |  'a second good line stays right here.' || chr(10) ||
+         |  'the third good line survives the cleaning pass.' AS text,
+         |  CAST(3 AS INTEGER) AS n_lines
+         |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 <> 0""".stripMargin,
     "p_decontaminate" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Cleaning
+
+class CleaningSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def scrub(s: String): String =
+    Seq(s).toDF("t").select(Cleaning.scrubPii(col("t"))).first().getString(0)
+
+  test("PII scrubbing: emails, IPs, dotted/dashed phones, clean text") {
+    assert(scrub("mail a.b+c@ex-1.co.uk or x@y.io now") === "mail <EMAIL> or <EMAIL> now")
+    assert(scrub("host 192.168.0.1:8080 up") === "host <IP>:8080 up")
+    assert(scrub("call 555-123-4567 or 555.987.6543") === "call <PHONE> or <PHONE>")
+    // an email containing dotted digits is ONE email, not email+IP
+    assert(scrub("v1.2.3.4@example.com") === "<EMAIL>")
+    assert(scrub("no pii here, just 3.14 and v2.0") === "no pii here, just 3.14 and v2.0")
+    val counted = Seq("a@b.co and 10.0.0.1 and 555-123-4567").toDF("t")
+      .select(Cleaning.piiCount(col("t"))).first().getInt(0)
+    assert(counted === 3)
+  }
+
+  test("C4 line rule: punctuation, word count, javascript marker") {
+    def keep(s: String): Boolean =
+      Seq(s).toDF("l").select(Cleaning.c4KeepLine(col("l"))).first().getBoolean(0)
+    assert(keep("this line has enough words and ends well."))
+    assert(keep("he said it was \"done and proven right here\""))
+    assert(keep("is this a question with enough words?"))
+    assert(!keep("four words not enough."))
+    assert(!keep("no terminal punctuation despite having many words here"))
+    assert(!keep("please enable JavaScript to view the comments."))
+  }
+
+  test("C4 doc rules: lorem ipsum, braces, min surviving lines") {
+    val df = Seq(
+      (1L, "a good first line with enough words here.\nanother good line with plenty of words too.\na third fine line to clear the minimum bar."),
+      (2L, "a good first line with enough words here.\nshort one.\nanother good line with plenty of words too."), // 2 survive < 3
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit.\nmore good words in a second line right here.\na third fine line to clear the minimum bar."),
+      (4L, "function f() { return 1; } with extra words here.\nmore good words in a second line right here.\na third fine line to clear the minimum bar.")
+    ).toDF("doc_id", "text")
+    val out = Cleaning.c4Clean(df).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getInt(2) === 3)
+    assert(out.head.getString(1).linesIterator.size === 3)
+  }
+}
