@@ -16,13 +16,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // a missing dump silently shrinks the gate count (r9: 8 events gates
+    // vanished without a visible error) — make the tally impossible to miss
+    System.err.println(s"[verify] ran ${SparkEntry.queries.size} queries, " +
+      s"${failed.size} failed${if (failed.isEmpty) "" else failed.reverse.mkString(": ", ", ", "")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

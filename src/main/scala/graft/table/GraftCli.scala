@@ -163,6 +163,33 @@ final class GraftCli(spark: SparkSession) {
       CliText(Services.cluster(table, sortColumns = sortCols)
         .map(ts => s"Clustered as $ts").getOrElse("Nothing to cluster"))
     },
+    "bootstrap run" -> { o =>
+      // reference BootstrapCommand `bootstrap run --srcPath … --basePath …`
+      val srcDir = java.nio.file.Paths.get(req(o, "srcPath"))
+      val files = graft.core.PathIO.walk(srcDir)
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(_.toString).sorted
+      connected = Some(GraftTable.bootstrap(spark, req(o, "path"), TableConfig(
+        req(o, "tableName"),
+        o.getOrElse("tableType", TableType.CopyOnWrite),
+        req(o, "recordKey").split(",").toSeq,
+        o.getOrElse("partitionPath", ""),
+        o.getOrElse("precombine", "")), files,
+        mode = o.getOrElse("mode", GraftTable.BootstrapMode.MetadataOnly)))
+      CliText(s"Bootstrapped ${files.size} files into ${table.cfg.tableName}")
+    },
+    "bootstrap index showmapping" -> { _ =>
+      import org.apache.spark.sql.functions.col
+      val bootTs = TableAdmin.commits(table)
+        .filter(col("operation") === "bootstrap")
+        .orderBy(col("instant")).collect().headOption
+        .map(_.getString(0))
+        .getOrElse(throw new IllegalStateException("table was not bootstrapped"))
+      CliFrame(TableAdmin.commitFiles(table, bootTs)
+        .select(col("file_id"), col("path").as("source_file"), col("num_writes")))
+    },
     "savepoints show" -> { _ => CliFrame(TableAdmin.savepoints(table)) },
     "savepoint create" -> { o =>
       CliText(s"Savepoint created as ${Services.savepoint(table, req(o, "commit"))}")

@@ -124,6 +124,25 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli.run("repair deduplicate").text === "No duplicates found")
   }
 
+  test("bootstrap run + index showmapping through the shell") {
+    val src = tmpDir("cli_boot_src")
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .coalesce(1).write.parquet(src.resolve("batch").toString)
+    val dir = tmpDir("cli_boot").toString + "/t"
+    val cli = new GraftCli(spark)
+    val res = cli.run(s"bootstrap run --srcPath $src --path $dir " +
+      "--tableName cli_b --recordKey id")
+    assert(res.text.startsWith("Bootstrapped 1 files"))
+    assert(Readers.snapshot(cli.table).count() === 2)
+    val mapping = cli.run("bootstrap index showmapping").frame
+    assert(mapping.count() === 1)
+    assert(mapping.first().getString(1).endsWith(".parquet"))
+    // adopted files are queryable and upsertable afterwards
+    cli.table.upsert(Seq((1L, 99L)).toDF("id", "v"))
+    assert(Readers.snapshot(cli.table)
+      .filter(col("id") === 1).select("v").first().getLong(0) === 99L)
+  }
+
   test("clustering and unknown commands") {
     val dir = tmpDir("cli_clu").toString + "/t"
     val cli = new GraftCli(spark)
