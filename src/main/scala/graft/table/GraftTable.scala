@@ -1049,10 +1049,17 @@ final class GraftTable(
     // without un-publishing it — the catch below only rolls back writes
     // that never published
     var published = false
+    val t0 = System.nanoTime()
     try {
       val (stats, replaced, schemaJson) = body(ts)
       if (BloomIndex.enabled(cfg)) BloomIndex.buildSidecars(spark, basePath, stats, cfg)
-      val md = CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)
+      // commit duration rides in the metadata itself (reference
+      // hudi-client-common/.../metrics/HoodieMetrics.java
+      // updateCommitMetrics publishes the same figure to a registry; a
+      // registry is a sidecar service, the commit log is already durable)
+      val durMs = (System.nanoTime() - t0) / 1000000L
+      val md = CommitMetadata(opType, stats, replaced, schemaJson,
+        extraMetadata + (GraftTable.DurationMsKey -> durMs.toString))
       timeline.saveAsComplete(inst, Json.write(md))
       published = true
       postCommit()
@@ -1118,6 +1125,7 @@ final class GraftTable(
     }
     var written: Seq[WriteStat] = Seq.empty
     var published = false
+    val t0 = System.nanoTime()
     try {
       val (stats, replaced, schemaJson) = body(ts)
       written = stats
@@ -1149,8 +1157,10 @@ final class GraftTable(
             s"commit $ts conflicts with ${c.ts}: overlapping file groups " +
               s"written after read point $readPoint")
         }
+        val durMs = (System.nanoTime() - t0) / 1000000L
         timeline.saveAsComplete(inst,
-          Json.write(CommitMetadata(opType, stats, replaced, schemaJson, extraMetadata)))
+          Json.write(CommitMetadata(opType, stats, replaced, schemaJson,
+            extraMetadata + (GraftTable.DurationMsKey -> durMs.toString))))
         published = true
         postCommit()
       }
@@ -1242,6 +1252,9 @@ object GraftTable {
     * operation and row counts added because every consumer immediately
     * wants them).
     */
+  /** extraMetadata key holding the commit's wall-clock duration. */
+  val DurationMsKey = "graft.commit.durationMs"
+
   final case class CommitCallbackMessage(
       commitTime: String,
       tableName: String,

@@ -23,9 +23,10 @@ object TableAdmin {
         md.writeStats.map(_.numWrites).sum,
         md.writeStats.map(_.numDeletes).sum,
         md.writeStats.map(_.fileSizeInBytes).sum,
-        md.replacedFileIds.values.map(_.size).sum.toLong)
+        md.replacedFileIds.values.map(_.size).sum.toLong,
+        md.extraMetadata.get(GraftTable.DurationMsKey).map(_.toLong).getOrElse(-1L))
     }.toDF("instant", "action", "operation", "num_files", "total_records",
-      "total_deletes", "total_bytes", "replaced_groups")
+      "total_deletes", "total_bytes", "replaced_groups", "duration_ms")
   }
 
   /** Per-file write stats of ONE commit: `commit showfiles` analog

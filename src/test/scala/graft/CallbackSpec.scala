@@ -36,6 +36,20 @@ class CallbackSpec extends AnyFunSuite {
     src.unpersist()
   }
 
+  test("commit duration metric rides in commit metadata on both commit paths") {
+    val dir = tmpDir("cb_dur")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "cb_dur", TableType.CopyOnWrite, Seq("o_orderkey"), "", "o_orderdate"))
+    val src = spark.read.parquet(s"$sf001/orders.parquet").limit(100)
+    t.bulkInsert(src)
+    t.upsertOptimistic(src.limit(10))
+    val durs = graft.table.TableAdmin.commits(t)
+      .select("operation", "duration_ms").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(durs.keySet === Set("bulk_insert", "upsert"))
+    assert(durs.values.forall(_ >= 0L), s"expected recorded durations, got $durs")
+  }
+
   test("a throwing callback propagates but cannot un-publish the durable commit") {
     val t = GraftTable.create(spark, tmpDir("cbthrow").toString, TableConfig(
       "cbt", TableType.CopyOnWrite, Seq("o_orderkey"),
