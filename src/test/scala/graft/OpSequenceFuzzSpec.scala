@@ -1,0 +1,134 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{GraftTable, Services}
+
+/** Model-based fuzz over MIXED write-op sequences — SURVEY §7's "fuzz with
+  * random write sequences" mitigation, extended beyond upserts: random
+  * interleavings of upsert / delete / insert_overwrite / delete_partition
+  * / rollback / restore with inline services, applied in parallel to the
+  * table and to a driver-side reference model, with snapshot equality
+  * asserted after EVERY op. Runs the same sequences against COW and MOR
+  * (with aggressive inline compaction) — the two table types must be
+  * observationally identical.
+  */
+class OpSequenceFuzzSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  // keys partition by id % 3 via an explicit partition column
+  private type Row3 = (Long, Long, String)
+  private def partOf(id: Long): String = (id % 3).toString
+
+  private val rowGen: Gen[Row3] = for {
+    id <- Gen.choose(1L, 30L)
+    ver <- Gen.choose(1L, 9L)
+    v <- Gen.alphaStr.map(_.take(4))
+  } yield (id, ver, v)
+
+  private sealed trait Op
+  private case class Upsert(rows: Seq[Row3]) extends Op
+  private case class Delete(ids: Seq[Long]) extends Op
+  private case class Overwrite(rows: Seq[Row3]) extends Op
+  private case class DropPartition(p: String) extends Op
+  private case object Rollback extends Op
+  private case object Restore extends Op
+
+  // within-batch key-uniqueness: ties on (id) resolve by precombine in the
+  // engine; keep model trivial by pre-combining here (max (ver, v) wins)
+  private def uniq(rows: Seq[Row3]): Seq[Row3] =
+    rows.groupBy(_._1).values.map(_.maxBy(r => (r._2, r._3))).toSeq
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    5 -> Gen.listOfN(10, rowGen).map(rs => Upsert(uniq(rs))),
+    2 -> Gen.listOfN(4, Gen.choose(1L, 30L)).map(ids => Delete(ids.distinct)),
+    2 -> Gen.listOfN(8, rowGen).map(rs => Overwrite(uniq(rs))),
+    1 -> Gen.choose(0L, 2L).map(p => DropPartition(p.toString)),
+    1 -> Gen.const(Rollback),
+    1 -> Gen.const(Restore))
+
+  private def ops(seed: Long, n: Int): Seq[Op] =
+    (0 until n).map(i => opGen.pureApply(Gen.Parameters.default, Seed(seed * 1000 + i)))
+
+  private def df(rows: Seq[Row3]): DataFrame = rows.toDF("id", "ver", "v")
+
+  private def snap(t: GraftTable): Map[Long, (Long, String)] =
+    Readers.snapshot(t).select("id", "ver", "v")
+      .as[Row3].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def run(tableType: String, props: Map[String, String], seed: Long): Unit = {
+    val name = s"fuzz_${tableType.take(3)}_$seed".toLowerCase
+    val t = GraftTable.create(spark, tmpDir(name).toString,
+      TableConfig(name, tableType, Seq("id"), "id % 3", "ver", props))
+
+    var model = Map.empty[Long, (Long, String)]
+    // rollback/restore target the model history: states BY COMMIT TS
+    var history = Vector.empty[(String, Map[Long, (Long, String)])]
+    def record(ts: String): Unit = history :+= (ts -> model)
+
+    val init = uniq(Gen.listOfN(20, rowGen)
+      .pureApply(Gen.Parameters.default, Seed(seed)))
+    record(t.bulkInsert(df(init)))
+    model = init.map(r => r._1 -> ((r._2, r._3))).toMap
+    history = Vector(history.head._1 -> model) // model after init
+
+    ops(seed, 18).zipWithIndex.foreach { case (op, i) =>
+      op match {
+        case Upsert(rows) =>
+          // default payload = overwrite-with-latest ARRIVAL: precombine
+          // orders within a batch only; across commits the new row wins
+          record(t.upsert(df(rows)))
+          rows.foreach { case (id, ver, v) => model = model.updated(id, (ver, v)) }
+          history = history.init :+ (history.last._1 -> model)
+        case Delete(ids) =>
+          record(t.delete(df(ids.map(id => (id, 99L, "")))))
+          model = model.removedAll(ids)
+          history = history.init :+ (history.last._1 -> model)
+        case Overwrite(rows) =>
+          // replaces the CONTENT of every partition the batch touches
+          record(t.insertOverwrite(df(rows)))
+          val touched = rows.map(r => partOf(r._1)).toSet
+          model = model.filterNot { case (id, _) => touched(partOf(id)) } ++
+            rows.map(r => r._1 -> ((r._2, r._3)))
+          history = history.init :+ (history.last._1 -> model)
+        case DropPartition(p) =>
+          record(t.deletePartitions(Seq(p)))
+          model = model.filterNot { case (id, _) => partOf(id) == p }
+          history = history.init :+ (history.last._1 -> model)
+        case Rollback if history.size >= 2 =>
+          Services.rollback(t, history.last._1)
+          history = history.init
+          model = history.last._2
+        case Restore if history.size >= 3 =>
+          val target = history(history.size - 3)
+          Services.restore(t, target._1)
+          history = history.take(history.size - 2)
+          model = history.last._2
+        case _ => () // rollback/restore with too-short history: no-op
+      }
+      assert(snap(t) === model,
+        s"$tableType seed=$seed diverged after op #$i: $op")
+    }
+    // end-state services must not change the observable table
+    Services.clean(t)
+    if (t.cfg.isMor)
+      Services.scheduleCompaction(t).foreach(ts => Services.runCompaction(t, ts))
+    assert(snap(t) === model, s"$tableType seed=$seed diverged after services")
+  }
+
+  test("COW: random mixed op sequences match the model at every step") {
+    Seq(11L, 12L).foreach(run(TableType.CopyOnWrite, Map.empty, _))
+  }
+
+  test("MOR with aggressive inline compaction: same sequences, same states") {
+    Seq(11L, 12L).foreach(run(TableType.MergeOnRead,
+      Map(ConfigKeys.CompactDeltaCommits -> "3"), _))
+  }
+}
