@@ -18,7 +18,8 @@ object Bench {
     "p_sessionize", "p_asof_join", "p_sample_stratified",
     "p_decontaminate", "p_pack_bins",
     "p_quality_repetition", "p_range_join", "p_chunk_docs",
-    "p_dedup_semantic", "p_contamination")
+    "p_dedup_semantic", "p_contamination", "p_c4_clean", "p_pii_scrub",
+    "t_ingest_kafka")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

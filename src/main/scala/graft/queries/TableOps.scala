@@ -612,6 +612,26 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // Admin-shell round trip (reference hudi-cli commands driving real
+    // state changes): a price-doubling upsert is undone through `commit
+    // rollback`, savepoint/cleans run as commands, and the final snapshot
+    // must equal the pre-upsert table — the CLI is the thing under test
+    "t_cli_admin" -> ((s, d) => {
+      val t = fresh(s, d, "t_cli_admin", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val cli = new graft.table.GraftCli(s)
+      cli.run(s"connect --path ${t.basePath}")
+      val commits = cli.run("commits show").frame
+        .orderBy(col("instant")).collect().map(_.getString(0))
+      cli.run(s"savepoint create --commit ${commits.head}")
+      cli.run(s"commit rollback --commit ${commits.last}")
+      cli.run("cleans run")
+      data(Readers.snapshot(cli.table))
+    }),
+
     // Kafka incremental ingest (reference sources/JsonKafkaSource.java:62-77
     // + helpers/KafkaOffsetGen.java:57-147): a deterministic topic bound
     // over the orders table — 4 partitions keyed by o_orderkey % 4, offset
@@ -876,6 +896,7 @@ object TableOps {
          |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
          |FROM orders""".stripMargin,
     "t_ingest_kafka" -> ordersAll,
+    "t_cli_admin" -> ordersAll,
     "t_symlink_manifest" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
