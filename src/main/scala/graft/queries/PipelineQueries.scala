@@ -487,6 +487,16 @@ object PipelineQueries {
         all.filter(col("doc_id") % 97 === 0), n = 8)
     }),
 
+    // CCNet-style LM quality scoring: bigram model trained on the 80%
+    // "trusted" slice, every doc scored by Laplace-smoothed mean token
+    // log-prob — counts, joins and ln all replayed exactly by the oracle
+    "p_lm_perplexity" -> ((s, d) => {
+      val all = docs(s, d)
+      val (bi, uni, v) = LmScore.train(all.filter(col("doc_id") % 5 =!= 0))
+      LmScore.score(all, bi, uni, v)
+        .select(col("doc_id"), round(col("avg_logp"), 4).as("avg_logp"))
+    }),
+
     // PII scrubbing: plant a deterministic email/IP/phone mix per doc
     // (email on even ids, phone on ids % 3 == 0, IP always), redact, and
     // report the pre-scrub match count — one codegen'd map pass
@@ -987,6 +997,30 @@ object PipelineQueries {
          |FROM p GROUP BY bin_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_lm_perplexity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM tok, UNNEST(range(1, CASE WHEN len(t) > 1 THEN len(t) ELSE 1 END)) AS r(i)),
+         |tpairs AS (SELECT * FROM pairs WHERE doc_id % 5 <> 0),
+         |bi AS (SELECT w1, w2, count(*) AS c2 FROM tpairs GROUP BY 1, 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM tpairs GROUP BY 1),
+         |voc AS (
+         |  SELECT count(DISTINCT w) AS v FROM (
+         |    SELECT unnest(t) AS w FROM tok WHERE doc_id % 5 <> 0)),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    avg(ln((coalesce(bi.c2, 0) + 1)::DOUBLE / (coalesce(uni.c1, 0) + voc.v)::DOUBLE)) AS avg_logp
+         |  FROM pairs p
+         |  LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+         |  LEFT JOIN uni ON p.w1 = uni.w1
+         |  CROSS JOIN voc
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id, round(coalesce(sc.avg_logp, ln(1.0 / voc.v)), 4) AS avg_logp
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id CROSS JOIN voc""".stripMargin,
     "p_pii_scrub" ->
       s"""WITH planted AS (
          |  SELECT doc_id, text
