@@ -67,6 +67,7 @@ object ConfigKeys {
   val RecordIndexBuckets = "graft.index.record.buckets"     // 16 (thousands at 100 TB)
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
+  val UrlEncodePartitions = "graft.partitionpath.urlencode" // false
   val CleanPolicy = "graft.clean.policy" // KEEP_LATEST_COMMITS | _FILE_VERSIONS | _BY_HOURS
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024

@@ -27,14 +27,25 @@ object KeyGen {
       concat(lit(f + ":"),
         coalesce(col(f).cast(StringType), lit(NullRecordKeyPlaceholder)))): _*)
 
-  def partitionPathCol(partitionPathExpr: String): Column =
+  def partitionPathCol(partitionPathExpr: String,
+      urlEncode: Boolean = false): Column =
     if (partitionPathExpr == null || partitionPathExpr.isEmpty) lit("")
-    else coalesce(expr(partitionPathExpr).cast(StringType), lit(DefaultPartition))
+    else {
+      val raw = coalesce(expr(partitionPathExpr).cast(StringType), lit(DefaultPartition))
+      // opt-in value encoding (reference PartitionPathEncodeUtils via
+      // hoodie.datasource.write.partitionpath.urlencode): a value
+      // containing '/' would otherwise silently nest an extra directory
+      // level; url_encode flattens it ('%2F') so one value = one level.
+      // Without it, '/' in the EXPRESSION's output is the documented way
+      // to build multi-level partitioning, exactly as in the reference.
+      if (urlEncode) url_encode(raw) else raw
+    }
 
   /** Append `_hoodie_record_key` and `_hoodie_partition_path`. */
   def withKeyColumns(df: DataFrame, cfg: TableConfig): DataFrame =
     df.withColumn(MetaCols.RecordKey, recordKeyCol(cfg.recordKeyFields))
-      .withColumn(MetaCols.PartitionPath, partitionPathCol(cfg.partitionPathExpr))
+      .withColumn(MetaCols.PartitionPath, partitionPathCol(cfg.partitionPathExpr,
+        cfg.prop(graft.core.ConfigKeys.UrlEncodePartitions, "false").toBoolean))
 
   /** TimestampBasedAvroKeyGenerator analog (reference
     * keygen/TimestampBasedAvroKeyGenerator.java:50-112): build the

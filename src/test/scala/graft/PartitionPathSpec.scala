@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** Partition-path value handling: opt-in URL encoding (reference
+  * PartitionPathEncodeUtils / hoodie.datasource.write.partitionpath.
+  * urlencode) vs slash-nesting as multi-level partitioning.
+  */
+class PartitionPathSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def rows = Seq(
+    (1L, "US/CA", 10L), (2L, "US/CA", 20L),
+    (3L, "EU/DE", 30L), (4L, "plain", 40L)).toDF("id", "region", "v")
+
+  test("urlencode flattens slash-bearing values to one partition level") {
+    val t = GraftTable.create(spark, tmpDir("pp_enc").toString + "/t",
+      TableConfig("pp_enc", TableType.CopyOnWrite, Seq("id"), "region", "v",
+        Map(ConfigKeys.UrlEncodePartitions -> "true")))
+    t.bulkInsert(rows)
+    assert(Readers.snapshot(t).count() === 4)
+    val parts = t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
+    assert(parts === Seq("EU%2FDE", "US%2FCA", "plain"))
+    // partition ops address the encoded (single-level) name
+    t.deletePartitions(Seq("US%2FCA"))
+    assert(Readers.snapshot(t).select("id").as[Long].collect().toSet === Set(3L, 4L))
+    // upsert round trip keeps the encoding stable (no double-encode)
+    t.upsert(Seq((3L, "EU/DE", 33L)).toDF("id", "region", "v"))
+    assert(t.view.fileSlices(None).map(_.partitionPath).distinct.count(_.startsWith("EU")) === 1)
+    assert(Readers.snapshot(t).filter(col("id") === 3).select("v")
+      .as[Long].head() === 33L)
+  }
+
+  test("without encoding, slashes build multi-level partitions") {
+    val t = GraftTable.create(spark, tmpDir("pp_nest").toString + "/t",
+      TableConfig("pp_nest", TableType.CopyOnWrite, Seq("id"), "region", "v"))
+    t.bulkInsert(rows)
+    assert(Readers.snapshot(t).count() === 4)
+    val parts = t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
+    assert(parts === Seq("EU/DE", "US/CA", "plain"))
+    t.deletePartitions(Seq("EU/DE"))
+    assert(Readers.snapshot(t).select("id").as[Long].collect().toSet === Set(1L, 2L, 4L))
+  }
+}
