@@ -194,6 +194,10 @@ final class GraftCli(spark: SparkSession) {
     "savepoint create" -> { o =>
       CliText(s"Savepoint created as ${Services.savepoint(table, req(o, "commit"))}")
     },
+    "savepoint delete" -> { o =>
+      Services.deleteSavepoint(table, req(o, "commit"))
+      CliText(s"Savepoint for ${req(o, "commit")} deleted")
+    },
     "savepoint rollback" -> { o =>
       CliText(s"Restored to ${req(o, "savepoint")} as " +
         Services.restore(table, req(o, "savepoint")))

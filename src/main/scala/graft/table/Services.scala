@@ -620,6 +620,21 @@ object Services {
     sts
   }
 
+  /** Delete a savepoint so the cleaner may reclaim the file versions it
+    * protected (reference SavepointsCommand `savepoint delete` →
+    * SavepointHelpers.deleteSavepoint). `ts` may be the savepoint instant
+    * or the savepointed commit it pins.
+    */
+  def deleteSavepoint(t: GraftTable, ts: String): Unit =
+      graft.core.TableLock.withLock(t.basePath) {
+    val sp = t.timeline.completedInstants()
+      .filter(_.action == Action.Savepoint)
+      .find(i => i.ts == ts ||
+        Json.read[SavepointMetadata](t.timeline.readContent(i)).savepointedInstant == ts)
+      .getOrElse(throw new IllegalArgumentException(s"no savepoint for $ts"))
+    t.timeline.deleteInstantFiles(sp.ts, Action.Savepoint)
+  }
+
   /** Restore to an instant: roll back everything after it, newest first
     * (reference BaseRestoreActionExecutor).
     */

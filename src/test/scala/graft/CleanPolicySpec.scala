@@ -53,6 +53,29 @@ class CleanPolicySpec extends AnyFunSuite {
       .agg(sum("price")).first().getDouble(0) === (1 to 50).map(_ * 1.0).sum)
   }
 
+  test("savepoint delete releases its protection to the cleaner") {
+    val t = mkTable("clean_spdel")
+    val c1 = t.bulkInsert(rows(50))
+    val sp = Services.savepoint(t, c1)
+    t.upsert(rows(50).withColumn("price", col("price") * 2))
+    t.upsert(rows(50).withColumn("price", col("price") * 4))
+    // protected: nothing from the savepointed snapshot may go
+    Services.cleanWith(t, KeepLatestFileVersions(1))
+    Services.deleteSavepoint(t, c1) // by savepointed commit ts
+    assert(t.timeline.completedInstants()
+      .count(_.action == graft.core.Action.Savepoint) === 0)
+    // now a clean reclaims the old versions; the latest snapshot is whole
+    Services.cleanWith(t, KeepLatestFileVersions(1))
+    assert(graft.read.Readers.snapshot(t)
+      .agg(sum("price")).first().getDouble(0) === (1 to 50).map(_ * 4.0).sum)
+    // the v1 base files are gone: time travel to c1 can't see its data
+    val v1 = graft.read.Readers.timeTravel(t, c1)
+    assert(scala.util.Try(v1.count()).toOption.forall(_ < 50),
+      "savepoint-protected files should have been reclaimed")
+    // deleting again fails loudly
+    intercept[IllegalArgumentException] { Services.deleteSavepoint(t, sp) }
+  }
+
   test("auto-clean runs post-commit when graft.clean.automatic is set") {
     val dir = tmpDir("clean_auto").toString + "/t"
     val t = GraftTable.create(spark, dir, TableConfig(
