@@ -147,6 +147,13 @@ object Relational {
         .intersect(ord.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
     }),
 
+    // set operation: customers who ordered in 1995 but NOT in 1996
+    "q24_except_years" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .except(ord.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+    }),
+
     // scalar function projection battery
     "q12_scalar_funcs" -> ((s, d) => {
       t(s, d, "part").select(
@@ -367,6 +374,10 @@ object Relational {
     "q11_intersect_years" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q24_except_years" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
     "q12_scalar_funcs" ->
       """SELECT p_partkey,
