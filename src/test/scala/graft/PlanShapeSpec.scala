@@ -27,6 +27,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("cleaning ops are pure map plans: zero Exchange, codegen'd") {
+    for (name <- Seq("p_c4_clean", "p_pii_scrub")) {
+      val df = graft.queries.PipelineQueries.queries(name)(spark, sf001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name shuffles:\n$plan")
+      assert(plan.contains("*("), s"$name lost codegen:\n$plan")
+    }
+  }
+
   test("q3: customer dimension joins broadcast") {
     val plan = executed("q3_shipping_priority")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
