@@ -95,6 +95,13 @@ final class GraftCli(spark: SparkSession) {
     },
     "commits showarchived" -> { _ => CliFrame(TableAdmin.archivedCommits(table)) },
     "commits show" -> { _ => CliFrame(TableAdmin.commits(table)) },
+    "commits sync" -> { o =>
+      // reference CommitsCommand `commits sync`: catch a lagging copy up
+      // from a source table — here one checkpointed incremental pull
+      val src = GraftTable.load(spark, req(o, "path"))
+      CliText(graft.streaming.Streaming.syncOnce(src, table)
+        .map(ts => s"Synced as $ts").getOrElse("Already in sync"))
+    },
     "commits compare" -> { o =>
       CliFrame(TableAdmin.compareCommits(table,
         GraftTable.load(spark, req(o, "path"))))

@@ -122,6 +122,11 @@ class GraftCliSpec extends AnyFunSuite {
 
     // repair deduplicate: clean table reports nothing to do
     assert(cli.run("repair deduplicate").text === "No duplicates found")
+
+    // commits sync: catch the lagging copy up from this table, twice
+    assert(cli2.run(s"commits sync --path $dir").text.startsWith("Synced"))
+    assert(Readers.snapshot(cli2.table).filter(col("id") <= 2).count() === 2)
+    assert(cli2.run(s"commits sync --path $dir").text === "Already in sync")
   }
 
   test("bootstrap run + index showmapping through the shell") {
