@@ -102,7 +102,11 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
           record(t.deletePartitions(Seq(p)))
           model = model.filterNot { case (id, _) => partOf(id) == p }
           history = history.init :+ (history.last._1 -> model)
-        case Rollback if history.size >= 2 =>
+        case Rollback if history.size >= 2 &&
+            t.timeline.completedInstants().lastOption.exists(_.ts == history.last._1) =>
+          // only when the last data commit is still the table's latest
+          // instant — the engine (correctly) refuses to roll back under a
+          // later inline compaction, whose base file subsumed the deltas
           Services.rollback(t, history.last._1)
           history = history.init
           model = history.last._2
@@ -130,5 +134,15 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
   test("MOR with aggressive inline compaction: same sequences, same states") {
     Seq(11L, 12L).foreach(run(TableType.MergeOnRead,
       Map(ConfigKeys.CompactDeltaCommits -> "3"), _))
+  }
+
+  test("COW + BLOOM index: tagging stays correct under the same chaos") {
+    run(TableType.CopyOnWrite, Map(ConfigKeys.IndexType -> "BLOOM"), 13L)
+  }
+
+  test("MOR + RECORD index: index catch-up survives rollback/restore") {
+    run(TableType.MergeOnRead, Map(
+      ConfigKeys.IndexType -> "RECORD",
+      ConfigKeys.CompactDeltaCommits -> "3"), 13L)
   }
 }
