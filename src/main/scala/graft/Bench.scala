@@ -80,7 +80,10 @@ object Bench {
     // Timed pass: median of N iterations per query. A single-iteration
     // bench cannot distinguish JVM/FS noise from regression; a failed
     // query must surface as a failure, never as a (fast) timing.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // 5 iterations: the write-heavy queries showed ~1.8x cross-RUN swings
+    // on identical code at 3 (page cache + JIT state); a median of 5
+    // spends ~30 extra seconds to make cross-round ratios meaningful
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     var failed = List.empty[String]
     val results = headline.flatMap { name =>
       val times =
