@@ -491,6 +491,19 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // Hilbert-curve clustering layout (same rows; tighter per-file ranges
+    // than Morton — see functions/HilbertIndex)
+    "t_cluster_hilbert" -> ((s, d) => {
+      val t = fresh(s, d, "t_cluster_hilbert",
+        cfg(TableType.CopyOnWrite, Map(ConfigKeys.MaxFileSize -> (128L * 1024).toString)))
+      val src = orders(s, d)
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0))
+      Services.cluster(t, zorderColumns = Seq("o_custkey", "o_totalprice"),
+        hilbert = true)
+      data(Readers.snapshot(t))
+    }),
+
     // PARTITION_SORT bulk-insert layout (same rows, cheaper shuffle)
     "t_bulk_insert_psort" -> ((s, d) => {
       val t = fresh(s, d, "t_bulk_psort", cfg(TableType.CopyOnWrite))
@@ -862,6 +875,7 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
     "t_cluster_recent" -> ordersAll,
     "t_cluster_zorder" -> ordersAll,
+    "t_cluster_hilbert" -> ordersAll,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

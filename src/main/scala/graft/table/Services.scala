@@ -209,7 +209,8 @@ object Services {
   def cluster(t: GraftTable, sortColumns: Seq[String] = Seq.empty,
       smallFileLimit: Long = -1L,
       strategy: ClusterPlanStrategy = ClusterPlanStrategy.AllPartitions,
-      zorderColumns: Seq[String] = Seq.empty): Option[String] =
+      zorderColumns: Seq[String] = Seq.empty,
+      hilbert: Boolean = false): Option[String] =
       graft.core.TableLock.withLock(t.basePath) {
     val limit = if (smallFileLimit > 0) smallFileLimit else t.smallFileLimit
     val slices0 = t.view.fileSlices(None)
@@ -250,7 +251,8 @@ object Services {
           // key is a Morton code, giving EVERY z-column tight per-file
           // ranges instead of only the first sort column.
           val withKey =
-            if (zorderColumns.nonEmpty) ZOrder.withZColumn(data, zorderColumns)
+            if (zorderColumns.nonEmpty)
+              ZOrder.withCurveColumn(data, zorderColumns, hilbert)
             else data
           val sortExprs = Seq(col(MetaCols.PartitionPath)) ++
             (if (zorderColumns.nonEmpty) Seq(col(ZOrder.ZCol))

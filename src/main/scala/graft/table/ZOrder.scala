@@ -35,7 +35,16 @@ object ZOrder {
   }
 
   /** Append a `_graft_z` Morton-code column computed from `cols`. */
-  def withZColumn(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def withZColumn(df: DataFrame, cols: Seq[String]): DataFrame =
+    withCurveColumn(df, cols, hilbert = false)
+
+  /** Append the curve key: Morton interleave, or the Hilbert distance of
+    * the same quantile buckets (`functions.HilbertIndex`) — one bucket
+    * step per curve step, so per-file ranges are tighter than Morton's
+    * power-of-two jumps at identical shuffle cost.
+    */
+  def withCurveColumn(df: DataFrame, cols: Seq[String],
+      hilbert: Boolean): DataFrame = {
     require(cols.size >= 2, "z-order needs at least two columns")
     cols.foreach { c =>
       val dt = df.schema(c).dataType
@@ -65,7 +74,12 @@ object ZOrder {
           .otherwise(size(filter(arr, cut => cut <= v)).cast("long"))
     }
     }
-    df.withColumn(ZCol, interleave(buckets))
+    require(buckets.size * Bits <= 63,
+      s"curve key overflows a long: ${buckets.size} cols x $Bits bits")
+    val key =
+      if (hilbert) graft.functions.HilbertIndex.hilbert(array(buckets: _*), Bits)
+      else interleave(buckets)
+    df.withColumn(ZCol, key)
   }
 
   val ZCol = "_graft_z"

@@ -46,6 +46,51 @@ class ZOrderSpec extends AnyFunSuite {
     assert(fPrice < 0.6, s"o_totalprice avg span fraction $fPrice")
   }
 
+  test("hilbert index: exact space-filling walk (adjacency + bijection)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def idx(coords: Seq[Long], bits: Int): Long =
+      graft.functions.HilbertIndex.compute(new GenericArrayData(coords.toArray), bits)
+    for ((dims, bits) <- Seq((2, 4), (3, 3))) {
+      val side = 1 << bits
+      val all = (0 until math.pow(side, dims).toInt).map { v =>
+        val c = (0 until dims).map(d => ((v / math.pow(side, d).toInt) % side).toLong)
+        c -> idx(c, bits)
+      }
+      // bijection onto [0, side^dims)
+      assert(all.map(_._2).sorted === (0L until all.size.toLong))
+      // THE Hilbert property: consecutive indices are grid neighbors
+      val walk = all.sortBy(_._2).map(_._1)
+      walk.sliding(2).foreach { case Seq(a, b) =>
+        val manhattan = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(manhattan === 1L, s"jump between $a and $b (dims=$dims bits=$bits)")
+      }
+    }
+  }
+
+  test("hilbert cluster: same rows, ranges at least as tight as morton") {
+    val dir = tmpDir("hilbert")
+    val t = GraftTable.create(spark, dir.toString,
+      ordersCfg(Map(ConfigKeys.MaxFileSize -> (4L * 1024).toString)))
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0))
+    val commit = Services.cluster(t,
+      zorderColumns = Seq("o_custkey", "o_totalprice"), hilbert = true)
+    assert(commit.nonEmpty)
+    assert(Readers.snapshot(t).count() === src.count())
+    val bases = t.view.fileSlices(None).flatMap(_.baseFile)
+    assert(bases.size > 3)
+    def spanFraction(colName: String): Double = {
+      val los = bases.map(_.colMin(colName).toDouble)
+      val his = bases.map(_.colMax(colName).toDouble)
+      val glo = los.min; val ghi = his.max
+      val spans = bases.indices.map(i => (his(i) - los(i)) / math.max(1e-9, ghi - glo))
+      spans.sum / spans.size
+    }
+    assert(spanFraction("o_custkey") < 0.6)
+    assert(spanFraction("o_totalprice") < 0.6)
+  }
+
   test("z-order rejects unsupported or too-few columns") {
     val dir = tmpDir("zorder_bad")
     val t = GraftTable.create(spark, dir.toString, ordersCfg())
