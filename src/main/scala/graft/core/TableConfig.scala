@@ -61,6 +61,8 @@ object ConfigKeys {
   val ClusterInline = "graft.cluster.inline"                // false
   val ClusterInlineMaxCommits = "graft.cluster.inline.max.commits" // 4
   val ClusterSortColumns = "graft.cluster.sort.columns"     // comma-separated
+  val ClusterZOrderColumns = "graft.cluster.zorder.columns" // comma-separated
+  val ClusterCurve = "graft.cluster.curve"                  // morton | hilbert
   val BaseFormat = "graft.base.format"                      // parquet | orc
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9

@@ -167,7 +167,10 @@ final class GraftCli(spark: SparkSession) {
     },
     "clustering run" -> { o =>
       val sortCols = o.get("sortColumns").map(_.split(",").toSeq).getOrElse(Seq.empty)
-      CliText(Services.cluster(table, sortColumns = sortCols)
+      val curveCols = o.get("zorderColumns").map(_.split(",").toSeq).getOrElse(Seq.empty)
+      CliText(Services.cluster(table, sortColumns = sortCols,
+        zorderColumns = curveCols,
+        hilbert = o.get("curve").contains("hilbert"))
         .map(ts => s"Clustered as $ts").getOrElse("Nothing to cluster"))
     },
     "bootstrap run" -> { o =>

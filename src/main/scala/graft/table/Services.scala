@@ -151,7 +151,17 @@ object Services {
     val sortCols = sortColumns.getOrElse(
       t.cfg.prop(ConfigKeys.ClusterSortColumns, "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    if (dataSince >= everyNCommits) cluster(t, sortColumns = sortCols) else None
+    // table-prop curve layout: graft.cluster.zorder.columns (+ optional
+    // graft.cluster.curve=hilbert) routes auto-clustering through the
+    // space-filling layout instead of a linear sort
+    val curveCols = t.cfg.prop(ConfigKeys.ClusterZOrderColumns, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (dataSince >= everyNCommits) {
+      if (curveCols.nonEmpty)
+        cluster(t, zorderColumns = curveCols,
+          hilbert = t.cfg.prop(ConfigKeys.ClusterCurve, "morton") == "hilbert")
+      else cluster(t, sortColumns = sortCols)
+    } else None
   }
 
   /** Unschedule a pending compaction plan (reference

@@ -42,6 +42,35 @@ class ClusteringServiceSpec extends AnyFunSuite {
     src.unpersist()
   }
 
+  test("inline clustering honors curve-layout table props (hilbert)") {
+    val t = GraftTable.create(spark, tmpDir("incl_h").toString, TableConfig(
+      "incl_h", TableType.CopyOnWrite, Seq("o_orderkey"), "", "o_orderdate",
+      Map(ConfigKeys.ClusterInline -> "true",
+        ConfigKeys.ClusterInlineMaxCommits -> "2",
+        ConfigKeys.ClusterZOrderColumns -> "o_custkey,o_totalprice",
+        ConfigKeys.ClusterCurve -> "hilbert",
+        ConfigKeys.MaxFileSize -> (4L * 1024).toString)))
+    val src = spark.read.parquet(s"$sf001/orders.parquet").cache()
+    src.count()
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0)) // triggers curve cluster
+    val clustered = t.timeline.completedInstants()
+      .filter(_.action == Action.ReplaceCommit)
+      .filter(i => CommitMetadata.fromJson(t.timeline.readContent(i)).operationType == "cluster")
+    assert(clustered.nonEmpty, "inline curve clustering never fired")
+    assert(Readers.snapshot(t).count() === src.count())
+    // curve layout visible: per-file ranges tightened on both columns
+    val bases = t.view.fileSlices(None).flatMap(_.baseFile)
+    assert(bases.size > 3)
+    def frac(c: String): Double = {
+      val lo = bases.map(_.colMin(c).toDouble); val hi = bases.map(_.colMax(c).toDouble)
+      val span = hi.max - lo.min
+      bases.indices.map(i => (hi(i) - lo(i)) / math.max(1e-9, span)).sum / bases.size
+    }
+    assert(frac("o_custkey") < 0.6 && frac("o_totalprice") < 0.6)
+    src.unpersist()
+  }
+
   test("async clustering thread coalesces the ingest destination") {
     val srcCfg = TableConfig("acl_src", TableType.CopyOnWrite, Seq("id"), "", "ver")
     val src = GraftTable.create(spark, tmpDir("acl_src").toString, srcCfg)
