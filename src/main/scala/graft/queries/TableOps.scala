@@ -538,6 +538,23 @@ object TableOps {
         (OrdersCols.map(col) :+ col(MetaCols.RecordKey).as("rkey")): _*)
     }),
 
+    // DECIMAL columns through the full write path: parquet decimal
+    // physical type, footer column stats, schema alignment on upsert —
+    // none of which the double-typed testdata exercises natively
+    "t_decimal_roundtrip" -> ((s, d) => {
+      val c = TableConfig("orders_dec", TableType.CopyOnWrite,
+        Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate")
+      val t = fresh(s, d, "t_decimal_roundtrip", c)
+      val src = orders(s, d).select(
+        col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        (col("o_totalprice") / 100).cast("decimal(9,4)").as("rate"))
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("price", (col("price") + 1).cast("decimal(12,2)")))
+      Readers.snapshot(t).select("o_orderkey", "price", "rate")
+    }),
+
     // admin surface (CLI analog): commit log derived from metadata only
     "t_admin_commits" -> ((s, d) => {
       val t = fresh(s, d, "t_admin", cfg(TableType.CopyOnWrite))
@@ -876,6 +893,13 @@ object TableOps {
     "t_cluster_recent" -> ordersAll,
     "t_cluster_zorder" -> ordersAll,
     "t_cluster_hilbert" -> ordersAll,
+    "t_decimal_roundtrip" ->
+      s"""SELECT o_orderkey,
+         |CASE WHEN o_orderkey % 7 = 0
+         |  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1 AS DECIMAL(12,2))
+         |  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price,
+         |CAST(o_totalprice / 100 AS DECIMAL(9,4)) AS rate
+         |FROM orders""".stripMargin,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
