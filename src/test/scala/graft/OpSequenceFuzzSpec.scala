@@ -64,6 +64,7 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       .as[Row3].collect().map(r => r._1 -> ((r._2, r._3))).toMap
 
   private def run(tableType: String, props: Map[String, String], seed: Long): Unit = {
+    val eventTime = props.get(ConfigKeys.Payload).contains("EVENT_TIME")
     val name = s"fuzz_${tableType.take(3)}_$seed".toLowerCase
     val t = GraftTable.create(spark, tmpDir(name).toString,
       TableConfig(name, tableType, Seq("id"), "id % 3", "ver", props))
@@ -82,10 +83,14 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
     ops(seed, 18).zipWithIndex.foreach { case (op, i) =>
       op match {
         case Upsert(rows) =>
-          // default payload = overwrite-with-latest ARRIVAL: precombine
-          // orders within a batch only; across commits the new row wins
+          // default payload = overwrite-with-latest ARRIVAL (new row wins
+          // across commits); EVENT_TIME payload = the precombine value
+          // outranks arrival, so a LATE row (lower ver) never clobbers
           record(t.upsert(df(rows)))
-          rows.foreach { case (id, ver, v) => model = model.updated(id, (ver, v)) }
+          rows.foreach { case (id, ver, v) =>
+            val wins = !eventTime || model.get(id).forall(old => ver >= old._1)
+            if (wins) model = model.updated(id, (ver, v))
+          }
           history = history.init :+ (history.last._1 -> model)
         case Delete(ids) =>
           record(t.delete(df(ids.map(id => (id, 99L, "")))))
@@ -144,5 +149,13 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
     run(TableType.MergeOnRead, Map(
       ConfigKeys.IndexType -> "RECORD",
       ConfigKeys.CompactDeltaCommits -> "3"), 13L)
+  }
+
+  test("EVENT_TIME payload: late rows never clobber, under the same chaos") {
+    Seq(14L, 15L).foreach(seed => run(TableType.CopyOnWrite,
+      Map(ConfigKeys.Payload -> "EVENT_TIME"), seed))
+    run(TableType.MergeOnRead, Map(
+      ConfigKeys.Payload -> "EVENT_TIME",
+      ConfigKeys.CompactDeltaCommits -> "3"), 14L)
   }
 }
