@@ -154,6 +154,21 @@ object Relational {
         .except(ord.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
     }),
 
+    // generator/LATERAL VIEW: explode document tokens, top-10 words per
+    // source by (count, word) — exercises explode + two-level aggregation
+    "q25_explode_top_words" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n").desc, col("word"))
+      words.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("word"), col("n"), col("rk"))
+    }),
+
     // scalar function projection battery
     "q12_scalar_funcs" -> ((s, d) => {
       t(s, d, "part").select(
@@ -379,6 +394,18 @@ object Relational {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q25_explode_top_words" ->
+      """WITH words AS (
+        |  SELECT source, w AS word, count(*) AS n
+        |  FROM (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY source, w)
+        |SELECT source, word, n, rk FROM (
+        |  SELECT source, word, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS rk
+        |  FROM words)
+        |WHERE rk <= 10""".stripMargin,
     "q12_scalar_funcs" ->
       """SELECT p_partkey,
         |upper(substring(p_name, 1, 8)) AS name_prefix,
