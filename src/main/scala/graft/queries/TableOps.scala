@@ -689,6 +689,8 @@ object TableOps {
           (0 until numParts).map(p => p -> counted.getOrElse(p, 0L)).toMap
         }
         override def groupOffsets(topic: String, groupId: String): Map[Int, Long] = Map.empty
+        override def commitGroupOffsets(topic: String, groupId: String,
+            offsets: Map[Int, Long]): Unit = ()
         override def read(sp: SparkSession, topic: String,
             ranges: Seq[graft.streaming.KafkaOffsetRange]): DataFrame = {
           val pred = ranges.map(r => col("partition") === r.partition &&

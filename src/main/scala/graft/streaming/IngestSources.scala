@@ -27,6 +27,13 @@ trait IngestSource {
     */
   def fetchNext(spark: SparkSession, checkpoint: Option[String])
       : Option[(DataFrame, String)]
+
+  /** Called by [[IngestJob]] AFTER the destination commit publishes, with
+    * the checkpoint that just became durable — the reference's
+    * `Source.onCommit` (JsonKafkaSource.java:79-84 commits consumer-group
+    * offsets here, only once the table owns the data). Default: no-op.
+    */
+  def onCommit(checkpoint: String): Unit = ()
 }
 
 /** File-drop source over a directory tree: selects files whose modification
@@ -177,6 +184,8 @@ object IngestJob {
   def syncOnce(spark: SparkSession, source: IngestSource, dst: GraftTable,
       transform: DataFrame => DataFrame = identity): Option[String] =
     source.fetchNext(spark, lastCheckpoint(dst)).map { case (batch, ckpt) =>
-      dst.upsert(transform(batch), extraMetadata = Map(CheckpointKey -> ckpt))
+      val ts = dst.upsert(transform(batch), extraMetadata = Map(CheckpointKey -> ckpt))
+      source.onCommit(ckpt) // after the commit is durable, never before
+      ts
     }
 }

@@ -101,6 +101,11 @@ trait KafkaClusterClient {
   def endOffsets(topic: String): Map[Int, Long]
   /** Committed group offsets; partitions with no commit are absent. */
   def groupOffsets(topic: String, groupId: String): Map[Int, Long]
+  /** Commit consumer-group offsets (reference KafkaOffsetGen
+    * commitOffsetToKafka — called only after the TABLE commit is durable).
+    */
+  def commitGroupOffsets(topic: String, groupId: String,
+      offsets: Map[Int, Long]): Unit
   def read(spark: SparkSession, topic: String, ranges: Seq[KafkaOffsetRange]): DataFrame
 }
 
@@ -128,8 +133,19 @@ final class KafkaSource(
     client: KafkaClusterClient,
     topic: String,
     autoReset: KafkaSource.AutoReset = KafkaSource.Latest,
-    maxEvents: Long = KafkaSource.DefaultMaxEvents) extends IngestSource {
+    maxEvents: Long = KafkaSource.DefaultMaxEvents,
+    commitOffsetsToGroup: Option[String] = None) extends IngestSource {
   import KafkaSource._
+
+  /** Publish the durable checkpoint back as consumer-group offsets
+    * (reference ENABLE_KAFKA_COMMIT_OFFSET; lag monitors then see the
+    * table's true position). IngestJob calls this post-commit.
+    */
+  override def onCommit(checkpoint: String): Unit =
+    commitOffsetsToGroup.foreach { gid =>
+      val (t, offsets) = KafkaCheckpoints.strToOffsets(checkpoint)
+      client.commitGroupOffsets(t, gid, offsets)
+    }
 
   override def fetchNext(spark: SparkSession, checkpoint: Option[String])
       : Option[(DataFrame, String)] = {

@@ -44,6 +44,10 @@ final class FakeKafkaCluster extends KafkaClusterClient {
   def commitGroupOffset(topic: String, groupId: String, partition: Int, offset: Long): Unit =
     committed += (topic, groupId, partition) -> offset
 
+  override def commitGroupOffsets(topic: String, groupId: String,
+      offsets: Map[Int, Long]): Unit =
+    offsets.foreach { case (p, o) => commitGroupOffset(topic, groupId, p, o) }
+
   override def topicExists(topic: String): Boolean = topics.contains(topic)
   override def partitionsFor(topic: String): Seq[Int] = topics(topic).keys.toSeq.sorted
   override def beginningOffsets(topic: String): Map[Int, Long] =
@@ -178,6 +182,26 @@ class KafkaIngestSpec extends AnyFunSuite {
       new KafkaSource(c, "events", KafkaSource.Earliest, maxEvents = 2)
         .fetchNext(spark, None)
     }
+  }
+
+  test("onCommit publishes group offsets AFTER the table commit; Group reset resumes there") {
+    val c = mkCluster()
+    val src = new KafkaSource(c, "events", KafkaSource.Earliest,
+      commitOffsetsToGroup = Some("g2"))
+    assert(c.groupOffsets("events", "g2").isEmpty) // nothing before a commit
+    val dir = tmpDir("kafka_grp").toString
+    val t = GraftTable.create(spark, dir, TableConfig(
+      "kfkg", TableType.CopyOnWrite, Seq("id"), "", "v"))
+    val parse = (df: DataFrame) => df.select(
+      get_json_object(col("value"), "$.id").cast("long").as("id"),
+      get_json_object(col("value"), "$.v").cast("long").as("v"))
+    IngestJob.syncOnce(spark, src, t, parse)
+    assert(c.groupOffsets("events", "g2") === Map(0 -> 10L, 1 -> 10L, 2 -> 10L))
+    // a FRESH consumer with Group reset picks up exactly where g2 stands
+    c.send("events", 1, "k", """{"id":7777,"v":1}""")
+    val resumed = new KafkaSource(c, "events", KafkaSource.Group("g2"))
+    val Some((b, _)) = resumed.fetchNext(spark, None)
+    assert(b.count() === 1)
   }
 
   test("end-to-end: kafka → IngestJob → graft table, checkpoint in commit") {
