@@ -486,6 +486,29 @@ final class GraftTable(
     }
   }
 
+  /** ALTER TABLE DROP COLUMN analog (beyond the reference's 0.x ALTER
+    * surface; full schema evolution added it publicly later): a schema
+    * commit excluding the column. Data files keep their bytes — reads
+    * project the live schema, so the column vanishes at plan time with
+    * zero rewrite, and schema-as-of time travel before the drop still
+    * shows it. Key, precombine and partition-source columns are load-
+    * bearing and refuse to drop.
+    */
+  def dropColumn(name: String): String = {
+    val current = latestSchema.getOrElse(throw new IllegalStateException(
+      "cannot alter a table with no commits"))
+    require(current.fieldNames.contains(name), s"column not found: $name")
+    require(!MetaCols.All.contains(name), s"cannot drop meta column $name")
+    require(!cfg.recordKeyFields.contains(name), s"cannot drop key column $name")
+    require(cfg.precombineField != name, s"cannot drop precombine column $name")
+    require(!cfg.partitionPathExpr.contains(name),
+      s"cannot drop partition-source column $name")
+    runCommit(commitAction, "alter_drop_column") { _ =>
+      (Seq.empty, Map.empty,
+        StructType(current.fields.filterNot(_.name == name)).json)
+    }
+  }
+
   /** ALTER TABLE RENAME analog (reference AlterHoodieTableRenameCommand):
     * updates the table name recorded in table config — the base path and
     * data are untouched (catalog re-registration is the caller's job, as in

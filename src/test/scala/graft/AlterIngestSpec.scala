@@ -21,6 +21,34 @@ class AlterIngestSpec extends AnyFunSuite {
   private def ordersCfg = TableConfig("orders_ai", TableType.CopyOnWrite,
     Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate")
 
+  test("dropColumn: plan-time removal, writable after, schema-as-of shows it before") {
+    val dir = tmpDir("alter_drop")
+    val t = GraftTable.create(spark, dir.toString, ordersCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    val c1 = t.bulkInsert(src)
+    t.dropColumn("o_orderpriority")
+    val snap = Readers.snapshot(t)
+    assert(!snap.columns.contains("o_orderpriority"))
+    assert(snap.count() === src.count())
+    // still writable; a batch WITHOUT the column keeps it dropped
+    t.upsert(src.drop("o_orderpriority").filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    assert(Readers.snapshot(t).count() === src.count())
+    assert(!Readers.snapshot(t).columns.contains("o_orderpriority"))
+    // a batch that DOES carry it re-adds it by additive evolution (same
+    // contract as other lakehouse engines) — drop is not a tombstone
+    t.upsert(src.filter(col("o_orderkey") % 8 === 0))
+    assert(Readers.snapshot(t).columns.contains("o_orderpriority"))
+    t.dropColumn("o_orderpriority")
+    // time travel BEFORE the drop reads with the then-current schema
+    val before = Readers.timeTravel(t, c1)
+    assert(before.columns.contains("o_orderpriority"))
+    assert(before.filter(col("o_orderpriority").isNotNull).count() > 0)
+    // load-bearing columns refuse
+    intercept[IllegalArgumentException](t.dropColumn("o_orderkey"))
+    intercept[IllegalArgumentException](t.dropColumn("o_orderdate"))
+  }
+
   test("changeColumn widens a type; pre-widening files read widened") {
     val dir = tmpDir("alter_widen")
     val t = GraftTable.create(spark, dir.toString, ordersCfg)
