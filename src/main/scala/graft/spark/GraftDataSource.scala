@@ -74,7 +74,9 @@ class GraftDataSource
     val path = parameters("path")
     val table = GraftTable.load(sqlContext.sparkSession, path)
     val s = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new graft.streaming.GraftStreamSource(sqlContext.sparkSession, table, s)
+    new graft.streaming.GraftStreamSource(sqlContext.sparkSession, table, s,
+      maxCommitsPerTrigger =
+        parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue))
   }
 
   override def createRelation(sqlContext: SQLContext,

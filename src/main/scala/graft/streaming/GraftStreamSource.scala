@@ -25,19 +25,41 @@ final case class GraftOffset(ts: String) extends Offset {
 final class GraftStreamSource(
     spark: SparkSession,
     table: GraftTable,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxCommitsPerTrigger: Int = Int.MaxValue) extends Source {
 
   private def tsOf(o: Offset): String = o match {
     case GraftOffset(ts) => ts
     case other => other.json // SerializedOffset round trip from the offset log
   }
 
-  override def getOffset: Option[Offset] =
-    table.timeline.lastCompleted().map(i => GraftOffset(i.ts))
+  // Rate limiting follows the V1 FileStreamSource pattern: the source
+  // CAPS the offset it reports, advancing at most N data commits past
+  // what it last planned. A huge ingest backlog then replays as bounded
+  // micro-batches instead of one batch spanning months of commits.
+  // `lastPlanned` re-seeds from the recovery getBatch after a restart.
+  private var lastPlanned: Option[String] = None
+
+  override def getOffset: Option[Offset] = {
+    val latest = table.timeline.lastCompleted().map(_.ts)
+    val capped =
+      if (maxCommitsPerTrigger == Int.MaxValue) latest
+      else {
+        val base = lastPlanned.getOrElse("0")
+        val pending = table.timeline.completedDataInstants()
+          .map(_.ts).filter(_ > base)
+        if (pending.isEmpty) latest.filter(_ => lastPlanned.isEmpty)
+        else Some(pending.take(maxCommitsPerTrigger).last)
+      }
+    capped.foreach(ts => lastPlanned = Some(ts))
+    capped.orElse(lastPlanned).map(GraftOffset)
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val begin = start.map(tsOf).getOrElse("0")
-    val batch = Readers.incremental(table, begin, Some(tsOf(end)))
+    val endTs = tsOf(end)
+    if (lastPlanned.forall(_ < endTs)) lastPlanned = Some(endTs)
+    val batch = Readers.incremental(table, begin, Some(endTs))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     org.apache.spark.sql.GraftSqlBridge.asStreamingBatch(batch)
   }

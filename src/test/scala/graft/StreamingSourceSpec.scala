@@ -58,6 +58,46 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("maxCommitsPerTrigger bounds each micro-batch to N commits") {
+    val t = mkSrc("rate_src")
+    // 5 data commits of 10 rows each
+    val c = (0 until 5).map { b =>
+      t.upsert(((b * 10 + 1).toLong to (b * 10 + 10).toLong)
+        .map(i => (i, 1L)).toDF("id", "ver"))
+    }
+    val src = new graft.streaming.GraftStreamSource(spark, t,
+      Readers.snapshot(t).drop(MetaCols.All: _*).schema, maxCommitsPerTrigger = 2)
+    // batch contents between offsets, via the same incremental read the
+    // source wraps (getBatch's frame is streaming-flagged, not countable)
+    def rows(b: String, e: String): Long =
+      Readers.incremental(t, b, Some(e)).count()
+    // trigger 1: offset capped at commit 2, batch = commits 1-2
+    val o1 = src.getOffset.get
+    assert(o1.json === c(1))
+    src.getBatch(None, o1)
+    assert(rows("0", o1.json) === 20)
+    // trigger 2: next 2 commits
+    val o2 = src.getOffset.get
+    assert(o2.json === c(3))
+    src.getBatch(Some(o1), o2)
+    assert(rows(o1.json, o2.json) === 20)
+    // trigger 3: the tail commit; then the source goes quiet
+    val o3 = src.getOffset.get
+    assert(o3.json === c(4))
+    src.getBatch(Some(o2), o3)
+    assert(rows(o2.json, o3.json) === 10)
+    assert(src.getOffset.map(_.json) === Some(c(4))) // no new data: offset stable
+    // restart recovery: a fresh source re-seeded by the recovery getBatch
+    // continues from the checkpointed offset, not from zero
+    val src2 = new graft.streaming.GraftStreamSource(spark, t,
+      Readers.snapshot(t).drop(MetaCols.All: _*).schema, maxCommitsPerTrigger = 2)
+    src2.getBatch(Some(o1), o2) // Spark replays the last committed batch
+    t.upsert(Seq((999L, 1L)).toDF("id", "ver"))
+    val o4 = src2.getOffset.get
+    assert(o4.json > o3.json)
+    assert(Readers.incremental(t, o3.json, Some(o4.json)).count() >= 1)
+  }
+
   test("readStream(graft) -> writeStream(graft): continuous table replication") {
     val src = mkSrc("ss_src")
     val dstDir = tmpDir("ss_dst")
