@@ -215,6 +215,22 @@ final class GraftCli(spark: SparkSession) {
     "show rollbacks" -> { _ => CliFrame(TableAdmin.rollbacks(table)) },
     "show fsview all" -> { _ => CliFrame(TableAdmin.fileGroups(table)) },
     "stats filesizes" -> { _ => CliFrame(TableAdmin.fileSizes(table)) },
+    "stats wa" -> { _ =>
+      // write amplification per commit (reference StatsCommand `stats wa`):
+      // upserted/total written records — 1.0 means every written record
+      // was an actual change; small ratios flag rewrite-heavy layouts
+      import org.apache.spark.sql.functions.{col, round => rnd, sum => fsum}
+      val c = TableAdmin.commits(table)
+      val perCommit = c.select(col("instant"), col("operation"),
+        col("total_records"), col("total_deletes"),
+        rnd(col("total_bytes") / (1024 * 1024), 2).as("written_mb"))
+      CliFrame(perCommit.unionByName(
+        c.agg(fsum(col("total_records")).as("total_records"),
+          fsum(col("total_deletes")).as("total_deletes"),
+          rnd(fsum(col("total_bytes")) / (1024 * 1024), 2).as("written_mb"))
+          .selectExpr("'TOTAL' AS instant", "'' AS operation",
+            "total_records", "total_deletes", "written_mb")))
+    },
     "export instants" -> { _ => CliFrame(TableAdmin.timeline(table)) },
     "pending show" -> { _ => CliFrame(TableAdmin.pending(table)) },
   ).sortBy(-_._1.length)

@@ -56,6 +56,9 @@ class GraftCliSpec extends AnyFunSuite {
 
     assert(cli.run("show fsview all").frame.count() >= 1)
     assert(cli.run("stats filesizes").frame.first().getLong(0) >= 1)
+    val wa = cli.run("stats wa").frame.collect()
+    assert(wa.exists(_.getString(0) == "TOTAL"))
+    assert(wa.length >= 3) // per-commit rows + total
     assert(cli.run("export instants").frame.count() >= 4)
     // restore back to the savepoint via the shell
     assert(cli.run(s"savepoint rollback --savepoint $firstTs").text.contains("Restored"))
