@@ -287,9 +287,87 @@ object Relational {
         col("o_custkey"), col("o_orderkey"),
         datediff(col("o_orderdate"),
           lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+    }),
+
+    // TPC-H Q2's argmin shape: per part, the supplier(s) with the lowest
+    // observed unit price. Spark-first: one window min over the part
+    // partition instead of a correlated MIN subquery re-joining lineitem;
+    // ties keep all achieving suppliers in both engines. No float column
+    // in the output — the comparison is row-exact, the result is keys.
+    "q26_cheapest_supplier" -> ((s, d) => {
+      val u = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("up"))
+      val w = Window.partitionBy(col("l_partkey"))
+      u.withColumn("mn", min(col("up")).over(w))
+        .filter(col("up") === col("mn"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("partkey"), col("s_name"))
+        .distinct()
+    }),
+
+    // TPC-H Q22 shape: above-average-balance customers with NO orders in
+    // the window (anti join). The above-average predicate multiplies
+    // through by the count (decimal-exact on both engines) instead of
+    // comparing against a float average.
+    "q27_lapsed_customers" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val agg = cust.agg(
+        sum(col("c_acctbal").cast("decimal(18,4)")).as("tot"),
+        count(lit(1)).as("cnt"))
+      val rich = cust.join(broadcast(agg))
+        .filter(col("c_acctbal").cast("decimal(18,4)") * col("cnt") > col("tot"))
+      val active = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01")).select("o_custkey")
+      rich.join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("totacctbal"))
+    }),
+
+    // TPC-H Q20's nested-aggregate shape: suppliers shipping an outsized
+    // share (>15%) of a part's total quantity. Two aggregation levels
+    // collapse to one groupBy + one window sum (fraction-of-total without
+    // a self join); decimal sums and the cross-multiplied threshold keep
+    // the comparison exact in both engines.
+    "q28_dominant_suppliers" -> ((s, d) => {
+      val ps = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sqty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      ps.withColumn("tqty", sum(col("sqty")).over(w))
+        .filter(col("sqty") * 20 > col("tqty") * 3)
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("partkey"), col("s_name"),
+          col("sqty").cast("double").as("supp_qty"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q26_cheapest_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+        |  l_extendedprice / l_quantity AS up FROM lineitem),
+        |m AS (SELECT l_partkey, min(up) AS mn FROM u GROUP BY 1)
+        |SELECT DISTINCT u.l_partkey AS partkey, s.s_name
+        |FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.up = m.mn
+        |JOIN supplier s ON u.l_suppkey = s.s_suppkey""".stripMargin,
+    "q27_lapsed_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT count(*) FROM customer)
+        |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= DATE '1998-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q28_dominant_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_partkey AS partkey, s_name, CAST(sqty AS DOUBLE) AS supp_qty
+        |FROM (SELECT l_partkey, l_suppkey, sqty,
+        |        sum(sqty) OVER (PARTITION BY l_partkey) AS tqty FROM ps) w
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE sqty * 20 > tqty * 3""".stripMargin,
     "q23_percentiles" ->
       """SELECT o_orderpriority,
         |quantile_disc(o_totalprice, 0.5) AS p50,

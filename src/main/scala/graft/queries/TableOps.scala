@@ -566,6 +566,31 @@ object TableOps {
         .orderBy("operation")
     }),
 
+    // Metrics registry (reference HoodieMetrics.updateCommitMetrics
+    // gauges + reporters): the fold over commit metadata must reproduce
+    // the data-determined figures exactly. Byte/file-count gauges are
+    // layout-dependent and asserted in MetricsSpec instead.
+    "t_write_metrics" -> ((s, d) => {
+      val src = orders(s, d)
+      val tc = fresh(s, d, "t_metrics_cow", cfg(TableType.CopyOnWrite))
+      tc.bulkInsert(src)
+      val tm = fresh(s, d, "t_metrics_mor", cfg(TableType.MergeOnRead,
+        Map("graft.compact.inline" -> "false")))
+      tm.bulkInsert(src)
+      tm.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val keep = Seq(
+        "commit.totalRecordsWritten", "commit.totalPartitionsWritten",
+        "commit.totalDeletes", "commit.count", "commit.totalRecordsCum",
+        "deltacommit.totalRecordsWritten", "deltacommit.count",
+        "deltacommit.totalRecordsCum")
+      def view(t: GraftTable, label: String) = TableAdmin.metrics(t)
+        .withColumn("name", regexp_replace(col("name"), "^orders_q\\.", ""))
+        .filter(col("name").isInCollection(keep))
+        .select(lit(label).as("tbl"), col("name"), col("value"))
+      view(tc, "cow").unionByName(view(tm, "mor"))
+    }),
+
     // ALTER TABLE CHANGE COLUMN: files written before the widening keep the
     // narrow physical type and are widened at scan; post-widening writes
     // carry full precision
@@ -954,5 +979,17 @@ object TableOps {
         |o_totalprice AS info_fare_amount FROM orders""".stripMargin,
     "t_admin_commits" ->
       """SELECT * FROM (VALUES ('bulk_insert','commit'),('delete','commit'),('upsert','commit'))
-        |t(operation, action)""".stripMargin)
+        |t(operation, action)""".stripMargin,
+    "t_write_metrics" ->
+      """SELECT 'cow' AS tbl, 'commit.count' AS name, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'cow', 'commit.totalDeletes', 0
+        |UNION ALL SELECT 'cow', 'commit.totalPartitionsWritten',
+        |  (SELECT count(DISTINCT year(o_orderdate)) FROM orders)
+        |UNION ALL SELECT 'cow', 'commit.totalRecordsWritten', (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 'cow', 'commit.totalRecordsCum', (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 'mor', 'deltacommit.count', 2
+        |UNION ALL SELECT 'mor', 'deltacommit.totalRecordsWritten',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
+        |UNION ALL SELECT 'mor', 'deltacommit.totalRecordsCum',
+        |  (SELECT count(*) FROM orders) + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)""".stripMargin)
 }

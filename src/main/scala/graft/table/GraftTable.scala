@@ -1252,6 +1252,10 @@ final class GraftTable(
       val keepFrom = completed(completed.size - minCommits).ts
       timeline.archiveBefore(keepFrom)
     }
+    // metrics publish LAST: the registry folds this commit plus anything
+    // the inline services above committed, in one incremental refresh
+    // (reference HoodieMetrics.updateCommitMetrics at end of commit)
+    Metrics.refreshIfOn(this)
   }
 }
 
@@ -1336,7 +1340,11 @@ object GraftTable {
     require(!TableConfig.exists(base), s"table already exists at $path")
     Files.createDirectories(base)
     TableConfig.save(base, cfg)
-    new GraftTable(spark, base, cfg)
+    val t = new GraftTable(spark, base, cfg)
+    // a NEW table at a reused path must not inherit the old table's
+    // cached metrics fold (registry is JVM-wide, keyed by path)
+    Metrics.reset(t)
+    t
   }
 
   def load(spark: SparkSession, path0: String): GraftTable = {

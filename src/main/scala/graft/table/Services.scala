@@ -110,6 +110,7 @@ object Services {
       val md = CommitMetadata("compact", stats, Map.empty,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))
+      Metrics.refreshIfOn(t)
       ts
     } catch {
       case e: Throwable =>
@@ -306,6 +307,7 @@ object Services {
       val md = CommitMetadata("cluster", stats, replaced,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))
+      Metrics.refreshIfOn(t)
       Some(ts)
     } catch {
       case e: Throwable =>
@@ -427,6 +429,7 @@ object Services {
     distributedDelete(t, targets)
     val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
     t.timeline.saveAsComplete(inst, Json.write(md))
+    Metrics.refreshIfOn(t)
     Some(ts)
   }
 
@@ -486,6 +489,7 @@ object Services {
     val inst = t.timeline.createRequested(rts, Action.Rollback)
     t.timeline.transitionToInflight(inst)
     t.timeline.saveAsComplete(inst, Json.write(RollbackMetadata(Seq(ts), deleted.toSeq)))
+    Metrics.refreshIfOn(t)
     rts
   }
 
@@ -591,6 +595,7 @@ object Services {
         val inst = t.timeline.createRequested(rts, Action.Rollback)
         t.timeline.transitionToInflight(inst)
         t.timeline.saveAsComplete(inst, Json.write(RollbackMetadata(Seq(ts), deleted)))
+        Metrics.refreshIfOn(t)
         rts
       }
     }
@@ -658,6 +663,7 @@ object Services {
     t.timeline.transitionToInflight(inst)
     t.timeline.saveAsComplete(inst,
       Json.write(RollbackMetadata(toUndo.map(_.ts), Seq.empty)))
+    Metrics.refreshIfOn(t)
     rts
   }
 }

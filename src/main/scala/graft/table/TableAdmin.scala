@@ -151,6 +151,16 @@ object TableAdmin {
     }.toDF("instant", "savepointed_instant")
   }
 
+  /** Metrics snapshot as a DataFrame (reference `metrics` via JMX/console
+    * reporters; here also queryable). Values come from [[Metrics.refresh]],
+    * i.e. a durable fold of commit metadata — identical after a driver
+    * restart.
+    */
+  def metrics(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    Metrics.refresh(t).snapshot.toDF("name", "value")
+  }
+
   /** Pending (requested/inflight) instants — stuck-write triage. */
   def pending(t: GraftTable): DataFrame = {
     import t.spark.implicits._
