@@ -99,6 +99,23 @@ object TableOps {
       data(Readers.incremental(t, c1))
     }),
 
+    // CDC read: full before/after change images (insert / update_before /
+    // update_after / delete) over a commit window, derived by diffing the
+    // window's touched file groups (beyond the 0.x reference, whose
+    // incremental query drops deletes and before images)
+    "t_incremental_cdc" -> ((s, d) => {
+      val t = fresh(s, d, "t_cdc_read", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      val base = src.filter(col("o_orderkey") % 3 =!= 2)
+      val c1 = t.bulkInsert(base)
+      t.upsert(base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(base.filter(col("o_orderkey") % 50 === 0))
+      t.insert(src.filter(col("o_orderkey") % 3 === 2))
+      Readers.incrementalChanges(t, c1)
+        .select((OrdersCols.map(col) :+ col(Readers.ChangeTypeCol)): _*)
+    }),
+
     "t_insert_overwrite" -> ((s, d) => {
       val t = fresh(s, d, "t_insert_overwrite", cfg(TableType.CopyOnWrite))
       val src = orders(s, d)
@@ -822,6 +839,23 @@ object TableOps {
     "t_incremental" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "t_incremental_cdc" ->
+      s"""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 2)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderdate, o_orderpriority, 'insert' AS _change_type
+         |FROM orders WHERE o_orderkey % 3 = 2
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderdate, o_orderpriority, 'delete'
+         |FROM base WHERE o_orderkey % 50 = 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderdate, o_orderpriority, 'update_before'
+         |FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 50 <> 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         |  o_orderdate, o_orderpriority, 'update_after'
+         |FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 50 <> 0""".stripMargin,
     "t_insert_overwrite" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN year(o_orderdate) = 1995 THEN 1.0 ELSE o_totalprice END AS o_totalprice,

@@ -36,6 +36,14 @@ object Readers {
       case Some(ps) => val s = ps.toSet; slices0.filter(x => s.contains(x.partitionPath))
       case None => slices0
     }
+    readSliceSet(t, slices, asOf)
+  }
+
+  /** Snapshot semantics over an explicit slice set (the shared core of
+    * [[snapshot]] and the per-group reads of [[incrementalChanges]]).
+    */
+  private def readSliceSet(t: GraftTable, slices: Seq[FileSlice],
+      asOf: Option[String]): DataFrame = {
     val (withDeltas, plainSlices) = slices.partition(_.deltaFiles.nonEmpty)
     val plain = readBases(t, plainSlices.flatMap(_.baseFile), asOf)
     if (withDeltas.isEmpty) plain
@@ -161,5 +169,101 @@ object Readers {
     // surface as null — the range's files are the only inputs, like the
     // reference's incremental file-list scan)
     graft.table.Payload.mergeVersions(t.cfg, inRange, del)
+  }
+
+  /** Column carrying the change classification in [[incrementalChanges]]. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Change-data-capture read: full before/after change images for
+    * `(beginTs, endTs]` — `insert` / `update_before` / `update_after` /
+    * `delete` rows, one per change, Debezium/Delta-CDF shaped. Beyond the
+    * 0.x reference (whose incremental query returns only latest states and
+    * DROPS deletes, IncrementalRelation.scala:60-178): downstream training
+    * pipelines need the delete/before images to retract derived state.
+    *
+    * Derivation, not change logs: the table already versions every file
+    * group, so changes come from diffing the two snapshots restricted to
+    * the window's TOUCHED file groups (from commit metadata — no listing,
+    * no untouched-group IO). Work scales with changed groups, not table
+    * size: one full-outer join on (partition, key) over those groups.
+    * Carried-over rows keep their original `_hoodie_commit_time` stamps
+    * (the write path guarantees it), so "changed" = after-image stamped
+    * inside the window — value-blind, column-compare-free. Compaction and
+    * clustering within the window are physical rewrites, not logical
+    * changes: excluded from the touched set, and their carried stamps keep
+    * their rows out of the diff; clustering's group remaps are followed so
+    * a relocated record is not misread as a delete.
+    *
+    * Needs the begin-side file versions to still exist (same cleaner
+    * retention contract as [[incremental]] + [[timeTravel]]).
+    */
+  def incrementalChanges(
+      t: GraftTable,
+      beginTs: String,
+      endTs: Option[String] = None): DataFrame = {
+    val end = endTs.getOrElse("99999999999999999")
+    val window = (t.timeline.archivedInstants().map { case (i, c) => i -> c } ++
+        t.timeline.completedInstants().map(i => i -> t.timeline.readContent(i)))
+      .filter { case (i, _) => Action.DataActions.contains(i.action) }
+      .filter { case (i, _) => i.ts > beginTs && i.ts <= end }
+      .sortBy(_._1.ts)
+      .map { case (i, c) => i -> CommitMetadata.fromJson(c) }
+    if (window.isEmpty)
+      return snapshot(t).drop(MetaCols.All: _*).limit(0)
+        .withColumn(ChangeTypeCol, lit(null).cast("string"))
+    val (physical, logical) = window.partition { case (i, m) =>
+      i.action == Action.Compaction || m.operationType == "cluster"
+    }
+    // groups logically changed in the window (written or replaced)
+    val touched: Set[(String, String)] = logical.flatMap { case (_, m) =>
+      m.writeStats.map(ws => (ws.partitionPath, ws.fileId)) ++
+        m.replacedFileIds.toSeq.flatMap { case (p, fids) => fids.map(p -> _) }
+    }.toSet
+    // follow clustering remaps IN ORDER: a touched group replaced by a
+    // cluster commit lives on under the cluster's new group ids
+    val afterTouched = physical.foldLeft(touched) { case (acc, (_, m)) =>
+      val replacedTouched = m.replacedFileIds.toSeq
+        .flatMap { case (p, fids) => fids.map(p -> _) }.filter(acc.contains)
+      if (replacedTouched.isEmpty) acc
+      else {
+        val parts = replacedTouched.map(_._1).toSet
+        acc ++ m.writeStats.filter(ws => parts.contains(ws.partitionPath))
+          .map(ws => (ws.partitionPath, ws.fileId))
+      }
+    }
+    val beforeSlices = t.view.fileSlices(Some(beginTs))
+      .filter(s => touched.contains((s.partitionPath, s.fileId)))
+    val missing = beforeSlices.flatMap(_.allFiles)
+      .filterNot(e => java.nio.file.Paths.get(e.relPath).isAbsolute)
+      .filterNot(e => java.nio.file.Files.exists(t.basePath.resolve(e.relPath)))
+    require(missing.isEmpty,
+      s"change range ($beginTs, $end] needs cleaned begin-side files: " +
+        missing.take(3).map(_.relPath).mkString(", "))
+    val afterSlices = t.view.fileSlices(endTs)
+      .filter(s => afterTouched.contains((s.partitionPath, s.fileId)))
+    val after = readSliceSet(t, afterSlices, endTs)
+    val dataCols = after.columns
+      .filterNot((MetaCols.All :+ MetaCols.DeleteFlag).contains).toSeq
+    // align the begin-side image to the current columns (schema evolution
+    // between the two snapshots surfaces nulls, like any old-file read)
+    val before0 = readSliceSet(t, beforeSlices, Some(beginTs))
+    val before = dataCols.foldLeft(before0)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(after.schema(c).dataType)))
+    def img(df: DataFrame, prefix: String) = df.select(
+      col(MetaCols.PartitionPath).as("_c_part"),
+      col(MetaCols.RecordKey).as("_c_key"),
+      col(MetaCols.CommitTime).as(s"${prefix}_ct"),
+      struct(dataCols.map(c => col(s"`$c`")): _*).as(s"${prefix}_row"))
+    val j = img(before, "_b").join(img(after, "_a"), Seq("_c_part", "_c_key"), "full_outer")
+    val changed = col("_a_ct") > beginTs && col("_a_ct") <= end
+    def emit(side: String, pred: org.apache.spark.sql.Column, kind: String) =
+      j.filter(pred).select(
+        dataCols.map(c => col(s"${side}.`$c`").as(c)) :+
+          lit(kind).as(ChangeTypeCol): _*)
+    emit("_a_row", col("_b_row").isNull && changed, "insert")
+      .unionByName(emit("_b_row", col("_a_row").isNull, "delete"))
+      .unionByName(emit("_b_row", col("_b_row").isNotNull && changed, "update_before"))
+      .unionByName(emit("_a_row", col("_b_row").isNotNull && changed, "update_after"))
   }
 }
