@@ -121,11 +121,19 @@ object Readers {
     * in `(beginTs, endTs]` (reference IncrementalRelation.scala:60-178 —
     * file lists come from commit metadata, then rows are filtered by
     * `_hoodie_commit_time` range; deleted records are dropped).
+    *
+    * `partitionGlob` prunes the pull to matching partition paths BEFORE
+    * any file IO (reference `hoodie.datasource.read.incr.path.glob`,
+    * DataSourceOptions.scala + IncrementalRelation's glob filter): `*`
+    * matches within a path segment, `**` across segments, `?` one char.
+    * A consumer of one partition subtree pays only for that subtree's
+    * changed files.
     */
   def incremental(
       t: GraftTable,
       beginTs: String,
-      endTs: Option[String] = None): DataFrame = {
+      endTs: Option[String] = None,
+      partitionGlob: Option[String] = None): DataFrame = {
     val end = endTs.getOrElse("99999999999999999")
     val active = t.timeline.completedInstants()
       .filter(i => Action.DataActions.contains(i.action))
@@ -148,9 +156,23 @@ object Readers {
       .filter { case (i, m) =>
         i.action != Action.Compaction && m.operationType != "cluster"
       }
+    // glob prune happens on COMMIT METADATA, before any file existence
+    // check or IO — the pruned-away partitions' files may even be cleaned
+    val keepPartition: String => Boolean = partitionGlob match {
+      case None => _ => true
+      case Some(g) =>
+        // glob → regex: ** crosses segments, * stays within one, ? is one
+        // char; everything else is literal
+        val rx = ("(?s)" + java.util.regex.Pattern.quote(g)
+          .replace("**", "\\E.*\\Q")
+          .replace("*", "\\E[^/]*\\Q")
+          .replace("?", "\\E.\\Q")).r
+        p => rx.matches(p)
+    }
     val entries = metas.flatMap { case (i, m) =>
-      m.writeStats.map(ws => FileEntry(ws.partitionPath, ws.fileId, i.ts, ws.path,
-        ws.fileSizeInBytes, ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites))
+      m.writeStats.filter(ws => keepPartition(ws.partitionPath))
+        .map(ws => FileEntry(ws.partitionPath, ws.fileId, i.ts, ws.path,
+          ws.fileSizeInBytes, ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites))
     }
     val missing = entries.filterNot(e =>
       java.nio.file.Files.exists(t.basePath.resolve(e.relPath)))

@@ -110,6 +110,16 @@ class CowTableSpec extends AnyFunSuite {
     // incremental from 0: full latest state of changed records
     val all = Readers.incremental(t, "0")
     assert(all.count() === src.count())
+    // partition glob (incr.path.glob analog) prunes the pull to matching
+    // partitions from commit metadata, before any file IO
+    val year = src.select(date_format(col("o_orderdate"), "yyyy").as("y"))
+      .distinct().orderBy("y").head().getString(0)
+    val globbed = Readers.incremental(t, "0", partitionGlob = Some(year))
+    assert(globbed.count() ===
+      src.filter(date_format(col("o_orderdate"), "yyyy") === year).count())
+    assert(Readers.incremental(t, "0", partitionGlob = Some("19?*")).count()
+      === src.filter(date_format(col("o_orderdate"), "yyyy") < "2000").count())
+    assert(Readers.incremental(t, "0", partitionGlob = Some("nope")).count() === 0)
   }
 
   test("insert packs small files instead of spawning new groups") {
