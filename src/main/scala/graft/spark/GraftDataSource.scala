@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.core.{TableConfig, TableType}
 import graft.read.Readers
@@ -65,7 +65,15 @@ class GraftDataSource
     val s = schema.orElse(table.latestSchema).getOrElse(
       throw new IllegalArgumentException(
         s"table at $path has no commits yet — cannot infer stream schema"))
-    (shortName(), s)
+    // change-feed rows are meta-free data columns + the change kind
+    val out =
+      if (parameters.getOrElse("readChangeFeed", "false") == "true")
+        StructType(s.fields.filterNot(f =>
+            graft.core.MetaCols.All.contains(f.name)) :+
+          StructField(Readers.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType, nullable = true))
+      else s
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -76,7 +84,8 @@ class GraftDataSource
     val s = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new graft.streaming.GraftStreamSource(sqlContext.sparkSession, table, s,
       maxCommitsPerTrigger =
-        parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue))
+        parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue),
+      changeFeed = parameters.getOrElse("readChangeFeed", "false") == "true")
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -96,6 +105,11 @@ class GraftDataSource
         Readers.readOptimized(table, asOf = parameters.get("asOfInstant"))
       case "incremental" =>
         Readers.incremental(table,
+          parameters.getOrElse("beginInstant", "0"),
+          parameters.get("endInstant"),
+          partitionGlob = parameters.get("incrPathGlob"))
+      case "incremental_cdc" =>
+        Readers.incrementalChanges(table,
           parameters.getOrElse("beginInstant", "0"),
           parameters.get("endInstant"))
       case other => throw new IllegalArgumentException(s"unknown queryType '$other'")

@@ -26,7 +26,8 @@ final class GraftStreamSource(
     spark: SparkSession,
     table: GraftTable,
     override val schema: StructType,
-    maxCommitsPerTrigger: Int = Int.MaxValue) extends Source {
+    maxCommitsPerTrigger: Int = Int.MaxValue,
+    changeFeed: Boolean = false) extends Source {
 
   private def tsOf(o: Offset): String = o match {
     case GraftOffset(ts) => ts
@@ -59,7 +60,12 @@ final class GraftStreamSource(
     val begin = start.map(tsOf).getOrElse("0")
     val endTs = tsOf(end)
     if (lastPlanned.forall(_ < endTs)) lastPlanned = Some(endTs)
-    val batch = Readers.incremental(table, begin, Some(endTs))
+    // change-feed mode streams full before/after change images instead of
+    // latest states (the rate-limited offsets and checkpoint recovery are
+    // identical — only the per-window read differs)
+    val batch =
+      (if (changeFeed) Readers.incrementalChanges(table, begin, Some(endTs))
+       else Readers.incremental(table, begin, Some(endTs)))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     org.apache.spark.sql.GraftSqlBridge.asStreamingBatch(batch)
   }

@@ -70,6 +70,22 @@ class DataSourceSpec extends AnyFunSuite {
     val tt = spark.read.format("graft")
       .option("queryType", "snapshot").option("asOfInstant", c1).load(dir)
     assert(tt.filter($"id" === 2L).select("v").first().getString(0) === "b")
+
+    // CDC query type: change images instead of latest states
+    val cdc = spark.read.format("graft")
+      .option("queryType", "incremental_cdc").option("beginInstant", c1).load(dir)
+      .select("id", "v", graft.read.Readers.ChangeTypeCol)
+      .as[(Long, String, String)].collect().toSet
+    assert(cdc === Set((2L, "b", "update_before"), (2L, "b2", "update_after")))
+
+    // incremental glob prune (table is unpartitioned → "" partition path:
+    // "*" matches it, a non-empty literal does not)
+    assert(spark.read.format("graft")
+      .option("queryType", "incremental").option("beginInstant", c1)
+      .option("incrPathGlob", "*").load(dir).count() === 1)
+    assert(spark.read.format("graft")
+      .option("queryType", "incremental").option("beginInstant", c1)
+      .option("incrPathGlob", "2024/*").load(dir).count() === 0)
   }
 
   test("writeStream.format(graft) upserts micro-batches") {

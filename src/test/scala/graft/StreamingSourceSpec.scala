@@ -124,6 +124,35 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed streams before/after change images per micro-batch") {
+    val src = mkSrc("ss_cdc")
+    src.bulkInsert((1L to 10L).map(i => (i, 1L)).toDF("id", "ver"))
+    val outDir = tmpDir("ss_cdc_out").toString
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(src.basePath.toString)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", tmpDir("ss_cdc_ckpt").toString)
+      .start(outDir)
+    try {
+      q.processAllAvailable()
+      // first batch: everything is an insert
+      val b1 = spark.read.parquet(outDir)
+      assert(b1.columns.toSet === Set("id", "ver", Readers.ChangeTypeCol))
+      assert(b1.filter(col(Readers.ChangeTypeCol) === "insert").count() === 10)
+      // a later commit streams update images + deletes, not latest states
+      src.upsert(Seq((1L, 2L)).toDF("id", "ver"))
+      src.delete(Seq((2L, 1L)).toDF("id", "ver"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .filter(col(Readers.ChangeTypeCol) =!= "insert")
+        .select("id", "ver", Readers.ChangeTypeCol).as[(Long, Long, String)]
+        .collect().toSet
+      assert(rows === Set((1L, 1L, "update_before"), (1L, 2L, "update_after"),
+        (2L, 1L, "delete")))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the graft stream") {
     val src = mkSrc("ss_win")
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
