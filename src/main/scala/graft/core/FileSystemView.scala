@@ -18,7 +18,8 @@ final case class FileEntry(
     maxKey: String = "",
     numRecords: Long = 0L,
     colMin: Map[String, String] = Map.empty,
-    colMax: Map[String, String] = Map.empty)
+    colMax: Map[String, String] = Map.empty,
+    colNulls: Map[String, Long] = Map.empty)
 
 /** Latest view of one file group at some instant: newest base file plus the
   * delta files written after it (reference model/FileSlice.java:32-53).
@@ -136,7 +137,7 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
         entries = entries ++ md.writeStats.map(ws => FileEntry(
           ws.partitionPath, ws.fileId, i.ts, ws.path, ws.fileSizeInBytes,
           ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites,
-          ws.colMin, ws.colMax))
+          ws.colMin, ws.colMax, ws.colNulls))
         md.replacedFileIds.foreach { case (part, fids) =>
           fids.foreach { fid =>
             val k = ViewState.groupKey(part, fid)

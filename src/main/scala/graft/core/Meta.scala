@@ -40,7 +40,10 @@ final case class WriteStat(
     // reference lacks; values stringified, parsed by the filter literal's
     // type at prune time)
     colMin: Map[String, String] = Map.empty,
-    colMax: Map[String, String] = Map.empty)
+    colMax: Map[String, String] = Map.empty,
+    // per-column null counts (footer-exact) — power IS NULL / IS NOT NULL
+    // file skipping; absent for columns whose footers lack the figure
+    colNulls: Map[String, Long] = Map.empty)
 
 /** Commit metadata JSON stored as the content of a completed instant file.
   * Mirrors the reference's HoodieCommitMetadata / HoodieReplaceCommitMetadata:

@@ -78,6 +78,13 @@ final class GraftFileIndex(
     case LessThanOrEqual(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, ">=")
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists { case Literal(v, t) => inRange(f, a.name, t, v, "=") }
+    // null-count pruning: a file with zero nulls in the column can't
+    // satisfy IS NULL; one that is ALL nulls can't satisfy IS NOT NULL
+    // (footer-exact counts recorded at write time; unknown count → keep)
+    case IsNull(a: AttributeReference) =>
+      f.colNulls.get(a.name).forall(_ > 0L)
+    case IsNotNull(a: AttributeReference) =>
+      f.colNulls.get(a.name).forall(n => f.numRecords <= 0L || n < f.numRecords)
     case _ => true
   }
 

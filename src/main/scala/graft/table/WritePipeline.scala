@@ -162,7 +162,7 @@ object WritePipeline {
               WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
                 if (allDeletes) fs.rows else 0L,
                 Files.size(dest), fs.minKey, fs.maxKey, isDelta,
-                colMin = fs.colMin, colMax = fs.colMax)
+                colMin = fs.colMin, colMax = fs.colMax, colNulls = fs.colNulls)
             }
           })
         }
@@ -185,7 +185,8 @@ object WritePipeline {
   }
 
   final case class FooterStats(rows: Long, minKey: String, maxKey: String,
-      colMin: Map[String, String], colMax: Map[String, String])
+      colMin: Map[String, String], colMax: Map[String, String],
+      colNulls: Map[String, Long] = Map.empty)
 
   /** Row count + per-column min/max straight from the parquet footer —
     * per-file exact, zero data IO beyond the footer bytes. Column stats
@@ -201,12 +202,19 @@ object WritePipeline {
       var n = 0L
       val mins = scala.collection.mutable.HashMap[String, Comparable[Any]]()
       val maxs = scala.collection.mutable.HashMap[String, Comparable[Any]]()
+      // per-column null counts — valid even for all-null columns; a block
+      // with numNulls unset poisons the column (conservative: no count →
+      // no null-predicate pruning for it)
+      val nulls = scala.collection.mutable.HashMap[String, Long]()
+      val nullsUnknown = scala.collection.mutable.HashSet[String]()
       reader.getFooter.getBlocks.forEach { b =>
         n += b.getRowCount
         b.getColumns.forEach { c =>
           val name = c.getPath.toDotString
           if (!name.contains('.')) { // top-level primitives only
             val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) nullsUnknown += name
+            else nulls.updateWith(name)(cur => Some(cur.getOrElse(0L) + st.getNumNulls))
             if (st != null && st.hasNonNullValue) {
               (statValue(st.genericGetMin.asInstanceOf[AnyRef]), statValue(st.genericGetMax.asInstanceOf[AnyRef])) match {
                 case (Some(lo), Some(hi)) =>
@@ -227,7 +235,9 @@ object WritePipeline {
       FooterStats(n,
         mins.get(MetaCols.RecordKey).map(_.toString).getOrElse(""),
         maxs.get(MetaCols.RecordKey).map(_.toString).getOrElse(""),
-        keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey)
+        keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey,
+        colNulls = nulls.view.filterKeys(k =>
+          !nullsUnknown.contains(k) && !MetaCols.All.contains(k)).toMap)
     } finally reader.close()
   }
 
@@ -266,10 +276,15 @@ object WritePipeline {
         m.collect { case (k, v) if !MetaCols.All.contains(k) || k == MetaCols.RecordKey =>
           k -> v
         }.toMap
+      // ORC: top-level null count = rows - non-null values per column
+      val nulls = names.zip(kids).map { case (name, typ) =>
+        name -> (reader.getNumberOfRows - stats(typ.getId).getNumberOfValues)
+      }.filterNot { case (k, _) => MetaCols.All.contains(k) }.toMap
       FooterStats(reader.getNumberOfRows,
         mins.getOrElse(MetaCols.RecordKey, ""),
         maxs.getOrElse(MetaCols.RecordKey, ""),
-        keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey)
+        keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey,
+        colNulls = nulls)
     } finally reader.close()
   }
 

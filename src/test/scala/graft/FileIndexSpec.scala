@@ -78,6 +78,29 @@ class FileIndexSpec extends AnyFunSuite {
     assert(all.relation.location.listFiles(Nil, Nil).flatMap(_.files).size === 2)
   }
 
+  test("null-count stats prune files for IS NULL / IS NOT NULL") {
+    val dir = tmpDir("fidx_null")
+    import spark.implicits._
+    // group A: v never null; group B: v always null
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "nk", TableType.CopyOnWrite, Seq("id"), "", "ver",
+      Map(ConfigKeys.SmallFileLimit -> "1")))
+    t.bulkInsert((1L to 50L).map(i => (i, 1L, s"v$i")).toDF("id", "ver", "v"))
+    t.insert((51L to 100L).map(i => (i, 1L, null: String)).toDF("id", "ver", "v"))
+
+    def listedFor(df: org.apache.spark.sql.DataFrame) = {
+      val scan = scanOf(df)
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files).size
+    }
+    val isNull = Readers.snapshot(t).filter($"v".isNull)
+    assert(listedFor(isNull) === 1, "the no-nulls group should be skipped")
+    assert(isNull.count() === 50)
+    val notNull = Readers.snapshot(t).filter($"v".isNotNull).select("id", "v")
+    assert(listedFor(notNull) === 1, "the all-nulls group should be skipped")
+    assert(notNull.count() === 50)
+  }
+
   test("snapshot through the index equals the source rows") {
     val snap = Readers.snapshot(table)
       .select("o_orderkey", "o_totalprice", "o_orderdate")
