@@ -113,6 +113,7 @@ final class GraftCli(spark: SparkSession) {
       CliFrame(TableAdmin.commitPartitions(table, req(o, "commit")))
     },
     "show logfile metadata" -> { _ => CliFrame(TableAdmin.logFiles(table)) },
+    "metrics show" -> { _ => CliFrame(TableAdmin.metrics(table)) },
     "metadata list-partitions" -> { _ =>
       import spark.implicits._
       CliFrame(table.view.fileSlices(None).map(_.partitionPath)

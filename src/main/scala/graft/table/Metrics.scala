@@ -183,10 +183,22 @@ object Metrics {
     * `graft.metrics.on=true`; safe to call any time.
     */
   def refresh(t: GraftTable): MetricsRegistry = {
-    val r = registries.computeIfAbsent(t.basePath.toString, _ => replay(t))
-    val fresh = t.timeline.completedInstants().filter(_.ts > r.lastTs)
-    fresh.sortBy(_.ts).foreach(i => fold(r, i, t.timeline.readContent(i)))
-    fresh.map(_.ts).maxOption.foreach(ts => r.lastTs = ts)
+    val r0 = registries.computeIfAbsent(t.basePath.toString, _ => replay(t))
+    val fresh = t.timeline.completedInstants().filter(_.ts > r0.lastTs)
+    // a rollback/restore REMOVES commit instants, so the incremental fold
+    // would keep figures the surviving timeline no longer supports —
+    // rebuild from scratch instead (rollbacks are rare; live == replay is
+    // the subsystem's invariant)
+    val r =
+      if (fresh.exists(i => i.action == Action.Rollback || i.action == Action.Restore)) {
+        val rebuilt = replay(t)
+        registries.put(t.basePath.toString, rebuilt)
+        rebuilt
+      } else {
+        fresh.sortBy(_.ts).foreach(i => fold(r0, i, t.timeline.readContent(i)))
+        fresh.map(_.ts).maxOption.foreach(ts => r0.lastTs = ts)
+        r0
+      }
     Option(reporters.get(t.basePath.toString)).foreach(_.foreach(_.report(r)))
     r
   }

@@ -56,6 +56,12 @@ class GraftCliSpec extends AnyFunSuite {
 
     assert(cli.run("show fsview all").frame.count() >= 1)
     assert(cli.run("stats filesizes").frame.first().getLong(0) >= 1)
+    // 2 surviving data commits: the rolled-back upsert no longer exists
+    // on the timeline, and the metrics fold reflects the surviving state
+    val m = cli.run("metrics show").frame.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("cli_l.commit.count") === 2L)
+    assert(m("cli_l.rollback.count") === 1L)
     val wa = cli.run("stats wa").frame.collect()
     assert(wa.exists(_.getString(0) == "TOTAL"))
     assert(wa.length >= 3) // per-commit rows + total

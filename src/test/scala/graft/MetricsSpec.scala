@@ -76,6 +76,10 @@ class MetricsSpec extends AnyFunSuite {
     val r = Metrics.registryFor(t)
     assert(r.get("rollback.count").contains(1L))
     assert(r.get("rollback.numFilesDeleted").exists(_ > 0L))
+    // a rollback REMOVES the commit instant — live must match a fresh
+    // replay of the surviving timeline, not keep the undone commit
+    assert(r.get("commit.count").contains(1L))
+    assert(r.snapshot.toMap === Metrics.replay(t).snapshot.toMap)
     s.unpersist()
   }
 
