@@ -169,7 +169,11 @@ class GraftDataSource
         val spark = sqlContext.sparkSession
         val batch = org.apache.spark.sql.GraftSqlBridge.rebatch(data)
         val table = loadOrCreate(spark, path, parameters)
-        Streaming.writeBatch(table, batch, batchId)
+        // operation=cdc_apply consumes a change feed (deletes applied);
+        // default sink behavior is the plain micro-batch upsert
+        if (parameters.getOrElse("operation", "upsert") == "cdc_apply")
+          Streaming.writeChangeBatch(table, batch, batchId)
+        else Streaming.writeBatch(table, batch, batchId)
       }
       override def toString: String = s"GraftSink[$path]"
     }

@@ -55,6 +55,39 @@ object Streaming {
     }
   }
 
+  /** Change-feed twin of [[writeBatch]]: apply a micro-batch of CDC rows
+    * (`_change_type` per [[graft.read.Readers.incrementalChanges]]) as one
+    * cdc_apply commit — inserts/update_after upsert, deletes tombstone,
+    * update_before images drop. `readChangeFeed` source + this sink =
+    * table replication that is DELETE-correct (plain incremental
+    * replication can only ever upsert — removed rows would survive in the
+    * replica forever).
+    */
+  def writeChangeBatch(t: GraftTable, batch: DataFrame, batchId: Long,
+      retries: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    if (lastCommittedBatchId(t).exists(_ >= batchId)) return
+    val ct = graft.read.Readers.ChangeTypeCol
+    require(batch.columns.contains(ct),
+      s"cdc_apply sink needs a change feed (missing $ct — read with readChangeFeed=true)")
+    val ops = batch.filter(col(ct) =!= "update_before")
+      .withColumn("_graft_op",
+        when(col(ct) === "delete", lit("D")).otherwise(lit("U")))
+      .drop(ct)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        t.applyCdc(ops, opCol = "_graft_op",
+          extraMetadata = Map(BatchIdKey -> batchId.toString))
+        done = true
+      } catch {
+        case _: Throwable if attempt < retries => attempt += 1
+        case e: Throwable => throw e
+      }
+    }
+  }
+
   def lastCommittedBatchId(t: GraftTable): Option[Long] =
     t.timeline.completedDataInstants().reverse.iterator
       .map(i => CommitMetadata.fromJson(t.timeline.readContent(i)))

@@ -280,8 +280,9 @@ final class GraftTable(
     * is D/DELETE tombstone the record, everything else upserts. Deletes
     * for keys the table doesn't hold are no-ops.
     */
-  def applyCdc(df: DataFrame, opCol: String = "Op"): String =
-    runCommit(commitAction, "cdc_apply") { instant =>
+  def applyCdc(df: DataFrame, opCol: String = "Op",
+      extraMetadata: Map[String, String] = Map.empty): String =
+    runCommit(commitAction, "cdc_apply", extraMetadata) { instant =>
       val isDel = upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")
       val keyed = maybePrecombine(KeyGen.withKeyColumns(
           alignToTableSchema(df.withColumn(DeleteCol, isDel).drop(opCol)), cfg))

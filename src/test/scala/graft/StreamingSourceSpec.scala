@@ -153,6 +153,36 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("change feed -> cdc_apply sink: replication that honors deletes") {
+    val src = mkSrc("ss_repl")
+    val dstDir = tmpDir("ss_repl_dst")
+    src.bulkInsert((1L to 10L).map(i => (i, 1L)).toDF("id", "ver"))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(src.basePath.toString)
+      .writeStream.format("graft")
+      .option("operation", "cdc_apply")
+      .option("recordKeyFields", "id")
+      .option("precombineField", "ver")
+      .option("checkpointLocation", tmpDir("ss_repl_ckpt").toString)
+      .start(dstDir.toString)
+    try {
+      q.processAllAvailable()
+      val dst = GraftTable.load(spark, dstDir.toString)
+      assert(Readers.snapshot(dst).count() === 10)
+      // plain incremental replication would keep id=3 forever; the change
+      // feed carries the delete and the cdc_apply sink executes it
+      src.upsert(Seq((1L, 2L), (11L, 1L)).toDF("id", "ver"))
+      src.delete(Seq((3L, 1L)).toDF("id", "ver"))
+      q.processAllAvailable()
+      val rows = Readers.snapshot(dst).select("id", "ver")
+        .as[(Long, Long)].collect().toMap
+      assert(rows.size === 10) // 10 + 1 insert - 1 delete
+      assert(!rows.contains(3L))
+      assert(rows(1L) === 2L && rows(11L) === 1L)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the graft stream") {
     val src = mkSrc("ss_win")
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
