@@ -82,6 +82,48 @@ object VectorIndex {
     IvfIndex(aT, cT, Some(aInst), Some(cInst))
   }
 
+  /** Incremental maintenance: assign NEW vectors to the EXISTING
+    * centroids (same l2-argmin + centroid-id tiebreak as the build) and
+    * upsert them into the assignments table — no rebuild, no touching
+    * partitions the batch doesn't hit. This is standard IVF upkeep: at
+    * corpus scale a per-tick rebuild is infeasible, so ticks append
+    * against frozen centroids and a periodic [[buildIvf]] re-centers when
+    * drift accumulates. Re-appearing ids re-assign via the GLOBAL upsert:
+    * if the vector's nearest centroid changed, the old partition's row is
+    * tombstoned and the new partition gets the insert, atomically in one
+    * commit — no duplicate ids across centroid partitions.
+    *
+    * Publishes a new manifest pinning the appended assignments instant
+    * with the UNCHANGED centroid instant; concurrent readers keep their
+    * pinned snapshot.
+    */
+  def appendToIvf(spark: SparkSession, path: String, newVectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val idx = load(spark, path)
+    val cents = Readers.snapshot(idx.centroids, asOf = idx.centInstant)
+      .select(col("centroid_id"), col(vecCol).as("_ct_v"))
+    val assigned = newVectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d", graft.functions.VecMath.l2Native(col(vecCol), col("_ct_v")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_d"), col("centroid_id"))
+    val aDf = assigned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    // GLOBAL upsert: a re-appearing id whose nearest centroid changed must
+    // MOVE partitions (tombstone old, insert new), not duplicate
+    val aInst = idx.assignments.upsertGlobal(aDf)
+    val cInst = idx.centInstant.getOrElse(
+      idx.centroids.timeline.lastCompleted().map(_.ts).getOrElse(""))
+    val mf = manifestPath(path)
+    val tmp = mf.resolveSibling(s".ivf_manifest.${aInst}.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"assignments_instant":"$aInst","centroids_instant":"$cInst"}""")
+    java.nio.file.Files.move(tmp, mf,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    IvfIndex(idx.assignments, idx.centroids, Some(aInst), Some(cInst).filter(_.nonEmpty))
+  }
+
   /** Load the index pinned to the manifest's consistent version (falls
     * back to the table heads when no manifest exists).
     */

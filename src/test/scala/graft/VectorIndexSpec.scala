@@ -84,4 +84,51 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(graft.read.Readers
       .snapshot(newIdx.centroids, asOf = newIdx.centInstant).count() === 8)
   }
+
+  test("incremental append: new vectors join existing centroids, no rebuild") {
+    val p = freshPath("append")
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    val rest = embs.filter(col("vec_id") % 2 =!= 0)
+    VectorIndex.buildIvf(spark, p, half, nlist = 8)
+    val before = VectorIndex.load(spark, p)
+    val centroidsBefore = graft.read.Readers
+      .snapshot(before.centroids, asOf = before.centInstant)
+      .select("centroid_id").collect().map(_.get(0)).toSet
+
+    val idx = VectorIndex.appendToIvf(spark, p, rest)
+    // all vectors indexed; centroids untouched (same instant, same set)
+    assert(graft.read.Readers
+      .snapshot(idx.assignments, asOf = idx.assignInstant).count() === embs.count())
+    assert(idx.centInstant === before.centInstant)
+    assert(graft.read.Readers
+      .snapshot(idx.centroids, asOf = idx.centInstant)
+      .select("centroid_id").collect().map(_.get(0)).toSet === centroidsBefore)
+    // appended rows sit in the partition of their nearest FROZEN centroid:
+    // the index search must equal in-memory ivfTopK with (frozen centroids,
+    // full re-assignment) — the definitional answer for append semantics
+    val queries = embs.filter(col("vec_id") < 5)
+    val viaIndex = VectorIndex.ivfSearch(idx, queries, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cents = graft.read.Readers.snapshot(idx.centroids, asOf = idx.centInstant)
+      .select(col("centroid_id"), col("embedding").as("_ct_v"))
+    val (aFull, _) = {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = embs.crossJoin(broadcast(cents))
+        .withColumn("_d", graft.functions.VecMath.l2Native(col("embedding"), col("_ct_v")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("_d"), col("centroid_id"))
+      (assigned.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("centroid_id")), cents)
+    }
+    val direct = Similarity.ivfTopK(aFull, cents.select(col("centroid_id"), col("_ct_v")),
+        queries, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex === direct)
+    // a re-appended id must not duplicate
+    VectorIndex.appendToIvf(spark, p, rest.limit(10))
+    val again = VectorIndex.load(spark, p)
+    assert(graft.read.Readers
+      .snapshot(again.assignments, asOf = again.assignInstant).count() === embs.count())
+  }
 }
