@@ -80,7 +80,47 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
     model = init.map(r => r._1 -> ((r._2, r._3))).toMap
     history = Vector(history.head._1 -> model) // model after init
 
+    // CDC oracle: the change feed over the op's window must equal the
+    // model diff. The engine MAY additionally report identity updates
+    // (same value rewritten under a new commit stamp — e.g. an upsert
+    // replaying the current value); those are correct change records the
+    // value-diff model can't see, so they're tolerated when
+    // before == after == the current value.
+    def checkCdc(prevTs: String, prevModel: Map[Long, (Long, String)]): Unit = {
+      val got = Readers.incrementalChanges(t, prevTs)
+        .select("id", "ver", "v", Readers.ChangeTypeCol)
+        .as[(Long, Long, String, String)].collect()
+      val byKind = got.groupBy(_._4).view.mapValues(
+        _.map(r => r._1 -> ((r._2, r._3))).toMap).toMap
+      val dels = byKind.getOrElse("delete", Map.empty)
+      val ins = byKind.getOrElse("insert", Map.empty)
+      val updB = byKind.getOrElse("update_before", Map.empty)
+      val updA = byKind.getOrElse("update_after", Map.empty)
+      val expDel = prevModel.filter { case (k, _) => !model.contains(k) }
+      val expIns = model.filter { case (k, _) => !prevModel.contains(k) }
+      assert(dels === expDel, s"cdc deletes diverged after $prevTs")
+      assert(ins === expIns, s"cdc inserts diverged after $prevTs")
+      assert(updB.keySet === updA.keySet, "cdc update images unpaired")
+      updA.foreach { case (k, after) =>
+        assert(model.get(k).contains(after), s"cdc update_after wrong for $k")
+        val before = updB(k)
+        // either a genuine change (before = previous value) or a
+        // tolerated identity rewrite (before == after == current value)
+        assert(prevModel.get(k).contains(before) || before == after,
+          s"cdc update_before wrong for $k: $before")
+      }
+      // every genuine value change must be reported
+      prevModel.foreach { case (k, old) =>
+        model.get(k).foreach { cur =>
+          if (cur != old) assert(updA.get(k).contains(cur),
+            s"cdc missed update for $k: $old -> $cur")
+        }
+      }
+    }
+
     ops(seed, 18).zipWithIndex.foreach { case (op, i) =>
+      val prevTs = history.last._1
+      val prevModel = model
       op match {
         case Upsert(rows) =>
           // default payload = overwrite-with-latest ARRIVAL (new row wins
@@ -124,6 +164,11 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       }
       assert(snap(t) === model,
         s"$tableType seed=$seed diverged after op #$i: $op")
+      op match {
+        case Upsert(_) | Delete(_) | Overwrite(_) | DropPartition(_) =>
+          checkCdc(prevTs, prevModel)
+        case _ => () // rollback/restore rewrite the window itself
+      }
     }
     // end-state services must not change the observable table
     Services.clean(t)
