@@ -66,4 +66,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("l_orderkey") && !plan.contains("l_extendedprice"),
       s"lineitem scan not pruned:\n${readSchemas.mkString("\n")}")
   }
+
+  test("q26: argmin is ONE window over one exchange; supplier join broadcasts") {
+    val plan = executed("q26_cheapest_supplier")
+    assert(plan.contains("Window"), s"no window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"supplier not broadcast:\n$plan")
+    // lineitem scan pruned to the three needed columns
+    assert(!plan.contains("l_returnflag"), s"lineitem scan not pruned:\n$plan")
+  }
+
+  test("q27: anti join on orders; the 1-row aggregate broadcasts") {
+    val plan = executed("q27_lapsed_customers")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(plan.contains("Broadcast"), s"aggregate not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("q28: fraction-of-total is agg + window, no self join of lineitem") {
+    val plan = executed("q28_dominant_suppliers")
+    assert(plan.contains("Window"))
+    // exactly one lineitem scan in the FINAL plan (the AQE string repeats
+    // every node in its "Initial Plan" section) — a self join would scan twice
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(finalPlan).size
+    assert(liScans == 1, s"lineitem scanned $liScans times:\n$plan")
+  }
 }
