@@ -11,8 +11,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_window_topk", "q13_events_hourly",
-    "q15_top_orders",
+    "q15_top_orders", "q26_cheapest_supplier", "q28_dominant_suppliers",
     "t_bulk_insert", "t_upsert", "t_merge_into", "t_mor_upsert",
+    "t_incremental_cdc",
     "p_dedup_exact", "p_dedup_minhash", "p_dedup_simhash",
     "p_text_stats", "p_text_quality_lang", "p_ann_bruteforce",
     "p_sessionize", "p_asof_join", "p_sample_stratified",

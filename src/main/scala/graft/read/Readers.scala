@@ -224,7 +224,14 @@ object Readers {
       beginTs: String,
       endTs: Option[String] = None): DataFrame = {
     val end = endTs.getOrElse("99999999999999999")
-    val window = (t.timeline.archivedInstants().map { case (i, c) => i -> c } ++
+    // archive replay only when the window can actually reach archived
+    // instants — a streaming change feed calls this per micro-batch and
+    // must not re-read the archive log every trigger
+    val archived =
+      if (t.timeline.earliestActiveCompleted().forall(e => beginTs < e))
+        t.timeline.archivedInstants()
+      else Seq.empty
+    val window = (archived ++
         t.timeline.completedInstants().map(i => i -> t.timeline.readContent(i)))
       .filter { case (i, _) => Action.DataActions.contains(i.action) }
       .filter { case (i, _) => i.ts > beginTs && i.ts <= end }
