@@ -1076,6 +1076,7 @@ final class GraftTable(
     val t0 = System.nanoTime()
     try {
       val (stats, replaced, schemaJson) = body(ts)
+      firePreCommitValidators(ts, opType, stats) // throw aborts pre-publish
       if (BloomIndex.enabled(cfg)) BloomIndex.buildSidecars(spark, basePath, stats, cfg)
       // commit duration rides in the metadata itself (reference
       // hudi-client-common/.../metrics/HoodieMetrics.java
@@ -1120,6 +1121,40 @@ final class GraftTable(
   }
   private var commitCallbacks: Seq[GraftTable.CommitCallbackMessage => Unit] = Seq.empty
 
+  /** Pre-commit validator (the reference line later grew the same hook as
+    * SparkPreCommitValidator / SqlQueryEqualityPreCommitValidator, after
+    * the surveyed snapshot): runs after the write's files land but BEFORE
+    * the instant publishes. A throw ABORTS the commit — the new files are
+    * deleted and the table is observationally untouched; a data pipeline
+    * refuses a bad batch instead of publishing it. `newData` lazily reads
+    * exactly this commit's output files.
+    */
+  def registerPreCommitValidator(v: GraftTable.PreCommitContext => Unit): GraftTable = {
+    preCommitValidators :+= v
+    this
+  }
+  private var preCommitValidators: Seq[GraftTable.PreCommitContext => Unit] = Seq.empty
+
+  private def firePreCommitValidators(instant: String, opType: String,
+      stats: Seq[WriteStat]): Unit =
+    if (preCommitValidators.nonEmpty) {
+      val ctx = GraftTable.PreCommitContext(instant, cfg.tableName, opType, stats,
+        () => readEntriesRaw(stats.map(ws => FileEntry(ws.partitionPath, ws.fileId,
+          instant, ws.path, ws.fileSizeInBytes, ws.isDelta,
+          ws.minRecordKey, ws.maxRecordKey, ws.numWrites))))
+      try preCommitValidators.foreach(_(ctx))
+      catch {
+        case e: Throwable =>
+          // validator rejected: remove this commit's files NOW (they were
+          // already renamed into place) so nothing waits on the reaper
+          stats.foreach { ws =>
+            val p = basePath.resolve(ws.path)
+            if (p.startsWith(basePath)) Files.deleteIfExists(p)
+          }
+          throw e
+      }
+    }
+
   private def fireCommitCallbacks(instant: String, opType: String,
       stats: Seq[WriteStat]): Unit =
     if (commitCallbacks.nonEmpty) {
@@ -1153,6 +1188,9 @@ final class GraftTable(
     try {
       val (stats, replaced, schemaJson) = body(ts)
       written = stats
+      // validation runs UNLOCKED (it may scan the new files); the abort
+      // path below reclaims the written files like any pre-publish failure
+      firePreCommitValidators(ts, opType, stats)
       if (BloomIndex.enabled(cfg)) BloomIndex.buildSidecars(spark, basePath, stats, cfg)
       beforeOptimisticPublish()
       TableLock.withLock(basePath) {
@@ -1290,6 +1328,18 @@ object GraftTable {
       operationType: String,
       numWrites: Long,
       numDeletes: Long)
+
+  /** What a pre-commit validator sees: the pending commit's identity, its
+    * write stats, and a lazy reader over EXACTLY the new files (call it
+    * only if the check needs row-level data — stats-only validators stay
+    * IO-free).
+    */
+  final case class PreCommitContext(
+      commitTime: String,
+      tableName: String,
+      operationType: String,
+      stats: Seq[WriteStat],
+      newData: () => org.apache.spark.sql.DataFrame)
 
   /** Accept both plain paths and file: URIs (the session catalog hands
     * LOCATIONs to data sources in URI form). Catalog locations are often
