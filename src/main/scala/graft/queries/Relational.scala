@@ -324,6 +324,42 @@ object Relational {
           sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("totacctbal"))
     }),
 
+    // ordered-funnel event analytics: users completing view -> click ->
+    // purchase in strict timestamp order. Each stage's earliest qualifying
+    // time feeds the next stage's residual predicate — three bounded aggs
+    // over the user key, no per-user sequence scan, no window over the
+    // whole event stream.
+    "q29_funnel" -> ((s, d) => {
+      val ev = QUtil.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("users_view")).join(
+        c.agg(count(lit(1)).as("users_click"))).join(
+        p.agg(count(lit(1)).as("users_purchase")))
+    }),
+
+    // weekly cohort retention: cohort = ISO week of a user's first event;
+    // cell (cohort, offset) = distinct users from that cohort active
+    // offset weeks later. Two aggregations; the per-user cohort frame is
+    // user-cardinality (broadcastable at any event volume).
+    "q30_retention_cohorts" -> ((s, d) => {
+      val ev = QUtil.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      ev.join(broadcast(cohort), Seq("user_id"))
+        .groupBy(col("cw"), (datediff(col("wk"), col("cw")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+    }),
+
     // TPC-H Q20's nested-aggregate shape: suppliers shipping an outsized
     // share (>15%) of a part's total quantity. Two aggregation levels
     // collapse to one groupBy + one window sum (fraction-of-total without
@@ -342,6 +378,26 @@ object Relational {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q29_funnel" ->
+      """WITH v AS (SELECT user_id, min(CASE WHEN event_type='view' THEN ts END) AS t_view
+        |           FROM events GROUP BY 1 HAVING t_view IS NOT NULL),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS users_view,
+        |       (SELECT count(*) FROM c) AS users_click,
+        |       (SELECT count(*) FROM p) AS users_purchase""".stripMargin,
+    "q30_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |co AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cw, e.wk) / 7 AS INT) AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN co ON e.user_id = co.user_id
+        |GROUP BY cw, week_offset""".stripMargin,
     "q26_cheapest_supplier" ->
       """WITH u AS (SELECT l_partkey, l_suppkey,
         |  l_extendedprice / l_quantity AS up FROM lineitem),
