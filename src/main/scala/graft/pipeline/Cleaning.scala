@@ -69,4 +69,41 @@ object Cleaning {
       .withColumn("n_lines", size(col("_c4_kept")))
       .drop("_c4_kept")
   }
+
+  /** Corpus-wide exact LINE dedup (RefinedWeb §"line-wise corrections" /
+    * C4's repeated-span rule, applied at line grain across the WHOLE
+    * corpus): a line appearing in more than `maxDocFreq` distinct
+    * documents is boilerplate (nav bars, cookie banners, signatures) and
+    * is dropped from every document; each document is reassembled in
+    * original line order. Returns (idCol, textCol deduped, n_dropped).
+    *
+    * Scale shape: one posexplode (row-local), one aggregation keyed by
+    * the line's md5 FINGERPRINT (32-hex shuffle keys, not line bodies;
+    * md5 so the oracle can replay the exact grouping), one equi-join of
+    * lines against the boilerplate-fingerprint set, one per-document
+    * re-aggregation. No pairwise comparisons anywhere; the heavy shuffle
+    * carries fingerprints + surviving lines only.
+    */
+  def lineDedup(df: DataFrame, maxDocFreq: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("_ld_pos", "_ld_line")))
+      .withColumn("_ld_fp", md5(col("_ld_line")))
+    // boilerplate = fingerprints whose DISTINCT-document frequency is high
+    val boiler = lines.groupBy(col("_ld_fp"))
+      .agg(countDistinct(col(idCol)).as("_ld_df"))
+      .filter(col("_ld_df") > maxDocFreq)
+      .select(col("_ld_fp"))
+    val kept = lines.join(boiler, Seq("_ld_fp"), "left_anti")
+    val total = lines.groupBy(col(idCol)).agg(count(lit(1)).as("_ld_total"))
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("_ld_pos"), col("_ld_line")))),
+          s => s.getField("_ld_line")), "\n").as(textCol),
+        count(lit(1)).as("_ld_kept"))
+      .join(total, Seq(idCol), "right_outer") // docs losing EVERY line survive, empty
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        (col("_ld_total") - coalesce(col("_ld_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -532,6 +532,21 @@ object PipelineQueries {
       Cleaning.c4Clean(docs(s, d).select(col("doc_id"), text.as("text")))
     }),
 
+    // corpus-wide exact line dedup: planted boilerplate (every-doc banner,
+    // quarter-corpus cookie line) is dropped from every document; unique
+    // body and per-doc closing lines survive in original order
+    "p_line_dedup" -> ((s, d) => {
+      val text = concat_ws("\n",
+        lit("subscribe to our newsletter today"),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("cookie policy applies here"))
+          .otherwise(concat(lit("closing line for "), col("doc_id"))),
+        lit("copyright acme corp"))
+      Cleaning.lineDedup(docs(s, d).select(col("doc_id"), text.as("text")),
+          maxDocFreq = 2)
+        .select(col("doc_id"), col("n_dropped"), md5(col("text")).as("clean_fp"))
+    }),
+
     // overlapping token-window chunking: stride-24 windows of 32 tokens
     "p_chunk_docs" -> ((s, d) =>
       Chunking.chunk(docs(s, d), chunkTokens = 32, overlap = 8)
@@ -1045,6 +1060,25 @@ object PipelineQueries {
          |  'the third good line survives the cleaning pass.' AS text,
          |  CAST(3 AS INTEGER) AS n_lines
          |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 <> 0""".stripMargin,
+    "p_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  'subscribe to our newsletter today' || chr(10) || text || chr(10) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN 'cookie policy applies here'
+         |        ELSE 'closing line for ' || doc_id END) ||
+         |  chr(10) || 'copyright acme corp' AS txt FROM documents),
+         |l AS (SELECT doc_id,
+         |  unnest(string_split(txt, chr(10))) AS line,
+         |  generate_subscripts(string_split(txt, chr(10)), 1) AS pos FROM d),
+         |f AS (SELECT md5(line) AS fp, count(DISTINCT doc_id) AS df FROM l GROUP BY 1),
+         |k AS (SELECT l.doc_id, l.pos, l.line FROM l
+         |      LEFT JOIN (SELECT fp FROM f WHERE df > 2) b ON md5(l.line) = b.fp
+         |      WHERE b.fp IS NULL),
+         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+         |        count(*) AS kept FROM k GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS total FROM l GROUP BY 1)
+         |SELECT t.doc_id, t.total - COALESCE(a.kept, 0) AS n_dropped,
+         |       md5(COALESCE(a.txt, '')) AS clean_fp
+         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
     "p_decontaminate" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,

@@ -47,4 +47,23 @@ class CleaningSpec extends AnyFunSuite {
     assert(out.head.getInt(2) === 3)
     assert(out.head.getString(1).linesIterator.size === 3)
   }
+
+  test("line dedup: cross-corpus boilerplate drops, order survives, empty docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banner\nunique one\nbanner\nclosing a"),
+      (2L, "banner\nunique two\nclosing b"),
+      (3L, "banner\nunique three\nclosing c"),
+      (4L, "banner")).toDF("doc_id", "text")
+    val out = graft.pipeline.Cleaning.lineDedup(docs, maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "banner" is in 4 distinct docs -> dropped everywhere (BOTH copies in
+    // doc 1); unique + closing lines keep their original relative order
+    assert(out(0) === ((1L, "unique one\nclosing a", 2L)))
+    assert(out(1) === ((2L, "unique two\nclosing b", 1L)))
+    assert(out(2) === ((3L, "unique three\nclosing c", 1L)))
+    // a doc that was ALL boilerplate survives as an empty row, not a drop
+    assert(out(3) === ((4L, "", 1L)))
+  }
 }
