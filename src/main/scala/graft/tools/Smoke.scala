@@ -135,6 +135,41 @@ object Smoke {
     spark.sql("MERGE INTO sql_t t USING sql_src s ON t.o_orderkey = s.o_orderkey WHEN NOT MATCHED THEN INSERT *")
     println(s"[smoke] sql_merge: rows=${spark.sql("SELECT count(*) FROM sql_t").first().getLong(0)} (expect ${src.count() - 30 + 5})")
 
+    // CDC read: change images across the last SQL ops' window
+    locally {
+      val ct = GraftTable.load(spark, dsDir)
+      val first = ct.timeline.completedDataInstants().head.ts
+      val kinds = Readers.incrementalChanges(ct, first)
+        .groupBy(Readers.ChangeTypeCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[smoke] cdc_changes: " +
+        s"deletes=${kinds.getOrElse("delete", 0L)} (expect 30) " +
+        s"inserts=${kinds.getOrElse("insert", 0L)} (expect 5)")
+    }
+
+    // metrics registry: fold of commit metadata, queryable as a frame
+    locally {
+      val m = graft.table.TableAdmin.metrics(t).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[smoke] metrics: commits=${m.getOrElse("orders.commit.count", -1L)} " +
+        s"recordsCum=${m.getOrElse("orders.commit.totalRecordsCum", -1L)}")
+    }
+
+    // pre-commit validator: a bad batch must be refused pre-publish
+    locally {
+      val before = t.timeline.completedDataInstants().size
+      t.registerPreCommitValidator { ctx =>
+        if (ctx.newData().filter(col("o_totalprice") < 0).count() > 0)
+          throw new IllegalStateException("negative price")
+      }
+      val refused =
+        try { t.upsert(spark.read.parquet(s"$sfDir/orders.parquet").limit(5)
+          .withColumn("o_totalprice", lit(-1.0))); false }
+        catch { case _: IllegalStateException => true }
+      println(s"[smoke] precommit_validator: refused=$refused " +
+        s"commits_unchanged=${t.timeline.completedDataInstants().size == before}")
+    }
+
     // plan inspection: does the snapshot scan push filters into parquet?
     val plan = Readers.snapshot(t).filter(col("o_totalprice") === 7777.0)
       .queryExecution.executedPlan.toString
