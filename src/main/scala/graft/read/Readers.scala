@@ -128,12 +128,23 @@ object Readers {
     * matches within a path segment, `**` across segments, `?` one char.
     * A consumer of one partition subtree pays only for that subtree's
     * changed files.
+    *
+    * `fallbackFullScan` mirrors the reference's
+    * `hoodie.datasource.read.incr.fallback.fulltablescan.enable`: when the
+    * cleaner has removed files the range needs, fall back to scanning the
+    * SNAPSHOT filtered by the commit-time range instead of failing. Same
+    * documented caveat as the reference: the fallback returns the LATEST
+    * state of records whose last change falls in the range — with a
+    * bounded `endTs`, records changed again after the range are missed
+    * (their stamp moved past `endTs`); with an open range the two paths
+    * agree, which is the checkpoint-recovery case the fallback exists for.
     */
   def incremental(
       t: GraftTable,
       beginTs: String,
       endTs: Option[String] = None,
-      partitionGlob: Option[String] = None): DataFrame = {
+      partitionGlob: Option[String] = None,
+      fallbackFullScan: Boolean = false): DataFrame = {
     val end = endTs.getOrElse("99999999999999999")
     val active = t.timeline.completedInstants()
       .filter(i => Action.DataActions.contains(i.action))
@@ -157,17 +168,17 @@ object Readers {
         i.action != Action.Compaction && m.operationType != "cluster"
       }
     // glob prune happens on COMMIT METADATA, before any file existence
-    // check or IO — the pruned-away partitions' files may even be cleaned
-    val keepPartition: String => Boolean = partitionGlob match {
+    // check or IO — the pruned-away partitions' files may even be cleaned.
+    // glob → regex: ** crosses segments, * stays within one, ? is one
+    // char; everything else is literal
+    val globRegex: Option[String] = partitionGlob.map(g =>
+      "(?s)^" + java.util.regex.Pattern.quote(g)
+        .replace("**", "\\E.*\\Q")
+        .replace("*", "\\E[^/]*\\Q")
+        .replace("?", "\\E.\\Q") + "$")
+    val keepPartition: String => Boolean = globRegex match {
       case None => _ => true
-      case Some(g) =>
-        // glob → regex: ** crosses segments, * stays within one, ? is one
-        // char; everything else is literal
-        val rx = ("(?s)" + java.util.regex.Pattern.quote(g)
-          .replace("**", "\\E.*\\Q")
-          .replace("*", "\\E[^/]*\\Q")
-          .replace("?", "\\E.\\Q")).r
-        p => rx.matches(p)
+      case Some(rx) => val r = rx.r; p => r.matches(p)
     }
     val entries = metas.flatMap { case (i, m) =>
       m.writeStats.filter(ws => keepPartition(ws.partitionPath))
@@ -176,6 +187,16 @@ object Readers {
     }
     val missing = entries.filterNot(e =>
       java.nio.file.Files.exists(t.basePath.resolve(e.relPath)))
+    if (missing.nonEmpty && fallbackFullScan) {
+      val snapFiltered = snapshot(t)
+        .filter(col(MetaCols.CommitTime) > beginTs &&
+          col(MetaCols.CommitTime) <= end)
+      return globRegex match {
+        case None => snapFiltered
+        case Some(rx) => // same glob semantics, as a codegen'd rlike
+          snapFiltered.filter(col(MetaCols.PartitionPath).rlike(rx))
+      }
+    }
     require(missing.isEmpty,
       s"incremental range ($beginTs, $end] references cleaned/rolled-back files: " +
         missing.take(3).map(_.relPath).mkString(", "))

@@ -107,7 +107,9 @@ class GraftDataSource
         Readers.incremental(table,
           parameters.getOrElse("beginInstant", "0"),
           parameters.get("endInstant"),
-          partitionGlob = parameters.get("incrPathGlob"))
+          partitionGlob = parameters.get("incrPathGlob"),
+          fallbackFullScan =
+            parameters.getOrElse("incrFallbackFullScan", "false") == "true")
       case "incremental_cdc" =>
         Readers.incrementalChanges(table,
           parameters.getOrElse("beginInstant", "0"),

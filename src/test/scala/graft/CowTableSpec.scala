@@ -204,6 +204,15 @@ class CowTableSpec extends AnyFunSuite {
     val snap = Readers.snapshot(t)
     assert(snap.count() === 100)
     assert(snap.filter(col("ver") === 4L).count() === 100)
+
+    // an incremental consumer whose checkpoint predates the cleaned files
+    // fails loudly by default, and recovers via the full-scan fallback
+    // (reference incr.fallback.fulltablescan.enable) with the latest state
+    intercept[IllegalArgumentException] { Readers.incremental(t, "0").count() }
+    val fb = Readers.incremental(t, "0", fallbackFullScan = true)
+      .select("id", "ver").as[(Long, Long)].collect().toMap
+    assert(fb.size === 100)
+    assert(fb.values.forall(_ === 4L))
   }
 
   test("TableAdmin.fileSizes reports live base-file distribution") {
