@@ -70,6 +70,13 @@ object ConfigKeys {
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
   val UrlEncodePartitions = "graft.partitionpath.urlencode" // false
+  // hive-style `name=value` partition directories (reference
+  // hoodie.datasource.write.hive_style_partitioning) — external engines'
+  // partition discovery understands the layout natively
+  val HiveStylePartitioning = "graft.hive.style.partitioning" // false
+  // the `name` used by hive-style paths; defaults to the partition
+  // expression when it is a bare column reference, else "partition"
+  val PartitionName = "graft.partition.name"
   val CleanPolicy = "graft.clean.policy" // KEEP_LATEST_COMMITS | _FILE_VERSIONS | _BY_HOURS
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024

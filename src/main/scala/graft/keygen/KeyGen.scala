@@ -28,7 +28,7 @@ object KeyGen {
         coalesce(col(f).cast(StringType), lit(NullRecordKeyPlaceholder)))): _*)
 
   def partitionPathCol(partitionPathExpr: String,
-      urlEncode: Boolean = false): Column =
+      urlEncode: Boolean = false, hiveStyleName: Option[String] = None): Column =
     if (partitionPathExpr == null || partitionPathExpr.isEmpty) lit("")
     else {
       val raw = coalesce(expr(partitionPathExpr).cast(StringType), lit(DefaultPartition))
@@ -38,14 +38,32 @@ object KeyGen {
       // level; url_encode flattens it ('%2F') so one value = one level.
       // Without it, '/' in the EXPRESSION's output is the documented way
       // to build multi-level partitioning, exactly as in the reference.
-      if (urlEncode) url_encode(raw) else raw
+      val encoded = if (urlEncode) url_encode(raw) else raw
+      // hive-style `name=value` directories (reference
+      // hoodie.datasource.write.hive_style_partitioning) — one level only;
+      // multi-level exprs keep plain values
+      hiveStyleName match {
+        case Some(n) => concat(lit(n + "="), encoded)
+        case None => encoded
+      }
     }
+
+  /** The hive-style partition name for a config: explicit prop, else the
+    * expression itself when it is a bare column reference.
+    */
+  def hiveStyleNameOf(cfg: TableConfig): Option[String] =
+    if (cfg.prop(graft.core.ConfigKeys.HiveStylePartitioning, "false") != "true") None
+    else Some(cfg.prop(graft.core.ConfigKeys.PartitionName,
+      if (cfg.partitionPathExpr.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        cfg.partitionPathExpr
+      else "partition"))
 
   /** Append `_hoodie_record_key` and `_hoodie_partition_path`. */
   def withKeyColumns(df: DataFrame, cfg: TableConfig): DataFrame =
     df.withColumn(MetaCols.RecordKey, recordKeyCol(cfg.recordKeyFields))
       .withColumn(MetaCols.PartitionPath, partitionPathCol(cfg.partitionPathExpr,
-        cfg.prop(graft.core.ConfigKeys.UrlEncodePartitions, "false").toBoolean))
+        cfg.prop(graft.core.ConfigKeys.UrlEncodePartitions, "false").toBoolean,
+        hiveStyleNameOf(cfg)))
 
   /** TimestampBasedAvroKeyGenerator analog (reference
     * keygen/TimestampBasedAvroKeyGenerator.java:50-112): build the

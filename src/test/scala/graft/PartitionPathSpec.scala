@@ -47,4 +47,33 @@ class PartitionPathSpec extends AnyFunSuite {
     t.deletePartitions(Seq("EU/DE"))
     assert(Readers.snapshot(t).select("id").as[Long].collect().toSet === Set(1L, 2L, 4L))
   }
+
+  test("hive-style partitioning writes name=value directories") {
+    val dir = tmpDir("pp_hive").toString + "/t"
+    val t = GraftTable.create(spark, dir,
+      TableConfig("pp_hive", TableType.CopyOnWrite, Seq("id"), "region", "v",
+        Map(ConfigKeys.HiveStylePartitioning -> "true")))
+    t.bulkInsert(Seq((1L, "us", 1L), (2L, "eu", 2L)).toDF("id", "region", "v"))
+    val parts = t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
+    assert(parts === Seq("region=eu", "region=us"))
+    // directories on disk carry the hive-style names external engines
+    // discover natively
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir).resolve("region=us")))
+    // full round trip: upsert stays in its partition, partition ops
+    // address the hive-style name
+    t.upsert(Seq((1L, "us", 11L)).toDF("id", "region", "v"))
+    assert(Readers.snapshot(t).filter(col("id") === 1L)
+      .select("v").as[Long].head() === 11L)
+    t.deletePartitions(Seq("region=eu"))
+    assert(Readers.snapshot(t).select("id").as[Long].collect().toSet === Set(1L))
+    // explicit name override for expression partitioning
+    val t2 = GraftTable.create(spark, tmpDir("pp_hive2").toString + "/t",
+      TableConfig("pp_hive2", TableType.CopyOnWrite, Seq("id"),
+        "upper(region)", "v",
+        Map(ConfigKeys.HiveStylePartitioning -> "true",
+          ConfigKeys.PartitionName -> "region_uc")))
+    t2.bulkInsert(Seq((1L, "us", 1L)).toDF("id", "region", "v"))
+    assert(t2.view.fileSlices(None).map(_.partitionPath).distinct === Seq("region_uc=US"))
+  }
 }
