@@ -136,12 +136,21 @@ class GraftDataSource
     val table = loadOrCreate(spark, path, parameters)
     val op = parameters.getOrElse("operation",
       if (mode == SaveMode.Overwrite) "insert_overwrite_table" else "upsert")
+    // user metadata rides in the commit, atomic with the data (reference
+    // hoodie.datasource.write.commitmeta.key.prefix — DataSourceWriteOptions):
+    // options prefixed `commitMeta.` land in extraMetadata under their
+    // unprefixed key. Spark's option map is case-insensitive (keys arrive
+    // lowercased), so metadata keys are lowercase by construction.
+    val extraMeta: Map[String, String] = parameters.collect {
+      case (k, v) if k.toLowerCase.startsWith("commitmeta.") =>
+        k.substring("commitmeta.".length) -> v
+    }
     op match {
-      case "upsert" => table.upsert(df)
+      case "upsert" => table.upsert(df, extraMetadata = extraMeta)
       case "insert" => table.insert(df)
       case "bulk_insert" => table.bulkInsert(df)
       case "delete" => table.delete(df)
-      case "insert_overwrite" => table.insertOverwrite(df)
+      case "insert_overwrite" => table.insertOverwrite(df, extraMetadata = extraMeta)
       case "insert_overwrite_table" => table.insertOverwriteTable(df)
       case other => throw new IllegalArgumentException(s"unknown operation '$other'")
     }

@@ -86,6 +86,15 @@ class DataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft")
       .option("queryType", "incremental").option("beginInstant", c1)
       .option("incrPathGlob", "2024/*").load(dir).count() === 0)
+
+    // commitMeta.* options ride into the commit's extraMetadata (keys
+    // arrive lowercased — Spark's option map is case-insensitive)
+    Seq((3L, 1L, "c")).toDF("id", "ver", "v")
+      .write.format("graft").mode(SaveMode.Append)
+      .option("commitMeta.source.offset", "topic,0:42").save(dir)
+    val lastMd = graft.core.CommitMetadata.fromJson(
+      t.timeline.readContent(t.timeline.completedDataInstants().last))
+    assert(lastMd.extraMetadata.get("source.offset").contains("topic,0:42"))
   }
 
   test("writeStream.format(graft) upserts micro-batches") {
