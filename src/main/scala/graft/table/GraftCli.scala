@@ -114,6 +114,14 @@ final class GraftCli(spark: SparkSession) {
     },
     "show logfile metadata" -> { _ => CliFrame(TableAdmin.logFiles(table)) },
     "metrics show" -> { _ => CliFrame(TableAdmin.metrics(table)) },
+    "catalog sync" -> { o =>
+      // HiveSyncTool-as-a-command analog: publish/refresh this table in
+      // the session catalog as `db.table`
+      val db = req(o, "db")
+      val name = o.getOrElse("table", table.cfg.tableName)
+      graft.sql.CatalogSync.sync(spark, table.basePath.toString, db, name)
+      CliText(s"Synced ${table.basePath} as $db.$name")
+    },
     "metadata list-partitions" -> { _ =>
       import spark.implicits._
       CliFrame(table.view.fileSlices(None).map(_.partitionPath)

@@ -62,6 +62,10 @@ class GraftCliSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("cli_l.commit.count") === 2L)
     assert(m("cli_l.rollback.count") === 1L)
+    // catalog publish straight from the shell
+    assert(cli.run("catalog sync --db cli_db").text.contains("cli_db.cli_l"))
+    assert(spark.sql("SELECT count(*) FROM cli_db.cli_l").first().getLong(0) ===
+      Readers.snapshot(t).count())
     val wa = cli.run("stats wa").frame.collect()
     assert(wa.exists(_.getString(0) == "TOTAL"))
     assert(wa.length >= 3) // per-commit rows + total
