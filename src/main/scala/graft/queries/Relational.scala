@@ -360,6 +360,32 @@ object Relational {
           col("week_offset"), col("n_users"))
     }),
 
+    // TPC-H Q7 shape: bi-directional trade volume between two nations by
+    // ship year — the lineitem fact joins orders→customer on one side and
+    // supplier on the other, with BOTH nation dims broadcast, and the
+    // (supp, cust) nation pair filter applied before the fact join
+    "q31_nation_volume" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val nat = t(s, d, "nation").filter(col("n_name").isInCollection(pair))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      t(s, d, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("volume"))
+    }),
+
     // TPC-H Q20's nested-aggregate shape: suppliers shipping an outsized
     // share (>15%) of a part's total quantity. Two aggregation levels
     // collapse to one groupBy + one window sum (fraction-of-total without
@@ -398,6 +424,20 @@ object Relational {
         |       count(DISTINCT e.user_id) AS n_users
         |FROM ev e JOIN co ON e.user_id = co.user_id
         |GROUP BY cw, week_offset""".stripMargin,
+    "q31_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier s ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l_orderkey = o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q26_cheapest_supplier" ->
       """WITH u AS (SELECT l_partkey, l_suppkey,
         |  l_extendedprice / l_quantity AS up FROM lineitem),
