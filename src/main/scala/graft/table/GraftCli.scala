@@ -114,6 +114,7 @@ final class GraftCli(spark: SparkSession) {
     },
     "show logfile metadata" -> { _ => CliFrame(TableAdmin.logFiles(table)) },
     "metrics show" -> { _ => CliFrame(TableAdmin.metrics(table)) },
+    "metadata column-stats" -> { _ => CliFrame(TableAdmin.columnStats(table)) },
     "catalog sync" -> { o =>
       // HiveSyncTool-as-a-command analog: publish/refresh this table in
       // the session catalog as `db.table`

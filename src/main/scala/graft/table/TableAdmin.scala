@@ -161,6 +161,25 @@ object TableAdmin {
     Metrics.refresh(t).snapshot.toDF("name", "value")
   }
 
+  /** Per-file column statistics of the LIVE file set — the data-skipping
+    * index made queryable (the reference's metadata-table column_stats
+    * partition, surfaced as an admin view): one row per (file, column)
+    * with the recorded min/max/null-count. A skipped predicate can be
+    * debugged by eyeballing exactly what the pruner sees.
+    */
+  def columnStats(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.view.fileSlices(None).flatMap { s =>
+      s.allFiles.flatMap { f =>
+        val cols = f.colMin.keySet ++ f.colMax.keySet ++ f.colNulls.keySet
+        cols.toSeq.sorted.map(c => (f.partitionPath, f.fileId, f.relPath, c,
+          f.colMin.get(c).orNull, f.colMax.get(c).orNull,
+          f.colNulls.get(c).map(Long.box).orNull, f.numRecords))
+      }
+    }.toDF("partition", "file_id", "path", "column",
+      "min_value", "max_value", "null_count", "num_records")
+  }
+
   /** Pending (requested/inflight) instants — stuck-write triage. */
   def pending(t: GraftTable): DataFrame = {
     import t.spark.implicits._

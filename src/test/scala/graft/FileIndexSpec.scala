@@ -99,6 +99,13 @@ class FileIndexSpec extends AnyFunSuite {
     val notNull = Readers.snapshot(t).filter($"v".isNotNull).select("id", "v")
     assert(listedFor(notNull) === 1, "the all-nulls group should be skipped")
     assert(notNull.count() === 50)
+
+    // the admin view shows exactly what the pruner sees
+    val cs = graft.table.TableAdmin.columnStats(t)
+      .filter($"column" === "v")
+      .select("null_count", "num_records")
+      .collect().map(r => (r.get(0), r.getLong(1))).toSet
+    assert(cs === Set((0L, 50L), (50L, 50L)))
   }
 
   test("snapshot through the index equals the source rows") {
