@@ -22,7 +22,11 @@ object KeyGen {
   val DefaultPartition = "default"
 
   def recordKeyCol(fields: Seq[String]): Column =
-    if (fields.size == 1) col(fields.head).cast(StringType)
+    // keyless table (reference UuidKeyGenerator — SQL tables created
+    // without a primary key): every row gets a fresh synthetic key, so
+    // writes are append-only and key-addressed ops are refused upstream
+    if (fields.isEmpty) expr("uuid()")
+    else if (fields.size == 1) col(fields.head).cast(StringType)
     else concat_ws(",", fields.map(f =>
       concat(lit(f + ":"),
         coalesce(col(f).cast(StringType), lit(NullRecordKeyPlaceholder)))): _*)

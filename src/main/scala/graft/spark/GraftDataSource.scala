@@ -135,7 +135,11 @@ class GraftDataSource
     val spark = sqlContext.sparkSession
     val table = loadOrCreate(spark, path, parameters)
     val op = parameters.getOrElse("operation",
-      if (mode == SaveMode.Overwrite) "insert_overwrite_table" else "upsert")
+      if (mode == SaveMode.Overwrite) "insert_overwrite_table"
+      // keyless tables (uuid record keys) are append-only — upsert can
+      // never match, so the natural default is insert
+      else if (table.cfg.recordKeyFields.isEmpty) "insert"
+      else "upsert")
     // user metadata rides in the commit, atomic with the data (reference
     // hoodie.datasource.write.commitmeta.key.prefix — DataSourceWriteOptions):
     // options prefixed `commitMeta.` land in extraMetadata under their
@@ -195,12 +199,14 @@ class GraftDataSource
     val path = GraftTable.normalize(path0)
     if (TableConfig.exists(java.nio.file.Paths.get(path))) GraftTable.load(spark, path)
     else {
-      val keys = parameters.getOrElse("recordKeyFields",
-        throw new IllegalArgumentException("'recordKeyFields' required to create a table"))
+      // no recordKeyFields ⇒ KEYLESS table: uuid record keys (reference
+      // UuidKeyGenerator — SQL tables without a primary key), append-only
+      val keys = parameters.get("recordKeyFields")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
       GraftTable.create(spark, path, TableConfig(
         tableName = parameters.getOrElse("tableName", new java.io.File(path).getName),
         tableType = parameters.getOrElse("tableType", TableType.CopyOnWrite),
-        recordKeyFields = keys.split(",").map(_.trim).toSeq,
+        recordKeyFields = keys,
         partitionPathExpr = parameters.getOrElse("partitionPathExpr", ""),
         precombineField = parameters.getOrElse("precombineField", ""),
         // every graft.* option becomes a persisted table property, so the

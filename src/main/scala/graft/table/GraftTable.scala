@@ -156,8 +156,9 @@ final class GraftTable(
   /** Insert without combine-with-storage; still packs small files
     * (reference SparkRDDWriteClient.insert :172-178).
     */
-  def insert(df: DataFrame, dropDups: Boolean = false): String =
-    runCommit(commitAction, "insert") { instant =>
+  def insert(df: DataFrame, dropDups: Boolean = false,
+      extraMetadata: Map[String, String] = Map.empty): String =
+    runCommit(commitAction, "insert", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -171,8 +172,19 @@ final class GraftTable(
   /** Upsert: batch precombine-dedup → index tag → route → per-group merge
     * (reference SparkRDDWriteClient.upsert :149-159 and the §2.2 pipeline).
     */
-  def upsert(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String =
+  def upsert(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String = {
+    requireKeyed("upsert")
     runCommit(commitAction, "upsert", extraMetadata)(upsertBody(df))
+  }
+
+  /** Key-addressed operations need real record keys; a keyless table's
+    * uuid keys (reference UuidKeyGenerator) never match anything, so
+    * refusing beats silently degrading to append/no-op.
+    */
+  private def requireKeyed(op: String): Unit =
+    require(cfg.recordKeyFields.nonEmpty,
+      s"$op needs record keys; this table is keyless (uuid record keys) — " +
+        "use insert/bulk_insert, or filter-addressed SQL UPDATE/DELETE")
 
   /** Optimistic-concurrency upsert (reference TransactionManager +
     * SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-85):
@@ -182,8 +194,10 @@ final class GraftTable(
     * this writer's read point touched any of the same file groups —
     * callers retry.
     */
-  def upsertOptimistic(df: DataFrame): String =
+  def upsertOptimistic(df: DataFrame): String = {
+    requireKeyed("upsertOptimistic")
     runCommitOptimistic(commitAction, "upsert")(upsertBody(df))
+  }
 
   private def upsertBody(df: DataFrame)(instant: String)
       : (Seq[WriteStat], Map[String, Seq[String]], String) = {
@@ -215,7 +229,8 @@ final class GraftTable(
     * partition value changed migrates the record — tombstone in the old
     * partition + insert in the new one, atomically in one commit.
     */
-  def upsertGlobal(df: DataFrame): String =
+  def upsertGlobal(df: DataFrame): String = {
+    requireKeyed("upsertGlobal")
     runCommit(commitAction, "upsert_global") { instant =>
     import org.apache.spark.sql.expressions.Window
     val keyed0 = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
@@ -256,13 +271,16 @@ final class GraftTable(
         writeMerged(routed, instant, knownTouched = Some(touched))
       }
     } finally { joined.unpersist(); keyed.unpersist() }
+    }
   }
 
   /** Delete by key: incoming rows only need the record-key (and partition
     * source) fields; they become tombstones that win the merge and drop the
     * row (reference SparkDeleteHelper.java — EmptyHoodieRecordPayload).
     */
-  def delete(df: DataFrame): String = runCommit(commitAction, "delete") { instant =>
+  def delete(df: DataFrame): String = {
+    requireKeyed("delete")
+    runCommit(commitAction, "delete") { instant =>
     val keyed = maybePrecombine(KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
         .withColumn(DeleteCol, lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -273,6 +291,7 @@ final class GraftTable(
       if (cfg.isMor) morWrite(tagged, instant, allDeletes = true)
       else writeMerged(tagged, instant)
     } finally { tagged.unpersist(); keyed.unpersist() }
+    }
   }
 
   /** Apply a CDC batch in ONE commit (reference AWSDmsTransformer, which
@@ -536,7 +555,8 @@ final class GraftTable(
     * by record key alone — the incoming frame only needs the key fields,
     * and the record is tombstoned in whatever partition it lives in.
     */
-  def deleteGlobal(df: DataFrame): String =
+  def deleteGlobal(df: DataFrame): String = {
+    requireKeyed("deleteGlobal")
     runCommit(commitAction, "delete_global") { instant =>
     val incoming = df
       .withColumn(MetaCols.RecordKey, KeyGen.recordKeyCol(cfg.recordKeyFields))
@@ -554,6 +574,7 @@ final class GraftTable(
       if (cfg.isMor) morWrite(tombstones, instant, allDeletes = true)
       else writeMerged(tombstones, instant)
     } finally tombstones.unpersist()
+    }
   }
 
   /** METADATA_ONLY bootstrap (reference BootstrapMode.java:24-34,

@@ -78,4 +78,31 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rows.length === 3 || rows.length === 2) // insert op may add or pack
     spark.sql("DROP TABLE cat_t")
   }
+
+  test("KEYLESS table: CTAS without a primary key gets uuid record keys") {
+    val loc = tmpDir("sql_nokey").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS nokey_t")
+    // no recordKeyFields option anywhere (reference UuidKeyGenerator)
+    spark.sql(s"""
+      CREATE TABLE nokey_t USING graft
+      LOCATION '$loc'
+      AS SELECT 1L AS n, 'a' AS v
+    """)
+    spark.sql("INSERT INTO nokey_t SELECT 2L, 'b'")
+    spark.sql("INSERT INTO nokey_t SELECT 2L, 'b'") // duplicate row: append-only keeps both
+    assert(spark.sql("SELECT * FROM nokey_t").count() === 3)
+    val t = graft.table.GraftTable.load(spark, loc)
+    // synthetic keys are unique even for identical rows
+    val keys = graft.read.Readers.snapshot(t)
+      .select(graft.core.MetaCols.RecordKey).collect().map(_.getString(0))
+    assert(keys.distinct.length === 3)
+    // filter-addressed SQL DML still works; key-addressed ops refuse clearly
+    spark.sql("DELETE FROM nokey_t WHERE v = 'b'")
+    assert(spark.sql("SELECT * FROM nokey_t").count() === 1)
+    val e = intercept[IllegalArgumentException] {
+      t.upsert(Seq((9L, "z")).toDF("n", "v"))
+    }
+    assert(e.getMessage.contains("keyless"))
+    spark.sql("DROP TABLE nokey_t")
+  }
 }
