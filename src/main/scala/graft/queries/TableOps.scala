@@ -608,6 +608,38 @@ object TableOps {
       view(tc, "cow").unionByName(view(tm, "mor"))
     }),
 
+    // KEYLESS table (UuidKeyGenerator analog): no recordKeyFields — every
+    // row gets a synthetic uuid key, inserts append (duplicates kept),
+    // and the snapshot returns exactly what was inserted
+    "t_keyless_insert" -> ((s, d) => {
+      val c = TableConfig("orders_nokey", TableType.CopyOnWrite,
+        Seq.empty, "date_format(o_orderdate, 'yyyy')", "")
+      val t = fresh(s, d, "t_keyless", c)
+      val src = orders(s, d)
+      t.insert(src)
+      t.insert(src.filter(col("o_orderkey") % 9 === 0)) // duplicates append
+      data(Readers.snapshot(t))
+    }),
+
+    // hive-style `name=value` partition directories: layout changes, the
+    // observable table does not; partition pruning addresses the full name
+    "t_hive_style" -> ((s, d) => {
+      val c = TableConfig("orders_hv", TableType.CopyOnWrite,
+        Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+        Map(graft.core.ConfigKeys.HiveStylePartitioning -> "true",
+          graft.core.ConfigKeys.PartitionName -> "year"))
+      val t = fresh(s, d, "t_hive_style", c)
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1))
+      // pruned read of one hive-style partition ∪ the rest = whole table
+      val one = Readers.snapshot(t, partitions = Some(Seq("year=1995")))
+      val rest = Readers.snapshot(t)
+        .filter(col(MetaCols.PartitionPath) =!= "year=1995")
+      data(one.unionByName(rest))
+    }),
+
     // ALTER TABLE CHANGE COLUMN: files written before the widening keep the
     // narrow physical type and are widened at scan; post-widening writes
     // carry full precision
@@ -1014,6 +1046,14 @@ object TableOps {
     "t_admin_commits" ->
       """SELECT * FROM (VALUES ('bulk_insert','commit'),('delete','commit'),('upsert','commit'))
         |t(operation, action)""".stripMargin,
+    "t_keyless_insert" ->
+      s"""SELECT $OrdersSql FROM orders
+         |UNION ALL
+         |SELECT $OrdersSql FROM orders WHERE o_orderkey % 9 = 0""".stripMargin,
+    "t_hive_style" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_write_metrics" ->
       """SELECT 'cow' AS tbl, 'commit.count' AS name, CAST(1 AS BIGINT) AS value
         |UNION ALL SELECT 'cow', 'commit.totalDeletes', 0
