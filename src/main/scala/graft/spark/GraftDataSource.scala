@@ -85,7 +85,9 @@ class GraftDataSource
     new graft.streaming.GraftStreamSource(sqlContext.sparkSession, table, s,
       maxCommitsPerTrigger =
         parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue),
-      changeFeed = parameters.getOrElse("readChangeFeed", "false") == "true")
+      changeFeed = parameters.getOrElse("readChangeFeed", "false") == "true",
+      maxBytesPerTrigger =
+        parameters.get("maxBytesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.types.StructType
 
+import graft.core.CommitMetadata
 import graft.read.Readers
 import graft.table.GraftTable
 
@@ -27,7 +28,8 @@ final class GraftStreamSource(
     table: GraftTable,
     override val schema: StructType,
     maxCommitsPerTrigger: Int = Int.MaxValue,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false,
+    maxBytesPerTrigger: Long = Long.MaxValue) extends Source {
 
   private def tsOf(o: Offset): String = o match {
     case GraftOffset(ts) => ts
@@ -44,13 +46,29 @@ final class GraftStreamSource(
   override def getOffset: Option[Offset] = {
     val latest = table.timeline.lastCompleted().map(_.ts)
     val capped =
-      if (maxCommitsPerTrigger == Int.MaxValue) latest
+      if (maxCommitsPerTrigger == Int.MaxValue && maxBytesPerTrigger == Long.MaxValue)
+        latest
       else {
         val base = lastPlanned.getOrElse("0")
         val pending = table.timeline.completedDataInstants()
-          .map(_.ts).filter(_ > base)
+          .filter(_.ts > base)
         if (pending.isEmpty) latest.filter(_ => lastPlanned.isEmpty)
-        else Some(pending.take(maxCommitsPerTrigger).last)
+        else {
+          // byte budget from COMMIT METADATA (no file IO): commits vary
+          // wildly in size, so a volume cap bounds executor memory where
+          // a commit-count cap alone cannot; always admit at least one
+          // commit so the stream can never stall on an oversized commit
+          var budget = maxBytesPerTrigger
+          val byBytes = pending.takeWhile { i =>
+            val sz = CommitMetadata.fromJson(table.timeline.readContent(i))
+              .writeStats.map(_.fileSizeInBytes).sum
+            val ok = budget >= sz; if (ok) budget -= sz; ok
+          }.map(_.ts)
+          val admitted =
+            (if (byBytes.isEmpty) pending.take(1).map(_.ts) else byBytes)
+              .take(maxCommitsPerTrigger)
+          Some(admitted.last)
+        }
       }
     capped.foreach(ts => lastPlanned = Some(ts))
     capped.orElse(lastPlanned).map(GraftOffset)

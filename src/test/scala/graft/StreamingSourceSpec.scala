@@ -98,6 +98,31 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(Readers.incremental(t, o3.json, Some(o4.json)).count() >= 1)
   }
 
+  test("maxBytesPerTrigger bounds micro-batches by commit volume") {
+    val t = mkSrc("rate_bytes")
+    val c = (0 until 4).map { b =>
+      t.upsert(((b * 10 + 1).toLong to (b * 10 + 10).toLong)
+        .map(i => (i, 1L)).toDF("id", "ver"))
+    }
+    val perCommit = graft.core.CommitMetadata.fromJson(
+      t.timeline.readContent(t.timeline.completedDataInstants().head))
+      .writeStats.map(_.fileSizeInBytes).sum
+    // budget for ~2 commits: triggers advance two at a time
+    val src = new graft.streaming.GraftStreamSource(spark, t,
+      Readers.snapshot(t).drop(MetaCols.All: _*).schema,
+      maxBytesPerTrigger = perCommit * 2 + perCommit / 2)
+    val o1 = src.getOffset.get
+    assert(o1.json === c(1), "byte budget should admit two commits")
+    src.getBatch(None, o1)
+    val o2 = src.getOffset.get
+    assert(o2.json === c(3))
+    // a budget below one commit still admits exactly one (no stall)
+    val tiny = new graft.streaming.GraftStreamSource(spark, t,
+      Readers.snapshot(t).drop(MetaCols.All: _*).schema,
+      maxBytesPerTrigger = 1L)
+    assert(tiny.getOffset.map(_.json) === Some(c(0)))
+  }
+
   test("readStream(graft) -> writeStream(graft): continuous table replication") {
     val src = mkSrc("ss_src")
     val dstDir = tmpDir("ss_dst")
