@@ -223,6 +223,12 @@ final class GraftCli(spark: SparkSession) {
         Services.restore(table, req(o, "savepoint")))
     },
     "show rollbacks" -> { _ => CliFrame(TableAdmin.rollbacks(table)) },
+    "show changes" -> { o =>
+      // CDC read from the shell: before/after change images for
+      // (--since, --until]; `--until` defaults to the table head
+      CliFrame(graft.read.Readers.incrementalChanges(
+        table, req(o, "since"), o.get("until")))
+    },
     "show fsview all" -> { _ => CliFrame(TableAdmin.fileGroups(table)) },
     "stats filesizes" -> { _ => CliFrame(TableAdmin.fileSizes(table)) },
     "stats wa" -> { _ =>

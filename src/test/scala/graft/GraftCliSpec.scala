@@ -66,6 +66,11 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli.run("catalog sync --db cli_db").text.contains("cli_db.cli_l"))
     assert(spark.sql("SELECT count(*) FROM cli_db.cli_l").first().getLong(0) ===
       Readers.snapshot(t).count())
+    // CDC read from the shell: the surviving upsert reads as an update pair
+    val chg = cli.run(s"show changes --since $firstTs").frame
+      .groupBy(Readers.ChangeTypeCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chg === Map("update_before" -> 1L, "update_after" -> 1L))
     val wa = cli.run("stats wa").frame.collect()
     assert(wa.exists(_.getString(0) == "TOTAL"))
     assert(wa.length >= 3) // per-commit rows + total
