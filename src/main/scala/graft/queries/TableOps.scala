@@ -569,7 +569,12 @@ object TableOps {
       t.bulkInsert(src)
       t.upsert(src.filter(col("o_orderkey") % 7 === 0)
         .withColumn("price", (col("price") + 1).cast("decimal(12,2)")))
-      Readers.snapshot(t).select("o_orderkey", "price", "rate")
+      // The write path stays decimal end-to-end; the verification select
+      // casts to DOUBLE so the driver's hash is dtype-stable vs DuckDB's
+      // float64 oracle (same rule as tools/oracle_check.py for int/float).
+      Readers.snapshot(t).select(col("o_orderkey"),
+        col("price").cast("double").as("price"),
+        col("rate").cast("double").as("rate"))
     }),
 
     // admin surface (CLI analog): commit log derived from metadata only
@@ -988,10 +993,10 @@ object TableOps {
     "t_cluster_hilbert" -> ordersAll,
     "t_decimal_roundtrip" ->
       s"""SELECT o_orderkey,
-         |CASE WHEN o_orderkey % 7 = 0
+         |CAST(CASE WHEN o_orderkey % 7 = 0
          |  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1 AS DECIMAL(12,2))
-         |  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price,
-         |CAST(o_totalprice / 100 AS DECIMAL(9,4)) AS rate
+         |  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DOUBLE) AS price,
+         |CAST(CAST(o_totalprice / 100 AS DECIMAL(9,4)) AS DOUBLE) AS rate
          |FROM orders""".stripMargin,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
