@@ -56,7 +56,7 @@ object Bench {
     val fns = SparkEntry.queries
     locally {
       val warmDir = "/tmp/graft_bench_warm_sf"
-      graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(warmDir))
+      graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(warmDir))
       for (p <- graft.core.PathIO.list(java.nio.file.Paths.get(sfDir))) {
         val n = p.getFileName.toString
         if (n.endsWith(".parquet")) {
@@ -75,7 +75,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] WARM-UP FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-      graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(warmDir))
+      graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(warmDir))
     }
 
     // Timed pass: median of N iterations per query. A single-iteration

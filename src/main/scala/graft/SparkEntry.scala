@@ -23,7 +23,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
     val p = "/tmp/graft_entry"
-    WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+    WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(p))
     val t = GraftTable.create(spark, p, TableConfig(
       "entry", TableType.CopyOnWrite,
       Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate"))

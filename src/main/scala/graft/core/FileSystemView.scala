@@ -1,8 +1,8 @@
 package graft.core
 
-import java.nio.file.{Files, Path}
-import java.nio.charset.StandardCharsets.UTF_8
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
+
+import graft.core.Storage.PathOps
 
 /** One physical data file tracked by the view. `relPath` is relative to the
   * table base dir.
@@ -205,17 +205,17 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
 
   def writeIndexSnapshot(): Path = {
     val st = state(None)
-    Files.createDirectories(indexDir)
+    Storage.mkdirs(indexDir)
     val p = indexDir.resolve(s"files_${st.asOfInstant}.json")
-    Files.write(p, Json.write(st).getBytes(UTF_8))
+    Storage.writeString(p, Json.write(st))
     p
   }
 
   private def loadIndex(asOf: Option[String]): ViewState = {
-    if (!Files.isDirectory(indexDir))
+    if (!Storage.isDirectory(indexDir))
       return ViewState("", Seq.empty, Map.empty)
-    val candidates = PathIO.list(indexDir)
-      .map(_.getFileName.toString)
+    val candidates = Storage.listPaths(indexDir)
+      .map(_.getName)
       .filter(n => n.startsWith("files_") && n.endsWith(".json"))
       .map(n => n.stripPrefix("files_").stripSuffix(".json"))
       .filter(ts => asOf.forall(ts <= _))
@@ -223,8 +223,7 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
     candidates.lastOption match {
       case None => ViewState("", Seq.empty, Map.empty)
       case Some(ts) =>
-        val content = new String(Files.readAllBytes(indexDir.resolve(s"files_$ts.json")), UTF_8)
-        Json.read[ViewState](content)
+        Json.read[ViewState](Storage.readString(indexDir.resolve(s"files_$ts.json")))
     }
   }
 }

@@ -1,11 +1,12 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets.UTF_8
 import java.time.format.DateTimeFormatter
 import java.time.{Instant => JInstant, ZoneOffset}
 import java.util.concurrent.atomic.AtomicLong
-import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import graft.core.Storage.PathOps
 
 /** Timeline actions — mirrors the reference's action taxonomy
   * (reference hudi-common/.../table/timeline/HoodieTimeline.java:46-93).
@@ -98,11 +99,11 @@ final class Timeline(val basePath: Path) {
   val dir: Path = basePath.resolve(".graft").resolve("timeline")
   val archiveDir: Path = basePath.resolve(".graft").resolve("archive")
 
-  def init(): Unit = Files.createDirectories(dir)
+  def init(): Unit = Storage.mkdirs(dir)
 
   def listInstants(): Seq[GraftInstant] = {
-    PathIO.list(dir)
-      .map(_.getFileName.toString)
+    Storage.listPaths(dir)
+      .map(_.getName)
       .flatMap(parse)
       .sortBy(i => (i.ts, i.action))
   }
@@ -125,13 +126,13 @@ final class Timeline(val basePath: Path) {
   def pendingInstants(): Seq[GraftInstant] = listInstants().filterNot(_.isCompleted)
 
   def createRequested(ts: String, action: String, content: String = "{}"): GraftInstant = {
-    Files.createDirectories(dir)
-    atomicWrite(dir.resolve(s"$ts.$action.${State.Requested}"), content)
+    Storage.mkdirs(dir)
+    Storage.atomicWrite(dir.resolve(s"$ts.$action.${State.Requested}"), content)
     GraftInstant(ts, action, State.Requested)
   }
 
   def transitionToInflight(i: GraftInstant, content: String = "{}"): GraftInstant = {
-    atomicWrite(dir.resolve(s"${i.ts}.${i.action}.${State.Inflight}"), content)
+    Storage.atomicWrite(dir.resolve(s"${i.ts}.${i.action}.${State.Inflight}"), content)
     GraftInstant(i.ts, i.action, State.Inflight)
   }
 
@@ -143,22 +144,23 @@ final class Timeline(val basePath: Path) {
     * fail instead.
     */
   def saveAsComplete(i: GraftInstant, metadataJson: String): GraftInstant = {
-    atomicWrite(dir.resolve(s"${i.ts}.${i.action}"), metadataJson, replaceExisting = false)
-    Files.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Requested}"))
-    Files.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Inflight}"))
+    Storage.atomicWrite(dir.resolve(s"${i.ts}.${i.action}"), metadataJson,
+      replaceExisting = false)
+    Storage.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Requested}"))
+    Storage.deleteIfExists(dir.resolve(s"${i.ts}.${i.action}.${State.Inflight}"))
     GraftInstant(i.ts, i.action, State.Completed)
   }
 
   def readContent(i: GraftInstant): String =
-    new String(Files.readAllBytes(dir.resolve(i.fileName)), UTF_8)
+    Storage.readString(dir.resolve(i.fileName))
 
   def readRequestedContent(ts: String, action: String): String =
-    new String(Files.readAllBytes(dir.resolve(s"$ts.$action.${State.Requested}")), UTF_8)
+    Storage.readString(dir.resolve(s"$ts.$action.${State.Requested}"))
 
   def deleteInstantFiles(ts: String, action: String): Unit = {
-    Files.deleteIfExists(dir.resolve(s"$ts.$action"))
-    Files.deleteIfExists(dir.resolve(s"$ts.$action.${State.Inflight}"))
-    Files.deleteIfExists(dir.resolve(s"$ts.$action.${State.Requested}"))
+    Storage.deleteIfExists(dir.resolve(s"$ts.$action"))
+    Storage.deleteIfExists(dir.resolve(s"$ts.$action.${State.Inflight}"))
+    Storage.deleteIfExists(dir.resolve(s"$ts.$action.${State.Requested}"))
   }
 
   /** Move completed instants older than `keepFrom` into the archive log
@@ -168,15 +170,18 @@ final class Timeline(val basePath: Path) {
   def archiveBefore(keepFrom: String): Int = {
     val toArchive = completedInstants().filter(_.ts < keepFrom)
     if (toArchive.isEmpty) return 0
-    Files.createDirectories(archiveDir)
+    Storage.mkdirs(archiveDir)
     val log = archiveDir.resolve("archived.jsonl")
     val lines = toArchive.map { i =>
       val content = readContent(i)
       Json.write(Map("ts" -> i.ts, "action" -> i.action, "metadata" -> content))
     }
-    Files.write(log, (lines.mkString("", "\n", "\n")).getBytes(UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    toArchive.foreach(i => Files.deleteIfExists(dir.resolve(i.fileName)))
+    // read-concat-republish instead of FS append: append is unsupported on
+    // object stores (and Hadoop's checksummed local FS); archiving runs
+    // rarely and under the table lock, so the rewrite is safe and cheap
+    val prior = if (Storage.exists(log)) Storage.readString(log) else ""
+    Storage.atomicWrite(log, prior + lines.mkString("", "\n", "\n"))
+    toArchive.foreach(i => Storage.deleteIfExists(dir.resolve(i.fileName)))
     toArchive.size
   }
 
@@ -188,8 +193,8 @@ final class Timeline(val basePath: Path) {
     */
   def archivedInstants(): Seq[(GraftInstant, String)] = {
     val log = archiveDir.resolve("archived.jsonl")
-    if (!Files.exists(log)) return Seq.empty
-    Files.readAllLines(log).asScala.toSeq.filter(_.nonEmpty).map { line =>
+    if (!Storage.exists(log)) return Seq.empty
+    Storage.readLines(log).map { line =>
       val m = Json.read[Map[String, String]](line)
       (GraftInstant(m("ts"), m("action"), State.Completed), m("metadata"))
     }.sortBy(_._1.ts)
@@ -200,15 +205,4 @@ final class Timeline(val basePath: Path) {
     */
   def earliestActiveCompleted(): Option[String] =
     completedInstants().headOption.map(_.ts)
-
-  private def atomicWrite(target: Path, content: String, replaceExisting: Boolean = true): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.write(tmp, content.getBytes(UTF_8))
-    if (!replaceExisting && Files.exists(target)) {
-      Files.deleteIfExists(tmp)
-      throw new IllegalStateException(
-        s"instant file already exists (concurrent-writer ts collision): $target")
-    }
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
 }

@@ -1,9 +1,12 @@
 package graft.core
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, StandardOpenOption}
 import java.util.UUID
 import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+
+import graft.core.Storage.PathOps
 
 /** Lease-file lock for multi-driver writers on filesystems WITHOUT
   * byte-range locks — the analog of the reference's
@@ -12,9 +15,9 @@ import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
   * create-no-overwrite of a lock file, retry loop, TTL-based stale-lock
   * expiry). `TableLock`'s default OS byte-range lock is strictly stronger
   * on local/NFSv4 filesystems; this provider exists for shared stores
-  * where `FileChannel.lock` is a no-op or unsupported (HDFS,
-  * object-store FUSE mounts), selected per table via
-  * `graft.lock.provider=lease`.
+  * where `FileChannel.lock` is unavailable (HDFS, object stores), selected
+  * per table via `graft.lock.provider=lease` or automatically when the
+  * base path resolves to a non-local FileSystem.
   *
   * Protocol: the holder atomically creates `lock.lease` containing
   * `owner-uuid expiry-epoch-ms`; a background heartbeat rewrites the
@@ -23,7 +26,7 @@ import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
   * that hole). Contenders poll; a file whose expiry has passed is taken
   * over by delete + re-create. Takeover is read-verify-delete, not
   * compare-and-swap — the same window the reference accepts on stores
-  * without conditional writes; on stores with atomic rename the create
+  * without conditional writes; on stores with atomic create the create
   * itself is the linearization point.
   */
 object LeaseLock {
@@ -42,14 +45,14 @@ object LeaseLock {
     def release(): Unit = {
       released = true
       hb.shutdownNow()
-      if (read(file).exists(_._1 == token)) Files.deleteIfExists(file)
+      if (read(file).exists(_._1 == token)) Storage.deleteIfExists(file)
     }
   }
 
   /** Acquire the lease under `dir`, blocking up to `timeoutMs`. */
   def acquire(dir: Path, ttlMs: Long = 60000L, timeoutMs: Long = 600000L): Handle = {
     val file = dir.resolve("lock.lease")
-    Files.createDirectories(dir)
+    Storage.mkdirs(dir)
     val token = UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + timeoutMs
     var backoff = 50L
@@ -66,7 +69,7 @@ object LeaseLock {
       // contended: expired leases are taken over, live ones awaited
       read(file) match {
         case Some((_, expiry)) if System.currentTimeMillis() > expiry =>
-          Files.deleteIfExists(file) // stale — next loop races to re-create
+          Storage.deleteIfExists(file) // stale — next loop races to re-create
         case None => // vanished between create-fail and read — retry now
         case _ =>
           if (System.currentTimeMillis() > deadline)
@@ -80,21 +83,16 @@ object LeaseLock {
   }
 
   private def tryCreate(file: Path, token: String, ttlMs: Long): Boolean =
-    try {
-      Files.write(file, s"$token ${System.currentTimeMillis() + ttlMs}".getBytes(UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    Storage.createExclusive(file,
+      s"$token ${System.currentTimeMillis() + ttlMs}".getBytes(UTF_8))
 
   private def write(file: Path, token: String, expiry: Long): Unit =
-    try Files.write(file, s"$token $expiry".getBytes(UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+    try Storage.writeString(file, s"$token $expiry")
     catch { case _: java.io.IOException => () } // renewal is best-effort
 
   private[core] def read(file: Path): Option[(String, Long)] =
     try {
-      val parts = new String(Files.readAllBytes(file), UTF_8).trim.split(" ")
+      val parts = Storage.readString(file).trim.split(" ")
       if (parts.length == 2) Some((parts(0), parts(1).toLong)) else None
     } catch { case _: java.io.IOException => None }
 }

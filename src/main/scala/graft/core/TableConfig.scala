@@ -1,7 +1,8 @@
 package graft.core
 
-import java.nio.file.{Files, Path}
-import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.fs.Path
+
+import graft.core.Storage.PathOps
 
 /** Table-level configuration persisted as `<base>/.graft/table.json` —
   * the analog of the reference's `.hoodie/hoodie.properties`
@@ -66,7 +67,8 @@ object ConfigKeys {
   val BaseFormat = "graft.base.format"                      // parquet | orc
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
-  val RecordIndexBuckets = "graft.index.record.buckets"     // 16 (thousands at 100 TB)
+  val RecordIndexBuckets = "graft.index.record.buckets"     // explicit count (else auto)
+  val RecordIndexKeysPerBucket = "graft.index.record.keys.per.bucket" // auto-scale target
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
   val UrlEncodePartitions = "graft.partitionpath.urlencode" // false
@@ -86,19 +88,21 @@ object ConfigKeys {
   val DefaultCompactDeltaCommits = 5
   val DefaultBloomNumEntries: Long = 60000L
   val DefaultBloomFpp = "1.0E-9"
-  val DefaultRecordIndexBuckets: Long = 16L
+  val DefaultRecordIndexBuckets: Long = 16L      // floor for the auto-scale
+  val DefaultRecordIndexKeysPerBucket: Long = 1000000L
+  val MaxRecordIndexBuckets: Long = 65536L
 }
 
 object TableConfig {
   def path(base: Path): Path = base.resolve(".graft").resolve("table.json")
 
   def save(base: Path, cfg: TableConfig): Unit = {
-    Files.createDirectories(base.resolve(".graft"))
-    Files.write(path(base), Json.writePretty(cfg).getBytes(UTF_8))
+    Storage.mkdirs(base.resolve(".graft"))
+    Storage.writeString(path(base), Json.writePretty(cfg))
   }
 
   def load(base: Path): TableConfig =
-    Json.read[TableConfig](new String(Files.readAllBytes(path(base)), UTF_8))
+    Json.read[TableConfig](Storage.readString(path(base)))
 
-  def exists(base: Path): Boolean = Files.exists(path(base))
+  def exists(base: Path): Boolean = Storage.exists(path(base))
 }

@@ -1,8 +1,12 @@
 package graft.core
 
 import java.nio.channels.FileChannel
-import java.nio.file.{Files, Path, StandardOpenOption}
+import java.nio.file.StandardOpenOption
 import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+
+import graft.core.Storage.PathOps
 
 /** Multi-writer concurrency control: commits serialize under a per-table
   * lock — an in-process monitor (same-JVM writers) plus an OS file lock
@@ -22,33 +26,36 @@ object TableLock {
     () => new java.util.HashSet[String]())
 
   def withLock[T](base: Path)(body: => T): T = {
-    val key = base.toAbsolutePath.toString
+    val key = Storage.qualified(base).toString
     if (held.get().contains(key)) return body // reentrant
     val mon = monitors.computeIfAbsent(key, _ => new Object)
     mon.synchronized {
       val dir = base.resolve(".graft")
-      Files.createDirectories(dir)
+      Storage.mkdirs(dir)
       held.get().add(key)
       try {
-        if (provider(base) == "lease") {
-          // shared stores without byte-range locks (HDFS, object-store
-          // mounts): lease file with heartbeat renewal + TTL takeover
-          val lease = LeaseLock.acquire(dir)
-          try body finally lease.release()
-        } else {
-          val ch = FileChannel.open(dir.resolve("lock"),
-            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-          val fl = ch.lock()
-          try body finally { fl.release(); ch.close() }
+        Storage.localFile(dir.resolve("lock")) match {
+          case Some(local) if provider(base) != "lease" =>
+            val ch = FileChannel.open(local.toPath,
+              StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+            val fl = ch.lock()
+            try body finally { fl.release(); ch.close() }
+          case _ =>
+            // non-local FileSystem (HDFS, object stores) or explicit
+            // `lease` provider: lease file with heartbeat renewal + TTL
+            // takeover — byte-range locks don't exist there
+            val lease = LeaseLock.acquire(dir)
+            try body finally lease.release()
         }
       } finally held.get().remove(key)
     }
   }
 
-  /** `graft.lock.provider` table prop: `os` (default — FileChannel
-    * byte-range lock) or `lease` ([[LeaseLock]]). Read from the persisted
-    * table config so every writer process agrees on the protocol; tables
-    * mid-create (no config yet) use the OS lock.
+  /** `graft.lock.provider` table prop: `os` (default on local paths —
+    * FileChannel byte-range lock) or `lease` ([[LeaseLock]]). Read from
+    * the persisted table config so every writer process agrees on the
+    * protocol; tables mid-create (no config yet) use the OS lock when
+    * local. Non-local base paths always use the lease.
     */
   private def provider(base: Path): String =
     if (TableConfig.exists(base))

@@ -182,7 +182,7 @@ object VectorIndex {
   }
 
   private def loadOrCreate(spark: SparkSession, path: String, cfg: TableConfig): GraftTable =
-    if (graft.core.TableConfig.exists(Paths.get(GraftTable.normalize(path))))
+    if (graft.core.TableConfig.exists(new org.apache.hadoop.fs.Path(GraftTable.normalize(path))))
       GraftTable.load(spark, path)
     else GraftTable.create(spark, path, cfg)
 }

@@ -45,7 +45,7 @@ object PipelineQueries {
       import graft.table.{GraftTable, WritePipeline}
       val base = docs(s, d)
       val root = s"/tmp/graft_q/dedup_incr_${Integer.toHexString(d.hashCode)}"
-      WritePipeline.deleteRecursively(java.nio.file.Paths.get(root))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(root))
       val docsCfg = TableConfig("docs_src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
       val srcT = GraftTable.create(s, s"$root/source", docsCfg)
       val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
@@ -165,7 +165,7 @@ object PipelineQueries {
       val all = embs(s, d)
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
       val p = s"/tmp/graft_q/ann_ivf_idx_${Integer.toHexString(d.hashCode)}"
-      graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+      graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(p))
       val idx = VectorIndex.buildIvf(s, p, all, nlist = 16)
       VectorIndex.ivfSearch(idx, all.filter(col("vec_id") < 3), k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -191,7 +191,7 @@ object PipelineQueries {
       import graft.table.{GraftTable, WritePipeline}
       val ev = QUtil.events(s, d).select("event_id", "ts", "user_id", "value")
       val root = s"/tmp/graft_q/sess_svc_${Integer.toHexString(d.hashCode)}"
-      WritePipeline.deleteRecursively(java.nio.file.Paths.get(root))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(root))
       val evT = GraftTable.create(s, s"$root/events", TableConfig(
         "sess_events", TableType.CopyOnWrite, Seq("event_id"), "pmod(user_id, 16)", ""))
       val ssT = GraftTable.create(s, s"$root/sessions", TableConfig(

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{FileEntry, MetaCols}
+import graft.core.Storage.PathOps
 
 /** Metadata-driven `FileIndex` over a set of committed base files — the
   * analog of the reference's HoodieFileIndex
@@ -25,7 +26,7 @@ import graft.core.{FileEntry, MetaCols}
   */
 final class GraftFileIndex(
     spark: SparkSession,
-    tableBase: java.nio.file.Path,
+    tableBase: HPath,
     entries: Seq[FileEntry]) extends FileIndex {
 
   private val byPartition: Map[String, Seq[FileEntry]] = entries.groupBy(_.partitionPath)
@@ -33,7 +34,7 @@ final class GraftFileIndex(
   override val partitionSchema: StructType =
     StructType(Seq(StructField(MetaCols.PartitionPath, StringType, nullable = false)))
 
-  override def rootPaths: Seq[HPath] = Seq(new HPath(tableBase.toUri))
+  override def rootPaths: Seq[HPath] = Seq(tableBase)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -137,7 +138,7 @@ final class GraftFileIndex(
 
   private def toStatus(e: FileEntry): FileStatus =
     new FileStatus(e.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
-      new HPath(tableBase.resolve(e.relPath).toUri))
+      tableBase.resolve(e.relPath))
 
   override def inputFiles: Array[String] =
     entries.map(e => tableBase.resolve(e.relPath).toString).toArray

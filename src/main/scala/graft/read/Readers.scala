@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.core.Storage.PathOps
 import graft.table.GraftTable
 
 /** The three query types over a table (reference README.md:40-43,
@@ -65,7 +66,7 @@ object Readers {
   private def readBases(t: GraftTable, bases: Seq[FileEntry],
       asOf: Option[String] = None): DataFrame = {
     val (ext, internal) = bases.partition(e =>
-      java.nio.file.Paths.get(e.relPath).isAbsolute)
+      new org.apache.hadoop.fs.Path(e.relPath).isAbsolute)
     val frames = Seq(
       if (internal.isEmpty) None else Some(fileIndexScan(t, internal, asOf)),
       if (ext.isEmpty) None else Some(t.readEntriesRaw(ext, asOf))
@@ -186,7 +187,7 @@ object Readers {
           ws.fileSizeInBytes, ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites))
     }
     val missing = entries.filterNot(e =>
-      java.nio.file.Files.exists(t.basePath.resolve(e.relPath)))
+      Storage.exists(t.basePath.resolve(e.relPath)))
     if (missing.nonEmpty && fallbackFullScan) {
       val snapFiltered = snapshot(t)
         .filter(col(MetaCols.CommitTime) > beginTs &&
@@ -284,8 +285,8 @@ object Readers {
     val beforeSlices = t.view.fileSlices(Some(beginTs))
       .filter(s => touched.contains((s.partitionPath, s.fileId)))
     val missing = beforeSlices.flatMap(_.allFiles)
-      .filterNot(e => java.nio.file.Paths.get(e.relPath).isAbsolute)
-      .filterNot(e => java.nio.file.Files.exists(t.basePath.resolve(e.relPath)))
+      .filterNot(e => new org.apache.hadoop.fs.Path(e.relPath).isAbsolute)
+      .filterNot(e => Storage.exists(t.basePath.resolve(e.relPath)))
     require(missing.isEmpty,
       s"change range ($beginTs, $end] needs cleaned begin-side files: " +
         missing.take(3).map(_.relPath).mkString(", "))
@@ -294,12 +295,16 @@ object Readers {
     val after = readSliceSet(t, afterSlices, endTs)
     val dataCols = after.columns
       .filterNot((MetaCols.All :+ MetaCols.DeleteFlag).contains).toSeq
-    // align the begin-side image to the current columns (schema evolution
-    // between the two snapshots surfaces nulls, like any old-file read)
+    // align the begin-side image to the current columns AND types (schema
+    // evolution between the two snapshots surfaces nulls / widens, like any
+    // old-file read) — exact type match is required for the single-pass
+    // change array below
     val before0 = readSliceSet(t, beforeSlices, Some(beginTs))
     val before = dataCols.foldLeft(before0)((df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(after.schema(c).dataType)))
+      if (!df.columns.contains(c)) df.withColumn(c, lit(null).cast(after.schema(c).dataType))
+      else if (df.schema(c).dataType != after.schema(c).dataType)
+        df.withColumn(c, col(s"`$c`").cast(after.schema(c).dataType))
+      else df)
     def img(df: DataFrame, prefix: String) = df.select(
       col(MetaCols.PartitionPath).as("_c_part"),
       col(MetaCols.RecordKey).as("_c_key"),
@@ -307,13 +312,19 @@ object Readers {
       struct(dataCols.map(c => col(s"`$c`")): _*).as(s"${prefix}_row"))
     val j = img(before, "_b").join(img(after, "_a"), Seq("_c_part", "_c_key"), "full_outer")
     val changed = col("_a_ct") > beginTs && col("_a_ct") <= end
-    def emit(side: String, pred: org.apache.spark.sql.Column, kind: String) =
-      j.filter(pred).select(
-        dataCols.map(c => col(s"${side}.`$c`").as(c)) :+
-          lit(kind).as(ChangeTypeCol): _*)
-    emit("_a_row", col("_b_row").isNull && changed, "insert")
-      .unionByName(emit("_b_row", col("_a_row").isNull, "delete"))
-      .unionByName(emit("_b_row", col("_b_row").isNotNull && changed, "update_before"))
-      .unionByName(emit("_a_row", col("_b_row").isNotNull && changed, "update_after"))
+    // SINGLE pass over the joined rows: each row projects the array of
+    // change images that apply (0 for carried-over rows, 2 for updates)
+    // and explodes it — the join subtree is planned and executed once,
+    // instead of once per change type (4x the scan+join cost)
+    def chg(kind: String, row: org.apache.spark.sql.Column) =
+      struct(lit(kind).as("kind"), row.as("row"))
+    val variants = array(
+      when(col("_b_row").isNull && changed, chg("insert", col("_a_row"))),
+      when(col("_a_row").isNull, chg("delete", col("_b_row"))),
+      when(col("_b_row").isNotNull && changed, chg("update_before", col("_b_row"))),
+      when(col("_b_row").isNotNull && changed, chg("update_after", col("_a_row"))))
+    j.select(explode(filter(variants, v => v.isNotNull)).as("_chg"))
+      .select(dataCols.map(c => col(s"_chg.row.`$c`").as(c)) :+
+        col("_chg.kind").as(ChangeTypeCol): _*)
   }
 }

@@ -199,7 +199,7 @@ class GraftDataSource
   private def loadOrCreate(spark: org.apache.spark.sql.SparkSession, path0: String,
       parameters: Map[String, String]): GraftTable = {
     val path = GraftTable.normalize(path0)
-    if (TableConfig.exists(java.nio.file.Paths.get(path))) GraftTable.load(spark, path)
+    if (TableConfig.exists(new org.apache.hadoop.fs.Path(path))) GraftTable.load(spark, path)
     else {
       // no recordKeyFields ⇒ KEYLESS table: uuid record keys (reference
       // UuidKeyGenerator — SQL tables without a primary key), append-only

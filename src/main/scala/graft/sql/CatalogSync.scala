@@ -1,11 +1,9 @@
 package graft.sql
 
-import java.nio.file.Paths
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 
-import graft.core.{PathIO, TableConfig}
+import graft.core.{Storage, TableConfig}
 import graft.table.GraftTable
 
 /** Catalog registration for graft tables — the in-engine analog of the
@@ -61,7 +59,7 @@ object CatalogSync {
   def sync(spark: SparkSession, path: String, db: String, table: String,
       dbLocation: Option[String] = None): Unit = {
     val norm = GraftTable.normalize(path)
-    require(TableConfig.exists(Paths.get(norm)), s"no graft table at $norm")
+    require(TableConfig.exists(new org.apache.hadoop.fs.Path(norm)), s"no graft table at $norm")
     val loc = dbLocation.map(l => s" LOCATION '${sqlLit(l)}'").getOrElse("")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ident(db)}$loc")
     val id = TableIdentifier(table, Some(db))
@@ -104,10 +102,10 @@ object CatalogSync {
     */
   def syncAll(spark: SparkSession, root: String, db: String,
       dbLocation: Option[String] = None): Seq[String] = {
-    val dir = Paths.get(GraftTable.normalize(root))
-    val found = PathIO.list(dir)
+    val dir = new org.apache.hadoop.fs.Path(GraftTable.normalize(root))
+    val found = Storage.listPaths(dir)
       .filter(TableConfig.exists)
-      .map(_.getFileName.toString)
+      .map(_.getName)
       .filter(_.matches("[A-Za-z0-9_]+")).sorted
     found.foreach(n => sync(spark, s"$dir/$n", db, n, dbLocation))
     found

@@ -60,17 +60,17 @@ final class DfsSource(
     case other => throw new IllegalArgumentException(s"unsupported format '$other'")
   }
 
-  private def listNewer(ckpt: Long): Seq[(Path, Long)] = {
-    val root = Paths.get(rootPath)
-    if (!Files.isDirectory(root)) return Seq.empty
-    graft.core.PathIO.walk(root)
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => exts.exists(p.getFileName.toString.endsWith(_)))
-      .filterNot(p => p.getFileName.toString.startsWith(".") ||
-        p.getFileName.toString.startsWith("_"))
-      .map(p => p -> Files.getLastModifiedTime(p).toMillis)
+  private def listNewer(ckpt: Long): Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    if (!graft.core.Storage.isDirectory(root)) return Seq.empty
+    graft.core.Storage.walk(root)
+      .filter(_.isFile)
+      .filter(st => exts.exists(st.getPath.getName.endsWith(_)))
+      .filterNot(st => st.getPath.getName.startsWith(".") ||
+        st.getPath.getName.startsWith("_"))
+      .map(st => st.getPath -> st.getModificationTime)
       .filter(_._2 > ckpt)
-      .toSeq.sortBy(x => (x._2, x._1.toString))
+      .sortBy(x => (x._2, x._1.toString))
   }
 
   override def fetchNext(spark: SparkSession, checkpoint: Option[String])

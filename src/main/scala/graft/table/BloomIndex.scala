@@ -1,13 +1,15 @@
 package graft.table
 
 import java.io.ByteArrayOutputStream
-import java.nio.file.Path
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.core._
+import graft.core.Storage.PathOps
 
 /** Opt-in BLOOM index (`graft.index.type=BLOOM`) — the analog of the
   * reference's bloom-filter record index (reference
@@ -122,7 +124,7 @@ object BloomIndex {
       base.resolve(ws.path).toUri.getPath -> ws.path
     }.toMap
     val paths = baseStats.map(ws => base.resolve(ws.path).toString)
-    val baseUri = base.toUri.toString.stripSuffix("/")
+    val baseUri = Storage.qualified(base).toString.stripSuffix("/")
     // pre-create through the table's FileSystem (not java.nio: the bloom
     // dir must exist on whatever store backs the table), so executor
     // tasks only ever create files
@@ -136,7 +138,10 @@ object BloomIndex {
     // CacheManager substitution of a user-cached scan of the same files
     spark.read.format(WritePipeline.formatOf(baseStats.head.path)).load(paths: _*)
       .select(col(MetaCols.RecordKey).as[String],
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as[String])
+        // strip scheme://authority so the key matches toUri.getPath on any
+        // store; "file:/x" (no authority) collapses to "/x"
+        regexp_replace(regexp_replace(col("_metadata.file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""), "^file:/+", "/").as[String])
       .groupByKey(_._2)
       .mapGroups { (file, it) =>
         val bf = BloomFilter.create(entries, fpp)
@@ -162,7 +167,7 @@ object BloomIndex {
     // one FileSystem listing of the bloom dir (not a per-candidate exists
     // probe — 10^6 candidates would mean 10^6 store RPCs), through the
     // Hadoop FS so the same driver code runs against any backing store
-    val baseUri0 = base.toUri.toString.stripSuffix("/")
+    val baseUri0 = Storage.qualified(base).toString.stripSuffix("/")
     val dirPath = new org.apache.hadoop.fs.Path(s"$baseUri0/.graft/blooms")
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val present: Set[String] =
@@ -174,7 +179,7 @@ object BloomIndex {
     // narrow metadata only: (partition, minKey, maxKey, sidecar rel path)
     val meta = withBloom.map(e => (e.partitionPath, e.minKey, e.maxKey, e.relPath))
     val bc = spark.sparkContext.broadcast(meta)
-    val baseUri = base.toUri.toString.stripSuffix("/")
+    val baseUri = Storage.qualified(base).toString.stripSuffix("/")
     val hProps = Services.shippedHadoopProps(spark)
     import spark.implicits._
     val isGlobal = global // stable local for the closure

@@ -185,12 +185,12 @@ final class GraftCli(spark: SparkSession) {
     },
     "bootstrap run" -> { o =>
       // reference BootstrapCommand `bootstrap run --srcPath … --basePath …`
-      val srcDir = java.nio.file.Paths.get(req(o, "srcPath"))
-      val files = graft.core.PathIO.walk(srcDir)
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("_"))
-        .map(_.toString).sorted
+      val srcDir = new org.apache.hadoop.fs.Path(req(o, "srcPath"))
+      val files = graft.core.Storage.walk(srcDir)
+        .filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).sorted
       connected = Some(GraftTable.bootstrap(spark, req(o, "path"), TableConfig(
         req(o, "tableName"),
         o.getOrElse("tableType", TableType.CopyOnWrite),
@@ -249,5 +249,24 @@ final class GraftCli(spark: SparkSession) {
     },
     "export instants" -> { _ => CliFrame(TableAdmin.timeline(table)) },
     "pending show" -> { _ => CliFrame(TableAdmin.pending(table)) },
+    // reference TempViewCommand (`temp_query`/`temps_show`/`temp_delete`):
+    // register any frame-returning command's result as a session temp view,
+    // then compose it with plain Spark SQL from the same shell
+    "temp view" -> { o =>
+      val name = req(o, "name")
+      run(req(o, "cmd")) match {
+        case CliFrame(df) =>
+          df.createOrReplaceTempView(name)
+          CliText(s"Registered temp view $name")
+        case CliText(t) => throw new IllegalArgumentException(
+          s"command returned text, not a frame: $t")
+      }
+    },
+    "temp query" -> { o => CliFrame(spark.sql(req(o, "sql"))) },
+    "temp delete" -> { o =>
+      val name = req(o, "name")
+      val dropped = spark.catalog.dropTempView(name)
+      CliText(if (dropped) s"Dropped temp view $name" else s"No temp view $name")
+    },
   ).sortBy(-_._1.length)
 }

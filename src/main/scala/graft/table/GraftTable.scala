@@ -1,12 +1,13 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths}
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
 import graft.core._
+import graft.core.Storage.PathOps
 import graft.keygen.KeyGen
 
 /** A transactional keyed table on parquet — the engine's central API,
@@ -300,7 +301,10 @@ final class GraftTable(
     * for keys the table doesn't hold are no-ops.
     */
   def applyCdc(df: DataFrame, opCol: String = "Op",
-      extraMetadata: Map[String, String] = Map.empty): String =
+      extraMetadata: Map[String, String] = Map.empty): String = {
+    // a keyless destination would give CDC rows uuid keys: deletes
+    // silently no-op and update images pile up as duplicates
+    requireKeyed("applyCdc")
     runCommit(commitAction, "cdc_apply", extraMetadata) { instant =>
       val isDel = upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")
       val keyed = maybePrecombine(KeyGen.withKeyColumns(
@@ -318,6 +322,7 @@ final class GraftTable(
         }
       } finally { tagged.unpersist(); keyed.unpersist() }
     }
+  }
 
   /** Replace all file groups of the partitions the batch touches
     * (reference SparkInsertOverwriteCommitActionExecutor — replacecommit).
@@ -593,12 +598,12 @@ final class GraftTable(
         "partitioned sources need a per-file partition mapping")
     runCommit(commitAction, "bootstrap") { _ =>
       val stats = sourceFiles.map { f =>
-        val p = Paths.get(f)
-        require(p.isAbsolute && Files.exists(p), s"bootstrap source not found: $f")
+        val p = new Path(f)
+        require(p.isAbsolute && Storage.exists(p), s"bootstrap source not found: $f")
         val fileId = "boot-" + java.util.UUID.nameUUIDFromBytes(
           f.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(12)
         WriteStat(fileId, f, "", WritePipeline.footerRowCount(p), 0L,
-          Files.size(p), "", "", isDelta = false)
+          Storage.size(p), "", "", isDelta = false)
       }
       val srcSchema = spark.read.parquet(sourceFiles: _*).schema
       val metaFields = MetaCols.All.map(n =>
@@ -995,7 +1000,7 @@ final class GraftTable(
       val s = schema.getOrElse(StructType(Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val (ext, internal) = entries.partition(e => Paths.get(e.relPath).isAbsolute)
+    val (ext, internal) = entries.partition(e => new Path(e.relPath).isAbsolute)
     // per-format scan (ORC base files coexist with parquet delta files;
     // commit metadata records full names, so each file reads natively)
     val internalFrames = internal.groupBy(e => WritePipeline.formatOf(e.relPath))
@@ -1170,7 +1175,7 @@ final class GraftTable(
           // already renamed into place) so nothing waits on the reaper
           stats.foreach { ws =>
             val p = basePath.resolve(ws.path)
-            if (p.startsWith(basePath)) Files.deleteIfExists(p)
+            if (p.startsWith(basePath)) Storage.deleteIfExists(p)
           }
           throw e
       }
@@ -1258,7 +1263,7 @@ final class GraftTable(
           WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
           written.foreach { ws =>
             val p = basePath.resolve(ws.path)
-            if (p.startsWith(basePath)) Files.deleteIfExists(p)
+            if (p.startsWith(basePath)) Storage.deleteIfExists(p)
           }
           timeline.deleteInstantFiles(ts, action)
         }
@@ -1362,10 +1367,10 @@ object GraftTable {
       stats: Seq[WriteStat],
       newData: () => org.apache.spark.sql.DataFrame)
 
-  /** Accept both plain paths and file: URIs (the session catalog hands
-    * LOCATIONs to data sources in URI form). Catalog locations are often
-    * UNENCODED file: strings — a raw space or quote in the path is not a
-    * legal URI, so URI parsing gets a textual fallback.
+  /** Accept plain paths, file: URIs (the session catalog hands LOCATIONs
+    * to data sources in URI form — often UNENCODED, so URI parsing gets a
+    * textual fallback), and any Hadoop-resolvable scheme (hdfs://, s3a://),
+    * which passes through untouched to FileSystem resolution.
     */
   def normalize(path: String): String =
     if (path.startsWith("file:"))
@@ -1395,7 +1400,9 @@ object GraftTable {
   def bootstrap(spark: SparkSession, path: String, cfg: TableConfig,
       sourceFiles: Seq[String],
       mode: String = BootstrapMode.MetadataOnly): GraftTable = {
-    val abs = sourceFiles.map(f => Paths.get(f).toAbsolutePath.toString)
+    val abs = sourceFiles.map { f =>
+      if (new Path(f).isAbsolute) f else new java.io.File(f).getAbsolutePath
+    }
     val t = create(spark, path, cfg)
     mode match {
       case BootstrapMode.MetadataOnly => t.bootstrapCommit(abs)
@@ -1408,9 +1415,9 @@ object GraftTable {
   /** Create a new table (errors if one exists at the path). */
   def create(spark: SparkSession, path0: String, cfg: TableConfig): GraftTable = {
     val path = normalize(path0)
-    val base = Paths.get(path)
+    val base = new Path(path)
     require(!TableConfig.exists(base), s"table already exists at $path")
-    Files.createDirectories(base)
+    Storage.mkdirs(base)
     TableConfig.save(base, cfg)
     val t = new GraftTable(spark, base, cfg)
     // a NEW table at a reused path must not inherit the old table's
@@ -1420,12 +1427,12 @@ object GraftTable {
   }
 
   def load(spark: SparkSession, path0: String): GraftTable = {
-    val base = Paths.get(normalize(path0))
+    val base = new Path(normalize(path0))
     new GraftTable(spark, base, TableConfig.load(base))
   }
 
   def createOrLoad(spark: SparkSession, path: String, cfg: TableConfig): GraftTable = {
-    val base = Paths.get(normalize(path))
+    val base = new Path(normalize(path))
     if (TableConfig.exists(base)) load(spark, path) else create(spark, path, cfg)
   }
 }

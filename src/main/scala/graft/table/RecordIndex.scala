@@ -70,21 +70,48 @@ object RecordIndex {
   def enabled(cfg: TableConfig): Boolean =
     cfg.prop(ConfigKeys.IndexType, "SIMPLE") == "RECORD"
 
-  def indexPath(t: GraftTable): java.nio.file.Path =
+  def indexPath(t: GraftTable): org.apache.hadoop.fs.Path = {
+    import graft.core.Storage.PathOps
     t.basePath.resolve(".graft").resolve("record_index")
+  }
 
-  private def buckets(cfg: TableConfig): Int =
-    cfg.propLong(ConfigKeys.RecordIndexBuckets, ConfigKeys.DefaultRecordIndexBuckets).toInt
+  /** Bucket count AT REBUILD TIME: the outer table's explicit
+    * `graft.index.record.buckets` wins; otherwise auto-scale from the live
+    * key count (one value per ~keys.per.bucket, floor 16, cap 65536) — a
+    * fixed 16 would make each index file group ~table-size/16, far past
+    * target file sizes on big tables (the reference's metadata table sizes
+    * its file groups the same stats-driven way).
+    */
+  private def autoBuckets(t: GraftTable): Int =
+    t.cfg.props.get(ConfigKeys.RecordIndexBuckets).map(_.toInt).getOrElse {
+      val keysPerBucket = math.max(1L, t.cfg.propLong(
+        ConfigKeys.RecordIndexKeysPerBucket, ConfigKeys.DefaultRecordIndexKeysPerBucket))
+      // live base-file record counts from commit stats — zero IO
+      val liveKeys = t.view.fileSlices(None).flatMap(_.baseFile).map(_.numRecords).sum
+      val n = math.ceil(liveKeys.toDouble / keysPerBucket).toLong
+      math.max(ConfigKeys.DefaultRecordIndexBuckets,
+        math.min(ConfigKeys.MaxRecordIndexBuckets, n)).toInt
+    }
+
+  /** The count a PERSISTED index was built with — hashing must stay
+    * consistent with its `b=<bucket>` layout until the next rebuild.
+    */
+  def storedBuckets(inner: GraftTable): Int =
+    inner.cfg.propLong(ConfigKeys.RecordIndexBuckets,
+      ConfigKeys.DefaultRecordIndexBuckets).toInt
 
   private def bucketOf(key: Column, n: Int): Column =
     pmod(abs(xxhash64(key)), lit(n.toLong)).cast("int")
 
-  private def innerCfg(t: GraftTable): TableConfig = TableConfig(
+  private def innerCfg(t: GraftTable, buckets: Int): TableConfig = TableConfig(
     "record_index", TableType.CopyOnWrite,
     Seq("_ri_part", "_ri_key"), "concat('b=', _ri_bucket)", "_ri_ord",
     // the index's own index stays SIMPLE (terminates the recursion); its
-    // timeline archives aggressively — index history has no readers
-    Map(ConfigKeys.IndexType -> "SIMPLE"))
+    // timeline archives aggressively — index history has no readers.
+    // The bucket count is pinned HERE so every later probe/apply hashes
+    // exactly like the persisted layout.
+    Map(ConfigKeys.IndexType -> "SIMPLE",
+      ConfigKeys.RecordIndexBuckets -> buckets.toString))
 
   // ------------------------------------------------------------- tagging
 
@@ -105,7 +132,7 @@ object RecordIndex {
     // empty index (outer table has no commits yet): everything inserts
     if (inner.timeline.completedDataInstants().isEmpty)
       return Some(keyed.withColumn(WritePipeline.FileIdCol, lit(null).cast("string")))
-    val n = buckets(t.cfg)
+    val n = storedBuckets(inner)
     // touched buckets → plan-time partition pruning on the index read; the
     // distinct is bounded by the bucket count, one narrow pass
     val touched = keyed
@@ -219,7 +246,7 @@ object RecordIndex {
       if (raw.columns.contains(WritePipeline.DeleteCol))
         raw.filter(!coalesce(col(WritePipeline.DeleteCol), lit(false)))
       else raw
-    inner.upsert(mappings(t, rows, ordCol = col(MetaCols.CommitTime)),
+    inner.upsert(mappings(rows, storedBuckets(inner), ordCol = col(MetaCols.CommitTime)),
       Map(AppliedKey -> maxTs))
     inner
   }
@@ -231,12 +258,13 @@ object RecordIndex {
     */
   private def rebuild(t: GraftTable): GraftTable = {
     WritePipeline.deleteRecursively(indexPath(t))
-    val inner = GraftTable.create(t.spark, indexPath(t).toString, innerCfg(t))
+    val n = autoBuckets(t)
+    val inner = GraftTable.create(t.spark, indexPath(t).toString, innerCfg(t, n))
     val outer = t.timeline.completedDataInstants()
     if (outer.isEmpty) return inner
     val maxTs = outer.last.ts
     val snap = Readers.snapshot(t)
-    inner.upsert(mappings(t, snap, ordCol = lit(maxTs)), Map(AppliedKey -> maxTs))
+    inner.upsert(mappings(snap, n, ordCol = lit(maxTs)), Map(AppliedKey -> maxTs))
     inner
   }
 
@@ -246,11 +274,11 @@ object RecordIndex {
     * `_`-free); for a merged MOR row the latest version's file is a delta
     * of the SAME group, so the derived id is the group id either way.
     */
-  private def mappings(t: GraftTable, rows: DataFrame, ordCol: Column): DataFrame =
+  private def mappings(rows: DataFrame, buckets: Int, ordCol: Column): DataFrame =
     rows.select(
       col(MetaCols.PartitionPath).as("_ri_part"),
       col(MetaCols.RecordKey).as("_ri_key"),
-      bucketOf(col(MetaCols.RecordKey), buckets(t.cfg)).as("_ri_bucket"),
+      bucketOf(col(MetaCols.RecordKey), buckets).as("_ri_bucket"),
       substring_index(col(MetaCols.FileName), "_", 1).as("_ri_fid"),
       ordCol.cast("string").as("_ri_ord"))
 

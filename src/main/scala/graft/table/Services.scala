@@ -1,12 +1,11 @@
 package graft.table
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.core.Storage.PathOps
 
 /** Table maintenance services (reference §2.6: compaction, clustering,
   * clean, rollback, savepoint/restore). All planning is a pure function
@@ -116,7 +115,7 @@ object Services {
       case e: Throwable =>
         WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
         // leave the requested instant for retry; remove only inflight
-        Files.deleteIfExists(t.timeline.dir.resolve(s"$ts.${Action.Compaction}.${State.Inflight}"))
+        Storage.deleteIfExists(t.timeline.dir.resolve(s"$ts.${Action.Compaction}.${State.Inflight}"))
         throw e
     }
   }
@@ -187,8 +186,8 @@ object Services {
     val plan = Json.read[CompactionPlan](t.timeline.readRequestedContent(ts, Action.Compaction))
     import t.spark.implicits._
     plan.operations.map { op =>
-      val baseOk = op.baseFilePath.isEmpty || Files.exists(t.basePath.resolve(op.baseFilePath))
-      val missingDeltas = op.deltaFilePaths.filterNot(p => Files.exists(t.basePath.resolve(p)))
+      val baseOk = op.baseFilePath.isEmpty || Storage.exists(t.basePath.resolve(op.baseFilePath))
+      val missingDeltas = op.deltaFilePaths.filterNot(p => Storage.exists(t.basePath.resolve(p)))
       (op.partitionPath, op.fileId, baseOk, op.deltaFilePaths.size.toLong,
         missingDeltas.size.toLong, baseOk && missingDeltas.isEmpty)
     }.toDF("partition", "file_id", "base_present", "num_deltas", "missing_deltas", "valid")
@@ -407,7 +406,7 @@ object Services {
     }.filterNot(f => protectedPaths.contains(f.relPath))
       // bootstrap-adopted files live outside the table and are never ours
       // to delete
-      .filterNot(f => java.nio.file.Paths.get(f.relPath).isAbsolute)
+      .filterNot(f => new org.apache.hadoop.fs.Path(f.relPath).isAbsolute)
       .toSeq
 
     if (deletable.isEmpty) return None
@@ -424,7 +423,8 @@ object Services {
     val targets: Seq[String] = deletable.flatMap { f =>
       Seq(f.relPath) ++
         (if (f.isDelta) Nil
-         else Seq(t.basePath.relativize(BloomIndex.sidecarPath(t.basePath, f.relPath)).toString))
+         else Seq(Storage.relativize(t.basePath,
+           BloomIndex.sidecarPath(t.basePath, f.relPath))))
     }
     distributedDelete(t, targets)
     val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
@@ -503,7 +503,7 @@ object Services {
     */
   private def distributedDelete(t: GraftTable, relPaths: Seq[String]): Seq[String] = {
     if (relPaths.isEmpty) return Seq.empty
-    val baseUri = t.basePath.toUri.toString.stripSuffix("/")
+    val baseUri = Storage.qualified(t.basePath).toString.stripSuffix("/")
     val hadoopProps = shippedHadoopProps(t.spark)
     t.spark.sparkContext
       .parallelize(relPaths, math.max(1, math.min(relPaths.size, 200)))
@@ -579,12 +579,12 @@ object Services {
         .filter(ts => olderThanMs <= 0L || now - instantEpochMs(ts) >= olderThanMs)
       stale.map { ts =>
         val deleted = orphanDataFiles(t, ts).map { p =>
-          val rel = t.basePath.relativize(p).toString
-          Files.deleteIfExists(p)
+          val rel = Storage.relativize(t.basePath, p)
+          Storage.deleteIfExists(p)
           // a reaped base file's bloom sidecar is unreachable too (clean
           // removes sidecars the same way)
           if (!WritePipeline.isDeltaFile(rel))
-            Files.deleteIfExists(BloomIndex.sidecarPath(t.basePath, rel))
+            Storage.deleteIfExists(BloomIndex.sidecarPath(t.basePath, rel))
           rel
         }
         WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
@@ -605,12 +605,13 @@ object Services {
     * instant (file names embed their instant — fileId_token_instant.ext).
     * Only used on the failure path; normal operation never walks.
     */
-  private def orphanDataFiles(t: GraftTable, ts: String): Seq[java.nio.file.Path] = {
+  private def orphanDataFiles(t: GraftTable, ts: String): Seq[org.apache.hadoop.fs.Path] = {
     val marker = "_" + ts + "."
-    graft.core.PathIO.walk(t.basePath)
-      .filter(Files.isRegularFile(_))
+    Storage.walk(t.basePath)
+      .filter(_.isFile)
+      .map(_.getPath)
       .filterNot(_.startsWith(t.basePath.resolve(".graft")))
-      .filter(_.getFileName.toString.contains(marker))
+      .filter(_.getName.contains(marker))
   }
 
   /** Epoch millis of an instant timestamp (yyyyMMddHHmmssSSS; counter-

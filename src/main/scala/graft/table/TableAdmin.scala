@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.core._
+import graft.core.Storage.PathOps
 
 /** Admin / inspection surface — the programmatic analog of the reference's
   * CLI commands (reference hudi-cli/.../commands: CommitsCommand,
@@ -231,17 +232,16 @@ object TableAdmin {
     */
   def generateSymlinkManifest(t: GraftTable, asOf: Option[String] = None): Int = {
     val slices = t.view.fileSlices(asOf)
-    val base = t.basePath.toAbsolutePath.toUri.toString.stripSuffix("/")
+    val base = Storage.qualified(t.basePath).toString.stripSuffix("/")
     val root = t.basePath.resolve("_symlink_format_manifest")
     WritePipeline.deleteRecursively(root)
     val byPart = slices.filter(_.baseFile.nonEmpty).groupBy(_.partitionPath)
     byPart.foreach { case (part, ss) =>
       val dir = if (part.isEmpty) root else root.resolve(part)
-      java.nio.file.Files.createDirectories(dir)
+      Storage.mkdirs(dir)
       val lines = ss.flatMap(_.baseFile).map(f => s"$base/${f.relPath}")
         .sorted.mkString("", "\n", "\n")
-      java.nio.file.Files.write(dir.resolve("manifest"),
-        lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Storage.writeString(dir.resolve("manifest"), lines)
     }
     byPart.values.map(_.size).sum
   }
@@ -249,10 +249,9 @@ object TableAdmin {
   /** Read back every file URI listed in a table's symlink manifest. */
   def manifestFiles(t: GraftTable): Seq[String] = {
     val root = t.basePath.resolve("_symlink_format_manifest")
-    graft.core.PathIO.walk(root)
-      .filter(p => p.getFileName.toString == "manifest")
-      .flatMap(p => new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n"))
+    Storage.walkPaths(root)
+      .filter(_.getName == "manifest")
+      .flatMap(p => Storage.readString(p).split("\n"))
       .filter(_.nonEmpty).sorted
   }
 
@@ -272,11 +271,11 @@ object TableAdmin {
       throw new IllegalStateException("nothing committed to copy"))
     val slices = t.view.fileSlices(None)
     val files = slices.flatMap(_.allFiles).map(_.relPath)
-      .filterNot(p => java.nio.file.Paths.get(p).isAbsolute) // bootstrap externals stay shared
-    val srcBase = t.basePath.toUri.toString.stripSuffix("/")
-    val dstBase = java.nio.file.Paths.get(GraftTable.normalize(outputDir))
-      .toAbsolutePath.toUri.toString.stripSuffix("/")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(GraftTable.normalize(outputDir)))
+      .filterNot(p => new org.apache.hadoop.fs.Path(p).isAbsolute) // bootstrap externals stay shared
+    val dstPath = new org.apache.hadoop.fs.Path(GraftTable.normalize(outputDir))
+    val srcBase = Storage.qualified(t.basePath).toString.stripSuffix("/")
+    val dstBase = Storage.qualified(dstPath).toString.stripSuffix("/")
+    Storage.mkdirs(dstPath)
     // distributed copy: one task per file, streamed through Hadoop FS
     // (driver config shipped — see Services.shippedHadoopProps)
     val hadoopProps = Services.shippedHadoopProps(spark)
@@ -295,7 +294,6 @@ object TableAdmin {
     // resolves latest slices / replaced groups exactly like the source;
     // only pre-latest file versions are absent, so time travel below the
     // copied snapshot errors loudly instead of silently missing data
-    val dstPath = java.nio.file.Paths.get(GraftTable.normalize(outputDir))
     TableConfig.save(dstPath, t.cfg)
     val dstTimeline = new Timeline(dstPath)
     dstTimeline.init()
@@ -310,20 +308,18 @@ object TableAdmin {
     // silently miss every group owned by an archived commit
     for (sub <- Seq(Seq("archive", "archived.jsonl"))) {
       val from = sub.foldLeft(t.basePath.resolve(".graft"))(_ resolve _)
-      if (java.nio.file.Files.exists(from)) {
+      if (Storage.exists(from)) {
         val to = sub.foldLeft(dstPath.resolve(".graft"))(_ resolve _)
-        java.nio.file.Files.createDirectories(to.getParent)
-        java.nio.file.Files.copy(from, to,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Storage.mkdirs(to.getParent)
+        Storage.writeString(to, Storage.readString(from))
       }
     }
     val idxDir = t.basePath.resolve(".graft").resolve("index")
-    if (java.nio.file.Files.isDirectory(idxDir)) {
+    if (Storage.isDirectory(idxDir)) {
       val dstIdx = dstPath.resolve(".graft").resolve("index")
-      java.nio.file.Files.createDirectories(dstIdx)
-      graft.core.PathIO.list(idxDir).foreach(p =>
-        java.nio.file.Files.copy(p, dstIdx.resolve(p.getFileName.toString),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      Storage.mkdirs(dstIdx)
+      Storage.listPaths(idxDir).foreach(p =>
+        Storage.writeString(dstIdx.resolve(p.getName), Storage.readString(p)))
     }
     GraftTable.load(spark, outputDir)
   }

@@ -1,12 +1,14 @@
 package graft.table
 
-import java.nio.file.{Files, Path, StandardCopyOption}
-import java.util.{Comparator, UUID}
+import java.util.UUID
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
+import graft.core.Storage.PathOps
 
 /** Low-level write machinery shared by all write operations.
   *
@@ -91,7 +93,7 @@ object WritePipeline {
     // format is independent of the base format)
     val format = if (isDelta) "parquet" else baseFormat
     val staging = stagingDir(basePath, instant)
-    Files.createDirectories(staging)
+    Storage.mkdirs(staging)
 
     val keyed = df
       .withColumn(GP, col(MetaCols.PartitionPath))
@@ -113,7 +115,7 @@ object WritePipeline {
       .save(staging.toString)
 
     // Empty input ⇒ no staged files ⇒ nothing to publish.
-    val anyStaged = listDirs(staging).exists(_.getFileName.toString.startsWith(s"$GP="))
+    val anyStaged = listDirs(staging).exists(_.getName.startsWith(s"$GP="))
     if (!anyStaged) { deleteRecursively(staging); return Seq.empty }
 
     // Per-file stats come from the parquet FOOTERS: row counts and the
@@ -127,8 +129,8 @@ object WritePipeline {
     // Map decoded partition value -> staged partition dir, by walking what
     // Spark actually wrote (avoids re-implementing the escape function).
     val partDirs: Map[String, Path] = listDirs(staging)
-      .filter(_.getFileName.toString.startsWith(s"$GP="))
-      .map(d => decodePartition(d.getFileName.toString.stripPrefix(s"$GP=")) -> d)
+      .filter(_.getName.startsWith(s"$GP="))
+      .map(d => decodePartition(d.getName.stripPrefix(s"$GP=")) -> d)
       .toMap
 
     // Publish is parallelized across a bounded pool: each file costs a
@@ -138,9 +140,9 @@ object WritePipeline {
     val work: Seq[(String, String, Path, Int)] = partDirs.toSeq.flatMap {
       case (partition, pdir) =>
         val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
-        Files.createDirectories(partDir)
-        listDirs(pdir).filter(_.getFileName.toString.startsWith(s"$GF=")).flatMap { leaf =>
-          val fileId = leaf.getFileName.toString.stripPrefix(s"$GF=")
+        Storage.mkdirs(partDir)
+        listDirs(pdir).filter(_.getName.startsWith(s"$GF=")).flatMap { leaf =>
+          val fileId = leaf.getName.stripPrefix(s"$GF=")
           val parts = listDataFiles(leaf, format)
           require(parts.nonEmpty, s"no staged file for ($partition, $fileId)")
           parts.zipWithIndex.map { case (p, i) => (partition, fileId, p, i) }
@@ -157,11 +159,11 @@ object WritePipeline {
               val nm = if (isDelta) deltaFileName(fileId, instant, i)
                        else baseFileName(fileId, instant, i, format)
               val dest = partDir.resolve(nm)
-              Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+              Storage.rename(p, dest)
               val fs = if (format == "orc") orcFooterStats(dest) else footerStats(dest)
               WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
                 if (allDeletes) fs.rows else 0L,
-                Files.size(dest), fs.minKey, fs.maxKey, isDelta,
+                Storage.size(dest), fs.minKey, fs.maxKey, isDelta,
                 colMin = fs.colMin, colMax = fs.colMax, colNulls = fs.colNulls)
             }
           })
@@ -176,9 +178,7 @@ object WritePipeline {
     * meta columns yet).
     */
   def footerRowCount(file: Path): Long = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, Storage.conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     finally reader.close()
@@ -194,9 +194,7 @@ object WritePipeline {
     * data skipping on arbitrary predicates in GraftFileIndex.
     */
   private def footerStats(file: Path): FooterStats = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, Storage.conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       var n = 0L
@@ -245,10 +243,8 @@ object WritePipeline {
     * ORC file tail — same zero-data-IO contract as the parquet path.
     */
   private def orcFooterStats(file: Path): FooterStats = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val reader = org.apache.orc.OrcFile.createReader(
-      new org.apache.hadoop.fs.Path(file.toUri),
-      org.apache.orc.OrcFile.readerOptions(conf))
+    val reader = org.apache.orc.OrcFile.createReader(file,
+      org.apache.orc.OrcFile.readerOptions(Storage.conf))
     try {
       val schema = reader.getSchema // struct<...> of top-level columns
       val names = schema.getFieldNames.asScala.toSeq
@@ -303,15 +299,15 @@ object WritePipeline {
   def stagingDir(basePath: Path, instant: String): Path =
     basePath.resolve(".graft").resolve(".temp").resolve(instant)
 
-  def relPath(base: Path, p: Path): String = base.relativize(p).toString
+  def relPath(base: Path, p: Path): String = Storage.relativize(base, p)
 
   private def listDirs(dir: Path): Seq[Path] =
-    graft.core.PathIO.list(dir).filter(Files.isDirectory(_))
+    Storage.list(dir).filter(_.isDirectory).map(_.getPath)
 
   private def listDataFiles(dir: Path, format: String): Seq[Path] =
-    graft.core.PathIO.list(dir)
-      .filter(p => p.getFileName.toString.endsWith(s".$format"))
-      .sortBy(_.getFileName.toString)
+    Storage.listPaths(dir)
+      .filter(_.getName.endsWith(s".$format"))
+      .sortBy(_.getName)
 
   /** Inverse of Spark's partition-value escaping (percent-encoding of
     * special chars — ExternalCatalogUtils.unescapePathName semantics,
@@ -333,7 +329,5 @@ object WritePipeline {
     sb.toString
   }
 
-  def deleteRecursively(p: Path): Unit =
-    graft.core.PathIO.walk(p).sorted(Ordering[String].on[Path](_.toString).reverse)
-      .foreach(f => Files.deleteIfExists(f))
+  def deleteRecursively(p: Path): Unit = Storage.deleteRecursively(p)
 }

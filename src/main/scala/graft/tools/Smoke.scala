@@ -15,7 +15,7 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_smoke"
-    graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(out))
+    graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(out))
 
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -106,7 +106,7 @@ object Smoke {
 
     // format("graft") surface: write options route ops, read round-trips
     val dsDir = out + "_ds"
-    graft.table.WritePipeline.deleteRecursively(java.nio.file.Paths.get(dsDir))
+    graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(dsDir))
     src.write.format("graft")
       .option("recordKeyFields", "o_orderkey")
       .option("partitionPathExpr", "date_format(o_orderdate, 'yyyy')")

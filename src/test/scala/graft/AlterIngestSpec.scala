@@ -100,7 +100,7 @@ class AlterIngestSpec extends AnyFunSuite {
     t.bulkInsert(spark.read.parquet(s"$sf001/orders.parquet"))
     val renamed = t.renameTable("orders_renamed")
     assert(renamed.cfg.tableName === "orders_renamed")
-    assert(TableConfig.load(Paths.get(dir.toString)).tableName === "orders_renamed")
+    assert(TableConfig.load(new org.apache.hadoop.fs.Path(dir.toString)).tableName === "orders_renamed")
     assert(Readers.snapshot(renamed).count() > 0)
   }
 

@@ -30,7 +30,7 @@ class BloomIndexSpec extends AnyFunSuite {
     val bases = t.view.fileSlices(None).flatMap(_.baseFile)
     assert(bases.nonEmpty)
     bases.foreach { b =>
-      assert(java.nio.file.Files.exists(BloomIndex.sidecarPath(t.basePath, b.relPath)),
+      assert(graft.core.Storage.exists(BloomIndex.sidecarPath(t.basePath, b.relPath)),
         s"missing sidecar for ${b.relPath}")
     }
 
@@ -46,7 +46,7 @@ class BloomIndexSpec extends AnyFunSuite {
     snap.unpersist()
     // rewritten groups got fresh sidecars for their new base files
     t.view.fileSlices(None).flatMap(_.baseFile).foreach { b =>
-      assert(java.nio.file.Files.exists(BloomIndex.sidecarPath(t.basePath, b.relPath)))
+      assert(graft.core.Storage.exists(BloomIndex.sidecarPath(t.basePath, b.relPath)))
     }
   }
 
@@ -64,7 +64,7 @@ class BloomIndexSpec extends AnyFunSuite {
     // keys from exactly one file — every other file range-overlaps but
     // cannot contain them (keys are unique across the table)
     val one = bases.head
-    val probeKeys = spark.read.parquet(t.basePath.resolve(one.relPath).toString)
+    val probeKeys = spark.read.parquet(new org.apache.hadoop.fs.Path(t.basePath, one.relPath).toString)
       .select(col(MetaCols.RecordKey), col(MetaCols.PartitionPath))
       .limit(50)
     val pruned = BloomIndex.prune(spark, t.basePath, probeKeys, bases)
@@ -84,7 +84,7 @@ class BloomIndexSpec extends AnyFunSuite {
     // probe with keys from one partition but a WRONG partition column —
     // global probing must still find their true files
     val one = bases.head
-    val keys = spark.read.parquet(t.basePath.resolve(one.relPath).toString)
+    val keys = spark.read.parquet(new org.apache.hadoop.fs.Path(t.basePath, one.relPath).toString)
       .select(col(MetaCols.RecordKey), lit("not-a-partition").as(MetaCols.PartitionPath))
       .limit(40)
     val prunedLocal = BloomIndex.prune(spark, t.basePath, keys, bases)

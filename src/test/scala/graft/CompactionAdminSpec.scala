@@ -48,7 +48,7 @@ class CompactionAdminSpec extends AnyFunSuite {
     val ts = Services.scheduleCompaction(t).get
     val plan = Json.read[CompactionPlan](t.timeline.readRequestedContent(ts, Action.Compaction))
     val victim = plan.operations.flatMap(_.deltaFilePaths).head
-    java.nio.file.Files.delete(t.basePath.resolve(victim))
+    graft.core.Storage.deleteIfExists(new org.apache.hadoop.fs.Path(t.basePath, victim))
     val v = Services.validateCompaction(t, ts)
     assert(v.filter(!col("valid")).count() === 1)
     assert(v.filter(col("missing_deltas") > 0).count() === 1)

@@ -1,6 +1,7 @@
 package graft
 
-import java.nio.file.Files
+import graft.core.Storage
+import graft.core.Storage.PathOps
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
@@ -24,14 +25,14 @@ class FailedWritesSpec extends AnyFunSuite {
   /** Simulate a writer that died mid-write: pending instant files, a
     * staging dir, and one data file already moved into a partition.
     */
-  private def plantCrash(t: GraftTable): (String, java.nio.file.Path) = {
+  private def plantCrash(t: GraftTable): (String, org.apache.hadoop.fs.Path) = {
     val ts = InstantTime.newInstant(t.timeline)
     t.timeline.transitionToInflight(t.timeline.createRequested(ts, Action.Commit))
-    Files.createDirectories(graft.table.WritePipeline.stagingDir(t.basePath, ts))
+    Storage.mkdirs(graft.table.WritePipeline.stagingDir(t.basePath, ts))
     val part = t.basePath.resolve("1995")
-    Files.createDirectories(part)
+    Storage.mkdirs(part)
     val orphan = part.resolve(s"deadbeef-0000_0_$ts.parquet")
-    Files.write(orphan, Array[Byte](1, 2, 3))
+    Storage.write(orphan, Array[Byte](1, 2, 3))
     (ts, orphan)
   }
 
@@ -44,7 +45,7 @@ class FailedWritesSpec extends AnyFunSuite {
     val (ts, orphan) = plantCrash(t)
     val rolled = Services.rollbackFailedWrites(t)
     assert(rolled.size === 1)
-    assert(!Files.exists(orphan), "orphan data file survived")
+    assert(!Storage.exists(orphan), "orphan data file survived")
     assert(t.timeline.pendingInstants().isEmpty)
     assert(t.timeline.completedInstants().exists(_.action == Action.Rollback))
     assert(Readers.snapshot(t).count() === n, "live data changed")
@@ -63,7 +64,7 @@ class FailedWritesSpec extends AnyFunSuite {
     eager.bulkInsert(src)
     val (_, orphan) = plantCrash(eager)
     eager.upsert(src.limit(20).withColumn("o_totalprice", lit(5.0)))
-    assert(!Files.exists(orphan), "EAGER write did not reap the crashed writer")
+    assert(!Storage.exists(orphan), "EAGER write did not reap the crashed writer")
     assert(eager.timeline.pendingInstants().isEmpty)
 
     // default LAZY: a FRESH pending instant (e.g. a live optimistic
@@ -72,7 +73,7 @@ class FailedWritesSpec extends AnyFunSuite {
     lazyT.bulkInsert(src)
     val (ts2, orphan2) = plantCrash(lazyT)
     lazyT.upsert(src.limit(20).withColumn("o_totalprice", lit(6.0)))
-    assert(Files.exists(orphan2), "LAZY reaped a fresh pending instant")
+    assert(Storage.exists(orphan2), "LAZY reaped a fresh pending instant")
     assert(lazyT.timeline.pendingInstants().exists(_.ts == ts2))
     src.unpersist()
   }

@@ -31,7 +31,7 @@ class JdbcIngestSpec extends AnyFunSuite {
     (1 to 6).foreach(i => st.execute(s"INSERT INTO src VALUES ($i, ${i * 1.5}, 'a')"))
 
     val root = tmpDir("jdbc_dst").toString + "/t"
-    WritePipeline.deleteRecursively(java.nio.file.Paths.get(root))
+    WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(root))
     val dst = GraftTable.create(spark, root, TableConfig(
       "jdbc_t", TableType.CopyOnWrite, Seq("id"), "", ""))
     // raw-DDL Derby tables store unquoted identifiers uppercase; the

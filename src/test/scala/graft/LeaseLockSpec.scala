@@ -1,12 +1,13 @@
 package graft
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.core.{LeaseLock, TableConfig, TableType}
+import graft.core.{LeaseLock, Storage, TableConfig, TableType}
+import graft.core.Storage.PathOps
 import graft.table.GraftTable
 
 class LeaseLockSpec extends AnyFunSuite {
@@ -14,7 +15,7 @@ class LeaseLockSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("second acquire blocks until release, then succeeds") {
-    val dir = tmpDir("lease1")
+    val dir = new Path(tmpDir("lease1").toString)
     val h1 = LeaseLock.acquire(dir, ttlMs = 60000L)
     val t0 = System.currentTimeMillis()
     @volatile var acquiredAt = 0L
@@ -29,13 +30,13 @@ class LeaseLockSpec extends AnyFunSuite {
     h1.release()
     t.join(10000)
     assert(acquiredAt >= t0 + 300)
-    assert(!Files.exists(dir.resolve("lock.lease")))
+    assert(!Storage.exists(dir.resolve("lock.lease")))
   }
 
   test("expired lease is taken over; live one is not") {
-    val dir = tmpDir("lease2")
+    val dir = new Path(tmpDir("lease2").toString)
     // a crashed holder: lease file with an expiry in the past
-    Files.write(dir.resolve("lock.lease"),
+    Storage.write(dir.resolve("lock.lease"),
       s"dead-owner ${System.currentTimeMillis() - 5000}".getBytes(UTF_8))
     val h = LeaseLock.acquire(dir, ttlMs = 60000L, timeoutMs = 5000L)
     h.release()
@@ -49,7 +50,7 @@ class LeaseLockSpec extends AnyFunSuite {
   }
 
   test("heartbeat outlives the ttl of a long-held lease") {
-    val dir = tmpDir("lease3")
+    val dir = new Path(tmpDir("lease3").toString)
     val h = LeaseLock.acquire(dir, ttlMs = 300L)
     Thread.sleep(1200) // several ttls; heartbeat must have renewed
     val e = intercept[IllegalStateException] {
@@ -73,6 +74,6 @@ class LeaseLockSpec extends AnyFunSuite {
     threads.foreach(_.start()); threads.foreach(_.join(60000))
     assert(graft.read.Readers.snapshot(t).count() === 5)
     assert(t.timeline.completedDataInstants().size === 5)
-    assert(!Files.exists(Paths.get(root, ".graft", "lock.lease")))
+    assert(!Storage.exists(new Path(s"$root/.graft/lock.lease")))
   }
 }

@@ -16,7 +16,7 @@ class OrcTableSpec extends AnyFunSuite {
   import SparkTestBase._
 
   private def fresh(name: String, tt: String): GraftTable = {
-    val p = java.nio.file.Paths.get(s"/tmp/graft_orc/$name")
+    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_orc/$name")
     WritePipeline.deleteRecursively(p)
     GraftTable.create(spark, p.toString, TableConfig(
       name, tt, Seq("o_orderkey"), "year(o_orderdate)", "",
@@ -32,10 +32,10 @@ class OrcTableSpec extends AnyFunSuite {
     val t = fresh("cow", TableType.CopyOnWrite)
     t.bulkInsert(orders)
     // disk holds .orc base files only
-    val files = graft.core.PathIO.walk(t.basePath)
+    val files = graft.core.Storage.walkPaths(t.basePath)
     var orc = 0; var pq = 0
     files.foreach { p =>
-      val n = p.getFileName.toString
+      val n = p.getName
       if (n.endsWith(".orc")) orc += 1
       else if (n.endsWith(".parquet") && !p.toString.contains(".graft")) pq += 1
     }
@@ -82,7 +82,7 @@ class OrcTableSpec extends AnyFunSuite {
   }
 
   test("BLOOM index builds and probes over ORC base files") {
-    val p = java.nio.file.Paths.get("/tmp/graft_orc/bloom")
+    val p = new org.apache.hadoop.fs.Path("/tmp/graft_orc/bloom")
     WritePipeline.deleteRecursively(p)
     val t = GraftTable.create(spark, p.toString, TableConfig(
       "orcbloom", TableType.CopyOnWrite, Seq("o_orderkey"), "year(o_orderdate)", "",
@@ -91,7 +91,7 @@ class OrcTableSpec extends AnyFunSuite {
     // sidecars exist for every orc base file
     val bases = t.view.fileSlices(None).flatMap(_.baseFile)
     assert(bases.nonEmpty && bases.forall(_.relPath.endsWith(".orc")))
-    assert(bases.forall(b => java.nio.file.Files.exists(
+    assert(bases.forall(b => graft.core.Storage.exists(
       graft.table.BloomIndex.sidecarPath(t.basePath, b.relPath))))
     // upsert probes the sidecars (executor-side) and stays correct
     t.upsert(orders.filter(col("o_orderkey") % 7 === 0)

@@ -121,7 +121,7 @@ class PipelinePropertySpec extends AnyFunSuite {
       t.bulkInsert(rows)
       t.upsert(upd)
       graft.read.Readers.snapshot(t).count()
-      WritePipeline.deleteRecursively(java.nio.file.Paths.get(dir))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(dir))
     }
     cycle(0) // warm lazy pools before measuring
     val before = openFds()

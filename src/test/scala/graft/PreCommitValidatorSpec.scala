@@ -28,8 +28,8 @@ class PreCommitValidatorSpec extends AnyFunSuite {
     val t = mk("pcv_reject")
     val s = src(200)
     t.bulkInsert(s)
-    val filesBefore = graft.core.PathIO.walk(t.basePath)
-      .filterNot(_.toString.contains(".graft")).toSet
+    val filesBefore = graft.core.Storage.walkPaths(t.basePath)
+      .filterNot(_.toString.contains(".graft")).map(_.toString).toSet
     t.registerPreCommitValidator { ctx =>
       val bad = ctx.newData().filter(col("o_totalprice") < 0).count()
       if (bad > 0) throw new IllegalStateException(s"$bad negative prices")
@@ -41,8 +41,8 @@ class PreCommitValidatorSpec extends AnyFunSuite {
     // nothing published, nothing left behind
     assert(t.timeline.completedDataInstants().size === 1)
     assert(Readers.snapshot(t).filter(col("o_totalprice") < 0).count() === 0)
-    val filesAfter = graft.core.PathIO.walk(t.basePath)
-      .filterNot(_.toString.contains(".graft")).toSet
+    val filesAfter = graft.core.Storage.walkPaths(t.basePath)
+      .filterNot(_.toString.contains(".graft")).map(_.toString).toSet
     assert(filesAfter === filesBefore)
     // a clean batch then commits through the SAME validator
     t.upsert(s.limit(10).withColumn("o_totalprice", lit(5.0)))

@@ -22,8 +22,8 @@ class ServicesSpec extends AnyFunSuite {
     }
     // timeline bounded, archive log + files index exist
     assert(t.timeline.completedInstants().size <= 12)
-    assert(java.nio.file.Files.exists(t.timeline.archiveDir.resolve("archived.jsonl")))
-    assert(java.nio.file.Files.isDirectory(dir.resolve(".graft").resolve("index")))
+    assert(graft.core.Storage.exists(new org.apache.hadoop.fs.Path(t.timeline.archiveDir, "archived.jsonl")))
+    assert(graft.core.Storage.isDirectory(new org.apache.hadoop.fs.Path(dir.resolve(".graft").resolve("index").toString)))
     // snapshot correct after archiving (view = index snapshot + active fold)
     val snap = Readers.snapshot(t)
     assert(snap.count() === 30)
@@ -68,7 +68,8 @@ class ServicesSpec extends AnyFunSuite {
       TableConfig("cl", TableType.CopyOnWrite, Seq("id"), "", "ver"))
     // simulate another writer (skewed clock, far future) having committed
     val future = "29990101000000000"
-    java.nio.file.Files.writeString(t.timeline.dir.resolve(s"$future.commit"),
+    graft.core.Storage.writeString(
+      new org.apache.hadoop.fs.Path(t.timeline.dir, s"$future.commit"),
       Json.write(CommitMetadata("upsert", Seq.empty, Map.empty, "")))
     val ts = t.upsert(Seq((1L, 1L)).toDF("id", "ver"))
     assert(ts > future, s"allocated $ts must sort after foreign $future")

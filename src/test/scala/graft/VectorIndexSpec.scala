@@ -15,7 +15,7 @@ class VectorIndexSpec extends AnyFunSuite {
 
   private def freshPath(name: String): String = {
     val p = s"/tmp/graft_vidx/$name"
-    WritePipeline.deleteRecursively(java.nio.file.Paths.get(p))
+    WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(p))
     p
   }
 
