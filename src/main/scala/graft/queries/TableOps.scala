@@ -30,7 +30,7 @@ object TableOps {
 
   private def fresh(s: SparkSession, d: String, name: String, c: TableConfig): GraftTable = {
     val p = s"/tmp/graft_q/${name}_${Integer.toHexString(d.hashCode)}"
-    WritePipeline.deleteRecursively(Paths.get(p))
+    WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(p))
     GraftTable.create(s, p, c)
   }
 
@@ -144,6 +144,23 @@ object TableOps {
         .whenMatchedDelete(Some("t.o_orderkey % 6 = 0"))
         .whenMatchedUpdate(None, Map("o_totalprice" -> "s.o_totalprice"))
         .whenNotMatchedInsert(None)
+        .execute()
+      data(Readers.snapshot(t))
+    }),
+
+    // Spark 4 / ANSI WHEN NOT MATCHED BY SOURCE (beyond the 0.x
+    // reference): target rows absent from the source update or delete via
+    // the same single left-outer target stream as the matched clauses
+    "t_merge_not_matched_by_source" -> ((s, d) => {
+      val t = fresh(s, d, "t_merge_nms", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val mergeSrc = src.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      t.mergeInto(mergeSrc)
+        .whenMatchedUpdate(None, Map("o_totalprice" -> "s.o_totalprice"))
+        .whenNotMatchedBySourceDelete(Some("t.o_orderkey % 5 = 0"))
+        .whenNotMatchedBySourceUpdate(None, Map("o_orderpriority" -> "'STALE'"))
         .execute()
       data(Readers.snapshot(t))
     }),
@@ -360,7 +377,7 @@ object TableOps {
     // a normal upsert merges against the adopted (external) base file
     "t_bootstrap" -> ((s, d) => {
       val p = s"/tmp/graft_q/t_bootstrap_${Integer.toHexString(d.hashCode)}"
-      WritePipeline.deleteRecursively(Paths.get(p))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(p))
       val t = GraftTable.bootstrap(s, p, TableConfig(
         "orders_boot", TableType.CopyOnWrite, Seq("o_orderkey"), "", "o_orderdate"),
         Seq(s"$d/orders.parquet"))
@@ -663,7 +680,7 @@ object TableOps {
       val t = fresh(s, d, "t_ingest_dfs", cfg(TableType.CopyOnWrite))
       val src = orders(s, d)
       val drop = s"/tmp/graft_q/ingest_drop_${Integer.toHexString(d.hashCode)}"
-      WritePipeline.deleteRecursively(Paths.get(drop))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(drop))
       def dropBatch(df: DataFrame, sub: String, mtime: Long): Unit = {
         df.write.parquet(s"$drop/$sub")
         graft.core.PathIO.walk(Paths.get(s"$drop/$sub")).foreach(p =>
@@ -702,7 +719,7 @@ object TableOps {
     // to keep the roundtrip timezone-free on every JVM.
     "t_ingest_jdbc" -> ((s, d) => {
       val dbDir = s"/tmp/graft_q/derby_${Integer.toHexString(d.hashCode)}"
-      WritePipeline.deleteRecursively(Paths.get(dbDir))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(dbDir))
       // Derby boots once per JVM and logs to user.dir unless redirected
       System.setProperty("derby.stream.error.file", "/tmp/graft_q/derby.log")
       val url = s"jdbc:derby:$dbDir/db;create=true"
@@ -816,7 +833,7 @@ object TableOps {
       t.upsert(src.filter(col("o_orderkey") % 6 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 3))
       val out = s"/tmp/graft_q/export_${Integer.toHexString(d.hashCode)}"
-      WritePipeline.deleteRecursively(Paths.get(out))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(out))
       TableAdmin.exportSnapshot(t, out)
       data(s.read.parquet(out))
     }),
@@ -832,7 +849,7 @@ object TableOps {
       t.upsert(src.filter(col("o_orderkey") % 6 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 3))
       val out = s"/tmp/graft_q/copy_${Integer.toHexString(d.hashCode)}"
-      WritePipeline.deleteRecursively(Paths.get(out))
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(out))
       val copy = TableAdmin.copyTable(t, out)
       data(Readers.snapshot(copy))
     }),
@@ -991,6 +1008,13 @@ object TableOps {
     "t_cluster_recent" -> ordersAll,
     "t_cluster_zorder" -> ordersAll,
     "t_cluster_hilbert" -> ordersAll,
+    "t_merge_not_matched_by_source" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate,
+         |CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority ELSE 'STALE' END AS o_orderpriority
+         |FROM orders
+         |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0""".stripMargin,
     "t_decimal_roundtrip" ->
       s"""SELECT o_orderkey,
          |CAST(CASE WHEN o_orderkey % 7 = 0

@@ -49,11 +49,22 @@ final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m @ MergeIntoTable(target, source, _, matched, notMatched, notMatchedBySource, _)
         if m.childrenResolved && graftOf(target).isDefined =>
-      require(notMatchedBySource.isEmpty,
-        "WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
       val tOut = AttributeSet(target.output)
       val sOut = AttributeSet(source.output)
       def render(e: Expression): String = renderQualified(e, tOut, sOut)
+      // NOT MATCHED BY SOURCE reuses the matched action shapes but applies
+      // to the target-only side; tagged with nms_ kinds so the builder
+      // routes them to the target anti-join path
+      val nmsClauses = notMatchedBySource.map {
+        case UpdateAction(cond, assigns, _) =>
+          MergeClauseSpec("nms_update", cond.map(render),
+            assigns.map(a => assignKey(a.key) -> render(a.value)).toMap)
+        case DeleteAction(cond) =>
+          MergeClauseSpec("nms_delete", cond.map(render), Map.empty)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported NOT MATCHED BY SOURCE action: $other")
+      }
       val clauses = (matched ++ notMatched).map {
         case UpdateAction(cond, assigns, _) =>
           MergeClauseSpec("update", cond.map(render),
@@ -70,7 +81,7 @@ final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         case other =>
           throw new IllegalArgumentException(s"unsupported merge action: $other")
       }
-      GraftMergeCommand(graftOf(target).get, source, clauses)
+      GraftMergeCommand(graftOf(target).get, source, clauses ++ nmsClauses)
   }
 
   private def graftOf(plan: LogicalPlan): Option[GraftTable] =
@@ -130,6 +141,10 @@ final case class GraftMergeCommand(table: GraftTable, source: LogicalPlan,
       case MergeClauseSpec("update", cond, assigns) => builder.whenMatchedUpdate(cond, assigns)
       case MergeClauseSpec("delete", cond, _) => builder.whenMatchedDelete(cond)
       case MergeClauseSpec("insert", cond, assigns) => builder.whenNotMatchedInsert(cond, assigns)
+      case MergeClauseSpec("nms_update", cond, assigns) =>
+        builder.whenNotMatchedBySourceUpdate(cond, assigns)
+      case MergeClauseSpec("nms_delete", cond, _) =>
+        builder.whenNotMatchedBySourceDelete(cond)
       case other => throw new IllegalArgumentException(other.toString)
     }
     builder.execute()

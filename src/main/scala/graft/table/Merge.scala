@@ -49,6 +49,24 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     clauses :+= Clause("insert", condition, values); this
   }
 
+  /** Target rows with NO matching source row (Spark 4 / ANSI
+    * `WHEN NOT MATCHED BY SOURCE` — beyond the 0.x reference, which
+    * predates the clause). Conditions/assignments may reference `t.` only.
+    * Assignments are mandatory for the update form: there is no source
+    * row to star-assign from.
+    */
+  def whenNotMatchedBySourceUpdate(condition: Option[String] = None,
+      assignments: Map[String, String]): MergeInto = {
+    require(assignments.nonEmpty,
+      "WHEN NOT MATCHED BY SOURCE ... UPDATE needs explicit assignments " +
+        "(no source row to assign from)")
+    clauses :+= Clause("nms_update", condition, assignments); this
+  }
+
+  def whenNotMatchedBySourceDelete(condition: Option[String] = None): MergeInto = {
+    clauses :+= Clause("nms_delete", condition, Map.empty); this
+  }
+
   def execute(): String = {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val dataCols = t.dataSchema.map(_.fieldNames.toSeq)
@@ -110,7 +128,7 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     val chain = applied.foldLeft(when(lit(false), lit(null))) {
       case (acc, (cl, app)) =>
         val v =
-          if (cl.kind == "delete") col(s"t.$c")
+          if (cl.kind.endsWith("delete")) col(s"t.$c")
           else if (cl.assignments.isEmpty)
             (if (source.columns.contains(c)) col(s"s.$c") else col(s"t.$c"))
           else cl.assignments.get(c).map(expr).getOrElse(col(s"t.$c"))
@@ -147,6 +165,7 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
       dataCols: Seq[String]): String = {
     val matchedClauses = clauses.filter(c => c.kind == "update" || c.kind == "delete")
     val insertClauses = clauses.filter(_.kind == "insert")
+    val nmsClauses = clauses.filter(_.kind.startsWith("nms_"))
 
     val joined = target.alias("t").join(srcKeyed.alias("s"),
       keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left_outer")
@@ -156,6 +175,12 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     val mAny = mApplied.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
     val delFlag = mApplied.collect { case (c, app) if c.kind == "delete" => app }
       .reduceOption(_ || _).getOrElse(lit(false))
+    // NOT MATCHED BY SOURCE rides the SAME left-outer stream: those rows
+    // are exactly the s-null side, so no extra join or scan is needed
+    val nApplied = applyFlags(nmsClauses)
+    val nAny = nApplied.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+    val nDelFlag = nApplied.collect { case (c, app) if c.kind == "nms_delete" => app }
+      .reduceOption(_ || _).getOrElse(lit(false))
 
     // pin every data column to the table schema's type (assignment and
     // insert expressions may carry narrower source types)
@@ -164,7 +189,8 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     def typed(c: String, e: Column): Column =
       colType.get(c).map(e.cast).getOrElse(e).as(c)
 
-    val modified = sM && coalesce(mAny, lit(false))
+    val modified = (sM && coalesce(mAny, lit(false))) ||
+      (!sM && coalesce(nAny, lit(false)))
     val matchedAndCarried = joined.select(
       (Seq(
         when(modified, lit(null))
@@ -174,10 +200,12 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
         col(s"t.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
         col(s"t.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
         substring_index(col(s"t.${MetaCols.FileName}"), "_", 1).as(WritePipeline.FileIdCol),
-        when(modified, delFlag).otherwise(lit(false)).as(WritePipeline.DeleteCol),
+        when(modified, when(sM, delFlag).otherwise(nDelFlag))
+          .otherwise(lit(false)).as(WritePipeline.DeleteCol),
         modified.as(WritePipeline.ModifiedCol)) ++
         dataCols.map(c =>
-          typed(c, when(sM, matchedValueCol(mApplied, c)).otherwise(col(s"t.$c"))))): _*)
+          typed(c, when(sM, matchedValueCol(mApplied, c))
+            .otherwise(matchedValueCol(nApplied, c))))): _*)
 
     val resolved =
       if (insertClauses.isEmpty) matchedAndCarried
@@ -237,12 +265,27 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
           lit(false).as(WritePipeline.DeleteCol)) ++ valueCols): _*)
     }
 
-    val resolved = (matched, inserts) match {
-      case (Some(m), Some(i)) => m.unionByName(i)
-      case (Some(m), None) => m
-      case (None, Some(i)) => i
-      case (None, None) => throw new IllegalArgumentException("no clauses")
+    // NOT MATCHED BY SOURCE: target-side anti join (only clause group
+    // that reads target rows the source cannot touch)
+    val nmsClauses = clauses.filter(_.kind.startsWith("nms_"))
+    val nms = if (nmsClauses.isEmpty) None else Some {
+      val anti = target.alias("t").join(srcKeyed.alias("s"),
+        keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left_anti")
+      val applied = applyFlags(nmsClauses)
+      val anyApplied = applied.map(_._2).reduce(_ || _)
+      val delFlag = applied.collect { case (c, app) if c.kind == "nms_delete" => app }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val valueCols = dataCols.map(c => matchedValueCol(applied, c).as(c))
+      anti.filter(anyApplied).select(
+        (Seq(col(s"t.${MetaCols.RecordKey}").as(MetaCols.RecordKey),
+          col(s"t.${MetaCols.PartitionPath}").as(MetaCols.PartitionPath),
+          substring_index(col(s"t.${MetaCols.FileName}"), "_", 1).as(WritePipeline.FileIdCol),
+          delFlag.as(WritePipeline.DeleteCol)) ++ valueCols): _*)
     }
+
+    val resolved = Seq(matched, inserts, nms).flatten
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException("no clauses"))
     t.writeResolved(resolved, "merge")
   }
 }

@@ -82,6 +82,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("CDC read plans exactly ONE join — single-pass change emit") {
+    import org.apache.spark.sql.functions._
+    import graft.core.{TableConfig, TableType}
+    val t = graft.table.GraftTable.create(spark, tmpDir("cdc_plan").toString,
+      TableConfig("cdc_plan", TableType.CopyOnWrite, Seq("id"), "", "ver"))
+    import spark.implicits._
+    val c1 = t.bulkInsert((1L to 100L).map(i => (i, 0L)).toDF("id", "ver"))
+    t.upsert(Seq((1L, 1L), (101L, 1L)).toDF("id", "ver"))
+    t.delete(Seq((2L, 2L)).toDF("id", "ver"))
+    val df = graft.read.Readers.incrementalChanges(t, c1)
+    assert(df.count() === 4) // 1 insert + 1 delete + update before/after
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"
+      .r.findAllIn(finalPlan).size
+    assert(joins == 1, s"CDC plan has $joins joins (want 1):\n$plan")
+    assert(finalPlan.contains("Generate explode"), s"no single-pass explode:\n$plan")
+  }
+
   test("q28: fraction-of-total is agg + window, no self join of lineitem") {
     val plan = executed("q28_dominant_suppliers")
     assert(plan.contains("Window"))

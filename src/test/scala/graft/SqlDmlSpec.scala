@@ -60,6 +60,46 @@ class SqlDmlSpec extends AnyFunSuite {
       (9L, 1L, 90.0, "new"))) // inserted; id=3 deleted
   }
 
+  test("SQL MERGE with WHEN NOT MATCHED BY SOURCE update and delete") {
+    val dir = makeView("tnms")
+    // source matches only id=1
+    Seq((1L, 2L, 111.0, "s1"))
+      .toDF("id", "ver", "price", "tag").createOrReplaceTempView("src_nms")
+    spark.sql("""
+      MERGE INTO tnms t USING src_nms s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET price = s.price, ver = s.ver
+      WHEN NOT MATCHED BY SOURCE AND t.tag = 'b' THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'
+    """)
+    reread(dir, "tnms")
+    val got = spark.sql("SELECT id, price, tag FROM tnms ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got === Array(
+      (1L, 111.0, "a"),      // matched update
+      (3L, 30.0, "stale")))  // id=2 ('b') deleted; id=3 nms-updated
+  }
+
+  test("programmatic NOT MATCHED BY SOURCE on MOR appends deltas only") {
+    import graft.core.{TableConfig, TableType}
+    val dir = tmpDir("nms_mor").toString + "/t"
+    val t = graft.table.GraftTable.create(spark, dir, TableConfig(
+      "nms_mor", TableType.MergeOnRead, Seq("id"), "", "ver",
+      Map("graft.compact.inline" -> "false")))
+    t.bulkInsert(Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 0L, "c"))
+      .toDF("id", "ver", "tag"))
+    t.mergeInto(Seq((1L, 1L, "a2")).toDF("id", "ver", "tag"))
+      .whenMatchedUpdate(None, Map("tag" -> "s.tag", "ver" -> "s.ver"))
+      .whenNotMatchedBySourceDelete(Some("t.id = 2"))
+      .whenNotMatchedBySourceUpdate(None, Map("tag" -> "'stale'"))
+      .execute()
+    val got = graft.read.Readers.snapshot(t)
+      .select("id", "tag").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Array((1L, "a2"), (3L, "stale")))
+    // MOR path appended deltas (no full-group rewrite)
+    assert(t.view.fileSlices(None).exists(_.deltaFiles.nonEmpty))
+  }
+
   test("CREATE TABLE ... USING graft + INSERT INTO through the catalog") {
     val loc = tmpDir("sql_cat").toString + "/t"
     spark.sql("DROP TABLE IF EXISTS cat_t")
