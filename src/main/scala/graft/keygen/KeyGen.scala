@@ -45,9 +45,13 @@ object KeyGen {
       val encoded = if (urlEncode) url_encode(raw) else raw
       // hive-style `name=value` directories (reference
       // hoodie.datasource.write.hive_style_partitioning) — one level only;
-      // multi-level exprs keep plain values
+      // multi-level values (a '/' in the evaluated output) keep plain
+      // values per row, since prefixing only the first directory level
+      // would mislabel the layout
       hiveStyleName match {
-        case Some(n) => concat(lit(n + "="), encoded)
+        case Some(n) =>
+          when(encoded.contains("/"), encoded)
+            .otherwise(concat(lit(n + "="), encoded))
         case None => encoded
       }
     }

@@ -82,7 +82,12 @@ object Streaming {
           extraMetadata = Map(BatchIdKey -> batchId.toString))
         done = true
       } catch {
-        case _: Throwable if attempt < retries => attempt += 1
+        case _: Throwable if attempt < retries =>
+          attempt += 1
+          // an attempt can fail AFTER its commit published (post-commit
+          // services); re-applying would stamp a duplicate commit with the
+          // same batchId, so re-check durability before retrying
+          if (lastCommittedBatchId(t).exists(_ >= batchId)) done = true
         case e: Throwable => throw e
       }
     }

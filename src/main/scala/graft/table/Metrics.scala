@@ -184,12 +184,15 @@ object Metrics {
     */
   def refresh(t: GraftTable): MetricsRegistry = {
     val r0 = registries.computeIfAbsent(t.basePath.toString, _ => replay(t))
-    val fresh = t.timeline.completedInstants().filter(_.ts > r0.lastTs)
-    // a rollback/restore REMOVES commit instants, so the incremental fold
-    // would keep figures the surviving timeline no longer supports —
-    // rebuild from scratch instead (rollbacks are rare; live == replay is
-    // the subsystem's invariant)
-    val r =
+    // fold + cursor advance serialize per registry: two concurrent callers
+    // reading one lastTs cursor would fold the same fresh instant twice and
+    // permanently inflate the cumulative gauges (breaking live == replay)
+    val r = r0.synchronized {
+      val fresh = t.timeline.completedInstants().filter(_.ts > r0.lastTs)
+      // a rollback/restore REMOVES commit instants, so the incremental fold
+      // would keep figures the surviving timeline no longer supports —
+      // rebuild from scratch instead (rollbacks are rare; live == replay is
+      // the subsystem's invariant)
       if (fresh.exists(i => i.action == Action.Rollback || i.action == Action.Restore)) {
         val rebuilt = replay(t)
         registries.put(t.basePath.toString, rebuilt)
@@ -199,6 +202,7 @@ object Metrics {
         fresh.map(_.ts).maxOption.foreach(ts => r0.lastTs = ts)
         r0
       }
+    }
     Option(reporters.get(t.basePath.toString)).foreach(_.foreach(_.report(r)))
     r
   }
