@@ -45,6 +45,41 @@ class RecordIndexSpec extends AnyFunSuite {
     snap.unpersist()
   }
 
+  test("bucket count auto-scales with table key count (floor 16)") {
+    // small table: floor applies
+    val dirSmall = tmpDir("rec_auto_small")
+    val tSmall = GraftTable.create(spark, dirSmall.toString, recCfg(
+      Map(ConfigKeys.RecordIndexKeysPerBucket -> "50")))
+    tSmall.bulkInsert(orders.limit(100), SortMode.NoSort)
+    val innerSmall = GraftTable.load(spark, RecordIndex.indexPath(tSmall).toString)
+    assert(RecordIndex.storedBuckets(innerSmall) === 16)
+
+    // larger table: 1500 keys / 50 per bucket = 30 buckets
+    val dir = tmpDir("rec_auto_big")
+    val t = GraftTable.create(spark, dir.toString, recCfg(
+      Map(ConfigKeys.RecordIndexKeysPerBucket -> "50")))
+    t.bulkInsert(orders, SortMode.NoSort)
+    val inner = GraftTable.load(spark, RecordIndex.indexPath(t).toString)
+    val n = RecordIndex.storedBuckets(inner)
+    assert(n > 16, s"bucket count did not grow: $n")
+    // probing still works with the scaled count
+    val upd = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", lit(9999.0))
+    t.upsert(upd)
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_totalprice") === 9999.0).count() === upd.count())
+
+    // an explicit bucket prop still wins over the auto-scale
+    val dirFixed = tmpDir("rec_auto_fixed")
+    val tFixed = GraftTable.create(spark, dirFixed.toString, recCfg(
+      Map(ConfigKeys.RecordIndexKeysPerBucket -> "50",
+        ConfigKeys.RecordIndexBuckets -> "4")))
+    tFixed.bulkInsert(orders, SortMode.NoSort)
+    val innerFixed = GraftTable.load(spark, RecordIndex.indexPath(tFixed).toString)
+    assert(RecordIndex.storedBuckets(innerFixed) === 4)
+  }
+
   test("delete then re-insert the same keys yields exactly one live row per key") {
     val dir = tmpDir("rec_delete")
     val t = GraftTable.create(spark, dir.toString, recCfg())
