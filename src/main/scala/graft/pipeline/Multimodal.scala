@@ -44,6 +44,30 @@ object Multimodal {
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
         (b(0) == 'B' && b(1) == 'M'))
 
+    /** Full pixel decode → bilinear resample → PNG re-encode, for bytes
+      * the JDK ships a reader for; None otherwise (caller falls back to
+      * the stub). Row-local: cost ∝ pixel count of the one image, no
+      * state across rows — safe in a mapPartitions over any partitioning.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      if (!looksLikeImage(bytes)) return None
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (src == null) return None
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      } catch { case _: java.io.IOException => None }
+    }
+
     /** Some(meta) for real PNG/JPEG/GIF/BMP bytes; None otherwise. */
     def imageMeta(bytes: Array[Byte]): Option[ImageMeta] = {
       if (!looksLikeImage(bytes)) return None
@@ -124,8 +148,10 @@ object Multimodal {
       }
   }
 
-  /** Resize stub: declares the real transform shape (binary in → binary
-    * out + new dims), runs the fake codec.
+  /** Image resize: real pixel resample + PNG re-encode through
+    * javax.imageio for decodable bytes ([[ImageCodec.resize]]); synthetic
+    * blobs keep the deterministic truncation stub so oracle runs stay
+    * replayable. Same iterator-to-iterator batch shape either way.
     */
   def resizeImages(df: DataFrame, w: Int, h: Int, idCol: String = "doc_id",
       binCol: String = "content"): DataFrame = {
@@ -134,7 +160,9 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          (id, bytes.take(math.max(16, bytes.length / 4)), w, h) // stub resample
+          val resized = ImageCodec.resize(bytes, w, h)
+            .getOrElse(bytes.take(math.max(16, bytes.length / 4))) // stub resample
+          (id, resized, w, h)
         }
       }.toDF(idCol, "content_resized", "width", "height")
   }

@@ -264,6 +264,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) === Multimodal.FakeCodec.imageMeta(Array.fill[Byte](64)(0x5a)))
   }
 
+  test("multimodal: real PNG resize re-encodes at the target dims") {
+    def encodePng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 7 + y * 13) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val notImage = Array.fill[Byte](64)(0x5a)
+    val df = Seq((1L, encodePng(64, 32)), (2L, notImage)).toDF("doc_id", "content")
+    val out = Multimodal.resizeImages(df, 16, 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("content_resized")).toMap
+    // the real image came back as a REAL 16x16 PNG
+    val meta = Multimodal.ImageCodec.imageMeta(out(1L))
+    assert(meta.exists(m => m.width == 16 && m.height == 16 && m.format == "png"))
+    // non-image bytes keep the deterministic stub (truncation)
+    assert(out(2L).toSeq === notImage.take(16).toSeq)
+  }
+
   test("repetition signals: hand-computed gram coverage") {
     val df = Seq(
       (1L, "a b a b a b"),                       // heavy 2-gram repetition
