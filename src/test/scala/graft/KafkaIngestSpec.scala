@@ -77,6 +77,21 @@ class KafkaIngestSpec extends AnyFunSuite {
   import SparkTestBase._
   import KafkaCheckpoints._
 
+  test("real-client adapter: availability probe and empty-range read shape") {
+    // zero-egress sandbox: kafka-clients jars are absent, so the adapter
+    // must report unavailable (callers then bind the stub) without throwing
+    assert(!graft.streaming.SparkKafkaClusterClient.available)
+    // the ranged read contract: empty ranges yield an empty, correctly
+    // typed frame without touching any broker or kafka class
+    val client = new graft.streaming.SparkKafkaClusterClient("broker:9092")
+    val df = client.read(spark, "t", Seq.empty)
+    assert(df.isEmpty)
+    assert(df.schema === graft.streaming.SparkKafkaClusterClient.ReadSchema)
+    val df2 = client.read(spark, "t",
+      Seq(graft.streaming.KafkaOffsetRange(0, 5L, 5L))) // zero-count range
+    assert(df2.isEmpty)
+  }
+
   test("checkpoint string round-trips topic and per-partition offsets") {
     val s = "t1,0:100,1:250,2:0"
     val (topic, offs) = strToOffsets(s)
