@@ -166,6 +166,25 @@ class GraftCliSpec extends AnyFunSuite {
       .filter(col("id") === 1).select("v").first().getLong(0) === 99L)
   }
 
+  test("temp view registers a command frame; temp query composes SQL over it") {
+    val dir = tmpDir("cli_tv").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_tv --recordKey id --precombine v")
+    cli.table.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))
+    cli.table.upsert(Seq((1L, 2L)).toDF("id", "v"))
+    val reg = cli.run("temp view --cmd 'commits show' --name tv_commits")
+    assert(reg.text.contains("tv_commits"))
+    val q = cli.run(
+      "temp query --sql 'SELECT count(*) AS n FROM tv_commits'").frame
+    assert(q.first().getLong(0) === 2L)
+    assert(cli.run("temp delete --name tv_commits").text.contains("Dropped"))
+    assert(cli.run("temp delete --name tv_commits").text.contains("No temp view"))
+    // registering a text-returning command is refused
+    intercept[IllegalArgumentException] {
+      cli.run(s"temp view --cmd 'connect --path $dir' --name x")
+    }
+  }
+
   test("clustering and unknown commands") {
     val dir = tmpDir("cli_clu").toString + "/t"
     val cli = new GraftCli(spark)
