@@ -54,6 +54,9 @@ object ViewState {
 }
 
 object FileSystemView {
+  /** Entry count above which index snapshots switch to the parquet form. */
+  val DefaultParquetThreshold: Long = 50000L
+
   private[core] final class Cached(val fingerprint: Set[String], val state: ViewState) {
     private val slicesRef = new java.util.concurrent.atomic.AtomicReference[Seq[FileSlice]]()
     /** Memoized slice list for this state (compute-once, thread-safe). */
@@ -64,6 +67,11 @@ object FileSystemView {
     }
   }
   private[core] val cache = new java.util.concurrent.ConcurrentHashMap[Path, Cached]()
+
+  /** Drop the cached fold for one table (tests; external tools that
+    * rewrote table metadata out-of-band).
+    */
+  def invalidate(basePath: Path): Unit = { cache.remove(basePath); () }
 }
 
 /** Table file-system view derived purely from commit metadata — zero
@@ -83,7 +91,9 @@ object FileSystemView {
   * instants (rollback, restore, archive) triggers a full refold (which
   * re-seats on the latest index snapshot).
   */
-final class FileSystemView(basePath: Path, timeline: Timeline) {
+final class FileSystemView(basePath: Path, timeline: Timeline,
+    spark: Option[org.apache.spark.sql.SparkSession] = None,
+    parquetThreshold: Long = FileSystemView.DefaultParquetThreshold) {
   private val indexDir = basePath.resolve(".graft").resolve("index")
 
   /** Build the fold state at `asOf` (None ⇒ latest; cached). */
@@ -115,15 +125,17 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
   private def folded(action: String): Boolean =
     Action.DataActions.contains(action) || action == Action.Clean
 
-  private def computeState(asOf: Option[String], seed: ViewState, useIndex: Boolean): ViewState = {
+  private def computeState(asOf: Option[String], seed: ViewState, useIndex: Boolean,
+      partitions: Option[Set[String]] = None): ViewState = {
     val base = if (useIndex) {
-      val idx = loadIndex(asOf)
+      val idx = loadIndex(asOf, partitions)
       if (idx.asOfInstant >= seed.asOfInstant) idx else seed
     } else seed
     val instants = timeline.completedInstants()
       .filter(i => folded(i.action))
       .filter(i => i.ts > base.asOfInstant)
       .filter(i => asOf.forall(i.ts <= _))
+    val keepPart = (p: String) => partitions.forall(_.contains(p))
     var entries = base.entries
     var replaced = base.replaced
     var last = base.asOfInstant
@@ -134,7 +146,8 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
         entries = entries.filterNot(e => deleted.contains(e.relPath))
       } else {
         val md = CommitMetadata.fromJson(timeline.readContent(i))
-        entries = entries ++ md.writeStats.map(ws => FileEntry(
+        entries = entries ++ md.writeStats.filter(ws => keepPart(ws.partitionPath))
+          .map(ws => FileEntry(
           ws.partitionPath, ws.fileId, i.ts, ws.path, ws.fileSizeInBytes,
           ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites,
           ws.colMin, ws.colMax, ws.colNulls))
@@ -148,6 +161,27 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
       last = i.ts
     }
     ViewState(last, entries, replaced)
+  }
+
+  /** Partition-pruned file slices: driver state is bounded by the PRUNED
+    * partitions' entry count, not the table's. With a parquet index
+    * snapshot, the partition predicate pushes into a distributed scan of
+    * the index table, so a 1M-file table's single-partition read
+    * materializes only that partition's entries on the driver (the
+    * reference's metadata-table partition lookup has the same shape).
+    * Small tables (JSON snapshot / no snapshot) fold as usual and filter.
+    */
+  def fileSlicesPruned(partitions: Set[String],
+      asOf: Option[String] = None): Seq[FileSlice] = {
+    // an up-to-date full cache already bounds the work — use it
+    val cached = FileSystemView.cache.get(basePath)
+    val fp = timeline.completedInstants()
+      .filter(i => folded(i.action)).map(_.fileName).toSet
+    if (asOf.isEmpty && cached != null && cached.fingerprint == fp)
+      return fileSlices(None).filter(s => partitions.contains(s.partitionPath))
+    val st = computeState(asOf, ViewState("", Seq.empty, Map.empty),
+      useIndex = true, partitions = Some(partitions))
+    computeSlices(st, asOf).filter(s => partitions.contains(s.partitionPath))
   }
 
   /** Latest file slice per live file group at `asOf`. The latest view's
@@ -203,27 +237,71 @@ final class FileSystemView(basePath: Path, timeline: Timeline) {
 
   // ---- files-index snapshot (written at archive time) ----
 
+  /** Persist the current fold. Small tables write one JSON blob; past
+    * `parquetThreshold` entries the snapshot becomes a PARQUET table of
+    * entries plus a small `.meta.json` (asOf + replaced map) — a
+    * multi-GB monolithic JSON parse is exactly the driver wall the
+    * reference's metadata table exists to avoid
+    * (hudi-common/.../metadata/HoodieMetadataPayload.java:104-126), and
+    * the columnar form is what partition-pruned loads push predicates
+    * into.
+    */
   def writeIndexSnapshot(): Path = {
     val st = state(None)
     Storage.mkdirs(indexDir)
-    val p = indexDir.resolve(s"files_${st.asOfInstant}.json")
-    Storage.writeString(p, Json.write(st))
-    p
+    spark match {
+      case Some(ss) if st.entries.size > parquetThreshold =>
+        import ss.implicits._
+        val dir = indexDir.resolve(s"files_${st.asOfInstant}.parquet")
+        ss.createDataset(st.entries)
+          .repartition(math.max(1, (st.entries.size / 500000).toInt + 1))
+          .write.mode("overwrite").parquet(dir.toString)
+        val meta = indexDir.resolve(s"files_${st.asOfInstant}.meta.json")
+        Storage.writeString(meta,
+          Json.write(ViewState(st.asOfInstant, Seq.empty, st.replaced)))
+        dir
+      case _ =>
+        val p = indexDir.resolve(s"files_${st.asOfInstant}.json")
+        Storage.writeString(p, Json.write(st))
+        p
+    }
   }
 
-  private def loadIndex(asOf: Option[String]): ViewState = {
+  private def loadIndex(asOf: Option[String],
+      partitions: Option[Set[String]] = None): ViewState = {
     if (!Storage.isDirectory(indexDir))
       return ViewState("", Seq.empty, Map.empty)
-    val candidates = Storage.listPaths(indexDir)
-      .map(_.getName)
-      .filter(n => n.startsWith("files_") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("files_").stripSuffix(".json"))
-      .filter(ts => asOf.forall(ts <= _))
-      .toSeq.sorted
+    val names = Storage.listPaths(indexDir).map(_.getName)
+    val candidates =
+      (names.filter(n => n.startsWith("files_") && n.endsWith(".json") &&
+          !n.endsWith(".meta.json"))
+        .map(n => (n.stripPrefix("files_").stripSuffix(".json"), "json")) ++
+       names.filter(n => n.startsWith("files_") && n.endsWith(".meta.json"))
+        .map(n => (n.stripPrefix("files_").stripSuffix(".meta.json"), "parquet")))
+      .filter { case (ts, _) => asOf.forall(ts <= _) }
+      .sortBy(_._1)
     candidates.lastOption match {
       case None => ViewState("", Seq.empty, Map.empty)
-      case Some(ts) =>
-        Json.read[ViewState](Storage.readString(indexDir.resolve(s"files_$ts.json")))
+      case Some((ts, "json")) =>
+        val st = Json.read[ViewState](Storage.readString(indexDir.resolve(s"files_$ts.json")))
+        partitions match {
+          case Some(ps) => st.copy(entries = st.entries.filter(e => ps.contains(e.partitionPath)))
+          case None => st
+        }
+      case Some((ts, _)) =>
+        val ss = spark.getOrElse(throw new IllegalStateException(
+          s"files index snapshot at $ts is parquet; a SparkSession is required to load it"))
+        import ss.implicits._
+        val meta = Json.read[ViewState](
+          Storage.readString(indexDir.resolve(s"files_$ts.meta.json")))
+        var ds = ss.read.parquet(indexDir.resolve(s"files_$ts.parquet").toString)
+          .as[FileEntry]
+        // partition pruning pushes into the parquet scan — the driver only
+        // ever collects the queried partitions' entries
+        partitions.foreach(ps =>
+          ds = ds.filter(org.apache.spark.sql.functions.col("partitionPath")
+            .isin(ps.toSeq: _*)))
+        meta.copy(entries = ds.collect().toSeq)
     }
   }
 }

@@ -80,6 +80,9 @@ object ConfigKeys {
   // expression when it is a bare column reference, else "partition"
   val PartitionName = "graft.partition.name"
   val CleanPolicy = "graft.clean.policy" // KEEP_LATEST_COMMITS | _FILE_VERSIONS | _BY_HOURS
+  // entry count above which files-index snapshots switch from one JSON
+  // blob to a parquet index table (distributed, partition-prunable)
+  val FilesIndexParquetThreshold = "graft.files.index.parquet.threshold"
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024
   val DefaultSmallFileLimit: Long = 100L * 1024 * 1024

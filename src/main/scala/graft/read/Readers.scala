@@ -32,10 +32,13 @@ object Readers {
       t: GraftTable,
       asOf: Option[String] = None,
       partitions: Option[Seq[String]] = None): DataFrame = {
-    val slices0 = t.view.fileSlices(asOf)
+    // partition-scoped reads plan through the PRUNED view path: with a
+    // parquet files-index snapshot the partition predicate pushes into a
+    // distributed scan of the index, so driver state is bounded by the
+    // queried partitions' file count, not the table's
     val slices = partitions match {
-      case Some(ps) => val s = ps.toSet; slices0.filter(x => s.contains(x.partitionPath))
-      case None => slices0
+      case Some(ps) => t.view.fileSlicesPruned(ps.toSet, asOf)
+      case None => t.view.fileSlices(asOf)
     }
     readSliceSet(t, slices, asOf)
   }

@@ -32,7 +32,9 @@ final class GraftTable(
   val timeline = new Timeline(basePath)
   timeline.init()
 
-  def view = new FileSystemView(basePath, timeline)
+  def view = new FileSystemView(basePath, timeline, Some(spark),
+    cfg.propLong(ConfigKeys.FilesIndexParquetThreshold,
+      FileSystemView.DefaultParquetThreshold))
 
   def maxFileSize: Long = cfg.propLong(ConfigKeys.MaxFileSize, ConfigKeys.DefaultMaxFileSize)
   def smallFileLimit: Long = cfg.propLong(ConfigKeys.SmallFileLimit, ConfigKeys.DefaultSmallFileLimit)
