@@ -26,7 +26,7 @@ object Multimodal {
   final case class DecodedImage(id: Long, meta: ImageMeta, byteLen: Long)
   final case class Frame(id: Long, frameIdx: Int, tsMillis: Long, frame: Array[Byte])
   final case class AudioFeatures(id: Long, sampleRate: Int, durationMs: Long,
-      mfcc: Array[Float])
+      features: Array[Float])
 
   /** Real JDK image decode (javax.imageio). Header-only: width/height/
     * component count come from the reader's metadata path, so cost per
@@ -182,7 +182,83 @@ object Multimodal {
       }
   }
 
-  /** Audio feature extraction stub: fixed-length float vector per blob. */
+  /** Real JDK audio decode (javax.sound.sampled): RIFF/WAVE PCM bytes →
+    * mono samples in [-1, 1]. PCM decode is exact integer arithmetic, so
+    * features derived from it are bit-deterministic across JVMs — unlike
+    * lossy codecs, which is why only PCM containers take this path.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    private def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** (sampleRate, mono samples) for PCM WAV bytes; None otherwise.
+      * Supports the two layouts real WAV files use: 16-bit signed
+      * (little- or big-endian) and 8-bit unsigned. Row-local cost
+      * ∝ the one blob — safe inside a full-corpus mapPartitions.
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+      if (!looksLikeWav(bytes)) return None
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val ok = (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+          if (!ok || ch < 1) return None
+          val raw = in.readAllBytes()
+          val bps = bits / 8
+          val n = raw.length / (bps * ch)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * bps
+              acc += (if (bits == 8) ((raw(off) & 0xff) - 128) / 128.0
+                else {
+                  val lo = raw(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
+                  val hi = raw(off + (if (fmt.isBigEndian) 0 else 1))
+                  ((hi << 8) | lo).toShort / 32768.0
+                })
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, out))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Fixed-length energy envelope: RMS of `bands` equal time windows —
+      * the deterministic real-signal analog of an MFCC front end (no FFT
+      * dependency in this container).
+      */
+    def bandEnergies(samples: Array[Double], bands: Int): Array[Float] =
+      Array.tabulate(bands) { b =>
+        val lo = (samples.length.toLong * b / bands).toInt
+        val hi = (samples.length.toLong * (b + 1) / bands).toInt
+        if (hi <= lo) 0f
+        else {
+          var s = 0.0
+          var i = lo
+          while (i < hi) { s += samples(i) * samples(i); i += 1 }
+          math.sqrt(s / (hi - lo)).toFloat
+        }
+      }
+  }
+
+  /** Audio feature extraction: REAL decode + per-window RMS energies for
+    * PCM WAV blobs ([[AudioCodec]]); synthetic/non-WAV blobs keep the
+    * deterministic stub vector so oracle runs stay replayable. Same
+    * iterator-to-iterator batch shape either way.
+    */
   def audioFeatures(df: DataFrame, coeffs: Int = 13, idCol: String = "doc_id",
       binCol: String = "content"): Dataset[AudioFeatures] = {
     val spark = df.sparkSession
@@ -190,7 +266,13 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          AudioFeatures(id, 16000, bytes.length * 10L, FakeCodec.mfcc(bytes, coeffs))
+          AudioCodec.decode(bytes) match {
+            case Some((sr, samples)) =>
+              AudioFeatures(id, sr, samples.length * 1000L / math.max(sr, 1),
+                AudioCodec.bandEnergies(samples, coeffs))
+            case None =>
+              AudioFeatures(id, 16000, bytes.length * 10L, FakeCodec.mfcc(bytes, coeffs))
+          }
         }
       }
   }

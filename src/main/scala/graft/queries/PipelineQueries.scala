@@ -321,6 +321,50 @@ object PipelineQueries {
       s.table(sink)
     }),
 
+    // STREAM-STREAM interval self-join: views ⋈ clicks of the same user
+    // within 30 minutes, both sides of one watermarked stream — the
+    // time-range predicate bounds join state (Spark evicts rows older
+    // than watermark - 30 min), so state is O(events in flight), not
+    // O(stream). Append-mode inner join drained to equality with the
+    // batch oracle by a far-future sentinel
+    "p_stream_stream_join" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val evs = QUtil.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect().sortBy(e => (e._2, e._1))
+      val n = evs.length
+      val (b1, rest) = evs.splitAt(n / 2)
+      val sentinel = Seq((-1L, evs.map(_._2).max + 7200000000L, -1L, "zz_sentinel"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, String)]
+      val df = ms.toDS().toDF("event_id", "ts_us", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+      val views = df.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("click_ts"))
+      val joined = views.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+      val sink = s"ssj_stream_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        Seq(b1.toSeq, rest.toSeq, sentinel).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+    }),
+
     // as-of join (attribution): each click picks up the latest same-user
     // view at or before it — union + one ordered window, no range explosion
     "p_asof_join" -> ((s, d) => {
@@ -447,6 +491,22 @@ object PipelineQueries {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(100)),
+
+    // BM25 ranked retrieval over the corpus posting lists. Queries are
+    // planted 8-token prefixes of docs 0-2 (query_id = source doc_id), so
+    // each query's source doc must surface; scores sum DECIMAL-quantized
+    // per-term parts → aggregation-order independent, oracle-replayable
+    "p_bm25_topk" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(Repetition.tokens(col("text")), 1, 8), " ").as("text"))
+      TextSearch.bm25TopK(all, qs, k = 10)
+    }),
+
+    // TF-IDF keyword extraction: top-3 most characteristic terms per doc
+    "p_tfidf_keywords" -> ((s, d) =>
+      TextSearch.tfidfKeywords(docs(s, d), topK = 3)),
 
     // corpus-frequency commonness score (unigram-LM-lite): per doc, the
     // mean corpus frequency of its tokens. All sums are exact LONGs (one
@@ -1133,6 +1193,56 @@ object PipelineQueries {
            |SELECT doc_id, n_tokens, sum_wc,
            |  round(sum_wc::DOUBLE / (n_tokens * (SELECT total FROM tot)), 6) AS commonness
            |FROM agg""".stripMargin,
+    "p_bm25_topk" ->
+      raw"""WITH tkd AS (
+           |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           |  FROM documents
+           |), dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tkd),
+           |w AS (SELECT doc_id, unnest(tk) AS term FROM tkd),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+           |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+           |q AS (
+           |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8])) AS term
+           |  FROM tkd WHERE doc_id < 3
+           |), matched AS (
+           |  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+           |), dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM matched GROUP BY 1),
+           |ts AS (
+           |  SELECT q.query_id, m.doc_id,
+           |    CAST(round(
+           |      ln((s.n_docs - f.dfreq + 0.5) / (f.dfreq + 0.5) + 1.0)
+           |      * (m.tf * 2.2) / (m.tf + (d.dl / (s.sum_dl::DOUBLE / s.n_docs) * 0.75 + 0.25) * 1.2), 8)
+           |      AS DECIMAL(18,8)) AS ts
+           |  FROM matched m
+           |  JOIN q ON m.term = q.term
+           |  JOIN dfreq f ON m.term = f.term
+           |  JOIN dl d ON m.doc_id = d.doc_id
+           |  CROSS JOIN stats s
+           |), sc AS (
+           |  SELECT query_id, doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+           |  FROM ts GROUP BY 1, 2
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           |  FROM sc
+           |)
+           |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
+    "p_tfidf_keywords" ->
+      raw"""WITH tkd AS (
+           |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           |  FROM documents
+           |), w AS (SELECT doc_id, unnest(tk) AS term FROM tkd),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+           |stats AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+           |dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.term,
+           |    round(tf.tf * ln(s.n_docs::DOUBLE / f.dfreq), 4) AS score
+           |  FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           |  FROM sc
+           |)
+           |SELECT doc_id, term, score, rank FROM r WHERE rank <= 3""".stripMargin,
     "p_vocab_topk" ->
       raw"""WITH tkd AS (
            |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
@@ -1166,6 +1276,12 @@ object PipelineQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
         |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "p_stream_stream_join" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin,
     "p_asof_join" -> asofOracle,
     "p_sample_stratified" -> stratifiedOracle,
     // replays the rate derivation: N = min(count/weight) over strata,

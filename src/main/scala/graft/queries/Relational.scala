@@ -401,9 +401,136 @@ object Relational {
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey").as("partkey"), col("s_name"),
           col("sqty").cast("double").as("supp_qty"))
+    }),
+
+    // TPC-H Q15 shape: the top supplier(s) by revenue over a quarter.
+    // The argmax is a broadcast of the 1-row max aggregate joined back
+    // (q27's pattern) — NOT a global window, which would single-partition
+    // sort every supplier at scale. Decimal revenue keeps the max
+    // comparison exact in both engines.
+    "q32_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      val top = rev.agg(max(col("rev")).as("maxrev"))
+      rev.join(broadcast(top), col("rev") === col("maxrev"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q17 shape: revenue lost to small-quantity orders for one
+    // brand — the correlated per-part average collapses to a per-part
+    // aggregate joined back to the fact (no correlated re-scan); the
+    // brand filter prunes parts BEFORE the lineitem join and broadcasts
+    "q33_small_qty_revenue" -> ((s, d) => {
+      val parts = t(s, d, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      // qty < 0.2 * avg(qty) cross-multiplies to qty * n * 5 < sum(qty):
+      // all-decimal arithmetic, so the boundary is exact in both engines
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sumq"),
+          count(lit(1)).as("cnt"))
+      li.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity").cast("decimal(18,4)") * col("cnt") * 5 < col("sumq"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,4)")) / 7.0)
+          .cast("double").as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the HAVING on the order-level
+    // quantity sum runs as one fact aggregate, then only the surviving
+    // handful of orders join out to customer/orders (both joins tiny)
+    "q34_big_volume_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+    }),
+
+    // TPC-H Q21 shape (adapted to this schema's dates): suppliers who
+    // were the SOLE late shipper on a multi-supplier order — one fact
+    // aggregate to per-(order, supplier) lateness, then the exists /
+    // not-exists pair becomes counts over the order: >=2 suppliers,
+    // exactly 1 late, and it's this one. No correlated re-scans of
+    // lineitem — the reference semantics' semi+anti pair collapses into
+    // a single per-order profile joined once.
+    "q35_waiting_suppliers" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .cast("int").as("late"))
+      val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val profiled = perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("supp_late")).over(w))
+      profiled
+        .filter(col("n_supp") >= 2 && col("n_late") === 1 && col("supp_late") === 1)
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q32_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rev = (SELECT max(rev) FROM rev)""".stripMargin,
+    "q33_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l.* FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+        |), a AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sumq, count(*) AS cnt
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM li l JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * a.cnt * 5 < a.sumq""".stripMargin,
+    "q34_big_volume_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 300
+        |)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o.o_totalprice, CAST(b.sum_qty AS DOUBLE) AS sum_qty
+        |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q35_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+        |), ps AS (
+        |  SELECT l_orderkey, l_suppkey, max(late) AS supp_late FROM li GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late
+        |  FROM ps
+        |)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM pr JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+        |WHERE pr.n_supp >= 2 AND pr.n_late = 1 AND pr.supp_late = 1
+        |GROUP BY 1""".stripMargin,
     "q29_funnel" ->
       """WITH v AS (SELECT user_id, min(CASE WHEN event_type='view' THEN ts END) AS t_view
         |           FROM events GROUP BY 1 HAVING t_view IS NOT NULL),

@@ -224,6 +224,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(docsPred.filter(!$"pred".isin("en", "pt", "und")).count() === 0)
   }
 
+  test("text search: bm25 ranks the matching doc first; tfidf surfaces the rare term") {
+    val corpus = Seq(
+      (1L, "spark catalyst optimizer rules rewrite logical plans"),
+      (2L, "the lazy dog sleeps in the sun all day long"),
+      (3L, "catalyst converters and the dog park"),
+      (4L, "sun and sand and sea")).toDF("doc_id", "text")
+    val qs = Seq((100L, "catalyst optimizer")).toDF("query_id", "text")
+    val hits = TextSearch.bm25TopK(corpus, qs, k = 3).orderBy("rank").collect()
+    // doc 1 has BOTH query terms (one of them corpus-unique) → rank 1;
+    // doc 3 shares only "catalyst" → ranked below; docs 2/4 absent
+    assert(hits.map(_.getLong(1)).toSeq === Seq(1L, 3L))
+    assert(hits.head.getInt(3) === 1)
+    assert(hits.head.getDouble(2) > hits(1).getDouble(2))
+    val kws = TextSearch.tfidfKeywords(corpus, topK = 2)
+    val d1 = kws.filter($"doc_id" === 1L && $"rank" === 1).collect().head
+    // doc 1's corpus-unique terms tie at tf·ln(4); the deterministic
+    // (score DESC, term) order picks the alphabetically first one
+    assert(d1.getAs[String]("term") === "logical")
+    assert(d1.getDouble(2) === math.rint(math.log(4.0) * 1e4) / 1e4)
+    assert(kws.filter($"rank" > 2).count() === 0)
+  }
+
   test("multimodal: decode, resize, frame-sample, audio plumbing") {
     val blobs = Multimodal.withFakeBinary(docs.limit(50), "doc_id")
     val decoded = Multimodal.decodeImages(blobs)
@@ -236,7 +258,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() === 40)
     assert(frames.filter(_.tsMillis > 3000).count() === 0)
     val audio = Multimodal.audioFeatures(blobs.limit(10))
-    assert(audio.filter(_.mfcc.length != 13).count() === 0)
+    assert(audio.filter(_.features.length != 13).count() === 0)
+  }
+
+  test("multimodal: real PCM WAV bytes decode through javax.sound.sampled") {
+    // a 0.5 s 8 kHz mono 16-bit 440 Hz sine, encoded in-test: the real
+    // path must report the true sample rate/duration and an RMS energy
+    // near a full-scale sine's 1/sqrt(2) in EVERY band; the stub path
+    // (non-WAV bytes) keeps its deterministic vector
+    val sr = 8000
+    val n = sr / 2
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sr) * 0.8 * 32767).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val df = Seq((1L, wav), (2L, Array.fill[Byte](64)(0x5a))).toDF("doc_id", "content")
+    val out = Multimodal.audioFeatures(df, coeffs = 4).collect().sortBy(_.id)
+    val real = out(0)
+    assert(real.sampleRate === sr)
+    assert(real.durationMs === 500L)
+    val want = 0.8 / math.sqrt(2.0)
+    assert(real.features.length === 4)
+    real.features.foreach(e => assert(math.abs(e - want) < 0.01, s"band rms $e"))
+    val stub = out(1)
+    assert(stub.sampleRate === 16000 && stub.features.length === 4)
   }
 
   test("multimodal: real PNG/JPEG bytes decode through javax.imageio") {
