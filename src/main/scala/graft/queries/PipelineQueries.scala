@@ -508,6 +508,21 @@ object PipelineQueries {
     "p_tfidf_keywords" -> ((s, d) =>
       TextSearch.tfidfKeywords(docs(s, d), topK = 3)),
 
+    // PERSISTED BM25 index: same queries as p_bm25_topk, answered from
+    // the term-bucket-partitioned postings table built in two increments
+    // (corpus split at doc_id 250 + append) — persistence and incremental
+    // maintenance must not change a single score vs the in-memory oracle
+    "p_bm25_index_table" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+      TextIndex.build(s, dir, all.filter(col("doc_id") < 250))
+      val idx = TextIndex.append(s, dir, all.filter(col("doc_id") >= 250))
+      val qs = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(Repetition.tokens(col("text")), 1, 8), " ").as("text"))
+      TextIndex.search(idx, qs, k = 10)
+    }),
+
     // corpus-frequency commonness score (unigram-LM-lite): per doc, the
     // mean corpus frequency of its tokens. All sums are exact LONGs (one
     // double division at the end), so no float-order sensitivity; the
@@ -1071,6 +1086,40 @@ object PipelineQueries {
          |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
          |FROM p GROUP BY bin_id""".stripMargin
 
+  private val bm25Oracle =
+    raw"""WITH tkd AS (
+           |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           |  FROM documents
+           |), dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tkd),
+           |w AS (SELECT doc_id, unnest(tk) AS term FROM tkd),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+           |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+           |q AS (
+           |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8])) AS term
+           |  FROM tkd WHERE doc_id < 3
+           |), matched AS (
+           |  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+           |), dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM matched GROUP BY 1),
+           |ts AS (
+           |  SELECT q.query_id, m.doc_id,
+           |    CAST(round(
+           |      ln((s.n_docs - f.dfreq + 0.5) / (f.dfreq + 0.5) + 1.0)
+           |      * (m.tf * 2.2) / (m.tf + (d.dl / (s.sum_dl::DOUBLE / s.n_docs) * 0.75 + 0.25) * 1.2), 8)
+           |      AS DECIMAL(18,8)) AS ts
+           |  FROM matched m
+           |  JOIN q ON m.term = q.term
+           |  JOIN dfreq f ON m.term = f.term
+           |  JOIN dl d ON m.doc_id = d.doc_id
+           |  CROSS JOIN stats s
+           |), sc AS (
+           |  SELECT query_id, doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+           |  FROM ts GROUP BY 1, 2
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           |  FROM sc
+           |)
+           |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p_lm_perplexity" ->
       s"""WITH tok AS (
@@ -1193,39 +1242,8 @@ object PipelineQueries {
            |SELECT doc_id, n_tokens, sum_wc,
            |  round(sum_wc::DOUBLE / (n_tokens * (SELECT total FROM tot)), 6) AS commonness
            |FROM agg""".stripMargin,
-    "p_bm25_topk" ->
-      raw"""WITH tkd AS (
-           |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
-           |  FROM documents
-           |), dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tkd),
-           |w AS (SELECT doc_id, unnest(tk) AS term FROM tkd),
-           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
-           |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
-           |q AS (
-           |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8])) AS term
-           |  FROM tkd WHERE doc_id < 3
-           |), matched AS (
-           |  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-           |), dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM matched GROUP BY 1),
-           |ts AS (
-           |  SELECT q.query_id, m.doc_id,
-           |    CAST(round(
-           |      ln((s.n_docs - f.dfreq + 0.5) / (f.dfreq + 0.5) + 1.0)
-           |      * (m.tf * 2.2) / (m.tf + (d.dl / (s.sum_dl::DOUBLE / s.n_docs) * 0.75 + 0.25) * 1.2), 8)
-           |      AS DECIMAL(18,8)) AS ts
-           |  FROM matched m
-           |  JOIN q ON m.term = q.term
-           |  JOIN dfreq f ON m.term = f.term
-           |  JOIN dl d ON m.doc_id = d.doc_id
-           |  CROSS JOIN stats s
-           |), sc AS (
-           |  SELECT query_id, doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
-           |  FROM ts GROUP BY 1, 2
-           |), r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-           |  FROM sc
-           |)
-           |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
+    "p_bm25_topk" -> bm25Oracle,
+    "p_bm25_index_table" -> bm25Oracle,
     "p_tfidf_keywords" ->
       raw"""WITH tkd AS (
            |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk

@@ -110,4 +110,45 @@ class PlanShapeSpec extends AnyFunSuite {
     val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(finalPlan).size
     assert(liScans == 1, s"lineitem scanned $liScans times:\n$plan")
   }
+
+  test("q32: the revenue argmax joins a broadcast 1-row max, no global sort") {
+    val plan = executed("q32_top_supplier")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"max not broadcast:\n$plan")
+    assert(!finalPlan.contains("Window"), s"argmax fell back to a window:\n$plan")
+    // shipdate window pushed to the scan
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed:\n$plan")
+  }
+
+  test("q33: brand filter broadcasts part BEFORE the lineitem join") {
+    val plan = executed("q33_small_qty_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"part not broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand"),
+      s"brand filter not pushed to the part scan:\n$plan")
+  }
+
+  test("q35: the semi+anti pair collapses to ONE lineitem scan + windows") {
+    val plan = executed("q35_waiting_suppliers")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(finalPlan).size
+    assert(liScans == 1, s"lineitem scanned $liScans times (correlated re-scan):\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("bm25: postings prune via broadcast of query terms, no vocab-wide shuffle join") {
+    import org.apache.spark.sql.functions._
+    val docsDf = spark.read.parquet(s"$sf001/documents.parquet")
+    val qs = docsDf.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.pipeline.Repetition.tokens(col("text")), 1, 8), " ").as("text"))
+    val df = graft.pipeline.TextSearch.bm25TopK(docsDf, qs, k = 10)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // every join in the search path is broadcast — the only shuffles are
+    // the posting aggregate and the per-(query, doc) score aggregate
+    assert(!finalPlan.contains("SortMergeJoin") && !finalPlan.contains("ShuffledHashJoin"),
+      s"non-broadcast join in the search path:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"), s"no broadcast join:\n$finalPlan")
+  }
 }
