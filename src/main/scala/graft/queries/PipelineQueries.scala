@@ -508,6 +508,33 @@ object PipelineQueries {
     "p_tfidf_keywords" -> ((s, d) =>
       TextSearch.tfidfKeywords(docs(s, d), topK = 3)),
 
+    // INCREMENTAL rollup service (materialized-view maintenance): a
+    // per-customer aggregate table is kept in sync with a keyed source
+    // through insert + delete + update ticks — each sync re-aggregates
+    // only the groups the CDC feed touched, and the final rollup must
+    // equal a from-scratch GROUP BY of the final source state
+    "p_rollup_incremental" -> ((s, d) => {
+      import graft.core.{TableConfig, TableType}
+      import graft.table.GraftTable
+      val dir = java.nio.file.Files.createTempDirectory("rollup_svc").toString
+      val src = GraftTable.create(s, s"$dir/src", TableConfig(
+        "rollup_src", TableType.CopyOnWrite, Seq("o_orderkey"), "", ""))
+      val rollup = GraftTable.create(s, s"$dir/rollup", TableConfig(
+        "rollup_dst", TableType.CopyOnWrite, Seq("o_custkey"), "", ""))
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val aggs = Seq(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      src.bulkInsert(orders)
+      RollupService.sync(src, rollup, Seq("o_custkey"), aggs)
+      src.delete(orders.filter(col("o_orderkey") % 7 === 0))
+      RollupService.sync(src, rollup, Seq("o_custkey"), aggs)
+      src.upsert(orders.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1))
+      RollupService.sync(src, rollup, Seq("o_custkey"), aggs)
+      graft.read.Readers.snapshot(rollup)
+        .select(col("o_custkey"), col("n_orders"), col("total"))
+    }),
+
     // PERSISTED BM25 index: same queries as p_bm25_topk, answered from
     // the term-bucket-partitioned postings table built in two increments
     // (corpus split at doc_id 250 + append) — persistence and incremental
@@ -1244,6 +1271,15 @@ object PipelineQueries {
            |FROM agg""".stripMargin,
     "p_bm25_topk" -> bm25Oracle,
     "p_bm25_index_table" -> bm25Oracle,
+    "p_rollup_incremental" ->
+      """WITH src AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM src GROUP BY 1""".stripMargin,
     "p_tfidf_keywords" ->
       raw"""WITH tkd AS (
            |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
