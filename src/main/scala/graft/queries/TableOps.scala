@@ -453,6 +453,21 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // point lookup through the record index: IO ∝ keys (bucket-pruned
+    // probe + mapped-group reads), answers must reflect later updates and
+    // ignore absent keys
+    "t_point_lookup" -> ((s, d) => {
+      val t = fresh(s, d, "t_point_lookup", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.IndexType -> "RECORD")))
+      val src = orders(s, d)
+      t.bulkInsert(src, SortMode.NoSort)
+      t.upsert(src.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_totalprice", lit(7.0)))
+      val keys = (1 to 10).map(i => (i * 500L).toString) ++
+        Seq("123", "77", "999999999") // two untouched rows + one absent key
+      data(t.lookup(keys))
+    }),
+
     // dedup as a table service: near-dup tombstoning in one commit over a
     // graft table holding the documents corpus (planted exact dups lose)
     "t_dedup_service" -> ((s, d) => {
@@ -1033,6 +1048,12 @@ object TableOps {
          |ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders
          |WHERE o_orderkey % 15 <> 0 OR o_orderkey % 30 = 0""".stripMargin,
+    "t_point_lookup" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 500 = 0 THEN 7.0 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE o_orderkey IN (500, 1000, 1500, 2000, 2500, 3000, 3500,
+         |4000, 4500, 5000, 123, 77, 999999999)""".stripMargin,
     "t_keygen_timestamp" ->
       s"""SELECT $OrdersSql, strftime(o_orderdate, '%Y/%m') AS part FROM orders""",
     "t_keygen_complex" ->

@@ -43,6 +43,17 @@ object Readers {
     readSliceSet(t, slices, asOf)
   }
 
+  /** Snapshot semantics over an explicit (partitionPath, fileId) group
+    * set — the point-read primitive: a caller that already knows which
+    * file groups hold its rows (record-index probe, files-index hit)
+    * reads exactly those groups' latest slices and nothing else.
+    */
+  def snapshotGroups(t: GraftTable, groups: Set[(String, String)],
+      asOf: Option[String] = None): DataFrame =
+    readSliceSet(t,
+      t.view.fileSlices(asOf).filter(s => groups((s.partitionPath, s.fileId))),
+      asOf)
+
   /** Snapshot semantics over an explicit slice set (the shared core of
     * [[snapshot]] and the per-group reads of [[incrementalChanges]]).
     */

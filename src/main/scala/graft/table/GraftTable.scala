@@ -548,6 +548,48 @@ final class GraftTable(
     new GraftTable(spark, basePath, updated)
   }
 
+  /** Point lookup: the snapshot rows for an explicit record-key set —
+    * the needle-in-100-TB read path. With the RECORD index on, the probe
+    * prunes to the keys' hash buckets (plan-time partition pruning on the
+    * index table) and then reads ONLY the mapped file groups via
+    * [[Readers.snapshotGroups]] — IO ∝ keys, not table. Without it, the
+    * key filter still pushes into every base-file scan (the record-key
+    * meta column is physical, so parquet stats/dictionaries skip
+    * non-matching files) but listing is snapshot-wide.
+    *
+    * `keys` is a driver-resident list by contract — point lookups are
+    * small; key-to-key joins at scale go through [[Readers.snapshot]] +
+    * an equi-join instead.
+    */
+  def lookup(keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    requireKeyed("lookup")
+    val base = if (RecordIndex.enabled(cfg)) {
+      // sync failure degrades to the filtered full path, same contract as
+      // tag falling back to SIMPLE
+      val inner = try RecordIndex.sync(this) catch {
+        case scala.util.control.NonFatal(_) => null
+      }
+      if (inner == null) graft.read.Readers.snapshot(this)
+      else if (inner.timeline.completedDataInstants().isEmpty) graft.read.Readers.snapshot(this).limit(0)
+      else {
+        val n = RecordIndex.storedBuckets(inner)
+        // bucket of each key via the SAME expression the index persists
+        // with — one tiny job over the key list, never a driver rehash
+        val keyDf = keys.toDF("_k")
+        val buckets = keyDf
+          .select(RecordIndex.bucketOf(col("_k"), n).as("_b")).distinct()
+          .collect().map(r => s"b=${r.getInt(0)}").toSeq
+        val groups = graft.read.Readers.snapshot(inner, partitions = Some(buckets))
+          .filter(col("_ri_key").isin(keys: _*))
+          .select(col("_ri_part"), col("_ri_fid")).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        graft.read.Readers.snapshotGroups(this, groups)
+      }
+    } else graft.read.Readers.snapshot(this)
+    base.filter(col(MetaCols.RecordKey).isin(keys: _*)).drop(MetaCols.All: _*)
+  }
+
   /** TRUNCATE TABLE analog: a replacecommit logically dropping every live
     * file group (reference TruncateHoodieTableCommand).
     */

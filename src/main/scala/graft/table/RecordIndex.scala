@@ -100,7 +100,7 @@ object RecordIndex {
     inner.cfg.propLong(ConfigKeys.RecordIndexBuckets,
       ConfigKeys.DefaultRecordIndexBuckets).toInt
 
-  private def bucketOf(key: Column, n: Int): Column =
+  private[table] def bucketOf(key: Column, n: Int): Column =
     pmod(abs(xxhash64(key)), lit(n.toLong)).cast("int")
 
   private def innerCfg(t: GraftTable, buckets: Int): TableConfig = TableConfig(

@@ -156,6 +156,35 @@ class RecordIndexSpec extends AnyFunSuite {
     snap.unpersist()
   }
 
+  test("point lookup reads only mapped groups; equals the filtered snapshot") {
+    val dir = tmpDir("rec_lookup")
+    val t = GraftTable.create(spark, dir.toString, recCfg())
+    val src = orders
+    t.bulkInsert(src, SortMode.NoSort)
+    t.upsert(src.filter(col("o_orderkey") % 100 === 0).withColumn("o_totalprice", lit(3.0)))
+    val keys = Seq("100", "200", "333", "999999999") // updated ×2, plain, absent
+    val got = t.lookup(keys).cache()
+    try {
+      val want = Readers.snapshot(t)
+        .filter(col(MetaCols.RecordKey).isin(keys: _*))
+        .drop(MetaCols.All: _*)
+      assert(got.count() === 3)
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+      assert(got.filter(col("o_totalprice") === 3.0).count() === 2)
+      // the lookup's scan set is the mapped groups, not the table: its plan
+      // reads strictly fewer files than the full snapshot
+      def filesIn(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }.sum
+      assert(filesIn(t.lookup(keys)) < filesIn(Readers.snapshot(t)))
+      // lookup works after clustering moves the keys' groups
+      Services.cluster(t)
+      assert(t.lookup(keys).count() === 3)
+    } finally got.unpersist()
+  }
+
   test("MOR table: record index tags delta-appending upserts and deletes") {
     val dir = tmpDir("rec_mor")
     val t = GraftTable.create(spark, dir.toString, recCfg().copy(
