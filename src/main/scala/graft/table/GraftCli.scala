@@ -112,6 +112,11 @@ final class GraftCli(spark: SparkSession) {
     "commit showpartitions" -> { o =>
       CliFrame(TableAdmin.commitPartitions(table, req(o, "commit")))
     },
+    "record lookup" -> { o =>
+      // point reads from the shell: --keys k1,k2,... through the
+      // record-index probe (or the pushed-down key filter without it)
+      CliFrame(table.lookup(req(o, "keys").split(',').map(_.trim).toSeq))
+    },
     "show logfile metadata" -> { _ => CliFrame(TableAdmin.logFiles(table)) },
     "metrics show" -> { _ => CliFrame(TableAdmin.metrics(table)) },
     "metadata column-stats" -> { _ => CliFrame(TableAdmin.columnStats(table)) },

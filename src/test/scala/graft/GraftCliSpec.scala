@@ -185,6 +185,17 @@ class GraftCliSpec extends AnyFunSuite {
     }
   }
 
+  test("record lookup answers point reads from the shell") {
+    val dir = tmpDir("cli_lookup").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_pl --recordKey id --precombine v")
+    cli.table.bulkInsert(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("id", "v", "s"))
+    val hit = cli.run("record lookup --keys 1,3,99").frame
+    assert(hit.count() === 2)
+    assert(hit.select("s").collect().map(_.getString(0)).toSet === Set("a", "c"))
+  }
+
   test("clustering and unknown commands") {
     val dir = tmpDir("cli_clu").toString + "/t"
     val cli = new GraftCli(spark)
