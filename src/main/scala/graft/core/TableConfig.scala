@@ -69,6 +69,10 @@ object ConfigKeys {
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
   val RecordIndexBuckets = "graft.index.record.buckets"     // explicit count (else auto)
   val RecordIndexKeysPerBucket = "graft.index.record.keys.per.bucket" // auto-scale target
+  // non-key columns kept point-queryable via value → file-group index
+  // tables (comma-separated); see table/SecondaryIndex.scala
+  val SecondaryIndexColumns = "graft.index.secondary.columns"
+  val SecondaryIndexBuckets = "graft.index.secondary.buckets" // explicit (else auto)
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
   val UrlEncodePartitions = "graft.partitionpath.urlencode" // false

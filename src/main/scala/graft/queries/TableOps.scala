@@ -468,6 +468,21 @@ object TableOps {
       data(t.lookup(keys))
     }),
 
+    // point lookup by a NON-KEY column through the secondary index
+    // (value -> file-group mapping tables; reads only the mapped groups).
+    // The upsert moves some rows to a new custkey so the probe exercises
+    // catch-up + the value-move (stale mappings filter out residually).
+    "t_secondary_lookup" -> ((s, d) => {
+      val t = fresh(s, d, "t_secondary_lookup", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.SecondaryIndexColumns -> "o_custkey")))
+      val src = orders(s, d)
+      t.bulkInsert(src, SortMode.NoSort)
+      t.upsert(src.filter(col("o_custkey") === 7)
+        .withColumn("o_custkey", lit(424242L)))
+      val keys = Seq("7", "42", "421", "1000", "1399", "424242")
+      data(t.lookupBy("o_custkey", keys))
+    }),
+
     // dedup as a table service: near-dup tombstoning in one commit over a
     // graft table holding the documents corpus (planted exact dups lose)
     "t_dedup_service" -> ((s, d) => {
@@ -1054,6 +1069,13 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders
          |WHERE o_orderkey IN (500, 1000, 1500, 2000, 2500, 3000, 3500,
          |4000, 4500, 5000, 123, 77, 999999999)""".stripMargin,
+    "t_secondary_lookup" ->
+      s"""SELECT o_orderkey,
+         |CASE WHEN o_custkey = 7 THEN 424242 ELSE o_custkey END AS o_custkey,
+         |o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         |FROM orders
+         |WHERE (CASE WHEN o_custkey = 7 THEN 424242 ELSE o_custkey END)
+         |  IN (42, 421, 1000, 1399, 424242)""".stripMargin,
     "t_keygen_timestamp" ->
       s"""SELECT $OrdersSql, strftime(o_orderdate, '%Y/%m') AS part FROM orders""",
     "t_keygen_complex" ->

@@ -590,6 +590,29 @@ final class GraftTable(
     base.filter(col(MetaCols.RecordKey).isin(keys: _*)).drop(MetaCols.All: _*)
   }
 
+  /** Point lookup by a NON-KEY column: the snapshot rows whose `column`
+    * string-casts to one of `values`. With a secondary index maintained
+    * for the column (`graft.index.secondary.columns`), the probe prunes
+    * to the values' hash buckets and reads ONLY the mapped file groups —
+    * IO ∝ matching groups, the arbitrary-column analog of [[lookup]].
+    * Without one (or when sync degrades), the filter still pushes into
+    * every base-file scan, where parquet stats/dictionaries skip
+    * non-matching files. Matching is by exact STRING cast — intended for
+    * string / integral / date / decimal columns, not floating point.
+    */
+  def lookupBy(column: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "lookupBy needs at least one value")
+    val indexed = SecondaryIndex.enabledColumns(cfg).contains(column)
+    val base =
+      if (indexed) SecondaryIndex.probeGroups(this, column, values) match {
+        case Some(groups) => graft.read.Readers.snapshotGroups(this, groups)
+        case None => graft.read.Readers.snapshot(this) // sync failed: degrade
+      }
+      else graft.read.Readers.snapshot(this)
+    base.filter(col(s"`$column`").cast("string").isin(values: _*))
+      .drop(MetaCols.All: _*)
+  }
+
   /** TRUNCATE TABLE analog: a replacecommit logically dropping every live
     * file group (reference TruncateHoodieTableCommand).
     */
@@ -1113,6 +1136,7 @@ final class GraftTable(
     // eager record-index maintenance also runs unlocked — best-effort,
     // changeset-sized; a failure only defers to the next tag's catch-up
     RecordIndex.maybeSync(this)
+    SecondaryIndex.maybeSync(this)
     fireCommitCallbacks(ts, opT, stats)
     ts
   }
@@ -1297,6 +1321,7 @@ final class GraftTable(
         postCommit()
       }
       RecordIndex.maybeSync(this)
+      SecondaryIndex.maybeSync(this)
       fireCommitCallbacks(ts, opType, written)
       ts
     } catch {

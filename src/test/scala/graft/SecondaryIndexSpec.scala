@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.table.{GraftTable, SecondaryIndex, Services, SortMode}
+import graft.read.Readers
+
+/** SECONDARY index: persisted value → file-group mappings for non-key
+  * columns — lookup parity with a full filtered scan, group-set pruning,
+  * value-move updates, catch-up over foreign commits, clustering remap,
+  * dead groups after partition drops, rewind rebuild, MOR, and the
+  * unindexed-column fallback.
+  */
+class SecondaryIndexSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def secCfg(extra: Map[String, String] = Map.empty) = TableConfig(
+    tableName = "orders_sec",
+    tableType = TableType.CopyOnWrite,
+    recordKeyFields = Seq("o_orderkey"),
+    partitionPathExpr = "date_format(o_orderdate, 'yyyy')",
+    precombineField = "o_orderdate",
+    props = Map(ConfigKeys.SecondaryIndexColumns -> "o_custkey",
+      // small files so the table has many groups and pruning is visible
+      ConfigKeys.MaxFileSize -> (64L * 1024).toString,
+      ConfigKeys.SmallFileLimit -> (48L * 1024).toString) ++ extra)
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+
+  private def expected(src: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+    src.filter(col("o_custkey").cast("string").isin(keys: _*))
+
+  test("lookupBy == filtered snapshot; probe reads strictly fewer groups") {
+    val dir = tmpDir("sec_basic")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    assert(TableConfig.exists(SecondaryIndex.indexPath(t, "o_custkey")))
+
+    val keys = Seq("7", "421", "1000")
+    val got = t.lookupBy("o_custkey", keys)
+    val want = expected(orders, keys)
+    assert(got.count() === want.count())
+    assert(got.select("o_orderkey").except(want.select("o_orderkey")).count() === 0)
+
+    val groups = SecondaryIndex.probeGroups(t, "o_custkey", keys).get
+    val total = t.view.fileSlices(None).size
+    assert(groups.nonEmpty && groups.size < total,
+      s"probe did not prune: ${groups.size} of $total groups")
+  }
+
+  test("updating the indexed value moves the lookup result") {
+    val dir = tmpDir("sec_move")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    // move every order of custkey 7 to custkey 999999
+    val moved = orders.filter(col("o_custkey") === 7)
+      .withColumn("o_custkey", lit(999999L))
+    t.upsert(moved)
+    assert(t.lookupBy("o_custkey", Seq("999999")).count() === moved.count())
+    // stale (old-value → group) mappings survive as false positives only:
+    // the residual filter drops them
+    assert(t.lookupBy("o_custkey", Seq("7")).count() === 0)
+  }
+
+  test("catch-up: commits from a foreign handle are replayed before a probe") {
+    val dir = tmpDir("sec_catchup")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    // a second handle that does NOT maintain the index writes new rows
+    val plain = GraftTable.load(spark, dir.toString)
+    val news = orders.limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_custkey", lit(777777L))
+    plain.upsert(news)
+    // the original handle's next probe must see them (false negatives are
+    // the one forbidden failure mode)
+    assert(t.lookupBy("o_custkey", Seq("777777")).count() === 50)
+  }
+
+  test("clustering remaps groups; lookup follows the replacecommit") {
+    val dir = tmpDir("sec_cluster")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    val src = orders
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0), SortMode.NoSort)
+    t.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0), SortMode.NoSort)
+    Services.cluster(t, sortColumns = Seq("o_custkey"))
+    val keys = Seq("42", "911")
+    val got = t.lookupBy("o_custkey", keys)
+    assert(got.count() === expected(src, keys).count())
+    // after clustering, sorted-by-custkey layout + pruning: few groups
+    val groups = SecondaryIndex.probeGroups(t, "o_custkey", keys).get
+    assert(groups.size < t.view.fileSlices(None).size)
+  }
+
+  test("delete_partition: mappings into dead groups are invisible") {
+    val dir = tmpDir("sec_droppart")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    val part = "1995"
+    val inPart = orders.filter(date_format(col("o_orderdate"), "yyyy") === part)
+    val key = inPart.select("o_custkey").first().getLong(0).toString
+    val before = t.lookupBy("o_custkey", Seq(key)).count()
+    assert(before > 0)
+    t.deletePartitions(Seq(part))
+    val want = expected(orders, Seq(key))
+      .filter(date_format(col("o_orderdate"), "yyyy") =!= part).count()
+    assert(t.lookupBy("o_custkey", Seq(key)).count() === want)
+  }
+
+  test("timeline rewind triggers a rebuild; lookups stay exact") {
+    val dir = tmpDir("sec_rewind")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    val upd = orders.filter(col("o_custkey") === 421)
+      .withColumn("o_custkey", lit(424242L))
+    val ts = t.upsert(upd)
+    Services.rollback(t, ts)
+    // the applied watermark points at a vanished instant → full rebuild
+    assert(t.lookupBy("o_custkey", Seq("424242")).count() === 0)
+    assert(t.lookupBy("o_custkey", Seq("421")).count() ===
+      expected(orders, Seq("421")).count())
+  }
+
+  test("MOR: probes read through delta merges") {
+    val dir = tmpDir("sec_mor")
+    val t = GraftTable.create(spark, dir.toString,
+      secCfg(Map("graft.compact.inline" -> "false"))
+        .copy(tableType = TableType.MergeOnRead))
+    t.bulkInsert(orders, SortMode.NoSort)
+    val upd = orders.filter(col("o_custkey") === 1000)
+      .withColumn("o_totalprice", lit(123.45))
+    t.upsert(upd) // delta files
+    val got = t.lookupBy("o_custkey", Seq("1000"))
+    assert(got.count() === upd.count())
+    assert(got.filter(col("o_totalprice") === 123.45).count() === upd.count())
+  }
+
+  test("unindexed column falls back to the filtered snapshot") {
+    val dir = tmpDir("sec_fallback")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    val got = t.lookupBy("o_orderpriority", Seq("1-URGENT"))
+    assert(got.count() ===
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+}
