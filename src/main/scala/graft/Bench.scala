@@ -27,6 +27,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // iteration aid: restrict the run to a comma-separated subset
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        Bench.headline.filter(want)
+      case None => Bench.headline
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
