@@ -411,4 +411,60 @@ object Dedup {
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }
+
+  /** EXACT-SUBSTRING span dedup (the ExactSubstr operator of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * the suffix-array dedup the big corpora actually ship with): any
+    * `k`-token window whose exact text occurs `minCount`+ times in the
+    * WHOLE corpus (across documents or repeated within one) is a
+    * duplicated span, and every occurrence is cut from its document.
+    * Document-level dedup (exact/minhash) keeps one copy of a duplicated
+    * PASSAGE per near-dup cluster but leaves boilerplate passages that
+    * ride inside otherwise-distinct documents; this removes the passage
+    * itself, everywhere. Returns (idCol, textCol cleaned, n_dropped).
+    *
+    * Distributed shape — no suffix array, same result for fixed k:
+    *  1. per document, fingerprint every k-token window (row-local
+    *     higher-order functions; md5 so the grouping is replayable by
+    *     the oracle). O(n·k) chars hashed per doc, only 32-hex
+    *     fingerprints + int starts leave the row.
+    *  2. ONE shuffle keyed by fingerprint: a window count over the
+    *     fingerprint partition tags every occurrence with its global
+    *     count in the same exchange that would otherwise be needed just
+    *     to join the counts back — the windows relation (the big one)
+    *     moves exactly once.
+    *  3. collect the surviving (count ≥ minCount) starts per doc
+    *     (bounded by the doc's own window count).
+    *  4. row-local span surgery: a token at position p is dropped when
+    *     any duplicated window start s covers it (s ≤ p < s+k) —
+    *     overlapping spans merge for free.
+    * Nothing is pairwise; the one shuffle carries fingerprints, never
+    * window text. Skewed fingerprints (a boilerplate span repeated
+    * millions of times) are a count aggregation, not a join fan-out.
+    */
+  def exactSpanDedup(df: DataFrame, k: Int = 20, minCount: Long = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("_sd_ts"))
+    val wins = toks.select(col(idCol), posexplode(expr(
+        s"""CASE WHEN size(_sd_ts) >= $k
+           |THEN transform(sequence(0, size(_sd_ts) - $k),
+           |  s -> md5(array_join(slice(_sd_ts, s + 1, $k), ' ')))
+           |ELSE array() END""".stripMargin))
+      .as(Seq("_sd_s", "_sd_fp")))
+    val dstarts = wins
+      .withColumn("_sd_n", count(lit(1)).over(Window.partitionBy(col("_sd_fp"))))
+      .filter(col("_sd_n") >= minCount)
+      .groupBy(col(idCol)).agg(collect_set(col("_sd_s")).as("_sd_starts"))
+    toks.join(dstarts, Seq(idCol), "left_outer")
+      .withColumn("_sd_starts",
+        coalesce(col("_sd_starts"), expr("array()").cast("array<int>")))
+      .withColumn("_sd_kept", expr(
+        s"""filter(transform(_sd_ts,
+           |  (t, p) -> IF(exists(_sd_starts, s -> s <= p AND p < s + $k), NULL, t)),
+           |  t -> t IS NOT NULL)""".stripMargin))
+      .select(col(idCol),
+        array_join(col("_sd_kept"), " ").as(textCol),
+        (size(col("_sd_ts")) - size(col("_sd_kept"))).cast("long").as("n_dropped"))
+  }
 }

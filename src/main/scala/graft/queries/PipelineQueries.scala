@@ -649,6 +649,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_dropped"), md5(col("text")).as("clean_fp"))
     }),
 
+    // ExactSubstr span dedup (Lee et al. 2022): any 20-token window whose
+    // exact text occurs twice+ corpus-wide is cut from EVERY document
+    // carrying it — passage-level removal where doc-level dedup keeps a
+    // copy (45 of the 500 sf0.01 docs carry duplicated spans)
+    "p_dedup_spans" -> ((s, d) => {
+      Dedup.exactSpanDedup(docs(s, d).select(col("doc_id"), col("text")), k = 20)
+        .select(col("doc_id"), col("n_dropped"), md5(col("text")).as("clean_fp"))
+    }),
+
     // overlapping token-window chunking: stride-24 windows of 32 tokens
     "p_chunk_docs" -> ((s, d) =>
       Chunking.chunk(docs(s, d), chunkTokens = 32, overlap = 8)
@@ -1215,6 +1224,25 @@ object PipelineQueries {
          |SELECT t.doc_id, t.total - COALESCE(a.kept, 0) AS n_dropped,
          |       md5(COALESCE(a.txt, '')) AS clean_fp
          |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+    "p_dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |w AS (SELECT doc_id, ts,
+         |  unnest(generate_series(1, greatest(len(ts) - 19, 0))) AS s FROM toks),
+         |wins AS (SELECT doc_id, s,
+         |  md5(array_to_string(ts[s:s+19], ' ')) AS fp FROM w),
+         |dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
+         |ds AS (SELECT doc_id, s FROM wins JOIN dup USING (fp)),
+         |p AS (SELECT doc_id, unnest(ts) AS tok,
+         |  generate_subscripts(ts, 1) AS pos FROM toks),
+         |kept AS (SELECT p.doc_id, p.tok, p.pos FROM p
+         |  WHERE NOT EXISTS (SELECT 1 FROM ds
+         |    WHERE ds.doc_id = p.doc_id AND ds.s <= p.pos AND p.pos < ds.s + 20)),
+         |a AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |t AS (SELECT doc_id, len(ts) AS n FROM toks)
+         |SELECT t.doc_id, CAST(t.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  md5(COALESCE(a.text, '')) AS clean_fp
+         |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
     "p_decontaminate" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,

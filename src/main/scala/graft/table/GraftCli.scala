@@ -117,6 +117,12 @@ final class GraftCli(spark: SparkSession) {
       // record-index probe (or the pushed-down key filter without it)
       CliFrame(table.lookup(req(o, "keys").split(',').map(_.trim).toSeq))
     },
+    "record lookupby" -> { o =>
+      // non-key point reads: --column c --values v1,v2,... through the
+      // secondary-index probe (or a filtered snapshot without one)
+      CliFrame(table.lookupBy(req(o, "column"),
+        req(o, "values").split(',').map(_.trim).toSeq))
+    },
     "show logfile metadata" -> { _ => CliFrame(TableAdmin.logFiles(table)) },
     "metrics show" -> { _ => CliFrame(TableAdmin.metrics(table)) },
     "metadata column-stats" -> { _ => CliFrame(TableAdmin.columnStats(table)) },

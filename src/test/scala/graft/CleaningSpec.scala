@@ -66,4 +66,28 @@ class CleaningSpec extends AnyFunSuite {
     // a doc that was ALL boilerplate survives as an empty row, not a drop
     assert(out(3) === ((4L, "", 1L)))
   }
+
+  test("exact-substring span dedup: duplicated windows cut everywhere, overlaps merge") {
+    import spark.implicits._
+    // shared passage "p q r s" rides inside two otherwise-distinct docs;
+    // doc 3 repeats a window INTERNALLY ("x y z w x y z w" with k=4 has
+    // "x y z w" twice via overlapping starts 0 and 4)
+    val docs = Seq(
+      (1L, "a b c p q r s d e"),
+      (2L, "f g p q r s h"),
+      (3L, "x y z w x y z w"),
+      (4L, "unique words only here")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.exactSpanDedup(docs, k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1: duplicated 4-window is "p q r s" (the only window text shared
+    // with doc 2) -> those 4 tokens drop, prefix/suffix survive in order
+    assert(out(0) === ((1L, "a b c d e", 4L)))
+    assert(out(1) === ((2L, "f g h", 4L)))
+    // doc 3: windows at starts 0..4; "x y z w" (0 and 4) duplicated ->
+    // covered positions 0-3 and 4-7: the whole doc is duplicated spans
+    assert(out(2) === ((3L, "", 8L)))
+    // doc 4 is untouched (no window occurs twice)
+    assert(out(3) === ((4L, "unique words only here", 0L)))
+  }
 }

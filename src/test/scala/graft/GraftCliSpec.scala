@@ -194,6 +194,9 @@ class GraftCliSpec extends AnyFunSuite {
     val hit = cli.run("record lookup --keys 1,3,99").frame
     assert(hit.count() === 2)
     assert(hit.select("s").collect().map(_.getString(0)).toSet === Set("a", "c"))
+    // non-key point read (no secondary index configured: filtered snapshot)
+    val byVal = cli.run("record lookupby --column s --values b,c").frame
+    assert(byVal.select("id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
   test("clustering and unknown commands") {

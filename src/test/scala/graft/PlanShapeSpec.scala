@@ -37,6 +37,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup: fingerprint-keyed shuffles only, never pairwise") {
+    val df = graft.queries.PipelineQueries.queries("p_dedup_spans")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"pairwise pass:\n$plan")
+    // window fingerprinting + surgery are row-local; the windows
+    // relation moves ONCE (fingerprint-partitioned count window), then
+    // the per-doc start collection and the join back to the docs:
+    // 3 real exchanges — the AQE tree string prints Final + Initial
+    // plans, so each appears twice
+    assert("Exchange".r.findAllIn(plan).size <= 6, s"extra shuffles:\n$plan")
+  }
+
   test("q3: customer dimension joins broadcast") {
     val plan = executed("q3_shipping_priority")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
