@@ -27,9 +27,21 @@ import graft.core.Storage.PathOps
 final class GraftFileIndex(
     spark: SparkSession,
     tableBase: HPath,
-    entries: Seq[FileEntry]) extends FileIndex {
+    entries: Seq[FileEntry],
+    // plan-time secondary-index pruning: for an equality/IN predicate on
+    // one of these columns, the probe returns the live file groups that
+    // may contain the values (None = index missing/stale → no pruning;
+    // the probe is read-only, see SecondaryIndex.probeCurrentReadOnly)
+    secondaryColumns: Set[String] = Set.empty,
+    secondaryProbe: (String, Seq[String]) => Option[Set[(String, String)]] =
+      (_, _) => None) extends FileIndex {
 
   private val byPartition: Map[String, Seq[FileEntry]] = entries.groupBy(_.partitionPath)
+
+  // one probe per (column, values) per query — listFiles can be invoked
+  // more than once while a plan is optimized
+  private val probeCache =
+    scala.collection.mutable.Map.empty[(String, Seq[String]), Option[Set[(String, String)]]]
 
   override val partitionSchema: StructType =
     StructType(Seq(StructField(MetaCols.PartitionPath, StringType, nullable = false)))
@@ -47,16 +59,51 @@ final class GraftFileIndex(
           BoundReference(0, StringType, nullable = false)
       })
     }
+    // secondary-index pruning: every successful probe restricts the file
+    // set (top-level dataFilters are conjunctive), group-granular
+    val allowed: Option[Set[(String, String)]] =
+      secondaryLookups(dataFilters).flatMap { case (c, vs) =>
+        probeCache.getOrElseUpdate((c, vs), secondaryProbe(c, vs))
+      }.reduceOption(_ intersect _)
     byPartition.toSeq.sortBy(_._1).flatMap { case (part, files) =>
       val row = InternalRow(UTF8String.fromString(part))
       if (predicate.forall(_.eval(row))) {
         // data skipping: drop files whose recorded column ranges cannot
         // satisfy the pushed predicates (beyond-reference capability —
         // the stats ride in commit metadata, so this is zero-IO too)
-        val kept = files.filter(f => dataFilters.forall(mayMatch(f, _)))
+        val kept = files
+          .filter(f => allowed.forall(_.contains((part, f.fileId))))
+          .filter(f => dataFilters.forall(mayMatch(f, _)))
         if (kept.nonEmpty) Some(PartitionDirectory(row, kept.map(toStatus).toArray))
         else None
       } else None
+    }
+  }
+
+  /** Extract (indexed column, probe values) pairs from the pushed
+    * predicates. Only literal shapes whose STRING form provably equals
+    * the column's Spark string cast participate (strings, integrals,
+    * booleans); anything else skips pruning rather than risking a
+    * mismatched representation.
+    */
+  private def secondaryLookups(dataFilters: Seq[Expression]): Seq[(String, Seq[String])] = {
+    def litStr(v: Any, t: DataType): Option[String] = t match {
+      case _ if v == null => None
+      case StringType | LongType | IntegerType | ShortType | ByteType | BooleanType =>
+        Some(v.toString)
+      case _ => None
+    }
+    if (secondaryColumns.isEmpty) return Seq.empty
+    dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, t)) if secondaryColumns(a.name) =>
+        litStr(v, t).map(s => a.name -> Seq(s))
+      case EqualTo(Literal(v, t), a: AttributeReference) if secondaryColumns(a.name) =>
+        litStr(v, t).map(s => a.name -> Seq(s))
+      case In(a: AttributeReference, vs)
+          if secondaryColumns(a.name) && vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val ss = vs.map { case Literal(v, t) => litStr(v, t) }
+        if (ss.forall(_.isDefined)) Some(a.name -> ss.flatten.toSeq) else None
+      case _ => None
     }
   }
 

@@ -99,11 +99,21 @@ object Readers {
           schema.fields.filterNot(_.name == MetaCols.PartitionPath))
         // one native scan per base format (mixed only for tables whose
         // format changed mid-history) — both push filters and vectorize
+        // secondary-indexed columns participate in plan-time file pruning
+        // (read-only probe; only when the index is exactly current).
+        // NEVER for as-of reads: the index maps the CURRENT snapshot, and
+        // a group live at asOf but since replaced would be a false negative
+        val secCols =
+          if (asOf.isDefined) Set.empty[String]
+          else graft.table.SecondaryIndex.enabledColumns(t.cfg).toSet
         entries.groupBy(e => graft.table.WritePipeline.formatOf(e.relPath))
           .toSeq.sortBy(_._1)
           .map { case (fmt, es) =>
             org.apache.spark.sql.GraftSqlBridge.fileScan(
-                t.spark, new GraftFileIndex(t.spark, t.basePath, es), dataSchema, fmt)
+                t.spark,
+                new GraftFileIndex(t.spark, t.basePath, es, secCols,
+                  (c, vs) => graft.table.SecondaryIndex.probeCurrentReadOnly(t, c, vs)),
+                dataSchema, fmt)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           }
           .reduce(_.unionByName(_))

@@ -122,11 +122,22 @@ object SecondaryIndex {
       }
     if (inner.timeline.completedDataInstants().isEmpty)
       return Some(Set.empty)
+    Some(probeInner(t, inner, values))
+  }
+
+  /** The probe core: bucket the values through the SAME expression the
+    * index persists with (one tiny job, never a driver-side rehash),
+    * plan-time-prune the index read to those buckets, and intersect the
+    * mapped groups with the LIVE group set — mappings into dead groups
+    * (clustering remaps, dropped partitions) must not count as IO. The
+    * live set is the driver-resident view state, same residency as the
+    * read itself.
+    */
+  private def probeInner(t: GraftTable, inner: GraftTable,
+      values: Seq[String]): Set[(String, String)] = {
     val n = storedBuckets(inner)
     val spark = t.spark
     import spark.implicits._
-    // bucket each probe value through the SAME expression the index
-    // persists with — one tiny job, never a driver-side rehash
     val buckets = values.toDF("_v")
       .select(bucketOf(col("_v"), n).as("_b")).distinct()
       .collect().map(r => s"b=${r.getInt(0)}").toSeq
@@ -134,13 +145,34 @@ object SecondaryIndex {
       .filter(col("_si_val").isin(values: _*))
       .select(col("_si_part"), col("_si_fid")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    // drop mappings into dead groups (clustering remaps, dropped
-    // partitions) so the returned set reflects the actual IO: the live
-    // set is the driver-resident view state, same residency as the read
     val live = t.view.fileSlices(None)
       .map(s => (s.partitionPath, s.fileId)).toSet
-    Some(mapped.intersect(live))
+    mapped.intersect(live)
   }
+
+  /** READ-ONLY probe for plan-time file pruning ([[graft.read.GraftFileIndex]]
+    * consults this for equality/IN predicates on indexed columns): returns
+    * the live groups that may contain the values ONLY when the persisted
+    * index is exactly current (its applied watermark is the outer
+    * timeline's latest data instant). A stale index could miss a
+    * containment written since — a false negative — so staleness returns
+    * None (no pruning) instead of syncing: query planning must never
+    * write, and writers keep the index current eagerly.
+    */
+  def probeCurrentReadOnly(t: GraftTable, column: String,
+      values: Seq[String]): Option[Set[(String, String)]] =
+    try {
+      if (values.isEmpty || !TableConfig.exists(indexPath(t, column))) return None
+      val inner = GraftTable.load(t.spark, indexPath(t, column).toString)
+      val latest = t.timeline.completedDataInstants().lastOption.map(_.ts)
+      if (latest.isEmpty || lastApplied(inner) != latest) return None
+      Some(probeInner(t, inner, values))
+    } catch {
+      case NonFatal(e) =>
+        log.warn(s"read-only secondary probe failed for ${t.basePath}/$column " +
+          s"(no pruning this query): $e")
+        None
+    }
 
   // ----------------------------------------------------------- maintenance
 

@@ -137,6 +137,48 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(got.filter(col("o_totalprice") === 123.45).count() === upd.count())
   }
 
+  test("plan-time file pruning: WHERE on the indexed column lists fewer files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir("sec_plan")
+    val t = GraftTable.create(spark, dir.toString, secCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+
+    def listedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+    }
+    val all = listedFiles(Readers.snapshot(t))
+    val pruned = Readers.snapshot(t).filter(col("o_custkey") === 421L)
+    assert(listedFiles(pruned) < all,
+      s"equality on the indexed column did not prune (listed all $all files)")
+    assert(pruned.count() === orders.filter(col("o_custkey") === 421).count())
+    // IN-list probes prune too
+    val inPruned = Readers.snapshot(t)
+      .filter(col("o_custkey").isin(421L, 1000L))
+    assert(listedFiles(inPruned) < all)
+    assert(inPruned.count() ===
+      orders.filter(col("o_custkey").isin(421L, 1000L)).count())
+
+    // a STALE index (foreign handle wrote without maintaining it) must
+    // not prune — full listing, still-correct rows
+    val plain = GraftTable.load(spark, dir.toString)
+    plain.upsert(orders.limit(20)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+      .withColumn("o_custkey", lit(421L)))
+    val afterForeign = Readers.snapshot(t).filter(col("o_custkey") === 421L)
+    assert(afterForeign.count() ===
+      orders.filter(col("o_custkey") === 421).count() + 20)
+
+    // time travel never consults the index (current-live mapping would
+    // false-negative replaced groups)
+    val firstTs = t.timeline.completedInstants().head.ts
+    val tt = Readers.snapshot(t, asOf = Some(firstTs))
+      .filter(col("o_custkey") === 421L)
+    assert(tt.count() === orders.filter(col("o_custkey") === 421).count())
+  }
+
   test("unindexed column falls back to the filtered snapshot") {
     val dir = tmpDir("sec_fallback")
     val t = GraftTable.create(spark, dir.toString, secCfg())
