@@ -13,7 +13,7 @@ object Bench {
     "q6_forecast_revenue", "q7_window_topk", "q13_events_hourly",
     "q15_top_orders", "q26_cheapest_supplier", "q28_dominant_suppliers",
     "t_bulk_insert", "t_upsert", "t_merge_into", "t_mor_upsert",
-    "t_incremental_cdc",
+    "t_incremental_cdc", "t_bucket_index_upsert", "p_dedup_spans",
     "p_dedup_exact", "p_dedup_minhash", "p_dedup_simhash",
     "p_text_stats", "p_text_quality_lang", "p_ann_bruteforce",
     "p_sessionize", "p_asof_join", "p_sample_stratified",

@@ -41,9 +41,19 @@ final case class FileSlice(
 final case class ViewState(
     asOfInstant: String,
     entries: Seq[FileEntry],
-    replaced: Map[String, String]) { // "partition|fileId" -> instant replaced at
-  def replacedAt(partition: String, fileId: String): Option[String] =
+    // "partition|fileId" -> ascending ","-joined replacement instants. A
+    // replacecommit kills the group's files UP TO that instant; files
+    // written after REVIVE the group id (bucket-index layouts reuse
+    // stable ids across delete_partition / truncate / overwrite cycles).
+    // Single-instant values from pre-history snapshots parse as a
+    // one-element history.
+    replaced: Map[String, String]) {
+  def replacedHistory(partition: String, fileId: String): Seq[String] =
     replaced.get(ViewState.groupKey(partition, fileId))
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+  /** Latest replacement instant (None = never replaced). */
+  def replacedAt(partition: String, fileId: String): Option[String] =
+    replacedHistory(partition, fileId).lastOption
 }
 
 object ViewState {
@@ -154,7 +164,11 @@ final class FileSystemView(basePath: Path, timeline: Timeline,
         md.replacedFileIds.foreach { case (part, fids) =>
           fids.foreach { fid =>
             val k = ViewState.groupKey(part, fid)
-            if (!replaced.contains(k)) replaced = replaced.updated(k, i.ts)
+            // append: instants fold in ascending order, so the history
+            // stays sorted; a revived-then-replaced-again group carries
+            // every replacement so as-of reads resolve each window exactly
+            replaced = replaced.updated(k,
+              replaced.get(k).map(_ + "," + i.ts).getOrElse(i.ts))
           }
         }
       }
@@ -199,7 +213,11 @@ final class FileSystemView(basePath: Path, timeline: Timeline,
 
   private def computeSlices(st: ViewState, asOf: Option[String]): Seq[FileSlice] = {
     st.entries
-      .filter(e => !st.replacedAt(e.partitionPath, e.fileId).exists(rts => asOf.forall(rts <= _)))
+      // a file is dead iff some replacement at rts ≥ its instant applies
+      // within the read window (rts ≤ asOf); files written AFTER the last
+      // applicable replacement revive the group id
+      .filter(e => !st.replacedHistory(e.partitionPath, e.fileId)
+        .exists(rts => e.instant <= rts && asOf.forall(rts <= _)))
       .groupBy(e => (e.partitionPath, e.fileId))
       .map { case ((part, fid), files) =>
         val bases = files.filterNot(_.isDelta)

@@ -55,7 +55,7 @@ object ConfigKeys {
   val CompactDeltaCommits = "graft.compact.max.delta.commits"   // 5
   val ArchiveMinCommits = "graft.archive.min.commits"       // 20
   val ArchiveMaxCommits = "graft.archive.max.commits"       // 30
-  val IndexType = "graft.index.type"                        // SIMPLE | BLOOM | RECORD
+  val IndexType = "graft.index.type"                 // SIMPLE | BLOOM | RECORD | BUCKET
   val Payload = "graft.payload.class"  // OVERWRITE_LATEST | EVENT_TIME | PARTIAL_UPDATE
   val FailedWritesPolicy = "graft.failed.writes.policy"     // EAGER | LAZY | NEVER
   val FailedWritesStaleMs = "graft.failed.writes.stale.ms"  // LAZY staleness window
@@ -73,6 +73,9 @@ object ConfigKeys {
   // tables (comma-separated); see table/SecondaryIndex.scala
   val SecondaryIndexColumns = "graft.index.secondary.columns"
   val SecondaryIndexBuckets = "graft.index.secondary.buckets" // explicit (else auto)
+  // file groups per partition under the BUCKET index — immutable for the
+  // table's lifetime; size ≈ expected-partition-bytes / max-file-size
+  val BucketIndexNumBuckets = "graft.index.bucket.num"
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
   val UrlEncodePartitions = "graft.partitionpath.urlencode" // false
@@ -98,6 +101,9 @@ object ConfigKeys {
   val DefaultRecordIndexBuckets: Long = 16L      // floor for the auto-scale
   val DefaultRecordIndexKeysPerBucket: Long = 1000000L
   val MaxRecordIndexBuckets: Long = 65536L
+  // reference HoodieIndexConfig BUCKET_INDEX_NUM_BUCKETS defaults 256;
+  // 16 suits the local test scale — real tables size this at creation
+  val DefaultBucketIndexNumBuckets: Long = 16L
 }
 
 object TableConfig {

@@ -468,6 +468,26 @@ object TableOps {
       data(t.lookup(keys))
     }),
 
+    // BUCKET index: hash-addressed stable file groups — tagging is a
+    // row-local projection, zero lookup IO (the throughput write path).
+    // The lifecycle crosses bulkInsert + upsert + delete + delete_partition
+    // + revival upsert so the stable-id layout is exercised end to end.
+    "t_bucket_index_upsert" -> ((s, d) => {
+      val t = fresh(s, d, "t_bucket_index", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.IndexType -> "BUCKET",
+          ConfigKeys.BucketIndexNumBuckets -> "8")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(src.filter(col("o_orderkey") % 40 === 0))
+      t.deletePartitions(Seq("1995"))
+      // revival: 1995's buckets come back under their stable ids
+      t.upsert(src.filter(year(col("o_orderdate")) === 1995)
+        .filter(col("o_orderkey") % 2 === 0))
+      data(Readers.snapshot(t))
+    }),
+
     // point lookup by a NON-KEY column through the secondary index
     // (value -> file-group mapping tables; reads only the mapped groups).
     // The upsert moves some rows to a new custkey so the probe exercises
@@ -1052,6 +1072,13 @@ object TableOps {
          |  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DOUBLE) AS price,
          |CAST(CAST(o_totalprice / 100 AS DECIMAL(9,4)) AS DOUBLE) AS rate
          |FROM orders""".stripMargin,
+    "t_bucket_index_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN year(o_orderdate) <> 1995 AND o_orderkey % 8 = 0
+         |  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE (year(o_orderdate) <> 1995 AND o_orderkey % 40 <> 0)
+         |   OR (year(o_orderdate) = 1995 AND o_orderkey % 2 = 0)""".stripMargin,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

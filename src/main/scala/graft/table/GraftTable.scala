@@ -136,6 +136,27 @@ final class GraftTable(
     // partition paths must not share one file-group id across them
     val fileIdExpr = concat(format_string("%05d", spark_partition_id()), lit("-"),
       substring(md5(col(MetaCols.PartitionPath)), 1, 6), lit("-" + prefix))
+    // BUCKET layout: rows route to their bucket's stable group id, one
+    // task per (partition, bucket) so each group writes one file. A
+    // non-empty table refuses — writing base v2 of an existing bucket
+    // would SHADOW its rows (bulk_insert has no merge pass); use
+    // insert/upsert to grow a bucketed table.
+    if (BucketIndex.enabled(cfg)) {
+      require(view.fileSlices(None).isEmpty,
+        "bulk_insert on a non-empty BUCKET table would shadow existing " +
+          "rows; use insert or upsert")
+      val routed0 = keyed
+        .withColumn(FileIdCol, BucketIndex.fileIdCol(cfg, col(MetaCols.RecordKey)))
+        .repartition(col(MetaCols.PartitionPath), col(FileIdCol))
+      val routed =
+        if (sortMode == SortMode.NoSort) routed0
+        else routed0.sortWithinPartitions(
+          col(MetaCols.PartitionPath), col(FileIdCol), col(MetaCols.RecordKey))
+      val stats = writeFiles(spark, basePath,
+        withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
+        instant, isDelta = false, alreadyPartitioned = true, baseFormat = cfg.baseFormat)
+      (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
+    } else {
     val ranged = sortMode match {
       case SortMode.GlobalSort =>
         keyed.repartitionByRange(numFiles, col(MetaCols.PartitionPath), col(MetaCols.RecordKey))
@@ -154,6 +175,7 @@ final class GraftTable(
       withCommitMeta(ranged, instant, isDelta = false, baseFormat = cfg.baseFormat),
       instant, isDelta = false, alreadyPartitioned = true, baseFormat = cfg.baseFormat)
     (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
+    }
   }
 
   /** Insert without combine-with-storage; still packs small files
@@ -334,13 +356,20 @@ final class GraftTable(
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
       val touched = keyed.select(MetaCols.PartitionPath).distinct()
         .collect().map(_.getString(0)).toSet
-      val replaced = view.fileSlices(None)
-        .filter(s => touched.contains(s.partitionPath))
-        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       val routed = assignFreshBuckets(keyed)
       val stats = writeFiles(spark, basePath,
         withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
         instant, isDelta = false, baseFormat = cfg.baseFormat)
+      // BUCKET layout reuses stable group ids: a rewritten bucket's new
+      // base SHADOWS the old one (same group, newer instant) and must NOT
+      // be listed as replaced — only old groups this overwrite did not
+      // rewrite die. Fresh-id layouts never collide, so the written-id
+      // subtraction is a no-op there.
+      val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
+      val replaced = view.fileSlices(None)
+        .filter(s => touched.contains(s.partitionPath))
+        .filterNot(s => written.contains((s.partitionPath, s.fileId)))
+        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       (stats, replaced, schemaJsonFor(keyed))
     }
 
@@ -350,12 +379,15 @@ final class GraftTable(
   def insertOverwriteTable(df: DataFrame): String =
     runCommit(Action.ReplaceCommit, "insert_overwrite_table") { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
-      val replaced = view.fileSlices(None)
-        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       val routed = assignFreshBuckets(keyed)
       val stats = writeFiles(spark, basePath,
         withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
         instant, isDelta = false, baseFormat = cfg.baseFormat)
+      // see insertOverwrite: bucket layouts shadow rewritten group ids
+      val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
+      val replaced = view.fileSlices(None)
+        .filterNot(s => written.contains((s.partitionPath, s.fileId)))
+        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       (stats, replaced, schemaJsonFor(keyed))
     }
 
@@ -762,6 +794,11 @@ final class GraftTable(
     * SIMPLE as the always-correct fallback when the index can't sync.
     */
   private def tagLocation(keyed: DataFrame): DataFrame = {
+    // BUCKET: the group id IS the key hash — row-local, no lookup IO at
+    // all (see BucketIndex). The bucket group may not exist yet; the COW
+    // merge write finds no live base and simply creates it, and morWrite
+    // splits live/missing groups itself.
+    if (BucketIndex.enabled(cfg)) return BucketIndex.tag(cfg, keyed)
     if (RecordIndex.enabled(cfg))
       RecordIndex.tag(this, keyed) match {
         case Some(tagged) => return tagged
@@ -827,6 +864,17 @@ final class GraftTable(
   private def routeInserts(frame: DataFrame,
       insertCounts: Map[String, Long]): (DataFrame, Set[String]) = {
     if (insertCounts.isEmpty) return (frame, Set.empty)
+    // BUCKET layout: inserts route to their key's bucket group — never a
+    // fresh or packed id, or the partition would grow a second group
+    // family able to hold a key twice. The distinct is bounded by
+    // buckets × touched partitions.
+    if (BucketIndex.enabled(cfg)) {
+      val routed = frame.withColumn(FileIdCol,
+        coalesce(col(FileIdCol), BucketIndex.fileIdCol(cfg, col(MetaCols.RecordKey))))
+      val ids = routed.select(FileIdCol).distinct()
+        .collect().map(_.getString(0)).toSet
+      return (routed, ids)
+    }
     val recSize = avgRecordSize
     val perNew = math.max(1L, maxFileSize / recSize)
     val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, String)]()
@@ -860,7 +908,11 @@ final class GraftTable(
     * never touches existing groups).
     */
   private def assignFreshBuckets(keyed: DataFrame): DataFrame =
-    assignInsertBucketsFresh(keyed)._1
+    // BUCKET layout: overwrite groups ARE the buckets (stable ids; the
+    // caller subtracts written ids from the replaced set so rewrites
+    // shadow instead of dying)
+    if (BucketIndex.enabled(cfg)) BucketIndex.tag(cfg, keyed)
+    else assignInsertBucketsFresh(keyed)._1
 
   /** Returns (routed, hasRows) — the profile job already knows whether the
     * frame is empty, so callers can skip launching a write job for an
@@ -1040,14 +1092,33 @@ final class GraftTable(
     val withDel =
       if (tagged.columns.contains(DeleteCol)) tagged
       else tagged.withColumn(DeleteCol, lit(false))
-    val updates = withDel.filter(col(FileIdCol).isNotNull)
-    val inserts = withDel.filter(col(FileIdCol).isNull)
+    // BUCKET: every row carries its bucket id, but only LIVE groups can
+    // take a delta append (a delta with no base is unreadable). Split by
+    // the live group set — missing-group rows become base-creating
+    // inserts KEEPING their bucket id, except tombstones for missing
+    // groups, which are no-ops (deleting an absent key), never rows.
+    val (updates, inserts) =
+      if (BucketIndex.enabled(cfg)) {
+        import spark.implicits._
+        val liveDf = broadcast(view.fileSlices(None)
+          .map(s => (s.partitionPath, s.fileId)).toDF("_bx_part", "_bx_fid"))
+        val joined = withDel.join(liveDf,
+          col(MetaCols.PartitionPath) === col("_bx_part") &&
+            col(FileIdCol) === col("_bx_fid"), "left_outer")
+        (joined.filter(col("_bx_fid").isNotNull).drop("_bx_part", "_bx_fid"),
+          joined.filter(col("_bx_fid").isNull).drop("_bx_part", "_bx_fid")
+            .filter(!col(DeleteCol)))
+      } else
+        (withDel.filter(col(FileIdCol).isNotNull), withDel.filter(col(FileIdCol).isNull))
 
     val deltaStats = writeFiles(spark, basePath,
       withCommitMeta(updates, instant, isDelta = true), instant, isDelta = true,
       allDeletes = allDeletes)
     val (insertRouted, hasInserts) =
-      assignInsertBucketsFresh(inserts.drop(FileIdCol, DeleteCol))
+      if (BucketIndex.enabled(cfg)) {
+        val r = inserts.drop(DeleteCol) // bucket id already routed
+        (r, !r.isEmpty)
+      } else assignInsertBucketsFresh(inserts.drop(FileIdCol, DeleteCol))
     val baseStats =
       if (!hasInserts) Seq.empty
       else writeFiles(spark, basePath,
@@ -1472,6 +1543,11 @@ object GraftTable {
     val abs = sourceFiles.map { f =>
       if (new Path(f).isAbsolute) f else new java.io.File(f).getAbsolutePath
     }
+    // adopted external files are not bucket-routed; a bucketed table must
+    // load through bulk_insert/insert so every row lands in its bucket
+    require(!(BucketIndex.enabled(cfg) && mode == BootstrapMode.MetadataOnly),
+      "METADATA_ONLY bootstrap is not supported on BUCKET-indexed tables " +
+        "(adopted files are not bucket-routed); use FULL_RECORD")
     val t = create(spark, path, cfg)
     mode match {
       case BootstrapMode.MetadataOnly => t.bootstrapCommit(abs)

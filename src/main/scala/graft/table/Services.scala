@@ -222,6 +222,11 @@ object Services {
       zorderColumns: Seq[String] = Seq.empty,
       hilbert: Boolean = false): Option[String] =
       graft.core.TableLock.withLock(t.basePath) {
+    // clustering rewrites groups under fresh ids, which would break the
+    // BUCKET layout's hash → group invariant (reference bucket index has
+    // the same restriction); re-bulk_insert into a new table to re-bucket
+    require(!BucketIndex.enabled(t.cfg),
+      "clustering is not supported on BUCKET-indexed tables")
     val limit = if (smallFileLimit > 0) smallFileLimit else t.smallFileLimit
     val slices0 = t.view.fileSlices(None)
     val eligibleParts: Set[String] = strategy match {
@@ -374,33 +379,43 @@ object Services {
     val st = t.view.allEntries()
     val byGroup = st.entries.groupBy(e => (e.partitionPath, e.fileId))
     val deletable = byGroup.values.flatMap { files =>
-      val bases = files.filterNot(_.isDelta).sortBy(_.instant)
-      val replacedAt = files.headOption.flatMap(f => st.replacedAt(f.partitionPath, f.fileId))
+      // replacement-generation split: files at/before the LAST replacement
+      // are superseded (dead in every latest view); files after it are the
+      // group's LIVE generation (revived ids — bucket-index layouts reuse
+      // stable group ids across delete_partition/truncate/overwrite)
+      val history = files.headOption.map(f =>
+        st.replacedHistory(f.partitionPath, f.fileId)).getOrElse(Seq.empty)
+      val lastRts = history.lastOption
+      val (superseded, liveGen) =
+        files.partition(f => lastRts.exists(f.instant <= _))
+      val bases = liveGen.filterNot(_.isDelta).sortBy(_.instant)
       (policy, horizonTs) match {
         case (KeepLatestFileVersions(n), _) =>
-          if (replacedAt.isDefined) files // superseded group: version count is 0
-          else {
-            val kept = bases.takeRight(math.max(n, 1)).map(_.instant).toSet
-            val oldestKept = bases.takeRight(math.max(n, 1)).headOption
-            files.filter(f =>
-              if (!f.isDelta) !kept.contains(f.instant)
-              // a delta belongs to the newest base at/before it; deltas of
-              // deleted bases are unreadable and go with them
-              else oldestKept.exists(f.instant < _.instant))
-          }
+          // superseded files count 0 versions (current behavior); the live
+          // generation keeps its newest n bases
+          val kept = bases.takeRight(math.max(n, 1)).map(_.instant).toSet
+          val oldestKept = bases.takeRight(math.max(n, 1)).headOption
+          superseded ++ liveGen.filter(f =>
+            if (!f.isDelta) !kept.contains(f.instant)
+            // a delta belongs to the newest base at/before it; deltas of
+            // deleted bases are unreadable and go with them
+            else oldestKept.exists(f.instant < _.instant))
         case (_, Some(earliestRetained)) =>
-          if (replacedAt.exists(_ <= earliestRetained)) files // whole group replaced pre-horizon
-          else {
-            // newest base at/before the horizon: everything older is unreachable
-            val horizon = bases.filter(_.instant <= earliestRetained).lastOption
-            horizon match {
-              case None => Seq.empty
-              case Some(hb) =>
-                files.filter(f =>
-                  (!f.isDelta && f.instant < hb.instant) ||
-                    (f.isDelta && f.instant <= hb.instant))
-            }
-          }
+          // a superseded file is reclaimable once the replacement that
+          // killed it (the first at/after its instant) is past the horizon
+          // — before that, as-of/incremental reads may still reach it
+          val supersededDeletable = superseded.filter(f =>
+            history.find(f.instant <= _).exists(_ <= earliestRetained))
+          // live generation: newest base at/before the horizon: everything
+          // older is unreachable
+          val horizon = bases.filter(_.instant <= earliestRetained).lastOption
+          supersededDeletable ++ (horizon match {
+            case None => Seq.empty
+            case Some(hb) =>
+              liveGen.filter(f =>
+                (!f.isDelta && f.instant < hb.instant) ||
+                  (f.isDelta && f.instant <= hb.instant))
+          })
         case _ => Seq.empty
       }
     }.filterNot(f => protectedPaths.contains(f.relPath))

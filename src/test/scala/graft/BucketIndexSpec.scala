@@ -1,0 +1,227 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.table.{BucketIndex, GraftTable, Services, SortMode}
+import graft.read.Readers
+
+/** BUCKET index: fixed hash-addressed file groups per partition — write
+  * parity with SIMPLE across the lifecycle, stable-id layout, group-id
+  * revival through delete_partition/truncate/overwrite (the view's
+  * replacement-history semantics), MOR delta routing, and the refusals
+  * (clustering, bulk_insert on non-empty, METADATA_ONLY bootstrap).
+  */
+class BucketIndexSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private val Buckets = 8
+
+  private def bCfg(extra: Map[String, String] = Map.empty,
+      tpe: String = TableType.CopyOnWrite) = TableConfig(
+    tableName = "orders_bkt",
+    tableType = tpe,
+    recordKeyFields = Seq("o_orderkey"),
+    partitionPathExpr = "date_format(o_orderdate, 'yyyy')",
+    precombineField = "o_orderdate",
+    props = Map(ConfigKeys.IndexType -> "BUCKET",
+      ConfigKeys.BucketIndexNumBuckets -> Buckets.toString) ++ extra)
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+
+  test("COW lifecycle parity; every group is a stable bucket id") {
+    val dir = tmpDir("bkt_cow")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders
+    t.bulkInsert(src)
+    val updates = src.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", lit(4242.0))
+    val news = src.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    t.upsert(updates.unionByName(news))
+    t.delete(src.filter(col("o_orderkey") % 50 === 1))
+
+    val snap = Readers.snapshot(t).cache()
+    val expected = src.count() + news.count() -
+      src.filter(col("o_orderkey") % 50 === 1).count()
+    assert(snap.count() === expected)
+    assert(snap.filter(col("o_totalprice") === 4242.0).count() === updates.count())
+    assert(snap.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+    snap.unpersist()
+
+    // layout: only bucket ids, at most `Buckets` groups per partition
+    val slices = t.view.fileSlices(None)
+    assert(slices.forall(_.fileId.matches("bkt\\d+")), "non-bucket group id")
+    slices.groupBy(_.partitionPath).foreach { case (p, ss) =>
+      assert(ss.map(_.fileId).distinct.size <= Buckets, s"partition $p over-bucketed")
+    }
+    // rows actually live in the group their key hashes to
+    val misrouted = Readers.snapshot(t)
+      .withColumn("_expect", BucketIndex.fileIdCol(t.cfg, col(MetaCols.RecordKey)))
+      .withColumn("_actual", substring_index(col(MetaCols.FileName), "_", 1))
+      .filter(col("_expect") =!= col("_actual")).count()
+    assert(misrouted === 0)
+  }
+
+  test("insert routes to buckets; duplicate keys collapse like the plain path") {
+    val dir = tmpDir("bkt_insert")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    t.insert(orders.limit(200))
+    t.insert(orders.limit(300)) // 200 overlapping keys merge, 100 new
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === 300)
+    assert(t.view.fileSlices(None).forall(_.fileId.matches("bkt\\d+")))
+  }
+
+  test("revival: delete_partition then upsert recreates the bucket's group") {
+    val dir = tmpDir("bkt_revive")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders
+    t.bulkInsert(src)
+    val preDrop = t.timeline.completedInstants().last.ts
+    t.deletePartitions(Seq("1995"))
+    val in95 = src.filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+    assert(Readers.snapshot(t).count() === src.count() - in95.count())
+
+    // re-insert half of 1995: buckets revive under their old ids
+    val back = in95.filter(col("o_orderkey") % 2 === 0)
+    t.upsert(back)
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === src.count() - in95.count() + back.count())
+    assert(snap.filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+      .count() === back.count())
+    // pre-revival rows stay dead: none of 1995's odd keys resurface
+    assert(snap.filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+      .filter(col("o_orderkey") % 2 === 1).count() === 0)
+    // time travel before the drop still sees the full partition
+    assert(Readers.snapshot(t, asOf = Some(preDrop))
+      .filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+      .count() === in95.count())
+  }
+
+  test("revival: truncate then insert") {
+    val dir = tmpDir("bkt_trunc")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    t.bulkInsert(orders)
+    t.truncate()
+    assert(Readers.snapshot(t).count() === 0)
+    t.insert(orders.limit(500))
+    assert(Readers.snapshot(t).count() === 500)
+  }
+
+  test("insert_overwrite: rewritten buckets shadow, missed buckets die") {
+    val dir = tmpDir("bkt_iow")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders
+    t.bulkInsert(src)
+    val pre = t.timeline.completedInstants().last.ts
+    val replacement = src.filter(year(col("o_orderdate")) === 1995)
+      .filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(1.0))
+    t.insertOverwrite(replacement)
+    val snap = Readers.snapshot(t).cache()
+    val in95 = snap.filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+    assert(in95.count() === replacement.count())
+    assert(in95.filter(col("o_totalprice") =!= 1.0).count() === 0)
+    // untouched partitions intact
+    assert(snap.count() ===
+      src.filter(year(col("o_orderdate")) =!= 1995).count() + replacement.count())
+    snap.unpersist()
+    // time travel pre-overwrite sees the original partition
+    assert(Readers.snapshot(t, asOf = Some(pre))
+      .filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+      .count() === src.filter(year(col("o_orderdate")) === 1995).count())
+    // upsert after the overwrite keeps routing consistently
+    val more = src.filter(year(col("o_orderdate")) === 1995)
+      .filter(col("o_orderkey") % 4 === 1)
+    t.upsert(more)
+    assert(Readers.snapshot(t)
+      .filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+      .count() === replacement.count() + more.count())
+  }
+
+  test("MOR: updates append deltas to live buckets, new keys open bucket bases") {
+    val dir = tmpDir("bkt_mor")
+    val t = GraftTable.create(spark, dir.toString,
+      bCfg(Map("graft.compact.inline" -> "false"), tpe = TableType.MergeOnRead))
+    val src = orders
+    t.bulkInsert(src)
+    val updates = src.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("o_totalprice", lit(7.5))
+    val news = src.limit(100)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    t.upsert(updates.unionByName(news))
+    t.delete(src.filter(col("o_orderkey") % 100 === 2))
+    val snap = Readers.snapshot(t).cache()
+    assert(snap.count() === src.count() + 100 -
+      src.filter(col("o_orderkey") % 100 === 2).count())
+    assert(snap.filter(col("o_totalprice") === 7.5).count() ===
+      updates.filter(col("o_orderkey") % 100 =!= 2).count())
+    snap.unpersist()
+    assert(t.view.fileSlices(None).forall(_.fileId.matches("bkt\\d+")))
+    // deltas landed (MOR really appended); compaction folds them
+    assert(t.view.fileSlices(None).exists(_.deltaFiles.nonEmpty))
+    Services.compact(t)
+    assert(Readers.snapshot(t).count() === src.count() + 100 -
+      src.filter(col("o_orderkey") % 100 === 2).count())
+  }
+
+  test("clean reclaims the pre-revival generation, revived rows survive") {
+    val dir = tmpDir("bkt_clean")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders.limit(2000)
+    t.bulkInsert(src)
+    t.deletePartitions(Seq("1995"))
+    val back = src.filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+    t.upsert(back)
+    // churn a few commits so the horizon passes the replacement
+    for (i <- 1 to 4)
+      t.upsert(src.limit(50).withColumn("o_totalprice", lit(i.toDouble)))
+    val deleted = Services.cleanWith(t,
+      graft.table.Services.CleanPolicy.KeepLatestFileVersions(1))
+    assert(deleted.isDefined)
+    val snap = Readers.snapshot(t)
+    assert(snap.filter(date_format(col("o_orderdate"), "yyyy") === "1995")
+      .count() === back.count())
+    assert(snap.count() === src.count())
+  }
+
+  test("MERGE INTO: updates rewrite in place, inserts route to buckets") {
+    val dir = tmpDir("bkt_merge")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders
+    t.bulkInsert(src)
+    val matched = src.filter(col("o_orderkey") % 6 === 0)
+    val newRows = src.limit(150)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    t.mergeInto(matched.unionByName(newRows))
+      .whenMatchedUpdate(assignments = Map("o_totalprice" -> "t.o_totalprice * 3"))
+      .whenNotMatchedInsert()
+      .execute()
+    val snap = Readers.snapshot(t).cache()
+    assert(snap.count() === src.count() + 150)
+    assert(snap.filter(col("o_orderkey") % 6 === 0 && col("o_orderkey") < 100000000L)
+      .count() === matched.count())
+    assert(snap.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+    // the inserted rows landed in their keys' buckets, not fresh groups
+    val misrouted = snap
+      .withColumn("_expect", BucketIndex.fileIdCol(t.cfg, col(MetaCols.RecordKey)))
+      .withColumn("_actual", substring_index(col(MetaCols.FileName), "_", 1))
+      .filter(col("_expect") =!= col("_actual")).count()
+    assert(misrouted === 0)
+    snap.unpersist()
+  }
+
+  test("refusals: cluster, non-empty bulk_insert, METADATA_ONLY bootstrap") {
+    val dir = tmpDir("bkt_refuse")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    t.bulkInsert(orders.limit(100))
+    intercept[IllegalArgumentException] { Services.cluster(t) }
+    intercept[IllegalArgumentException] { t.bulkInsert(orders.limit(10)) }
+    intercept[IllegalArgumentException] {
+      GraftTable.bootstrap(spark, tmpDir("bkt_boot").toString + "/t", bCfg(),
+        Seq(s"$sf001/orders.parquet"))
+    }
+  }
+}
