@@ -468,6 +468,16 @@ object TableOps {
       data(t.lookup(keys))
     }),
 
+    // partition TTL: calendar-window retention for time-partitioned
+    // tables — one replacecommit expires everything but the newest 3
+    // year-partitions
+    "t_partition_ttl" -> ((s, d) => {
+      val t = fresh(s, d, "t_partition_ttl", cfg(TableType.CopyOnWrite))
+      t.bulkInsert(orders(s, d))
+      Services.expirePartitions(t, keepLast = 3)
+      data(Readers.snapshot(t))
+    }),
+
     // BUCKET index: hash-addressed stable file groups — tagging is a
     // row-local projection, zero lookup IO (the throughput write path).
     // The lifecycle crosses bulkInsert + upsert + delete + delete_partition
@@ -1079,6 +1089,9 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders
          |WHERE (year(o_orderdate) <> 1995 AND o_orderkey % 40 <> 0)
          |   OR (year(o_orderdate) = 1995 AND o_orderkey % 2 = 0)""".stripMargin,
+    "t_partition_ttl" ->
+      s"""SELECT $OrdersSql FROM orders
+         |WHERE year(o_orderdate) >= (SELECT max(year(o_orderdate)) - 2 FROM orders)""".stripMargin,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

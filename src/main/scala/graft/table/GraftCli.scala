@@ -134,6 +134,18 @@ final class GraftCli(spark: SparkSession) {
       graft.sql.CatalogSync.sync(spark, table.basePath.toString, db, name)
       CliText(s"Synced ${table.basePath} as $db.$name")
     },
+    "partitions expire" -> { o =>
+      // partition TTL from the shell: --keepLast n | --before <instant>
+      val expired = (o.get("keepLast"), o.get("before")) match {
+        case (Some(n), None) => Services.expirePartitions(table, keepLast = n.toInt)
+        case (None, Some(ts)) =>
+          Services.expirePartitions(table, lastWriteBefore = Some(ts))
+        case _ => throw new IllegalArgumentException(
+          "partitions expire needs exactly one of --keepLast / --before")
+      }
+      CliText(if (expired.isEmpty) "Nothing to expire"
+        else s"Expired ${expired.size} partition(s): ${expired.mkString(", ")}")
+    },
     "metadata list-partitions" -> { _ =>
       import spark.implicits._
       CliFrame(table.view.fileSlices(None).map(_.partitionPath)

@@ -323,6 +323,38 @@ object Services {
 
   // ------------------------------------------------------------------ clean
 
+  /** Partition TTL (the reference line later shipped this as
+    * partition-TTL management, HoodiePartitionTTLConfig): expire whole
+    * partitions by age in ONE replacecommit. Two policies:
+    *  - `keepLast = n`: keep the n lexicographically-greatest partition
+    *    paths (date-shaped layouts sort chronologically) — calendar-window
+    *    retention for time-partitioned tables.
+    *  - `lastWriteBefore = Some(ts)`: expire partitions whose newest file
+    *    instant precedes `ts` — activity-based TTL, no partition-value
+    *    parsing, so it works for any layout.
+    * Returns the expired partitions (empty = nothing to do, no commit).
+    * The drop is logical; the cleaner reclaims bytes once the replacement
+    * passes its retention horizon, and as-of reads before the expiry
+    * still see the partitions.
+    */
+  def expirePartitions(t: GraftTable, keepLast: Int = -1,
+      lastWriteBefore: Option[String] = None): Seq[String] = {
+    require((keepLast > 0) ^ lastWriteBefore.isDefined,
+      "pass exactly one policy: keepLast or lastWriteBefore")
+    val slices = t.view.fileSlices(None)
+    val parts = slices.map(_.partitionPath).distinct.sorted
+    val expired =
+      if (keepLast > 0) parts.dropRight(keepLast)
+      else {
+        val cutoff = lastWriteBefore.get
+        val lastWrite = slices.groupBy(_.partitionPath)
+          .map { case (p, ss) => p -> ss.flatMap(_.allFiles).map(_.instant).max }
+        parts.filter(p => lastWrite(p) < cutoff)
+      }
+    if (expired.nonEmpty) t.deletePartitions(expired)
+    expired
+  }
+
   /** Cleaner retention policies (reference CleanPlanner.java:119-392 /
     * HoodieCleaningPolicy.java): commits-horizon retention (the default),
     * a hard per-group version count, and a wall-clock horizon.

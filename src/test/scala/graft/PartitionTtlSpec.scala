@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.table.{GraftTable, Services}
+import graft.read.Readers
+
+/** Partition TTL: calendar-window (keepLast) and activity-based
+  * (lastWriteBefore) expiry, idempotence, and as-of reads across the
+  * expiry.
+  */
+class PartitionTtlSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def cfg = TableConfig("orders_ttl", TableType.CopyOnWrite,
+    Seq("o_orderkey"), "date_format(o_orderdate, 'yyyy')", "o_orderdate")
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+
+  test("keepLast retains the newest partitions; expiry is time-travelable") {
+    val dir = tmpDir("ttl_keep")
+    val t = GraftTable.create(spark, dir.toString, cfg)
+    t.bulkInsert(orders)
+    val pre = t.timeline.completedInstants().last.ts
+    val years = orders.select(year(col("o_orderdate")).as("y"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val expired = Services.expirePartitions(t, keepLast = 2)
+    assert(expired === years.dropRight(2).map(_.toString).toSeq)
+    val snap = Readers.snapshot(t)
+    assert(snap.count() ===
+      orders.filter(year(col("o_orderdate")) >= years(years.length - 2)).count())
+    // nothing left to expire: idempotent no-op, no extra commit
+    val commits = t.timeline.completedInstants().size
+    assert(Services.expirePartitions(t, keepLast = 2).isEmpty)
+    assert(t.timeline.completedInstants().size === commits)
+    // as-of before the expiry still sees everything
+    assert(Readers.snapshot(t, asOf = Some(pre)).count() === orders.count())
+  }
+
+  test("lastWriteBefore expires idle partitions, spares recently-written ones") {
+    val dir = tmpDir("ttl_idle")
+    val t = GraftTable.create(spark, dir.toString, cfg)
+    t.bulkInsert(orders)
+    // touch ONLY 2001: its last-write instant moves past the cutoff
+    t.upsert(orders.filter(year(col("o_orderdate")) === 2001)
+      .withColumn("o_totalprice", lit(1.0)))
+    val cutoff = t.timeline.completedInstants().last.ts
+    val expired = Services.expirePartitions(t, lastWriteBefore = Some(cutoff))
+    assert(expired.nonEmpty && !expired.contains("2001"))
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === orders.filter(year(col("o_orderdate")) === 2001).count())
+    intercept[IllegalArgumentException] {
+      Services.expirePartitions(t) // no policy
+    }
+    intercept[IllegalArgumentException] {
+      Services.expirePartitions(t, keepLast = 1, lastWriteBefore = Some(cutoff))
+    }
+  }
+}
