@@ -847,9 +847,13 @@ final class GraftTable(
     * fileIds (the reference's countByKey profile,
     * BaseSparkCommitActionExecutor.java:148-179).
     */
-  private def assignInsertBucketsWithIds(tagged: DataFrame): (DataFrame, Set[String]) = {
+  private def assignInsertBucketsWithIds(tagged: DataFrame)
+      : (DataFrame, Set[(String, String)]) = {
     val profile = tagged.groupBy(MetaCols.PartitionPath, FileIdCol).count().collect()
-    val updatedIds = profile.filter(!_.isNullAt(1)).map(_.getString(1)).toSet
+    // (partition, fileId) PAIRS throughout: bucket layouts reuse the same
+    // fileId across partitions, so a bare-id set would alias groups
+    val updatedIds = profile.filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1))).toSet
     val insertCounts = profile.filter(_.isNullAt(1))
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     val (routed, newIds) = routeInserts(tagged, insertCounts)
@@ -862,7 +866,7 @@ final class GraftTable(
     * fileIds used.
     */
   private def routeInserts(frame: DataFrame,
-      insertCounts: Map[String, Long]): (DataFrame, Set[String]) = {
+      insertCounts: Map[String, Long]): (DataFrame, Set[(String, String)]) = {
     if (insertCounts.isEmpty) return (frame, Set.empty)
     // BUCKET layout: inserts route to their key's bucket group — never a
     // fresh or packed id, or the partition would grow a second group
@@ -871,8 +875,8 @@ final class GraftTable(
     if (BucketIndex.enabled(cfg)) {
       val routed = frame.withColumn(FileIdCol,
         coalesce(col(FileIdCol), BucketIndex.fileIdCol(cfg, col(MetaCols.RecordKey))))
-      val ids = routed.select(FileIdCol).distinct()
-        .collect().map(_.getString(0)).toSet
+      val ids = routed.select(MetaCols.PartitionPath, FileIdCol).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
       return (routed, ids)
     }
     val recSize = avgRecordSize
@@ -901,7 +905,7 @@ final class GraftTable(
         "left_outer")
       .withColumn(FileIdCol, coalesce(col(FileIdCol), col("_b_fid")))
       .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
-    (routed, rows.map(_._5).toSet)
+    (routed, rows.map(r => (r._1, r._5)).toSet)
   }
 
   /** Route every row to a fresh, size-targeted file group (overwrite ops —
@@ -954,7 +958,7 @@ final class GraftTable(
     * before the write's (partition, fileId) distribution.
     */
   private def writeMerged(routed: DataFrame, instant: String,
-      knownTouched: Option[Set[String]] = None)
+      knownTouched: Option[Set[(String, String)]] = None)
       : (Seq[WriteStat], Map[String, Seq[String]], String) = {
     val withDel =
       if (routed.columns.contains(DeleteCol)) routed
@@ -963,11 +967,13 @@ final class GraftTable(
       baseFormat = cfg.baseFormat)
 
     // file groups being rewritten = every group any row routes to (the
-    // caller's profile job usually already knows this set)
+    // caller's profile job usually already knows this set). PAIRS, not
+    // bare fileIds: bucket layouts share ids across partitions
     val touchedIds = knownTouched.getOrElse(
-      routed.select(FileIdCol).distinct().collect().map(_.getString(0)).toSet)
+      routed.select(MetaCols.PartitionPath, FileIdCol).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet)
     val liveBases = view.fileSlices(None).flatMap(_.baseFile)
-      .filter(b => touchedIds.contains(b.fileId))
+      .filter(b => touchedIds.contains((b.partitionPath, b.fileId)))
     val unioned =
       if (liveBases.isEmpty) newData
       else readEntriesRaw(liveBases)
@@ -992,10 +998,13 @@ final class GraftTable(
       alreadyPartitioned = true, baseFormat = cfg.baseFormat)
     // a group whose merge produced NO rows (every record tombstoned) writes
     // no file — record it as replaced or its old base would stay the
-    // latest slice and the deleted rows would resurrect
-    val written = stats.map(_.fileId).toSet
+    // latest slice and the deleted rows would resurrect. Pair-keyed: the
+    // same bucket id emptied in one partition and written in another must
+    // still be replaced where it emptied.
+    val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
     val replaced = liveBases
-      .filter(b => touchedIds.contains(b.fileId) && !written.contains(b.fileId))
+      .filter(b => touchedIds.contains((b.partitionPath, b.fileId)) &&
+        !written.contains((b.partitionPath, b.fileId)))
       .groupBy(_.partitionPath)
       .map { case (p, es) => p -> es.map(_.fileId).distinct }
     (stats, replaced, schemaJsonFor(routed))
@@ -1041,22 +1050,27 @@ final class GraftTable(
           .agg(count(lit(1)).as("n"), max(col(ModifiedCol)).as("m")).collect()
         val insertCounts = profile.filter(_.isNullAt(1))
           .map(r => r.getString(0) -> r.getLong(2)).toMap
+        // (partition, fileId) pairs: bucket layouts share ids across
+        // partitions, a bare-id set would alias groups
         val modifiedIds = profile
-          .filter(r => !r.isNullAt(1) && r.getBoolean(3)).map(_.getString(1)).toSet
+          .filter(r => !r.isNullAt(1) && r.getBoolean(3))
+          .map(r => (r.getString(0), r.getString(1))).toSet
         // untouched groups (no action applied to any row) stay on disk as-is
+        val modifiedKeys = modifiedIds.map { case (p, f) => s"$p|$f" }.toSeq
         val kept = cached.filter(col(FileIdCol).isNull ||
-          col(FileIdCol).isin(modifiedIds.toSeq: _*))
+          concat_ws("|", col(MetaCols.PartitionPath), col(FileIdCol))
+            .isin(modifiedKeys: _*))
         val (routed, insertTargetIds) = routeInserts(kept, insertCounts)
         // small-file packing may direct inserts into live groups whose rows
         // are NOT in the frame — union those groups' bases in (keys stay
         // unique: packed inserts matched nothing)
         val live = view.fileSlices(None).flatMap(_.baseFile)
         val extraIds = (insertTargetIds -- modifiedIds)
-          .intersect(live.map(_.fileId).toSet)
+          .intersect(live.map(b => (b.partitionPath, b.fileId)).toSet)
         val withExtra =
           if (extraIds.isEmpty) routed
           else routed.unionByName(
-            readEntriesRaw(live.filter(b => extraIds.contains(b.fileId)))
+            readEntriesRaw(live.filter(b => extraIds.contains((b.partitionPath, b.fileId))))
               .withColumn(FileIdCol, substring_index(col(MetaCols.FileName), "_", 1))
               .withColumn(DeleteCol, lit(false))
               .withColumn(ModifiedCol, lit(false)),
@@ -1072,13 +1086,14 @@ final class GraftTable(
         val framed = stamped.select((MetaCols.All ++ dataCols).map(col): _*)
         val stats = writeFiles(spark, basePath, framed, instant, isDelta = false,
           baseFormat = cfg.baseFormat)
-        val written = stats.map(_.fileId).toSet
+        val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
         // a rewritten group that wrote no file (all rows deleted) must be
         // recorded as replaced or its old base stays the latest slice
         val replaced = live
-          .filter(b => (modifiedIds.contains(b.fileId) || extraIds.contains(b.fileId)) &&
-            !written.contains(b.fileId))
-          .groupBy(_.partitionPath).map { case (p, es) => p -> es.map(_.fileId).distinct }
+          .map(b => (b.partitionPath, b.fileId))
+          .filter(k => (modifiedIds.contains(k) || extraIds.contains(k)) &&
+            !written.contains(k))
+          .groupBy(_._1).map { case (p, ks) => p -> ks.map(_._2).distinct }
         (stats, replaced, schemaJsonFor(framed))
       }
     }

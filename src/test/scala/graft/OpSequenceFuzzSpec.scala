@@ -196,6 +196,22 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       ConfigKeys.CompactDeltaCommits -> "3"), 13L)
   }
 
+  test("COW + BUCKET index: stable-id revival under the same chaos") {
+    // DropPartition + later writes to the same partition force constant
+    // group-id revival — the replacement-history view semantics under
+    // arbitrary interleavings with overwrite/rollback/restore
+    Seq(11L, 12L).foreach(seed => run(TableType.CopyOnWrite, Map(
+      ConfigKeys.IndexType -> "BUCKET",
+      ConfigKeys.BucketIndexNumBuckets -> "4"), seed))
+  }
+
+  test("MOR + BUCKET index with inline compaction: same sequences, same states") {
+    run(TableType.MergeOnRead, Map(
+      ConfigKeys.IndexType -> "BUCKET",
+      ConfigKeys.BucketIndexNumBuckets -> "4",
+      ConfigKeys.CompactDeltaCommits -> "3"), 13L)
+  }
+
   test("EVENT_TIME payload: late rows never clobber, under the same chaos") {
     Seq(14L, 15L).foreach(seed => run(TableType.CopyOnWrite,
       Map(ConfigKeys.Payload -> "EVENT_TIME"), seed))
