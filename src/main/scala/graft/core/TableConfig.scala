@@ -76,6 +76,9 @@ object ConfigKeys {
   // file groups per partition under the BUCKET index — immutable for the
   // table's lifetime; size ≈ expected-partition-bytes / max-file-size
   val BucketIndexNumBuckets = "graft.index.bucket.num"
+  // opt-in automatic partition TTL: keep only the newest N partition
+  // paths after each data commit (Services.expirePartitions keepLast)
+  val PartitionTtlKeepLast = "graft.partition.ttl.keep.last"
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
   val UrlEncodePartitions = "graft.partitionpath.urlencode" // false

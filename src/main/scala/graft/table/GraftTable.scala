@@ -1447,6 +1447,12 @@ final class GraftTable(
     if (cfg.prop(ConfigKeys.ClusterInline, "false") == "true")
       Services.clusterIfDue(this,
         cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L))
+    // partition TTL after data commits (opt-in, the auto form of
+    // Services.expirePartitions): calendar-window retention keeps pace
+    // with ingest on date-partitioned tables. Recursion terminates: the
+    // expiry replacecommit's own postCommit finds nothing left to expire.
+    val ttlKeep = cfg.propLong(ConfigKeys.PartitionTtlKeepLast, -1L).toInt
+    if (ttlKeep > 0) Services.expirePartitions(this, keepLast = ttlKeep)
     // auto-clean after data commits (reference hoodie.clean.automatic,
     // CleanerUtils — runs with every commit there). Opt-in here: clean
     // bounds incremental-read lag to the retention window, and graft's

@@ -39,6 +39,20 @@ class PartitionTtlSpec extends AnyFunSuite {
     assert(Readers.snapshot(t, asOf = Some(pre)).count() === orders.count())
   }
 
+  test("auto TTL: graft.partition.ttl.keep.last expires on every commit") {
+    val dir = tmpDir("ttl_auto")
+    val t = GraftTable.create(spark, dir.toString,
+      cfg.copy(props = Map(ConfigKeys.PartitionTtlKeepLast -> "2")))
+    t.bulkInsert(orders)
+    // the bulk_insert's postCommit already expired down to 2 partitions
+    val years = orders.select(year(col("o_orderdate")).as("y"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    assert(t.view.fileSlices(None).map(_.partitionPath).distinct.sorted ===
+      years.takeRight(2).map(_.toString).toSeq)
+    assert(Readers.snapshot(t).count() ===
+      orders.filter(year(col("o_orderdate")) >= years(years.length - 2)).count())
+  }
+
   test("lastWriteBefore expires idle partitions, spares recently-written ones") {
     val dir = tmpDir("ttl_idle")
     val t = GraftTable.create(spark, dir.toString, cfg)
