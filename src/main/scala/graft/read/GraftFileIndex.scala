@@ -34,7 +34,12 @@ final class GraftFileIndex(
     // the probe is read-only, see SecondaryIndex.probeCurrentReadOnly)
     secondaryColumns: Set[String] = Set.empty,
     secondaryProbe: (String, Seq[String]) => Option[Set[(String, String)]] =
-      (_, _) => None) extends FileIndex {
+      (_, _) => None,
+    // BUCKET layout: (key field, value → bucket file id) — a pushed
+    // equality/IN on the record-key field (or the key meta column) keeps
+    // only the values' buckets. Driver-pure (the hash IS the location),
+    // valid at any asOf (bucket ids are time-invariant).
+    keyBucket: Option[(String, String => String)] = None) extends FileIndex {
 
   private val byPartition: Map[String, Seq[FileEntry]] = entries.groupBy(_.partitionPath)
 
@@ -65,6 +70,12 @@ final class GraftFileIndex(
       secondaryLookups(dataFilters).flatMap { case (c, vs) =>
         probeCache.getOrElseUpdate((c, vs), secondaryProbe(c, vs))
       }.reduceOption(_ intersect _)
+    // bucket-layout key pruning: equality on the key derives its bucket's
+    // file id directly — no probe, no IO
+    val allowedBuckets: Option[Set[String]] = keyBucket.flatMap { case (field, f) =>
+      val hits = dataFilters.flatMap(keyValues(field, _))
+      if (hits.isEmpty) None else Some(hits.map(_.map(f).toSet).reduce(_ intersect _))
+    }
     byPartition.toSeq.sortBy(_._1).flatMap { case (part, files) =>
       val row = InternalRow(UTF8String.fromString(part))
       if (predicate.forall(_.eval(row))) {
@@ -73,10 +84,38 @@ final class GraftFileIndex(
         // the stats ride in commit metadata, so this is zero-IO too)
         val kept = files
           .filter(f => allowed.forall(_.contains((part, f.fileId))))
+          .filter(f => allowedBuckets.forall(_.contains(f.fileId)))
           .filter(f => dataFilters.forall(mayMatch(f, _)))
         if (kept.nonEmpty) Some(PartitionDirectory(row, kept.map(toStatus).toArray))
         else None
       } else None
+    }
+  }
+
+  /** Probe values for the record-key field (or the key meta column) from
+    * one pushed predicate — each returned list independently restricts
+    * the bucket set. The value's string form must equal its key-string
+    * cast, so only string/integral/boolean literals participate.
+    */
+  private def keyValues(field: String, filter: Expression): Option[Seq[String]] = {
+    def lit(v: Any, t: DataType): Option[String] = t match {
+      case _ if v == null => None
+      case StringType | LongType | IntegerType | ShortType | ByteType | BooleanType =>
+        Some(v.toString)
+      case _ => None
+    }
+    def isKey(a: AttributeReference): Boolean =
+      a.name == field || a.name == MetaCols.RecordKey
+    filter match {
+      case EqualTo(a: AttributeReference, Literal(v, t)) if isKey(a) =>
+        lit(v, t).map(Seq(_))
+      case EqualTo(Literal(v, t), a: AttributeReference) if isKey(a) =>
+        lit(v, t).map(Seq(_))
+      case In(a: AttributeReference, vs)
+          if isKey(a) && vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val ss = vs.map { case Literal(v, t) => lit(v, t) }
+        if (ss.forall(_.isDefined)) Some(ss.flatten.toSeq) else None
+      case _ => None
     }
   }
 

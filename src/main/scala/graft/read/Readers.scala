@@ -106,13 +106,16 @@ object Readers {
         val secCols =
           if (asOf.isDefined) Set.empty[String]
           else graft.table.SecondaryIndex.enabledColumns(t.cfg).toSet
+        // bucket-layout key pruning is time-invariant — valid at any asOf
+        val keyBucket = graft.table.BucketIndex.keyFieldPruner(t.cfg)
         entries.groupBy(e => graft.table.WritePipeline.formatOf(e.relPath))
           .toSeq.sortBy(_._1)
           .map { case (fmt, es) =>
             org.apache.spark.sql.GraftSqlBridge.fileScan(
                 t.spark,
                 new GraftFileIndex(t.spark, t.basePath, es, secCols,
-                  (c, vs) => graft.table.SecondaryIndex.probeCurrentReadOnly(t, c, vs)),
+                  (c, vs) => graft.table.SecondaryIndex.probeCurrentReadOnly(t, c, vs),
+                  keyBucket),
                 dataSchema, fmt)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           }

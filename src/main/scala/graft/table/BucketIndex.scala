@@ -61,4 +61,31 @@ object BucketIndex {
   def tag(cfg: TableConfig, keyed: DataFrame): DataFrame =
     keyed.withColumn(WritePipeline.FileIdCol,
       fileIdCol(cfg, col(MetaCols.RecordKey)))
+
+  /** Driver-side twin of [[fileIdCol]] for a known key string — point
+    * lookups and plan-time pruning derive a key's group with NO job and
+    * NO index: the hash IS the location. Evaluates the same Catalyst
+    * XxHash64 (seed 42, the `xxhash64` SQL function's) then replicates
+    * `pmod(abs(h), n)` exactly (abs(Long.MinValue) stays negative with
+    * ANSI off; pmod normalizes) — parity is pinned in BucketIndexSpec.
+    */
+  def bucketIdOf(cfg: TableConfig, keyString: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(keyString))), 42L)
+      .eval(null).asInstanceOf[Long]
+    val n = numBuckets(cfg).toLong
+    val m = ((math.abs(h) % n) + n) % n
+    s"bkt$m"
+  }
+
+  /** Plan-time pruning hook for [[graft.read.GraftFileIndex]]: defined
+    * only when a pushed equality on the (single) record-key field can be
+    * translated to its bucket's file id — the value's string cast IS the
+    * key string for single-field simple keys.
+    */
+  def keyFieldPruner(cfg: TableConfig): Option[(String, String => String)] =
+    if (enabled(cfg) && cfg.recordKeyFields.size == 1)
+      Some((cfg.recordKeyFields.head, (s: String) => bucketIdOf(cfg, s)))
+    else None
 }

@@ -596,7 +596,17 @@ final class GraftTable(
   def lookup(keys: Seq[String]): DataFrame = {
     import spark.implicits._
     requireKeyed("lookup")
-    val base = if (RecordIndex.enabled(cfg)) {
+    val base = if (BucketIndex.enabled(cfg)) {
+      // BUCKET: the hash IS the location — derive each key's group id on
+      // the driver (no job, no index) and read only those buckets' groups
+      // across partitions (non-global key: the partition is unknown, but
+      // the bucket bounds IO to |buckets probed| / n of the table)
+      val buckets = keys.map(k => BucketIndex.bucketIdOf(cfg, k)).toSet
+      val groups = view.fileSlices(None)
+        .filter(s => buckets(s.fileId))
+        .map(s => (s.partitionPath, s.fileId)).toSet
+      graft.read.Readers.snapshotGroups(this, groups)
+    } else if (RecordIndex.enabled(cfg)) {
       // sync failure degrades to the filtered full path, same contract as
       // tag falling back to SIMPLE
       val inner = try RecordIndex.sync(this) catch {

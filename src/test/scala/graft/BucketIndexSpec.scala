@@ -213,6 +213,54 @@ class BucketIndexSpec extends AnyFunSuite {
     snap.unpersist()
   }
 
+  test("bucketIdOf matches the column expression for arbitrary keys") {
+    val cfg = bCfg()
+    val keys = (1 to 500).map(_.toString) ++
+      Seq("", "0", "-1", "9223372036854775807", "abc", "ключ", "a b|c")
+    import spark.implicits._
+    val fromCol = keys.toDF("k")
+      .select(col("k"), BucketIndex.fileIdCol(cfg, col("k")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    keys.foreach { k =>
+      assert(BucketIndex.bucketIdOf(cfg, k) === fromCol(k),
+        s"driver/expression bucket divergence for key '$k'")
+    }
+  }
+
+  test("point lookup reads only the keys' buckets; key equality prunes at plan time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir("bkt_lookup")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice", lit(7.0)))
+
+    // lookup: IO bounded by the probed buckets
+    val keys = Seq("500", "1000", "123", "999999999")
+    val got = t.lookup(keys)
+    assert(got.count() === 3)
+    assert(got.filter(col("o_orderkey") === 500).select("o_totalprice")
+      .first().getDouble(0) === 7.0)
+    val buckets = keys.map(k => BucketIndex.bucketIdOf(t.cfg, k)).toSet
+    assert(buckets.size < Buckets) // the probe is genuinely a subset
+    assert(t.view.fileSlices(None).map(_.fileId).distinct.size > buckets.size)
+
+    // plan-time: WHERE on the key field lists only that bucket's files
+    def listedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+    }
+    val all = listedFiles(Readers.snapshot(t))
+    val eq = Readers.snapshot(t).filter(col("o_orderkey") === 4242L)
+    assert(listedFiles(eq) < all, "key equality did not prune buckets")
+    assert(eq.count() === orders.filter(col("o_orderkey") === 4242).count())
+    val inq = Readers.snapshot(t).filter(col("o_orderkey").isin(4242L, 77L))
+    assert(listedFiles(inq) < all)
+    assert(inq.count() === orders.filter(col("o_orderkey").isin(4242L, 77L)).count())
+  }
+
   test("refusals: cluster, non-empty bulk_insert, METADATA_ONLY bootstrap") {
     val dir = tmpDir("bkt_refuse")
     val t = GraftTable.create(spark, dir.toString, bCfg())
