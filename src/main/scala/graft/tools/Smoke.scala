@@ -16,6 +16,8 @@ object Smoke {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_smoke"
     graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(out))
+    graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(s"${out}_bucket"))
+    graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(s"${out}_secidx"))
 
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -175,6 +177,39 @@ object Smoke {
       .queryExecution.executedPlan.toString
     val pushed = plan.contains("PushedFilters: [IsNotNull(o_totalprice), EqualTo(o_totalprice,7777.0)")
     println(s"[smoke] filter_pushdown_to_parquet=$pushed")
+
+    // bucket index: zero-IO tagging, revival through partition drop,
+    // driver-derived point reads
+    locally {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val bt = GraftTable.create(spark, s"${out}_bucket", TableConfig(
+        "orders_bkt", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+        Map(ConfigKeys.IndexType -> "BUCKET",
+          ConfigKeys.BucketIndexNumBuckets -> "4")))
+      bt.bulkInsert(src)
+      bt.deletePartitions(Seq("1995"))
+      bt.upsert(src.filter(date_format(col("o_orderdate"), "yyyy") === "1995"))
+      val n = Readers.snapshot(bt).count()
+      val key = src.select("o_orderkey").first().getLong(0).toString
+      val hit = bt.lookup(Seq(key)).count()
+      println(s"[smoke] bucket_index: snapshot=$n (expect ${src.count()}) " +
+        s"lookup=$hit (expect 1)")
+    }
+
+    // secondary index: non-key point reads through value -> group mappings
+    locally {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val st = GraftTable.create(spark, s"${out}_secidx", TableConfig(
+        "orders_sec", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+        Map(ConfigKeys.SecondaryIndexColumns -> "o_custkey")))
+      st.bulkInsert(src)
+      val ck = src.select("o_custkey").first().getLong(0).toString
+      val got = st.lookupBy("o_custkey", Seq(ck)).count()
+      val want = src.filter(col("o_custkey") === ck.toLong).count()
+      println(s"[smoke] secondary_index: lookupBy=$got (expect $want)")
+    }
     spark.stop()
     println("[smoke] OK")
   }
