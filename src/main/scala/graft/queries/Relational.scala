@@ -462,6 +462,45 @@ object Relational {
     // exactly 1 late, and it's this one. No correlated re-scans of
     // lineitem — the reference semantics' semi+anti pair collapses into
     // a single per-order profile joined once.
+    // TPC-H Q9 shape (product-type profit, sans the partsupp table the
+    // testdata lacks): 5-table join — part filter broadcasts before the
+    // lineitem probe, supplier→nation chain broadcasts, one agg over
+    // (nation, order year)
+    "q36_nation_profit" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_name").contains("red"))
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation").select("n_nationkey", "n_name"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_profit"))
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive clusters across the
+    // join (brand/size on part, quantity on lineitem) — the OR must not
+    // defeat the broadcast or produce a cartesian
+    "q37_disjunctive_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "part").select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+      li.filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(5, 50) &&
+          col("l_quantity") >= 20))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q35_waiting_suppliers" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
@@ -515,6 +554,23 @@ object Relational {
         |  o.o_totalprice, CAST(b.sum_qty AS DOUBLE) AS sum_qty
         |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q36_nation_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q37_disjunctive_revenue" ->
+      """SELECT
+        |CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 40)
+        |   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 5 AND 50 AND l.l_quantity >= 20)""".stripMargin,
     "q35_waiting_suppliers" ->
       """WITH li AS (
         |  SELECT l.l_orderkey, l.l_suppkey,

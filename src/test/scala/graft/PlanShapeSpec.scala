@@ -50,6 +50,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size <= 6, s"extra shuffles:\n$plan")
   }
 
+  test("q36: five-table profit join broadcasts every dimension, no cartesian") {
+    val plan = executed("q36_nation_profit")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    // the part name filter reaches the part scan, not the joined stream
+    assert(plan.contains("PushedFilters: [IsNotNull(p_name)"),
+      s"p_name filter not pushed:\n$plan")
+  }
+
+  test("q37: disjunctive predicate clusters keep the part join broadcast") {
+    val plan = executed("q37_disjunctive_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
   test("q3: customer dimension joins broadcast") {
     val plan = executed("q3_shipping_priority")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
