@@ -442,16 +442,31 @@ object Dedup {
     * window text. Skewed fingerprints (a boilerplate span repeated
     * millions of times) are a count aggregation, not a join fan-out.
     */
+  /** SQL expr over a `_sd_ts` tokens column: the md5 fingerprint of every
+    * k-token window, indexed by 0-based start (shared by the batch
+    * operator and [[SpanDedupService]] — both sides MUST hash windows
+    * identically or the service would not converge).
+    */
+  private[pipeline] def windowFpsExpr(k: Int): String =
+    s"""CASE WHEN size(_sd_ts) >= $k
+       |THEN transform(sequence(0, size(_sd_ts) - $k),
+       |  s -> md5(array_join(slice(_sd_ts, s + 1, $k), ' ')))
+       |ELSE array() END""".stripMargin
+
+  /** SQL expr cutting tokens covered by any start in `_sd_starts` out of
+    * `_sd_ts` — overlapping spans merge for free.
+    */
+  private[pipeline] def cutSpansExpr(k: Int): String =
+    s"""filter(transform(_sd_ts,
+       |  (t, p) -> IF(exists(_sd_starts, s -> s <= p AND p < s + $k), NULL, t)),
+       |  t -> t IS NOT NULL)""".stripMargin
+
   def exactSpanDedup(df: DataFrame, k: Int = 20, minCount: Long = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("_sd_ts"))
-    val wins = toks.select(col(idCol), posexplode(expr(
-        s"""CASE WHEN size(_sd_ts) >= $k
-           |THEN transform(sequence(0, size(_sd_ts) - $k),
-           |  s -> md5(array_join(slice(_sd_ts, s + 1, $k), ' ')))
-           |ELSE array() END""".stripMargin))
-      .as(Seq("_sd_s", "_sd_fp")))
+    val wins = toks.select(col(idCol),
+      posexplode(expr(windowFpsExpr(k))).as(Seq("_sd_s", "_sd_fp")))
     val dstarts = wins
       .withColumn("_sd_n", count(lit(1)).over(Window.partitionBy(col("_sd_fp"))))
       .filter(col("_sd_n") >= minCount)
@@ -459,10 +474,7 @@ object Dedup {
     toks.join(dstarts, Seq(idCol), "left_outer")
       .withColumn("_sd_starts",
         coalesce(col("_sd_starts"), expr("array()").cast("array<int>")))
-      .withColumn("_sd_kept", expr(
-        s"""filter(transform(_sd_ts,
-           |  (t, p) -> IF(exists(_sd_starts, s -> s <= p AND p < s + $k), NULL, t)),
-           |  t -> t IS NOT NULL)""".stripMargin))
+      .withColumn("_sd_kept", expr(cutSpansExpr(k)))
       .select(col(idCol),
         array_join(col("_sd_kept"), " ").as(textCol),
         (size(col("_sd_ts")) - size(col("_sd_kept"))).cast("long").as("n_dropped"))

@@ -649,6 +649,33 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_dropped"), md5(col("text")).as("clean_fp"))
     }),
 
+    // INCREMENTAL span dedup service: three ticks through the persisted
+    // fingerprint index; in-tick duplicates cut everywhere, cross-tick
+    // occurrences lose to the tick that introduced the passage. The
+    // final clean table must equal the tick-ordered replay in SQL.
+    "p_dedup_spans_incremental" -> ((s, d) => {
+      import graft.core.{TableConfig, TableType}
+      import graft.table.{GraftTable, WritePipeline}
+      val base = docs(s, d)
+      val root = s"/tmp/graft_q/span_incr_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(root))
+      val docsCfg = TableConfig("docs_src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
+      val srcT = GraftTable.create(s, s"$root/source", docsCfg)
+      val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
+      val idx = SpanDedupService.openIndex(s, s"$root/index", k = 20)
+      val mx = base.agg(max("doc_id")).head.getLong(0)
+      val ticks = Seq(
+        base.filter(col("doc_id") <= mx / 3),
+        base.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+        base.filter(col("doc_id") > 2 * mx / 3))
+      for (tick <- ticks) {
+        srcT.bulkInsert(tick)
+        SpanDedupService.sync(srcT, cleanT, idx)
+      }
+      graft.read.Readers.snapshot(cleanT)
+        .select(col("doc_id"), md5(col("text")).as("clean_fp"))
+    }),
+
     // ExactSubstr span dedup (Lee et al. 2022): any 20-token window whose
     // exact text occurs twice+ corpus-wide is cut from EVERY document
     // carrying it — passage-level removal where doc-level dedup keeps a
@@ -1243,6 +1270,31 @@ object PipelineQueries {
          |SELECT t.doc_id, CAST(t.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
          |  md5(COALESCE(a.text, '')) AS clean_fp
          |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
+    "p_dedup_spans_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts,
+         |  CASE WHEN doc_id <= (SELECT max(doc_id) FROM documents) // 3 THEN 1
+         |       WHEN doc_id <= (2 * (SELECT max(doc_id) FROM documents)) // 3 THEN 2
+         |       ELSE 3 END AS tick
+         |  FROM documents),
+         |w AS (SELECT doc_id, tick, ts,
+         |  unnest(generate_series(1, greatest(len(ts) - 19, 0))) AS s FROM toks),
+         |wins AS (SELECT doc_id, tick, s,
+         |  md5(array_to_string(ts[s:s+19], ' ')) AS fp FROM w),
+         |tickcnt AS (SELECT tick, fp, count(*) AS c FROM wins GROUP BY 1, 2),
+         |firsttick AS (SELECT fp, min(tick) AS mt FROM wins GROUP BY 1),
+         |ds AS (SELECT w.doc_id, w.s FROM wins w
+         |  JOIN tickcnt tc ON tc.tick = w.tick AND tc.fp = w.fp
+         |  JOIN firsttick ft ON ft.fp = w.fp
+         |  WHERE tc.c >= 2 OR ft.mt < w.tick),
+         |p AS (SELECT doc_id, unnest(ts) AS tok,
+         |  generate_subscripts(ts, 1) AS pos FROM toks),
+         |kept AS (SELECT p.doc_id, p.tok, p.pos FROM p
+         |  WHERE NOT EXISTS (SELECT 1 FROM ds
+         |    WHERE ds.doc_id = p.doc_id AND ds.s <= p.pos AND p.pos < ds.s + 20)),
+         |a AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, md5(COALESCE(a.text, '')) AS clean_fp
+         |FROM toks t LEFT JOIN a USING (doc_id)""".stripMargin,
     "p_decontaminate" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
