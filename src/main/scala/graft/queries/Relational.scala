@@ -482,6 +482,34 @@ object Relational {
           .cast("decimal(18,4)")).cast("double").as("sum_profit"))
     }),
 
+    // TPC-H Q12 shape (shipping-priority classes; the testdata lacks
+    // l_shipmode so l_returnflag stands in): fact-side date window +
+    // conditional CASE sums per class after the orders join
+    "q38_priority_class_by_flag" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): conditional revenue fraction
+    // over one month — exact decimal sums, one double division at the end
+    "q39_promo_revenue" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-03-01")
+        .join(t(s, d, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(rev).cast("double")).as("promo_share"))
+    }),
+
     // TPC-H Q19 shape: disjunction of conjunctive clusters across the
     // join (brand/size on part, quantity on lineitem) — the OR must not
     // defeat the broadcast or produce a cartesian
@@ -554,6 +582,22 @@ object Relational {
         |  o.o_totalprice, CAST(b.sum_qty AS DOUBLE) AS sum_qty
         |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q38_priority_class_by_flag" ->
+      """SELECT l.l_returnflag,
+        |CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q39_promo_revenue" ->
+      """SELECT 100.0 *
+        |CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+        |  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1996-03-01'""".stripMargin,
     "q36_nation_profit" ->
       """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
         |CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
