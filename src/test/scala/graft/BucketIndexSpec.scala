@@ -261,6 +261,28 @@ class BucketIndexSpec extends AnyFunSuite {
     assert(inq.count() === orders.filter(col("o_orderkey").isin(4242L, 77L)).count())
   }
 
+  test("optimistic concurrency: an interleaved bucket write conflicts loudly") {
+    val dir = tmpDir("bkt_occ")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    t.bulkInsert(orders.limit(1000))
+    // stable bucket ids make overlap the COMMON case: a writer publishing
+    // between this writer's read point and publish touches the same
+    // groups, and the conflict check must catch it
+    val batch = orders.limit(100)
+    t.beforeOptimisticPublish = () =>
+      t.upsert(batch.withColumn("o_totalprice", lit(1.0)))
+    try {
+      intercept[graft.table.WriteConflictException] {
+        t.upsertOptimistic(batch.withColumn("o_totalprice", lit(2.0)))
+      }
+    } finally t.beforeOptimisticPublish = () => ()
+    // interleaved writer's value survived the loser's rollback; retry lands
+    t.upsertOptimistic(batch.withColumn("o_totalprice", lit(3.0)))
+    val snap = Readers.snapshot(t)
+    assert(snap.filter(col("o_totalprice") === 3.0).count() === 100)
+    assert(snap.count() === 1000)
+  }
+
   test("refusals: cluster, non-empty bulk_insert, METADATA_ONLY bootstrap") {
     val dir = tmpDir("bkt_refuse")
     val t = GraftTable.create(spark, dir.toString, bCfg())

@@ -65,6 +65,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("q38: the ship-date window reaches the lineitem scan") {
+    val plan = executed("q38_priority_class_by_flag")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"date filter not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q3: customer dimension joins broadcast") {
     val plan = executed("q3_shipping_priority")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
