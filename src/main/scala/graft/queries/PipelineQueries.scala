@@ -208,6 +208,14 @@ object PipelineQueries {
           col("total_value"), col("duration_s"))
     }),
 
+    // time-series gap-fill: per-user daily aggregates with EXPLICIT zero
+    // rows for silent days inside the user's activity span — the dense
+    // axis generates distributed from a row-local sequence() explode
+    "p_gap_fill_daily" -> ((s, d) =>
+      Resample.gapFillDaily(QUtil.events(s, d))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("sum_value"))),
+
     // gap-based sessionization: one shuffle on user, shared-sort windows
     "p_sessionize" -> ((s, d) =>
       Sessions.sessionStats(QUtil.events(s, d), maxGapSeconds = 1800)
@@ -1391,6 +1399,21 @@ object PipelineQueries {
         |  CAST(sum(CAST(e.emb[d.dim + 1] AS DECIMAL(28,10))) AS DOUBLE) / count(e.emb[d.dim + 1]) AS mean,
         |  min(e.emb[d.dim + 1]) AS vmin, max(e.emb[d.dim + 1]) AS vmax
         |FROM e CROSS JOIN dims d GROUP BY d.dim""".stripMargin,
+    "p_gap_fill_daily" ->
+      s"""WITH sparse AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM sparse GROUP BY 1),
+         |dense AS (SELECT user_id,
+         |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM spans)
+         |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+         |  COALESCE(s.n_events, 0) AS n_events,
+         |  COALESCE(s.sum_value, 0.0) AS sum_value
+         |FROM dense d LEFT JOIN sparse s
+         |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
     "p_sessionize" -> sessionizeOracle,
     // the incremental service must converge to the from-scratch answer
     "p_sessionize_incremental" -> sessionizeOracle,

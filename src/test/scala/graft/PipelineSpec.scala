@@ -507,4 +507,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter($"vec_id" >= 6000000L).count() === 0)
     assert(out.count() === base.count())
   }
+
+  test("gap-fill: silent days emit explicit zero rows inside each key's span") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 2.0),
+      (1L, "2024-01-01 11:00:00", 3.0),
+      (1L, "2024-01-04 09:00:00", 5.0), // Jan 2 + 3 silent
+      (2L, "2024-02-10 00:00:00", 1.0)) // single-day span: one row
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val out = graft.pipeline.Resample.gapFillDaily(ev)
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01", 2L, 5.0),
+      (1L, "2024-01-02", 0L, 0.0),
+      (1L, "2024-01-03", 0L, 0.0),
+      (1L, "2024-01-04", 1L, 5.0),
+      (2L, "2024-02-10", 1L, 1.0)))
+  }
 }
