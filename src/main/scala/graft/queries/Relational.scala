@@ -482,6 +482,26 @@ object Relational {
           .cast("decimal(18,4)")).cast("double").as("sum_profit"))
     }),
 
+    // TPC-H Q10 shape (returned-item revenue): customers who returned
+    // goods in a quarter, ranked by lost revenue — 4-table join, exact
+    // decimal revenue, deterministic top-20 (revenue desc, custkey asc)
+    "q40_returned_revenue" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_name", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation").select("n_nationkey", "n_name"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q12 shape (shipping-priority classes; the testdata lacks
     // l_shipmode so l_returnflag stands in): fact-side date window +
     // conditional CASE sums per class after the orders join
@@ -582,6 +602,18 @@ object Relational {
         |  o.o_totalprice, CAST(b.sum_qty AS DOUBLE) AS sum_qty
         |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q40_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
     "q38_priority_class_by_flag" ->
       """SELECT l.l_returnflag,
         |CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
