@@ -498,6 +498,22 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // BUCKET rescale: outgrow the creation-time bucket count via one
+    // replacecommit re-routing every row (then the config flips), with
+    // post-rescale upsert + delete proving the new count governs writes
+    "t_bucket_rescale" -> ((s, d) => {
+      val t0 = fresh(s, d, "t_bucket_rescale", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.IndexType -> "BUCKET",
+          ConfigKeys.BucketIndexNumBuckets -> "4")))
+      val src = orders(s, d)
+      t0.bulkInsert(src)
+      val t = t0.rescaleBuckets(12)
+      t.upsert(src.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      t.delete(src.filter(col("o_orderkey") % 30 === 0))
+      data(Readers.snapshot(t))
+    }),
+
     // point lookup by a NON-KEY column through the secondary index
     // (value -> file-group mapping tables; reads only the mapped groups).
     // The upsert moves some rows to a new custkey so the probe exercises
@@ -1089,6 +1105,11 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders
          |WHERE (year(o_orderdate) <> 1995 AND o_orderkey % 40 <> 0)
          |   OR (year(o_orderdate) = 1995 AND o_orderkey % 2 = 0)""".stripMargin,
+    "t_bucket_rescale" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE o_orderkey % 30 <> 0""".stripMargin,
     "t_partition_ttl" ->
       s"""SELECT $OrdersSql FROM orders
          |WHERE year(o_orderdate) >= (SELECT max(year(o_orderdate)) - 2 FROM orders)""".stripMargin,

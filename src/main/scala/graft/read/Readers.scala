@@ -141,6 +141,15 @@ object Readers {
     graft.table.Payload.mergeVersions(t.cfg, unioned, del)
   }
 
+  /** Layout-only rewrites: compaction, clustering, bucket rescale. They
+    * move existing records between files with per-row commit times
+    * preserved, so change-oriented readers (incremental, CDC) must treat
+    * them as physical remaps, never as logical change.
+    */
+  private def isLayoutRewrite(i: GraftInstant, m: CommitMetadata): Boolean =
+    i.action == Action.Compaction ||
+      m.operationType == "cluster" || m.operationType == "rescale_buckets"
+
   /** Time travel — snapshot as of an instant (reference `as.of.instant`). */
   def timeTravel(t: GraftTable, instant: String): DataFrame =
     snapshot(t, asOf = Some(instant))
@@ -191,10 +200,9 @@ object Readers {
       else Seq.empty
     val metas = (archived ++ active)
       .map { case (i, content) => i -> CommitMetadata.fromJson(content) }
-      // compaction/clustering rewrite existing records — no logical change
-      .filter { case (i, m) =>
-        i.action != Action.Compaction && m.operationType != "cluster"
-      }
+      // compaction/clustering/bucket-rescale rewrite existing records
+      // (per-row commit times preserved) — no logical change
+      .filter { case (i, m) => !isLayoutRewrite(i, m) }
     // glob prune happens on COMMIT METADATA, before any file existence
     // check or IO — the pruned-away partitions' files may even be cleaned.
     // glob → regex: ** crosses segments, * stays within one, ? is one
@@ -290,27 +298,56 @@ object Readers {
       return snapshot(t).drop(MetaCols.All: _*).limit(0)
         .withColumn(ChangeTypeCol, lit(null).cast("string"))
     val (physical, logical) = window.partition { case (i, m) =>
-      i.action == Action.Compaction || m.operationType == "cluster"
+      isLayoutRewrite(i, m)
     }
     // groups logically changed in the window (written or replaced)
     val touched: Set[(String, String)] = logical.flatMap { case (_, m) =>
       m.writeStats.map(ws => (ws.partitionPath, ws.fileId)) ++
         m.replacedFileIds.toSeq.flatMap { case (p, fids) => fids.map(p -> _) }
     }.toSet
-    // follow clustering remaps IN ORDER: a touched group replaced by a
-    // cluster commit lives on under the cluster's new group ids
+    // follow layout remaps IN ORDER: a touched group rewritten by a
+    // physical commit lives on under that commit's written group ids.
+    // "Rewritten" covers BOTH forms: listed in replacedFileIds (cluster —
+    // fresh ids) and shadowed by a same-id write (bucket rescale — stable
+    // ids, where a touched group's rows scatter across sibling buckets
+    // that replaced nothing). Matching on written ids too means a
+    // rescale's moved rows are found on the after side instead of
+    // surfacing as phantom deletes; the extra groups read are bounded by
+    // the rewritten partitions and their carried-over rows project no
+    // change images.
     val afterTouched = physical.foldLeft(touched) { case (acc, (_, m)) =>
-      val replacedTouched = m.replacedFileIds.toSeq
-        .flatMap { case (p, fids) => fids.map(p -> _) }.filter(acc.contains)
-      if (replacedTouched.isEmpty) acc
+      val rewrittenTouched = (m.replacedFileIds.toSeq
+        .flatMap { case (p, fids) => fids.map(p -> _) } ++
+        m.writeStats.map(ws => (ws.partitionPath, ws.fileId))).filter(acc.contains)
+      if (rewrittenTouched.isEmpty) acc
       else {
-        val parts = replacedTouched.map(_._1).toSet
+        val parts = rewrittenTouched.map(_._1).toSet
         acc ++ m.writeStats.filter(ws => parts.contains(ws.partitionPath))
           .map(ws => (ws.partitionPath, ws.fileId))
       }
     }
+    // …and BACKWARD for the begin side: a touched group that a physical
+    // commit in the window CREATED (cluster's fresh ids, rescale's
+    // re-routed buckets) holds rows that lived in DIFFERENT groups at
+    // beginTs — map it back through the commit's replaced + written ids
+    // so the before image finds them (fresh ids simply don't exist in the
+    // beginTs view and drop out). Without this, a drop/update after a
+    // layout rewrite reports rows from pre-rewrite-only groups as never
+    // having existed (missed deletes, updates surfacing as inserts).
+    val beforeTouched = physical.reverse.foldLeft(touched) { case (acc, (_, m)) =>
+      val writtenTouched = m.writeStats
+        .map(ws => (ws.partitionPath, ws.fileId)).filter(acc.contains)
+      if (writtenTouched.isEmpty) acc
+      else {
+        val parts = writtenTouched.map(_._1).toSet
+        acc ++ m.replacedFileIds.toSeq
+          .flatMap { case (p, fids) => if (parts(p)) fids.map(p -> _) else Nil } ++
+          m.writeStats.filter(ws => parts(ws.partitionPath))
+            .map(ws => (ws.partitionPath, ws.fileId))
+      }
+    }
     val beforeSlices = t.view.fileSlices(Some(beginTs))
-      .filter(s => touched.contains((s.partitionPath, s.fileId)))
+      .filter(s => beforeTouched.contains((s.partitionPath, s.fileId)))
     val missing = beforeSlices.flatMap(_.allFiles)
       .filterNot(e => new org.apache.hadoop.fs.Path(e.relPath).isAbsolute)
       .filterNot(e => Storage.exists(t.basePath.resolve(e.relPath)))

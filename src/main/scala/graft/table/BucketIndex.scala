@@ -18,9 +18,11 @@ import graft.core.{ConfigKeys, MetaCols, TableConfig}
   * highest-throughput upsert path at 100 TB when keys are uniformly
   * distributed. The trade: no small-file packing (file sizing is the
   * bucket count's job — size `bucket.num` ≈ partition-size /
-  * max-file-size at table creation), and the bucket count is immutable
-  * for the table's lifetime (changing it would strand existing rows in
-  * groups new hashes never route to).
+  * max-file-size at table creation), and the bucket count only changes
+  * through an explicit full-rewrite rescale
+  * (GraftTable.rescaleBuckets — one replacecommit re-routing every row,
+  * then a config flip; an in-place count change would strand existing
+  * rows in groups new hashes never route to).
   *
   * Layout invariant: EVERY write path routes rows to their bucket's
   * group id — upsert/delete (tag), insert / MERGE inserts / global-index
@@ -54,8 +56,15 @@ object BucketIndex {
     * construction (file names are `<fileId>_<token>_<instant>`).
     */
   def fileIdCol(cfg: TableConfig, key: Column): Column =
-    concat(lit("bkt"),
-      pmod(abs(xxhash64(key)), lit(numBuckets(cfg).toLong)).cast("string"))
+    fileIdColFor(numBuckets(cfg), key)
+
+  /** Same routing under an EXPLICIT bucket count — the rescale rewrite
+    * routes against its TARGET count while the table config still records
+    * the old one (GraftTable.rescaleBuckets flips the config only after
+    * the replacecommit publishes).
+    */
+  def fileIdColFor(n: Int, key: Column): Column =
+    concat(lit("bkt"), pmod(abs(xxhash64(key)), lit(n.toLong)).cast("string"))
 
   /** Tagging is a row-local projection — the whole point of the index. */
   def tag(cfg: TableConfig, keyed: DataFrame): DataFrame =

@@ -134,6 +134,14 @@ final class GraftCli(spark: SparkSession) {
       graft.sql.CatalogSync.sync(spark, table.basePath.toString, db, name)
       CliText(s"Synced ${table.basePath} as $db.$name")
     },
+    "buckets rescale" -> { o =>
+      // BUCKET-layout rescale from the shell: --num <target count>; the
+      // shell reconnects to the post-flip handle
+      val n = req(o, "num").toInt
+      val rescaled = table.rescaleBuckets(n)
+      connected = Some(rescaled)
+      CliText(s"Rescaled ${rescaled.cfg.tableName} to $n buckets")
+    },
     "partitions expire" -> { o =>
       // partition TTL from the shell: --keepLast n | --before <instant>
       val expired = (o.get("keepLast"), o.get("before")) match {

@@ -391,6 +391,62 @@ final class GraftTable(
       (stats, replaced, schemaJsonFor(keyed))
     }
 
+  /** BUCKET-layout rescale: re-route EVERY live row to `bkt<hash mod
+    * newBuckets>` in one replacecommit, then flip the persisted bucket
+    * count. The capability the reference line's fixed-bucket index lacks
+    * (its consistent-hashing successor exists for exactly this); here the
+    * offline form — a full rewrite, priced like insert_overwrite_table —
+    * keeps the mod-N routing's zero-IO tagging while letting a table
+    * outgrow its creation-time count.
+    *
+    * Layout semantics mirror clustering, not a fresh write: per-row meta
+    * columns (commit time/seqno) are PRESERVED, so time travel and
+    * incremental reads see a layout change, not new data. Bucket ids both
+    * layouts share (growth: bkt0..old-1) shadow their old generation;
+    * ids only the old layout had (shrink) are replaced and die; target
+    * ids no row hashes to simply don't exist yet and open on first write.
+    *
+    * Crash safety: the commit and the config flip cannot be one atomic
+    * step, so a `rescale.pending` marker (target + timeline watermark)
+    * lands first and [[GraftTable.load]] heals the gap — if the marked
+    * replacecommit published but the config never flipped, load flips it;
+    * if the commit never published, load just clears the marker (failed-
+    * writes reaping owns the files). The body runs under the table lock,
+    * and the config flips before the lock-free postlude returns.
+    */
+  def rescaleBuckets(newBuckets: Int): GraftTable = {
+    require(BucketIndex.enabled(cfg),
+      "rescaleBuckets requires graft.index.type=BUCKET")
+    require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
+    val old = BucketIndex.numBuckets(cfg)
+    require(newBuckets != old, s"table already has $old buckets")
+    val marker = GraftTable.rescaleMarker(basePath)
+    Storage.writeString(marker, Json.write(GraftTable.RescalePending(
+      newBuckets, timeline.completedInstants().lastOption.map(_.ts).getOrElse("0"))))
+    runCommit(Action.ReplaceCommit, "rescale_buckets",
+        Map(GraftTable.RescaleTargetKey -> newBuckets.toString,
+          GraftTable.RescaleFromKey -> old.toString)) { instant =>
+      val snap = graft.read.Readers.snapshot(this)
+      val routed = snap
+        .withColumn(FileIdCol,
+          BucketIndex.fileIdColFor(newBuckets, col(MetaCols.RecordKey)))
+        .withColumn(MetaCols.FileName,
+          concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
+      val stats = writeFiles(spark, basePath, routed, instant,
+        isDelta = false, baseFormat = cfg.baseFormat)
+      val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
+      val replaced = view.fileSlices(None)
+        .filterNot(s => written.contains((s.partitionPath, s.fileId)))
+        .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
+      (stats, replaced, latestSchema.map(_.json).getOrElse(""))
+    }
+    val updated = cfg.copy(props =
+      cfg.props + (ConfigKeys.BucketIndexNumBuckets -> newBuckets.toString))
+    TableConfig.save(basePath, updated)
+    Storage.deleteIfExists(marker)
+    new GraftTable(spark, basePath, updated)
+  }
+
   /** Logically drop whole partitions via replacecommit
     * (reference SparkRDDWriteClient.deletePartitions :255-259).
     */
@@ -1518,6 +1574,57 @@ object GraftTable {
   /** extraMetadata key holding the commit's wall-clock duration. */
   val DurationMsKey = "graft.commit.durationMs"
 
+  /** extraMetadata key stamped on a rescale replacecommit: the target
+    * bucket count, matched against the `rescale.pending` marker by the
+    * load-time heal.
+    */
+  val RescaleTargetKey = "graft.rescale.buckets"
+
+  /** extraMetadata key holding the PRE-rescale bucket count — a rollback
+    * that undoes the rescale commit flips the persisted config back to it
+    * (files and config must never disagree on the routing count).
+    */
+  val RescaleFromKey = "graft.rescale.from"
+
+  /** Marker persisted before a bucket rescale's commit starts: target
+    * count + the timeline watermark at start (the heal only accepts a
+    * marked replacecommit ABOVE the watermark as proof the rescale
+    * published).
+    */
+  final case class RescalePending(target: Int, watermark: String)
+
+  private[graft] def rescaleMarker(base: Path): Path =
+    base.resolve(".graft").resolve("rescale.pending")
+
+  /** Load-time heal for the rescale commit/config-flip gap (see
+    * [[GraftTable.rescaleBuckets]]): a dangling marker whose commit
+    * published flips the config now; one whose commit never landed is
+    * simply cleared.
+    */
+  private def healPendingRescale(base: Path, cfg0: TableConfig): TableConfig = {
+    val marker = rescaleMarker(base)
+    if (!Storage.exists(marker)) cfg0
+    else {
+      val pending = Json.read[RescalePending](Storage.readString(marker))
+      val tl = new Timeline(base)
+      tl.init()
+      val landed = tl.completedInstants().exists { i =>
+        i.action == Action.ReplaceCommit && i.ts > pending.watermark &&
+          CommitMetadata.fromJson(tl.readContent(i))
+            .extraMetadata.get(RescaleTargetKey).contains(pending.target.toString)
+      }
+      val cfg =
+        if (landed) {
+          val updated = cfg0.copy(props = cfg0.props +
+            (ConfigKeys.BucketIndexNumBuckets -> pending.target.toString))
+          TableConfig.save(base, updated)
+          updated
+        } else cfg0
+      Storage.deleteIfExists(marker)
+      cfg
+    }
+  }
+
   final case class CommitCallbackMessage(
       commitTime: String,
       tableName: String,
@@ -1604,7 +1711,7 @@ object GraftTable {
 
   def load(spark: SparkSession, path0: String): GraftTable = {
     val base = new Path(normalize(path0))
-    new GraftTable(spark, base, TableConfig.load(base))
+    new GraftTable(spark, base, healPendingRescale(base, TableConfig.load(base)))
   }
 
   def createOrLoad(spark: SparkSession, path: String, cfg: TableConfig): GraftTable = {

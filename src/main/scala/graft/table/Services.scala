@@ -529,6 +529,23 @@ object Services {
       val victims = md.writeStats.map(_.path)
         .filter(p => t.basePath.resolve(p).startsWith(t.basePath))
       deleted ++= distributedDelete(t, victims)
+      // undoing a bucket rescale reverts the DATA to the old routing
+      // count — the persisted config must follow, or every later write
+      // would route keys away from their existing copies (duplicates).
+      // Guarded on the config actually holding the rescale's target, so
+      // a crash-window rollback (config never flipped) stays a no-op.
+      // Callers holding the post-rescale handle must reload, like after
+      // renameTable.
+      for {
+        target <- md.extraMetadata.get(GraftTable.RescaleTargetKey)
+        from <- md.extraMetadata.get(GraftTable.RescaleFromKey)
+      } {
+        val cur = TableConfig.load(t.basePath)
+        if (cur.prop(ConfigKeys.BucketIndexNumBuckets,
+            ConfigKeys.DefaultBucketIndexNumBuckets.toString) == target)
+          TableConfig.save(t.basePath, cur.copy(props =
+            cur.props + (ConfigKeys.BucketIndexNumBuckets -> from)))
+      }
     }
     WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
     t.timeline.deleteInstantFiles(ts, action)

@@ -294,4 +294,147 @@ class BucketIndexSpec extends AnyFunSuite {
         Seq(s"$sf001/orders.parquet"))
     }
   }
+
+  private def misrouted(t: GraftTable): Long = Readers.snapshot(t)
+    .withColumn("_expect", BucketIndex.fileIdCol(t.cfg, col(MetaCols.RecordKey)))
+    .withColumn("_actual", substring_index(col(MetaCols.FileName), "_", 1))
+    .filter(col("_expect") =!= col("_actual")).count()
+
+  test("rescale grow: rows re-route, meta preserved, later writes use the new count") {
+    val dir = tmpDir("bkt_grow")
+    var t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders
+    t.bulkInsert(src)
+    t.upsert(src.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", lit(4242.0)))
+    val preRows = Readers.snapshot(t).drop(MetaCols.FileName).collect().toSet
+    val preTimes = Readers.snapshot(t)
+      .select(MetaCols.RecordKey, MetaCols.CommitTime).collect().toSet
+
+    t = t.rescaleBuckets(24)
+    assert(BucketIndex.numBuckets(t.cfg) === 24)
+    assert(!Storage.exists(GraftTable.rescaleMarker(t.basePath)))
+    // same logical rows, per-row commit times untouched (layout-only)
+    assert(Readers.snapshot(t).drop(MetaCols.FileName).collect().toSet === preRows)
+    assert(Readers.snapshot(t)
+      .select(MetaCols.RecordKey, MetaCols.CommitTime).collect().toSet === preTimes)
+    // every row lives in its NEW bucket; a reloaded handle agrees
+    assert(misrouted(t) === 0)
+    assert(misrouted(GraftTable.load(spark, dir.toString)) === 0)
+    val slices = t.view.fileSlices(None)
+    assert(slices.forall(_.fileId.matches("bkt\\d+")))
+    assert(slices.map(_.fileId).distinct.size > Buckets, "rescale never fanned out")
+    slices.groupBy(_.partitionPath).foreach { case (p, ss) =>
+      assert(ss.map(_.fileId).distinct.size <= 24, s"partition $p over-bucketed")
+    }
+    // subsequent writes route by the new count
+    val news = src.limit(50).withColumn("o_orderkey", col("o_orderkey") + 500000000L)
+    t.upsert(news)
+    assert(misrouted(t) === 0)
+    assert(Readers.snapshot(t).count() === src.count() + 50)
+  }
+
+  test("rescale shrink consolidates; incremental sees no phantom change") {
+    val dir = tmpDir("bkt_shrink")
+    var t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders
+    t.bulkInsert(src)
+    val afterLoad = t.timeline.completedInstants().last.ts
+    t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_clerk", lit("rescaled")))
+    t = t.rescaleBuckets(3)
+    assert(misrouted(t) === 0)
+    t.view.fileSlices(None).groupBy(_.partitionPath).foreach { case (p, ss) =>
+      assert(ss.map(_.fileId).distinct.size <= 3, s"partition $p over-bucketed")
+    }
+    // incremental across the rescale: exactly the upsert's rows, once
+    val inc = Readers.incremental(t, afterLoad)
+    assert(inc.count() === src.filter(col("o_orderkey") % 7 === 0).count())
+    assert(inc.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+    // CDC across the rescale: the upsert's updates only, no phantom deletes
+    val cdc = Readers.incrementalChanges(t, afterLoad)
+    assert(cdc.filter(col(Readers.ChangeTypeCol) === "delete").count() === 0)
+    assert(cdc.filter(col(Readers.ChangeTypeCol) === "update_after").count() ===
+      src.filter(col("o_orderkey") % 7 === 0).count())
+  }
+
+  test("rescale refusals: non-bucket table, same count, bad count") {
+    val plain = GraftTable.create(spark, tmpDir("rs_plain").toString,
+      bCfg().copy(props = Map.empty))
+    plain.bulkInsert(orders.limit(100))
+    intercept[IllegalArgumentException] { plain.rescaleBuckets(4) }
+    val t = GraftTable.create(spark, tmpDir("rs_same").toString, bCfg())
+    t.bulkInsert(orders.limit(100))
+    intercept[IllegalArgumentException] { t.rescaleBuckets(Buckets) }
+    intercept[IllegalArgumentException] { t.rescaleBuckets(0) }
+  }
+
+  test("crash between publish and config flip heals on load") {
+    val dir = tmpDir("rs_heal")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    t.bulkInsert(orders.limit(500))
+    // a post-publish failure (callback throw) aborts rescale AFTER the
+    // replacecommit lands but BEFORE the config flips — the crash window
+    t.registerCommitCallback(_ => throw new RuntimeException("post-publish crash"))
+    intercept[RuntimeException] { t.rescaleBuckets(16) }
+    assert(Storage.exists(GraftTable.rescaleMarker(t.basePath)), "marker gone early")
+    assert(TableConfig.load(t.basePath).propLong(
+      ConfigKeys.BucketIndexNumBuckets, 0L) === Buckets.toLong, "config flipped early")
+    // load heals: config flips to the published commit's target
+    val healed = GraftTable.load(spark, dir.toString)
+    assert(BucketIndex.numBuckets(healed.cfg) === 16)
+    assert(!Storage.exists(GraftTable.rescaleMarker(healed.basePath)))
+    assert(misrouted(healed) === 0)
+    assert(Readers.snapshot(healed).count() === 500)
+  }
+
+  test("dangling marker with no published commit clears without a flip") {
+    val dir = tmpDir("rs_dangle")
+    val t = GraftTable.create(spark, dir.toString, bCfg())
+    t.bulkInsert(orders.limit(200))
+    Storage.writeString(GraftTable.rescaleMarker(t.basePath),
+      graft.core.Json.write(GraftTable.RescalePending(32,
+        t.timeline.completedInstants().last.ts)))
+    val loaded = GraftTable.load(spark, dir.toString)
+    assert(BucketIndex.numBuckets(loaded.cfg) === Buckets)
+    assert(!Storage.exists(GraftTable.rescaleMarker(loaded.basePath)))
+  }
+
+  test("rollback of a rescale flips the routing count back") {
+    val dir = tmpDir("rs_rb")
+    var t = GraftTable.create(spark, dir.toString, bCfg())
+    val src = orders.limit(600)
+    t.bulkInsert(src)
+    t = t.rescaleBuckets(16)
+    val rescaleTs = t.timeline.completedInstants().last.ts
+    Services.rollback(t, rescaleTs)
+    // files reverted to the 8-bucket layout; config must agree again
+    val back = GraftTable.load(spark, dir.toString)
+    assert(BucketIndex.numBuckets(back.cfg) === Buckets)
+    assert(misrouted(back) === 0)
+    // and writes through the reloaded handle keep keys single-copied
+    back.upsert(src.limit(100).withColumn("o_totalprice", lit(9.0)))
+    val snap = Readers.snapshot(back)
+    assert(snap.count() === 600)
+    assert(snap.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("MOR rescale folds deltas into the new layout") {
+    val dir = tmpDir("rs_mor")
+    var t = GraftTable.create(spark, dir.toString,
+      bCfg(tpe = TableType.MergeOnRead))
+    val src = orders
+    t.bulkInsert(src)
+    t.upsert(src.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(777.0)))
+    assert(t.view.fileSlices(None).exists(_.deltaFiles.nonEmpty), "no deltas to fold")
+    t = t.rescaleBuckets(16)
+    assert(misrouted(t) === 0)
+    // rescale output is a fresh base generation — no deltas survive
+    assert(t.view.fileSlices(None).forall(_.deltaFiles.isEmpty))
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === src.count())
+    assert(snap.filter(col("o_totalprice") === 777.0).count() ===
+      src.filter(col("o_orderkey") % 5 === 0).count())
+  }
 }

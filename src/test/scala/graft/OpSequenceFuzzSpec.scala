@@ -40,6 +40,7 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
   private case class DropPartition(p: String) extends Op
   private case object Rollback extends Op
   private case object Restore extends Op
+  private case class Rescale(n: Int) extends Op
 
   // within-batch key-uniqueness: ties on (id) resolve by precombine in the
   // engine; keep model trivial by pre-combining here (max (ver, v) wins)
@@ -52,7 +53,8 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
     2 -> Gen.listOfN(8, rowGen).map(rs => Overwrite(uniq(rs))),
     1 -> Gen.choose(0L, 2L).map(p => DropPartition(p.toString)),
     1 -> Gen.const(Rollback),
-    1 -> Gen.const(Restore))
+    1 -> Gen.const(Restore),
+    1 -> Gen.oneOf(3, 5, 7).map(Rescale(_)))
 
   private def ops(seed: Long, n: Int): Seq[Op] =
     (0 until n).map(i => opGen.pureApply(Gen.Parameters.default, Seed(seed * 1000 + i)))
@@ -66,8 +68,10 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
   private def run(tableType: String, props: Map[String, String], seed: Long): Unit = {
     val eventTime = props.get(ConfigKeys.Payload).contains("EVENT_TIME")
     val name = s"fuzz_${tableType.take(3)}_$seed".toLowerCase
-    val t = GraftTable.create(spark, tmpDir(name).toString,
+    val dir = tmpDir(name).toString
+    var t = GraftTable.create(spark, dir,
       TableConfig(name, tableType, Seq("id"), "id % 3", "ver", props))
+    val bucketed = props.get(ConfigKeys.IndexType).contains("BUCKET")
 
     var model = Map.empty[Long, (Long, String)]
     // rollback/restore target the model history: states BY COMMIT TS
@@ -132,6 +136,14 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
             if (wins) model = model.updated(id, (ver, v))
           }
           history = history.init :+ (history.last._1 -> model)
+        case Delete(_) if eventTime && t.cfg.isMor =>
+          // EVENT_TIME MOR: a tombstone's ordering value OUTRANKS later
+          // lower-ordered upserts (documented DefaultHoodieRecordPayload
+          // semantics, PayloadSpec's directed tombstone test) — and COW
+          // cannot retain tombstones, so the two types legitimately
+          // diverge on delete-then-late-upsert. The flat model can't
+          // express either; keep this variant's chaos to upserts.
+          ()
         case Delete(ids) =>
           record(t.delete(df(ids.map(id => (id, 99L, "")))))
           model = model.removedAll(ids)
@@ -160,12 +172,24 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
           Services.restore(t, target._1)
           history = history.take(history.size - 2)
           model = history.last._2
-        case _ => () // rollback/restore with too-short history: no-op
+          // restore may have undone bucket rescales, flipping the
+          // persisted routing count back — reload so this handle routes
+          // like any writer opening the table now would
+          if (bucketed) t = GraftTable.load(spark, dir)
+        case Rescale(n0) if bucketed =>
+          // layout-only: model unchanged, CDC must stay silent, and the
+          // new count governs every subsequent op in the sequence
+          val cur = graft.table.BucketIndex.numBuckets(t.cfg)
+          t = t.rescaleBuckets(if (n0 == cur) n0 + 1 else n0)
+        case _ => () // rollback/restore/rescale not applicable: no-op
       }
       assert(snap(t) === model,
         s"$tableType seed=$seed diverged after op #$i: $op")
       op match {
         case Upsert(_) | Delete(_) | Overwrite(_) | DropPartition(_) =>
+          checkCdc(prevTs, prevModel)
+        case Rescale(_) if bucketed =>
+          // a layout-only rewrite must keep the change feed SILENT
           checkCdc(prevTs, prevModel)
         case _ => () // rollback/restore rewrite the window itself
       }

@@ -64,6 +64,34 @@ class PayloadSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).count() === n - doomed.count())
   }
 
+  test("EVENT_TIME MOR: a retained tombstone outranks a later lower-ordered upsert") {
+    // The one place COW and MOR legitimately diverge under EVENT_TIME
+    // (reference DefaultHoodieRecordPayload has the same asymmetry): a
+    // high-ordered tombstone on MOR stays in the delta stack and keeps
+    // suppressing lower-ordered upserts; COW deletes physically, so the
+    // same upsert resurrects the key there. Compaction resolves the
+    // tombstone and drops it — after it, re-insertion lands again.
+    val t = GraftTable.create(spark, tmpDir("evt_tomb").toString,
+      cfg(TableType.MergeOnRead, Payload.EventTime, "o_totalprice"))
+    val src = orders
+    t.bulkInsert(src)
+    val doomed = src.filter(col("o_orderkey") % 10 === 0)
+    val n = src.count()
+    // definitive delete: ordering value above anything the key has seen
+    t.delete(doomed.withColumn("o_totalprice", lit(1e9)))
+    assert(Readers.snapshot(t).count() === n - doomed.count())
+    // late re-insert (lower ordering) — the retained tombstone wins
+    t.upsert(doomed.withColumn("o_totalprice", lit(5.0)))
+    assert(Readers.snapshot(t).count() === n - doomed.count(),
+      "late upsert must not resurrect past a higher-ordered tombstone")
+    // a re-insert ABOVE the tombstone's ordering does land
+    t.upsert(doomed.withColumn("o_totalprice", lit(2e9)))
+    assert(Readers.snapshot(t).count() === n)
+    // compaction folds the stack; the state it resolved persists
+    Services.scheduleCompaction(t).foreach(ts => Services.runCompaction(t, ts))
+    assert(Readers.snapshot(t).count() === n)
+  }
+
   test("PARTIAL_UPDATE: null columns keep stored values across a MOR version stack") {
     val t = GraftTable.create(spark, tmpDir("partial").toString,
       cfg(TableType.MergeOnRead, Payload.PartialUpdate, ""))
