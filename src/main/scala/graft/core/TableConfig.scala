@@ -73,6 +73,11 @@ object ConfigKeys {
   // tables (comma-separated); see table/SecondaryIndex.scala
   val SecondaryIndexColumns = "graft.index.secondary.columns"
   val SecondaryIndexBuckets = "graft.index.secondary.buckets" // explicit (else auto)
+  // EXPRESSION (functional) indexes: `name:<spark sql expr>` entries
+  // separated by `;` (e.g. "od_year:year(o_orderdate);clerk_lc:lower(o_clerk)").
+  // Each maintains a value → file-group table like a secondary column
+  // index, keyed by the EXPRESSION's value; see table/SecondaryIndex.scala
+  val SecondaryIndexExpressions = "graft.index.expressions"
   // file groups per partition under the BUCKET index — immutable for the
   // table's lifetime; size ≈ expected-partition-bytes / max-file-size
   val BucketIndexNumBuckets = "graft.index.bucket.num"

@@ -529,6 +529,20 @@ object TableOps {
       data(t.lookupBy("o_custkey", keys))
     }),
 
+    // EXPRESSION (functional) index: point reads by a derived value —
+    // month bucket of the order date — through a maintained value →
+    // file-group table; the upsert proves maintenance tracks rewrites
+    "t_expression_index" -> ((s, d) => {
+      val t = fresh(s, d, "t_expression_index", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.SecondaryIndexExpressions ->
+          "om:date_format(o_orderdate, 'yyyyMM')")))
+      val src = orders(s, d)
+      t.bulkInsert(src, SortMode.NoSort)
+      t.upsert(src.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      data(t.lookupBy("om", Seq("199506", "199807")))
+    }),
+
     // dedup as a table service: near-dup tombstoning in one commit over a
     // graft table holding the documents corpus (planted exact dups lose)
     "t_dedup_service" -> ((s, d) => {
@@ -1105,6 +1119,11 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders
          |WHERE (year(o_orderdate) <> 1995 AND o_orderkey % 40 <> 0)
          |   OR (year(o_orderdate) = 1995 AND o_orderkey % 2 = 0)""".stripMargin,
+    "t_expression_index" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE strftime(o_orderdate, '%Y%m') IN ('199506', '199807')""".stripMargin,
     "t_bucket_rescale" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,

@@ -39,7 +39,13 @@ final class GraftFileIndex(
     // equality/IN on the record-key field (or the key meta column) keeps
     // only the values' buckets. Driver-pure (the hash IS the location),
     // valid at any asOf (bucket ids are time-invariant).
-    keyBucket: Option[(String, String => String)] = None) extends FileIndex {
+    keyBucket: Option[(String, String => String)] = None,
+    // EXPRESSION-index pruning: canonical SQL of each indexed expression
+    // (resolved against the table schema, backticks stripped) → index
+    // name. A pushed `expr = lit` / `expr IN (...)` whose expression
+    // canonicalizes to a key probes that index like a column equality;
+    // any mismatch in form just skips pruning (safe, never wrong)
+    exprIndexes: Map[String, String] = Map.empty) extends FileIndex {
 
   private val byPartition: Map[String, Seq[FileEntry]] = entries.groupBy(_.partitionPath)
 
@@ -132,7 +138,13 @@ final class GraftFileIndex(
         Some(v.toString)
       case _ => None
     }
-    if (secondaryColumns.isEmpty) return Seq.empty
+    if (secondaryColumns.isEmpty && exprIndexes.isEmpty) return Seq.empty
+    // a non-attribute comparison side names an expression index when its
+    // canonical SQL (Catalyst's own `.sql`, backticks stripped — the
+    // same form the index registered) matches a registered expression
+    def exprName(e: Expression): Option[String] =
+      if (exprIndexes.isEmpty || e.isInstanceOf[AttributeReference]) None
+      else exprIndexes.get(GraftFileIndex.canonicalSql(e.sql))
     dataFilters.flatMap {
       case EqualTo(a: AttributeReference, Literal(v, t)) if secondaryColumns(a.name) =>
         litStr(v, t).map(s => a.name -> Seq(s))
@@ -142,6 +154,14 @@ final class GraftFileIndex(
           if secondaryColumns(a.name) && vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         val ss = vs.map { case Literal(v, t) => litStr(v, t) }
         if (ss.forall(_.isDefined)) Some(a.name -> ss.flatten.toSeq) else None
+      case EqualTo(e, Literal(v, t)) if exprName(e).isDefined =>
+        litStr(v, t).map(s => exprName(e).get -> Seq(s))
+      case EqualTo(Literal(v, t), e) if exprName(e).isDefined =>
+        litStr(v, t).map(s => exprName(e).get -> Seq(s))
+      case In(e, vs) if exprName(e).isDefined &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val ss = vs.map { case Literal(v, t) => litStr(v, t) }
+        if (ss.forall(_.isDefined)) Some(exprName(e).get -> ss.flatten.toSeq) else None
       case _ => None
     }
   }
@@ -223,8 +243,7 @@ final class GraftFileIndex(
   }
 
   private def toStatus(e: FileEntry): FileStatus =
-    new FileStatus(e.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
-      tableBase.resolve(e.relPath))
+    GraftFileIndex.entryStatus(tableBase, e)
 
   override def inputFiles: Array[String] =
     entries.map(e => tableBase.resolve(e.relPath).toString).toArray
@@ -232,4 +251,17 @@ final class GraftFileIndex(
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = entries.map(_.sizeBytes).sum
+}
+
+object GraftFileIndex {
+  /** Canonical comparison form for expression matching: Catalyst `.sql`
+    * with backticks stripped. Both the registered index expressions
+    * (resolved against the table schema at reader build) and the pushed
+    * filter sides normalize through here.
+    */
+  def canonicalSql(sql: String): String = sql.replace("`", "")
+
+  private[read] def entryStatus(tableBase: HPath, e: FileEntry): FileStatus =
+    new FileStatus(e.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
+      tableBase.resolve(e.relPath))
 }

@@ -106,6 +106,25 @@ object Readers {
         val secCols =
           if (asOf.isDefined) Set.empty[String]
           else graft.table.SecondaryIndex.enabledColumns(t.cfg).toSet
+        // expression indexes register by the CANONICAL SQL of their
+        // expression resolved against this schema (analysis only, no
+        // job); a pushed filter side canonicalizing to the same form
+        // probes the index. Unresolvable specs (column since dropped)
+        // just don't register.
+        val exprIdx: Map[String, String] =
+          if (asOf.isDefined) Map.empty
+          else graft.table.SecondaryIndex.expressionIndexes(t.cfg).flatMap { s =>
+            scala.util.Try {
+              val probe = t.spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
+              val resolved = probe.select(expr(s.exprSql))
+                .queryExecution.analyzed.expressions.head match {
+                case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+                case other => other
+              }
+              GraftFileIndex.canonicalSql(resolved.sql) -> s.name
+            }.toOption
+          }.toMap
         // bucket-layout key pruning is time-invariant — valid at any asOf
         val keyBucket = graft.table.BucketIndex.keyFieldPruner(t.cfg)
         entries.groupBy(e => graft.table.WritePipeline.formatOf(e.relPath))
@@ -115,7 +134,7 @@ object Readers {
                 t.spark,
                 new GraftFileIndex(t.spark, t.basePath, es, secCols,
                   (c, vs) => graft.table.SecondaryIndex.probeCurrentReadOnly(t, c, vs),
-                  keyBucket),
+                  keyBucket, exprIdx),
                 dataSchema, fmt)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           }

@@ -698,16 +698,21 @@ final class GraftTable(
     * non-matching files. Matching is by exact STRING cast — intended for
     * string / integral / date / decimal columns, not floating point.
     */
-  def lookupBy(column: String, values: Seq[String]): DataFrame = {
+  def lookupBy(target: String, values: Seq[String]): DataFrame = {
     require(values.nonEmpty, "lookupBy needs at least one value")
-    val indexed = SecondaryIndex.enabledColumns(cfg).contains(column)
+    // `target` is a maintained index name (plain column or expression
+    // index) or any bare column; the residual filter always re-applies
+    // the predicate, so a degraded probe only costs IO
+    val spec = SecondaryIndex.specOf(cfg, target)
+      .getOrElse(SecondaryIndex.IndexSpec(target, s"`$target`"))
+    val indexed = SecondaryIndex.specOf(cfg, target).isDefined
     val base =
-      if (indexed) SecondaryIndex.probeGroups(this, column, values) match {
+      if (indexed) SecondaryIndex.probeGroups(this, target, values) match {
         case Some(groups) => graft.read.Readers.snapshotGroups(this, groups)
         case None => graft.read.Readers.snapshot(this) // sync failed: degrade
       }
       else graft.read.Readers.snapshot(this)
-    base.filter(col(s"`$column`").cast("string").isin(values: _*))
+    base.filter(spec.valueCol.isin(values: _*))
       .drop(MetaCols.All: _*)
   }
 

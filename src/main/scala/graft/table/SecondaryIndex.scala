@@ -65,9 +65,45 @@ object SecondaryIndex {
     cfg.prop(ConfigKeys.SecondaryIndexColumns, "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  def indexPath(t: GraftTable, column: String): org.apache.hadoop.fs.Path = {
+  /** One maintained index: `name` is the identity (directory name, probe
+    * handle) and `exprSql` the Spark SQL expression producing the indexed
+    * value. A plain column index is the `name == column, exprSql ==
+    * `column`` special case; an EXPRESSION (functional) index — the
+    * capability the reference line later grew as functional indexes —
+    * maps any deterministic scalar of the row (`lower(city)`,
+    * `year(ts)`) to its file groups, so equality probes on the
+    * EXPRESSION prune IO the way column probes do.
+    */
+  final case class IndexSpec(name: String, exprSql: String) {
+    def valueCol: Column = expr(exprSql).cast("string")
+  }
+
+  /** Expression indexes from `graft.index.expressions`: `name:<expr>`
+    * entries split on `;`, name split on the FIRST `:` (expressions may
+    * contain colons). Names are directory-safe identifiers.
+    */
+  def expressionIndexes(cfg: TableConfig): Seq[IndexSpec] =
+    cfg.prop(ConfigKeys.SecondaryIndexExpressions, "")
+      .split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+        val i = s.indexOf(':')
+        require(i > 0 && i < s.length - 1,
+          s"malformed expression index '$s' (want name:<expr>)")
+        val name = s.substring(0, i).trim
+        require(name.matches("[A-Za-z0-9_]+"),
+          s"expression index name '$name' must be [A-Za-z0-9_]+")
+        IndexSpec(name, s.substring(i + 1).trim)
+      }
+
+  /** Every maintained index: plain columns first, then expressions. */
+  def indexSpecs(cfg: TableConfig): Seq[IndexSpec] =
+    enabledColumns(cfg).map(c => IndexSpec(c, s"`$c`")) ++ expressionIndexes(cfg)
+
+  def specOf(cfg: TableConfig, name: String): Option[IndexSpec] =
+    indexSpecs(cfg).find(_.name == name)
+
+  def indexPath(t: GraftTable, name: String): org.apache.hadoop.fs.Path = {
     import graft.core.Storage.PathOps
-    t.basePath.resolve(".graft").resolve("sec_index").resolve(column)
+    t.basePath.resolve(".graft").resolve("sec_index").resolve(name)
   }
 
   /** Bucket count AT REBUILD TIME (see [[RecordIndex.autoBuckets]]): the
@@ -110,13 +146,14 @@ object SecondaryIndex {
     * index table) and collect the mapped groups. Driver state is bounded
     * by the number of MATCHING groups — the point-lookup contract.
     */
-  def probeGroups(t: GraftTable, column: String,
+  def probeGroups(t: GraftTable, name: String,
       values: Seq[String]): Option[Set[(String, String)]] = {
+    val spec = specOf(t.cfg, name).getOrElse(return None)
     val inner =
-      try sync(t, column)
+      try sync(t, spec)
       catch {
         case NonFatal(e) =>
-          log.warn(s"secondary index sync failed for ${t.basePath}/$column; " +
+          log.warn(s"secondary index sync failed for ${t.basePath}/$name; " +
             s"falling back to a filtered snapshot scan: $e")
           return None
       }
@@ -159,17 +196,17 @@ object SecondaryIndex {
     * None (no pruning) instead of syncing: query planning must never
     * write, and writers keep the index current eagerly.
     */
-  def probeCurrentReadOnly(t: GraftTable, column: String,
+  def probeCurrentReadOnly(t: GraftTable, name: String,
       values: Seq[String]): Option[Set[(String, String)]] =
     try {
-      if (values.isEmpty || !TableConfig.exists(indexPath(t, column))) return None
-      val inner = GraftTable.load(t.spark, indexPath(t, column).toString)
+      if (values.isEmpty || !TableConfig.exists(indexPath(t, name))) return None
+      val inner = GraftTable.load(t.spark, indexPath(t, name).toString)
       val latest = t.timeline.completedDataInstants().lastOption.map(_.ts)
       if (latest.isEmpty || lastApplied(inner) != latest) return None
       Some(probeInner(t, inner, values))
     } catch {
       case NonFatal(e) =>
-        log.warn(s"read-only secondary probe failed for ${t.basePath}/$column " +
+        log.warn(s"read-only secondary probe failed for ${t.basePath}/$name " +
           s"(no pruning this query): $e")
         None
     }
@@ -180,11 +217,11 @@ object SecondaryIndex {
     * load-or-rebuild, then replay unapplied instants (same protocol as
     * [[RecordIndex.sync]]).
     */
-  private[table] def sync(t: GraftTable, column: String): GraftTable = {
+  private[table] def sync(t: GraftTable, spec: IndexSpec): GraftTable = {
     val outer = t.timeline.completedDataInstants()
     val existing =
-      if (TableConfig.exists(indexPath(t, column)))
-        Some(GraftTable.load(t.spark, indexPath(t, column).toString))
+      if (TableConfig.exists(indexPath(t, spec.name)))
+        Some(GraftTable.load(t.spark, indexPath(t, spec.name).toString))
       else None
     val innerValid = existing.flatMap { inner =>
       lastApplied(inner) match {
@@ -193,29 +230,30 @@ object SecondaryIndex {
       }
     }
     innerValid match {
-      case None => rebuild(t, column)
+      case None => rebuild(t, spec)
       case Some((inner, ts)) =>
         val unapplied = outer.filter(_.ts > ts)
         if (unapplied.isEmpty) inner
         else
-          try applyInstants(t, column, inner, unapplied)
+          try applyInstants(t, spec, inner, unapplied)
           catch {
             case NonFatal(e) =>
               log.info(s"secondary index catch-up failed (${e.getMessage}); rebuilding")
-              rebuild(t, column)
+              rebuild(t, spec)
           }
     }
   }
 
   /** Best-effort eager maintenance after a published commit, for every
-    * configured column. Failure only defers work to the next probe.
+    * configured column and expression index. Failure only defers work to
+    * the next probe.
     */
   private[table] def maybeSync(t: GraftTable): Unit =
-    enabledColumns(t.cfg).foreach { c =>
-      try { sync(t, c); () }
+    indexSpecs(t.cfg).foreach { spec =>
+      try { sync(t, spec); () }
       catch {
         case NonFatal(e) =>
-          log.warn(s"eager secondary index sync failed for ${t.basePath}/$c " +
+          log.warn(s"eager secondary index sync failed for ${t.basePath}/${spec.name} " +
             s"(commit is durable; next probe catches up): $e")
       }
     }
@@ -233,7 +271,7 @@ object SecondaryIndex {
     * the column (additive schema evolution) contribute nothing; their
     * rows' values are null there and null values are never indexed.
     */
-  private def applyInstants(t: GraftTable, column: String, inner: GraftTable,
+  private def applyInstants(t: GraftTable, spec: IndexSpec, inner: GraftTable,
       instants: Seq[GraftInstant]): GraftTable = {
     val entries = instants.flatMap { i =>
       val md = CommitMetadata.fromJson(t.timeline.readContent(i))
@@ -251,30 +289,30 @@ object SecondaryIndex {
       if (raw.columns.contains(WritePipeline.DeleteCol))
         raw.filter(!coalesce(col(WritePipeline.DeleteCol), lit(false)))
       else raw
-    if (!rows.columns.contains(column)) {
-      inner.upsert(emptyMappings(t), Map(AppliedKey -> maxTs))
-      return inner
-    }
-    inner.upsert(mappings(rows, column, storedBuckets(inner),
-      ordCol = col(MetaCols.CommitTime)), Map(AppliedKey -> maxTs))
+    // files predating a referenced column (additive evolution) resolve
+    // the expression to error — treated like the absent-column case: the
+    // changeset contributes nothing, the watermark still advances (the
+    // NEXT full rebuild re-covers once the snapshot read aligns schemas)
+    val frame =
+      try mappings(rows, spec, storedBuckets(inner), ordCol = col(MetaCols.CommitTime))
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyMappings(t) }
+    inner.upsert(frame, Map(AppliedKey -> maxTs))
     inner
   }
 
   /** Full rebuild from the current snapshot: one distributed scan of the
-    * indexed column, then the index restarts from the latest instant.
+    * indexed value, then the index restarts from the latest instant.
     */
-  private def rebuild(t: GraftTable, column: String): GraftTable = {
-    WritePipeline.deleteRecursively(indexPath(t, column))
+  private def rebuild(t: GraftTable, spec: IndexSpec): GraftTable = {
+    WritePipeline.deleteRecursively(indexPath(t, spec.name))
     val n = autoBuckets(t)
-    val inner = GraftTable.create(t.spark, indexPath(t, column).toString,
-      innerCfg(column, n))
+    val inner = GraftTable.create(t.spark, indexPath(t, spec.name).toString,
+      innerCfg(spec.name, n))
     val outer = t.timeline.completedDataInstants()
     if (outer.isEmpty) return inner
     val maxTs = outer.last.ts
     val snap = Readers.snapshot(t)
-    require(snap.columns.contains(column),
-      s"secondary index column '$column' is not in the table schema")
-    inner.upsert(mappings(snap, column, n, ordCol = lit(maxTs)),
+    inner.upsert(mappings(snap, spec, n, ordCol = lit(maxTs)),
       Map(AppliedKey -> maxTs))
     inner
   }
@@ -283,9 +321,9 @@ object SecondaryIndex {
     * rows carrying the meta columns. Null values are not indexed (an
     * equality probe never matches null).
     */
-  private def mappings(rows: DataFrame, column: String, buckets: Int,
+  private def mappings(rows: DataFrame, spec: IndexSpec, buckets: Int,
       ordCol: Column): DataFrame = {
-    val v = col(s"`$column`").cast("string")
+    val v = spec.valueCol
     rows.filter(v.isNotNull).select(
       v.as("_si_val"),
       col(MetaCols.PartitionPath).as("_si_part"),

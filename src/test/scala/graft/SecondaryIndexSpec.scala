@@ -187,4 +187,79 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(got.count() ===
       orders.filter(col("o_orderpriority") === "1-URGENT").count())
   }
+
+  // month bucket (selective, partition-correlated: a month lives in one
+  // year partition) + case-folded status (move semantics)
+  private def exprCfg() = secCfg(Map(
+    ConfigKeys.SecondaryIndexExpressions ->
+      "om:date_format(o_orderdate, 'yyyyMM');stlc:lower(o_orderstatus)"))
+
+  private def monthOf(t: GraftTable): String = Readers.snapshot(t)
+    .select(date_format(col("o_orderdate"), "yyyyMM").as("m"))
+    .groupBy("m").count().orderBy("count").first().getString(0)
+
+  test("expression index: lookupBy by name == expression-filtered snapshot; probe prunes") {
+    val dir = tmpDir("sec_expr")
+    val t = GraftTable.create(spark, dir.toString, exprCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    assert(TableConfig.exists(SecondaryIndex.indexPath(t, "om")))
+    assert(TableConfig.exists(SecondaryIndex.indexPath(t, "stlc")))
+
+    val m = monthOf(t)
+    val got = t.lookupBy("om", Seq(m))
+    val want = orders.filter(date_format(col("o_orderdate"), "yyyyMM") === m)
+    assert(got.count() === want.count())
+    assert(got.select("o_orderkey").except(want.select("o_orderkey")).count() === 0)
+
+    val groups = SecondaryIndex.probeGroups(t, "om", Seq(m)).get
+    val total = t.view.fileSlices(None).size
+    assert(groups.nonEmpty && groups.size < total,
+      s"expression probe did not prune: ${groups.size} of $total groups")
+  }
+
+  test("expression index: updating a source column moves the indexed value") {
+    val dir = tmpDir("sec_expr_move")
+    val t = GraftTable.create(spark, dir.toString, exprCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+    val moved = orders.filter(col("o_orderkey") === 42)
+      .withColumn("o_orderstatus", lit("ZZ"))
+    t.upsert(moved)
+    // the probe value is the EXPRESSION's output (lower case), found via
+    // the index after the value moved
+    val got = t.lookupBy("stlc", Seq("zz"))
+    assert(got.count() === 1)
+    assert(got.first().getAs[Long]("o_orderkey") === 42L)
+  }
+
+  test("expression index: plan-time pruning for WHERE on the expression") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir("sec_expr_plan")
+    val t = GraftTable.create(spark, dir.toString, exprCfg())
+    t.bulkInsert(orders, SortMode.NoSort)
+
+    def listedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+    }
+    val m = monthOf(t)
+    val all = listedFiles(Readers.snapshot(t))
+    val pruned = Readers.snapshot(t)
+      .filter(expr(s"date_format(o_orderdate, 'yyyyMM') = '$m'"))
+    assert(listedFiles(pruned) < all,
+      s"equality on the indexed expression did not prune (listed all $all files)")
+    assert(pruned.count() ===
+      orders.filter(date_format(col("o_orderdate"), "yyyyMM") === m).count())
+    // IN-list form prunes too
+    val inPruned = Readers.snapshot(t)
+      .filter(expr(s"date_format(o_orderdate, 'yyyyMM') in ('$m')"))
+    assert(listedFiles(inPruned) < all)
+    assert(inPruned.count() === pruned.count())
+    // a DIFFERENT expression shape must not consult the index (and the
+    // scan stays correct by reading everything)
+    val other = Readers.snapshot(t)
+      .filter(expr(s"date_format(o_orderdate, 'yyyy-MM') = '$m'"))
+    assert(other.count() === 0)
+  }
 }
