@@ -88,6 +88,32 @@ object TextSearch {
     scores.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion of retrieval rankings (public method:
+    * Cormack et al., "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual Rank Learning Methods", 2009) — the standard hybrid-
+    * retrieval combiner: each input ranking contributes `1/(c + rank)`
+    * per (query, doc) and the fused list ranks by the sum. Inputs are
+    * `(query_id, doc_id, rank)` frames from ANY retriever (BM25, ANN,
+    * a recency ranking); docs missing from a list just contribute 0.
+    *
+    * Per-list contributions quantize to DECIMAL(18,8) before summing so
+    * the fused score is independent of aggregation order (same
+    * discipline as [[bm25TopK]]'s per-term parts). One shuffle: the
+    * (query_id, doc_id) sum; rankings are top-k sized, never corpus-
+    * sized, so the fusion input is |queries| × k × lists rows.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val parts = rankings.map(_.select(col("query_id"), col("doc_id"),
+      round(lit(1.0) / (col("rank") + c), 8).cast("decimal(18,8)").as("_rr")))
+    val fused = parts.reduce(_.unionByName(_))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("_rr")).cast("double"), 6).as("rrf_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** TF-IDF keyword extraction: the `topK` most characteristic terms per
     * document, `score = tf * ln(N / df)` rounded to 4 dp, ranked by
     * `(score DESC, term)` for deterministic ties.

@@ -516,6 +516,24 @@ object PipelineQueries {
     "p_tfidf_keywords" -> ((s, d) =>
       TextSearch.tfidfKeywords(docs(s, d), topK = 3)),
 
+    // HYBRID retrieval: BM25 lexical top-20 fused with brute-force
+    // cosine vector top-20 by reciprocal-rank fusion (1/(60+rank) per
+    // list, decimal-quantized) — the RAG-stack retrieval combiner;
+    // queries are docs 0-2 (text prefix) with their embeddings
+    "p_hybrid_retrieval" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(Repetition.tokens(col("text")), 1, 8), " ").as("text"))
+      val lex = TextSearch.bm25TopK(all, qs, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val vecs = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val vec = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      TextSearch.rrfFuse(Seq(lex, vec), k = 10)
+    }),
+
     // INCREMENTAL rollup service (materialized-view maintenance): a
     // per-customer aggregate table is kept in sync with a keyed source
     // through insert + delete + update ticks — each sync re-aggregates
@@ -595,6 +613,18 @@ object PipelineQueries {
       Decontaminate.contaminationScore(
         all.filter(col("doc_id") % 97 =!= 0),
         all.filter(col("doc_id") % 97 === 0), n = 8)
+    }),
+
+    // DSIR importance weighting: hashed-unigram log ratio of a target
+    // slice (docs % 5 == 0) vs the raw rest — the "select crawl that
+    // looks like my target domain" scorer; md5 feature hash + ln replay
+    // exactly in the oracle
+    "p_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      Dsir.importanceWeights(
+        all.filter(col("doc_id") % 5 =!= 0),
+        all.filter(col("doc_id") % 5 === 0), buckets = 1024)
+        .select(col("doc_id"), round(col("dsir_logw"), 4).as("dsir_logw"))
     }),
 
     // CCNet-style LM quality scoring: bigram model trained on the 80%
@@ -1192,6 +1222,82 @@ object PipelineQueries {
            |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_hybrid_retrieval" ->
+      raw"""WITH tkd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents
+         |), dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tkd),
+         |w AS (SELECT doc_id, unnest(tk) AS term FROM tkd),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+         |q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8])) AS term
+         |  FROM tkd WHERE doc_id < 3
+         |), matched AS (
+         |  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+         |), dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM matched GROUP BY 1),
+         |ts AS (
+         |  SELECT q.query_id, m.doc_id,
+         |    CAST(round(
+         |      ln((s.n_docs - f.dfreq + 0.5) / (f.dfreq + 0.5) + 1.0)
+         |      * (m.tf * 2.2) / (m.tf + (d.dl / (s.sum_dl::DOUBLE / s.n_docs) * 0.75 + 0.25) * 1.2), 8)
+         |      AS DECIMAL(18,8)) AS ts
+         |  FROM matched m
+         |  JOIN q ON m.term = q.term
+         |  JOIN dfreq f ON m.term = f.term
+         |  JOIN dl d ON m.doc_id = d.doc_id
+         |  CROSS JOIN stats s
+         |), sc AS (
+         |  SELECT query_id, doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+         |  FROM ts GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |    FROM sc) WHERE rank <= 20
+         |), vec AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY list_cosine_similarity(qe.embedding, c.embedding) DESC, c.vec_id) AS rank
+         |    FROM embeddings qe JOIN embeddings c ON qe.vec_id < 3 AND qe.vec_id <> c.vec_id)
+         |  WHERE rank <= 20
+         |), parts AS (
+         |  SELECT query_id, doc_id, CAST(round(1.0 / (rank + 60), 8) AS DECIMAL(18,8)) AS rr FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id, CAST(round(1.0 / (rank + 60), 8) AS DECIMAL(18,8)) AS rr FROM vec
+         |), fused AS (
+         |  SELECT query_id, doc_id, round(CAST(sum(rr) AS DOUBLE), 6) AS rrf_score
+         |  FROM parts GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+         |  FROM fused) WHERE rank <= 10""".stripMargin,
+    "p_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b FROM tok),
+         |tgt AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 5 = 0 GROUP BY 1),
+         |raww AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |tot AS (SELECT
+         |  (SELECT coalesce(sum(c), 0) FROM tgt) AS tt,
+         |  (SELECT coalesce(sum(c), 0) FROM raww) AS rt),
+         |llr AS (
+         |  SELECT bs.b,
+         |    ln((coalesce(tgt.c, 0) + 1)::DOUBLE / (tot.tt + 1024)::DOUBLE)
+         |  - ln((coalesce(raww.c, 0) + 1)::DOUBLE / (tot.rt + 1024)::DOUBLE) AS lw
+         |  FROM (SELECT unnest(range(0, 1024)) AS b) bs
+         |  LEFT JOIN tgt ON bs.b = tgt.b
+         |  LEFT JOIN raww ON bs.b = raww.b
+         |  CROSS JOIN tot),
+         |sc AS (
+         |  SELECT tb.doc_id, sum(llr.lw) AS w
+         |  FROM tb JOIN llr ON tb.b = llr.b
+         |  WHERE tb.doc_id % 5 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, round(coalesce(sc.w, 0.0), 4) AS dsir_logw
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |WHERE d.doc_id % 5 <> 0""".stripMargin,
     "p_lm_perplexity" ->
       s"""WITH tok AS (
          |  SELECT doc_id,
