@@ -84,6 +84,11 @@ object ConfigKeys {
   // opt-in automatic partition TTL: keep only the newest N partition
   // paths after each data commit (Services.expirePartitions keepLast)
   val PartitionTtlKeepLast = "graft.partition.ttl.keep.last"
+  // opt-in automatic RECORD-level TTL after each data commit: expire rows
+  // whose `ttl.column` event time is more than `ttl.keep.days` behind the
+  // table's newest (Services.expireRecords — data-derived watermark)
+  val RecordTtlColumn = "graft.record.ttl.column"
+  val RecordTtlKeepDays = "graft.record.ttl.keep.days"
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
   val UrlEncodePartitions = "graft.partitionpath.urlencode" // false

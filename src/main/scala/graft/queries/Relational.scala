@@ -485,6 +485,23 @@ object Relational {
     // TPC-H Q10 shape (returned-item revenue): customers who returned
     // goods in a quarter, ranked by lost revenue — 4-table join, exact
     // decimal revenue, deterministic top-20 (revenue desc, custkey asc)
+    // TPC-H Q13 shape (customer order-count distribution; the comment
+    // NOT LIKE filter stands in as an order-priority exclusion): LEFT
+    // join so order-less customers count at zero, then a second
+    // aggregation over the counts — the double-aggregation histogram
+    "q41_custdist" -> ((s, d) => {
+      t(s, d, "customer").select("c_custkey")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     "q40_returned_revenue" -> ((s, d) => {
       t(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .join(t(s, d, "orders")
@@ -602,6 +619,14 @@ object Relational {
         |  o.o_totalprice, CAST(b.sum_qty AS DOUBLE) AS sum_qty
         |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q41_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q40_returned_revenue" ->
       """SELECT c.c_custkey, c.c_name, n.n_name,
         |CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -478,6 +478,19 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // RECORD-level TTL: expire rows older than keepDays behind the
+    // table's own newest event time (data-derived watermark, row
+    // granularity — partitioning isn't the retention axis here), then
+    // prove auto mode leaves nothing more to expire
+    "t_record_ttl" -> ((s, d) => {
+      val t = fresh(s, d, "t_record_ttl", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.RecordTtlColumn -> "o_orderdate",
+          ConfigKeys.RecordTtlKeepDays -> "730")))
+      // bulkInsert's postCommit runs the auto expiry inline
+      t.bulkInsert(orders(s, d))
+      data(Readers.snapshot(t))
+    }),
+
     // BUCKET index: hash-addressed stable file groups — tagging is a
     // row-local projection, zero lookup IO (the throughput write path).
     // The lifecycle crosses bulkInsert + upsert + delete + delete_partition
@@ -1132,6 +1145,9 @@ object TableOps {
     "t_partition_ttl" ->
       s"""SELECT $OrdersSql FROM orders
          |WHERE year(o_orderdate) >= (SELECT max(year(o_orderdate)) - 2 FROM orders)""".stripMargin,
+    "t_record_ttl" ->
+      s"""SELECT $OrdersSql FROM orders
+         |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 730 DAY""".stripMargin,
     "t_bloom_index_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

@@ -154,6 +154,12 @@ final class GraftCli(spark: SparkSession) {
       CliText(if (expired.isEmpty) "Nothing to expire"
         else s"Expired ${expired.size} partition(s): ${expired.mkString(", ")}")
     },
+    "records expire" -> { o =>
+      // record-level TTL from the shell: --column <ts col> --keepDays n
+      val ts = Services.expireRecords(table, req(o, "column"),
+        req(o, "keepDays").toInt)
+      CliText(ts.map(t => s"Expired as $t").getOrElse("Nothing to expire"))
+    },
     "metadata list-partitions" -> { _ =>
       import spark.implicits._
       CliFrame(table.view.fileSlices(None).map(_.partitionPath)

@@ -1524,6 +1524,13 @@ final class GraftTable(
     // expiry replacecommit's own postCommit finds nothing left to expire.
     val ttlKeep = cfg.propLong(ConfigKeys.PartitionTtlKeepLast, -1L).toInt
     if (ttlKeep > 0) Services.expirePartitions(this, keepLast = ttlKeep)
+    // record-level TTL (opt-in, the auto form of Services.expireRecords).
+    // Terminates the same way: the expiry delete leaves no row below the
+    // unchanged watermark, so ITS postCommit expires nothing.
+    val ttlCol = cfg.prop(ConfigKeys.RecordTtlColumn, "")
+    val ttlDays = cfg.propLong(ConfigKeys.RecordTtlKeepDays, -1L).toInt
+    if (ttlCol.nonEmpty && ttlDays > 0)
+      Services.expireRecords(this, ttlCol, ttlDays)
     // auto-clean after data commits (reference hoodie.clean.automatic,
     // CleanerUtils — runs with every commit there). Opt-in here: clean
     // bounds incremental-read lag to the retention window, and graft's

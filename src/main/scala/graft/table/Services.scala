@@ -355,6 +355,33 @@ object Services {
     expired
   }
 
+  /** Record-level TTL: expire rows whose event time fell more than
+    * `keepDays` behind the TABLE'S OWN newest event time — one
+    * predicate-pruned delete commit (the row-granular complement of
+    * [[expirePartitions]], for tables whose partitioning isn't the
+    * retention axis). The watermark is data-derived (max of `tsCol`),
+    * never wall clock, so retention is deterministic and a stalled
+    * ingest never eats its own tail. Returns None when nothing expired.
+    *
+    * Scale shape: one max() aggregate (pushdown + column pruning), then
+    * GraftTable.deleteWhere's two-pass pruned rewrite — column-stats
+    * skipping means only file groups whose min event time predates the
+    * cutoff are ever opened.
+    */
+  def expireRecords(t: GraftTable, tsCol: String, keepDays: Int): Option[String] = {
+    require(keepDays > 0, s"keepDays must be positive, got $keepDays")
+    val snap = graft.read.Readers.snapshot(t)
+    require(snap.columns.contains(tsCol), s"TTL column '$tsCol' not in schema")
+    val row = snap.agg(max(col(s"`$tsCol`").cast("timestamp")).as("_m")).first()
+    if (row.isNullAt(0)) return None
+    // epoch-micros arithmetic: timezone-free, exact
+    val cutoffMicros = row.getTimestamp(0).getTime * 1000L -
+      keepDays.toLong * 86400L * 1000000L
+    val cond = s"unix_micros(CAST(`$tsCol` AS TIMESTAMP)) < ${cutoffMicros}"
+    if (snap.filter(expr(cond)).limit(1).isEmpty) None
+    else Some(t.deleteWhere(cond))
+  }
+
   /** Cleaner retention policies (reference CleanPlanner.java:119-392 /
     * HoodieCleaningPolicy.java): commits-horizon retention (the default),
     * a hard per-group version count, and a wall-clock horizon.

@@ -72,4 +72,45 @@ class PartitionTtlSpec extends AnyFunSuite {
       Services.expirePartitions(t, keepLast = 1, lastWriteBefore = Some(cutoff))
     }
   }
+
+  test("record TTL: rows older than keepDays behind the watermark expire") {
+    val dir = tmpDir("rttl")
+    // non-partitioned: the retention axis is the row's own event time
+    val t = GraftTable.create(spark, dir.toString,
+      TableConfig("orders_rttl", TableType.CopyOnWrite,
+        Seq("o_orderkey"), "", "o_orderdate"))
+    t.bulkInsert(orders)
+    val cutoff = orders.agg((max(col("o_orderdate").cast("timestamp")) -
+      expr("INTERVAL 400 DAY")).as("c")).first().getTimestamp(0)
+    val keep = orders.filter(col("o_orderdate").cast("timestamp") >= lit(cutoff))
+    val ts = Services.expireRecords(t, "o_orderdate", keepDays = 400)
+    assert(ts.isDefined)
+    val snap = Readers.snapshot(t)
+    assert(snap.count() === keep.count())
+    assert(snap.filter(col("o_orderdate").cast("timestamp") < lit(cutoff)).count() === 0)
+    // idempotent: watermark unchanged, nothing more below it
+    val commits = t.timeline.completedInstants().size
+    assert(Services.expireRecords(t, "o_orderdate", keepDays = 400).isEmpty)
+    assert(t.timeline.completedInstants().size === commits)
+  }
+
+  test("auto record TTL expires on every commit and terminates") {
+    val dir = tmpDir("rttl_auto")
+    val t = GraftTable.create(spark, dir.toString,
+      TableConfig("orders_rttl_a", TableType.CopyOnWrite,
+        Seq("o_orderkey"), "", "o_orderdate",
+        Map(ConfigKeys.RecordTtlColumn -> "o_orderdate",
+          ConfigKeys.RecordTtlKeepDays -> "400")))
+    t.bulkInsert(orders)
+    val cutoff = orders.agg((max(col("o_orderdate").cast("timestamp")) -
+      expr("INTERVAL 400 DAY")).as("c")).first().getTimestamp(0)
+    val keep = orders.filter(col("o_orderdate").cast("timestamp") >= lit(cutoff))
+    assert(Readers.snapshot(t).count() === keep.count())
+    // a fresh batch of ONLY-old rows expires entirely on its own commit
+    val old500 = orders.agg((max(col("o_orderdate").cast("timestamp")) -
+      expr("INTERVAL 500 DAY")).as("c")).first().getTimestamp(0)
+    t.upsert(orders.filter(col("o_orderdate").cast("timestamp") < lit(old500))
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+    assert(Readers.snapshot(t).count() === keep.count())
+  }
 }
