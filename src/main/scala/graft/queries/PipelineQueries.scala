@@ -114,6 +114,14 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // embedding covariance matrix (the corpus-sized pass under PCA):
+    // upper-triangle (i, j, cov) from decimal-quantized product sums —
+    // aggregation-order independent, the oracle replays every entry.
+    // The d×d result is dimension-bounded, never corpus-bounded; the
+    // eigensolve on top is Pca.fit (PcaSpec)
+    "p_embed_covariance" -> ((s, d) =>
+      Pca.covarianceExact(embs(s, d))),
+
     // int8 scalar quantization of the embedding corpus: per-vector
     // parameters + integer code stats (exact) — the stored-index shape
     // that cuts first-pass ANN scan bytes 4×
@@ -1703,6 +1711,27 @@ object PipelineQueries {
         |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    "p_embed_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (SELECT count(*)::BIGINT AS n FROM e),
+        |x AS (
+        |  SELECT vec_id, i::BIGINT - 1 AS i, v[i] AS val
+        |  FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)
+        |), si AS (
+        |  SELECT i, CAST(sum(CAST(round(val, 8) AS DECIMAL(18,8))) AS DOUBLE) AS s
+        |  FROM x GROUP BY 1
+        |), sp AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(sum(CAST(round(a.val * b.val, 8) AS DECIMAL(18,8))) AS DOUBLE) AS sp
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT sp.i, sp.j, round((sp.sp - si.s * sj.s / n.n) / n.n, 8) AS cov
+        |FROM sp
+        |JOIN si ON sp.i = si.i
+        |JOIN si sj ON sp.j = sj.i
+        |CROSS JOIN n""".stripMargin,
     // exact SQL twin of Similarity.quantize: lo/step are single IEEE ops on
     // the (double-cast) inputs, codes are integers — all hash-exact
     "p_embed_quantize" ->
