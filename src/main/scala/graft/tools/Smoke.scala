@@ -195,6 +195,12 @@ object Smoke {
       val hit = bt.lookup(Seq(key)).count()
       println(s"[smoke] bucket_index: snapshot=$n (expect ${src.count()}) " +
         s"lookup=$hit (expect 1)")
+      // rescale: every row re-routes to the new count, same logical rows
+      val rt = bt.rescaleBuckets(10)
+      val rn = Readers.snapshot(rt).count()
+      val buckets = rt.view.fileSlices(None).map(_.fileId).distinct.size
+      println(s"[smoke] bucket_rescale: snapshot=$rn (expect ${src.count()}) " +
+        s"distinct_buckets=$buckets (expect >4)")
     }
 
     // secondary index: non-key point reads through value -> group mappings
@@ -209,6 +215,35 @@ object Smoke {
       val got = st.lookupBy("o_custkey", Seq(ck)).count()
       val want = src.filter(col("o_custkey") === ck.toLong).count()
       println(s"[smoke] secondary_index: lookupBy=$got (expect $want)")
+    }
+
+    // expression index: point reads by a derived value (month bucket)
+    locally {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val xt = GraftTable.create(spark, s"${out}_expridx", TableConfig(
+        "orders_xi", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+        Map(ConfigKeys.SecondaryIndexExpressions ->
+          "om:date_format(o_orderdate, 'yyyyMM')")))
+      xt.bulkInsert(src)
+      val m = src.select(date_format(col("o_orderdate"), "yyyyMM").as("m"))
+        .first().getString(0)
+      val got = xt.lookupBy("om", Seq(m)).count()
+      val want = src.filter(date_format(col("o_orderdate"), "yyyyMM") === m).count()
+      println(s"[smoke] expression_index: lookupBy=$got (expect $want)")
+    }
+
+    // record TTL: rows older than keepDays behind the data watermark expire
+    locally {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val rt = GraftTable.create(spark, s"${out}_rttl", TableConfig(
+        "orders_rttl", TableType.CopyOnWrite, Seq("o_orderkey"), "", "o_orderdate"))
+      rt.bulkInsert(src)
+      graft.table.Services.expireRecords(rt, "o_orderdate", keepDays = 365)
+      val cutoff = src.agg((max(col("o_orderdate").cast("timestamp")) -
+        expr("INTERVAL 365 DAY")).as("c")).first().getTimestamp(0)
+      val want = src.filter(col("o_orderdate").cast("timestamp") >= lit(cutoff)).count()
+      println(s"[smoke] record_ttl: snapshot=${Readers.snapshot(rt).count()} (expect $want)")
     }
     spark.stop()
     println("[smoke] OK")
