@@ -1303,6 +1303,24 @@ final class GraftTable(
     * for the EAGER/LAZY policy semantics). Costs one pending-instant
     * listing when the timeline is clean.
     */
+  /** Guard against the one config drift that CORRUPTS data: a handle
+    * loaded before another writer's bucket rescale would route keys by
+    * the OLD count, landing a key's new copy in a group its existing
+    * copy never lived in (silent duplicates). Checked under the table
+    * lock before every commit on bucket layouts — one tiny config read;
+    * the rescale's own commit passes because the persisted count only
+    * flips AFTER its replacecommit publishes. Other config drift
+    * (rename, TTL knobs) is benign and not policed.
+    */
+  private def requireRoutingCurrent(): Unit =
+    if (BucketIndex.enabled(cfg) && TableConfig.exists(basePath)) {
+      val persisted = BucketIndex.numBuckets(TableConfig.load(basePath))
+      val mine = BucketIndex.numBuckets(cfg)
+      require(persisted == mine,
+        s"bucket count changed by a concurrent rescale (handle has $mine, " +
+          s"table has $persisted) — reload the table with GraftTable.load")
+    }
+
   private def reapFailedWritesPerPolicy(): Unit =
     cfg.prop(ConfigKeys.FailedWritesPolicy, "LAZY") match {
       case "EAGER" => Services.rollbackFailedWrites(this, 0L)
@@ -1316,6 +1334,7 @@ final class GraftTable(
       body: String => (Seq[WriteStat], Map[String, Seq[String]], String))
       : (String, Seq[WriteStat], String) = {
     reapFailedWritesPerPolicy()
+    requireRoutingCurrent()
     val ts = InstantTime.newInstant(timeline) // clamped above all timeline instants
     val inst = timeline.createRequested(ts, action)
     timeline.transitionToInflight(inst)
@@ -1429,6 +1448,7 @@ final class GraftTable(
       // optimistic-only deployments must reclaim crashed writers too —
       // LAZY's staleness window keeps live unlocked writers safe
       reapFailedWritesPerPolicy()
+      requireRoutingCurrent()
       val ts = InstantTime.newInstant(timeline)
       val i = timeline.createRequested(ts, action)
       (ts, timeline.transitionToInflight(i))

@@ -419,6 +419,26 @@ class BucketIndexSpec extends AnyFunSuite {
     assert(snap.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("a stale handle refuses to write across another writer's rescale") {
+    val dir = tmpDir("rs_stale")
+    val t1 = GraftTable.create(spark, dir.toString, bCfg())
+    t1.bulkInsert(orders.limit(400))
+    val stale = GraftTable.load(spark, dir.toString) // handle with 8 buckets
+    t1.rescaleBuckets(16)
+    // the stale handle would route keys by the OLD count — refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      stale.upsert(orders.limit(50).withColumn("o_totalprice", lit(1.0)))
+    }
+    assert(ex.getMessage.contains("rescale"))
+    // a reloaded handle writes fine and keys stay single-copied
+    val fresh = GraftTable.load(spark, dir.toString)
+    fresh.upsert(orders.limit(50).withColumn("o_totalprice", lit(2.0)))
+    val snap = Readers.snapshot(fresh)
+    assert(snap.count() === 400)
+    assert(snap.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+    assert(misrouted(fresh) === 0)
+  }
+
   test("MOR rescale folds deltas into the new layout") {
     val dir = tmpDir("rs_mor")
     var t = GraftTable.create(spark, dir.toString,
