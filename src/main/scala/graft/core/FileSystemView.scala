@@ -19,7 +19,9 @@ final case class FileEntry(
     numRecords: Long = 0L,
     colMin: Map[String, String] = Map.empty,
     colMax: Map[String, String] = Map.empty,
-    colNulls: Map[String, Long] = Map.empty)
+    colNulls: Map[String, Long] = Map.empty,
+    // exhaustive dictionary value sets (see WriteStat.colValues)
+    colValues: Map[String, Seq[String]] = Map.empty)
 
 /** Latest view of one file group at some instant: newest base file plus the
   * delta files written after it (reference model/FileSlice.java:32-53).
@@ -160,7 +162,7 @@ final class FileSystemView(basePath: Path, timeline: Timeline,
           .map(ws => FileEntry(
           ws.partitionPath, ws.fileId, i.ts, ws.path, ws.fileSizeInBytes,
           ws.isDelta, ws.minRecordKey, ws.maxRecordKey, ws.numWrites,
-          ws.colMin, ws.colMax, ws.colNulls))
+          ws.colMin, ws.colMax, ws.colNulls, ws.colValues))
         md.replacedFileIds.foreach { case (part, fids) =>
           fids.foreach { fid =>
             val k = ViewState.groupKey(part, fid)
@@ -312,8 +314,13 @@ final class FileSystemView(basePath: Path, timeline: Timeline,
         import ss.implicits._
         val meta = Json.read[ViewState](
           Storage.readString(indexDir.resolve(s"files_$ts.meta.json")))
-        var ds = ss.read.parquet(indexDir.resolve(s"files_$ts.parquet").toString)
-          .as[FileEntry]
+        var raw = ss.read.parquet(indexDir.resolve(s"files_$ts.parquet").toString)
+        // snapshots written before the dictionary-value-set field lack the
+        // column; decode them with an empty map rather than failing
+        if (!raw.columns.contains("colValues"))
+          raw = raw.withColumn("colValues", org.apache.spark.sql.functions
+            .typedLit(Map.empty[String, Seq[String]]))
+        var ds = raw.as[FileEntry]
         // partition pruning pushes into the parquet scan — the driver only
         // ever collects the queried partitions' entries
         partitions.foreach(ps =>

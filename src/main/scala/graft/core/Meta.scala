@@ -43,7 +43,13 @@ final case class WriteStat(
     colMax: Map[String, String] = Map.empty,
     // per-column null counts (footer-exact) — power IS NULL / IS NOT NULL
     // file skipping; absent for columns whose footers lack the figure
-    colNulls: Map[String, Long] = Map.empty)
+    colNulls: Map[String, Long] = Map.empty,
+    // EXHAUSTIVE distinct-value sets for low-cardinality columns, decoded
+    // from the parquet dictionary pages (recorded only when every data
+    // page of every row group is dictionary-encoded and the dictionary is
+    // small) — equality/IN pruning where min/max is useless because the
+    // range spans every file (e.g. a categorical status column)
+    colValues: Map[String, Seq[String]] = Map.empty)
 
 /** Commit metadata JSON stored as the content of a completed instant file.
   * Mirrors the reference's HoodieCommitMetadata / HoodieReplaceCommitMetadata:

@@ -199,6 +199,23 @@ final class GraftFileIndex(
   private def inRange(f: FileEntry, colName: String, t: DataType, lit: Any,
       op: String): Boolean = {
     if (lit == null) return true
+    // dictionary value-set pruning: where the file recorded an EXHAUSTIVE
+    // distinct set (WritePipeline.dictValueSets), equality is a membership
+    // test — decisive even when [min,max] spans every file. The listed
+    // types are exactly those whose literal string form equals the decoded
+    // dictionary string form (strings/integrals; date as epoch days,
+    // timestamp as epoch micros — Catalyst's internal literal values).
+    if (op == "=") {
+      val litStr: Option[String] = t match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+            DateType | TimestampType | TimestampNTZType => Some(lit.toString)
+        case _ => None
+      }
+      litStr.flatMap(v => f.colValues.get(colName).map(_.contains(v))) match {
+        case Some(member) => return member
+        case None => ()
+      }
+    }
     val (loS, hiS) = (f.colMin.get(colName), f.colMax.get(colName)) match {
       case (Some(lo), Some(hi)) => (lo, hi)
       case _ =>

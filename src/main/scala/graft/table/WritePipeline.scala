@@ -164,7 +164,8 @@ object WritePipeline {
               WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
                 if (allDeletes) fs.rows else 0L,
                 Storage.size(dest), fs.minKey, fs.maxKey, isDelta,
-                colMin = fs.colMin, colMax = fs.colMax, colNulls = fs.colNulls)
+                colMin = fs.colMin, colMax = fs.colMax, colNulls = fs.colNulls,
+                colValues = fs.colValues)
             }
           })
         }
@@ -186,7 +187,14 @@ object WritePipeline {
 
   final case class FooterStats(rows: Long, minKey: String, maxKey: String,
       colMin: Map[String, String], colMax: Map[String, String],
-      colNulls: Map[String, Long] = Map.empty)
+      colNulls: Map[String, Long] = Map.empty,
+      colValues: Map[String, Seq[String]] = Map.empty)
+
+  /** Max distinct values recorded per column; a larger dictionary marks
+    * the column high-cardinality and drops it from value-set skipping
+    * (it still has min/max). Small cap keeps commit metadata compact.
+    */
+  val DictValuesCap = 32
 
   /** Row count + per-column min/max straight from the parquet footer —
     * per-file exact, zero data IO beyond the footer bytes. Column stats
@@ -235,8 +243,98 @@ object WritePipeline {
         maxs.get(MetaCols.RecordKey).map(_.toString).getOrElse(""),
         keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey,
         colNulls = nulls.view.filterKeys(k =>
-          !nullsUnknown.contains(k) && !MetaCols.All.contains(k)).toMap)
+          !nullsUnknown.contains(k) && !MetaCols.All.contains(k)).toMap,
+        colValues = dictValueSets(reader))
     } finally reader.close()
+  }
+
+  /** Exhaustive per-column distinct-value sets from the parquet DICTIONARY
+    * pages. A column qualifies only when every data page of every row
+    * group is dictionary-encoded (EncodingStats proves no plain fallback),
+    * so the union of the dictionaries IS the file's distinct set — cheap
+    * (dictionary pages are tiny and read without touching data pages) and
+    * exact. Capped at [[DictValuesCap]] values: past that the column is
+    * high-cardinality and range stats serve it better. Supported physical
+    * types are UTF8 binary, plain/date int32 and plain/timestamp-micros
+    * int64 — the types whose decoded string form provably equals the
+    * Spark filter literal's string form at prune time
+    * (GraftFileIndex.inRange).
+    */
+  private def dictValueSets(
+      reader: org.apache.parquet.hadoop.ParquetFileReader): Map[String, Seq[String]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val schema = reader.getFooter.getFileMetaData.getSchema
+    val descs = schema.getColumns.asScala
+      .filter(_.getPath.length == 1).map(d => d.getPath()(0) -> d).toMap
+    val sets = scala.collection.mutable.HashMap[String, scala.collection.mutable.LinkedHashSet[String]]()
+    val poisoned = scala.collection.mutable.HashSet[String]()
+    def typeOk(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+      val pt = c.getPrimitiveType
+      val ann = pt.getLogicalTypeAnnotation
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.BINARY =>
+          ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+            ann.isInstanceOf[LogicalTypeAnnotation.EnumLogicalTypeAnnotation]
+        case PrimitiveTypeName.INT32 => ann match {
+          case null => true
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+          case _ => false
+        }
+        case PrimitiveTypeName.INT64 => ann match {
+          case null => true
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    reader.getFooter.getBlocks.asScala.foreach { b =>
+      val dicts: org.apache.parquet.column.page.DictionaryPageReadStore =
+        reader.getDictionaryReader(b)
+      try b.getColumns.asScala.foreach { c =>
+        val name = c.getPath.toDotString
+        if (!name.contains('.') && !MetaCols.All.contains(name) && !poisoned(name)) {
+          val es = c.getEncodingStats
+          if (!typeOk(c) || es == null || es.hasNonDictionaryEncodedPages)
+            poisoned += name
+          else {
+            val page = dicts.readDictionaryPage(descs(name))
+            if (page == null) {
+              // no dictionary page is only safe when the chunk holds no
+              // non-null values at all (empty contribution)
+              val st = c.getStatistics
+              if (st == null || !st.isNumNullsSet || st.getNumNulls != c.getValueCount)
+                poisoned += name
+              else sets.getOrElseUpdate(name,
+                scala.collection.mutable.LinkedHashSet.empty[String])
+            } else {
+              val dict = page.getEncoding.initDictionary(descs(name), page)
+              if (dict.getMaxId + 1 > DictValuesCap) poisoned += name
+              else {
+                val set = sets.getOrElseUpdate(name,
+                  scala.collection.mutable.LinkedHashSet.empty[String])
+                val pt = c.getPrimitiveType.getPrimitiveTypeName
+                var i = 0
+                while (i <= dict.getMaxId && !poisoned(name)) {
+                  set += (pt match {
+                    case PrimitiveTypeName.BINARY => dict.decodeToBinary(i).toStringUsingUTF8
+                    case PrimitiveTypeName.INT32 => dict.decodeToInt(i).toString
+                    case _ => dict.decodeToLong(i).toString
+                  })
+                  if (set.size > DictValuesCap) poisoned += name
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+      } finally dicts.close()
+    }
+    sets.collect { case (k, v) if !poisoned(k) => k -> v.toSeq.sorted }.toMap
   }
 
   /** ORC twin of [[footerStats]]: row count + per-column min/max from the

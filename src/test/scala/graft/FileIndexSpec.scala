@@ -108,6 +108,46 @@ class FileIndexSpec extends AnyFunSuite {
     assert(cs === Set((0L, 50L), (50L, 50L)))
   }
 
+  test("dictionary value sets prune equality on categorical columns") {
+    val dir = tmpDir("fidx_dict")
+    import spark.implicits._
+    // Two file groups; `status` is categorical and its [min,max] range
+    // ("A".."R") is IDENTICAL in both groups, so range stats cannot prune.
+    // The dictionary sets differ: group 1 = {A,N,R}, group 2 = {A,R}.
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "dv", TableType.CopyOnWrite, Seq("id"), "", "ver",
+      Map(ConfigKeys.SmallFileLimit -> "1")))
+    val s1 = Seq("A", "N", "R")
+    t.bulkInsert((1L to 60L).map(i => (i, 1L, s1((i % 3).toInt))).toDF("id", "ver", "status"))
+    t.insert((61L to 120L).map(i => (i, 1L, if (i % 2 == 0) "A" else "R")).toDF("id", "ver", "status"))
+
+    // the write recorded exhaustive value sets in commit metadata
+    val entries = t.view.latestBaseFiles()
+    assert(entries.size === 2)
+    assert(entries.map(_.colValues("status").toSet).toSet ===
+      Set(Set("A", "N", "R"), Set("A", "R")))
+
+    def listedFor(df: org.apache.spark.sql.DataFrame) = {
+      val scan = scanOf(df)
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files).size
+    }
+    // min/max can't separate the groups, the value set can
+    val n = Readers.snapshot(t).filter($"status" === "N")
+    assert(listedFor(n) === 1, "only the group whose dictionary holds N")
+    assert(n.count() === 20)
+    // IN follows the same membership test per literal
+    val in = Readers.snapshot(t).filter($"status".isin("N", "Z"))
+    assert(listedFor(in) === 1)
+    assert(in.count() === 20)
+    // a value in both dictionaries keeps both groups — and stays correct
+    val a = Readers.snapshot(t).filter($"status" === "A")
+    assert(listedFor(a) === 2)
+    assert(a.count() === 20 + 30)
+    // a value in neither prunes everything
+    assert(Readers.snapshot(t).filter($"status" === "Z").count() === 0)
+  }
+
   test("snapshot through the index equals the source rows") {
     val snap = Readers.snapshot(table)
       .select("o_orderkey", "o_totalprice", "o_orderdate")
