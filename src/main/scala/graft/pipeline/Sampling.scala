@@ -85,4 +85,45 @@ object Sampling {
     df.withColumn("split",
       when(b < testHi, "test").when(b < validHi, "valid").otherwise("train"))
   }
+
+  /** Deterministic GLOBAL shuffle with a dense position column — the
+    * "shuffle the corpus before sharding epochs" step of a training-data
+    * pipeline. Order is md5(id, seed): reproducible across runs/cluster
+    * sizes, and re-seedable per epoch.
+    *
+    * Scale shape: a naive `row_number() OVER (ORDER BY hash)` funnels
+    * 100 TB through ONE window partition. Instead the hash's leading hex
+    * chars form `buckets` ordered slices (a prefix of the sort key, so
+    * bucket order == key order): per-bucket counts (tiny agg) give each
+    * bucket's global offset via a driver-side running sum, and the dense
+    * rank is offset + row_number within the bucket — every window
+    * partition is ~N/buckets rows, fully parallel.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String = "0",
+      buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0 && buckets <= 65536, "buckets in (0, 65536]")
+    // hex-prefix bucket: buckets must divide 16^4 so the bucket is a pure
+    // prefix range of the key ordering
+    require(65536 % buckets == 0, "buckets must divide 65536")
+    val key = md5(concat(col(idCol).cast("string"), lit(" "), lit(seed)))
+    val keyed = df.withColumn("_gs_key", key)
+      .withColumn("_gs_bucket",
+        (conv(substring(col("_gs_key"), 1, 4), 16, 10).cast("long") /
+          lit(65536L / buckets)).cast("int"))
+    val offsets: Map[Int, Long] = {
+      val counts = keyed.groupBy("_gs_bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      counts.map { case (b, n) => val off = acc; acc += n; b -> off }.toMap
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_gs_ob", "_gs_off")
+    val w = Window.partitionBy(col("_gs_bucket"))
+      .orderBy(col("_gs_key"), col(idCol))
+    keyed.join(broadcast(offDf), col("_gs_bucket") === col("_gs_ob"))
+      .withColumn("pos", col("_gs_off") + row_number().over(w) - 1)
+      .drop("_gs_key", "_gs_bucket", "_gs_ob", "_gs_off")
+  }
 }

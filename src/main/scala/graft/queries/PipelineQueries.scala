@@ -416,6 +416,20 @@ object PipelineQueries {
       Sampling.trainTestSplit(docs(s, d), "doc_id", testFrac = 0.1, validFrac = 0.1)
         .select(col("doc_id"), col("source"), col("split"))),
 
+    // deterministic global corpus shuffle: dense epoch position from
+    // md5(id, seed) — hex-prefix-bucketed total order, so no window ever
+    // sees more than ~N/buckets rows (a bare row_number() OVER (ORDER BY)
+    // would funnel the corpus through one partition)
+    "p_corpus_shuffle" -> ((s, d) =>
+      Sampling.globalShuffle(docs(s, d).select("doc_id"), "doc_id", seed = "ep1")
+        .select(col("doc_id"), col("pos"))),
+
+    // exact heavy hitters, sketch-bounded shuffle: a count-min pass
+    // admits candidate tokens (never missing a true one), the exact
+    // GROUP BY runs over candidates only
+    "p_heavy_hitters" -> ((s, d) =>
+      Sketches.heavyHitters(docs(s, d), "text", minCount = 900L)),
+
     // benchmark decontamination: docs sharing an 8-word-gram with the
     // held-out set (doc_id % 97 == 0) are dropped from the training side
     "p_decontaminate" -> ((s, d) => {
@@ -1567,6 +1581,18 @@ object PipelineQueries {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) <
         |  CAST(floor(r.rate * 10000) AS BIGINT)""".stripMargin,
     "p_train_test_split" -> splitOracle,
+    "p_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ' ep1'), doc_id) AS BIGINT) - 1 AS pos
+        |FROM documents""".stripMargin,
+    "p_heavy_hitters" ->
+      raw"""WITH tkd AS (
+           |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           |  FROM documents
+           |), w AS (SELECT unnest(tk) AS word FROM tkd)
+           |SELECT word, count(*) AS n FROM w GROUP BY word
+           |HAVING n >= 900 ORDER BY n DESC, word""".stripMargin,
     "p_dedup_exact" -> exactDedupOracle,
     "p_dedup_minhash" -> minhashOracle,
     // incremental service must converge to the from-scratch answer

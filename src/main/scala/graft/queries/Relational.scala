@@ -566,6 +566,40 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region market's revenue per order year — 7-table join where every
+    // dimension chain (part filter, customer→nation→region, supplier→
+    // nation) broadcasts before the single lineitem probe; conditional
+    // decimal sums, one double division at the end
+    "q42_market_share" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      val amerCust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(t(s, d, "nation").select("n_nationkey", "n_regionkey"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "AMERICA")
+          .select("r_regionkey"), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1997-01-01")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(rev).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     "q35_waiting_suppliers" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
@@ -664,6 +698,23 @@ object Relational {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2""".stripMargin,
+    "q42_market_share" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        |CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+        |  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01'
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_disjunctive_revenue" ->
       """SELECT
         |CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -115,4 +115,44 @@ class SessionsSamplingSpec extends AnyFunSuite {
     // src0 should outnumber src1 roughly 2:1 (hash-rounding tolerance)
     assert(counts("src0") > counts.getOrElse("src1", 0L))
   }
+
+  test("globalShuffle: dense total order, seed-sensitive, no global window") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id")
+    val ep1 = Sampling.globalShuffle(docs, "doc_id", seed = "ep1", buckets = 16)
+    val n = docs.count()
+    // dense permutation of [0, n)
+    val poss = ep1.select("pos").as[Long].collect().sorted
+    assert(poss.toSeq === (0L until n).toSeq)
+    // reproducible; a different seed produces a different permutation
+    val again = Sampling.globalShuffle(docs, "doc_id", seed = "ep1", buckets = 16)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val ep2 = Sampling.globalShuffle(docs, "doc_id", seed = "ep2", buckets = 16)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val ep1m = ep1.select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(again === ep1m)
+    assert(ep2 !== ep1m)
+    // bucket count doesn't change the permutation (pure parallelism knob)
+    val wide = Sampling.globalShuffle(docs, "doc_id", seed = "ep1", buckets = 256)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(wide === ep1m)
+    // scale shape: every window in the plan is PARTITIONED — a bare
+    // row_number() OVER (ORDER BY …) would funnel the corpus through one
+    // partition
+    val windows = ep1.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("heavyHitters: exact counts, sketch never drops a true hitter") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val exact = docs
+      .select(explode(graft.pipeline.Repetition.tokens($"text")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 80).as[(String, Long)].collect().toSet
+    val hh = graft.pipeline.Sketches.heavyHitters(docs, "text", minCount = 80)
+      .as[(String, Long)].collect().toSet
+    assert(hh === exact)
+    assert(hh.nonEmpty)
+  }
 }
