@@ -606,6 +606,27 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // delete-marker upsert: a boolean _graft_is_deleted column in the
+    // batch tombstones marker-true rows in the SAME commit the rest
+    // upserts (reference OverwriteWithLatestAvroPayload.isDeleteRecord)
+    "t_upsert_delete_marker" -> ((s, d) => {
+      val t = fresh(s, d, "t_delmark", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val batch = src.filter(col("o_orderkey") % 6 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 5)
+        .withColumn("_graft_is_deleted", lit(false))
+        .unionByName(src.filter(col("o_orderkey") % 7 === 3 &&
+            col("o_orderkey") % 6 =!= 1)
+          .withColumn("_graft_is_deleted", lit(true)))
+        // marker deletes for absent keys are no-ops
+        .unionByName(src.filter(col("o_orderkey") % 11 === 4)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+          .withColumn("_graft_is_deleted", lit(true)))
+      t.upsert(batch)
+      data(Readers.snapshot(t))
+    }),
+
     // clustering restricted to the newest partitions (recent-days analog)
     "t_cluster_recent" -> ((s, d) => {
       val t = fresh(s, d, "t_cluster_recent",
@@ -1108,6 +1129,11 @@ object TableOps {
          |UNION ALL
          |SELECT o_orderkey + 70000000, o_custkey, o_orderstatus, o_totalprice,
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
+    "t_upsert_delete_marker" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 6 = 1 THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE NOT (o_orderkey % 7 = 3 AND o_orderkey % 6 <> 1)""".stripMargin,
     "t_cluster_recent" -> ordersAll,
     "t_cluster_zorder" -> ordersAll,
     "t_cluster_hilbert" -> ordersAll,

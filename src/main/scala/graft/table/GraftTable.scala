@@ -199,7 +199,19 @@ final class GraftTable(
     */
   def upsert(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String = {
     requireKeyed("upsert")
-    runCommit(commitAction, "upsert", extraMetadata)(upsertBody(df))
+    // delete-marker convention (reference OverwriteWithLatestAvroPayload
+    // .isDeleteRecord — a boolean `_hoodie_is_deleted` field in the
+    // incoming data): marker-true rows tombstone their record in the SAME
+    // commit the rest of the batch upserts. Null/absent marker = upsert.
+    // Marker batches route through the CDC mixed path (no global-index
+    // partition migration — a marked row deletes in place, like the
+    // reference, where the payload decides after tagging).
+    if (df.columns.contains(MetaCols.DeleteFlag))
+      runCommit(commitAction, "upsert", extraMetadata) { instant =>
+        mixedWriteBody(df.withColumn(MetaCols.DeleteFlag,
+          coalesce(col(MetaCols.DeleteFlag).cast("boolean"), lit(false))))(instant)
+      }
+    else runCommit(commitAction, "upsert", extraMetadata)(upsertBody(df))
   }
 
   /** Key-addressed operations need real record keys; a keyless table's
@@ -331,21 +343,30 @@ final class GraftTable(
     requireKeyed("applyCdc")
     runCommit(commitAction, "cdc_apply", extraMetadata) { instant =>
       val isDel = upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")
-      val keyed = maybePrecombine(KeyGen.withKeyColumns(
-          alignToTableSchema(df.withColumn(DeleteCol, isDel).drop(opCol)), cfg))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tagged = tagLocation(keyed)
-        // a delete for an absent key must not become an insert row
-        .filter(col(FileIdCol).isNotNull || !col(DeleteCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (cfg.isMor) morWrite(tagged, instant)
-        else {
-          val (routed, touched) = assignInsertBucketsWithIds(tagged)
-          writeMerged(routed, instant, knownTouched = Some(touched))
-        }
-      } finally { tagged.unpersist(); keyed.unpersist() }
+      mixedWriteBody(df.withColumn(DeleteCol, isDel).drop(opCol))(instant)
     }
+  }
+
+  /** One-commit mixed upsert+delete: the batch already carries the
+    * internal tombstone flag. Shared by [[applyCdc]] (op-column CDC) and
+    * the delete-marker upsert path.
+    */
+  private def mixedWriteBody(dfWithFlag: DataFrame)(instant: String)
+      : (Seq[WriteStat], Map[String, Seq[String]], String) = {
+    val keyed = maybePrecombine(KeyGen.withKeyColumns(
+        alignToTableSchema(dfWithFlag), cfg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = tagLocation(keyed)
+      // a delete for an absent key must not become an insert row
+      .filter(col(FileIdCol).isNotNull || !col(DeleteCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cfg.isMor) morWrite(tagged, instant)
+      else {
+        val (routed, touched) = assignInsertBucketsWithIds(tagged)
+        writeMerged(routed, instant, knownTouched = Some(touched))
+      }
+    } finally { tagged.unpersist(); keyed.unpersist() }
   }
 
   /** Replace all file groups of the partitions the batch touches

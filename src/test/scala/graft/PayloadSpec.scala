@@ -181,6 +181,36 @@ class PayloadSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).filter(col("o_totalprice") === -5.0).count() === 0)
   }
 
+  test("delete-marker upsert tombstones marked rows, on COW and MOR") {
+    for (tt <- Seq(TableType.CopyOnWrite, TableType.MergeOnRead)) {
+      val dir = tmpDir(s"delmark_$tt")
+      val t = GraftTable.create(spark, dir.toString,
+        cfg(tt, Payload.OverwriteLatest, "o_totalprice"))
+      val src = orders.limit(200)
+      t.bulkInsert(src)
+      val batch = src.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", lit(777.0))
+        .withColumn(MetaCols.DeleteFlag, lit(false))
+        .unionByName(src.filter(col("o_orderkey") % 5 === 1)
+          .withColumn(MetaCols.DeleteFlag, lit(true)))
+      t.upsert(batch)
+      val snap = Readers.snapshot(t)
+      // one commit did both: updates landed, marked rows are gone
+      assert(snap.filter(col("o_orderkey") % 5 === 1).count() === 0)
+      assert(snap.filter(col("o_totalprice") === 777.0).count() ===
+        src.filter(col("o_orderkey") % 5 === 0).count())
+      assert(snap.count() === src.filter(col("o_orderkey") % 5 =!= 1).count())
+      // the marker is internal plumbing, not part of the read schema
+      assert(!snap.columns.contains(MetaCols.DeleteFlag))
+      // a NULL marker means plain upsert, not delete
+      t.upsert(src.filter(col("o_orderkey") % 5 === 2)
+        .withColumn("o_totalprice", lit(888.0))
+        .withColumn(MetaCols.DeleteFlag, lit(null).cast("boolean")))
+      assert(Readers.snapshot(t).filter(col("o_totalprice") === 888.0).count() ===
+        src.filter(col("o_orderkey") % 5 === 2).count())
+    }
+  }
+
   test("EVENT_TIME requires a precombine field; unknown payloads rejected") {
     intercept[IllegalArgumentException] {
       Payload.of(cfg(TableType.CopyOnWrite, Payload.EventTime, ""))
