@@ -99,6 +99,9 @@ object ConfigKeys {
   // the `name` used by hive-style paths; defaults to the partition
   // expression when it is a bare column reference, else "partition"
   val PartitionName = "graft.partition.name"
+  // set once alterPartitionExpr runs: stored partition values may not be
+  // recomputable from rows, so key-addressed writes must tag globally
+  val PartitionEvolved = "graft.partition.evolved"
   val CleanPolicy = "graft.clean.policy" // KEEP_LATEST_COMMITS | _FILE_VERSIONS | _BY_HOURS
   // entry count above which files-index snapshots switch from one JSON
   // blob to a parquet index table (distributed, partition-prunable)

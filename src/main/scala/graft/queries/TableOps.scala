@@ -606,6 +606,20 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // partition-layout evolution: year dirs -> month dirs; upserts after
+    // the alter migrate touched rows to the new layout (global tagging),
+    // deletes locate keys across both layouts, data stays exact
+    "t_partition_evolution" -> ((s, d) => {
+      val t = fresh(s, d, "t_pevolve", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val t2 = t.alterPartitionExpr("date_format(o_orderdate, 'yyyy-MM')")
+      t2.upsert(src.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t2.delete(src.filter(col("o_orderkey") % 9 === 1))
+      data(Readers.snapshot(t2))
+    }),
+
     // delete-marker upsert: a boolean _graft_is_deleted column in the
     // batch tombstones marker-true rows in the SAME commit the rest
     // upserts (reference OverwriteWithLatestAvroPayload.isDeleteRecord)
@@ -1129,6 +1143,11 @@ object TableOps {
          |UNION ALL
          |SELECT o_orderkey + 70000000, o_custkey, o_orderstatus, o_totalprice,
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
+    "t_partition_evolution" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE o_orderkey % 9 <> 1""".stripMargin,
     "t_upsert_delete_marker" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 6 = 1 THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,

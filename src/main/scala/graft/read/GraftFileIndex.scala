@@ -49,6 +49,20 @@ final class GraftFileIndex(
 
   private val byPartition: Map[String, Seq[FileEntry]] = entries.groupBy(_.partitionPath)
 
+  /** Total rows across the indexed files when EXACTLY recoverable from
+    * commit metadata: every entry is a base file with a recorded (>0)
+    * row count. COW/read-optimized bases hold live rows only (tombstone
+    * winners drop at merge), so the sum IS the scan's row count — this
+    * powers the stats-answered `count(*)` optimization (zero IO, zero
+    * tasks; see graft.sql.StatsAnswerRule). A zero count is treated as
+    * "unrecorded" and disables the answer rather than risking a wrong 0.
+    */
+  lazy val exactRowCount: Option[Long] =
+    if (entries.isEmpty) Some(0L)
+    else if (entries.forall(e => !e.isDelta && e.numRecords > 0))
+      Some(entries.map(_.numRecords).sum)
+    else None
+
   // one probe per (column, values) per query — listFiles can be invoked
   // more than once while a plan is optimized
   private val probeCache =

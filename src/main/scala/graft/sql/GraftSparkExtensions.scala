@@ -30,6 +30,7 @@ import graft.table.GraftTable
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => GraftDmlRules(session))
+    e.injectOptimizerRule(_ => StatsAnswerRule)
     GraftFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -142,6 +142,13 @@ final class GraftCli(spark: SparkSession) {
       connected = Some(rescaled)
       CliText(s"Rescaled ${rescaled.cfg.tableName} to $n buckets")
     },
+    "partitions evolve" -> { o =>
+      // partition-layout evolution from the shell: --expr '<sql expr>'
+      val evolved = table.alterPartitionExpr(req(o, "expr"))
+      connected = Some(evolved)
+      CliText(s"Partition layout of ${evolved.cfg.tableName} evolved to " +
+        s"'${evolved.cfg.partitionPathExpr}'")
+    },
     "partitions expire" -> { o =>
       // partition TTL from the shell: --keepLast n | --before <instant>
       val expired = (o.get("keepLast"), o.get("before")) match {

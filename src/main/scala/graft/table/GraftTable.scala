@@ -206,13 +206,30 @@ final class GraftTable(
     // Marker batches route through the CDC mixed path (no global-index
     // partition migration — a marked row deletes in place, like the
     // reference, where the payload decides after tagging).
-    if (df.columns.contains(MetaCols.DeleteFlag))
-      runCommit(commitAction, "upsert", extraMetadata) { instant =>
-        mixedWriteBody(df.withColumn(MetaCols.DeleteFlag,
-          coalesce(col(MetaCols.DeleteFlag).cast("boolean"), lit(false))))(instant)
-      }
-    else runCommit(commitAction, "upsert", extraMetadata)(upsertBody(df))
+    val input =
+      if (df.columns.contains(MetaCols.DeleteFlag))
+        Some(df.withColumn(MetaCols.DeleteFlag,
+          coalesce(col(MetaCols.DeleteFlag).cast("boolean"), lit(false))))
+      else None
+    // a partition-EVOLVED table's stored partition can't be recomputed
+    // from the row, so key-addressed writes tag globally (and migrate)
+    if (partitionEvolved)
+      runCommit(commitAction, "upsert", extraMetadata)(
+        globalMixedBody(input.getOrElse(df)))
+    else input match {
+      case Some(marked) =>
+        runCommit(commitAction, "upsert", extraMetadata)(mixedWriteBody(marked))
+      case None =>
+        runCommit(commitAction, "upsert", extraMetadata)(upsertBody(df))
+    }
   }
+
+  /** True once [[alterPartitionExpr]] ran: stored partition values may
+    * disagree with the current expression, so per-partition index tagging
+    * is unsound and key-addressed writes must tag globally.
+    */
+  private def partitionEvolved: Boolean =
+    cfg.prop(ConfigKeys.PartitionEvolved, "false") == "true"
 
   /** Key-addressed operations need real record keys; a keyless table's
     * uuid keys (reference UuidKeyGenerator) never match anything, so
@@ -233,7 +250,8 @@ final class GraftTable(
     */
   def upsertOptimistic(df: DataFrame): String = {
     requireKeyed("upsertOptimistic")
-    runCommitOptimistic(commitAction, "upsert")(upsertBody(df))
+    runCommitOptimistic(commitAction, "upsert")(
+      if (partitionEvolved) globalMixedBody(df) else upsertBody(df))
   }
 
   private def upsertBody(df: DataFrame)(instant: String)
@@ -268,9 +286,22 @@ final class GraftTable(
     */
   def upsertGlobal(df: DataFrame): String = {
     requireKeyed("upsertGlobal")
-    runCommit(commitAction, "upsert_global") { instant =>
+    runCommit(commitAction, "upsert_global")(globalMixedBody(df))
+  }
+
+  /** Global-tagged mixed upsert+delete, one commit: rows join existing
+    * locations by record key ALONE (whole-table uniqueness), migrating
+    * records whose partition value changed and honoring an optional
+    * incoming tombstone flag. Shared by [[upsertGlobal]] and every
+    * key-addressed write on a partition-EVOLVED table, where the stored
+    * partition can no longer be recomputed from the row.
+    */
+  private def globalMixedBody(df: DataFrame)(instant: String)
+      : (Seq[WriteStat], Map[String, Seq[String]], String) = {
     import org.apache.spark.sql.expressions.Window
-    val keyed0 = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
+    val flagged = if (df.columns.contains(DeleteCol)) df
+      else df.withColumn(DeleteCol, lit(false))
+    val keyed0 = KeyGen.withKeyColumns(alignToTableSchema(flagged), cfg)
     // global precombine: one winner per record key across partitions
     val keyed = (if (cfg.precombineField.isEmpty) keyed0.dropDuplicates(MetaCols.RecordKey)
       else {
@@ -284,18 +315,19 @@ final class GraftTable(
       .withColumnRenamed(MetaCols.PartitionPath, "_g_old_part")
       .withColumnRenamed(FileIdCol, "_g_old_fid")
     val joined = keyed.join(existing, Seq(MetaCols.RecordKey), "left_outer")
+      // a delete for an ABSENT key is a no-op, never an insert
+      .filter(col("_g_old_part").isNotNull || !col(DeleteCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val stay = joined
         .filter(col("_g_old_part").isNull || col("_g_old_part") === col(MetaCols.PartitionPath))
         .withColumn(FileIdCol,
           when(col("_g_old_part") === col(MetaCols.PartitionPath), col("_g_old_fid")))
-        .withColumn(DeleteCol, lit(false))
       val moved = joined
         .filter(col("_g_old_part").isNotNull && col("_g_old_part") =!= col(MetaCols.PartitionPath))
-      val movedInserts = moved
+      // a moved row that is itself a delete only tombstones the old copy
+      val movedInserts = moved.filter(!col(DeleteCol))
         .withColumn(FileIdCol, lit(null).cast("string"))
-        .withColumn(DeleteCol, lit(false))
       val tombstones = moved
         .withColumn(MetaCols.PartitionPath, col("_g_old_part"))
         .withColumn(FileIdCol, col("_g_old_fid"))
@@ -308,7 +340,6 @@ final class GraftTable(
         writeMerged(routed, instant, knownTouched = Some(touched))
       }
     } finally { joined.unpersist(); keyed.unpersist() }
-    }
   }
 
   /** Delete by key: incoming rows only need the record-key (and partition
@@ -317,6 +348,9 @@ final class GraftTable(
     */
   def delete(df: DataFrame): String = {
     requireKeyed("delete")
+    // evolved layout: the key's stored partition is unknowable from the
+    // row — locate it globally
+    if (partitionEvolved) return deleteGlobal(df)
     runCommit(commitAction, "delete") { instant =>
     val keyed = maybePrecombine(KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
         .withColumn(DeleteCol, lit(true)))
@@ -343,7 +377,9 @@ final class GraftTable(
     requireKeyed("applyCdc")
     runCommit(commitAction, "cdc_apply", extraMetadata) { instant =>
       val isDel = upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")
-      mixedWriteBody(df.withColumn(DeleteCol, isDel).drop(opCol))(instant)
+      val flagged = df.withColumn(DeleteCol, isDel).drop(opCol)
+      if (partitionEvolved) globalMixedBody(flagged)(instant)
+      else mixedWriteBody(flagged)(instant)
     }
   }
 
@@ -465,6 +501,41 @@ final class GraftTable(
       cfg.props + (ConfigKeys.BucketIndexNumBuckets -> newBuckets.toString))
     TableConfig.save(basePath, updated)
     Storage.deleteIfExists(marker)
+    new GraftTable(spark, basePath, updated)
+  }
+
+  /** Evolve the partition LAYOUT (beyond the reference — Iceberg-style
+    * partition-spec evolution for a Hudi-shaped table): subsequent writes
+    * compute partition paths from `newExpr`; existing data stays under
+    * its old directories, fully readable and partition-prunable (the
+    * partition value rides in commit metadata per file and is never
+    * re-derived from rows). Records migrate LAZILY: key-addressed writes
+    * on an evolved table tag globally, so an upsert touching a row whose
+    * recomputed partition differs tombstones the old copy and inserts
+    * the new one in the same commit. The audit commit carries old/new
+    * expressions; the persisted config flips only after it publishes
+    * (crash-safe, same discipline as [[rescaleBuckets]]), and stale
+    * handles are refused at their next commit. Returns the re-loaded
+    * handle — the receiver keeps the old expression.
+    */
+  def alterPartitionExpr(newExpr: String): GraftTable = {
+    require(newExpr != cfg.partitionPathExpr,
+      s"partition expression is already '$newExpr'")
+    // the new expression must resolve against the table schema now, not
+    // at first write (analysis-only probe)
+    if (newExpr.nonEmpty) dataSchema.foreach { s =>
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      probe.select(expr(newExpr))
+    }
+    runCommit(commitAction, "alter_partition", Map(
+      GraftTable.PartitionExprOldKey -> cfg.partitionPathExpr,
+      GraftTable.PartitionExprNewKey -> newExpr)) { _ =>
+      (Seq.empty, Map.empty, latestSchema.map(_.json).getOrElse(""))
+    }
+    val updated = cfg.copy(partitionPathExpr = newExpr,
+      props = cfg.props + (ConfigKeys.PartitionEvolved -> "true"))
+    TableConfig.save(basePath, updated)
     new GraftTable(spark, basePath, updated)
   }
 
@@ -915,12 +986,17 @@ final class GraftTable(
     keyed.join(existing, Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_outer")
   }
 
-  private def antiJoinExisting(keyed: DataFrame): DataFrame = {
-    val parts = keyed.select(MetaCols.PartitionPath).distinct().collect()
-      .map(_.getString(0)).toSet
-    keyed.join(existingKeys(Some(parts), None),
-      Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_anti")
-  }
+  private def antiJoinExisting(keyed: DataFrame): DataFrame =
+    if (partitionEvolved)
+      // stored partitions may differ from recomputed ones: a key's
+      // existing copy can live anywhere — dedup by key alone
+      keyed.join(existingKeys(None, None), Seq(MetaCols.RecordKey), "left_anti")
+    else {
+      val parts = keyed.select(MetaCols.PartitionPath).distinct().collect()
+        .map(_.getString(0)).toSet
+      keyed.join(existingKeys(Some(parts), None),
+        Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_anti")
+    }
 
   /** Small-file bin packing (reference UpsertPartitioner.assignInserts
     * :157-290): per partition, insert records first top up base files under
@@ -1334,12 +1410,22 @@ final class GraftTable(
     * (rename, TTL knobs) is benign and not policed.
     */
   private def requireRoutingCurrent(): Unit =
-    if (BucketIndex.enabled(cfg) && TableConfig.exists(basePath)) {
-      val persisted = BucketIndex.numBuckets(TableConfig.load(basePath))
-      val mine = BucketIndex.numBuckets(cfg)
-      require(persisted == mine,
-        s"bucket count changed by a concurrent rescale (handle has $mine, " +
-          s"table has $persisted) — reload the table with GraftTable.load")
+    if (TableConfig.exists(basePath)) {
+      val persisted = TableConfig.load(basePath)
+      if (BucketIndex.enabled(cfg)) {
+        val p = BucketIndex.numBuckets(persisted)
+        val mine = BucketIndex.numBuckets(cfg)
+        require(p == mine,
+          s"bucket count changed by a concurrent rescale (handle has $mine, " +
+            s"table has $p) — reload the table with GraftTable.load")
+      }
+      // the same corruption class: a handle loaded before another
+      // writer's alterPartitionExpr computes OLD partition values, so its
+      // per-partition tagging misses keys the newer layout migrated
+      require(persisted.partitionPathExpr == cfg.partitionPathExpr,
+        "partition expression changed by a concurrent alterPartitionExpr " +
+          s"(handle has '${cfg.partitionPathExpr}', table has " +
+          s"'${persisted.partitionPathExpr}') — reload the table with GraftTable.load")
     }
 
   private def reapFailedWritesPerPolicy(): Unit =
@@ -1638,6 +1724,14 @@ object GraftTable {
     * (files and config must never disagree on the routing count).
     */
   val RescaleFromKey = "graft.rescale.from"
+
+  /** extraMetadata keys on an alter_partition audit commit: the previous
+    * and the new partition expression. A rollback that undoes the commit
+    * restores the previous expression (Services.rollbackInstant), and the
+    * evolved flag stays — stored partitions may already be mixed-layout.
+    */
+  val PartitionExprOldKey = "graft.partition.expr.old"
+  val PartitionExprNewKey = "graft.partition.expr.new"
 
   /** Marker persisted before a bucket rescale's commit starts: target
     * count + the timeline watermark at start (the heal only accepts a

@@ -573,6 +573,18 @@ object Services {
           TableConfig.save(t.basePath, cur.copy(props =
             cur.props + (ConfigKeys.BucketIndexNumBuckets -> from)))
       }
+      // undoing an alter_partition restores the previous expression —
+      // same crash-window guard (config holds the new expr only if the
+      // alter actually flipped it). The evolved flag stays: earlier
+      // evolutions may already have mixed the stored layout.
+      for {
+        newer <- md.extraMetadata.get(GraftTable.PartitionExprNewKey)
+        older <- md.extraMetadata.get(GraftTable.PartitionExprOldKey)
+      } {
+        val cur = TableConfig.load(t.basePath)
+        if (cur.partitionPathExpr == newer)
+          TableConfig.save(t.basePath, cur.copy(partitionPathExpr = older))
+      }
     }
     WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
     t.timeline.deleteInstantFiles(ts, action)

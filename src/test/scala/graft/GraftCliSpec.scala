@@ -33,6 +33,23 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli2.run("fetch table schema").text.contains("\"id\""))
   }
 
+  test("partitions evolve through the shell") {
+    val dir = tmpDir("cli_pevo").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_pe --recordKey id " +
+      "--precombine v --partitionPath 'cast(v as string)'")
+    cli.table.bulkInsert(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val out = cli.run("partitions evolve --expr 'concat(cast(v as string), \"x\")'")
+    assert(out.text.contains("evolved"))
+    // the shell reconnected to the evolved handle; new writes use it
+    cli.table.upsert(Seq((1L, 10L)).toDF("id", "v"))
+    import graft.core.MetaCols
+    val parts = graft.read.Readers.snapshot(cli.table)
+      .select(org.apache.spark.sql.functions.col(MetaCols.PartitionPath))
+      .as[String].collect().toSet
+    assert(parts === Set("10x", "20"))
+  }
+
   test("commits / rollback / savepoint / cleans / stats through the shell") {
     val dir = tmpDir("cli_life").toString + "/t"
     val cli = new GraftCli(spark)

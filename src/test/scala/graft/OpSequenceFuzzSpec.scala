@@ -36,6 +36,8 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
   private sealed trait Op
   private case class Upsert(rows: Seq[Row3]) extends Op
   private case class Delete(ids: Seq[Long]) extends Op
+  // one batch carrying BOTH updates and _graft_is_deleted=true markers
+  private case class MarkerUpsert(rows: Seq[Row3], dels: Seq[Long]) extends Op
   private case class Overwrite(rows: Seq[Row3]) extends Op
   private case class DropPartition(p: String) extends Op
   private case object Rollback extends Op
@@ -47,9 +49,20 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
   private def uniq(rows: Seq[Row3]): Seq[Row3] =
     rows.groupBy(_._1).values.map(_.maxBy(r => (r._2, r._3))).toSeq
 
+  private val markerGen: Gen[Op] = for {
+    rs <- Gen.listOfN(8, rowGen)
+    ds <- Gen.listOfN(3, Gen.choose(1L, 30L))
+  } yield {
+    val ups = uniq(rs)
+    // update/delete keys disjoint: a same-key pair's winner would be a
+    // precombine coin-flip, which the flat model can't express
+    MarkerUpsert(ups, ds.distinct.filterNot(ups.map(_._1).toSet))
+  }
+
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.listOfN(10, rowGen).map(rs => Upsert(uniq(rs))),
     2 -> Gen.listOfN(4, Gen.choose(1L, 30L)).map(ids => Delete(ids.distinct)),
+    2 -> markerGen,
     2 -> Gen.listOfN(8, rowGen).map(rs => Overwrite(uniq(rs))),
     1 -> Gen.choose(0L, 2L).map(p => DropPartition(p.toString)),
     1 -> Gen.const(Rollback),
@@ -148,6 +161,20 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
           record(t.delete(df(ids.map(id => (id, 99L, "")))))
           model = model.removedAll(ids)
           history = history.init :+ (history.last._1 -> model)
+        case MarkerUpsert(_, _) if eventTime && t.cfg.isMor =>
+          () // marker deletes are deletes — same divergence as Delete above
+        case MarkerUpsert(rows, dels) =>
+          import org.apache.spark.sql.functions.lit
+          val batch = df(rows).withColumn(MetaCols.DeleteFlag, lit(false))
+            .unionByName(df(dels.map(id => (id, 99L, "")))
+              .withColumn(MetaCols.DeleteFlag, lit(true)))
+          record(t.upsert(batch))
+          rows.foreach { case (id, ver, v) =>
+            val wins = !eventTime || model.get(id).forall(old => ver >= old._1)
+            if (wins) model = model.updated(id, (ver, v))
+          }
+          model = model.removedAll(dels)
+          history = history.init :+ (history.last._1 -> model)
         case Overwrite(rows) =>
           // replaces the CONTENT of every partition the batch touches
           record(t.insertOverwrite(df(rows)))
@@ -186,7 +213,7 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       assert(snap(t) === model,
         s"$tableType seed=$seed diverged after op #$i: $op")
       op match {
-        case Upsert(_) | Delete(_) | Overwrite(_) | DropPartition(_) =>
+        case Upsert(_) | Delete(_) | MarkerUpsert(_, _) | Overwrite(_) | DropPartition(_) =>
           checkCdc(prevTs, prevModel)
         case Rescale(_) if bucketed =>
           // a layout-only rewrite must keep the change feed SILENT
@@ -242,5 +269,63 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
     run(TableType.MergeOnRead, Map(
       ConfigKeys.Payload -> "EVENT_TIME",
       ConfigKeys.CompactDeltaCommits -> "3"), 14L)
+  }
+
+  /** Partition-evolution chaos: upserts / deletes / marker batches with
+    * the layout flipped mid-sequence (twice). The flat key→value model is
+    * layout-blind, so snapshot equality proves the global tagging finds
+    * every key across MIXED layouts and never duplicates a migrated row.
+    * (CDC is not asserted here: a migration legitimately reports
+    * delete+insert where the value-diff model would say update.)
+    */
+  private def runEvolve(tableType: String, seed: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val name = s"fuzzev_${tableType.take(3)}_$seed".toLowerCase
+    val dir = tmpDir(name).toString
+    var t = GraftTable.create(spark, dir,
+      TableConfig(name, tableType, Seq("id"), "id % 3", "ver",
+        Map(ConfigKeys.CompactDeltaCommits -> "3")))
+    val init = uniq(Gen.listOfN(20, rowGen)
+      .pureApply(Gen.Parameters.default, Seed(seed)))
+    t.bulkInsert(df(init))
+    var model: Map[Long, (Long, String)] =
+      init.map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val miniGen: Gen[Op] = Gen.frequency(
+      5 -> Gen.listOfN(8, rowGen).map(rs => Upsert(uniq(rs))),
+      2 -> Gen.listOfN(4, Gen.choose(1L, 30L)).map(ids => Delete(ids.distinct)),
+      2 -> markerGen)
+    val layouts = Iterator("id % 4", "concat('p', id % 2)")
+    (0 until 14).foreach { i =>
+      if (i == 4 || i == 9) t = t.alterPartitionExpr(layouts.next())
+      else miniGen.pureApply(Gen.Parameters.default, Seed(seed * 777 + i)) match {
+        case Upsert(rows) =>
+          t.upsert(df(rows))
+          rows.foreach { case (id, ver, v) => model = model.updated(id, (ver, v)) }
+        case Delete(ids) =>
+          t.delete(df(ids.map(id => (id, 99L, ""))))
+          model = model.removedAll(ids)
+        case MarkerUpsert(rows, dels) =>
+          t.upsert(df(rows).withColumn(MetaCols.DeleteFlag, lit(false))
+            .unionByName(df(dels.map(id => (id, 99L, "")))
+              .withColumn(MetaCols.DeleteFlag, lit(true))))
+          rows.foreach { case (id, ver, v) => model = model.updated(id, (ver, v)) }
+          model = model.removedAll(dels)
+        case other => fail(s"unexpected op $other")
+      }
+      assert(snap(t) === model,
+        s"$tableType seed=$seed diverged after evolve-op #$i")
+    }
+    // both layouts must actually coexist by the end
+    val parts = Readers.snapshot(t)
+      .select(MetaCols.PartitionPath).distinct()
+      .as[String].collect().toSet
+    assert(parts.exists(_.startsWith("p")) && parts.exists(!_.startsWith("p")),
+      s"expected mixed layouts, got $parts")
+  }
+
+  test("partition evolution chaos: COW and MOR match the model across layout flips") {
+    runEvolve(TableType.CopyOnWrite, 21L)
+    runEvolve(TableType.MergeOnRead, 21L)
   }
 }
