@@ -81,6 +81,14 @@ object ConfigKeys {
   // file groups per partition under the BUCKET index — immutable for the
   // table's lifetime; size ≈ expected-partition-bytes / max-file-size
   val BucketIndexNumBuckets = "graft.index.bucket.num"
+  // FIXED (default): `hash mod num` with full-rewrite rescale.
+  // CONSISTENT: extendible-hash covers with single-bucket split/merge
+  // (see graft.table.ConsistentBuckets) — `num` must be a power of two
+  val BucketIndexEngine = "graft.index.bucket.engine"
+  // CONSISTENT engine: a live group whose bytes exceed this splits under
+  // Services.splitHotBuckets (default 1.5x max file size, the reference's
+  // hoodie.bucket.index.split.threshold discipline)
+  val BucketSplitBytes = "graft.index.bucket.split.bytes"
   // opt-in automatic partition TTL: keep only the newest N partition
   // paths after each data commit (Services.expirePartitions keepLast)
   val PartitionTtlKeepLast = "graft.partition.ttl.keep.last"

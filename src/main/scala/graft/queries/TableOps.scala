@@ -527,6 +527,27 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // CONSISTENT bucket engine: grow by splitting ONE hot bucket (and
+    // shrink by merging siblings back) instead of a full-table rescale
+    // rewrite — the lifecycle crosses bulkInsert + two explicit splits +
+    // post-split upsert/delete (routing against the evolved covers) + a
+    // merge reviving the parent id, so covers replay end to end.
+    "t_bucket_split" -> ((s, d) => {
+      val t = fresh(s, d, "t_bucket_split", cfg(TableType.CopyOnWrite,
+        Map(ConfigKeys.IndexType -> "BUCKET",
+          ConfigKeys.BucketIndexEngine -> "CONSISTENT",
+          ConfigKeys.BucketIndexNumBuckets -> "4")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.splitBucket("1995", "bktd2v1")
+      t.splitBucket("1997", "bktd2v3")
+      t.upsert(src.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      t.delete(src.filter(col("o_orderkey") % 30 === 0))
+      t.mergeBuckets("1995", "bktd2v1")
+      data(Readers.snapshot(t))
+    }),
+
     // point lookup by a NON-KEY column through the secondary index
     // (value -> file-group mapping tables; reads only the mapped groups).
     // The upsert moves some rows to a new custkey so the probe exercises
@@ -1183,6 +1204,11 @@ object TableOps {
          |o_orderdate, o_orderpriority FROM orders
          |WHERE strftime(o_orderdate, '%Y%m') IN ('199506', '199807')""".stripMargin,
     "t_bucket_rescale" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders
+         |WHERE o_orderkey % 30 <> 0""".stripMargin,
+    "t_bucket_split" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders

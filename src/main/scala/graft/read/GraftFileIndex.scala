@@ -35,17 +35,23 @@ final class GraftFileIndex(
     secondaryColumns: Set[String] = Set.empty,
     secondaryProbe: (String, Seq[String]) => Option[Set[(String, String)]] =
       (_, _) => None,
-    // BUCKET layout: (key field, value → bucket file id) — a pushed
-    // equality/IN on the record-key field (or the key meta column) keeps
-    // only the values' buckets. Driver-pure (the hash IS the location),
-    // valid at any asOf (bucket ids are time-invariant).
-    keyBucket: Option[(String, String => String)] = None,
+    // BUCKET layout: (key field, (partition, value) → bucket file id) — a
+    // pushed equality/IN on the record-key field (or the key meta column)
+    // keeps only the values' buckets. Driver-pure (the hash IS the
+    // location); the partition argument lets the CONSISTENT engine route
+    // per-partition covers (the FIXED engine ignores it).
+    keyBucket: Option[(String, (String, String) => String)] = None,
     // EXPRESSION-index pruning: canonical SQL of each indexed expression
     // (resolved against the table schema, backticks stripped) → index
     // name. A pushed `expr = lit` / `expr IN (...)` whose expression
     // canonicalizes to a key probes that index like a column equality;
     // any mismatch in form just skips pruning (safe, never wrong)
-    exprIndexes: Map[String, String] = Map.empty) extends FileIndex {
+    exprIndexes: Map[String, String] = Map.empty,
+    // stats-answered count(*) gate: false for as-of reads at or before
+    // the cleaner's earliest retained instant — the metadata still
+    // records files the cleaner physically deleted, and a count answered
+    // from it would silently succeed where the scan itself throws
+    allowStatsAnswer: Boolean = true) extends FileIndex {
 
   private val byPartition: Map[String, Seq[FileEntry]] = entries.groupBy(_.partitionPath)
 
@@ -58,7 +64,8 @@ final class GraftFileIndex(
     * "unrecorded" and disables the answer rather than risking a wrong 0.
     */
   lazy val exactRowCount: Option[Long] =
-    if (entries.isEmpty) Some(0L)
+    if (!allowStatsAnswer) None
+    else if (entries.isEmpty) Some(0L)
     else if (entries.forall(e => !e.isDelta && e.numRecords > 0))
       Some(entries.map(_.numRecords).sum)
     else None
@@ -91,14 +98,19 @@ final class GraftFileIndex(
         probeCache.getOrElseUpdate((c, vs), secondaryProbe(c, vs))
       }.reduceOption(_ intersect _)
     // bucket-layout key pruning: equality on the key derives its bucket's
-    // file id directly — no probe, no IO
-    val allowedBuckets: Option[Set[String]] = keyBucket.flatMap { case (field, f) =>
-      val hits = dataFilters.flatMap(keyValues(field, _))
-      if (hits.isEmpty) None else Some(hits.map(_.map(f).toSet).reduce(_ intersect _))
-    }
+    // file id directly — no probe, no IO (per partition: covers differ
+    // under the consistent engine)
+    val keyHits: Option[(Seq[Seq[String]], (String, String) => String)] =
+      keyBucket.flatMap { case (field, f) =>
+        val hits = dataFilters.flatMap(keyValues(field, _))
+        if (hits.isEmpty) None else Some((hits, f))
+      }
     byPartition.toSeq.sortBy(_._1).flatMap { case (part, files) =>
       val row = InternalRow(UTF8String.fromString(part))
       if (predicate.forall(_.eval(row))) {
+        val allowedBuckets: Option[Set[String]] = keyHits.map { case (hits, f) =>
+          hits.map(_.map(v => f(part, v)).toSet).reduce(_ intersect _)
+        }
         // data skipping: drop files whose recorded column ranges cannot
         // satisfy the pushed predicates (beyond-reference capability —
         // the stats ride in commit metadata, so this is zero-IO too)

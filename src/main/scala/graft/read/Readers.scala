@@ -125,8 +125,27 @@ object Readers {
               GraftFileIndex.canonicalSql(resolved.sql) -> s.name
             }.toOption
           }.toMap
-        // bucket-layout key pruning is time-invariant — valid at any asOf
-        val keyBucket = graft.table.BucketIndex.keyFieldPruner(t.cfg)
+        // FIXED bucket-layout key pruning is time-invariant — valid at any
+        // asOf; the CONSISTENT engine's key->group mapping changes with
+        // splits, so it prunes latest reads only (as-of: no pruning, safe)
+        val keyBucket: Option[(String, (String, String) => String)] =
+          if (graft.table.ConsistentBuckets.enabled(t.cfg))
+            (if (asOf.isDefined) None
+             else graft.table.ConsistentBuckets.keyFieldPruner(t))
+          else graft.table.BucketIndex.keyFieldPruner(t.cfg)
+            .map { case (f, g) => (f, (_: String, v: String) => g(v)) }
+        // stats-answered count(*) is only sound when every listed file is
+        // guaranteed to still exist: an as-of read at or before the
+        // cleaner's earliest retained instant may list physically deleted
+        // files, and the count must fail like the scan would, not succeed
+        // from metadata
+        val statsOk = asOf.forall { ts =>
+          t.timeline.completedInstants().filter(_.action == Action.Clean)
+            .lastOption.forall { c =>
+              ts >= Json.read[CleanMetadata](t.timeline.readContent(c))
+                .earliestRetainedInstant
+            }
+        }
         entries.groupBy(e => graft.table.WritePipeline.formatOf(e.relPath))
           .toSeq.sortBy(_._1)
           .map { case (fmt, es) =>
@@ -134,7 +153,7 @@ object Readers {
                 t.spark,
                 new GraftFileIndex(t.spark, t.basePath, es, secCols,
                   (c, vs) => graft.table.SecondaryIndex.probeCurrentReadOnly(t, c, vs),
-                  keyBucket, exprIdx),
+                  keyBucket, exprIdx, allowStatsAnswer = statsOk),
                 dataSchema, fmt)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           }
@@ -167,7 +186,9 @@ object Readers {
     */
   private def isLayoutRewrite(i: GraftInstant, m: CommitMetadata): Boolean =
     i.action == Action.Compaction ||
-      m.operationType == "cluster" || m.operationType == "rescale_buckets"
+      m.operationType == "cluster" || m.operationType == "rescale_buckets" ||
+      m.operationType == graft.table.ConsistentBuckets.OpSplit ||
+      m.operationType == graft.table.ConsistentBuckets.OpMerge
 
   /** Time travel — snapshot as of an instant (reference `as.of.instant`). */
   def timeTravel(t: GraftTable, instant: String): DataFrame =

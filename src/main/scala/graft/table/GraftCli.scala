@@ -142,6 +142,34 @@ final class GraftCli(spark: SparkSession) {
       connected = Some(rescaled)
       CliText(s"Rescaled ${rescaled.cfg.tableName} to $n buckets")
     },
+    "buckets split" -> { o =>
+      // CONSISTENT-engine split from the shell: --partition p --fileId
+      // bktd<d>v<v>, or --auto [--bytes n] for the hot-bucket sweep
+      if (o.contains("auto")) {
+        val split = Services.splitHotBuckets(table,
+          o.get("bytes").map(_.toLong))
+        CliText(if (split.isEmpty) "No buckets over the split threshold"
+          else split.map { case (p, f) => s"$p/$f" }
+            .mkString("Split ", ", ", ""))
+      } else {
+        val ts = table.splitBucket(req(o, "partition"), req(o, "fileId"))
+        CliText(s"Split ${o("fileId")} in ${o("partition")} at $ts")
+      }
+    },
+    "buckets merge" -> { o =>
+      // shrink direction: --partition p --parent bktd<d>v<v>, or --auto
+      // [--bytes n] to merge all cold sibling pairs
+      if (o.contains("auto")) {
+        val merged = Services.mergeColdBuckets(table,
+          o.get("bytes").map(_.toLong))
+        CliText(if (merged.isEmpty) "No sibling pairs under the merge threshold"
+          else merged.map { case (p, f) => s"$p/$f" }
+            .mkString("Merged into ", ", ", ""))
+      } else {
+        val ts = table.mergeBuckets(req(o, "partition"), req(o, "parent"))
+        CliText(s"Merged children of ${o("parent")} in ${o("partition")} at $ts")
+      }
+    },
     "partitions evolve" -> { o =>
       // partition-layout evolution from the shell: --expr '<sql expr>'
       val evolved = table.alterPartitionExpr(req(o, "expr"))

@@ -145,8 +145,7 @@ final class GraftTable(
       require(view.fileSlices(None).isEmpty,
         "bulk_insert on a non-empty BUCKET table would shadow existing " +
           "rows; use insert or upsert")
-      val routed0 = keyed
-        .withColumn(FileIdCol, BucketIndex.fileIdCol(cfg, col(MetaCols.RecordKey)))
+      val routed0 = bucketTag(keyed)
         .repartition(col(MetaCols.PartitionPath), col(FileIdCol))
       val routed =
         if (sortMode == SortMode.NoSort) routed0
@@ -474,6 +473,9 @@ final class GraftTable(
   def rescaleBuckets(newBuckets: Int): GraftTable = {
     require(BucketIndex.enabled(cfg),
       "rescaleBuckets requires graft.index.type=BUCKET")
+    require(!ConsistentBuckets.enabled(cfg),
+      "rescaleBuckets is the FIXED bucket engine's full-rewrite path; " +
+        "CONSISTENT tables grow by splitBucket / splitHotBuckets instead")
     require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
     val old = BucketIndex.numBuckets(cfg)
     require(newBuckets != old, s"table already has $old buckets")
@@ -502,6 +504,97 @@ final class GraftTable(
     TableConfig.save(basePath, updated)
     Storage.deleteIfExists(marker)
     new GraftTable(spark, basePath, updated)
+  }
+
+  /** CONSISTENT-engine bucket SPLIT: rewrite ONE live bucket group's rows
+    * into its two children (`hash mod 2^(d+1)`) in a single
+    * replacecommit — capacity management that stays O(hot bucket) where
+    * [[rescaleBuckets]] rewrites the whole table (reference
+    * hudi-client-common/.../bucket/ConsistentBucketIdentifier.java
+    * splitBucket; its clustering-driven resizing rewrites only the
+    * affected buckets for the same reason). Layout semantics match
+    * rescale/clustering: per-row meta columns are preserved, so
+    * incremental/CDC readers see a layout change, not new data. The
+    * commit's extras carry (partition, parent), which IS the split's
+    * authoritative record — covers replay from the timeline; the
+    * `bucket_covers.json` cache refresh below is best-effort (a crash
+    * before it heals via catch-up). A child no rows hash to opens lazily
+    * on first write, like any bucket group.
+    */
+  def splitBucket(partition: String, fileId: String): String = {
+    require(ConsistentBuckets.enabled(cfg),
+      "splitBucket requires graft.index.bucket.engine=CONSISTENT")
+    val node = ConsistentBuckets.Node.parse(fileId).getOrElse(
+      throw new IllegalArgumentException(s"not a consistent bucket id: $fileId"))
+    require(node.d < ConsistentBuckets.MaxDepth,
+      s"$fileId is at the split depth cap (${ConsistentBuckets.MaxDepth})")
+    val ts = runCommit(Action.ReplaceCommit, ConsistentBuckets.OpSplit,
+        Map(ConsistentBuckets.PartitionKey -> partition,
+          ConsistentBuckets.ParentKey -> fileId)) { instant =>
+      val st = ConsistentBuckets.state(this)
+      require(st.coverFor(cfg, partition).contains(node),
+        s"$fileId is not in partition '$partition''s current cover")
+      require(view.fileSlices(None)
+          .exists(s => s.partitionPath == partition && s.fileId == fileId),
+        s"$fileId has no live file group in '$partition' — nothing to split")
+      val (a, b) = node.children
+      val routed = graft.read.Readers.snapshotGroups(this, Set((partition, fileId)))
+        .withColumn(FileIdCol,
+          when(pmod(abs(xxhash64(col(MetaCols.RecordKey))),
+            lit(1L << (node.d + 1))) === lit(node.v), lit(a.fileId))
+            .otherwise(lit(b.fileId)))
+        .withColumn(MetaCols.FileName,
+          concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
+      val stats = writeFiles(spark, basePath, routed, instant,
+        isDelta = false, baseFormat = cfg.baseFormat)
+      (stats, Map(partition -> Seq(fileId)), latestSchema.map(_.json).getOrElse(""))
+    }
+    ConsistentBuckets.saveState(basePath, ConsistentBuckets.state(this))
+    ts
+  }
+
+  /** CONSISTENT-engine bucket MERGE: rewrite two cold sibling children
+    * back into their REVIVED parent id (replacement history makes the
+    * revived generation visible) — the shrink direction of
+    * [[splitBucket]], same one-replacecommit / meta-preserving
+    * discipline. Children with no live files contribute no rows; merging
+    * two empty children is a pure cover change.
+    */
+  def mergeBuckets(partition: String, parentFileId: String): String = {
+    require(ConsistentBuckets.enabled(cfg),
+      "mergeBuckets requires graft.index.bucket.engine=CONSISTENT")
+    val parent = ConsistentBuckets.Node.parse(parentFileId).getOrElse(
+      throw new IllegalArgumentException(s"not a consistent bucket id: $parentFileId"))
+    val ts = runCommit(Action.ReplaceCommit, ConsistentBuckets.OpMerge,
+        Map(ConsistentBuckets.PartitionKey -> partition,
+          ConsistentBuckets.ParentKey -> parentFileId)) { instant =>
+      val st = ConsistentBuckets.state(this)
+      val cover = st.coverFor(cfg, partition)
+      val (a, b) = parent.children
+      require(cover.contains(a) && cover.contains(b),
+        s"both children of $parentFileId must be in partition " +
+          s"'$partition''s current cover to merge")
+      val live = view.fileSlices(None).filter(s =>
+        s.partitionPath == partition &&
+          (s.fileId == a.fileId || s.fileId == b.fileId))
+      val stats =
+        if (live.isEmpty) Seq.empty[WriteStat]
+        else {
+          val routed = graft.read.Readers.snapshotGroups(this,
+              live.map(s => (partition, s.fileId)).toSet)
+            .withColumn(FileIdCol, lit(parentFileId))
+            .withColumn(MetaCols.FileName,
+              concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
+          writeFiles(spark, basePath, routed, instant,
+            isDelta = false, baseFormat = cfg.baseFormat)
+        }
+      val replaced =
+        if (live.isEmpty) Map.empty[String, Seq[String]]
+        else Map(partition -> live.map(_.fileId).distinct)
+      (stats, replaced, latestSchema.map(_.json).getOrElse(""))
+    }
+    ConsistentBuckets.saveState(basePath, ConsistentBuckets.state(this))
+    ts
   }
 
   /** Evolve the partition LAYOUT (beyond the reference — Iceberg-style
@@ -744,7 +837,17 @@ final class GraftTable(
   def lookup(keys: Seq[String]): DataFrame = {
     import spark.implicits._
     requireKeyed("lookup")
-    val base = if (BucketIndex.enabled(cfg)) {
+    val base = if (ConsistentBuckets.enabled(cfg)) {
+      // CONSISTENT buckets: a key's group depends on the partition's
+      // cover, so derive (partition, key) -> group over the live
+      // partitions (driver-resident set) — still no job and no index
+      val st = ConsistentBuckets.state(this)
+      val slices = view.fileSlices(None)
+      val parts = slices.map(_.partitionPath).distinct
+      val groups = (for { p <- parts; k <- keys }
+        yield (p, ConsistentBuckets.bucketIdOf(st, cfg, p, k))).toSet
+      graft.read.Readers.snapshotGroups(this, groups)
+    } else if (BucketIndex.enabled(cfg)) {
       // BUCKET: the hash IS the location — derive each key's group id on
       // the driver (no job, no index) and read only those buckets' groups
       // across partitions (non-global key: the partition is unknown, but
@@ -961,7 +1064,7 @@ final class GraftTable(
     // all (see BucketIndex). The bucket group may not exist yet; the COW
     // merge write finds no live base and simply creates it, and morWrite
     // splits live/missing groups itself.
-    if (BucketIndex.enabled(cfg)) return BucketIndex.tag(cfg, keyed)
+    if (BucketIndex.enabled(cfg)) return bucketTag(keyed)
     if (RecordIndex.enabled(cfg))
       RecordIndex.tag(this, keyed) match {
         case Some(tagged) => return tagged
@@ -1041,8 +1144,11 @@ final class GraftTable(
     // family able to hold a key twice. The distinct is bounded by
     // buckets × touched partitions.
     if (BucketIndex.enabled(cfg)) {
-      val routed = frame.withColumn(FileIdCol,
-        coalesce(col(FileIdCol), BucketIndex.fileIdCol(cfg, col(MetaCols.RecordKey))))
+      val routed =
+        if (ConsistentBuckets.enabled(cfg))
+          ConsistentBuckets.route(this, frame, preserveExisting = true)
+        else frame.withColumn(FileIdCol,
+          coalesce(col(FileIdCol), BucketIndex.fileIdCol(cfg, col(MetaCols.RecordKey))))
       val ids = routed.select(MetaCols.PartitionPath, FileIdCol).distinct()
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       return (routed, ids)
@@ -1083,8 +1189,16 @@ final class GraftTable(
     // BUCKET layout: overwrite groups ARE the buckets (stable ids; the
     // caller subtracts written ids from the replaced set so rewrites
     // shadow instead of dying)
-    if (BucketIndex.enabled(cfg)) BucketIndex.tag(cfg, keyed)
+    if (BucketIndex.enabled(cfg)) bucketTag(keyed)
     else assignInsertBucketsFresh(keyed)._1
+
+  /** Bucket-layout routing dispatch: the fixed engine's global `mod N`
+    * projection, or the consistent engine's per-partition cover routing
+    * (see [[ConsistentBuckets]]).
+    */
+  private def bucketTag(keyed: DataFrame): DataFrame =
+    if (ConsistentBuckets.enabled(cfg)) ConsistentBuckets.route(this, keyed)
+    else BucketIndex.tag(cfg, keyed)
 
   /** Returns (routed, hasRows) — the profile job already knows whether the
     * frame is empty, so callers can skip launching a write job for an

@@ -355,6 +355,62 @@ object Services {
     expired
   }
 
+  /** CONSISTENT-bucket capacity management, grow direction: split every
+    * live bucket group whose total bytes (base + deltas) exceed the
+    * threshold — default 1.5x max file size, the reference consistent
+    * bucket index's split-threshold discipline
+    * (hudi-client-common/.../bucket/ConsistentBucketIdentifier.java).
+    * Each split is one replacecommit rewriting only that bucket, so a
+    * growing table converges to right-sized groups at O(hot data) cost —
+    * the 100 TB answer the FIXED engine's full-rewrite rescale can't
+    * give. Returns the (partition, fileId)s split.
+    */
+  def splitHotBuckets(t: GraftTable,
+      thresholdBytes: Option[Long] = None): Seq[(String, String)] = {
+    require(ConsistentBuckets.enabled(t.cfg),
+      "splitHotBuckets requires graft.index.bucket.engine=CONSISTENT")
+    val thr = thresholdBytes.getOrElse(t.cfg.propLong(
+      ConfigKeys.BucketSplitBytes, t.maxFileSize * 3 / 2))
+    val hot = t.view.fileSlices(None).filter { s =>
+      s.allFiles.map(_.sizeBytes).sum > thr &&
+        ConsistentBuckets.Node.parse(s.fileId)
+          .exists(_.d < ConsistentBuckets.MaxDepth)
+    }
+    hot.map { s =>
+      t.splitBucket(s.partitionPath, s.fileId)
+      (s.partitionPath, s.fileId)
+    }
+  }
+
+  /** Shrink direction of [[splitHotBuckets]]: merge sibling child pairs
+    * whose combined live bytes fit under the threshold (default the
+    * small-file limit) back into their revived parent — only pairs
+    * deeper than the table's initial depth, so the layout converges
+    * toward (never past) its creation-time cover. Absent children count
+    * zero bytes; a fully-empty pair still merges (pure cover change).
+    */
+  def mergeColdBuckets(t: GraftTable,
+      thresholdBytes: Option[Long] = None): Seq[(String, String)] = {
+    require(ConsistentBuckets.enabled(t.cfg),
+      "mergeColdBuckets requires graft.index.bucket.engine=CONSISTENT")
+    val thr = thresholdBytes.getOrElse(t.smallFileLimit)
+    val d0 = ConsistentBuckets.initialDepth(t.cfg)
+    val st = ConsistentBuckets.state(t)
+    val bytes: Map[(String, String), Long] = t.view.fileSlices(None)
+      .map(s => (s.partitionPath, s.fileId) -> s.allFiles.map(_.sizeBytes).sum)
+      .toMap
+    st.covers.toSeq.sortBy(_._1).flatMap { case (part, cover) =>
+      cover.filter(_.d > d0).groupBy(_.parent).collect {
+        case (parent, pair) if pair.size == 2 &&
+            pair.map(n => bytes.getOrElse((part, n.fileId), 0L)).sum <= thr =>
+          parent
+      }.toSeq.sortBy(n => (n.d, n.v)).map { parent =>
+        t.mergeBuckets(part, parent.fileId)
+        (part, parent.fileId)
+      }
+    }
+  }
+
   /** Record-level TTL: expire rows whose event time fell more than
     * `keepDays` behind the TABLE'S OWN newest event time — one
     * predicate-pruned delete commit (the row-granular complement of
@@ -543,6 +599,13 @@ object Services {
     val action = all.head.action
     val completedData = t.timeline.completedDataInstants()
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    // a rewind invalidates the consistent-bucket cover CACHE (its
+    // watermark may now sit past the timeline's end, which forward-only
+    // catch-up cannot detect once newer commits land) — drop it BEFORE
+    // touching instants so a crash mid-rollback leaves only a missing
+    // cache, which full replay rebuilds exactly
+    if (ConsistentBuckets.enabled(t.cfg))
+      Storage.deleteIfExists(ConsistentBuckets.stateFile(t.basePath))
     if (all.exists(_.isCompleted)) {
       require(completedData.lastOption.exists(_.ts == ts),
         s"only the latest completed instant can be rolled back (latest=${completedData.lastOption.map(_.ts)})")

@@ -203,6 +203,30 @@ object Smoke {
         s"distinct_buckets=$buckets (expect >4)")
     }
 
+    // consistent bucket engine: grow by splitting one hot bucket (no
+    // full rewrite), merge the siblings back, point-read through covers
+    locally {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val ct = GraftTable.create(spark, s"${out}_cbucket", TableConfig(
+        "orders_cbkt", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate",
+        Map(ConfigKeys.IndexType -> "BUCKET",
+          ConfigKeys.BucketIndexEngine -> "CONSISTENT",
+          ConfigKeys.BucketIndexNumBuckets -> "4")))
+      ct.bulkInsert(src)
+      val hot = ct.view.fileSlices(None)
+        .maxBy(s => s.allFiles.map(_.sizeBytes).sum)
+      ct.splitBucket(hot.partitionPath, hot.fileId)
+      val sn = Readers.snapshot(ct).count()
+      val key = src.select("o_orderkey").first().getLong(0).toString
+      val hit = ct.lookup(Seq(key)).count()
+      val merged = graft.table.Services.mergeColdBuckets(ct, Some(Long.MaxValue))
+      val mn = Readers.snapshot(ct).count()
+      println(s"[smoke] bucket_split: split=${hot.partitionPath}/${hot.fileId} " +
+        s"snapshot=$sn (expect ${src.count()}) lookup=$hit (expect 1) " +
+        s"merged=${merged.size} (expect 1) after_merge=$mn (expect ${src.count()})")
+    }
+
     // secondary index: non-key point reads through value -> group mappings
     locally {
       val src = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -85,6 +85,8 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
     var t = GraftTable.create(spark, dir,
       TableConfig(name, tableType, Seq("id"), "id % 3", "ver", props))
     val bucketed = props.get(ConfigKeys.IndexType).contains("BUCKET")
+    val consistent = bucketed &&
+      props.get(ConfigKeys.BucketIndexEngine).contains("CONSISTENT")
 
     var model = Map.empty[Long, (Long, String)]
     // rollback/restore target the model history: states BY COMMIT TS
@@ -203,6 +205,22 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
           // persisted routing count back — reload so this handle routes
           // like any writer opening the table now would
           if (bucketed) t = GraftTable.load(spark, dir)
+        case Rescale(n0) if consistent =>
+          // consistent engine: the layout change is a single-bucket split
+          // (hottest live group) or a full cold-sibling merge-back —
+          // layout-only either way, model unchanged, CDC must stay silent
+          if (n0 % 2 == 1)
+            Services.mergeColdBuckets(t, Some(Long.MaxValue))
+          else {
+            val slices = t.view.fileSlices(None)
+            if (slices.nonEmpty) {
+              val s = slices.maxBy(x =>
+                (x.allFiles.map(_.sizeBytes).sum, x.partitionPath, x.fileId))
+              if (graft.table.ConsistentBuckets.Node.parse(s.fileId)
+                  .exists(_.d < graft.table.ConsistentBuckets.MaxDepth))
+                t.splitBucket(s.partitionPath, s.fileId)
+            }
+          }
         case Rescale(n0) if bucketed =>
           // layout-only: model unchanged, CDC must stay silent, and the
           // new count governs every subsequent op in the sequence
@@ -259,6 +277,25 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
   test("MOR + BUCKET index with inline compaction: same sequences, same states") {
     run(TableType.MergeOnRead, Map(
       ConfigKeys.IndexType -> "BUCKET",
+      ConfigKeys.BucketIndexNumBuckets -> "4",
+      ConfigKeys.CompactDeltaCommits -> "3"), 13L)
+  }
+
+  test("COW + CONSISTENT buckets: split/merge chaos keeps covers exact") {
+    // splits/merges interleave with overwrite/drop/rollback/restore —
+    // cover replay (incl. the rewind cache invalidation) must route every
+    // subsequent write exactly, and the change feed must stay silent
+    // across layout ops
+    Seq(11L, 12L).foreach(seed => run(TableType.CopyOnWrite, Map(
+      ConfigKeys.IndexType -> "BUCKET",
+      ConfigKeys.BucketIndexEngine -> "CONSISTENT",
+      ConfigKeys.BucketIndexNumBuckets -> "4"), seed))
+  }
+
+  test("MOR + CONSISTENT buckets with inline compaction: same chaos") {
+    run(TableType.MergeOnRead, Map(
+      ConfigKeys.IndexType -> "BUCKET",
+      ConfigKeys.BucketIndexEngine -> "CONSISTENT",
       ConfigKeys.BucketIndexNumBuckets -> "4",
       ConfigKeys.CompactDeltaCommits -> "3"), 13L)
   }
