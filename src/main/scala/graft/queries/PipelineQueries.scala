@@ -514,6 +514,13 @@ object PipelineQueries {
         .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
+    // distributed BPE merge-rule training (Sennrich 2016): the corpus
+    // collapses ONCE into a word-frequency table, then every iteration is
+    // O(vocabulary) — pair count, one-row argmax, row-local merge fold.
+    // Deterministic tie-breaks (count DESC, pair ASC over ASCII words)
+    // make all 6 learned rules exactly oracle-replayable.
+    "p_bpe_train" -> ((s, d) => BpeTrain.trainMerges(docs(s, d), "text", 6)),
+
     // corpus vocabulary: global token counts, top-k — partial (map-side)
     // aggregation does the heavy lifting; only distinct words shuffle
     "p_vocab_topk" -> ((s, d) =>
@@ -1243,7 +1250,36 @@ object PipelineQueries {
            |)
            |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
 
+  /** Unrolled DuckDB replay of [[BpeTrain.trainMerges]]: k CTE stages of
+    * (pair count → argmax → list_reduce merge fold), bit-identical to the
+    * engine's iteration because both sides share the same fold semantics
+    * and tie-break order.
+    */
+  private def bpeOracle(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      val prev = s"t${i - 1}"
+      s"""p$i AS (SELECT p['l'] AS lhs, p['r'] AS rhs, sum(cnt)::BIGINT AS c FROM (
+         |  SELECT unnest(list_transform(range(1, len(a)), j -> {'l': a[j], 'r': a[j+1]})) AS p, cnt
+         |  FROM (SELECT string_split(toks, chr(31)) AS a, cnt FROM $prev)) GROUP BY 1, 2),
+         |m$i AS (SELECT $i AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count
+         |  FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |t$i AS (SELECT list_reduce(list_prepend('', string_split(t.toks, chr(31))), (acc, x) ->
+         |  CASE WHEN acc = '' THEN x
+         |       WHEN (acc = m.lhs OR ends_with(acc, chr(31) || m.lhs)) AND x = m.rhs THEN acc || x
+         |       ELSE acc || chr(31) || x END) AS toks, t.cnt
+         |  FROM $prev t, m$i m)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH w AS (SELECT w, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1),
+         |t0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS toks, cnt FROM w),
+         |$stages
+         |SELECT * FROM (${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "p_bpe_train" -> bpeOracle(6),
     "p_hybrid_retrieval" ->
       raw"""WITH tkd AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
