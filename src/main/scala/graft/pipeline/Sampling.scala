@@ -48,6 +48,26 @@ object Sampling {
       .drop("_smp_stratum", "_smp_rate")
   }
 
+  /** Per-group document CAP (RefinedWeb's per-domain limit: no single
+    * domain may contribute more than N documents, keeping the BEST N by
+    * an explicit deterministic ranking). One hash shuffle on the group
+    * column + a per-group streamed row_number — work is O(rows), state is
+    * O(1) per group. A pathologically hot group (one domain = half the
+    * crawl) concentrates its rows in one task; mitigate upstream with a
+    * pre-filter sample on that group, not by salting (a cap needs the
+    * whole group ordered). Ties must be broken by a unique column (pass
+    * id last) or the kept set is nondeterministic.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, n: Int,
+      order: Seq[Column]): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_cap_rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(order: _*)))
+      .filter(col("_cap_rk") <= n)
+      .drop("_cap_rk")
+  }
+
   /** Mix strata toward target WEIGHTS (proportions of the output): one
     * small count aggregation derives the per-stratum keep rate that hits
     * the largest achievable sample honoring the weights, then delegates

@@ -514,6 +514,14 @@ object PipelineQueries {
         .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
+    // RefinedWeb-style per-domain cap: each source contributes at most 5
+    // docs, the best by (n_chars DESC, doc_id) — one group shuffle +
+    // streamed per-group row_number, O(1) state per group
+    "p_domain_cap" -> ((s, d) =>
+      Sampling.capPerGroup(docs(s, d), "source", 5,
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars")),
+
     // distributed BPE merge-rule training (Sennrich 2016): the corpus
     // collapses ONCE into a word-frequency table, then every iteration is
     // O(vocabulary) — pair count, one-row argmax, row-local merge fold.
@@ -1280,6 +1288,11 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p_bpe_train" -> bpeOracle(6),
+    "p_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
     "p_hybrid_retrieval" ->
       raw"""WITH tkd AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk

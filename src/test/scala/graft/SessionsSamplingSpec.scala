@@ -66,6 +66,26 @@ class SessionsSamplingSpec extends AnyFunSuite {
       docs.filter($"source" === "src1").count())
   }
 
+  test("capPerGroup: keeps exactly the best N per group, deterministic ties") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val capped = Sampling.capPerGroup(docs, "source", 3,
+      Seq($"n_chars".desc, $"doc_id"))
+    val per = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(per.forall(_._2 <= 3))
+    assert(per.length === docs.select("source").distinct().count())
+    // the kept set is the top-3 by the declared order — verify one group
+    val src = "src0"
+    val want = docs.filter($"source" === src)
+      .orderBy($"n_chars".desc, $"doc_id").limit(3)
+      .select("doc_id").as[Long].collect().toSet
+    val got = capped.filter($"source" === src)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    // idempotent: capping the capped output is a no-op
+    assert(Sampling.capPerGroup(capped, "source", 3,
+      Seq($"n_chars".desc, $"doc_id")).count() === capped.count())
+  }
+
   test("decontaminate: overlapping docs dropped, clean docs survive") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
