@@ -514,6 +514,18 @@ object PipelineQueries {
         .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
+    // multinomial Naive Bayes classifier (fastText-style count-based doc
+    // classifier): train on doc_id%5!=0 labeled by lang, predict the
+    // rest. Three count aggs to train; decimal-quantized log sums make
+    // every score aggregation-order independent and exactly replayable.
+    "p_nb_classify" -> ((s, d) => {
+      val all = docs(s, d)
+      NbClassify.trainPredict(
+        all.filter(col("doc_id") % 5 =!= 0),
+        all.filter(col("doc_id") % 5 === 0),
+        "lang", "text", "doc_id")
+    }),
+
     // RefinedWeb-style per-domain cap: each source contributes at most 5
     // docs, the best by (n_chars DESC, doc_id) — one group shuffle +
     // streamed per-group row_number, O(1) state per group
@@ -1288,6 +1300,39 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p_bpe_train" -> bpeOracle(6),
+    "p_nb_classify" ->
+      raw"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+           |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |trw AS (SELECT lang, w FROM (
+           |  SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM tr)
+           |  WHERE w <> ''),
+           |wc AS (SELECT lang, w, count(*)::BIGINT AS cnt FROM trw GROUP BY 1, 2),
+           |tok AS (SELECT lang, sum(cnt)::BIGINT AS tok FROM wc GROUP BY 1),
+           |v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM trw),
+           |nt AS (SELECT count(*)::BIGINT AS n FROM tr),
+           |pri AS (SELECT lang, round(ln(count(*)::DOUBLE / nt.n), 8)::DECIMAL(18,8) AS prior
+           |  FROM tr, nt GROUP BY lang, nt.n),
+           |model AS (SELECT wc.lang, wc.w,
+           |    round(ln((cnt + 1)::DOUBLE / (tok + v.v)::DOUBLE), 8)::DECIMAL(18,8) AS lnp
+           |  FROM wc JOIN tok ON wc.lang = tok.lang CROSS JOIN v),
+           |dflt AS (SELECT lang, round(ln(1.0 / (tok + v.v)::DOUBLE), 8)::DECIMAL(18,8) AS d
+           |  FROM tok CROSS JOIN v),
+           |tew AS (SELECT doc_id, w, count(*)::BIGINT AS n FROM (
+           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM te)
+           |  WHERE w <> '' GROUP BY 1, 2),
+           |ws AS (SELECT t.doc_id, d.lang, sum(t.n * coalesce(m.lnp, d.d)) AS wsum
+           |  FROM tew t CROSS JOIN dflt d
+           |  LEFT JOIN model m ON m.lang = d.lang AND m.w = t.w
+           |  GROUP BY 1, 2),
+           |sc AS (SELECT te.doc_id, p.lang,
+           |    p.prior + coalesce(ws.wsum, 0::DECIMAL(18,8)) AS score
+           |  FROM te CROSS JOIN pri p
+           |  LEFT JOIN ws ON ws.doc_id = te.doc_id AND ws.lang = p.lang),
+           |rk AS (SELECT doc_id, lang, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+           |  FROM sc)
+           |SELECT doc_id, lang AS predicted, score::DOUBLE AS score
+           |FROM rk WHERE rk = 1""".stripMargin,
     "p_domain_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
