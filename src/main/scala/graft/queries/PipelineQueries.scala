@@ -514,6 +514,24 @@ object PipelineQueries {
         .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
+    // distributed PageRank over the customer<->supplier interaction graph
+    // (edges from orders JOIN lineitem, both directions): 5 sparse
+    // matvec iterations, ranks as DECIMAL(20,12) with per-edge
+    // contributions quantized before every sum — aggregation-order
+    // independent, so all 5 iterations replay exactly
+    "p_pagerank" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val l = s.read.parquet(s"$d/lineitem.parquet")
+      val base = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+      val edges = base.select(col("c").as("src"), col("s").as("dst"))
+        .union(base.select(col("s").as("src"), col("c").as("dst")))
+      Graph.pageRank(edges, 5)
+        .orderBy(col("r").desc, col("node")).limit(50)
+        .select(col("node"), col("r").cast("double").as("rank"))
+    }),
+
     // multinomial Naive Bayes classifier (fastText-style count-based doc
     // classifier): train on doc_id%5!=0 labeled by lang, predict the
     // rest. Three count aggs to train; decimal-quantized log sums make
@@ -1298,8 +1316,43 @@ object PipelineQueries {
          |ORDER BY step""".stripMargin
   }
 
+  /** Unrolled DuckDB replay of [[Graph.pageRank]] over the
+    * customer<->supplier graph: k stages of (dangling fold, quantized
+    * contribution sum, recurrence) with the recurrence's double
+    * expression tree written exactly as the engine computes it.
+    */
+  private def pageRankOracle(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS (SELECT coalesce(sum(r.r), 0)::DOUBLE AS dang FROM $prev r
+         |  LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+         |c$i AS (SELECT e.dst AS node,
+         |    sum(round(r.r::DOUBLE / od.deg, 12)::DECIMAL(20,12)) AS inc
+         |  FROM edges e JOIN $prev r ON e.src = r.node
+         |  JOIN od ON od.src = e.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    round((1.0 - 0.85) / nn.n + 0.85 * (
+         |      coalesce(c.inc, 0::DECIMAL(20,12))::DOUBLE + d.dang / nn.n),
+         |      12)::DECIMAL(20,12) AS r
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i d
+         |  LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM eb UNION SELECT s, c FROM eb),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |od AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, round(1.0 / nn.n, 12)::DECIMAL(20,12) AS r
+       |  FROM nodes CROSS JOIN nn),
+       |$stages
+       |SELECT node, r::DOUBLE AS rank FROM r$k
+       |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "p_bpe_train" -> bpeOracle(6),
+    "p_pagerank" -> pageRankOracle(5),
     "p_nb_classify" ->
       raw"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
            |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
