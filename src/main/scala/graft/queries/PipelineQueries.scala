@@ -514,6 +514,30 @@ object PipelineQueries {
         .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
+    // declarative data-quality constraints (Deequ-style): plant
+    // deterministic violations (nulls, out-of-range, bad enum, bad
+    // format, duplicate keys, dangling FK), then verify every rule's
+    // violation count in ONE aggregation pass + one anti-join per FK
+    "p_data_quality" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val a = o.filter(col("o_orderkey") % 1000 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(90000000L))
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", lit(-1.0))
+        .withColumn("o_orderdate", lit(null).cast("timestamp"))
+        .withColumn("o_orderpriority", lit("9-BOGUS"))
+      val b = o.filter(col("o_orderkey") % 1000 === 2)
+      Constraints.check(o.unionByName(a).unionByName(b), Seq(
+        Constraints.NotNull("o_orderdate"),
+        Constraints.InRange("o_totalprice", 0, 1000000),
+        Constraints.InSet("o_orderstatus", Seq("O", "F", "P")),
+        Constraints.MatchesRegex("o_orderpriority", "^[1-5]-"),
+        Constraints.Unique(Seq("o_orderkey")),
+        Constraints.ForeignKey("o_custkey", cust, "c_custkey")))
+    }),
+
     // distributed PageRank over the customer<->supplier interaction graph
     // (edges from orders JOIN lineitem, both directions): 5 sparse
     // matvec iterations, ranks as DECIMAL(20,12) with per-edge
@@ -1353,6 +1377,37 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "p_bpe_train" -> bpeOracle(6),
     "p_pagerank" -> pageRankOracle(5),
+    "p_data_quality" ->
+      """WITH a AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |    o_custkey + 90000000 AS o_custkey, 'X' AS o_orderstatus,
+        |    -1.0 AS o_totalprice, NULL::TIMESTAMP AS o_orderdate,
+        |    '9-BOGUS' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1000 = 1),
+        |b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 1000 = 2),
+        |src AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM a UNION ALL SELECT * FROM b),
+        |t AS (SELECT count(*)::BIGINT AS total FROM src),
+        |r AS (
+        |  SELECT 'not_null(o_orderdate)' AS rule,
+        |    (SELECT count(*) FROM src WHERE o_orderdate IS NULL)::BIGINT AS violations,
+        |    t.total AS checked FROM t
+        |  UNION ALL SELECT 'in_range(o_totalprice,0.0,1000000.0)',
+        |    (SELECT count(*) FROM src WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 1000000))::BIGINT, t.total FROM t
+        |  UNION ALL SELECT 'in_set(o_orderstatus)',
+        |    (SELECT count(*) FROM src WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT, t.total FROM t
+        |  UNION ALL SELECT 'matches_regex(o_orderpriority)',
+        |    (SELECT count(*) FROM src WHERE o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))::BIGINT, t.total FROM t
+        |  UNION ALL SELECT 'unique(o_orderkey)',
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM src)::BIGINT, t.total FROM t
+        |  UNION ALL SELECT 'foreign_key(o_custkey)',
+        |    (SELECT count(*) FROM src WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT, t.total FROM t)
+        |SELECT rule, violations, checked, violations = 0 AS pass FROM r""".stripMargin,
     "p_nb_classify" ->
       raw"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
            |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
