@@ -514,6 +514,19 @@ object PipelineQueries {
         .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
+    // distribution-drift monitor: PSI per feature between two event
+    // slices (the odd slice's value is shifted 1.3x, its categories are
+    // not) — exact bin counts, 0.5-smoothed proportions, per-bin terms
+    // decimal-quantized before summing
+    "p_drift_psi" -> ((s, d) => {
+      val e = s.read.parquet(s"$d/events.parquet")
+      val base = e.filter(col("event_id") % 2 === 0)
+      val cur = e.filter(col("event_id") % 2 === 1)
+        .withColumn("value", col("value") * 1.3)
+      Drift.report(base, cur, numeric = Seq("value"),
+        categorical = Seq("event_type"))
+    }),
+
     // declarative data-quality constraints (Deequ-style): plant
     // deterministic violations (nulls, out-of-range, bad enum, bad
     // format, duplicate keys, dangling FK), then verify every rule's
@@ -1377,6 +1390,41 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "p_bpe_train" -> bpeOracle(6),
     "p_pagerank" -> pageRankOracle(5),
+    "p_drift_psi" ->
+      """WITH b AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |c AS (SELECT event_id, ts, user_id, event_type, value * 1.3 AS value, props
+        |  FROM events WHERE event_id % 2 = 1),
+        |st AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx
+        |  FROM b WHERE value IS NOT NULL),
+        |bh AS (SELECT least(greatest(floor((value::DOUBLE - st.mn) / ((st.mx - st.mn) / 10)), 0), 9)::BIGINT AS bin,
+        |    count(*)::BIGINT AS n FROM b, st WHERE value IS NOT NULL GROUP BY 1),
+        |ch AS (SELECT least(greatest(floor((value::DOUBLE - st.mn) / ((st.mx - st.mn) / 10)), 0), 9)::BIGINT AS bin,
+        |    count(*)::BIGINT AS n FROM c, st WHERE value IS NOT NULL GROUP BY 1),
+        |tb AS (SELECT count(*)::BIGINT AS t FROM b WHERE value IS NOT NULL),
+        |tc AS (SELECT count(*)::BIGINT AS t FROM c WHERE value IS NOT NULL),
+        |bins AS (SELECT unnest(range(0, 10))::BIGINT AS bin),
+        |vterms AS (SELECT round(
+        |    ((coalesce(bh.n, 0) + 0.5) / (tb.t + 0.5 * 10)
+        |      - (coalesce(ch.n, 0) + 0.5) / (tc.t + 0.5 * 10))
+        |    * ln(((coalesce(bh.n, 0) + 0.5) / (tb.t + 0.5 * 10))
+        |      / ((coalesce(ch.n, 0) + 0.5) / (tc.t + 0.5 * 10))), 10)::DECIMAL(22,10) AS term
+        |  FROM bins LEFT JOIN bh USING (bin) LEFT JOIN ch USING (bin), tb, tc),
+        |vpsi AS (SELECT 'value' AS feature, 'numeric' AS kind, sum(term)::DOUBLE AS psi FROM vterms),
+        |cats AS (SELECT event_type AS k FROM b UNION SELECT event_type FROM c),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM cats),
+        |bc AS (SELECT event_type AS k, count(*)::BIGINT AS n FROM b GROUP BY 1),
+        |cc AS (SELECT event_type AS k, count(*)::BIGINT AS n FROM c GROUP BY 1),
+        |tbc AS (SELECT count(*)::BIGINT AS t FROM b),
+        |tcc AS (SELECT count(*)::BIGINT AS t FROM c),
+        |cterms AS (SELECT round(
+        |    ((coalesce(bc.n, 0) + 0.5) / (tbc.t + 0.5 * kk.k)
+        |      - (coalesce(cc.n, 0) + 0.5) / (tcc.t + 0.5 * kk.k))
+        |    * ln(((coalesce(bc.n, 0) + 0.5) / (tbc.t + 0.5 * kk.k))
+        |      / ((coalesce(cc.n, 0) + 0.5) / (tcc.t + 0.5 * kk.k))), 10)::DECIMAL(22,10) AS term
+        |  FROM cats LEFT JOIN bc USING (k) LEFT JOIN cc USING (k), kk, tbc, tcc),
+        |cpsi AS (SELECT 'event_type' AS feature, 'categorical' AS kind, sum(term)::DOUBLE AS psi FROM cterms)
+        |SELECT feature, kind, psi, psi > 0.2 AS drifted
+        |FROM (SELECT * FROM vpsi UNION ALL SELECT * FROM cpsi)""".stripMargin,
     "p_data_quality" ->
       """WITH a AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
         |    o_custkey + 90000000 AS o_custkey, 'X' AS o_orderstatus,
