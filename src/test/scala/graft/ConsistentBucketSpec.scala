@@ -165,6 +165,34 @@ class ConsistentBucketSpec extends AnyFunSuite {
     assertRouted(t)
   }
 
+  test("cover replay reads the ARCHIVED timeline when the cache lags") {
+    val dir = tmpDir("cbkt_arch")
+    val t = GraftTable.create(spark, dir.toString, cCfg(extra = Map(
+      ConfigKeys.ArchiveMinCommits -> "2",
+      ConfigKeys.ArchiveMaxCommits -> "3")))
+    val src = orders
+    t.bulkInsert(src.filter(col("o_orderkey") % 3 =!= 0))
+    t.splitBucket("1995", "bktd2v1")
+    // push the split commit past the archive horizon
+    (1 to 4).foreach { i =>
+      t.upsert(src.filter(col("o_orderkey") % 20 === i)
+        .withColumn("o_totalprice", lit(i.toDouble)))
+    }
+    assert(!t.timeline.completedInstants()
+        .filter(_.action == graft.core.Action.ReplaceCommit)
+        .exists(i => graft.core.CommitMetadata.fromJson(t.timeline.readContent(i))
+          .operationType == ConsistentBuckets.OpSplit),
+      "test setup: the split commit should be archived")
+    assert(t.timeline.archivedInstants().nonEmpty)
+    Storage.deleteIfExists(ConsistentBuckets.stateFile(t.basePath))
+    val st = ConsistentBuckets.state(t)
+    assert(st.coverFor(t.cfg, "1995").map(_.fileId).toSet ===
+      Set("bktd2v0", "bktd3v1", "bktd3v5", "bktd2v2", "bktd2v3"),
+      "archived split lost from the cover replay")
+    t.upsert(src.filter(col("o_orderkey") % 3 === 0))
+    assertRouted(t)
+  }
+
   test("MOR: split compacts the bucket's deltas into child bases") {
     val dir = tmpDir("cbkt_mor")
     val t = GraftTable.create(spark, dir.toString,

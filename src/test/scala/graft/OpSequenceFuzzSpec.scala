@@ -230,6 +230,16 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       }
       assert(snap(t) === model,
         s"$tableType seed=$seed diverged after op #$i: $op")
+      // time-travel probe: every third op, replay a deterministic PAST
+      // state from the model history — as-of reads must hold under the
+      // same chaos (rewrites, layout ops, revivals), not just the head
+      if (i % 3 == 0 && history.size >= 2) {
+        val (pastTs, pastModel) = history(i % (history.size - 1))
+        val got = Readers.timeTravel(t, pastTs).select("id", "ver", "v")
+          .as[Row3].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got === pastModel,
+          s"$tableType seed=$seed time travel to $pastTs diverged after op #$i: $op")
+      }
       op match {
         case Upsert(_) | Delete(_) | MarkerUpsert(_, _) | Overwrite(_) | DropPartition(_) =>
           checkCdc(prevTs, prevModel)
