@@ -142,6 +142,33 @@ final class GraftCli(spark: SparkSession) {
       connected = Some(rescaled)
       CliText(s"Rescaled ${rescaled.cfg.tableName} to $n buckets")
     },
+    "quality constraints" -> { o =>
+      // table-level data-quality report: key uniqueness + key/precombine
+      // non-null always; --notnull c1,c2 / --inset col:v1|v2 /
+      // --range col:lo..hi add rules. One aggregation pass (Constraints).
+      import graft.pipeline.Constraints
+      import graft.pipeline.Constraints._
+      val base: Seq[Constraint] =
+        (if (table.cfg.recordKeyFields.nonEmpty)
+           Seq(Unique(table.cfg.recordKeyFields)) ++
+             table.cfg.recordKeyFields.map(NotNull(_))
+         else Seq.empty) ++
+          Option(table.cfg.precombineField).filter(_.nonEmpty).map(NotNull(_))
+      val extra: Seq[Constraint] =
+        o.get("notnull").toSeq.flatMap(_.split(',')).map(c => NotNull(c.trim)) ++
+          o.get("inset").toSeq.map { spec =>
+            val Array(c, vs) = spec.split(":", 2)
+            InSet(c, vs.split('|').toSeq)
+          } ++
+          o.get("range").toSeq.map { spec =>
+            val Array(c, b) = spec.split(":", 2)
+            val Array(lo, hi) = b.split("\\.\\.", 2)
+            InRange(c, lo.toDouble, hi.toDouble)
+          }
+      val snap = graft.read.Readers.snapshot(table)
+        .drop(graft.core.MetaCols.All: _*)
+      CliFrame(Constraints.check(snap, base ++ extra))
+    },
     "buckets split" -> { o =>
       // CONSISTENT-engine split from the shell: --partition p --fileId
       // bktd<d>v<v>, or --auto [--bytes n] for the hot-bucket sweep

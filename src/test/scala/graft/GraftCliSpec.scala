@@ -202,6 +202,21 @@ class GraftCliSpec extends AnyFunSuite {
     }
   }
 
+  test("quality constraints reports per-rule violation counts") {
+    val dir = tmpDir("cli_dq").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_dq --recordKey id --precombine v")
+    cli.table.bulkInsert(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "zz"))
+      .toDF("id", "v", "s"))
+    val r = cli.run("quality constraints --inset s:a|b").frame
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._4))).toMap
+    assert(r("unique(id)") === ((0L, true)))
+    assert(r("not_null(id)") === ((0L, true)))
+    assert(r("not_null(v)") === ((0L, true)))
+    assert(r("in_set(s)") === ((1L, false))) // the "zz" row
+  }
+
   test("record lookup answers point reads from the shell") {
     val dir = tmpDir("cli_lookup").toString + "/t"
     val cli = new GraftCli(spark)
