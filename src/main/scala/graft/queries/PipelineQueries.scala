@@ -514,6 +514,31 @@ object PipelineQueries {
         .withColumn("query_id", col("query_id") - 1000000L)
     }),
 
+    // END-TO-END corpus build: the operators compose — quality filter ->
+    // exact dedup -> exact decontamination vs a held-out eval slice ->
+    // per-domain cap -> stratified language mix, each stage the library
+    // op a real pipeline would call, the whole chain replayed in one
+    // oracle. Plan-wise: filters push to the scan, dedup is the min-id
+    // aggregation + semi-join, decontamination a fingerprint anti-join,
+    // cap one group window, mix a row-local hash filter — no stage
+    // materializes, Catalyst fuses the lot.
+    "p_corpus_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 97 =!= 0 && col("n_chars") >= 50)
+      val eval = all.filter(col("doc_id") % 97 === 0)
+      val deduped = Dedup.exact(corpus)
+      val decont = deduped
+        .withColumn("_fp", TextStats.fingerprintHex(col("text")))
+        .join(eval.select(TextStats.fingerprintHex(col("text")).as("_fp"))
+          .distinct(), Seq("_fp"), "left_anti")
+        .drop("_fp")
+      val capped = Sampling.capPerGroup(decont, "source", 5,
+        Seq(col("n_chars").desc, col("doc_id")))
+      Sampling.stratifiedSample(capped, "lang", "doc_id",
+          Map("en" -> 1.0), defaultRate = 0.6)
+        .select("doc_id", "source", "lang", "n_chars")
+    }),
+
     // distribution-drift monitor: PSI per feature between two event
     // slices (the odd slice's value is shifted 1.3x, its categories are
     // not) — exact bin counts, 0.5-smoothed proportions, per-bin terms
@@ -1390,6 +1415,21 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "p_bpe_train" -> bpeOracle(6),
     "p_pagerank" -> pageRankOracle(5),
+    "p_corpus_pipeline" ->
+      raw"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0 AND n_chars >= 50),
+           |ev AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |  FROM documents WHERE doc_id % 97 = 0),
+           |fp AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM corpus),
+           |dd AS (SELECT f.* FROM fp f
+           |  JOIN (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY 1) k
+           |  ON f.fp = k.fp AND f.doc_id = k.keep),
+           |dc AS (SELECT * FROM dd WHERE fp NOT IN (SELECT fp FROM ev)),
+           |cap AS (SELECT * FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+           |  FROM dc) WHERE rk <= 5)
+           |SELECT doc_id, source, lang, n_chars FROM cap
+           |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) <
+           |  CAST(10000 * (CASE lang WHEN 'en' THEN 1.0 ELSE 0.6 END) AS BIGINT)""".stripMargin,
     "p_drift_psi" ->
       """WITH b AS (SELECT * FROM events WHERE event_id % 2 = 0),
         |c AS (SELECT event_id, ts, user_id, event_type, value * 1.3 AS value, props
