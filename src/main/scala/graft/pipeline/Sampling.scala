@@ -48,6 +48,28 @@ object Sampling {
       .drop("_smp_stratum", "_smp_rate")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement
+    * (Efraimidis-Spirakis A-Res): each row draws its uniform from the id
+    * hash (content-stable, like [[sample]]) and competes by `u^(1/w)`;
+    * the global top-k by key IS a weighted sample without replacement.
+    * One top-k sort (Spark's TakeOrdered — no full global sort
+    * materializes). Keys quantize to 9 decimals with an id tie-break so
+    * the kept set is exactly reproducible across engines (`pow` is not
+    * correctly-rounded IEEE; the quantization absorbs last-ulp drift).
+    * Weights must be strictly positive.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (hashBucket(col(idCol)).cast("double") + lit(0.5)) / lit(10000.0)
+    df.withColumn("_ws_key",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+          .cast("decimal(12,9)"))
+      .orderBy(col("_ws_key").desc, col(idCol))
+      .limit(k)
+      .drop("_ws_key")
+  }
+
   /** Per-group document CAP (RefinedWeb's per-domain limit: no single
     * domain may contribute more than N documents, keeping the BEST N by
     * an explicit deterministic ranking). One hash shuffle on the group

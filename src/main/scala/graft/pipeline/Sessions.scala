@@ -51,4 +51,31 @@ object Sessions {
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total_value"))
       .withColumn("duration_s",
         ((unix_micros(col("end_ts")) - unix_micros(col("start_ts"))) / 1000000L).cast("long"))
+
+  /** Top event PATHS (sequential pattern mining's workhorse n-gram form):
+    * per entity, the totally-ordered event-type sequence; every length-n
+    * contiguous subsequence becomes a `a>b>c` path; global top-k paths by
+    * count with a lexicographic tie-break. One shuffle to assemble the
+    * per-entity sequences (state bounded by the hottest entity, like
+    * sessionize), row-local n-gram explosion, one count aggregation, and
+    * a TakeOrdered top-k — no global sort.
+    */
+  def topPaths(df: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieBreak: String = "event_id", n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2 && k >= 1, s"need n >= 2 and k >= 1, got n=$n k=$k")
+    val seqs = df.groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(tieBreak), col(typeCol).as("_tp_t")))).as("_tp_evs"))
+      .select(expr("transform(_tp_evs, e -> e._tp_t)").as("_tp_types"))
+    val gram = (1 to n).map(j => s"element_at(_tp_types, i + ${j - 1})")
+      .mkString("concat_ws('>', ", ", ", ")")
+    seqs.filter(size(col("_tp_types")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(_tp_types) - ${n - 1}), i -> $gram)"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

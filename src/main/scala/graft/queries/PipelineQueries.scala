@@ -606,6 +606,18 @@ object PipelineQueries {
         "lang", "text", "doc_id")
     }),
 
+    // top event PATHS: per-user ordered event-type 3-grams, global top-20
+    // — one sequence-assembly shuffle + row-local n-gram explosion
+    "p_event_paths" -> ((s, d) =>
+      Sessions.topPaths(s.read.parquet(s"$d/events.parquet"))),
+
+    // weighted sample WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    // 200 docs drawn by length weight — content-stable uniforms from the
+    // id hash, one top-k (no global sort), quantized keys + id tie-break
+    "p_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", 200)
+        .select("doc_id", "source", "n_chars")),
+
     // RefinedWeb-style per-domain cap: each source contributes at most 5
     // docs, the best by (n_chars DESC, doc_id) — one group shuffle +
     // streamed per-group row_number, O(1) state per group
@@ -620,6 +632,16 @@ object PipelineQueries {
     // Deterministic tie-breaks (count DESC, pair ASC over ASCII words)
     // make all 6 learned rules exactly oracle-replayable.
     "p_bpe_train" -> ((s, d) => BpeTrain.trainMerges(docs(s, d), "text", 6)),
+
+    // the encode side at corpus scale: apply the 6 learned rules to every
+    // doc (row-local projections) and count the resulting subword tokens
+    "p_bpe_encode" -> ((s, d) => {
+      val all = docs(s, d)
+      val rules = BpeTrain.trainMerges(all, "text", 6)
+        .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encode(all, "text", rules)
+        .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe"))
+    }),
 
     // corpus vocabulary: global token counts, top-k — partial (map-side)
     // aggregation does the heavy lifting; only distinct words shuffle
@@ -1355,7 +1377,11 @@ object PipelineQueries {
     * engine's iteration because both sides share the same fold semantics
     * and tie-break order.
     */
-  private def bpeOracle(k: Int): String = {
+  /** The shared k-stage CTE prefix (pair count → argmax → merge fold);
+    * each `t$i` carries (w, toks, cnt) so both the train and the encode
+    * oracle can build on the final token state.
+    */
+  private def bpeStages(k: Int): String = {
     val stages = (1 to k).map { i =>
       val prev = s"t${i - 1}"
       s"""p$i AS (SELECT p['l'] AS lhs, p['r'] AS rhs, sum(cnt)::BIGINT AS c FROM (
@@ -1363,20 +1389,33 @@ object PipelineQueries {
          |  FROM (SELECT string_split(toks, chr(31)) AS a, cnt FROM $prev)) GROUP BY 1, 2),
          |m$i AS (SELECT $i AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count
          |  FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |t$i AS (SELECT list_reduce(list_prepend('', string_split(t.toks, chr(31))), (acc, x) ->
+         |t$i AS (SELECT t.w, list_reduce(list_prepend('', string_split(t.toks, chr(31))), (acc, x) ->
          |  CASE WHEN acc = '' THEN x
          |       WHEN (acc = m.lhs OR ends_with(acc, chr(31) || m.lhs)) AND x = m.rhs THEN acc || x
          |       ELSE acc || chr(31) || x END) AS toks, t.cnt
          |  FROM $prev t, m$i m)""".stripMargin
     }.mkString(",\n")
-    raw"""WITH w AS (SELECT w, count(*) AS cnt FROM (
+    raw"""w AS (SELECT w, count(*) AS cnt FROM (
          |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents)
          |  WHERE w <> '' GROUP BY 1),
-         |t0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS toks, cnt FROM w),
-         |$stages
-         |SELECT * FROM (${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
-         |ORDER BY step""".stripMargin
+         |t0 AS (SELECT w, rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS toks, cnt FROM w),
+         |$stages""".stripMargin
   }
+
+  private def bpeOracle(k: Int): String =
+    s"""WITH ${bpeStages(k)}
+       |SELECT * FROM (${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+
+  private def bpeEncodeOracle(k: Int): String =
+    s"""WITH ${bpeStages(k)},
+       |docw AS (SELECT doc_id, w FROM (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+       |  FROM documents) WHERE w <> ''),
+       |per AS (SELECT d.doc_id, sum(len(string_split(t.toks, chr(31))))::BIGINT AS n
+       |  FROM docw d JOIN t$k t ON d.w = t.w GROUP BY 1)
+       |SELECT doc.doc_id, coalesce(per.n, 0)::BIGINT AS n_bpe
+       |FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id""".stripMargin
 
   /** Unrolled DuckDB replay of [[Graph.pageRank]] over the
     * customer<->supplier graph: k stages of (dangling fold, quantized
@@ -1414,6 +1453,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p_bpe_train" -> bpeOracle(6),
+    "p_bpe_encode" -> bpeEncodeOracle(6),
     "p_pagerank" -> pageRankOracle(5),
     "p_corpus_pipeline" ->
       raw"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0 AND n_chars >= 50),
@@ -1529,6 +1569,21 @@ object PipelineQueries {
            |  FROM sc)
            |SELECT doc_id, lang AS predicted, score::DOUBLE AS score
            |FROM rk WHERE rk = 1""".stripMargin,
+    "p_event_paths" ->
+      """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT unnest(list_transform(range(1, len(types) - 1),
+        |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+        |  FROM s WHERE len(types) >= 3)
+        |SELECT path, count(*)::BIGINT AS n FROM g GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "p_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    round(pow(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)::DOUBLE + 0.5) / 10000.0,
+        |      1.0 / n_chars::DOUBLE), 9)::DECIMAL(12,9) AS k
+        |  FROM documents)
+        |ORDER BY k DESC, doc_id LIMIT 200""".stripMargin,
     "p_domain_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -293,6 +293,30 @@ class ConsistentBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("optimistic write racing a split conflicts loudly, retry routes anew") {
+    val dir = tmpDir("cbkt_occ")
+    val t = GraftTable.create(spark, dir.toString, cCfg())
+    t.bulkInsert(orders.limit(2000))
+    val batch = orders.limit(200)
+    t.beforeOptimisticPublish = () => {
+      val s = t.view.fileSlices(None)
+        .maxBy(x => (x.allFiles.map(_.sizeBytes).sum, x.partitionPath, x.fileId))
+      t.splitBucket(s.partitionPath, s.fileId)
+    }
+    try {
+      intercept[graft.table.WriteConflictException] {
+        t.upsertOptimistic(batch.withColumn("o_totalprice", lit(2.0)))
+      }
+    } finally t.beforeOptimisticPublish = () => ()
+    // the failed write left no trace; a retry routes against the evolved
+    // cover and lands
+    val t2 = GraftTable.load(spark, dir.toString)
+    t2.upsertOptimistic(batch.withColumn("o_totalprice", lit(2.0)))
+    assert(Readers.snapshot(t2).filter(col("o_totalprice") === 2.0).count()
+      === batch.count())
+    assertRouted(t2)
+  }
+
   test("refusals: rescale, non-power-of-two, bad targets") {
     val dir = tmpDir("cbkt_refuse")
     val t = GraftTable.create(spark, dir.toString, cCfg())

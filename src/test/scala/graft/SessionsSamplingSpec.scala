@@ -86,6 +86,41 @@ class SessionsSamplingSpec extends AnyFunSuite {
       Seq($"n_chars".desc, $"doc_id")).count() === capped.count())
   }
 
+  test("weightedSample: deterministic, sized, monotone in weight") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val s1 = Sampling.weightedSample(docs, "doc_id", "n_chars", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size === 100)
+    val s2 = Sampling.weightedSample(docs, "doc_id", "n_chars", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    // raising ONE kept doc's weight cannot evict it (its key only grows)
+    val kept = s1.head
+    val boosted = docs.withColumn("n_chars",
+      when($"doc_id" === kept, $"n_chars" * 100).otherwise($"n_chars"))
+    assert(Sampling.weightedSample(boosted, "doc_id", "n_chars", 100)
+      .filter($"doc_id" === kept).count() === 1)
+  }
+
+  test("topPaths: ordered per-entity n-grams, global top-k") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 00:00:01"), "A"),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 00:00:02"), "B"),
+      (3L, 1L, Timestamp.valueOf("2024-01-01 00:00:03"), "C"),
+      (4L, 1L, Timestamp.valueOf("2024-01-01 00:00:04"), "B"),
+      (5L, 1L, Timestamp.valueOf("2024-01-01 00:00:05"), "C"),
+      (6L, 2L, Timestamp.valueOf("2024-01-01 00:00:01"), "A"),
+      (7L, 2L, Timestamp.valueOf("2024-01-01 00:00:02"), "B"),
+      (8L, 2L, Timestamp.valueOf("2024-01-01 00:00:03"), "C"),
+      (9L, 3L, Timestamp.valueOf("2024-01-01 00:00:01"), "X")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.pipeline.Sessions.topPaths(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(got.head === (("A>B>C", 2L)))
+    assert(got.toMap === Map("A>B>C" -> 2L, "B>C>B" -> 1L, "C>B>C" -> 1L))
+  }
+
   test("decontaminate: overlapping docs dropped, clean docs survive") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
