@@ -120,7 +120,7 @@ object DedupService {
       case Some(b) => Readers.incremental(source, b, Some(head))
     }
     val dataCols = pulledRaw.columns.filterNot(graft.core.MetaCols.All.contains)
-    val pulled = pulledRaw.select(dataCols.map(col): _*)
+    val pulled = pulledRaw.select(dataCols.toIndexedSeq.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // signatures once per doc (native expression), band rows id-only —

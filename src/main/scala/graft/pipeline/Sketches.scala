@@ -43,7 +43,7 @@ object Sketches {
     val bytes = words
       .agg(count_min_sketch(col("word"), lit(eps), lit(confidence), lit(42))
         .as("sk"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val sketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
     val bc = df.sparkSession.sparkContext.broadcast(sketch)
     val mayBeHeavy = udf((w: String) => bc.value.estimateCount(w) >= minCount)

@@ -90,7 +90,7 @@ object SpanDedupService {
       case Some(b) => Readers.incremental(source, b, Some(head))
     }
     val dataCols = pulledRaw.columns.filterNot(graft.core.MetaCols.All.contains)
-    val toks = pulledRaw.select(dataCols.map(col): _*)
+    val toks = pulledRaw.select(dataCols.toIndexedSeq.map(col): _*)
       .withColumn("_sd_ts", split(col(textCol), " "))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -126,7 +126,7 @@ object SpanDedupService {
           .withColumn("_sd_starts",
             coalesce(col("_sd_starts"), expr("array()").cast("array<int>")))
           .withColumn(textCol, array_join(expr(Dedup.cutSpansExpr(k)), " "))
-          .select(dataCols.map(col): _*)
+          .select(dataCols.toIndexedSeq.map(col): _*)
 
         // index upsert FIRST (crash-replay safe — see scaladoc): one row
         // per fingerprint, lowest owner wins via the EVENT_TIME payload

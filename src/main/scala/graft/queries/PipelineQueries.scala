@@ -50,7 +50,7 @@ object PipelineQueries {
       val srcT = GraftTable.create(s, s"$root/source", docsCfg)
       val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
       val idx = DedupService.openIndex(s, s"$root/index", threshold = 0.6)
-      val mx = base.agg(max("doc_id")).head.getLong(0)
+      val mx = base.agg(max("doc_id")).head().getLong(0)
       val ticks = Seq(
         base.filter(col("doc_id") <= mx / 3),
         base.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
@@ -852,7 +852,7 @@ object PipelineQueries {
       val srcT = GraftTable.create(s, s"$root/source", docsCfg)
       val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
       val idx = SpanDedupService.openIndex(s, s"$root/index", k = 20)
-      val mx = base.agg(max("doc_id")).head.getLong(0)
+      val mx = base.agg(max("doc_id")).head().getLong(0)
       val ticks = Seq(
         base.filter(col("doc_id") <= mx / 3),
         base.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),

@@ -89,7 +89,7 @@ final class GraftTable(
           out = out.withColumn(f.name, lit(null).cast(f.dataType))
       }
       val newCols = df.columns.filterNot(c => ts.fieldNames.contains(c))
-      out.select((ts.fieldNames ++ newCols).map(col): _*)
+      out.select((ts.fieldNames ++ newCols).toIndexedSeq.map(col): _*)
   }
 
   /** Average record size from recent commit stats (reference

@@ -115,9 +115,9 @@ object Payload {
         // the current version toward older ones); evaluated at the winner
         val fr = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         fenced
-          .select(winnerCols.map(col) ++
+          .select((winnerCols.map(col) ++
             dataCols.map(c => first(col(c), ignoreNulls = true).over(fr).as(c)) :+
-            row_number().over(w).as("_graft_rn"): _*)
+            row_number().over(w).as("_graft_rn")).toIndexedSeq: _*)
           .filter(col("_graft_rn") === 1)
           .drop("_graft_rn")
       case _ =>

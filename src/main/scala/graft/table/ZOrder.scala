@@ -68,7 +68,7 @@ object ZOrder {
       if (cuts.isEmpty) lit(0L)
       else {
         // bucket = number of cuts <= value; nulls sort first (bucket 0)
-        val arr = array(cuts.map(lit): _*)
+        val arr = array(cuts.toIndexedSeq.map(lit): _*)
         val v = asDouble(i)
         when(v.isNull, lit(0L))
           .otherwise(size(filter(arr, cut => cut <= v)).cast("long"))

@@ -230,6 +230,18 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       }
       assert(snap(t) === model,
         s"$tableType seed=$seed diverged after op #$i: $op")
+      // point-lookup probe: every fourth op, the index-driven lookup path
+      // (SIMPLE scan / BLOOM sidecars / RECORD mapping table / BUCKET
+      // hash / CONSISTENT covers — whichever this variant runs) must
+      // agree with the model for present AND absent keys
+      if (i % 4 == 1) {
+        val probeIds = Seq(1L, 15L, 30L, 999L)
+        val got = t.lookup(probeIds.map(_.toString))
+          .select("id", "ver", "v").as[Row3].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got === model.filter { case (k, _) => probeIds.contains(k) },
+          s"$tableType seed=$seed lookup diverged after op #$i: $op")
+      }
       // time-travel probe: every third op, replay a deterministic PAST
       // state from the model history — as-of reads must hold under the
       // same chaos (rewrites, layout ops, revivals), not just the head
