@@ -89,6 +89,8 @@ object ConfigKeys {
   // Services.splitHotBuckets (default 1.5x max file size, the reference's
   // hoodie.bucket.index.split.threshold discipline)
   val BucketSplitBytes = "graft.index.bucket.split.bytes"
+  // opt-in: run splitHotBuckets after every data commit (CONSISTENT only)
+  val BucketSplitAuto = "graft.index.bucket.split.auto"
   // opt-in automatic partition TTL: keep only the newest N partition
   // paths after each data commit (Services.expirePartitions keepLast)
   val PartitionTtlKeepLast = "graft.partition.ttl.keep.last"

@@ -1759,6 +1759,22 @@ final class GraftTable(
     if (cfg.prop(ConfigKeys.ClusterInline, "false") == "true")
       Services.clusterIfDue(this,
         cfg.propLong(ConfigKeys.ClusterInlineMaxCommits, 4L))
+    // CONSISTENT-bucket auto split (opt-in, the auto form of
+    // Services.splitHotBuckets): hot buckets split as soon as a commit
+    // grows them past the threshold, so capacity management keeps pace
+    // with ingest hands-off. The re-entrancy guard keeps each split
+    // replacecommit's own postCommit from re-running the service under a
+    // pass that still holds the pre-split candidate list; the loop
+    // converges within the commit (a single-commit overshoot >2x the
+    // threshold leaves hot children, re-listed fresh each round) and the
+    // depth cap bounds the rounds absolutely.
+    if (ConsistentBuckets.enabled(cfg) &&
+        cfg.prop(ConfigKeys.BucketSplitAuto, "false") == "true" &&
+        !GraftTable.inAutoSplit.get()) {
+      GraftTable.inAutoSplit.set(true)
+      try while (Services.splitHotBuckets(this).nonEmpty) ()
+      finally GraftTable.inAutoSplit.set(false)
+    }
     // partition TTL after data commits (opt-in, the auto form of
     // Services.expirePartitions): calendar-window retention keeps pace
     // with ingest on date-partitioned tables. Recursion terminates: the
@@ -1819,6 +1835,13 @@ object SortMode {
 }
 
 object GraftTable {
+  /** Re-entrancy guard for the auto bucket-split postCommit hook: the
+    * split replacecommits it issues must not restart the service under
+    * the pass that is still iterating the pre-split cover.
+    */
+  private[table] val inAutoSplit: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   /** What a commit callback receives (reference
     * HoodieWriteCommitCallbackMessage: commitTime + tableName + basePath;
     * operation and row counts added because every consumer immediately

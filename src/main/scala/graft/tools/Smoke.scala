@@ -15,9 +15,10 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_smoke"
-    graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(out))
-    graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(s"${out}_bucket"))
-    graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(s"${out}_secidx"))
+    // every derived table dir a section creates, so reruns start clean
+    Seq("", "_ds", "_bucket", "_cbucket", "_secidx", "_expridx", "_rttl")
+      .foreach(sfx => graft.table.WritePipeline.deleteRecursively(
+        new org.apache.hadoop.fs.Path(s"$out$sfx")))
 
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -242,6 +242,26 @@ class ConsistentBucketSpec extends AnyFunSuite {
     assert(Services.mergeColdBuckets(t, Some(Long.MaxValue)).isEmpty)
   }
 
+  test("auto split: post-commit capacity management keeps pace hands-off") {
+    val dir = tmpDir("cbkt_auto")
+    val t = GraftTable.create(spark, dir.toString, cCfg(extra = Map(
+      ConfigKeys.BucketSplitAuto -> "true",
+      ConfigKeys.BucketSplitBytes -> "4096")))
+    val src = orders
+    t.bulkInsert(src)
+    // the bulk commit's postCommit split every over-threshold bucket
+    val slices = t.view.fileSlices(None)
+    assert(slices.exists(s => ConsistentBuckets.Node.parse(s.fileId)
+      .exists(_.d > 2)), "no bucket split automatically")
+    assert(Readers.snapshot(t).count() === src.count())
+    assertRouted(t)
+    // subsequent writes keep converging without operator intervention
+    t.upsert(src.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("o_totalprice", lit(3.0)))
+    assert(Readers.snapshot(t).count() === src.count())
+    assertRouted(t)
+  }
+
   test("point lookup probes per-partition covers; key equality prunes") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = tmpDir("cbkt_lookup")
