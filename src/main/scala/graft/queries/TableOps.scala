@@ -548,6 +548,32 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // incrementally-maintained materialized aggregate view: the second
+    // sync folds ONLY the change images (update retract+add, delete
+    // retract, min repaired per touched group), yet must land
+    // bit-identical to a from-scratch GROUP BY of the final state
+    "t_materialized_view" -> ((s, d) => {
+      import graft.table.MaterializedView
+      val t = fresh(s, d, "t_mview", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val vp = s"/tmp/graft_q/t_mview_v_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(vp))
+      val v = MaterializedView.create(s, vp, t,
+        Seq("o_orderpriority" -> "o_orderpriority"),
+        Seq(MaterializedView.ViewAgg("cnt", "count", "*"),
+          MaterializedView.ViewAgg("total", "sum", "o_totalprice"),
+          MaterializedView.ViewAgg("min_price", "min", "o_totalprice"),
+          MaterializedView.ViewAgg("avg_price", "avg", "o_totalprice")))
+      MaterializedView.sync(v, t)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(src.filter(col("o_orderkey") % 5 === 0))
+      MaterializedView.sync(v, t)
+      MaterializedView.read(v).select(col("o_orderpriority"), col("cnt"),
+        col("total").cast("double").as("total"), col("min_price"), col("avg_price"))
+    }),
+
     // point lookup by a NON-KEY column through the secondary index
     // (value -> file-group mapping tables; reads only the mapped groups).
     // The upsert moves some rows to a new custkey so the probe exercises
@@ -1213,6 +1239,21 @@ object TableOps {
          |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders
          |WHERE o_orderkey % 30 <> 0""".stripMargin,
+    // replays the upsert-then-delete on the base table, then the exact
+    // decimal-fold arithmetic of the view state (sum in DECIMAL(28,8),
+    // avg = double(sum)/double(count) — both engines hit identical
+    // IEEE-754 operands)
+    "t_materialized_view" ->
+      s"""WITH final AS (
+         |  SELECT o_orderpriority,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS p
+         |  FROM orders WHERE o_orderkey % 5 <> 0)
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS total,
+         |  min(p) AS min_price,
+         |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(count(p) AS DOUBLE) AS avg_price
+         |FROM final GROUP BY 1""".stripMargin,
     "t_partition_ttl" ->
       s"""SELECT $OrdersSql FROM orders
          |WHERE year(o_orderdate) >= (SELECT max(year(o_orderdate)) - 2 FROM orders)""".stripMargin,

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.Readers
+import graft.table.{GraftTable, MaterializedView => MV}
+import graft.table.MaterializedView.ViewAgg
+
+/** Incremental materialized-view maintenance: every sync must land the
+  * view bit-identical to a from-scratch aggregate of the source's state
+  * at the checkpoint — inserts, updates (including group-moving ones),
+  * deletes, vanished/new groups, and min/max retraction all covered.
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def cfg(name: String) = TableConfig(
+    name, TableType.CopyOnWrite, Seq("id"), "", "")
+
+  private def rows(xs: (Long, String, Double)*): DataFrame =
+    xs.toDF("id", "grp", "v")
+
+  private def mk(prefix: String): (GraftTable, GraftTable) = {
+    val d = tmpDir(prefix)
+    val t = GraftTable.create(spark, s"$d/src", cfg(prefix))
+    val v = MV.create(spark, s"$d/view", t,
+      Seq("grp" -> "grp"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "v"),
+        ViewAgg("lo", "min", "v"), ViewAgg("mean", "avg", "v")))
+    (t, v)
+  }
+
+  /** From-scratch expectation over the source's CURRENT state, shaped
+    * exactly like MV.read's projection.
+    */
+  private def recompute(t: GraftTable): DataFrame =
+    Readers.snapshot(t)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(28,8)")).as("total"),
+        min(col("v")).as("lo"),
+        (sum(col("v").cast("decimal(28,8)")).cast("double") /
+          count(col("v")).cast("double")).as("mean"))
+
+  private def assertMatches(v: GraftTable, t: GraftTable): Unit = {
+    val got = MV.read(v).orderBy("grp").collect().map(_.toSeq).toSeq
+    val want = recompute(t).orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("initial sync equals a full aggregate") {
+    val (t, v) = mk("mv_init")
+    t.bulkInsert(rows((1, "a", 1.5), (2, "a", 2.5), (3, "b", 10.0)))
+    assert(MV.sync(v, t).isDefined)
+    assertMatches(v, t)
+  }
+
+  test("incremental fold: inserts, updates, deletes, group moves") {
+    val (t, v) = mk("mv_incr")
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)))
+    MV.sync(v, t)
+    t.upsert(rows((2, "a", 20.0))) // value update
+    t.upsert(rows((3, "a", 3.0)))  // moves b -> a: retract + add
+    t.delete(Seq(4L).toDF("id").withColumn("grp", lit("b")).withColumn("v", lit(0.0)))
+    t.insert(rows((5, "c", 50.0))) // brand-new group
+    assert(MV.sync(v, t).isDefined)
+    assertMatches(v, t)
+    // group b vanished entirely (3 moved, 4 deleted)
+    assert(!MV.read(v).select("grp").as[String].collect().contains("b"))
+  }
+
+  test("min retraction: deleting the minimum repairs from the source") {
+    val (t, v) = mk("mv_minfix")
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0)))
+    MV.sync(v, t)
+    t.delete(rows((1, "a", 1.0)))
+    MV.sync(v, t)
+    val lo = MV.read(v).select("lo").as[Double].head()
+    assert(lo === 5.0)
+    assertMatches(v, t)
+  }
+
+  test("untouched groups keep exact state across many folds") {
+    val (t, v) = mk("mv_many")
+    t.bulkInsert(rows((1, "a", 0.1), (2, "b", 0.2), (3, "c", 0.3)))
+    MV.sync(v, t)
+    for (i <- 4 to 9) {
+      t.upsert(rows((i.toLong, "a", i * 0.1)))
+      assert(MV.sync(v, t).isDefined)
+    }
+    assertMatches(v, t)
+  }
+
+  test("up-to-date sync is a no-op; service commits on the source too") {
+    val (t, v) = mk("mv_noop")
+    t.bulkInsert(rows((1, "a", 1.0)))
+    MV.sync(v, t)
+    val commits = v.timeline.completedDataInstants().size
+    assert(MV.sync(v, t).isEmpty)
+    // a source service commit (clean) is not a data change
+    assert(MV.sync(v, t).isEmpty)
+    assert(v.timeline.completedDataInstants().size === commits)
+  }
+
+  test("view is a full graft table: time travel sees pre-fold state") {
+    val (t, v) = mk("mv_tt")
+    t.bulkInsert(rows((1, "a", 1.0)))
+    val c1 = MV.sync(v, t).get
+    t.upsert(rows((1, "a", 100.0)))
+    MV.sync(v, t)
+    val before = Readers.timeTravel(v, c1)
+      .select(col("total").cast("double")).as[Double].head()
+    assert(before === 1.0)
+  }
+
+  test("count(expr) ignores nulls while count(*) keeps them") {
+    val d = tmpDir("mv_nulls")
+    val t = GraftTable.create(spark, s"$d/src", cfg("mv_nulls"))
+    val v = MV.create(spark, s"$d/view", t,
+      Seq("grp" -> "grp"),
+      Seq(ViewAgg("all_rows", "count", "*"), ViewAgg("with_v", "count", "v")))
+    t.bulkInsert(Seq((1L, "a", Some(1.0)), (2L, "a", None), (3L, "a", Some(3.0)))
+      .toDF("id", "grp", "v"))
+    MV.sync(v, t)
+    t.delete(Seq((3L, "a", Option.empty[Double])).toDF("id", "grp", "v"))
+    MV.sync(v, t)
+    val r = MV.read(v).head()
+    assert(r.getAs[Long]("all_rows") === 2L)
+    assert(r.getAs[Long]("with_v") === 1L)
+  }
+
+  test("expression group keys maintain correctly") {
+    val d = tmpDir("mv_expr")
+    val t = GraftTable.create(spark, s"$d/src", TableConfig(
+      "mv_expr", TableType.CopyOnWrite, Seq("id"), "", ""))
+    val v = MV.create(spark, s"$d/view", t,
+      Seq("bucket" -> "cast(id % 3 as int)"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("hi", "max", "v")))
+    t.bulkInsert((1L to 9L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    MV.sync(v, t)
+    t.delete(Seq((9L, 0.0)).toDF("id", "v")) // bucket 0's max
+    MV.sync(v, t)
+    val got = MV.read(v).orderBy("bucket").as[(Int, Long, Double)].collect()
+    assert(got === Array((0, 2L, 6.0), (1, 3L, 7.0), (2, 3L, 8.0)))
+  }
+}
