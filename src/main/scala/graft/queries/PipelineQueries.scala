@@ -552,6 +552,16 @@ object PipelineQueries {
         categorical = Seq("event_type"))
     }),
 
+    // single-pass per-column corpus profile (cardinality / nulls / range
+    // / decimal-folded sums) with planted nulls; exact distinct at
+    // verification scale — the default approx (HLL) mode is spec-tested
+    "p_profile" -> ((s, d) => {
+      val base = docs(s, d).withColumn("lang",
+        when(col("doc_id") % 17 === 0, lit(null)).otherwise(col("lang")))
+      Profile.profile(base, Seq("doc_id", "lang", "source", "n_chars"),
+        exactDistinct = true)
+    }),
+
     // declarative data-quality constraints (Deequ-style): plant
     // deterministic violations (nulls, out-of-range, bad enum, bad
     // format, duplicate keys, dangling FK), then verify every rule's
@@ -1505,6 +1515,35 @@ object PipelineQueries {
         |cpsi AS (SELECT 'event_type' AS feature, 'categorical' AS kind, sum(term)::DOUBLE AS psi FROM cterms)
         |SELECT feature, kind, psi, psi > 0.2 AS drifted
         |FROM (SELECT * FROM vpsi UNION ALL SELECT * FROM cpsi)""".stripMargin,
+    "p_profile" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
+        |    source, n_chars FROM documents)
+        |SELECT 'doc_id' AS col_name, count(doc_id)::BIGINT AS non_null,
+        |  (count(*) - count(doc_id))::BIGINT AS nulls,
+        |  count(DISTINCT doc_id)::BIGINT AS ndv,
+        |  CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |  CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |  CAST(sum(CAST(doc_id AS DECIMAL(28,8))) AS DOUBLE) AS sum_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM d
+        |UNION ALL
+        |SELECT 'lang', count(lang)::BIGINT, (count(*) - count(lang))::BIGINT,
+        |  count(DISTINCT lang)::BIGINT, CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(lang), max(lang)
+        |FROM d
+        |UNION ALL
+        |SELECT 'source', count(source)::BIGINT, (count(*) - count(source))::BIGINT,
+        |  count(DISTINCT source)::BIGINT, CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(source), max(source)
+        |FROM d
+        |UNION ALL
+        |SELECT 'n_chars', count(n_chars)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+        |  count(DISTINCT n_chars)::BIGINT, CAST(min(n_chars) AS DOUBLE),
+        |  CAST(max(n_chars) AS DOUBLE),
+        |  CAST(sum(CAST(n_chars AS DECIMAL(28,8))) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM d""".stripMargin,
     "p_data_quality" ->
       """WITH a AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
         |    o_custkey + 90000000 AS o_custkey, 'X' AS o_orderstatus,

@@ -574,6 +574,30 @@ object TableOps {
         col("total").cast("double").as("total"), col("min_price"), col("avg_price"))
     }),
 
+    // SQL surface end-to-end: CREATE MATERIALIZED VIEW ... AUTO REFRESH
+    // parses through the injected parser (selection predicate included),
+    // the post-commit hook folds the later upsert with NO explicit
+    // REFRESH, and the registered name reads live through the relation
+    "t_mview_sql" -> ((s, d) => {
+      import graft.table.MaterializedView
+      val t = fresh(s, d, "t_mview_sql", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      s.read.format("graft").load(t.basePath.toString)
+        .createOrReplaceTempView("mview_sql_src")
+      val vp = s"/tmp/graft_q/t_mview_sql_v_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(vp))
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW mview_sql_v AUTO REFRESH LOCATION '$vp' AS
+           |SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total,
+           |  max(o_totalprice) AS hi
+           |FROM mview_sql_src WHERE o_orderpriority <> '3-MEDIUM'
+           |GROUP BY o_orderstatus""".stripMargin)
+      t.upsert(src.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.5)))
+      s.sql("SELECT o_orderstatus, cnt, CAST(total AS DOUBLE) AS total, hi FROM mview_sql_v")
+    }),
+
     // point lookup by a NON-KEY column through the secondary index
     // (value -> file-group mapping tables; reads only the mapped groups).
     // The upsert moves some rows to a new custkey so the probe exercises
@@ -1254,6 +1278,16 @@ object TableOps {
          |  min(p) AS min_price,
          |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(count(p) AS DOUBLE) AS avg_price
          |FROM final GROUP BY 1""".stripMargin,
+    "t_mview_sql" ->
+      s"""WITH final AS (
+         |  SELECT o_orderstatus, o_orderpriority,
+         |    CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1.5
+         |         ELSE o_totalprice END AS p
+         |  FROM orders)
+         |SELECT o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS total,
+         |  max(p) AS hi
+         |FROM final WHERE o_orderpriority <> '3-MEDIUM' GROUP BY 1""".stripMargin,
     "t_partition_ttl" ->
       s"""SELECT $OrdersSql FROM orders
          |WHERE year(o_orderdate) >= (SELECT max(year(o_orderdate)) - 2 FROM orders)""".stripMargin,

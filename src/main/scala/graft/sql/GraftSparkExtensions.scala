@@ -29,6 +29,7 @@ import graft.table.GraftTable
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectResolutionRule(session => GraftDmlRules(session))
     e.injectOptimizerRule(_ => StatsAnswerRule)
     GraftFunctions.all.foreach(e.injectFunction)

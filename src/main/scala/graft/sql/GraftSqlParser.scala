@@ -1,0 +1,210 @@
+package graft.sql
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.spark.GraftRelation
+import graft.table.{GraftTable, MaterializedView}
+import graft.table.MaterializedView.ViewAgg
+
+/** SQL statements Spark has no grammar for — materialized views — parsed
+  * by a thin delegating [[ParserInterface]] (the Delta/Iceberg extension
+  * pattern; the reference has no SQL view surface at all):
+  *
+  * {{{
+  * CREATE MATERIALIZED VIEW v [AUTO REFRESH] LOCATION '/path' AS
+  *   SELECT dept, count(*) AS cnt, sum(pay) AS total FROM people
+  *   [WHERE ...] GROUP BY dept
+  * REFRESH MATERIALIZED VIEW v
+  * DROP MATERIALIZED VIEW v
+  * }}}
+  *
+  * The AS-select is parsed by the DELEGATE parser and the view
+  * definition extracted from the unresolved `Aggregate` — no hand-rolled
+  * expression grammar; anything Spark can parse in a group/agg/filter
+  * position works here. `AUTO REFRESH` registers the view for
+  * post-commit sync on the source; otherwise `REFRESH MATERIALIZED
+  * VIEW` folds on demand. The view is queryable under its name as a
+  * session temp view projecting [[MaterializedView.read]].
+  *
+  * Everything else delegates verbatim, so this parser is a pure
+  * superset of Spark SQL.
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateRe(name, auto, location, query) =>
+      CreateMaterializedViewCommand(name, location, query.trim, auto != null)
+    case RefreshRe(name) => RefreshMaterializedViewCommand(name)
+    case DropRe(name) => DropMaterializedViewCommand(name)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  private val CreateRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+(AUTO\s+REFRESH\s+)?LOCATION\s+'([^']+)'\s+AS\s+(.+)""".r
+  private val RefreshRe = """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  private val DropRe = """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+
+  /** SQL function name -> ViewAgg kind (`approx_count_distinct` rides
+    * the HLL-sketch state column).
+    */
+  private val AggKinds = Map(
+    "count" -> "count", "sum" -> "sum", "min" -> "min", "max" -> "max",
+    "avg" -> "avg", "approx_count_distinct" -> "approx_ndv")
+
+  /** Session-scoped name -> view base path (the durable mapping is the
+    * view table itself; this directory makes REFRESH/DROP-by-name work
+    * within the session that created or refreshed the view).
+    */
+  private val registry = new ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[sql] def lookup(spark: SparkSession, name: String): String = {
+    val p = registry.get((spark, name))
+    require(p != null,
+      s"unknown materialized view '$name' in this session — recreate it or " +
+        "refresh by path with MaterializedView.sync")
+    p
+  }
+
+  private[sql] def remember(spark: SparkSession, name: String, path: String): Unit =
+    registry.put((spark, name), path)
+
+  private[sql] def forget(spark: SparkSession, name: String): Unit =
+    registry.remove((spark, name))
+
+  /** Extracted view definition from the AS-select's unresolved plan. */
+  final case class ViewDef(table: Seq[String], where: Option[String],
+      groups: Seq[(String, String)], aggs: Seq[ViewAgg])
+
+  private def isAggOutput(ne: Expression): Boolean = ne.exists {
+    case f: UnresolvedFunction => AggKinds.contains(f.nameParts.last.toLowerCase)
+    case _ => false
+  }
+
+  private[sql] def extract(plan: LogicalPlan): ViewDef = plan match {
+    case Aggregate(grouping, aggExprs, child, _) =>
+      val (rel, where) = child match {
+        case UnresolvedRelation(parts, _, _) => (parts, None)
+        case SubqueryAlias(_, UnresolvedRelation(parts, _, _)) => (parts, None)
+        case Filter(cond, UnresolvedRelation(parts, _, _)) => (parts, Some(cond.sql))
+        case Filter(cond, SubqueryAlias(_, UnresolvedRelation(parts, _, _))) =>
+          (parts, Some(cond.sql))
+        case other => fail(s"the FROM of a materialized view must be a single " +
+          s"graft table (optionally filtered); got: ${other.nodeName}")
+      }
+      val (groupOut, aggOut) = aggExprs.partition(ne => !isAggOutput(ne))
+      if (grouping.size != groupOut.size)
+        fail("every GROUP BY expression must appear (aliased) in the SELECT list " +
+          s"exactly once: ${grouping.size} group expressions vs ${groupOut.size} " +
+          "non-aggregate output columns")
+      val groups = groupOut.map {
+        case Alias(childE, name) => name -> childE.sql
+        case u: UnresolvedAttribute => u.nameParts.last -> u.name
+        case other => fail(s"group output needs an alias: ${other.sql}")
+      }
+      val aggs = aggOut.map {
+        case Alias(f: UnresolvedFunction, name)
+            if AggKinds.contains(f.nameParts.last.toLowerCase) && !f.isDistinct =>
+          val kind = AggKinds(f.nameParts.last.toLowerCase)
+          val arg = f.arguments match {
+            case Seq() => "*"
+            case Seq(_: UnresolvedStar) => "*"
+            case Seq(e) => e.sql
+            case _ => fail(s"$kind takes one argument in a materialized view: ${f.sql}")
+          }
+          if (arg == "*" && kind != "count") fail(s"$kind(*) is not an aggregate")
+          ViewAgg(name, kind, arg)
+        case other => fail("materialized view aggregates must be aliased " +
+          s"count/sum/min/max/avg calls; got: ${other.sql}")
+      }
+      if (aggs.isEmpty) fail("a materialized view needs at least one aggregate")
+      ViewDef(rel.toSeq, where, groups.toSeq, aggs.toSeq)
+    case other =>
+      fail(s"a materialized view definition must be an aggregate query " +
+        s"(SELECT ... GROUP BY ...); got: ${other.nodeName}")
+  }
+
+  private[sql] def graftTableOf(spark: SparkSession, parts: Seq[String]): GraftTable = {
+    val df = spark.table(parts.map(p => s"`$p`").mkString("."))
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+        lr.relation.asInstanceOf[GraftRelation].table
+    }.getOrElse(fail(
+      s"${parts.mkString(".")} does not resolve to a graft table"))
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"materialized view: $msg")
+}
+
+final case class CreateMaterializedViewCommand(name: String, location: String,
+    query: String, autoRefresh: Boolean) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vd = extract(spark.sessionState.sqlParser.parsePlan(query))
+    val src = graftTableOf(spark, vd.table)
+    val view = MaterializedView.create(spark, location, src, vd.groups, vd.aggs, vd.where)
+    MaterializedView.sync(view, src)
+    if (autoRefresh) MaterializedView.register(view, src)
+    remember(spark, name, location)
+    MaterializedView.readLive(view).createOrReplaceTempView(name)
+    Seq.empty
+  }
+}
+
+final case class RefreshMaterializedViewCommand(name: String) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override def run(spark: SparkSession): Seq[Row] = {
+    val view = GraftTable.load(spark, lookup(spark, name))
+    val src = GraftTable.load(spark, view.cfg.prop(MaterializedView.SourceKey, ""))
+    MaterializedView.sync(view, src)
+    MaterializedView.readLive(view).createOrReplaceTempView(name)
+    Seq.empty
+  }
+}
+
+/** Drops the registration, temp view, and the view's data — the state is
+  * fully derived (rebuildable by CREATE), so deleting it is safe.
+  */
+final case class DropMaterializedViewCommand(name: String) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override def run(spark: SparkSession): Seq[Row] = {
+    val view = GraftTable.load(spark, lookup(spark, name))
+    val src = GraftTable.load(spark, view.cfg.prop(MaterializedView.SourceKey, ""))
+    MaterializedView.unregister(view, src)
+    spark.catalog.dropTempView(name)
+    graft.core.Storage.deleteRecursively(view.basePath)
+    forget(spark, name)
+    Seq.empty
+  }
+}

@@ -361,6 +361,22 @@ final class GraftCli(spark: SparkSession) {
           s"command returned text, not a frame: $t")
       }
     },
+    // materialized views registered on the connected table
+    "views show" -> { _ =>
+      val vs = MaterializedView.registered(table)
+      CliFrame(spark.createDataFrame(
+        spark.sparkContext.parallelize(vs.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("view_path",
+            org.apache.spark.sql.types.StringType)))))
+    },
+    "views refresh" -> { o =>
+      val v = GraftTable.load(spark, req(o, "path"))
+      MaterializedView.sync(v, table) match {
+        case Some(ts) => CliText(s"Refreshed ${v.basePath} at $ts")
+        case None => CliText(s"${v.basePath} already up to date")
+      }
+    },
     "temp query" -> { o => CliFrame(spark.sql(req(o, "sql"))) },
     "temp delete" -> { o =>
       val name = req(o, "name")

@@ -1505,6 +1505,7 @@ final class GraftTable(
     // changeset-sized; a failure only defers to the next tag's catch-up
     RecordIndex.maybeSync(this)
     SecondaryIndex.maybeSync(this)
+    MaterializedView.maybeSyncRegistered(this)
     fireCommitCallbacks(ts, opT, stats)
     ts
   }
@@ -1720,6 +1721,7 @@ final class GraftTable(
       }
       RecordIndex.maybeSync(this)
       SecondaryIndex.maybeSync(this)
+      MaterializedView.maybeSyncRegistered(this)
       fireCommitCallbacks(ts, opType, written)
       ts
     } catch {

@@ -3,10 +3,14 @@ package graft.table
 import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{CommitMetadata, ConfigKeys, MetaCols, TableConfig, TableType}
+import graft.core.{CommitMetadata, MetaCols, Storage, TableConfig, TableType}
+import graft.core.Storage.PathOps
 import graft.read.Readers
 
 /** Incrementally-maintained materialized aggregate views over graft
@@ -53,17 +57,22 @@ object MaterializedView {
   val CheckpointKey = "graft.view.source.checkpoint"
   private val GroupsKey = "graft.view.groups"
   private val AggsKey = "graft.view.aggs"
-  private val SourceKey = "graft.view.source.path"
+  val SourceKey = "graft.view.source.path"
+  private val WhereKey = "graft.view.where"
   /** Internal per-group live-row count: detects vanished groups. */
   val RowsCol = "_mv_rows"
 
   /** One view aggregate: `name` is the output column, `kind` one of
-    * count|sum|min|max|avg, `expr` a Spark SQL expression over the
-    * source columns (`*` for count(*)).
+    * count|sum|min|max|avg|approx_ndv, `expr` a Spark SQL expression
+    * over the source columns (`*` for count(*)). `approx_ndv` maintains
+    * a mergeable HLL sketch (DataSketches, the engine behind Spark's
+    * `approx_count_distinct`) as group state: inserts union in, and only
+    * a retraction forces the group's sketch to rebuild — [[read]]
+    * projects the estimate.
     */
   final case class ViewAgg(name: String, kind: String, expr: String) {
-    require(Seq("count", "sum", "min", "max", "avg").contains(kind),
-      s"unsupported view aggregate kind '$kind' (count|sum|min|max|avg)")
+    require(Seq("count", "sum", "min", "max", "avg", "approx_ndv").contains(kind),
+      s"unsupported view aggregate kind '$kind' (count|sum|min|max|avg|approx_ndv)")
   }
 
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
@@ -75,7 +84,8 @@ object MaterializedView {
     * `groupBy` maps output alias -> Spark SQL expression.
     */
   def create(spark: SparkSession, path: String, source: GraftTable,
-      groupBy: Seq[(String, String)], aggs: Seq[ViewAgg]): GraftTable = {
+      groupBy: Seq[(String, String)], aggs: Seq[ViewAgg],
+      where: Option[String] = None): GraftTable = {
     require(groupBy.nonEmpty, "materialized view needs group columns")
     require(aggs.nonEmpty, "materialized view needs aggregates")
     val names = groupBy.map(_._1) ++ aggs.map(_.name)
@@ -88,8 +98,18 @@ object MaterializedView {
       props = Map(
         GroupsKey -> groupBy.map { case (n, e) => s"${enc(n)}:${enc(e)}" }.mkString(";"),
         AggsKey -> aggs.map(a => s"${enc(a.name)}:${a.kind}:${enc(a.expr)}" ).mkString(";"),
-        SourceKey -> source.basePath.toString)))
+        SourceKey -> source.basePath.toString) ++
+        where.map(w => WhereKey -> enc(w))))
   }
+
+  /** The view's selection predicate, if any. Change images are filtered
+    * by it PER IMAGE, which makes selection fall out of the fold: an
+    * update moving a row out of the predicate retracts (before image
+    * passes) without adding (after image fails) — a net delete from the
+    * view, with no special casing.
+    */
+  def whereOf(view: GraftTable): Option[String] =
+    Option(view.cfg.prop(WhereKey, null)).map(dec)
 
   private def groupsOf(view: GraftTable): Seq[(String, String)] =
     view.cfg.prop(GroupsKey, "").split(";").toSeq.filter(_.nonEmpty).map { p =>
@@ -127,6 +147,14 @@ object MaterializedView {
     case _ => Seq(a.name)
   }
 
+  /** HLL sketch input: `hll_sketch_agg` only accepts int/long/string/
+    * binary, so every sketch site canonicalizes through a string cast —
+    * distinctness-preserving for all types, and identical hashing across
+    * initial build, incremental union, and rebuild (a mixed-site type
+    * difference would silently skew the estimate).
+    */
+  private def hllIn(e: String): Column = expr(e).cast("string")
+
   /** From-scratch aggregate columns (initial sync and min/max repair). */
   private def fullAggs(aggs: Seq[ViewAgg]): Seq[Column] =
     aggs.flatMap { a =>
@@ -136,12 +164,19 @@ object MaterializedView {
         case "sum" => Seq(sum(decIn(a.expr)).cast(SumType).as(a.name))
         case "min" => Seq(min(expr(a.expr)).as(a.name))
         case "max" => Seq(max(expr(a.expr)).as(a.name))
+        case "approx_ndv" => Seq(hll_sketch_agg(hllIn(a.expr)).as(a.name))
         case "avg" => Seq(sum(decIn(a.expr)).cast(SumType).as(sumCol(a)),
           count(expr(a.expr)).as(cntCol(a)))
       }
     } :+ count(lit(1)).as(RowsCol)
 
-  /** Signed delta aggregate columns over change images carrying `_w`. */
+  /** Signed delta aggregate columns over change images carrying `_w`.
+    * min/max contribute the tick's ADDED extreme (folds inline via
+    * least/greatest) and RETRACTED extreme (decides, per group, whether
+    * the stored extreme might have been displaced — the selective-repair
+    * test): an append-only tick, the common shape at scale, never
+    * rescans the source.
+    */
   private def deltaAggs(aggs: Seq[ViewAgg]): Seq[Column] =
     aggs.flatMap { a =>
       def nn = when(expr(a.expr).isNotNull, col("_w").cast("long")).otherwise(lit(0L))
@@ -149,7 +184,16 @@ object MaterializedView {
         case "count" if a.expr == "*" => Seq(sum(col("_w").cast("long")).as(a.name))
         case "count" => Seq(sum(nn).as(a.name))
         case "sum" => Seq(sum(wDec * coalesce(decIn(a.expr), lit(0).cast(SumType))).cast(SumType).as(a.name))
-        case "min" | "max" => Seq.empty // repaired from source, not folded
+        case "min" => Seq(
+          min(when(col("_w") > 0, expr(a.expr))).as(s"_add_${a.name}"),
+          min(when(col("_w") < 0, expr(a.expr))).as(s"_ret_${a.name}"))
+        case "max" => Seq(
+          max(when(col("_w") > 0, expr(a.expr))).as(s"_add_${a.name}"),
+          max(when(col("_w") < 0, expr(a.expr))).as(s"_ret_${a.name}"))
+        case "approx_ndv" => Seq(
+          hll_sketch_agg(when(col("_w") > 0, hllIn(a.expr))).as(s"_add_${a.name}"),
+          max(when(col("_w") < 0 && expr(a.expr).isNotNull, lit(1)).otherwise(lit(0)))
+            .as(s"_ret_${a.name}"))
         case "avg" => Seq(sum(wDec * coalesce(decIn(a.expr), lit(0).cast(SumType))).cast(SumType).as(sumCol(a)),
           sum(nn).as(cntCol(a)))
       }
@@ -177,7 +221,9 @@ object MaterializedView {
     // landing a commit between checkpoint choice and the scan would
     // otherwise fold rows the checkpoint doesn't cover (double-counted
     // by the next sync)
-    def sourceAt = Readers.timeTravel(source, head).drop(MetaCols.All: _*)
+    val where = whereOf(view)
+    def sourceAt = where.foldLeft(
+      Readers.timeTravel(source, head).drop(MetaCols.All: _*))((df, w) => df.where(expr(w)))
     val state = ckpt match {
       case None =>
         // first sync: one full aggregate is cheaper and has no
@@ -190,7 +236,8 @@ object MaterializedView {
         val hasData = source.timeline.completedDataInstants()
           .exists(i => i.ts > begin && i.ts <= head)
         if (!hasData) return None
-        val changes = Readers.incrementalChanges(source, begin, Some(head))
+        val changes = where.foldLeft(
+          Readers.incrementalChanges(source, begin, Some(head)))((df, w) => df.where(expr(w)))
         val w = when(col(Readers.ChangeTypeCol).isin("insert", "update_after"), lit(1))
           .otherwise(lit(-1))
         val da = deltaAggs(aggs)
@@ -203,11 +250,32 @@ object MaterializedView {
         val joined = d.join(old,
           names.map(n => d(s"_d_$n") <=> old(n)).reduce(_ && _), "left_outer")
         val newRows = coalesce(col(RowsCol), lit(0L)) + col(s"_d_$RowsCol")
+        val mmAggs = aggs.filter(a =>
+          a.kind == "min" || a.kind == "max" || a.kind == "approx_ndv")
+        // a group needs a source rescan ONLY when a retracted value ties
+        // or beats the stored extreme (the runner-up is unknowable from
+        // deltas) — or, for sketches, when ANY retraction hit the group
+        // (HLL cannot subtract); otherwise the state folds inline —
+        // least/greatest/union skip nulls, so a brand-new group takes
+        // the added side
+        val repairFlag = mmAggs.map { a =>
+          val ret = col(s"_ret_${a.name}")
+          a.kind match {
+            case "approx_ndv" => ret === 1
+            case "min" => col(a.name).isNotNull && ret.isNotNull && ret <= col(a.name)
+            case _ => col(a.name).isNotNull && ret.isNotNull && ret >= col(a.name)
+          }
+        }.reduceOption(_ || _).getOrElse(lit(false))
         val folded0 = joined.select(
           names.map(n => col(s"_d_$n").as(n)) ++
             aggs.flatMap { a =>
               a.kind match {
-                case "min" | "max" => stateCols(a).map(c => col(c)) // repaired below
+                case "min" => Seq(least(col(a.name), col(s"_add_${a.name}")).as(a.name))
+                case "max" => Seq(greatest(col(a.name), col(s"_add_${a.name}")).as(a.name))
+                case "approx_ndv" =>
+                  val add = col(s"_add_${a.name}")
+                  Seq(when(col(a.name).isNull, add).when(add.isNull, col(a.name))
+                    .otherwise(hll_union(col(a.name), add)).as(a.name))
                 case "count" | "avg" | "sum" =>
                   // decimal(28,8)+decimal(28,8) widens to (29,8): pin sum
                   // state back so the stored width is fold-count-invariant
@@ -217,34 +285,41 @@ object MaterializedView {
                     (if (isSumState) added.cast(SumType) else added).as(c)
                   }
               }
-            } :+ newRows.as(RowsCol): _*)
-        val needRepair = aggs.exists(a => a.kind == "min" || a.kind == "max")
+            } ++ Seq(newRows.as(RowsCol), repairFlag.as("_mv_repair")): _*)
         val folded =
-          if (!needRepair) folded0
+          if (mmAggs.isEmpty) folded0.drop("_mv_repair")
           else {
-            // re-aggregate min/max for the touched groups only: the scan
-            // is semi-join-pruned to them (file skipping applies)
-            val touched = folded0.select(names.map(col): _*)
-            val mmAggs = aggs.filter(a => a.kind == "min" || a.kind == "max")
-            val mm = mmAggs.map(a =>
-              (if (a.kind == "min") min(col(s"_in_${a.name}"))
-               else max(col(s"_in_${a.name}"))).as(a.name))
-            val repaired = sourceAt
-              .select(groupCols ++ mmAggs.map(a => expr(a.expr).as(s"_in_${a.name}")): _*)
-              .join(touched, names, "left_semi")
+            val norep = folded0.filter(!col("_mv_repair")).drop("_mv_repair")
+            val rep = folded0.filter(col("_mv_repair")).drop("_mv_repair")
+            // re-aggregate min/max for the REPAIR groups only: the scan
+            // is semi-join-pruned to them (file skipping applies), and
+            // with AQE an empty repair set collapses the whole subtree
+            val touched = rep.select(names.map(col): _*)
+            val mm = mmAggs.map(a => (a.kind match {
+              case "min" => min(col(s"_in_${a.name}"))
+              case "max" => max(col(s"_in_${a.name}"))
+              case _ => hll_sketch_agg(col(s"_in_${a.name}"))
+            }).as(a.name))
+            val srcSel = sourceAt
+              .select(groupCols ++ mmAggs.map(a => (if (a.kind == "approx_ndv")
+                hllIn(a.expr) else expr(a.expr)).as(s"_in_${a.name}")): _*)
+            val repaired = srcSel
+              .join(touched, names.map(n => srcSel(n) <=> touched(n)).reduce(_ && _), "left_semi")
               .groupBy(names.map(col): _*)
               .agg(mm.head, mm.tail: _*)
             val r = names.foldLeft(repaired)((df, n) => df.withColumnRenamed(n, s"_r_$n"))
               .withColumnsRenamed(mmAggs.map(a => a.name -> s"_r_${a.name}").toMap)
-            folded0.join(r,
-              names.map(n => folded0(n) <=> r(s"_r_$n")).reduce(_ && _), "left_outer")
-              .select(names.map(folded0(_)) ++
+            val repFixed = rep.join(r,
+              names.map(n => rep(n) <=> r(s"_r_$n")).reduce(_ && _), "left_outer")
+              .select(names.map(rep(_)) ++
                 aggs.flatMap { a =>
                   a.kind match {
-                    case "min" | "max" => Seq(col(s"_r_${a.name}").as(a.name))
-                    case _ => stateCols(a).map(folded0(_))
+                    case "min" | "max" | "approx_ndv" =>
+                      Seq(col(s"_r_${a.name}").as(a.name))
+                    case _ => stateCols(a).map(rep(_))
                   }
-                } :+ folded0(RowsCol): _*)
+                } :+ rep(RowsCol): _*)
+            norep.unionByName(repFixed)
           }
         folded
     }
@@ -253,17 +328,86 @@ object MaterializedView {
     Some(view.upsert(upsertable, extraMetadata = Map(CheckpointKey -> head)))
   }
 
+  /** Registry of views auto-synced after every data commit on `source`:
+    * one file per view under `<source>/.graft/views/`, named by the
+    * url-encoded view path (idempotent re-register). Kept OUT of
+    * TableConfig so registering a view never rewrites the source's
+    * config, and concurrent registrations never race each other.
+    */
+  private def viewsDir(source: GraftTable): Path =
+    source.basePath.resolve(".graft").resolve("views")
+
+  /** Opt this view into post-commit auto-sync on its source. */
+  def register(view: GraftTable, source: GraftTable): Unit = {
+    require(view.cfg.prop(SourceKey, "") == source.basePath.toString,
+      s"view ${view.basePath} was not created over source ${source.basePath}")
+    Storage.mkdirs(viewsDir(source))
+    Storage.writeString(
+      viewsDir(source).resolve(enc(view.basePath.toString) + ".mv"),
+      view.basePath.toString)
+  }
+
+  def unregister(view: GraftTable, source: GraftTable): Unit =
+    Storage.deleteIfExists(
+      viewsDir(source).resolve(enc(view.basePath.toString) + ".mv"))
+
+  /** Base paths of the views registered for auto-sync on `source`. */
+  def registered(source: GraftTable): Seq[String] = {
+    val dir = viewsDir(source)
+    if (!Storage.exists(dir)) Seq.empty
+    else Storage.listPaths(dir).filter(_.getName.endsWith(".mv"))
+      .map(p => Storage.readString(p).trim).sorted
+  }
+
+  /** Cascade guard: a synced view's own commit re-enters this hook (a
+    * view over a view refreshes transitively — intended), so a
+    * registration CYCLE must hit a depth wall instead of looping.
+    */
+  private val syncDepth: ThreadLocal[Integer] = ThreadLocal.withInitial(() => Integer.valueOf(0))
+  private val MaxCascadeDepth = 8
+
+  /** Post-commit hook: fold the just-committed changes into every
+    * registered view. Best-effort like the index syncs — a view failure
+    * logs and defers to the next commit or an explicit [[sync]] (the
+    * checkpoint discipline makes the retry fold the union window).
+    */
+  def maybeSyncRegistered(source: GraftTable): Unit = {
+    val views = registered(source)
+    if (views.isEmpty || syncDepth.get() >= MaxCascadeDepth) return
+    syncDepth.set(syncDepth.get() + 1)
+    try views.foreach { p =>
+      try sync(GraftTable.load(source.spark, p), source)
+      catch {
+        case NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-sync of materialized view $p failed; will retry on next commit", e)
+      }
+    } finally syncDepth.set(syncDepth.get() - 1)
+  }
+
   /** User-facing projection of the view state: avg becomes sum/count in
     * IEEE-754 double (both operands exact, so the quotient is
     * deterministic), internal state columns drop out.
     */
-  def read(view: GraftTable): DataFrame = {
+  def read(view: GraftTable): DataFrame =
+    project(Readers.snapshot(view), view)
+
+  /** Like [[read]] but through the `format("graft")` relation, whose
+    * scan re-resolves the snapshot per query execution — the right frame
+    * to register under a durable name (SQL temp view): auto-synced folds
+    * become visible without re-registration.
+    */
+  def readLive(view: GraftTable): DataFrame =
+    project(view.spark.read.format("graft").load(view.basePath.toString), view)
+
+  private def project(df: DataFrame, view: GraftTable): DataFrame = {
     val groups = groupsOf(view)
     val aggs = aggsOf(view)
-    Readers.snapshot(view).select(
+    df.select(
       groups.map { case (n, _) => col(n) } ++ aggs.map { a =>
         a.kind match {
           case "avg" => (col(sumCol(a)).cast("double") / col(cntCol(a)).cast("double")).as(a.name)
+          case "approx_ndv" => hll_sketch_estimate(col(a.name)).as(a.name)
           case _ => col(a.name)
         }
       }: _*)

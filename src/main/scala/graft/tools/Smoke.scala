@@ -270,6 +270,25 @@ object Smoke {
       val want = src.filter(col("o_orderdate").cast("timestamp") >= lit(cutoff)).count()
       println(s"[smoke] record_ttl: snapshot=${Readers.snapshot(rt).count()} (expect $want)")
     }
+
+    // materialized view: auto-synced incremental fold == from-scratch agg
+    locally {
+      import graft.table.{MaterializedView => MV}
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val mt = GraftTable.create(spark, s"${out}_mvsrc", TableConfig(
+        "orders_mv", TableType.CopyOnWrite, Seq("o_orderkey"), "", "o_orderdate"))
+      mt.bulkInsert(src)
+      val v = MV.create(spark, s"${out}_mview", mt,
+        Seq("o_orderpriority" -> "o_orderpriority"),
+        Seq(MV.ViewAgg("cnt", "count", "*"),
+          MV.ViewAgg("total", "sum", "o_totalprice")))
+      MV.sync(v, mt)
+      MV.register(v, mt)
+      mt.delete(src.filter(col("o_orderkey") % 4 === 0))
+      val got = MV.read(v).agg(sum(col("cnt"))).first().getLong(0)
+      val want = Readers.snapshot(mt).count()
+      println(s"[smoke] materialized_view: auto-synced total_cnt=$got (expect $want)")
+    }
     spark.stop()
     println("[smoke] OK")
   }

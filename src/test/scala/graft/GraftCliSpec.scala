@@ -202,6 +202,23 @@ class GraftCliSpec extends AnyFunSuite {
     }
   }
 
+  test("views show / refresh drive materialized views from the shell") {
+    import graft.table.{MaterializedView => MV}
+    val dir = tmpDir("cli_mv").toString
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir/t --tableName cli_mv --recordKey id --precombine v")
+    cli.table.bulkInsert(Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "v"))
+    assert(cli.run("views show").frame.count() === 0L)
+    val view = MV.create(spark, s"$dir/view", cli.table,
+      Seq("v" -> "v"), Seq(MV.ViewAgg("cnt", "count", "*")))
+    MV.register(view, cli.table)
+    assert(cli.run("views show").frame.first().getString(0).endsWith("/view"))
+    val r1 = cli.run(s"views refresh --path $dir/view")
+    assert(r1.text.contains("Refreshed"))
+    assert(cli.run(s"views refresh --path $dir/view").text.contains("up to date"))
+    assert(MV.read(view).orderBy("v").collect().map(_.getLong(1)).toSeq === Seq(2L, 1L))
+  }
+
   test("quality constraints reports per-rule violation counts") {
     val dir = tmpDir("cli_dq").toString + "/t"
     val cli = new GraftCli(spark)

@@ -84,6 +84,22 @@ class MaterializedViewSpec extends AnyFunSuite {
     assertMatches(v, t)
   }
 
+  test("selective repair: inline min paths stay exact without a rescan") {
+    val (t, v) = mk("mv_minpaths")
+    t.bulkInsert(rows((1, "a", 5.0), (2, "a", 9.0)))
+    MV.sync(v, t)
+    t.insert(rows((3, "a", 1.0))) // new min arrives by insert: inline least
+    MV.sync(v, t)
+    assert(MV.read(v).select("lo").as[Double].head() === 1.0)
+    t.delete(rows((2, "a", 9.0))) // non-min retraction: no displacement
+    MV.sync(v, t)
+    assert(MV.read(v).select("lo").as[Double].head() === 1.0)
+    t.upsert(rows((3, "a", 7.0))) // the min's own row moves up: repair path
+    MV.sync(v, t)
+    assert(MV.read(v).select("lo").as[Double].head() === 5.0)
+    assertMatches(v, t)
+  }
+
   test("untouched groups keep exact state across many folds") {
     val (t, v) = mk("mv_many")
     t.bulkInsert(rows((1, "a", 0.1), (2, "b", 0.2), (3, "c", 0.3)))
@@ -131,6 +147,130 @@ class MaterializedViewSpec extends AnyFunSuite {
     val r = MV.read(v).head()
     assert(r.getAs[Long]("all_rows") === 2L)
     assert(r.getAs[Long]("with_v") === 1L)
+  }
+
+  test("approx_ndv: HLL state unions on insert, rebuilds on retraction") {
+    val d = tmpDir("mv_ndv")
+    val t = GraftTable.create(spark, s"$d/src", cfg("mv_ndv"))
+    val v = MV.create(spark, s"$d/view", t, Seq("grp" -> "grp"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("ndv", "approx_ndv", "v")))
+    // small cardinalities: the sketch is exact, so equality asserts hold
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 2.0), (3, "a", 2.0), (4, "b", 9.0)))
+    MV.sync(v, t)
+    def ndv() = MV.read(v).orderBy("grp").select("ndv").as[Long].collect().toSeq
+    assert(ndv() === Seq(2L, 1L))
+    t.insert(rows((5, "a", 7.0))) // insert-only tick: inline union
+    MV.sync(v, t)
+    assert(ndv() === Seq(3L, 1L))
+    t.delete(rows((1, "a", 1.0))) // retraction: group sketch rebuilds
+    MV.sync(v, t)
+    assert(ndv() === Seq(2L, 1L))
+    // duplicate of a surviving value retracted: ndv must NOT drop
+    t.delete(rows((2, "a", 2.0)))
+    MV.sync(v, t)
+    assert(ndv() === Seq(2L, 1L))
+  }
+
+  test("approx_ndv through SQL: approx_count_distinct in the definition") {
+    val d = tmpDir("mv_ndv_sql")
+    val t = GraftTable.create(spark, s"$d/src", cfg("mv_ndv_sql"))
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 1.0), (3, "b", 2.0)))
+    spark.read.format("graft").load(s"$d/src").createOrReplaceTempView("mv_ndv_src")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mv_ndv_view LOCATION '$d/view' AS
+         |SELECT grp, approx_count_distinct(v) AS ndv, count(*) AS cnt
+         |FROM mv_ndv_src GROUP BY grp""".stripMargin)
+    val got = spark.sql("SELECT grp, ndv, cnt FROM mv_ndv_view")
+      .orderBy("grp").as[(String, Long, Long)].collect()
+    assert(got === Array(("a", 1L, 2L), ("b", 1L, 1L)))
+    spark.sql("DROP MATERIALIZED VIEW mv_ndv_view")
+  }
+
+  test("registered view auto-syncs on every source commit") {
+    val (t, v) = mk("mv_auto")
+    t.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0)))
+    MV.sync(v, t)
+    MV.register(v, t)
+    t.upsert(rows((1, "a", 10.0), (3, "c", 3.0)))
+    t.delete(rows((2, "b", 2.0)))
+    // no explicit sync: the post-commit hook already folded both commits
+    assert(MV.sync(v, t).isEmpty)
+    assertMatches(v, t)
+    MV.unregister(v, t)
+    t.upsert(rows((4, "d", 4.0)))
+    // after unregister the view goes stale until an explicit sync
+    assert(MV.sync(v, t).isDefined)
+    assertMatches(v, t)
+  }
+
+  test("cascading views: a view over a view refreshes transitively") {
+    val d = tmpDir("mv_cascade")
+    val t = GraftTable.create(spark, s"$d/src", cfg("mv_cascade"))
+    val v1 = MV.create(spark, s"$d/v1", t, Seq("grp" -> "grp"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "v")))
+    val v2 = MV.create(spark, s"$d/v2", v1, Seq("band" -> "cast(cnt % 2 as int)"),
+      Seq(ViewAgg("groups", "count", "*")))
+    MV.register(v1, t)
+    MV.register(v2, v1)
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)))
+    // a: cnt=2 (band 0), b: cnt=1 (band 1)
+    val got = MV.read(v2).orderBy("band").as[(Int, Long)].collect()
+    assert(got === Array((0, 1L), (1, 1L)))
+  }
+
+  test("filtered view: selection folds through the change images") {
+    val d = tmpDir("mv_where")
+    val t = GraftTable.create(spark, s"$d/src", cfg("mv_where"))
+    val v = MV.create(spark, s"$d/view", t, Seq("grp" -> "grp"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "v")),
+      where = Some("v >= 2.0"))
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 5.0), (3, "b", 9.0)))
+    MV.sync(v, t)
+    t.upsert(rows((1, "a", 3.0)))  // moves INTO the predicate
+    t.upsert(rows((3, "b", 0.5)))  // moves OUT -> group b vanishes
+    MV.sync(v, t)
+    val got = MV.read(v).orderBy("grp")
+      .select(col("grp"), col("cnt"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect()
+    assert(got === Array(("a", 2L, 8.0)))
+  }
+
+  test("SQL surface: CREATE / live read / REFRESH / DROP") {
+    val d = tmpDir("mv_sql")
+    val t = GraftTable.create(spark, s"$d/src", cfg("mv_sql"))
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)))
+    spark.read.format("graft").load(s"$d/src").createOrReplaceTempView("mv_sql_src")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mv_sql_view AUTO REFRESH LOCATION '$d/view' AS
+         |SELECT grp, count(*) AS cnt, sum(v) AS total, avg(v) AS mean
+         |FROM mv_sql_src WHERE v > 0 GROUP BY grp""".stripMargin)
+    def readView() = spark.sql(
+      "SELECT grp, cnt, CAST(total AS DOUBLE) AS total, mean FROM mv_sql_view")
+      .orderBy("grp").as[(String, Long, Double, Double)].collect()
+    assert(readView() === Array(("a", 2L, 3.0, 1.5), ("b", 1L, 3.0, 3.0)))
+    // AUTO REFRESH: the upsert folds post-commit; the temp view reads live
+    t.upsert(rows((2, "a", 20.0)))
+    assert(readView() === Array(("a", 2L, 21.0, 10.5), ("b", 1L, 3.0, 3.0)))
+    // REFRESH is an explicit no-op here (already current) but must parse+run
+    spark.sql("REFRESH MATERIALIZED VIEW mv_sql_view")
+    assert(readView() === Array(("a", 2L, 21.0, 10.5), ("b", 1L, 3.0, 3.0)))
+    spark.sql("DROP MATERIALIZED VIEW mv_sql_view")
+    assert(!spark.catalog.tableExists("mv_sql_view"))
+    assert(MV.registered(t).isEmpty)
+    // regular SQL still parses through the delegating parser
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
+  }
+
+  test("SQL surface: non-aggregate definition is refused") {
+    val d = tmpDir("mv_sql_bad")
+    val t = GraftTable.create(spark, s"$d/src", cfg("mv_sql_bad"))
+    t.bulkInsert(rows((1, "a", 1.0)))
+    spark.read.format("graft").load(s"$d/src").createOrReplaceTempView("mv_sql_bad_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW mv_bad LOCATION '$d/view' AS " +
+        "SELECT grp, v FROM mv_sql_bad_src")
+    }
+    assert(e.getMessage.contains("aggregate query"))
   }
 
   test("expression group keys maintain correctly") {
