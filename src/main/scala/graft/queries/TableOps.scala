@@ -598,6 +598,40 @@ object TableOps {
       s.sql("SELECT o_orderstatus, cnt, CAST(total AS DOUBLE) AS total, hi FROM mview_sql_v")
     }),
 
+    // aggregate navigation: a ROLLUP query on the SOURCE (grouping by a
+    // strict subset of the view's group columns, filtered on the other)
+    // is answered from the registered fresh view by MvRewriteRule — the
+    // gate REQUIRES the rewrite fired (plan must not scan the source)
+    "t_mview_rewrite" -> ((s, d) => {
+      import graft.table.MaterializedView
+      val t = fresh(s, d, "t_mview_rw", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val vp = s"/tmp/graft_q/t_mview_rw_v_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(vp))
+      val v = MaterializedView.create(s, vp, t,
+        Seq("o_orderstatus" -> "o_orderstatus",
+          "o_orderpriority" -> "o_orderpriority"),
+        Seq(MaterializedView.ViewAgg("cnt", "count", "*"),
+          MaterializedView.ViewAgg("total", "sum", "o_totalprice"),
+          MaterializedView.ViewAgg("hi", "max", "o_totalprice")))
+      MaterializedView.sync(v, t)
+      MaterializedView.register(v, t)
+      // auto-sync keeps the view fresh through this commit
+      t.upsert(src.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2.25)))
+      val q = s.read.format("graft").load(t.basePath.toString)
+        .filter(col("o_orderpriority") =!= "3-MEDIUM")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice")).as("total"),
+          max(col("o_totalprice")).as("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains(vp) && !plan.contains(t.basePath.toString),
+        "aggregate was not answered from the materialized view")
+      q
+    }),
+
     // point lookup by a NON-KEY column through the secondary index
     // (value -> file-group mapping tables; reads only the mapped groups).
     // The upsert moves some rows to a new custkey so the probe exercises
@@ -1282,6 +1316,16 @@ object TableOps {
       s"""WITH final AS (
          |  SELECT o_orderstatus, o_orderpriority,
          |    CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1.5
+         |         ELSE o_totalprice END AS p
+         |  FROM orders)
+         |SELECT o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS total,
+         |  max(p) AS hi
+         |FROM final WHERE o_orderpriority <> '3-MEDIUM' GROUP BY 1""".stripMargin,
+    "t_mview_rewrite" ->
+      s"""WITH final AS (
+         |  SELECT o_orderstatus, o_orderpriority,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 2.25
          |         ELSE o_totalprice END AS p
          |  FROM orders)
          |SELECT o_orderstatus, count(*) AS cnt,

@@ -127,7 +127,9 @@ class GraftDataSource
       else if (parameters.getOrElse("includeMetaColumns", "true") == "false")
         frame.drop(graft.core.MetaCols.All: _*)
       else frame
-    GraftRelation(sqlContext, visible(df).schema, () => visible(mkDf()), table)
+    GraftRelation(sqlContext, visible(df).schema, () => visible(mkDf()), table,
+      latestSnapshot = parameters.getOrElse("queryType", "snapshot") == "snapshot" &&
+        !parameters.contains("asOfInstant"))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -171,7 +173,7 @@ class GraftDataSource
     // the relation a CTAS hands to the catalog defines the table's SQL
     // schema: keep it meta-free so INSERT INTO arity matches user columns
     def snap() = Readers.snapshot(table).drop(graft.core.MetaCols.All: _*)
-    GraftRelation(sqlContext, snap().schema, () => snap(), table)
+    GraftRelation(sqlContext, snap().schema, () => snap(), table, latestSnapshot = true)
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
@@ -227,7 +229,11 @@ class GraftDataSource
   * [OVERWRITE]` to the engine's insert / insert_overwrite_table ops.
   */
 final case class GraftRelation(sqlContext: SQLContext, schema: StructType,
-    mkDf: () => DataFrame, table: GraftTable)
+    mkDf: () => DataFrame, table: GraftTable,
+    // true only for latest-snapshot reads (no asOfInstant / incremental
+    // options): the shapes MvRewriteRule may answer from a materialized
+    // view — a time-travel or change scan must never be view-substituted
+    latestSnapshot: Boolean = false)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

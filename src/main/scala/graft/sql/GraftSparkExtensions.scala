@@ -32,6 +32,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectResolutionRule(session => GraftDmlRules(session))
     e.injectOptimizerRule(_ => StatsAnswerRule)
+    e.injectOptimizerRule(session => MvRewriteRule(session))
     GraftFunctions.all.foreach(e.injectFunction)
   }
 }

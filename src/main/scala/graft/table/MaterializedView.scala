@@ -111,12 +111,12 @@ object MaterializedView {
   def whereOf(view: GraftTable): Option[String] =
     Option(view.cfg.prop(WhereKey, null)).map(dec)
 
-  private def groupsOf(view: GraftTable): Seq[(String, String)] =
+  private[graft] def groupsOf(view: GraftTable): Seq[(String, String)] =
     view.cfg.prop(GroupsKey, "").split(";").toSeq.filter(_.nonEmpty).map { p =>
       val Array(n, e) = p.split(":", 2); (dec(n), dec(e))
     }
 
-  private def aggsOf(view: GraftTable): Seq[ViewAgg] =
+  private[graft] def aggsOf(view: GraftTable): Seq[ViewAgg] =
     view.cfg.prop(AggsKey, "").split(";").toSeq.filter(_.nonEmpty).map { p =>
       val Array(n, k, e) = p.split(":", 3); ViewAgg(dec(n), k, dec(e))
     }
@@ -138,8 +138,8 @@ object MaterializedView {
     */
   private val SumType = "decimal(28,8)"
 
-  private def sumCol(a: ViewAgg) = s"${a.name}__sum"
-  private def cntCol(a: ViewAgg) = s"${a.name}__cnt"
+  private[graft] def sumCol(a: ViewAgg) = s"${a.name}__sum"
+  private[graft] def cntCol(a: ViewAgg) = s"${a.name}__cnt"
 
   /** The view's persisted state columns for one aggregate. */
   private def stateCols(a: ViewAgg): Seq[String] = a.kind match {
@@ -204,6 +204,19 @@ object MaterializedView {
       .map(i => CommitMetadata.fromJson(view.timeline.readContent(i)))
       .flatMap(_.extraMetadata.get(CheckpointKey))
       .take(1).toSeq.headOption
+
+  /** True when the view's checkpoint covers every completed data instant
+    * on the source — the gate [[graft.sql.MvRewriteRule]] requires before
+    * answering a source query from the view. Conservative: a layout-only
+    * replacecommit (cluster/compact) newer than the checkpoint reads as
+    * stale even though the logical content is unchanged — the query then
+    * simply answers from the source, which is always correct.
+    */
+  def isFresh(view: GraftTable, source: GraftTable): Boolean =
+    lastCheckpoint(view) match {
+      case Some(c) => !source.timeline.completedDataInstants().exists(_.ts > c)
+      case None => source.timeline.completedDataInstants().isEmpty
+    }
 
   /** Fold the source's changes since the last sync into the view.
     * Returns the view commit instant, or None when already up to date.
