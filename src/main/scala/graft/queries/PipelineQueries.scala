@@ -179,27 +179,6 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
-    // BM25 keyword retrieval, brute force: one tokenize+explode pass
-    // filtered to the query's terms before any shuffle; per-term
-    // contributions round+fold in decimal so per-doc sums are
-    // order-independent (the oracle replays the formula exactly)
-    "p_text_search" -> ((s, d) =>
-      Search.bm25TopK(docs(s, d), "spark merge window", k = 15)),
-
-    // BM25 through the PERSISTED inverted index (term-hash-bucket
-    // partitioned graft table, stats in commit metadata): built on part
-    // of the corpus, incrementally appended with the rest, and the
-    // pruned-scan search must equal full-corpus brute force — the oracle
-    // is the same full-corpus BM25
-    "p_search_index" -> ((s, d) => {
-      val all = docs(s, d)
-      val p = s"/tmp/graft_q/search_idx_${Integer.toHexString(d.hashCode)}"
-      graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(p))
-      val idx = SearchIndex.build(s, p, all.filter(col("doc_id") % 5 =!= 0), nBuckets = 32)
-      SearchIndex.append(idx, all.filter(col("doc_id") % 5 === 0))
-      SearchIndex.search(idx, "customer filter scan", k = 12)
-    }),
-
     // multimodal plumbing: schema-correct decode over binary columns
     "p_multimodal_decode" -> ((s, d) => {
       val blobs = Multimodal.withFakeBinary(docs(s, d), "doc_id")
@@ -1482,38 +1461,7 @@ object PipelineQueries {
        |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
-  /** Full-corpus BM25 in DuckDB, literal-for-literal the Spark formula
-    * (every constant ::DOUBLE so both engines fold the same IEEE tree;
-    * contributions round to 9 dp and fold in DECIMAL(28,9)).
-    */
-  private def bm25Oracle(terms: Seq[String], k: Int): String = {
-    val in = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-       |    x -> len(x) > 0) AS tk FROM documents),
-       |stats AS (
-       |  SELECT count(*)::DOUBLE AS n,
-       |    sum(len(tk))::DOUBLE / count(*)::DOUBLE AS avgdl FROM toks),
-       |tf AS (
-       |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
-       |  FROM (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term FROM toks)
-       |  WHERE term IN ($in) GROUP BY 1, 2, 3),
-       |dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-       |sc AS (
-       |  SELECT tf.doc_id,
-       |    round(ln(1.0::DOUBLE + (s.n - dft.df + 0.5::DOUBLE) / (dft.df + 0.5::DOUBLE)) *
-       |      (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE) /
-       |       (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl / s.avgdl))),
-       |      9)::DECIMAL(28,9) AS c
-       |  FROM tf JOIN dft USING (term) CROSS JOIN stats s)
-       |SELECT doc_id, (sum(c)::DECIMAL(28,9))::DOUBLE AS score,
-       |  count(*)::BIGINT AS n_terms
-       |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
-  }
-
   val oracles: Map[String, String] = Map(
-    "p_text_search" -> bm25Oracle(Seq("spark", "merge", "window"), 15),
-    "p_search_index" -> bm25Oracle(Seq("customer", "filter", "scan"), 12),
     "p_bpe_train" -> bpeOracle(6),
     "p_bpe_encode" -> bpeEncodeOracle(6),
     "p_pagerank" -> pageRankOracle(5),
