@@ -94,11 +94,17 @@ object DedupService {
     DedupIndex(bandsT, sigsT)
   }
 
-  def lastCheckpoint(clean: GraftTable): Option[String] =
+  /** Newest source rollback/restore instant observed at sync time. */
+  val RewindSeenKey = "graft.dedup.source.rewind.seen"
+
+  def lastCheckpoint(clean: GraftTable): Option[String] = syncMarks(clean)._1
+
+  private def syncMarks(clean: GraftTable): (Option[String], String) =
     clean.timeline.completedDataInstants().reverse.iterator
-      .map(i => CommitMetadata.fromJson(clean.timeline.readContent(i)))
-      .flatMap(_.extraMetadata.get(CheckpointKey))
-      .take(1).toSeq.headOption
+      .map(i => CommitMetadata.fromJson(clean.timeline.readContent(i)).extraMetadata)
+      .collectFirst { case m if m.contains(CheckpointKey) =>
+        (m.get(CheckpointKey), m.getOrElse(RewindSeenKey, "")) }
+      .getOrElse((None, ""))
 
   /** One tick. Returns the clean-table commit ts, or None when the source
     * has nothing new. Matching parameters come from the INDEX (persisted
@@ -111,8 +117,22 @@ object DedupService {
     val spark = source.spark
     val head = source.timeline.completedDataInstants().lastOption.map(_.ts)
       .getOrElse(return None)
-    val ckpt = lastCheckpoint(clean)
-    if (ckpt.contains(head)) return None
+    val (ckpt0, rewindSeen) = syncMarks(clean)
+    val rewindNow = graft.table.MaterializedView.lastRewind(source, includeArchived = true)
+    val rewound = rewindNow > rewindSeen
+    if (ckpt0.contains(head) && !rewound) return None
+    // rollback recovery: ghost postings would mark new docs as dups of
+    // rolled-back docs, and the clean table keeps their outputs — wipe
+    // index + clean once and rebuild from the surviving snapshot. A crash
+    // mid-recovery re-enters here (marks only publish with the rebuild's
+    // clean commit), so the wipe is replay-safe.
+    val ckpt = if (rewound && ckpt0.isDefined) {
+      Seq(clean, index.bands, index.sigs)
+        .filter(_.timeline.completedDataInstants().nonEmpty)
+        .foreach(_.truncate())
+      None
+    } else ckpt0
+    val marks = Map(CheckpointKey -> head, RewindSeenKey -> rewindNow)
     val rows = numHashes / bands
 
     val pulledRaw = ckpt match {
@@ -192,7 +212,7 @@ object DedupService {
         index.bands.insert(bandRows.select(
           col("band"), col("bucket"), col("_d_id").as("doc_id")))
         index.sigs.insert(sig.select(col("_d_id").as("doc_id"), col("_d_sig").as("sig")))
-        Some(clean.upsert(survivors, extraMetadata = Map(CheckpointKey -> head)))
+        Some(clean.upsert(survivors, extraMetadata = marks))
       } finally { bandRows.unpersist(); sig.unpersist() }
     } finally pulled.unpersist()
   }

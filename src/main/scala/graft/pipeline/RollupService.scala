@@ -42,12 +42,17 @@ import graft.table.GraftTable
 object RollupService {
 
   val CheckpointKey = "graft.rollup.source.checkpoint"
+  /** Newest source rollback/restore instant observed at sync time. */
+  val RewindSeenKey = "graft.rollup.source.rewind.seen"
 
-  def lastCheckpoint(rollup: GraftTable): Option[String] =
+  def lastCheckpoint(rollup: GraftTable): Option[String] = syncMarks(rollup)._1
+
+  private def syncMarks(rollup: GraftTable): (Option[String], String) =
     rollup.timeline.completedDataInstants().reverse.iterator
-      .map(i => CommitMetadata.fromJson(rollup.timeline.readContent(i)))
-      .flatMap(_.extraMetadata.get(CheckpointKey))
-      .take(1).toSeq.headOption
+      .map(i => CommitMetadata.fromJson(rollup.timeline.readContent(i)).extraMetadata)
+      .collectFirst { case m if m.contains(CheckpointKey) =>
+        (m.get(CheckpointKey), m.getOrElse(RewindSeenKey, "")) }
+      .getOrElse((None, ""))
 
   /** One tick. Returns the rollup commit ts, or None when the source has
     * nothing new since the checkpoint.
@@ -56,8 +61,14 @@ object RollupService {
       aggs: Seq[Column]): Option[String] = {
     val head = source.timeline.completedDataInstants().lastOption.map(_.ts)
       .getOrElse(return None)
-    val ckpt = lastCheckpoint(rollup)
-    if (ckpt.contains(head)) return None
+    val (ckpt, rewindSeen) = syncMarks(rollup)
+    // a rollback/restore since the last tick may have removed commits
+    // whose groups this service never retriggers (the change feed replays
+    // only SURVIVING commits) — recompute everything once instead
+    val rewindNow = graft.table.MaterializedView.lastRewind(source, includeArchived = true)
+    val rewound = rewindNow > rewindSeen
+    if (ckpt.contains(head) && !rewound) return None
+    val marks = Map(CheckpointKey -> head, RewindSeenKey -> rewindNow)
 
     val gcols = groupCols.map(col)
     def aggregate(df: DataFrame): DataFrame =
@@ -68,8 +79,19 @@ object RollupService {
         // first tick: full build, plain upsert (nothing can vanish)
         val full = aggregate(Readers.snapshot(source, asOf = Some(head)))
           .withColumn("_op", lit("U"))
-        Some(rollup.applyCdc(full, opCol = "_op",
-          extraMetadata = Map(CheckpointKey -> head)))
+        Some(rollup.applyCdc(full, opCol = "_op", extraMetadata = marks))
+      case Some(_) if rewound =>
+        // rollback recovery: full recompute + tombstones for rollup
+        // groups the fresh state no longer has, in one commit
+        val full = aggregate(Readers.snapshot(source, asOf = Some(head)))
+        val oldKeys = Readers.snapshot(rollup).select(gcols: _*)
+        val gone = oldKeys.join(full, groupCols, "left_anti")
+        val aggNames = full.columns.filterNot(groupCols.contains)
+        val deletes = aggNames.foldLeft(gone)((df, c) =>
+          df.withColumn(c, lit(null).cast(full.schema(c).dataType)))
+        val batch = full.withColumn("_op", lit("U"))
+          .unionByName(deletes.withColumn("_op", lit("D")))
+        Some(rollup.applyCdc(batch, opCol = "_op", extraMetadata = marks))
       case Some(begin) =>
         // both change images: a row that LEFT a group retriggers it too
         val touched = Readers.incrementalChanges(source, begin, Some(head))
@@ -91,8 +113,7 @@ object RollupService {
             df.withColumn(c, lit(null).cast(recomputed.schema(c).dataType)))
           val batch = recomputed.withColumn("_op", lit("U"))
             .unionByName(deletes.withColumn("_op", lit("D")))
-          Some(rollup.applyCdc(batch, opCol = "_op",
-            extraMetadata = Map(CheckpointKey -> head)))
+          Some(rollup.applyCdc(batch, opCol = "_op", extraMetadata = marks))
         } finally touched.unpersist()
     }
   }

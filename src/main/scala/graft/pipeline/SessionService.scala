@@ -39,12 +39,17 @@ import graft.table.GraftTable
 object SessionService {
 
   val CheckpointKey = "graft.sessions.events.checkpoint"
+  /** Newest events-table rollback/restore instant observed at sync time. */
+  val RewindSeenKey = "graft.sessions.events.rewind.seen"
 
-  def lastCheckpoint(sessions: GraftTable): Option[String] =
+  def lastCheckpoint(sessions: GraftTable): Option[String] = syncMarks(sessions)._1
+
+  private def syncMarks(sessions: GraftTable): (Option[String], String) =
     sessions.timeline.completedDataInstants().reverse.iterator
-      .map(i => CommitMetadata.fromJson(sessions.timeline.readContent(i)))
-      .flatMap(_.extraMetadata.get(CheckpointKey))
-      .take(1).toSeq.headOption
+      .map(i => CommitMetadata.fromJson(sessions.timeline.readContent(i)).extraMetadata)
+      .collectFirst { case m if m.contains(CheckpointKey) =>
+        (m.get(CheckpointKey), m.getOrElse(RewindSeenKey, "")) }
+      .getOrElse((None, ""))
 
   /** One tick. Returns the sessions commit ts, or None when the events
     * table has nothing new. `buckets` must match the sessions table's
@@ -56,12 +61,19 @@ object SessionService {
       buckets: Int = 64): Option[String] = {
     val head = events.timeline.completedDataInstants().lastOption.map(_.ts)
       .getOrElse(return None)
-    val ckpt = lastCheckpoint(sessions)
-    if (ckpt.contains(head)) return None
+    val (ckpt, rewindSeen) = syncMarks(sessions)
+    // an events-table rollback/restore removes rows whose buckets the
+    // incremental pull would never surface again — recompute every bucket
+    // once (incremental-pull deltas only replay SURVIVING commits)
+    val rewindNow = graft.table.MaterializedView.lastRewind(events, includeArchived = true)
+    val rewound = rewindNow > rewindSeen
+    if (ckpt.contains(head) && !rewound) return None
+    val marks = Map(CheckpointKey -> head, RewindSeenKey -> rewindNow)
 
     val bucketOf = pmod(col(userCol).cast("long"), lit(buckets.toLong))
     val affected: Option[Seq[String]] = ckpt match {
       case None => None // first tick: every bucket
+      case Some(_) if rewound => None // rollback recovery: every bucket
       case Some(begin) =>
         Some(Readers.incremental(events, begin, Some(head))
           .select(bucketOf.cast("string")).distinct()
@@ -78,7 +90,12 @@ object SessionService {
     }
     val recomputed = Sessions.sessionStats(scope, userCol, tsCol, valueCol,
       maxGapSeconds, tieBreak)
-    Some(sessions.insertOverwrite(recomputed,
-      extraMetadata = Map(CheckpointKey -> head)))
+    // recovery replaces the WHOLE table: a bucket whose every event rolled
+    // back yields no recomputed rows, so partition-scoped overwrite would
+    // leave its stale sessions behind
+    if (rewound && ckpt.isDefined)
+      Some(sessions.insertOverwriteTable(recomputed, extraMetadata = marks))
+    else
+      Some(sessions.insertOverwrite(recomputed, extraMetadata = marks))
   }
 }

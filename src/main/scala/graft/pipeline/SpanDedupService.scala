@@ -67,11 +67,17 @@ object SpanDedupService {
         // highest neg_id wins = LOWEST doc id stays the owner forever
         ConfigKeys.Payload -> "EVENT_TIME")))
 
-  def lastCheckpoint(clean: GraftTable): Option[String] =
+  /** Newest source rollback/restore instant observed at sync time. */
+  val RewindSeenKey = "graft.spans.source.rewind.seen"
+
+  def lastCheckpoint(clean: GraftTable): Option[String] = syncMarks(clean)._1
+
+  private def syncMarks(clean: GraftTable): (Option[String], String) =
     clean.timeline.completedDataInstants().reverse.iterator
-      .map(i => CommitMetadata.fromJson(clean.timeline.readContent(i)))
-      .flatMap(_.extraMetadata.get(CheckpointKey))
-      .take(1).toSeq.headOption
+      .map(i => CommitMetadata.fromJson(clean.timeline.readContent(i)).extraMetadata)
+      .collectFirst { case m if m.contains(CheckpointKey) =>
+        (m.get(CheckpointKey), m.getOrElse(RewindSeenKey, "")) }
+      .getOrElse((None, ""))
 
   /** One tick. Returns the clean-table commit ts, or None when the
     * source has nothing new.
@@ -82,8 +88,21 @@ object SpanDedupService {
     val fpParts = index.cfg.propLong(PartsKey, 64L).toInt
     val head = source.timeline.completedDataInstants().lastOption.map(_.ts)
       .getOrElse(return None)
-    val ckpt = lastCheckpoint(clean)
-    if (ckpt.contains(head)) return None
+    val (ckpt0, rewindSeen) = syncMarks(clean)
+    val rewindNow = graft.table.MaterializedView.lastRewind(source, includeArchived = true)
+    val rewound = rewindNow > rewindSeen
+    if (ckpt0.contains(head) && !rewound) return None
+    // rollback recovery: fingerprints owned by rolled-back docs would cut
+    // spans out of new docs forever — wipe index + clean once and rebuild
+    // from the surviving snapshot (replay-safe: marks publish with the
+    // rebuild's clean commit)
+    val ckpt = if (rewound && ckpt0.isDefined) {
+      Seq(clean, index)
+        .filter(_.timeline.completedDataInstants().nonEmpty)
+        .foreach(_.truncate())
+      None
+    } else ckpt0
+    val marks = Map(CheckpointKey -> head, RewindSeenKey -> rewindNow)
 
     val pulledRaw = ckpt match {
       case None => Readers.snapshot(source, asOf = Some(head))
@@ -134,7 +153,7 @@ object SpanDedupService {
           .groupBy(col("_sd_fp").as("fp"))
           .agg(min(col(idCol)).as("owner_id"))
           .withColumn("neg_id", -col("owner_id")))
-        Some(clean.upsert(cleaned, extraMetadata = Map(CheckpointKey -> head)))
+        Some(clean.upsert(cleaned, extraMetadata = marks))
       } finally wins.unpersist()
     } finally toks.unpersist()
   }

@@ -432,8 +432,9 @@ final class GraftTable(
   /** Replace every live file group (reference
     * SparkInsertOverwriteTableCommitActionExecutor).
     */
-  def insertOverwriteTable(df: DataFrame): String =
-    runCommit(Action.ReplaceCommit, "insert_overwrite_table") { instant =>
+  def insertOverwriteTable(df: DataFrame,
+      extraMetadata: Map[String, String] = Map.empty): String =
+    runCommit(Action.ReplaceCommit, "insert_overwrite_table", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
       val routed = assignFreshBuckets(keyed)
       val stats = writeFiles(spark, basePath,

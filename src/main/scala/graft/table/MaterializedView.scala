@@ -55,6 +55,8 @@ import graft.read.Readers
 object MaterializedView {
 
   val CheckpointKey = "graft.view.source.checkpoint"
+  /** Newest source rollback/restore instant observed at sync time. */
+  val RewindSeenKey = "graft.view.source.rewind.seen"
   private val GroupsKey = "graft.view.groups"
   private val AggsKey = "graft.view.aggs"
   val SourceKey = "graft.view.source.path"
@@ -199,23 +201,53 @@ object MaterializedView {
       }
     } :+ sum(col("_w").cast("long")).as(RowsCol)
 
-  private def lastCheckpoint(view: GraftTable): Option[String] =
+  /** The newest commit's sync marks: `(checkpoint, rewind-seen)` — the
+    * source data instant the state folds through, and the newest source
+    * rollback/restore instant the sync observed (both written by the same
+    * commit, so a view rollback rewinds them together).
+    */
+  private def syncMarks(view: GraftTable): (Option[String], String) =
     view.timeline.completedDataInstants().reverse.iterator
-      .map(i => CommitMetadata.fromJson(view.timeline.readContent(i)))
-      .flatMap(_.extraMetadata.get(CheckpointKey))
-      .take(1).toSeq.headOption
+      .map(i => CommitMetadata.fromJson(view.timeline.readContent(i)).extraMetadata)
+      .collectFirst { case m if m.contains(CheckpointKey) =>
+        (m.get(CheckpointKey), m.getOrElse(RewindSeenKey, "")) }
+      .getOrElse((None, ""))
+
+  private def lastCheckpoint(view: GraftTable): Option[String] = syncMarks(view)._1
+
+  /** Newest rollback/restore instant ts on the source ("" when none).
+    * Archived instants only matter for SYNC's staleness decision: by the
+    * time a rewind archives, either newer data instants made the view
+    * data-stale anyway, or a sync already ran (and recorded the rewind)
+    * — so the hot [[isFresh]] path can stay active-timeline-only.
+    */
+  private[graft] def lastRewind(source: GraftTable, includeArchived: Boolean): String = {
+    def isRewind(a: String) =
+      a == graft.core.Action.Rollback || a == graft.core.Action.Restore
+    val active = source.timeline.completedInstants()
+      .filter(i => isRewind(i.action)).map(_.ts)
+    val archived =
+      if (includeArchived)
+        source.timeline.archivedInstants()
+          .collect { case (i, _) if isRewind(i.action) => i.ts }
+      else Seq.empty
+    (active ++ archived).maxOption.getOrElse("")
+  }
 
   /** True when the view's checkpoint covers every completed data instant
-    * on the source — the gate [[graft.sql.MvRewriteRule]] requires before
-    * answering a source query from the view. Conservative: a layout-only
+    * on the source AND no rollback/restore landed since the last sync —
+    * the gate [[graft.sql.MvRewriteRule]] requires before answering a
+    * source query from the view. Conservative: a layout-only
     * replacecommit (cluster/compact) newer than the checkpoint reads as
     * stale even though the logical content is unchanged — the query then
     * simply answers from the source, which is always correct.
     */
   def isFresh(view: GraftTable, source: GraftTable): Boolean =
-    lastCheckpoint(view) match {
-      case Some(c) => !source.timeline.completedDataInstants().exists(_.ts > c)
-      case None => source.timeline.completedDataInstants().isEmpty
+    syncMarks(view) match {
+      case (Some(c), seen) =>
+        !source.timeline.completedDataInstants().exists(_.ts > c) &&
+          lastRewind(source, includeArchived = false) <= seen
+      case _ => source.timeline.completedDataInstants().isEmpty
     }
 
   /** Fold the source's changes since the last sync into the view.
@@ -226,8 +258,10 @@ object MaterializedView {
     val aggs = aggsOf(view)
     val head = source.timeline.lastCompleted().map(_.ts)
       .getOrElse(return None) // empty source: nothing to fold yet
-    val ckpt = lastCheckpoint(view)
-    if (ckpt.contains(head)) return None
+    val (ckpt, rewindSeen) = syncMarks(view)
+    val rewindNow = lastRewind(source, includeArchived = true)
+    val rewound = rewindNow > rewindSeen
+    if (ckpt.contains(head) && !rewound) return None
     val groupCols = groups.map { case (n, e) => expr(e).as(n) }
     val names = groups.map(_._1)
     // reads pin to `head` (time travel), never "latest": a writer
@@ -237,12 +271,34 @@ object MaterializedView {
     val where = whereOf(view)
     def sourceAt = where.foldLeft(
       Readers.timeTravel(source, head).drop(MetaCols.All: _*))((df, w) => df.where(expr(w)))
+    // full re-aggregate + tombstones for groups the fresh state no longer
+    // has (first sync, and the rollback-recovery path)
+    def rebuild(): DataFrame = {
+      val fa = fullAggs(aggs)
+      val full = sourceAt.groupBy(groupCols: _*).agg(fa.head, fa.tail: _*)
+      if (view.timeline.completedDataInstants().isEmpty) full
+      else {
+        val fullKeys = full.select(names.map(col): _*)
+        val oldKeys = Readers.snapshot(view).drop(MetaCols.All: _*)
+          .select(names.map(col): _*)
+        val gone = oldKeys.join(fullKeys,
+          names.map(n => oldKeys(n) <=> fullKeys(n)).reduce(_ && _), "left_anti")
+        full.unionByName(gone.select(names.map(col) ++
+          full.schema.fields.filterNot(f => names.contains(f.name)).map(f =>
+            if (f.name == RowsCol) lit(0L).as(RowsCol)
+            else lit(null).cast(f.dataType).as(f.name)): _*))
+      }
+    }
     val state = ckpt match {
-      case None =>
-        // first sync: one full aggregate is cheaper and has no
-        // begin-side file-retention requirement
-        val fa = fullAggs(aggs)
-        sourceAt.groupBy(groupCols: _*).agg(fa.head, fa.tail: _*)
+      case None => rebuild()
+      case Some(_) if rewound =>
+        // a rollback/restore since the last sync may have removed commits
+        // whose folds are baked into the view — no delta window can
+        // express the un-fold, so recover with a full re-aggregate
+        // (vanished groups tombstone through the same commit). Without
+        // this the view keeps rolled-back rows FOREVER: the (begin, head]
+        // window would replay only surviving commits.
+        rebuild()
       case Some(begin) =>
         // no data instants inside the window -> no logical changes; skip
         // the read entirely (timeline-only check, zero Spark jobs)
@@ -338,7 +394,8 @@ object MaterializedView {
     }
     // vanished groups tombstone through the same commit
     val upsertable = state.withColumn(MetaCols.DeleteFlag, col(RowsCol) <= 0L)
-    Some(view.upsert(upsertable, extraMetadata = Map(CheckpointKey -> head)))
+    Some(view.upsert(upsertable, extraMetadata =
+      Map(CheckpointKey -> head, RewindSeenKey -> rewindNow)))
   }
 
   /** Registry of views auto-synced after every data commit on `source`:

@@ -61,4 +61,35 @@ class DedupServiceSpec extends AnyFunSuite {
     assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
     assert(Readers.snapshot(cleanT).count() === n1, "cross-tick duplicates survived")
   }
+
+  test("source rollback: ghost index postings are wiped, not matched") {
+    val root = tmpDir("dedup_svc_rb").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DedupService.openIndex(spark, s"$root/index", threshold = 0.6)
+    val base = docs.filter(col("doc_id") < 60)
+    srcT.bulkInsert(base)
+    DedupService.sync(srcT, cleanT, idx)
+    // tick 2 lands copies under new ids, then rolls back — without the
+    // rewind check both the clean rows AND the index postings of the
+    // rolled-back docs would linger as ghosts
+    val c2 = srcT.bulkInsert(base.withColumn("doc_id", col("doc_id") + 5000000L))
+    DedupService.sync(srcT, cleanT, idx)
+    graft.table.Services.rollback(srcT, c2)
+    assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
+    val cleaned = Readers.snapshot(cleanT).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cleaned.forall(_ < 5000000L), "rolled-back docs linger in clean")
+    // re-submitting one of the rolled-back copies: its original still
+    // owns the content, so the copy must drop — but NOT because of a
+    // ghost posting: the original doc is alive in the surviving corpus
+    srcT.upsert(base.filter(col("doc_id") === cleaned.min)
+      .withColumn("doc_id", col("doc_id") + 7000000L))
+    DedupService.sync(srcT, cleanT, idx)
+    val after = Readers.snapshot(cleanT).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after === cleaned, "copy of a live doc must still dedup away")
+    // steady state: next tick is a no-op (no rebuild-per-tick)
+    assert(DedupService.sync(srcT, cleanT, idx).isEmpty)
+  }
 }

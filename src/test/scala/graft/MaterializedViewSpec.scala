@@ -111,6 +111,45 @@ class MaterializedViewSpec extends AnyFunSuite {
     assertMatches(v, t)
   }
 
+  test("source rollback: sync rebuilds instead of replaying stale deltas") {
+    val (t, v) = mk("mv_rollback")
+    t.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0)))
+    MV.sync(v, t)
+    // the folded-then-rolled-back commit also creates group c, which must
+    // vanish from the view on recovery
+    val c2 = t.upsert(rows((3, "c", 30.0), (1, "a", 10.0)))
+    MV.sync(v, t)
+    assert(MV.read(v).select("grp").as[String].collect().toSet === Set("a", "b", "c"))
+    graft.table.Services.rollback(t, c2)
+    // the view is folded past commits that no longer exist
+    assert(!MV.isFresh(v, t))
+    assert(MV.sync(v, t).isDefined)
+    assertMatches(v, t)
+    assert(MV.read(v).select("grp").as[String].collect().toSet === Set("a", "b"))
+    assert(MV.read(v).filter($"grp" === "a")
+      .select(col("total").cast("double")).as[Double].head() === 1.0)
+    assert(MV.isFresh(v, t))
+    // incremental folding resumes after the recovery checkpoint
+    t.upsert(rows((4, "a", 4.0)))
+    MV.sync(v, t)
+    assertMatches(v, t)
+  }
+
+  test("source restore to a savepoint also triggers the rebuild") {
+    val (t, v) = mk("mv_restore")
+    t.bulkInsert(rows((1, "a", 1.0)))
+    val sp = t.timeline.lastCompleted().get.ts
+    graft.table.Services.savepoint(t, sp)
+    MV.sync(v, t)
+    t.upsert(rows((2, "b", 2.0)))
+    MV.sync(v, t)
+    graft.table.Services.restore(t, sp)
+    assert(!MV.isFresh(v, t))
+    assert(MV.sync(v, t).isDefined)
+    assertMatches(v, t)
+    assert(MV.read(v).select("grp").as[String].collect().toSet === Set("a"))
+  }
+
   test("up-to-date sync is a no-op; service commits on the source too") {
     val (t, v) = mk("mv_noop")
     t.bulkInsert(rows((1, "a", 1.0)))

@@ -165,6 +165,22 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!answeredFromView(dc, d))
   }
 
+  test("source rollback disables the rewrite until the view resyncs") {
+    val (t, v, d) = mk("mvr_rollback")
+    val c2 = t.upsert(rows((6, "z", 1.0))) // auto-synced into the view
+    assert(answeredFromView(
+      srcDf(t).groupBy("grp").agg(count(lit(1)).as("cnt")), d))
+    graft.table.Services.rollback(t, c2)
+    // the view still holds group z; serving it would be wrong
+    val q = srcDf(t).groupBy("grp").agg(count(lit(1)).as("cnt"))
+    assert(!answeredFromView(q, d))
+    assert(!q.collect().map(_.getString(0)).contains("z"))
+    MV.sync(v, t) // rebuild recovery
+    val q2 = srcDf(t).groupBy("grp").agg(count(lit(1)).as("cnt"))
+    assert(answeredFromView(q2, d))
+    assert(!q2.collect().map(_.getString(0)).contains("z"))
+  }
+
   test("spark.graft.mv.rewrite=false disables the rule") {
     val (t, _, d) = mk("mvr_off")
     spark.conf.set("spark.graft.mv.rewrite", "false")

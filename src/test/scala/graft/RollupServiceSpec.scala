@@ -50,6 +50,29 @@ class RollupServiceSpec extends AnyFunSuite {
     assert(state(dst) === Map(20L -> ((2L, 8.0))))
   }
 
+  test("source rollback: the next tick recomputes everything once") {
+    val (src, dst) = fresh("rollback")
+    src.bulkInsert(Seq((1L, 10L, 1.0, 0L), (2L, 20L, 2.0, 0L))
+      .toDF("id", "grp", "v", "ver"))
+    RollupService.sync(src, dst, Seq("grp"), aggs)
+    // this commit creates group 30 and bumps group 10, then rolls back —
+    // the change feed replays only surviving commits, so without the
+    // rewind check neither group would ever retrigger
+    val c2 = src.upsert(Seq((3L, 30L, 30.0, 1L), (1L, 10L, 100.0, 1L))
+      .toDF("id", "grp", "v", "ver"))
+    RollupService.sync(src, dst, Seq("grp"), aggs)
+    assert(state(dst).keySet === Set(10L, 20L, 30L))
+    graft.table.Services.rollback(src, c2)
+    assert(RollupService.sync(src, dst, Seq("grp"), aggs).isDefined)
+    assert(state(dst) === Map(10L -> ((1L, 1.0)), 20L -> ((1L, 2.0))))
+    // one recovery, not a rebuild-per-tick: the next tick is a no-op
+    assert(RollupService.sync(src, dst, Seq("grp"), aggs).isEmpty)
+    // and incremental ticks resume afterwards
+    src.upsert(Seq((4L, 20L, 4.0, 2L)).toDF("id", "grp", "v", "ver"))
+    assert(RollupService.sync(src, dst, Seq("grp"), aggs).isDefined)
+    assert(state(dst) === Map(10L -> ((1L, 1.0)), 20L -> ((2L, 6.0))))
+  }
+
   test("idle tick commits nothing; checkpoint rides the commit metadata") {
     val (src, dst) = fresh("idle")
     src.bulkInsert(Seq((1L, 1L, 1.0, 0L)).toDF("id", "grp", "v", "ver"))

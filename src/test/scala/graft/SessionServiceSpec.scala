@@ -78,4 +78,28 @@ class SessionServiceSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(old === 20L)
   }
+
+  test("events rollback: the next tick recomputes every bucket once") {
+    val events = eventsTable("ssrb_events")
+    val sessions = sessionsTable("ssrb_sessions")
+    events.bulkInsert((1L to 8L).flatMap(u =>
+      Seq(ev(u * 10, u, u), ev(u * 10 + 1, u, u + 30)))
+      .toDF("event_id", "ts", "user_id", "value"))
+    SessionService.sync(events, sessions, maxGapSeconds = 600, buckets = Buckets)
+    // user 99's ONLY events arrive, get sessionized, then roll back — the
+    // incremental pull never surfaces the removal, so without the rewind
+    // check their sessions would linger forever
+    val c2 = events.upsert(Seq(ev(990, 99L, 5), ev(991, 99L, 20))
+      .toDF("event_id", "ts", "user_id", "value"))
+    SessionService.sync(events, sessions, maxGapSeconds = 600, buckets = Buckets)
+    assert(actual(sessions).exists(_._1 == 99L))
+    graft.table.Services.rollback(events, c2)
+    assert(SessionService.sync(events, sessions, maxGapSeconds = 600,
+      buckets = Buckets).isDefined)
+    assert(actual(sessions) === expected(events))
+    assert(!actual(sessions).exists(_._1 == 99L), "rolled-back user lingers")
+    // one recovery, then back to incremental no-ops
+    assert(SessionService.sync(events, sessions, maxGapSeconds = 600,
+      buckets = Buckets).isEmpty)
+  }
 }
