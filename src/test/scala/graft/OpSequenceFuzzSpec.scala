@@ -93,6 +93,29 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
     var history = Vector.empty[(String, Map[Long, (Long, String)])]
     def record(ts: String): Unit = history :+= (ts -> model)
 
+    // materialized-view probe: a view over the mutating column `v` (so
+    // updates are group moves) folds the same chaos — incremental syncs
+    // spanning several ops, rollback/restore windows (the rewind-recovery
+    // path), layout-only rescales (CDC-silent, nothing to fold) — and
+    // must equal the model's from-scratch aggregate after every sync
+    import graft.table.{MaterializedView => MV}
+    val view = MV.create(spark, tmpDir(s"${name}_mv").toString, t,
+      Seq("grp" -> "v"),
+      Seq(MV.ViewAgg("cnt", "count", "*"), MV.ViewAgg("sv", "sum", "ver"),
+        MV.ViewAgg("lo", "min", "ver")))
+    def mvCheck(tag: String): Unit = {
+      MV.sync(view, t)
+      val got = MV.read(view)
+        .select($"grp", $"cnt", $"sv".cast("long"), $"lo")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = model.groupBy(_._2._2).view.mapValues { rows =>
+        val vers = rows.values.map(_._1)
+        (rows.size.toLong, vers.sum, vers.min)
+      }.toMap
+      assert(got === want, s"$tableType seed=$seed materialized view diverged $tag")
+    }
+
     val init = uniq(Gen.listOfN(20, rowGen)
       .pureApply(Gen.Parameters.default, Seed(seed)))
     record(t.bulkInsert(df(init)))
@@ -260,12 +283,14 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
           checkCdc(prevTs, prevModel)
         case _ => () // rollback/restore rewrite the window itself
       }
+      if (i % 5 == 2) mvCheck(s"after op #$i: $op")
     }
     // end-state services must not change the observable table
     Services.clean(t)
     if (t.cfg.isMor)
       Services.scheduleCompaction(t).foreach(ts => Services.runCompaction(t, ts))
     assert(snap(t) === model, s"$tableType seed=$seed diverged after services")
+    mvCheck("at end state")
   }
 
   test("COW: random mixed op sequences match the model at every step") {
