@@ -598,6 +598,24 @@ object TableOps {
       s.sql("SELECT o_orderstatus, cnt, CAST(total AS DOUBLE) AS total, hi FROM mview_sql_v")
     }),
 
+    // SQL time travel: VERSION AS OF pins the pre-update snapshot through
+    // the parser hook — the oracle is the UNMODIFIED base table
+    "t_sql_time_travel" -> ((s, d) => {
+      val t = fresh(s, d, "t_sql_tt", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      val c1 = t.timeline.lastCompleted().get.ts
+      t.upsert(src.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 9))
+      s.read.format("graft").load(t.basePath.toString)
+        .createOrReplaceTempView("sql_tt_v")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS cnt,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+           |FROM sql_tt_v VERSION AS OF '$c1'
+           |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
     // aggregate navigation: a ROLLUP query on the SOURCE (grouping by a
     // strict subset of the view's group columns, filtered on the other)
     // is answered from the registered fresh view by MvRewriteRule — the
@@ -1322,6 +1340,10 @@ object TableOps {
          |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS total,
          |  max(p) AS hi
          |FROM final WHERE o_orderpriority <> '3-MEDIUM' GROUP BY 1""".stripMargin,
+    "t_sql_time_travel" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin,
     "t_mview_rewrite" ->
       s"""WITH final AS (
          |  SELECT o_orderstatus, o_orderpriority,

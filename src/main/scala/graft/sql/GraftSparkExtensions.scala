@@ -1,8 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -29,7 +30,7 @@ import graft.table.GraftTable
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     e.injectResolutionRule(session => GraftDmlRules(session))
     e.injectOptimizerRule(_ => StatsAnswerRule)
     e.injectOptimizerRule(session => MvRewriteRule(session))
@@ -40,6 +41,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // SQL time travel — see [[GraftTimeTravel]]; the parser hook handles
+    // SQL text, this rule covers plans assembled programmatically
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, tsOpt, verOpt) =>
+      GraftTimeTravel(spark, u.multipartIdentifier, tsOpt, verOpt).getOrElse(tt)
+
     case u @ UpdateTable(target, assignments, condition)
         if u.childrenResolved && graftOf(target).isDefined =>
       GraftUpdateCommand(graftOf(target).get,
@@ -92,6 +98,7 @@ final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
       case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
         lr.relation.asInstanceOf[GraftRelation].table
     }
+
 
   private def assignKey(key: Expression): String = key match {
     case a: AttributeReference => a.name
@@ -152,5 +159,75 @@ final case class GraftMergeCommand(table: GraftTable, source: LogicalPlan,
     }
     builder.execute()
     Seq.empty
+  }
+}
+
+/** SQL time travel over graft tables (temp views and catalog tables):
+  * `FROM t TIMESTAMP AS OF '2026-08-15 10:00:00'` (a wall-clock cutoff,
+  * UTC like the instants themselves) or `FROM t VERSION AS OF
+  * '20260815...'` (a raw commit instant). Spark parses the syntax for
+  * every table but only resolves it for v2 catalogs; graft tables are v1
+  * relations, so [[GraftSqlParser]] substitutes the as-of scan right
+  * after parsing (and [[GraftDmlRules]] covers programmatic plans).
+  * Non-graft names return None and keep Spark's own error.
+  */
+private[sql] object GraftTimeTravel {
+
+  def apply(spark: SparkSession, parts: Seq[String], tsOpt: Option[Expression],
+      verOpt: Option[String]): Option[LogicalPlan] =
+    try {
+      val path = graftPathOf(spark, parts).getOrElse(return None)
+      val inst = verOpt.orElse(tsOpt.flatMap(instantOf)).getOrElse(return None)
+      val df = spark.read.format("graft")
+        .option("asOfInstant", inst).load(path)
+      Some(SubqueryAlias(parts.last, df.queryExecution.analyzed))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Base path of the graft table behind a (temp-view or catalog) name. */
+  private def graftPathOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    val cat = spark.sessionState.catalog
+    val fromView = parts match {
+      case Seq(name) => cat.getTempView(name).flatMap(_.collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+          lr.relation.asInstanceOf[GraftRelation].table.basePath.toString
+      })
+      case _ => None
+    }
+    fromView.orElse {
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      if (!cat.tableExists(ident)) None
+      else {
+        val meta = cat.getTableMetadata(ident)
+        if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+        else meta.storage.locationUri.map(_.toString)
+      }
+    }
+  }
+
+  /** An as-of instant from the TIMESTAMP AS OF expression: an all-digit
+    * string passes through as a raw instant; anything else evaluates as a
+    * UTC timestamp and formats to the instants' own yyyyMMddHHmmssSSS.
+    */
+  private def instantOf(e: Expression): Option[String] = {
+    if (!e.resolved || !e.foldable) return None
+    def fromMicros(us: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    e.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val s = String.valueOf(e.eval(null))
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s)
+        else Option(Cast(e, org.apache.spark.sql.types.TimestampType, Some("UTC"))
+          .eval(null)).map(v => fromMicros(v.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.TimestampType =>
+        Option(e.eval(null)).map(v => fromMicros(v.asInstanceOf[Long]))
+      case _ => None
+    }
   }
 }

@@ -39,7 +39,8 @@ import graft.table.MaterializedView.ViewAgg
   * Everything else delegates verbatim, so this parser is a pure
   * superset of Spark SQL.
   */
-final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
 
   import GraftSqlParser._
 
@@ -48,7 +49,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CreateMaterializedViewCommand(name, location, query.trim, auto != null)
     case RefreshRe(name) => RefreshMaterializedViewCommand(name)
     case DropRe(name) => DropMaterializedViewCommand(name)
-    case _ => delegate.parsePlan(sqlText)
+    case _ =>
+      val plan = delegate.parsePlan(sqlText)
+      // TIMESTAMP/VERSION AS OF over a graft name substitutes the as-of
+      // scan at parse time — before Spark's analyzer can reject time
+      // travel on a v1 relation or temp view (non-graft names pass
+      // through untouched and keep Spark's own behavior)
+      plan.transformUp {
+        case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation, ts, ver) =>
+          GraftTimeTravel(session, u.multipartIdentifier, ts, ver).getOrElse(tt)
+      }
   }
 
   override def parseExpression(sqlText: String): Expression =

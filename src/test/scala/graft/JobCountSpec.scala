@@ -76,4 +76,32 @@ class JobCountSpec extends AnyFunSuite {
     assert(graftOnly === 0,
       s"metadata-answered count(*) regressed to $graftOnly jobs")
   }
+
+  test("materialized-view control paths stay off the cluster") {
+    import graft.table.{MaterializedView => MV}
+    val dir = tmpDir("jobs_mv")
+    val t = GraftTable.create(spark, s"$dir/src", TableConfig(
+      "jobs_mv", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+    t.bulkInsert(orders)
+    val v = MV.create(spark, s"$dir/view", t,
+      Seq("o_orderpriority" -> "o_orderpriority"),
+      Seq(MV.ViewAgg("cnt", "count", "*")))
+    MV.sync(v, t)
+    // a no-op sync is a timeline-only decision: ZERO Spark jobs — at
+    // 1000 registered views the post-commit hook must not fan a cluster
+    // job out per already-fresh view
+    val noop = countJobs(assert(MV.sync(v, t).isEmpty))
+    // the rewrite rule's freshness gate runs per aggregate QUERY: zero jobs
+    val fresh = countJobs(assert(MV.isFresh(v, t)))
+    info(s"mv: noopSync=$noop isFresh=$fresh")
+    assert(noop === 0, s"no-op view sync regressed to $noop jobs")
+    assert(fresh === 0, s"isFresh regressed to $fresh jobs")
+    // an incremental fold is bounded: changes scan + state join + upsert
+    t.upsert(orders.filter(col("o_orderkey") % 20 === 0)
+      .withColumn("o_totalprice", lit(2.0)))
+    val fold = countJobs(assert(MV.sync(v, t).isDefined))
+    info(s"mv: incrementalFold=$fold")
+    assert(fold <= 16, s"incremental view fold grew to $fold jobs")
+  }
 }

@@ -145,4 +145,49 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keyless"))
     spark.sql("DROP TABLE nokey_t")
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF on a temp view") {
+    val dir = makeView("ttv")
+    val t = graft.table.GraftTable.load(spark, dir)
+    val c1 = t.timeline.lastCompleted().get.ts
+    spark.sql("UPDATE ttv SET price = price * 10 WHERE id = 1")
+    reread(dir, "ttv")
+    // head sees the update
+    assert(spark.sql("SELECT price FROM ttv WHERE id = 1").first().getDouble(0) === 100.0)
+    // VERSION AS OF a raw instant pins the pre-update state
+    assert(spark.sql(s"SELECT price FROM ttv VERSION AS OF '$c1' WHERE id = 1")
+      .first().getDouble(0) === 10.0)
+    // TIMESTAMP AS OF a wall-clock cutoff: instants are UTC
+    // yyyyMMddHHmmssSSS, so the commit's own ts reformats to a timestamp
+    val cutoff = s"${c1.substring(0, 4)}-${c1.substring(4, 6)}-${c1.substring(6, 8)} " +
+      s"${c1.substring(8, 10)}:${c1.substring(10, 12)}:${c1.substring(12, 14)}.999"
+    assert(spark.sql(s"SELECT price FROM ttv TIMESTAMP AS OF '$cutoff' WHERE id = 1")
+      .first().getDouble(0) === 10.0)
+    // the whole row set is the old snapshot, not just one column
+    assert(spark.sql(s"SELECT count(*) FROM ttv VERSION AS OF '$c1'")
+      .first().getLong(0) === 3L)
+  }
+
+  test("SQL time travel on a catalog table; non-graft names fall through") {
+    val dir = tmpDir("sql_ttc").toString + "/t"
+    Seq((1L, 1L, 5.0)).toDF("id", "ver", "price")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("operation", "bulk_insert").save(dir)
+    graft.sql.CatalogSync.sync(spark, dir, "ttcdb", "tt_cat")
+    val t = graft.table.GraftTable.load(spark, dir)
+    val c1 = t.timeline.lastCompleted().get.ts
+    t.upsert(Seq((1L, 2L, 50.0)).toDF("id", "ver", "price"))
+    spark.sessionState.catalog.refreshTable(
+      org.apache.spark.sql.catalyst.TableIdentifier("tt_cat", Some("ttcdb")))
+    assert(spark.sql("SELECT price FROM ttcdb.tt_cat").first().getDouble(0) === 50.0)
+    assert(spark.sql(s"SELECT price FROM ttcdb.tt_cat VERSION AS OF '$c1'")
+      .first().getDouble(0) === 5.0)
+    spark.sql("DROP TABLE ttcdb.tt_cat")
+    // a non-graft relation keeps Spark's own time-travel error
+    spark.range(3).createOrReplaceTempView("plain_range")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM plain_range VERSION AS OF '1'").collect()
+    }
+  }
 }
