@@ -598,6 +598,25 @@ object TableOps {
       s.sql("SELECT o_orderstatus, cnt, CAST(total AS DOUBLE) AS total, hi FROM mview_sql_v")
     }),
 
+    // SQL maintenance surface: OPTIMIZE (Z-order clustering) + VACUUM
+    // through the parser are layout-only — content must equal the
+    // unmodified base table, with fewer file groups after the pack
+    "t_sql_maintenance" -> ((s, d) => {
+      val t = fresh(s, d, "t_sql_maint", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      t.bulkInsert(src.filter(col("o_orderkey") % 2 =!= 0))
+      s.read.format("graft").load(t.basePath.toString)
+        .createOrReplaceTempView("sql_maint_v")
+      val before = t.view.fileSlices(None).size
+      s.sql("OPTIMIZE sql_maint_v ZORDER BY (o_custkey, o_totalprice)")
+      s.sql("VACUUM sql_maint_v RETAIN 1 COMMITS")
+      val t2 = graft.table.GraftTable.load(s, t.basePath.toString)
+      require(t2.view.fileSlices(None).size < before,
+        "OPTIMIZE did not reduce file-group count")
+      data(Readers.snapshot(t2))
+    }),
+
     // SQL time travel: VERSION AS OF pins the pre-update snapshot through
     // the parser hook — the oracle is the UNMODIFIED base table
     "t_sql_time_travel" -> ((s, d) => {
@@ -1340,6 +1359,7 @@ object TableOps {
          |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS total,
          |  max(p) AS hi
          |FROM final WHERE o_orderpriority <> '3-MEDIUM' GROUP BY 1""".stripMargin,
+    "t_sql_maintenance" -> s"SELECT $OrdersSql FROM orders",
     "t_sql_time_travel" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total

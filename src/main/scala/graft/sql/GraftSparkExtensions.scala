@@ -184,7 +184,7 @@ private[sql] object GraftTimeTravel {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Base path of the graft table behind a (temp-view or catalog) name. */
-  private def graftPathOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
+  private[sql] def graftPathOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
     val cat = spark.sessionState.catalog
     val fromView = parts match {
       case Seq(name) => cat.getTempView(name).flatMap(_.collectFirst {

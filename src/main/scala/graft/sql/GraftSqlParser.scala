@@ -49,6 +49,12 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CreateMaterializedViewCommand(name, location, query.trim, auto != null)
     case RefreshRe(name) => RefreshMaterializedViewCommand(name)
     case DropRe(name) => DropMaterializedViewCommand(name)
+    case OptimizeRe(name, zorder) =>
+      GraftOptimizeCommand(name,
+        Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+    case VacuumRe(name, retain) =>
+      GraftVacuumCommand(name, Option(retain).map(_.toInt))
+    case HistoryRe(name) => GraftHistoryCommand(name)
     case _ =>
       val plan = delegate.parsePlan(sqlText)
       // TIMESTAMP/VERSION AS OF over a graft name substitutes the as-of
@@ -85,6 +91,20 @@ object GraftSqlParser {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+(AUTO\s+REFRESH\s+)?LOCATION\s+'([^']+)'\s+AS\s+(.+)""".r
   private val RefreshRe = """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val DropRe = """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  // Delta-convention maintenance statements over graft names
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+\(?([\w\s,]+?)\)?)?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*""".r
+  private val HistoryRe = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*""".r
+
+  /** The graft table behind a dotted SQL name (temp view or catalog). */
+  private[sql] def tableOf(spark: SparkSession, name: String): GraftTable = {
+    val parts = name.split('.').toSeq
+    val path = GraftTimeTravel.graftPathOf(spark, parts).getOrElse(
+      fail(s"$name does not resolve to a graft table"))
+    GraftTable.load(spark, path)
+  }
 
   /** SQL function name -> ViewAgg kind (`approx_count_distinct` rides
     * the HLL-sketch state column).
@@ -217,5 +237,61 @@ final case class DropMaterializedViewCommand(name: String) extends LeafRunnableC
     graft.core.Storage.deleteRecursively(view.basePath)
     forget(spark, name)
     Seq.empty
+  }
+}
+
+/** `OPTIMIZE name [ZORDER BY (c1, c2, ...)]` — clustering as SQL (the
+  * Delta convention): size-based small-file clustering, optionally
+  * Z-order sorted. Returns the replacecommit instant, or a no-op note
+  * when no file group is eligible.
+  */
+final case class GraftOptimizeCommand(name: String, zorder: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "instant", org.apache.spark.sql.types.StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name)
+    val inst = graft.table.Services.cluster(t, zorderColumns = zorder)
+    Seq(Row(inst.getOrElse("no eligible file groups")))
+  }
+}
+
+/** `VACUUM name [RETAIN n COMMITS]` — the cleaner as SQL. */
+final case class GraftVacuumCommand(name: String, retain: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "instant", org.apache.spark.sql.types.StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name)
+    val inst = retain.map(graft.table.Services.clean(t, _))
+      .getOrElse(graft.table.Services.clean(t))
+    Seq(Row(inst.getOrElse("nothing to clean")))
+  }
+}
+
+/** `DESCRIBE HISTORY name` — per-commit write statistics (instant,
+  * action, operation, files/records/deletes/bytes, replaced groups,
+  * duration), newest first.
+  */
+final case class GraftHistoryCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("instant", StringType)(),
+    AttributeReference("action", StringType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("num_files", LongType)(),
+    AttributeReference("total_records", LongType)(),
+    AttributeReference("total_deletes", LongType)(),
+    AttributeReference("total_bytes", LongType)(),
+    AttributeReference("replaced_groups", LongType)(),
+    AttributeReference("duration_ms", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name)
+    graft.table.TableAdmin.commits(t)
+      .orderBy(org.apache.spark.sql.functions.col("instant").desc)
+      .collect().toSeq
   }
 }

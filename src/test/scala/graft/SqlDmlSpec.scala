@@ -158,9 +158,11 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT price FROM ttv VERSION AS OF '$c1' WHERE id = 1")
       .first().getDouble(0) === 10.0)
     // TIMESTAMP AS OF a wall-clock cutoff: instants are UTC
-    // yyyyMMddHHmmssSSS, so the commit's own ts reformats to a timestamp
+    // yyyyMMddHHmmssSSS, so c1's own millisecond is an exact cutoff (a
+    // whole-second .999 cutoff would swallow a same-second later commit)
     val cutoff = s"${c1.substring(0, 4)}-${c1.substring(4, 6)}-${c1.substring(6, 8)} " +
-      s"${c1.substring(8, 10)}:${c1.substring(10, 12)}:${c1.substring(12, 14)}.999"
+      s"${c1.substring(8, 10)}:${c1.substring(10, 12)}:${c1.substring(12, 14)}." +
+      c1.substring(14, 17)
     assert(spark.sql(s"SELECT price FROM ttv TIMESTAMP AS OF '$cutoff' WHERE id = 1")
       .first().getDouble(0) === 10.0)
     // the whole row set is the old snapshot, not just one column
@@ -189,5 +191,43 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT * FROM plain_range VERSION AS OF '1'").collect()
     }
+  }
+
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY drive maintenance from SQL") {
+    val dir = tmpDir("sql_maint").toString + "/t"
+    // three small commits -> three small file groups per partition
+    for (i <- 0 until 3)
+      (1 to 50).map(j => ((i * 100 + j).toLong, 1L, j * 1.0))
+        .toDF("id", "ver", "price")
+        .write.format("graft")
+        .option("recordKeyFields", "id").option("precombineField", "ver")
+        .option("operation", "bulk_insert") // no packing: fresh groups per commit
+        .mode("append").save(dir)
+    spark.read.format("graft").option("includeMetaColumns", "false")
+      .load(dir).createOrReplaceTempView("maint_t")
+    val t = graft.table.GraftTable.load(spark, dir)
+    val groupsBefore = t.view.fileSlices(None).size
+    assert(groupsBefore >= 3)
+
+    val inst = spark.sql("OPTIMIZE maint_t ZORDER BY (id, price)")
+      .first().getString(0)
+    assert(inst.forall(_.isDigit), s"expected a replacecommit instant, got $inst")
+    val t2 = graft.table.GraftTable.load(spark, dir)
+    assert(t2.view.fileSlices(None).size < groupsBefore, "clustering did not pack")
+    assert(spark.sql("SELECT count(*) FROM maint_t").first().getLong(0) === 150L)
+
+    // VACUUM retains 1 commit: the pre-clustering files become deletable
+    val cleaned = spark.sql("VACUUM maint_t RETAIN 1 COMMITS").first().getString(0)
+    assert(cleaned.forall(_.isDigit), s"expected a clean instant, got $cleaned")
+    assert(spark.sql("SELECT count(*) FROM maint_t").first().getLong(0) === 150L)
+
+    // history: three bulk inserts + one replacecommit, newest first
+    val hist = spark.sql("DESCRIBE HISTORY maint_t").collect()
+    assert(hist.length === 4)
+    assert(hist.head.getString(1) === "replacecommit")
+    assert(hist.map(_.getString(2)).count(_ == "bulk_insert") === 3)
+    // idempotent no-op forms
+    assert(spark.sql("VACUUM maint_t").first().getString(0) === "nothing to clean")
+    assert(spark.sql("OPTIMIZE maint_t").first().getString(0).nonEmpty)
   }
 }
