@@ -252,8 +252,18 @@ object MaterializedView {
 
   /** Fold the source's changes since the last sync into the view.
     * Returns the view commit instant, or None when already up to date.
+    *
+    * Serialized under the VIEW's table lock (reentrant — the upsert at
+    * the end re-enters it): a fold is a RELATIVE delta onto the state it
+    * read, so two concurrent syncs (e.g. two source writers' post-commit
+    * hooks) that both read checkpoint c0 would each write `S0 + their
+    * window` and the last writer would erase the other's fold — then the
+    * surviving checkpoint replays one window onto state that already
+    * contains it (a permanent double count). Under the lock the second
+    * sync reads the first's checkpoint and folds only the remainder.
     */
-  def sync(view: GraftTable, source: GraftTable): Option[String] = {
+  def sync(view: GraftTable, source: GraftTable): Option[String] =
+      graft.core.TableLock.withLock(view.basePath) {
     val groups = groupsOf(view)
     val aggs = aggsOf(view)
     val head = source.timeline.lastCompleted().map(_.ts)
@@ -396,7 +406,7 @@ object MaterializedView {
     val upsertable = state.withColumn(MetaCols.DeleteFlag, col(RowsCol) <= 0L)
     Some(view.upsert(upsertable, extraMetadata =
       Map(CheckpointKey -> head, RewindSeenKey -> rewindNow)))
-  }
+  } // TableLock.withLock(view.basePath)
 
   /** Registry of views auto-synced after every data commit on `source`:
     * one file per view under `<source>/.graft/views/`, named by the

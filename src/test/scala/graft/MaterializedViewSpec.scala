@@ -135,6 +135,28 @@ class MaterializedViewSpec extends AnyFunSuite {
     assertMatches(v, t)
   }
 
+  test("concurrent syncs serialize: folds never double-count a window") {
+    val (t, v) = mk("mv_conc")
+    t.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0)))
+    MV.sync(v, t)
+    // 4 writer threads each commit then sync — without the view-lock
+    // serialization two syncs can both fold the same window onto the
+    // state they both read (a permanent double count)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futs = (0 until 4).map { i =>
+      Future {
+        t.upsert(rows((10L + i, "a", 1.0 + i), (20L + i, s"g$i", 5.0)))
+        MV.sync(v, t)
+      }
+    }
+    Await.result(Future.sequence(futs), 120.seconds)
+    MV.sync(v, t) // settle any window a racing sync declined
+    assertMatches(v, t)
+  }
+
   test("source restore to a savepoint also triggers the rebuild") {
     val (t, v) = mk("mv_restore")
     t.bulkInsert(rows((1, "a", 1.0)))
