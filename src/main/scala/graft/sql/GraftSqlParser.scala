@@ -55,6 +55,7 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case VacuumRe(name, retain) =>
       GraftVacuumCommand(name, Option(retain).map(_.toInt))
     case HistoryRe(name) => GraftHistoryCommand(name)
+    case ShowViewsRe(name) => ShowMaterializedViewsCommand(name)
     case _ =>
       val plan = delegate.parsePlan(sqlText)
       // TIMESTAMP/VERSION AS OF over a graft name substitutes the as-of
@@ -97,6 +98,8 @@ object GraftSqlParser {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*""".r
   private val HistoryRe = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*""".r
+  private val ShowViewsRe =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+([\w.]+)\s*""".r
 
   /** The graft table behind a dotted SQL name (temp view or catalog). */
   private[sql] def tableOf(spark: SparkSession, name: String): GraftTable = {
@@ -293,5 +296,28 @@ final case class GraftHistoryCommand(name: String) extends LeafRunnableCommand {
     graft.table.TableAdmin.commits(t)
       .orderBy(org.apache.spark.sql.functions.col("instant").desc)
       .collect().toSeq
+  }
+}
+
+/** `SHOW MATERIALIZED VIEWS ON name` — the auto-sync registrations on a
+  * graft table, with each view's checkpoint and freshness.
+  */
+final case class ShowMaterializedViewsCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("view_path", StringType)(),
+    AttributeReference("checkpoint", StringType)(),
+    AttributeReference("fresh", BooleanType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name)
+    MaterializedView.registered(t).map { p =>
+      val v = GraftTable.load(spark, p)
+      val ckpt = v.timeline.completedDataInstants().reverse.iterator
+        .map(i => graft.core.CommitMetadata.fromJson(v.timeline.readContent(i)))
+        .flatMap(_.extraMetadata.get(MaterializedView.CheckpointKey))
+        .take(1).toSeq.headOption.getOrElse("")
+      Row(p, ckpt, MaterializedView.isFresh(v, t))
+    }
   }
 }

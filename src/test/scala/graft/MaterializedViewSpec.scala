@@ -315,6 +315,11 @@ class MaterializedViewSpec extends AnyFunSuite {
     // REFRESH is an explicit no-op here (already current) but must parse+run
     spark.sql("REFRESH MATERIALIZED VIEW mv_sql_view")
     assert(readView() === Array(("a", 2L, 21.0, 10.5), ("b", 1L, 3.0, 3.0)))
+    // SHOW MATERIALIZED VIEWS lists the registration with its freshness
+    val shown = spark.sql("SHOW MATERIALIZED VIEWS ON mv_sql_src").collect()
+    assert(shown.length === 1)
+    assert(shown.head.getString(0).endsWith("/view"))
+    assert(shown.head.getBoolean(2), "auto-synced view should be fresh")
     spark.sql("DROP MATERIALIZED VIEW mv_sql_view")
     assert(!spark.catalog.tableExists("mv_sql_view"))
     assert(MV.registered(t).isEmpty)
