@@ -16,8 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // comma-separated subset filter for focused iteration (same idea as
+    // Bench's SPARK_GRAFT_BENCH_ONLY); unset = the full catalog
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -27,7 +33,7 @@ object Verify {
     }
     // a missing dump silently shrinks the gate count (r9: 8 events gates
     // vanished without a visible error) — make the tally impossible to miss
-    System.err.println(s"[verify] ran ${SparkEntry.queries.size} queries, " +
+    System.err.println(s"[verify] ran ${selected.size} queries, " +
       s"${failed.size} failed${if (failed.isEmpty) "" else failed.reverse.mkString(": ", ", ", "")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

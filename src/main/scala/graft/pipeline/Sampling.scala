@@ -114,6 +114,40 @@ object Sampling {
     stratifiedSample(df, strataCol, idCol, rates, defaultRate = 0.0)
   }
 
+  /** Temperature-scaled source mixing (the multilingual-corpus alpha rule
+    * of mC4 / XLM-R: sample stratum `s` with probability ∝ count_s^alpha).
+    * `alpha = 1` keeps natural proportions; `alpha → 0` flattens toward
+    * uniform, boosting low-resource strata at the expense of the head.
+    * Upsampling is capped at rate 1.0 (no row duplication): with
+    * `budget <= 0` the output is the LARGEST duplicate-free corpus that
+    * honors the temperature proportions (the binding stratum is the one
+    * the proportions exhaust first); a positive `budget` targets ~that
+    * many output rows instead. Rates quantize to 9 decimals so membership
+    * replays across engines (`pow` is not correctly-rounded IEEE; the
+    * quantization absorbs last-ulp drift — same rule as
+    * [[weightedSample]]). One tiny count aggregation (state = #strata,
+    * human-scale) + the [[stratifiedSample]] broadcast membership test —
+    * no extra shuffle at any corpus size.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, budget: Long = 0L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val powed = counts.view.mapValues(n => math.pow(n.toDouble, alpha)).toMap
+    val z = powed.values.sum
+    // maximal N with every rate <= 1: N * (p_s/z) <= c_s for all s
+    val n =
+      if (budget > 0) budget.toDouble
+      else powed.collect { case (s, p) if p > 0 => counts(s) * z / p }
+        .minOption.getOrElse(0.0)
+    val rates = powed.map { case (s, p) =>
+      s -> BigDecimal(math.min(1.0, n * (p / z) / counts(s)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    stratifiedSample(df, strataCol, idCol, rates.toMap, defaultRate = 0.0)
+  }
+
   /** Deterministic train/validation/test split tag: `split` column from
     * disjoint id-hash bucket ranges (test gets [0, testFrac), validation
     * the next band, train the rest). Membership is content-stable, so

@@ -284,4 +284,120 @@ object Similarity {
       .select(col("_q_id").as("query_id"), col("_c_id").as("neighbor_id"),
         round(col("_jac"), 4).as("jaccard"), col("rank"))
   }
+
+  // ------------------------------------------- product quantization (PQ)
+
+  /** Split a d-dim vector into `m` contiguous subvectors: array of `m`
+    * arrays of d/m elements (d must be divisible by m — a ragged tail
+    * would silently skew the last subspace's distances).
+    */
+  def subVectors(vec: Column, m: Int): Column = {
+    val dsub = (size(vec) / m).cast("int")
+    transform(sequence(lit(0), lit(m - 1)),
+      j => slice(vec, j * dsub + 1, dsub))
+  }
+
+  /** PQ codebook training (Jégou et al. 2011): per subspace, `ksub`
+    * codewords taken as a deterministic hash-ordered sample of the
+    * corpus — the same k-means-seeding analog as [[ivfBuild]]'s coarse
+    * centroids (and like there, reproducible by the oracle; iterative
+    * Lloyd refinement would buy quality at the cost of replayability).
+    * The `ksub` seed vectors are ONE TakeOrdered top-k at any corpus
+    * size; slicing them into `m × ksub` codewords is row-local.
+    * Returns `(subspace, code_id, codeword)`.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && ksub > 0, s"m and ksub must be positive, got m=$m ksub=$ksub")
+    val seeds = corpus
+      .select(col(idCol).as("_sid"), col(vecCol).as("_sv"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_sid"))
+      .limit(ksub)
+      // unpartitioned window: bounded — the frame is the ksub-row limit
+      .withColumn("code_id",
+        row_number().over(Window.orderBy(col("_h"), col("_sid"))) - 1)
+    seeds.select(col("code_id"),
+        posexplode(subVectors(col("_sv"), m)).as(Seq("subspace", "codeword")))
+      .select(col("subspace"), col("code_id"), col("codeword"))
+  }
+
+  /** PQ encoding: each vector becomes `m` one-byte-scale codes — the
+    * nearest codeword per subspace (L2, code_id tie-break). A 100 TB
+    * float32 corpus stores as ~m bytes/vector (d·4/m× compression, 32×
+    * at d=64 m=8). Shape: row-local explode to `m·N` subvector rows, a
+    * broadcast codebook join, and two map-side-combining aggregations
+    * keyed (id, subspace) then (id) — per-key state is one running min /
+    * one m-length list, never the scored candidates.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = corpus.select(col(idCol),
+      posexplode(subVectors(col(vecCol), m)).as(Seq("subspace", "_sv")))
+    val scored = sub.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("_d", graft.functions.VecMath.l2Native(col("_sv"), col("codeword")))
+    val best = scored.groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("_d"), col("code_id"))).as("_best"))
+      .select(col(idCol), col("subspace"), col("_best.code_id").as("code_id"))
+    best.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code_id")))),
+        s => s.getField("code_id")).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: per query, ONE distance table of
+    * `m × ksub` exact query-subvector-to-codeword distances broadcasts;
+    * each database vector's approximate squared L2 is then `m` table
+    * lookups summed — the scan touches only the byte codes, never the
+    * floats. Per-subspace squared distances are DECIMAL-quantized before
+    * the sum, so scores are aggregation-order independent (and the
+    * DuckDB oracle replays them bit-for-bit). Self-matches are excluded
+    * like [[ivfTopK]]. Compose with IVF for sublinear scans: filter
+    * `codes` to the probed clusters' vectors first — this is the
+    * IVF-ADC layout FAISS calls IVFPQ.
+    */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, m: Int,
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val idCol = codes.columns.head
+    val qsub = queries.select(col(queryId).as("query_id"),
+      posexplode(subVectors(col(queryVec), m)).as(Seq("subspace", "_qv")))
+    val dsub = graft.functions.VecMath.l2Native(col("_qv"), col("codeword"))
+    val table = qsub.join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code_id"),
+        round(dsub * dsub, 9).cast("decimal(28,9)").as("_dist"))
+    val cand = codes
+      .select(col(idCol).as("_cid"), posexplode(col("codes")).as(Seq("subspace", "code_id")))
+      .join(broadcast(table), Seq("subspace", "code_id"))
+      .filter(col("query_id") =!= col("_cid"))
+    val scored = cand.groupBy(col("query_id"), col("_cid"))
+      .agg(sum(col("_dist")).as("_adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_adist"), col("_cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_cid").as("neighbor_id"),
+        col("_adist").cast("double").as("adist"), col("rank"))
+  }
+
+  // ------------------------------------------------------ quality metric
+
+  /** Recall@k of an approximate ANN result against an exact baseline —
+    * the operational metric for tuning nprobe/planes/ksub. Both inputs
+    * are `(query_id, neighbor_id, rank)` frames (the shape every topK
+    * here returns); output is per-query `(hits, recall)`. Queries the
+    * approximate pass missed entirely still appear (recall 0). Work is
+    * |queries|·k rows — metric cost never scales with the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = approx.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val e = exact.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("_hits"), lit(0L)).as("hits"),
+        (coalesce(col("_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
 }

@@ -179,6 +179,32 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // product quantization: 8 subspaces × 32 codewords over the 64-dim
+    // corpus (32× storage compression at float32); ADC top-10 for three
+    // queries — every codeword pick, per-subspace assignment and
+    // decimal-quantized distance sum replays in the oracle
+    "p_ann_pq" -> ((s, d) => {
+      val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val books = Similarity.pqTrain(all, m = 8, ksub = 32)
+      val codes = Similarity.pqEncode(all, books, m = 8)
+      Similarity.pqTopK(codes, books, all.filter(col("vec_id") < 3), k = 10, m = 8)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    }),
+
+    // ANN quality metric: per-query recall@10 of the nprobe=2 IVF probe
+    // against the exact cosine baseline — the tuning loop for
+    // nprobe/planes/ksub runs as a corpus-size-independent query
+    "p_ann_recall" -> ((s, d) => {
+      val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val (assignments, centroids) = Similarity.ivfBuild(all, nlist = 16)
+      val approx = Similarity.ivfTopK(assignments, centroids,
+        all.filter(col("vec_id") < 3), k = 10, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(all, all.filter(col("vec_id") < 3), k = 10)
+      Similarity.recallAtK(approx, exact, 10)
+    }),
+
     // multimodal plumbing: schema-correct decode over binary columns
     "p_multimodal_decode" -> ((s, d) => {
       val blobs = Multimodal.withFakeBinary(docs(s, d), "doc_id")
@@ -410,6 +436,14 @@ object PipelineQueries {
     "p_sample_mix" -> ((s, d) =>
       Sampling.mixToWeights(docs(s, d), "source", "doc_id",
         weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))),
+
+    // temperature-scaled language mixing (mC4's alpha rule): alpha = 0.5
+    // flattens the en-heavy language proportions toward uniform (the
+    // smallest language binds at rate 1, the head downsamples to
+    // sqrt-proportional) — rates derive from one count aggregation and
+    // membership replays row-for-row
+    "p_sample_temperature" -> ((s, d) =>
+      Sampling.temperatureMix(docs(s, d), "lang", "doc_id", alpha = 0.5)),
 
     // content-stable train/valid/test split tags
     "p_train_test_split" -> ((s, d) =>
@@ -1011,8 +1045,10 @@ object PipelineQueries {
        |  FROM scored)
        |WHERE rank <= 10""".stripMargin
 
-  private val ivfOracle: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  // IVF pipeline as reusable CTEs (nprobe parameterized): seeds → coarse
+  // assignment → per-query probes → probed-cluster cosine scores
+  private def ivfCtes(nprobe: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |cent AS (
        |  SELECT row_number() OVER (ORDER BY h, svid) - 1 AS centroid_id, cv FROM (
        |    SELECT md5(vec_id::VARCHAR) AS h, vec_id AS svid, emb AS cv FROM e ORDER BY 1, 2 LIMIT 16)
@@ -1031,7 +1067,7 @@ object PipelineQueries {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${sqlL2("q.emb", "c.cv")}, c.centroid_id) AS rn
        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3)
-       |  WHERE rn <= 4
+       |  WHERE rn <= $nprobe
        |),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -1039,12 +1075,85 @@ object PipelineQueries {
        |  FROM probes p
        |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
        |  JOIN e q ON q.vec_id = p.query_id
-       |)
+       |)""".stripMargin
+
+  private val ivfOracle: String =
+    s"""WITH ${ivfCtes(4)}
        |SELECT query_id, neighbor_id, rank FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= 10""".stripMargin
+
+  // recall@10 of the nprobe=2 IVF pass vs the exact cosine top-10
+  private val annRecallOracle: String =
+    s"""WITH ${ivfCtes(2)},
+       |apx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 10
+       |),
+       |ext AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlCosine("q.emb", "c.emb")} DESC, c.vec_id) AS rank
+       |    FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 10
+       |)
+       |SELECT x.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       |  count(a.neighbor_id)::DOUBLE / 10 AS recall
+       |FROM ext x LEFT JOIN apx a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY 1""".stripMargin
+
+  // PQ: 32 hash-ordered seed vectors sliced into 8 subspaces of 8 dims;
+  // per-(vector, subspace) nearest codeword; ADC = decimal-quantized sum
+  // of the query's per-subspace squared distances to the chosen codewords
+  private val annPqOracle: String = {
+    val l2sv = sqlL2("s.sv", "b.cw")
+    val l2q = sqlL2("q.sv", "b.cw")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY h, svid) - 1 AS code_id, sv FROM (
+       |    SELECT md5(vec_id::VARCHAR) AS h, vec_id AS svid, emb AS sv FROM e ORDER BY 1, 2 LIMIT 32)
+       |),
+       |books AS (
+       |  SELECT j AS subspace, code_id, list_slice(sv, j*8+1, j*8+8) AS cw
+       |  FROM seeds, UNNEST(generate_series(0, 7)) AS g(j)
+       |),
+       |sub AS (
+       |  SELECT vec_id, j AS subspace, list_slice(emb, j*8+1, j*8+8) AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) AS g(j)
+       |),
+       |assign AS (
+       |  SELECT vec_id, subspace, code_id FROM (
+       |    SELECT s.vec_id, s.subspace, b.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.subspace
+       |        ORDER BY $l2sv, b.code_id) AS rn
+       |    FROM sub s JOIN books b ON s.subspace = b.subspace)
+       |  WHERE rn = 1
+       |),
+       |tbl AS (
+       |  SELECT q.vec_id AS query_id, b.subspace, b.code_id,
+       |    CAST(round($l2q * $l2q, 9) AS DECIMAL(28,9)) AS dist
+       |  FROM sub q JOIN books b ON q.subspace = b.subspace
+       |  WHERE q.vec_id < 3
+       |),
+       |adc AS (
+       |  SELECT t.query_id, a.vec_id AS neighbor_id, CAST(sum(t.dist) AS DOUBLE) AS adist
+       |  FROM assign a JOIN tbl t ON t.subspace = a.subspace AND t.code_id = a.code_id
+       |  WHERE t.query_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 10""".stripMargin
+  }
 
   private val simhashChunkEq: String = (0 until 4)
     .map(c => s"((l.s >> ${15 * c}) & 32767) = ((r.s >> ${15 * c}) & 32767)")
@@ -1964,6 +2073,19 @@ object PipelineQueries {
         |SELECT d.* FROM documents d JOIN rates r ON d.source = r.s
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) <
         |  CAST(floor(r.rate * 10000) AS BIGINT)""".stripMargin,
+    // the alpha rule replayed in double math with the engine's 9-decimal
+    // rate quantization (pow's last-ulp drift is absorbed by the round)
+    "p_sample_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |p AS (SELECT lang, c, pow(c::DOUBLE, 0.5) AS pw FROM counts),
+        |z AS (SELECT sum(pw) AS zv FROM p),
+        |n AS (SELECT min(c::DOUBLE * (SELECT zv FROM z) / pw) AS nv FROM p),
+        |rates AS (SELECT lang,
+        |  round(least(1.0::DOUBLE, (SELECT nv FROM n) * (pw / (SELECT zv FROM z)) / c::DOUBLE), 9) AS rate
+        |  FROM p)
+        |SELECT d.* FROM documents d JOIN rates r USING (lang)
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) <
+        |  CAST(floor(r.rate * 10000) AS BIGINT)""".stripMargin,
     "p_train_test_split" -> splitOracle,
     "p_corpus_shuffle" ->
       """SELECT doc_id,
@@ -2037,6 +2159,8 @@ object PipelineQueries {
     "p_ann_ivf" -> ivfOracle,
     // identical math to p_ann_ivf — persistence must not change results
     "p_ann_ivf_table" -> ivfOracle,
+    "p_ann_pq" -> annPqOracle,
+    "p_ann_recall" -> annRecallOracle,
     // ground truth = brute-force cosine dedup (ours is hyperplane-LSH
     // accelerated; exact copies hash to the same bucket, and the data has
     // no natural pair above 0.51 cosine, so recall is exact here)

@@ -619,6 +619,50 @@ object Relational {
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q11 shape (important-stock value concentration, adapted: the
+    // schema has no partsupp, so lineitem plays the part-supplier fact):
+    // per-part value held by one nation's suppliers, keeping parts whose
+    // value exceeds a fixed fraction of that nation's total. The global
+    // threshold is ONE scalar row cross-joined (broadcast nested loop of
+    // a 1-row side) against the per-part aggregate — both sides reuse the
+    // same filtered fact subtree, no self-join of the fact against itself
+    "q43_value_concentration" -> ((s, d) => {
+      val v = (col("l_extendedprice") * col("l_quantity")).cast("decimal(18,4)")
+      val natSupp = t(s, d, "supplier")
+        .join(t(s, d, "nation").filter(col("n_name") === "NATION_1")
+          .select("n_nationkey"), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val fact = t(s, d, "lineitem")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), v.as("v"))
+      val threshold = fact.agg((sum(col("v")).cast("double") * lit(0.001)).as("thr"))
+      fact.groupBy(col("l_partkey"))
+        .agg(sum(col("v")).cast("double").as("value"))
+        .crossJoin(broadcast(threshold))
+        .filter(col("value") > col("thr"))
+        .select(col("l_partkey"), col("value"))
+    }),
+
+    // TPC-H Q16 shape (supplier-part relationship counts): distinct
+    // supplier count per (brand, type, size) over the observed
+    // part-supplier pairs, excluding a "complaints" supplier list via
+    // NOT IN — a broadcast anti-join, never a per-row subquery; the
+    // pair-distinct happens inside the aggregate (count distinct), so no
+    // pre-distinct shuffle of the fact
+    "q44_supplier_part_counts" -> ((s, d) => {
+      val excluded = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("x_suppkey"))
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(excluded), col("l_suppkey") === col("x_suppkey"), "left_anti")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("PROMO") &&
+            col("p_size").isInCollection(Seq(1, 4, 7, 10, 13, 16, 19, 22)))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -944,5 +988,22 @@ object Relational {
         |CAST(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
         |CAST(sum(CASE WHEN NOT (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q43_value_concentration" ->
+      """WITH fact AS (
+        |  SELECT l.l_partkey, CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,4)) AS v
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+        |)
+        |SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS value
+        |FROM fact GROUP BY 1
+        |HAVING CAST(sum(v) AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM fact)""".stripMargin,
+    "q44_supplier_part_counts" ->
+      """SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -171,6 +171,36 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(counts("src0") > counts.getOrElse("src1", 0L))
   }
 
+  test("temperatureMix: alpha=1 natural, alpha<1 flattens, budget targets size") {
+    // skewed synthetic strata: a=640, b=160, c=40 (16:4:1)
+    val df = ((1 to 640).map(i => (i.toLong, "a")) ++
+        (1001 to 1160).map(i => (i.toLong, "b")) ++
+        (2001 to 2040).map(i => (i.toLong, "c")))
+      .toDF("doc_id", "src")
+    // alpha = 1: proportions already natural — every rate is 1, all kept
+    assert(Sampling.temperatureMix(df, "src", "doc_id", alpha = 1.0).count() === 840L)
+    // alpha = 0.5: smallest stratum binds at rate 1; kept counts flatten
+    // toward sqrt proportions (expected rates: c=1, b=0.5, a=0.25)
+    val mixed = Sampling.temperatureMix(df, "src", "doc_id", alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(mixed("c") === 40L) // binding stratum fully kept
+    // hash sampling is approximate: expect ~160 of a (rate .25), ~80 of b
+    assert(mixed("a") > 100L && mixed("a") < 220L)
+    assert(mixed("b") > 50L && mixed("b") < 110L)
+    // flattening: the a:c ratio drops from 16:1 toward 4:1
+    assert(mixed("a").toDouble / mixed("c") < 8.0)
+    // budget mode: ask for ~84 rows (a tenth) — strata hold sqrt proportions
+    val small = Sampling.temperatureMix(df, "src", "doc_id", alpha = 0.5, budget = 84)
+    val n = small.count()
+    assert(n > 40L && n < 130L)
+    // determinism + growth-stability: membership is a fixed id set
+    val m1 = Sampling.temperatureMix(df, "src", "doc_id", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val m2 = Sampling.temperatureMix(df, "src", "doc_id", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(m1 === m2)
+  }
+
   test("globalShuffle: dense total order, seed-sensitive, no global window") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id")
     val ep1 = Sampling.globalShuffle(docs, "doc_id", seed = "ep1", buckets = 16)
