@@ -101,6 +101,11 @@ object ConfigKeys {
   val RecordTtlKeepDays = "graft.record.ttl.keep.days"
   val LockProvider = "graft.lock.provider"                  // os | lease
   val AutoClean = "graft.clean.automatic"                   // false (reference: true)
+  // CHECK constraints: `name:<spark sql boolean expr>` entries separated
+  // by `;` (expr may contain ':' — parsing splits on the FIRST colon,
+  // like SecondaryIndexExpressions). Enforced on every write entry point;
+  // see GraftTable.addCheckConstraint
+  val CheckConstraints = "graft.constraints"
   val UrlEncodePartitions = "graft.partitionpath.urlencode" // false
   // hive-style `name=value` partition directories (reference
   // hoodie.datasource.write.hive_style_partitioning) — external engines'

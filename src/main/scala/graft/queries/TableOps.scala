@@ -874,6 +874,34 @@ object TableOps {
         col("rate").cast("double").as("rate"))
     }),
 
+    // ANSI CHECK constraints (reference-plus; the Delta-invariant analog):
+    // SQL ALTER adds a price-positivity check validated against existing
+    // rows, a violating upsert batch then refuses WHOLE (no instant, no
+    // files), a clean batch lands, and DROP CONSTRAINT re-opens the gate
+    "t_check_constraint" -> ((s, d) => {
+      val t0 = fresh(s, d, "t_check", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t0.bulkInsert(src)
+      s.read.format("graft").load(t0.basePath.toString)
+        .createOrReplaceTempView("check_t")
+      s.sql("ALTER TABLE check_t ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)")
+      val t = GraftTable.load(s, t0.basePath.toString)
+      val before = t.timeline.completedInstants().size
+      val refused =
+        try { t.upsert(src.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", -col("o_totalprice"))); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused && t.timeline.completedInstants().size == before,
+        "violating batch must refuse without committing")
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1))
+      s.sql("ALTER TABLE check_t DROP CONSTRAINT price_pos")
+      val t2 = GraftTable.load(s, t0.basePath.toString)
+      t2.upsert(src.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderpriority", lit("DROPPED_OK")))
+      data(Readers.snapshot(t2))
+    }),
+
     // admin surface (CLI analog): commit log derived from metadata only
     "t_admin_commits" -> ((s, d) => {
       val t = fresh(s, d, "t_admin", cfg(TableType.CopyOnWrite))
@@ -1305,6 +1333,15 @@ object TableOps {
          |CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority ELSE 'STALE' END AS o_orderpriority
          |FROM orders
          |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0""".stripMargin,
+    "t_check_constraint" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice
+         |  WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+         |  ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate,
+         |CASE WHEN o_orderkey % 11 = 0 THEN 'DROPPED_OK'
+         |  ELSE o_orderpriority END AS o_orderpriority
+         |FROM orders""".stripMargin,
     "t_decimal_roundtrip" ->
       s"""SELECT o_orderkey,
          |CAST(CASE WHEN o_orderkey % 7 = 0

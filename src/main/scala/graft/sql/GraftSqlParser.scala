@@ -56,6 +56,13 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftVacuumCommand(name, Option(retain).map(_.toInt))
     case HistoryRe(name) => GraftHistoryCommand(name)
     case ShowViewsRe(name) => ShowMaterializedViewsCommand(name)
+    // ALTER TABLE is standard grammar Spark itself can parse (v2
+    // constraints landed in Spark 4) — intercept only names that resolve
+    // to graft tables, like the time-travel substitution below
+    case AddConstraintRe(name, cname, cexpr) if isGraftName(session, name) =>
+      GraftAddConstraintCommand(name, cname, cexpr.trim)
+    case DropConstraintRe(name, cname) if isGraftName(session, name) =>
+      GraftDropConstraintCommand(name, cname)
     case _ =>
       val plan = delegate.parsePlan(sqlText)
       // TIMESTAMP/VERSION AS OF over a graft name substitutes the as-of
@@ -100,6 +107,16 @@ object GraftSqlParser {
   private val HistoryRe = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*""".r
   private val ShowViewsRe =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+([\w.]+)\s*""".r
+  // ANSI CHECK constraints over graft names (Delta-convention ALTER forms;
+  // Spark's own parser rejects ADD CONSTRAINT on v1 relations)
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+
+  /** Whether a dotted SQL name resolves to a graft table. */
+  private[sql] def isGraftName(spark: SparkSession, name: String): Boolean =
+    GraftTimeTravel.graftPathOf(spark, name.split('.').toSeq).isDefined
 
   /** The graft table behind a dotted SQL name (temp view or catalog). */
   private[sql] def tableOf(spark: SparkSession, name: String): GraftTable = {
@@ -319,5 +336,39 @@ final case class ShowMaterializedViewsCommand(name: String) extends LeafRunnable
         .take(1).toSeq.headOption.getOrElse("")
       Row(p, ckpt, MaterializedView.isFresh(v, t))
     }
+  }
+}
+
+/** `ALTER TABLE name ADD CONSTRAINT cname CHECK (expr)` — ANSI table
+  * CHECK constraint over a graft name: validated against existing rows,
+  * persisted in table config, enforced on every future write entry
+  * point. Returns the table's full constraint list.
+  */
+final case class GraftAddConstraintCommand(name: String, cname: String,
+    cexpr: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("constraints", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name).addCheckConstraint(cname, cexpr)
+    Seq(Row(t.checkConstraints
+      .map { case (n, e) => s"$n: CHECK ($e)" }.mkString("; ")))
+  }
+}
+
+/** `ALTER TABLE name DROP CONSTRAINT cname` — removes the CHECK
+  * constraint; future writes stop enforcing it.
+  */
+final case class GraftDropConstraintCommand(name: String, cname: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("constraints", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name).dropCheckConstraint(cname)
+    Seq(Row(t.checkConstraints
+      .map { case (n, e) => s"$n: CHECK ($e)" }.mkString("; ")))
   }
 }

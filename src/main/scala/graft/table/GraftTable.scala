@@ -115,7 +115,8 @@ final class GraftTable(
     * tasks — cheaper shuffle, still locally ordered), NONE (hash-partition
     * only — fastest load, no layout guarantees).
     */
-  def bulkInsert(df: DataFrame, sortMode: String = SortMode.GlobalSort): String =
+  def bulkInsert(df: DataFrame, sortMode: String = SortMode.GlobalSort): String = {
+    enforceConstraints(df, "bulk_insert")
     runCommit(commitAction, "bulk_insert") { instant =>
     val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
     val targetBytes = math.max(1L,
@@ -175,13 +176,15 @@ final class GraftTable(
       instant, isDelta = false, alreadyPartitioned = true, baseFormat = cfg.baseFormat)
     (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
     }
+    }
   }
 
   /** Insert without combine-with-storage; still packs small files
     * (reference SparkRDDWriteClient.insert :172-178).
     */
   def insert(df: DataFrame, dropDups: Boolean = false,
-      extraMetadata: Map[String, String] = Map.empty): String =
+      extraMetadata: Map[String, String] = Map.empty): String = {
+    enforceConstraints(df, "insert")
     runCommit(commitAction, "insert", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -192,12 +195,14 @@ final class GraftTable(
         writeMerged(routed, instant, knownTouched = Some(touched))
       } finally keyed.unpersist()
     }
+  }
 
   /** Upsert: batch precombine-dedup → index tag → route → per-group merge
     * (reference SparkRDDWriteClient.upsert :149-159 and the §2.2 pipeline).
     */
   def upsert(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String = {
     requireKeyed("upsert")
+    enforceConstraints(df, "upsert")
     // delete-marker convention (reference OverwriteWithLatestAvroPayload
     // .isDeleteRecord — a boolean `_hoodie_is_deleted` field in the
     // incoming data): marker-true rows tombstone their record in the SAME
@@ -249,6 +254,7 @@ final class GraftTable(
     */
   def upsertOptimistic(df: DataFrame): String = {
     requireKeyed("upsertOptimistic")
+    enforceConstraints(df, "upsert")
     runCommitOptimistic(commitAction, "upsert")(
       if (partitionEvolved) globalMixedBody(df) else upsertBody(df))
   }
@@ -285,6 +291,7 @@ final class GraftTable(
     */
   def upsertGlobal(df: DataFrame): String = {
     requireKeyed("upsertGlobal")
+    enforceConstraints(df, "upsert_global")
     runCommit(commitAction, "upsert_global")(globalMixedBody(df))
   }
 
@@ -374,6 +381,10 @@ final class GraftTable(
     // a keyless destination would give CDC rows uuid keys: deletes
     // silently no-op and update images pile up as duplicates
     requireKeyed("applyCdc")
+    // constraints see only the rows that land (delete images are removals)
+    enforceConstraints(df.filter(
+      !upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")),
+      "cdc_apply")
     runCommit(commitAction, "cdc_apply", extraMetadata) { instant =>
       val isDel = upper(coalesce(col(opCol).cast("string"), lit(""))).isin("D", "DELETE")
       val flagged = df.withColumn(DeleteCol, isDel).drop(opCol)
@@ -407,7 +418,8 @@ final class GraftTable(
   /** Replace all file groups of the partitions the batch touches
     * (reference SparkInsertOverwriteCommitActionExecutor — replacecommit).
     */
-  def insertOverwrite(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String =
+  def insertOverwrite(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String = {
+    enforceConstraints(df, "insert_overwrite")
     runCommit(Action.ReplaceCommit, "insert_overwrite", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
       val touched = keyed.select(MetaCols.PartitionPath).distinct()
@@ -428,12 +440,14 @@ final class GraftTable(
         .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       (stats, replaced, schemaJsonFor(keyed))
     }
+  }
 
   /** Replace every live file group (reference
     * SparkInsertOverwriteTableCommitActionExecutor).
     */
   def insertOverwriteTable(df: DataFrame,
-      extraMetadata: Map[String, String] = Map.empty): String =
+      extraMetadata: Map[String, String] = Map.empty): String = {
+    enforceConstraints(df, "insert_overwrite_table")
     runCommit(Action.ReplaceCommit, "insert_overwrite_table", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
       val routed = assignFreshBuckets(keyed)
@@ -447,6 +461,7 @@ final class GraftTable(
         .groupBy(_.partitionPath).map { case (p, ss) => p -> ss.map(_.fileId) }
       (stats, replaced, schemaJsonFor(keyed))
     }
+  }
 
   /** BUCKET-layout rescale: re-route EVERY live row to `bkt<hash mod
     * newBuckets>` in one replacecommit, then flip the persisted bucket
@@ -727,7 +742,10 @@ final class GraftTable(
     * nullable = insert) and delete-flagged — the entry point for MERGE /
     * UPDATE / DELETE rewrites.
     */
-  private[table] def writeResolved(resolved: DataFrame, opType: String): String =
+  private[table] def writeResolved(resolved: DataFrame, opType: String): String = {
+    // covers MERGE INTO and SQL UPDATE/DELETE: the resolved frame carries
+    // the internal tombstone flag, so delete rows are already exempt
+    enforceConstraints(resolved, opType)
     runCommit(commitAction, opType) { instant =>
       val cast = dataSchema match {
         case Some(s) =>
@@ -746,6 +764,93 @@ final class GraftTable(
         }
       } finally cached.unpersist()
     }
+  }
+
+  // ---------------------------------------------------- CHECK constraints
+
+  /** Declared CHECK constraints as `(name, boolean SQL expr)` pairs,
+    * parsed from [[ConfigKeys.CheckConstraints]] (`name:expr;...` — the
+    * split is on each entry's FIRST colon, so expressions may contain
+    * colons).
+    */
+  def checkConstraints: Seq[(String, String)] =
+    cfg.prop(ConfigKeys.CheckConstraints, "").split(';').toSeq
+      .map(_.trim).filter(_.nonEmpty).map { entry =>
+        val i = entry.indexOf(':')
+        require(i > 0, s"malformed CHECK constraint entry: $entry")
+        (entry.take(i).trim, entry.drop(i + 1).trim)
+      }
+
+  /** ANSI table CHECK constraint (reference-plus: the 0.x line has no
+    * constraint surface — this is the Delta-invariant analog an ingest
+    * pipeline otherwise reimplements as ad-hoc pre-commit validators).
+    * Validates the expression against EXISTING rows first (one snapshot
+    * aggregation — adding a constraint the data already violates is
+    * refused, the ALTER ADD CONSTRAINT contract), persists it in table
+    * config, and enforces it on every subsequent write through any entry
+    * point. Returns a handle with the updated config (this one keeps the
+    * old, like [[rescaleBuckets]]).
+    */
+  def addCheckConstraint(name: String, exprSql: String): GraftTable = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad constraint name: $name")
+    require(!exprSql.contains(";"),
+      s"CHECK expression may not contain ';' (the entry separator): $exprSql")
+    require(!checkConstraints.exists(_._1 == name),
+      s"CHECK constraint $name already exists on ${cfg.tableName}")
+    val existing = graft.read.Readers.snapshot(this)
+      .filter(!coalesce(expr(exprSql).cast("boolean"), lit(true)))
+      .limit(1).count()
+    require(existing == 0,
+      s"existing rows of ${cfg.tableName} violate CHECK ($exprSql) — clean first")
+    val entry = s"$name:$exprSql"
+    val cur = cfg.prop(ConfigKeys.CheckConstraints, "")
+    val updated = cfg.copy(props = cfg.props +
+      (ConfigKeys.CheckConstraints -> (if (cur.isEmpty) entry else s"$cur;$entry")))
+    TableConfig.save(basePath, updated)
+    new GraftTable(spark, basePath, updated)
+  }
+
+  /** Removes a CHECK constraint by name; future writes stop enforcing it. */
+  def dropCheckConstraint(name: String): GraftTable = {
+    val cs = checkConstraints
+    require(cs.exists(_._1 == name),
+      s"no CHECK constraint named $name on ${cfg.tableName}")
+    val rest = cs.filterNot(_._1 == name)
+      .map { case (n, e) => s"$n:$e" }.mkString(";")
+    val updated = cfg.copy(props =
+      if (rest.isEmpty) cfg.props - ConfigKeys.CheckConstraints
+      else cfg.props + (ConfigKeys.CheckConstraints -> rest))
+    TableConfig.save(basePath, updated)
+    new GraftTable(spark, basePath, updated)
+  }
+
+  /** Enforcement: ANSI CHECK semantics — a row passes when the predicate
+    * is TRUE or UNKNOWN (null); only FALSE violates. ONE aggregation job
+    * over the incoming batch counts violations of every constraint at
+    * once (map-side combining — one extra scan per write, nothing at read
+    * time), and the whole write refuses BEFORE an instant is requested,
+    * so nothing to roll back. Delete-flagged rows are exempt: they remove
+    * data, and constraints govern rows that land. Bootstrap adoption is
+    * deliberately unchecked (it adopts external files as-is).
+    */
+  private def enforceConstraints(df: DataFrame, op: String): Unit = {
+    val cs = checkConstraints
+    if (cs.isEmpty) return
+    val rows =
+      if (df.columns.contains(MetaCols.DeleteFlag))
+        df.filter(!coalesce(col(MetaCols.DeleteFlag).cast("boolean"), lit(false)))
+      else df
+    val counts = rows.select(cs.map { case (n, e) =>
+      sum(when(coalesce(expr(e).cast("boolean"), lit(true)), 0L).otherwise(1L)).as(n)
+    }: _*).head()
+    val bad = cs.zipWithIndex.collect {
+      case ((n, e), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"$n CHECK ($e): ${counts.getLong(i)} row(s)"
+    }
+    require(bad.isEmpty,
+      s"$op refused — batch violates CHECK constraint(s) on ${cfg.tableName}: " +
+        bad.mkString("; "))
+  }
 
   /** ALTER TABLE ADD COLUMNS analog (reference
     * AlterHoodieTableAddColumnsCommand): records the widened schema in a
@@ -1321,7 +1426,10 @@ final class GraftTable(
     * preserves incremental-query semantics: only genuinely changed rows
     * advance their commit time.
     */
-  private[table] def writeCompleteGroups(resolved: DataFrame, opType: String): String =
+  private[table] def writeCompleteGroups(resolved: DataFrame, opType: String): String = {
+    // only rows an action MODIFIED can introduce violations (carried rows
+    // were validated when the constraint was added); delete images exempt
+    enforceConstraints(resolved.filter(col(ModifiedCol)), opType)
     runCommit(commitAction, opType) { instant =>
       {
         val cached = resolved
@@ -1380,6 +1488,7 @@ final class GraftTable(
         (stats, replaced, schemaJsonFor(framed))
       }
     }
+  }
 
   /** MOR write: updates/deletes append to per-group delta files (the
     * log-append analog, reference HoodieAppendHandle.java — ours are small
