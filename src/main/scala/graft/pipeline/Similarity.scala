@@ -379,6 +379,50 @@ object Similarity {
         col("_adist").cast("double").as("adist"), col("rank"))
   }
 
+  /** IVF-PQ (the FAISS IVFPQ layout — the standard billion-scale ANN
+    * shape): the coarse quantizer prunes to each query's `nprobe`
+    * nearest clusters, and only THOSE clusters' byte codes are ADC
+    * scanned — scan work is `(nprobe / nlist) · N · m` byte lookups, and
+    * the float vectors are never touched at query time. Same
+    * decimal-quantized distance sums and tie-breaks as [[pqTopK]].
+    */
+  def ivfPqTopK(assignments: DataFrame, centroids: DataFrame,
+      codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, m: Int, nprobe: Int = 4,
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val idCol = codes.columns.head
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_q_v"))
+    val qProbes = q.crossJoin(broadcast(centroids))
+      .withColumn("_d", graft.functions.VecMath.l2Native(col("_q_v"), col("_ct_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("centroid_id"))
+    val probes = qProbes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    // candidate (query, vector) pairs: the probed clusters' members
+    val cand = assignments
+      .select(col(assignments.columns.head).as("_cid"), col("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("_cid"))
+      .select(col("query_id"), col("_cid"))
+    val qsub = queries.select(col(queryId).as("query_id"),
+      posexplode(subVectors(col(queryVec), m)).as(Seq("subspace", "_qv")))
+    val dsub = graft.functions.VecMath.l2Native(col("_qv"), col("codeword"))
+    val table = qsub.join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code_id"),
+        round(dsub * dsub, 9).cast("decimal(28,9)").as("_dist"))
+    val scored = cand.join(codes, cand("_cid") === codes(idCol))
+      .select(col("query_id"), col("_cid"),
+        posexplode(col("codes")).as(Seq("subspace", "code_id")))
+      .join(broadcast(table), Seq("query_id", "subspace", "code_id"))
+      .groupBy(col("query_id"), col("_cid"))
+      .agg(sum(col("_dist")).as("_adist"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("_adist"), col("_cid"))
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_cid").as("neighbor_id"),
+        col("_adist").cast("double").as("adist"), col("rank"))
+  }
+
   // ------------------------------------------------------ quality metric
 
   /** Recall@k of an approximate ANN result against an exact baseline —

@@ -192,6 +192,21 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     }),
 
+    // IVF-PQ composition (the FAISS IVFPQ layout): coarse probes prune to
+    // 4 of 16 clusters, ADC scans only their byte codes — the
+    // billion-scale shape where query IO is nprobe/nlist of the codes,
+    // never the floats
+    "p_ann_ivfpq" -> ((s, d) => {
+      val all = embs(s, d)
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val (assignments, centroids) = Similarity.ivfBuild(all, nlist = 16)
+      val books = Similarity.pqTrain(all, m = 8, ksub = 32)
+      val codes = Similarity.pqEncode(all, books, m = 8)
+      Similarity.ivfPqTopK(assignments, centroids, codes, books,
+          all.filter(col("vec_id") < 3), k = 10, m = 8, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    }),
+
     // ANN quality metric: per-query recall@10 of the nprobe=2 IVF probe
     // against the exact cosine baseline — the tuning loop for
     // nprobe/planes/ksub runs as a corpus-size-independent query
@@ -1084,6 +1099,58 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= 10""".stripMargin
+
+  // IVF-PQ: coarse probes (nprobe=4) restrict the ADC scan to the probed
+  // clusters' members; PQ assignment/table math identical to annPqOracle
+  private val annIvfPqOracle: String = {
+    val l2sv = sqlL2("s.sv", "b.cw")
+    val l2q = sqlL2("q.sv", "b.cw")
+    s"""WITH ${ivfCtes(4)},
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY h, svid) - 1 AS code_id, sv FROM (
+       |    SELECT md5(vec_id::VARCHAR) AS h, vec_id AS svid, emb AS sv FROM e ORDER BY 1, 2 LIMIT 32)
+       |),
+       |books AS (
+       |  SELECT j AS subspace, code_id, list_slice(sv, j*8+1, j*8+8) AS cw
+       |  FROM seeds, UNNEST(generate_series(0, 7)) AS g(j)
+       |),
+       |sub AS (
+       |  SELECT vec_id, j AS subspace, list_slice(emb, j*8+1, j*8+8) AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) AS g(j)
+       |),
+       |pqa AS (
+       |  SELECT vec_id, subspace, code_id FROM (
+       |    SELECT s.vec_id, s.subspace, b.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.subspace
+       |        ORDER BY $l2sv, b.code_id) AS rn
+       |    FROM sub s JOIN books b ON s.subspace = b.subspace)
+       |  WHERE rn = 1
+       |),
+       |tbl AS (
+       |  SELECT q.vec_id AS query_id, b.subspace, b.code_id,
+       |    CAST(round($l2q * $l2q, 9) AS DECIMAL(28,9)) AS dist
+       |  FROM sub q JOIN books b ON q.subspace = b.subspace
+       |  WHERE q.vec_id < 3
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS cid
+       |  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |adc AS (
+       |  SELECT c.query_id, c.cid AS neighbor_id, CAST(sum(t.dist) AS DOUBLE) AS adist
+       |  FROM cand c
+       |  JOIN pqa a ON a.vec_id = c.cid
+       |  JOIN tbl t ON t.query_id = c.query_id
+       |    AND t.subspace = a.subspace AND t.code_id = a.code_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 10""".stripMargin
+  }
 
   // recall@10 of the nprobe=2 IVF pass vs the exact cosine top-10
   private val annRecallOracle: String =
@@ -2160,6 +2227,7 @@ object PipelineQueries {
     // identical math to p_ann_ivf — persistence must not change results
     "p_ann_ivf_table" -> ivfOracle,
     "p_ann_pq" -> annPqOracle,
+    "p_ann_ivfpq" -> annIvfPqOracle,
     "p_ann_recall" -> annRecallOracle,
     // ground truth = brute-force cosine dedup (ours is hyperplane-LSH
     // accelerated; exact copies hash to the same bucket, and the data has

@@ -121,6 +121,32 @@ class PqSpec extends AnyFunSuite {
       Set((1L, 0L, 0.0), (2L, 1L, 0.5)))
   }
 
+  test("ivfPqTopK with full probing equals plain ADC; pruning keeps cluster members only") {
+    val books = Similarity.pqTrain(all, m = M, ksub = KSUB)
+    val codes = Similarity.pqEncode(all, books, m = M)
+    val (assignments, centroids) = Similarity.ivfBuild(all, nlist = 8)
+    val queries = all.filter($"vec_id" < 2)
+    // nprobe = nlist -> no pruning -> identical to the flat ADC scan
+    val full = Similarity.ivfPqTopK(assignments, centroids, codes, books,
+      queries, k = K, m = M, nprobe = 8).as[(Long, Long, Double, Int)].collect().toSet
+    val flat = Similarity.pqTopK(codes, books, queries, k = K, m = M)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === flat)
+    // pruned: every neighbor belongs to one of the query's probed clusters
+    val pruned = Similarity.ivfPqTopK(assignments, centroids, codes, books,
+      queries, k = K, m = M, nprobe = 2).as[(Long, Long, Double, Int)].collect()
+    assert(pruned.nonEmpty)
+    val clusterOf = assignments.select($"vec_id", $"centroid_id")
+      .as[(Long, Int)].collect().toMap
+    val probes = Similarity.ivfTopK(assignments, centroids, queries,
+      k = Int.MaxValue, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(p => clusterOf(p._2)).toSet).toMap
+    pruned.foreach { case (q, n, _, _) =>
+      assert(probes(q).contains(clusterOf(n)), s"neighbor $n outside probed clusters of $q")
+    }
+  }
+
   test("pq pipeline is deterministic across runs") {
     val b1 = Similarity.pqTrain(all, m = M, ksub = KSUB)
     val b2 = Similarity.pqTrain(all, m = M, ksub = KSUB)
