@@ -574,6 +574,40 @@ object TableOps {
         col("total").cast("double").as("total"), col("min_price"), col("avg_price"))
     }),
 
+    // STAR-JOIN materialized view: fact orders inner-joined to the
+    // customer dim, grouped by a DIM attribute + a fact expression. The
+    // fact tick folds change images joined to the current dim snapshot
+    // (per-tick cost ∝ changed fact rows); the dim update then triggers
+    // the one-time rebuild the recorded per-dim head instants demand —
+    // final state must equal a from-scratch join + GROUP BY
+    "t_mview_star" -> ((s, d) => {
+      import graft.table.MaterializedView
+      import graft.table.MaterializedView.{DimJoin, ViewAgg}
+      val fact = fresh(s, d, "t_mvstar_f", cfg(TableType.CopyOnWrite))
+      val dim = fresh(s, d, "t_mvstar_d", TableConfig(
+        "cust_mv", TableType.CopyOnWrite, Seq("c_custkey"), "", ""))
+      fact.bulkInsert(orders(s, d))
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      dim.bulkInsert(cust)
+      val vp = s"/tmp/graft_q/t_mvstar_v_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(vp))
+      val v = MaterializedView.create(s, vp, fact,
+        Seq("segment" -> "c.c_mktsegment", "yr" -> "year(f.o_orderdate)"),
+        Seq(ViewAgg("cnt", "count", "*"),
+          ViewAgg("total", "sum", "f.o_totalprice"),
+          ViewAgg("min_price", "min", "f.o_totalprice")),
+        dims = Seq(DimJoin("c", dim, "f.o_custkey = c.c_custkey")))
+      MaterializedView.sync(v, fact)
+      fact.upsert(orders(s, d).filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      MaterializedView.sync(v, fact)
+      dim.upsert(cust.filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      MaterializedView.sync(v, fact)
+      MaterializedView.read(v).select(col("segment"), col("yr"), col("cnt"),
+        col("total").cast("double").as("total"), col("min_price"))
+    }),
+
     // SQL surface end-to-end: CREATE MATERIALIZED VIEW ... AUTO REFRESH
     // parses through the injected parser (selection predicate included),
     // the post-commit hook folds the later upsert with NO explicit
@@ -1386,6 +1420,21 @@ object TableOps {
          |  min(p) AS min_price,
          |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(count(p) AS DOUBLE) AS avg_price
          |FROM final GROUP BY 1""".stripMargin,
+    "t_mview_star" ->
+      s"""WITH cust AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+         |  FROM customer),
+         |f AS (
+         |  SELECT o_custkey, year(o_orderdate) AS yr,
+         |    CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3
+         |         ELSE o_totalprice END AS p
+         |  FROM orders)
+         |SELECT c.seg AS segment, f.yr, count(*) AS cnt,
+         |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS total,
+         |  min(p) AS min_price
+         |FROM f JOIN cust c ON f.o_custkey = c.c_custkey
+         |GROUP BY 1, 2""".stripMargin,
     "t_mview_sql" ->
       s"""WITH final AS (
          |  SELECT o_orderstatus, o_orderpriority,

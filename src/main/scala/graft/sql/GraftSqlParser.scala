@@ -153,26 +153,52 @@ object GraftSqlParser {
   private[sql] def forget(spark: SparkSession, name: String): Unit =
     registry.remove((spark, name))
 
-  /** Extracted view definition from the AS-select's unresolved plan. */
+  /** Extracted view definition from the AS-select's unresolved plan.
+    * `dims` are star-schema INNER joins: `(alias, table parts, ON sql)`.
+    */
   final case class ViewDef(table: Seq[String], where: Option[String],
-      groups: Seq[(String, String)], aggs: Seq[ViewAgg])
+      groups: Seq[(String, String)], aggs: Seq[ViewAgg],
+      factAlias: String = "f",
+      dims: Seq[(String, Seq[String], String)] = Seq.empty)
 
   private def isAggOutput(ne: Expression): Boolean = ne.exists {
     case f: UnresolvedFunction => AggKinds.contains(f.nameParts.last.toLowerCase)
     case _ => false
   }
 
+  /** Dissect the FROM tree: a fact relation (optionally aliased), inner-
+    * joined to any number of aliased dim relations. Left-deep only — the
+    * shape SQL `FROM f JOIN d1 ON .. JOIN d2 ON ..` parses to.
+    */
+  private def dissectFrom(p: LogicalPlan)
+      : (Seq[String], Option[String], Seq[(String, Seq[String], String)]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Inner
+    p match {
+      case UnresolvedRelation(parts, _, _) => (parts, None, Seq.empty)
+      case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) =>
+        (parts, Some(id.name), Seq.empty)
+      case Join(l, r, Inner, Some(cond), _) =>
+        val (fp, fa, ds) = dissectFrom(l)
+        val (alias, dparts) = r match {
+          case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) => (id.name, parts)
+          case UnresolvedRelation(parts, _, _) => (parts.last, parts)
+          case other => fail(
+            s"a view JOIN side must be a (aliased) table; got: ${other.nodeName}")
+        }
+        (fp, fa, ds :+ ((alias, dparts, cond.sql)))
+      case other => fail(s"the FROM of a materialized view must be a graft " +
+        s"table, optionally INNER-joined to dim tables; got: ${other.nodeName}")
+    }
+  }
+
   private[sql] def extract(plan: LogicalPlan): ViewDef = plan match {
     case Aggregate(grouping, aggExprs, child, _) =>
-      val (rel, where) = child match {
-        case UnresolvedRelation(parts, _, _) => (parts, None)
-        case SubqueryAlias(_, UnresolvedRelation(parts, _, _)) => (parts, None)
-        case Filter(cond, UnresolvedRelation(parts, _, _)) => (parts, Some(cond.sql))
-        case Filter(cond, SubqueryAlias(_, UnresolvedRelation(parts, _, _))) =>
-          (parts, Some(cond.sql))
-        case other => fail(s"the FROM of a materialized view must be a single " +
-          s"graft table (optionally filtered); got: ${other.nodeName}")
+      val (from, where) = child match {
+        case Filter(cond, f) => (f, Some(cond.sql))
+        case f => (f, None)
       }
+      val (rel, factAlias, dims) = dissectFrom(from)
       val (groupOut, aggOut) = aggExprs.partition(ne => !isAggOutput(ne))
       if (grouping.size != groupOut.size)
         fail("every GROUP BY expression must appear (aliased) in the SELECT list " +
@@ -199,7 +225,8 @@ object GraftSqlParser {
           s"count/sum/min/max/avg calls; got: ${other.sql}")
       }
       if (aggs.isEmpty) fail("a materialized view needs at least one aggregate")
-      ViewDef(rel.toSeq, where, groups.toSeq, aggs.toSeq)
+      ViewDef(rel.toSeq, where, groups.toSeq, aggs.toSeq,
+        factAlias.getOrElse("f"), dims)
     case other =>
       fail(s"a materialized view definition must be an aggregate query " +
         s"(SELECT ... GROUP BY ...); got: ${other.nodeName}")
@@ -224,9 +251,18 @@ final case class CreateMaterializedViewCommand(name: String, location: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val vd = extract(spark.sessionState.sqlParser.parsePlan(query))
     val src = graftTableOf(spark, vd.table)
-    val view = MaterializedView.create(spark, location, src, vd.groups, vd.aggs, vd.where)
+    val dims = vd.dims.map { case (alias, parts, cond) =>
+      MaterializedView.DimJoin(alias, graftTableOf(spark, parts), cond)
+    }
+    val view = MaterializedView.create(spark, location, src, vd.groups, vd.aggs,
+      vd.where, dims, vd.factAlias)
     MaterializedView.sync(view, src)
-    if (autoRefresh) MaterializedView.register(view, src)
+    // auto-refresh hooks the fact AND every dim: a dim write re-syncs
+    // (the recorded dim heads force the rebuild)
+    if (autoRefresh) {
+      MaterializedView.register(view, src)
+      dims.foreach(d => MaterializedView.register(view, d.table))
+    }
     remember(spark, name, location)
     MaterializedView.readLive(view).createOrReplaceTempView(name)
     Seq.empty

@@ -119,6 +119,10 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       grouping: Seq[Expression], out: Seq[NamedExpression],
       qFilter: Option[Expression]): Option[LogicalPlan] = {
     val view = GraftTable.load(spark, path)
+    // star views never answer single-table queries: the dim INNER join
+    // filters (and could multiply) fact rows, so even fact-only
+    // expressions aggregate a different row set
+    if (MaterializedView.dimsOf(view).nonEmpty) return None
     if (!MaterializedView.isFresh(view, source)) return None
     val groups = MaterializedView.groupsOf(view)
     val aggs = MaterializedView.aggsOf(view)

@@ -57,8 +57,12 @@ object MaterializedView {
   val CheckpointKey = "graft.view.source.checkpoint"
   /** Newest source rollback/restore instant observed at sync time. */
   val RewindSeenKey = "graft.view.source.rewind.seen"
+  /** Per-dimension head instants observed at sync (`alias=ts` ';'-joined). */
+  val DimHeadsKey = "graft.view.dim.heads"
   private val GroupsKey = "graft.view.groups"
   private val AggsKey = "graft.view.aggs"
+  private val DimsKey = "graft.view.dims"
+  private val FactAliasKey = "graft.view.fact.alias"
   val SourceKey = "graft.view.source.path"
   private val WhereKey = "graft.view.where"
   /** Internal per-group live-row count: detects vanished groups. */
@@ -77,6 +81,18 @@ object MaterializedView {
       s"unsupported view aggregate kind '$kind' (count|sum|min|max|avg|approx_ndv)")
   }
 
+  /** One dimension join of a STAR view: the fact table is aliased `f`,
+    * each dim gets `alias`, and `cond` is a Spark SQL INNER-join
+    * predicate over them (e.g. `f.o_custkey = c.c_custkey`). Group/agg/
+    * where expressions may then reference dim columns through the alias.
+    * Maintenance joins fact CHANGE IMAGES to the dims' CURRENT
+    * snapshots — exact while the dims are unchanged; a dim write since
+    * the last sync triggers a one-time full re-aggregate (the stored
+    * per-dim head instants detect it), because a changed dim invalidates
+    * folds no fact-side delta window can express.
+    */
+  final case class DimJoin(alias: String, table: GraftTable, cond: String)
+
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
   private def dec(s: String) = URLDecoder.decode(s, UTF_8)
 
@@ -87,12 +103,19 @@ object MaterializedView {
     */
   def create(spark: SparkSession, path: String, source: GraftTable,
       groupBy: Seq[(String, String)], aggs: Seq[ViewAgg],
-      where: Option[String] = None): GraftTable = {
+      where: Option[String] = None,
+      dims: Seq[DimJoin] = Seq.empty,
+      factAlias: String = "f"): GraftTable = {
     require(groupBy.nonEmpty, "materialized view needs group columns")
     require(aggs.nonEmpty, "materialized view needs aggregates")
     val names = groupBy.map(_._1) ++ aggs.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate output column among ${names.mkString(", ")}")
+    val aliases = dims.map(_.alias)
+    require(!aliases.contains(factAlias),
+      s"'$factAlias' is the fact table's alias")
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate dim alias among ${aliases.mkString(", ")}")
     GraftTable.create(spark, path, TableConfig(
       "mv_" + source.cfg.tableName, TableType.CopyOnWrite,
       recordKeyFields = groupBy.map(_._1),
@@ -101,8 +124,41 @@ object MaterializedView {
         GroupsKey -> groupBy.map { case (n, e) => s"${enc(n)}:${enc(e)}" }.mkString(";"),
         AggsKey -> aggs.map(a => s"${enc(a.name)}:${a.kind}:${enc(a.expr)}" ).mkString(";"),
         SourceKey -> source.basePath.toString) ++
-        where.map(w => WhereKey -> enc(w))))
+        where.map(w => WhereKey -> enc(w)) ++
+        (if (factAlias == "f") Map.empty else Map(FactAliasKey -> enc(factAlias))) ++
+        (if (dims.isEmpty) Map.empty else Map(DimsKey -> dims.map(d =>
+          s"${enc(d.alias)}:${enc(d.table.basePath.toString)}:${enc(d.cond)}")
+          .mkString(";")))))
   }
+
+  /** The view's dimension joins as `(alias, dim path, join cond)`. */
+  private[graft] def dimsOf(view: GraftTable): Seq[(String, String, String)] =
+    view.cfg.prop(DimsKey, "").split(";").toSeq.filter(_.nonEmpty).map { p =>
+      val Array(a, pa, c) = p.split(":", 3); (dec(a), dec(pa), dec(c))
+    }
+
+  /** Fact frame (aliased `f`) inner-joined to every dim's CURRENT
+    * snapshot under its alias. Dims are lookup-sized by star-schema
+    * convention — Spark broadcasts them under the join threshold, and
+    * AQE handles the rest.
+    */
+  private def joinDims(view: GraftTable, df: DataFrame): DataFrame =
+    dimsOf(view).foldLeft(
+      df.alias(Option(view.cfg.prop(FactAliasKey, null)).map(dec).getOrElse("f"))) {
+      case (acc, (al, p, cond)) =>
+      acc.join(
+        Readers.snapshot(GraftTable.load(view.spark, p)).drop(MetaCols.All: _*)
+          .alias(al),
+        expr(cond), "inner")
+    }
+
+  /** Current per-dim head instants, serialized for the sync marks. */
+  private def dimHeads(view: GraftTable): String =
+    dimsOf(view).map { case (al, p, _) =>
+      val ts = GraftTable.load(view.spark, p)
+        .timeline.lastCompleted().map(_.ts).getOrElse("")
+      s"$al=$ts"
+    }.mkString(";")
 
   /** The view's selection predicate, if any. Change images are filtered
     * by it PER IMAGE, which makes selection fall out of the fold: an
@@ -206,12 +262,13 @@ object MaterializedView {
     * rollback/restore instant the sync observed (both written by the same
     * commit, so a view rollback rewinds them together).
     */
-  private def syncMarks(view: GraftTable): (Option[String], String) =
+  private def syncMarks(view: GraftTable): (Option[String], String, String) =
     view.timeline.completedDataInstants().reverse.iterator
       .map(i => CommitMetadata.fromJson(view.timeline.readContent(i)).extraMetadata)
       .collectFirst { case m if m.contains(CheckpointKey) =>
-        (m.get(CheckpointKey), m.getOrElse(RewindSeenKey, "")) }
-      .getOrElse((None, ""))
+        (m.get(CheckpointKey), m.getOrElse(RewindSeenKey, ""),
+          m.getOrElse(DimHeadsKey, "")) }
+      .getOrElse((None, "", ""))
 
   private def lastCheckpoint(view: GraftTable): Option[String] = syncMarks(view)._1
 
@@ -244,9 +301,11 @@ object MaterializedView {
     */
   def isFresh(view: GraftTable, source: GraftTable): Boolean =
     syncMarks(view) match {
-      case (Some(c), seen) =>
+      case (Some(c), seen, dimsSeen) =>
         !source.timeline.completedDataInstants().exists(_.ts > c) &&
-          lastRewind(source, includeArchived = false) <= seen
+          lastRewind(source, includeArchived = false) <= seen &&
+          // star views: any dim write since the sync makes the state stale
+          (dimsOf(view).isEmpty || dimHeads(view) == dimsSeen)
       case _ => source.timeline.completedDataInstants().isEmpty
     }
 
@@ -268,19 +327,25 @@ object MaterializedView {
     val aggs = aggsOf(view)
     val head = source.timeline.lastCompleted().map(_.ts)
       .getOrElse(return None) // empty source: nothing to fold yet
-    val (ckpt, rewindSeen) = syncMarks(view)
+    val (ckpt, rewindSeen, dimsSeen) = syncMarks(view)
     val rewindNow = lastRewind(source, includeArchived = true)
     val rewound = rewindNow > rewindSeen
-    if (ckpt.contains(head) && !rewound) return None
+    // star views: a dim write since the last sync invalidates the folded
+    // state (old change images would join to NEW dim rows) — rebuild once
+    val dimHeadsNow = dimHeads(view)
+    val dimsChanged = dimsOf(view).nonEmpty && dimHeadsNow != dimsSeen
+    if (ckpt.contains(head) && !rewound && !dimsChanged) return None
     val groupCols = groups.map { case (n, e) => expr(e).as(n) }
     val names = groups.map(_._1)
     // reads pin to `head` (time travel), never "latest": a writer
     // landing a commit between checkpoint choice and the scan would
     // otherwise fold rows the checkpoint doesn't cover (double-counted
-    // by the next sync)
+    // by the next sync). The WHERE applies AFTER the dim joins so it may
+    // reference dim columns.
     val where = whereOf(view)
     def sourceAt = where.foldLeft(
-      Readers.timeTravel(source, head).drop(MetaCols.All: _*))((df, w) => df.where(expr(w)))
+      joinDims(view, Readers.timeTravel(source, head).drop(MetaCols.All: _*)))(
+      (df, w) => df.where(expr(w)))
     // full re-aggregate + tombstones for groups the fresh state no longer
     // has (first sync, and the rollback-recovery path)
     def rebuild(): DataFrame = {
@@ -301,6 +366,7 @@ object MaterializedView {
     }
     val state = ckpt match {
       case None => rebuild()
+      case Some(_) if dimsChanged => rebuild()
       case Some(_) if rewound =>
         // a rollback/restore since the last sync may have removed commits
         // whose folds are baked into the view — no delta window can
@@ -316,7 +382,8 @@ object MaterializedView {
           .exists(i => i.ts > begin && i.ts <= head)
         if (!hasData) return None
         val changes = where.foldLeft(
-          Readers.incrementalChanges(source, begin, Some(head)))((df, w) => df.where(expr(w)))
+          joinDims(view, Readers.incrementalChanges(source, begin, Some(head))))(
+          (df, w) => df.where(expr(w)))
         val w = when(col(Readers.ChangeTypeCol).isin("insert", "update_after"), lit(1))
           .otherwise(lit(-1))
         val da = deltaAggs(aggs)
@@ -405,7 +472,9 @@ object MaterializedView {
     // vanished groups tombstone through the same commit
     val upsertable = state.withColumn(MetaCols.DeleteFlag, col(RowsCol) <= 0L)
     Some(view.upsert(upsertable, extraMetadata =
-      Map(CheckpointKey -> head, RewindSeenKey -> rewindNow)))
+      Map(CheckpointKey -> head, RewindSeenKey -> rewindNow) ++
+        (if (dimsOf(view).isEmpty) Map.empty
+         else Map(DimHeadsKey -> dimHeadsNow))))
   } // TableLock.withLock(view.basePath)
 
   /** Registry of views auto-synced after every data commit on `source`:
@@ -419,8 +488,13 @@ object MaterializedView {
 
   /** Opt this view into post-commit auto-sync on its source. */
   def register(view: GraftTable, source: GraftTable): Unit = {
-    require(view.cfg.prop(SourceKey, "") == source.basePath.toString,
-      s"view ${view.basePath} was not created over source ${source.basePath}")
+    // the hook table may be the view's fact source OR one of its dims
+    // (a dim write re-syncs a star view; maybeSyncRegistered resolves
+    // the true source from the view's own definition)
+    val tables = view.cfg.prop(SourceKey, "") +:
+      dimsOf(view).map(_._2)
+    require(tables.contains(source.basePath.toString),
+      s"view ${view.basePath} joins neither fact nor dim ${source.basePath}")
     Storage.mkdirs(viewsDir(source))
     Storage.writeString(
       viewsDir(source).resolve(enc(view.basePath.toString) + ".mv"),
@@ -456,7 +530,15 @@ object MaterializedView {
     if (views.isEmpty || syncDepth.get() >= MaxCascadeDepth) return
     syncDepth.set(syncDepth.get() + 1)
     try views.foreach { p =>
-      try sync(GraftTable.load(source.spark, p), source)
+      // the registration hook may live on a DIM table of a star view —
+      // sync against the view's RECORDED source, not the hook's table
+      try {
+        val v = GraftTable.load(source.spark, p)
+        val actualSrc = v.cfg.prop(SourceKey, source.basePath.toString)
+        sync(v,
+          if (actualSrc == source.basePath.toString) source
+          else GraftTable.load(source.spark, actualSrc))
+      }
       catch {
         case NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(

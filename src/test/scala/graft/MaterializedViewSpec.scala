@@ -353,4 +353,130 @@ class MaterializedViewSpec extends AnyFunSuite {
     val got = MV.read(v).orderBy("bucket").as[(Int, Long, Double)].collect()
     assert(got === Array((0, 2L, 6.0), (1, 3L, 7.0), (2, 3L, 8.0)))
   }
+
+  // ------------------------------------------------------ star-join views
+
+  private def mkStar(prefix: String): (GraftTable, GraftTable, GraftTable) = {
+    val d = tmpDir(prefix)
+    val fact = GraftTable.create(spark, s"$d/fact", cfg(prefix))
+    val dim = GraftTable.create(spark, s"$d/dim", TableConfig(
+      s"${prefix}_dim", TableType.CopyOnWrite, Seq("k"), "", ""))
+    val v = MV.create(spark, s"$d/view", fact,
+      Seq("region" -> "dm.region"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "f.v"),
+        ViewAgg("lo", "min", "f.v")),
+      dims = Seq(MV.DimJoin("dm", dim, "f.grp = dm.k")))
+    (fact, dim, v)
+  }
+
+  private def starRecompute(fact: GraftTable, dim: GraftTable): DataFrame =
+    Readers.snapshot(fact).alias("f")
+      .join(Readers.snapshot(dim).alias("dm"), expr("f.grp = dm.k"))
+      .groupBy(col("dm.region").as("region"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("f.v").cast("decimal(28,8)")).as("total"),
+        min(col("f.v")).as("lo"))
+
+  private def assertStar(v: GraftTable, fact: GraftTable, dim: GraftTable): Unit = {
+    val got = MV.read(v).orderBy("region").collect().map(_.toSeq).toSeq
+    val want = starRecompute(fact, dim).orderBy("region").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("star view: fact ticks fold incrementally through the dim join") {
+    val (fact, dim, v) = mkStar("mv_star")
+    dim.bulkInsert(Seq(("a", "east"), ("b", "east"), ("c", "west"))
+      .toDF("k", "region"))
+    fact.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0), (3, "c", 4.0)))
+    assert(MV.sync(v, fact).isDefined)
+    assertStar(v, fact, dim)
+    // fold path: inserts, a group-moving update and a delete in one tick
+    fact.upsert(rows((4, "a", 8.0), (2, "c", 16.0)))
+    fact.delete(rows((3, "c", 0.0)))
+    assert(MV.sync(v, fact).isDefined)
+    assertStar(v, fact, dim)
+    // INNER semantics: a fact row with no dim match never reaches the view
+    fact.upsert(rows((9, "zz", 99.0)))
+    MV.sync(v, fact)
+    assert(!MV.read(v).collect().map(_.toSeq.toString).exists(_.contains("99")))
+    assertStar(v, fact, dim)
+  }
+
+  test("star view: a dim write makes the view stale and forces a rebuild") {
+    val (fact, dim, v) = mkStar("mv_star_dim")
+    dim.bulkInsert(Seq(("a", "east"), ("b", "west")).toDF("k", "region"))
+    fact.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0), (3, "b", 4.0)))
+    MV.sync(v, fact)
+    assert(MV.isFresh(v, fact))
+    // dim-only write: fact checkpoint still covers, but the view is stale
+    dim.upsert(Seq(("b", "east")).toDF("k", "region"))
+    assert(!MV.isFresh(v, fact))
+    assert(MV.sync(v, fact).isDefined) // rebuild, not a no-op
+    assert(MV.isFresh(v, fact))
+    assertStar(v, fact, dim)
+    // groups vanished by the dim move are tombstoned
+    assert(MV.read(v).filter(col("region") === "west").count() === 0)
+    // repeated sync with nothing new is a no-op again
+    assert(MV.sync(v, fact).isEmpty)
+  }
+
+  test("SQL: CREATE MATERIALIZED VIEW over a star join; dim writes auto-refresh") {
+    val d = tmpDir("mv_star_sql")
+    val fact = GraftTable.create(spark, s"$d/fact", cfg("mv_star_sql"))
+    val dim = GraftTable.create(spark, s"$d/dim", TableConfig(
+      "mv_star_sql_dim", TableType.CopyOnWrite, Seq("k"), "", ""))
+    dim.bulkInsert(Seq(("a", "east"), ("b", "west")).toDF("k", "region"))
+    fact.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0)))
+    spark.read.format("graft").load(fact.basePath.toString)
+      .createOrReplaceTempView("star_fact")
+    spark.read.format("graft").load(dim.basePath.toString)
+      .createOrReplaceTempView("star_dim")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW star_v AUTO REFRESH LOCATION '$d/view' AS
+         |SELECT dm.region AS region, count(*) AS cnt, sum(f.v) AS total
+         |FROM star_fact f JOIN star_dim dm ON f.grp = dm.k
+         |GROUP BY dm.region""".stripMargin)
+    def state(): Set[(String, Long, Double)] = spark.sql(
+      "SELECT region, cnt, CAST(total AS DOUBLE) AS total FROM star_v")
+      .as[(String, Long, Double)].collect().toSet
+    assert(state() === Set(("east", 1L, 1.0), ("west", 1L, 2.0)))
+    // fact write: the fact-side hook folds the change images
+    fact.upsert(rows((3, "a", 4.0)))
+    assert(state() === Set(("east", 2L, 5.0), ("west", 1L, 2.0)))
+    // dim write: the dim-side hook re-syncs — recorded dim heads force
+    // the rebuild, the vanished 'west' group tombstones
+    dim.upsert(Seq(("b", "east")).toDF("k", "region"))
+    assert(state() === Set(("east", 3L, 7.0)))
+  }
+
+  test("star view: WHERE over dim columns; alias validation") {
+    val d = tmpDir("mv_star_where")
+    val fact = GraftTable.create(spark, s"$d/fact", cfg("mv_star_where"))
+    val dim = GraftTable.create(spark, s"$d/dim", TableConfig(
+      "mv_star_where_dim", TableType.CopyOnWrite, Seq("k"), "", ""))
+    dim.bulkInsert(Seq(("a", "east"), ("b", "west")).toDF("k", "region"))
+    fact.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0), (3, "a", 4.0)))
+    val v = MV.create(spark, s"$d/view", fact,
+      Seq("grp" -> "f.grp"),
+      Seq(ViewAgg("cnt", "count", "*")),
+      where = Some("dm.region = 'east'"),
+      dims = Seq(MV.DimJoin("dm", dim, "f.grp = dm.k")))
+    MV.sync(v, fact)
+    assert(MV.read(v).as[(String, Long)].collect().toSet === Set(("a", 2L)))
+    // an update moving a fact row out of the dim predicate retracts it
+    fact.upsert(rows((3, "b", 4.0)))
+    MV.sync(v, fact)
+    assert(MV.read(v).as[(String, Long)].collect().toSet === Set(("a", 1L)))
+    intercept[IllegalArgumentException] {
+      MV.create(spark, s"$d/v2", fact, Seq("g" -> "grp"),
+        Seq(ViewAgg("cnt", "count", "*")),
+        dims = Seq(MV.DimJoin("f", dim, "f.grp = f.k")))
+    }
+    intercept[IllegalArgumentException] {
+      MV.create(spark, s"$d/v3", fact, Seq("g" -> "grp"),
+        Seq(ViewAgg("cnt", "count", "*")),
+        dims = Seq(MV.DimJoin("x", dim, "f.grp = x.k"),
+          MV.DimJoin("x", dim, "f.grp = x.k")))
+    }
+  }
 }
