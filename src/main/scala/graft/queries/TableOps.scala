@@ -703,6 +703,39 @@ object TableOps {
       q
     }),
 
+    // star-join aggregate NAVIGATION: a fact-join-dim GROUP BY over the
+    // DIM attribute answers from the registered star view — the plan must
+    // scan neither the fact nor the dim table, only the view's state
+    "t_mview_star_rewrite" -> ((s, d) => {
+      import graft.table.MaterializedView
+      import graft.table.MaterializedView.{DimJoin, ViewAgg}
+      val fact = fresh(s, d, "t_mvsrw_f", cfg(TableType.CopyOnWrite))
+      val dim = fresh(s, d, "t_mvsrw_d", TableConfig(
+        "cust_rw", TableType.CopyOnWrite, Seq("c_custkey"), "", ""))
+      fact.bulkInsert(orders(s, d))
+      dim.bulkInsert(s.read.parquet(s"$d/customer.parquet"))
+      val vp = s"/tmp/graft_q/t_mvsrw_v_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(vp))
+      val v = MaterializedView.create(s, vp, fact,
+        Seq("segment" -> "c.c_mktsegment"),
+        Seq(ViewAgg("cnt", "count", "*"),
+          ViewAgg("total", "sum", "f.o_totalprice")),
+        dims = Seq(DimJoin("c", dim, "f.o_custkey = c.c_custkey")))
+      MaterializedView.sync(v, fact)
+      MaterializedView.register(v, fact)
+      val q = s.read.format("graft").load(fact.basePath.toString)
+        .join(s.read.format("graft").load(dim.basePath.toString),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice")).cast("double").as("total"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains(vp) && !plan.contains(fact.basePath.toString) &&
+          !plan.contains(dim.basePath.toString),
+        "star aggregate was not answered from the materialized view")
+      q
+    }),
+
     // point lookup by a NON-KEY column through the secondary index
     // (value -> file-group mapping tables; reads only the mapped groups).
     // The upsert moves some rows to a new custkey so the probe exercises
@@ -1420,6 +1453,11 @@ object TableOps {
          |  min(p) AS min_price,
          |  CAST(sum(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(count(p) AS DOUBLE) AS avg_price
          |FROM final GROUP BY 1""".stripMargin,
+    "t_mview_star_rewrite" ->
+      s"""SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1""".stripMargin,
     "t_mview_star" ->
       s"""WITH cust AS (
          |  SELECT c_custkey,

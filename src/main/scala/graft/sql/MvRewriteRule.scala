@@ -5,7 +5,8 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -79,22 +80,56 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rewrite(grouping: Seq[Expression], out: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] = {
-    val (lr, rel, qFilter) = strip(child).getOrElse(return None)
-    val source = rel.table
-    val views = MaterializedView.registered(source)
-    if (views.isEmpty) return None
-    views.iterator
-      .flatMap(p => tryView(p, source, lr, grouping, out, qFilter))
-      .nextOption()
+  /** The child as a two-table INNER join of bare latest-snapshot graft
+    * scans: both relations, the join condition, and the filter conjuncts
+    * collected from above the join and from either side (the optimizer
+    * has already pushed dim predicates below the join by the time this
+    * rule runs).
+    */
+  private def stripJoin(p: LogicalPlan): Option[(LogicalRelation, GraftRelation,
+      LogicalRelation, GraftRelation, Expression, Seq[Expression])] = p match {
+    case Filter(c, ch) => stripJoin(ch).map {
+      case (a, b, x, y, j, fs) => (a, b, x, y, j, fs ++ conjuncts(c)) }
+    case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      stripJoin(ch)
+    case Join(l, r, Inner, Some(cond), _) =>
+      for {
+        (llr, lrel, lf) <- strip(l)
+        (rlr, rrel, rf) <- strip(r)
+      } yield (llr, lrel, rlr, rrel, cond,
+        lf.toSeq.flatMap(conjuncts) ++ rf.toSeq.flatMap(conjuncts))
+    case _ => None
   }
 
+  private def rewrite(grouping: Seq[Expression], out: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] =
+    strip(child) match {
+      case Some((lr, rel, qFilter)) =>
+        val source = rel.table
+        val views = MaterializedView.registered(source)
+        if (views.isEmpty) None
+        else views.iterator
+          .flatMap(p => tryView(p, source, lr, grouping, out, qFilter))
+          .nextOption()
+      case None => stripJoin(child).flatMap {
+        case (llr, lrel, rlr, rrel, jcond, qcs) =>
+          // either side may be the fact; try both orientations
+          def over(flr: LogicalRelation, frel: GraftRelation,
+              dlr: LogicalRelation, drel: GraftRelation): Option[LogicalPlan] = {
+            val views = MaterializedView.registered(frel.table)
+            views.iterator.flatMap(p => tryStarView(p, frel.table, flr, dlr,
+              drel, jcond, grouping, out, qcs)).nextOption()
+          }
+          over(llr, lrel, rlr, rrel).orElse(over(rlr, rrel, llr, lrel))
+      }
+    }
+
   /** Parse a view-definition expression and resolve it against the
-    * query's own relation node, so canonicalized comparison against the
-    * query's (already resolved) expressions sees the same attribute ids.
+    * query's own relation node(s), so canonicalized comparison against
+    * the query's (already resolved) expressions sees the same attribute
+    * ids.
     */
-  private def resolveOn(lr: LogicalRelation, sql: String): Option[Expression] =
+  private def resolveOn(lr: LogicalPlan, sql: String): Option[Expression] =
     try {
       val parsed = spark.sessionState.sqlParser.parseExpression(sql)
       spark.sessionState.analyzer.execute(
@@ -124,19 +159,55 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // expressions aggregate a different row set
     if (MaterializedView.dimsOf(view).nonEmpty) return None
     if (!MaterializedView.isFresh(view, source)) return None
+    tryMatch(view, sql => resolveOn(lr, sql), grouping, out,
+      qFilter.toSeq.flatMap(conjuncts))
+  }
+
+  /** Star-join navigation: answer `fact INNER JOIN dim GROUP BY ...`
+    * from a star view whose dim table AND join condition match the
+    * query's (conjunct-set canonical equality, resolved under the
+    * view's own aliases wrapped around the QUERY's relation nodes, so
+    * attribute ids line up). Everything downstream — group matching,
+    * rollup, filter split, aggregate derivation — is the shared
+    * [[tryMatch]]. Freshness covers the dims: any dim write since the
+    * last sync reads as stale.
+    */
+  private def tryStarView(path: String, source: GraftTable,
+      flr: LogicalRelation, dlr: LogicalRelation, drel: GraftRelation,
+      joinCond: Expression, grouping: Seq[Expression],
+      out: Seq[NamedExpression], qcs: Seq[Expression]): Option[LogicalPlan] = {
+    val view = GraftTable.load(spark, path)
+    val dims = MaterializedView.dimsOf(view)
+    if (dims.size != 1) return None // multi-dim navigation: not yet
+    val (dAlias, dPath, dCond) = dims.head
+    if (dPath != drel.table.basePath.toString) return None
+    if (!MaterializedView.isFresh(view, source)) return None
+    val rplan = Join(
+      SubqueryAlias(MaterializedView.factAliasOf(view), flr),
+      SubqueryAlias(dAlias, dlr), Inner, None, JoinHint.NONE)
+    val resolve: String => Option[Expression] = sql => resolveOn(rplan, sql)
+    val vj = resolve(dCond).getOrElse(return None)
+    if (conjuncts(vj).map(_.canonicalized).toSet !=
+        conjuncts(joinCond).map(_.canonicalized).toSet) return None
+    tryMatch(view, resolve, grouping, out, qcs)
+  }
+
+  private def tryMatch(view: GraftTable,
+      resolve: String => Option[Expression], grouping: Seq[Expression],
+      out: Seq[NamedExpression], qcs: Seq[Expression]): Option[LogicalPlan] = {
     val groups = MaterializedView.groupsOf(view)
     val aggs = MaterializedView.aggsOf(view)
 
-    // resolve every view expression against the query's relation
+    // resolve every view expression against the query's relation(s)
     val groupRes: Seq[(String, Expression)] = groups.map { case (n, e) =>
-      n -> (resolveOn(lr, e).getOrElse(return None))
+      n -> (resolve(e).getOrElse(return None))
     }
     val aggRes: Map[ViewAgg, Option[Expression]] = aggs.map { a =>
       a -> (if (a.expr == "*") None
-            else Some(resolveOn(lr, a.expr).getOrElse(return None)))
+            else Some(resolve(a.expr).getOrElse(return None)))
     }.toMap
     val vWhere = MaterializedView.whereOf(view)
-      .map(w => resolveOn(lr, w).getOrElse(return None))
+      .map(w => resolve(w).getOrElse(return None))
 
     // the view's stored state (group cols + agg state cols), fresh plan
     val vplan = Readers.snapshot(view).drop(MetaCols.All: _*)
@@ -150,7 +221,6 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // filter admission: view WHERE conjuncts must appear verbatim in the
     // query filter; the residual must remap onto matched group columns
-    val qcs = qFilter.toSeq.flatMap(conjuncts)
     val vcs = vWhere.toSeq.flatMap(conjuncts).map(_.canonicalized)
     if (!vcs.forall(v => qcs.exists(_.canonicalized == v))) return None
     val residual = qcs.filterNot(c => vcs.contains(c.canonicalized)).map { c =>
@@ -233,7 +303,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val filtered = residual.reduceOption(And).map(Filter(_, vplan)).getOrElse(vplan)
-    logInfo(s"answering aggregate over ${source.basePath} from materialized view $path")
+    logInfo(s"answering aggregate over ${view.cfg.prop(MaterializedView.SourceKey, "")} " +
+      s"from materialized view ${view.basePath}")
     Some(Aggregate(gAttrs, outAliases, filtered))
   }
 }

@@ -142,9 +142,12 @@ object MaterializedView {
     * convention — Spark broadcasts them under the join threshold, and
     * AQE handles the rest.
     */
+  /** The fact table's alias in the view's expressions ("f" by default). */
+  private[graft] def factAliasOf(view: GraftTable): String =
+    Option(view.cfg.prop(FactAliasKey, null)).map(dec).getOrElse("f")
+
   private def joinDims(view: GraftTable, df: DataFrame): DataFrame =
-    dimsOf(view).foldLeft(
-      df.alias(Option(view.cfg.prop(FactAliasKey, null)).map(dec).getOrElse("f"))) {
+    dimsOf(view).foldLeft(df.alias(factAliasOf(view))) {
       case (acc, (al, p, cond)) =>
       acc.join(
         Readers.snapshot(GraftTable.load(view.spark, p)).drop(MetaCols.All: _*)

@@ -202,4 +202,73 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(q.orderBy("grp").collect().map(_.toSeq).toSeq ===
       Seq(Seq("a", 2L, 4.0), Seq("b", 2L, 14.0)))
   }
+
+  // ----------------------------------------------- star-join navigation
+
+  /** Fact + dim with a registered star view grouped by the dim attr. */
+  private def mkStar(prefix: String): (GraftTable, GraftTable, String) = {
+    val d = tmpDir(prefix)
+    val fact = GraftTable.create(spark, s"$d/src", cfg(prefix))
+    val dim = GraftTable.create(spark, s"$d/dim", TableConfig(
+      s"${prefix}_dim", TableType.CopyOnWrite, Seq("k"), "", ""))
+    dim.bulkInsert(Seq(("a", "east"), ("b", "east"), ("c", "west"))
+      .toDF("k", "region"))
+    fact.bulkInsert(rows((1, "a", 1.5), (2, "a", 2.5), (3, "b", 10.0),
+      (4, "b", 4.0), (5, "c", 7.0)))
+    val v = MV.create(spark, s"$d/view", fact,
+      Seq("region" -> "dm.region"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "f.v")),
+      dims = Seq(MV.DimJoin("dm", dim, "f.grp = dm.k")))
+    MV.sync(v, fact)
+    MV.register(v, fact)
+    (fact, dim, d.toString)
+  }
+
+  private def dimDf(d: String): DataFrame =
+    spark.read.format("graft").load(s"$d/dim")
+
+  test("star: a fact-join-dim aggregate answers from the star view") {
+    val (fact, _, d) = mkStar("mvr_star")
+    val q = srcDf(fact).join(dimDf(d), expr("grp = k"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    assert(answeredFromView(q, d), q.queryExecution.executedPlan.toString)
+    assert(!q.queryExecution.executedPlan.toString.contains(s"$d/dim"),
+      "dim still scanned")
+    assert(q.orderBy("region").collect().map(_.toSeq).toSeq ===
+      Seq(Seq("east", 4L, 18.0), Seq("west", 1L, 7.0)))
+    // reversed sides match too (either side may be the fact)
+    val q2 = dimDf(d).join(srcDf(fact), expr("grp = k"))
+      .groupBy("region").agg(count(lit(1)).as("cnt"))
+    assert(answeredFromView(q2, d), q2.queryExecution.executedPlan.toString)
+  }
+
+  test("star: rollup to global, residual filter on the group column") {
+    val (fact, _, d) = mkStar("mvr_star_roll")
+    val q = srcDf(fact).join(dimDf(d), expr("grp = k"))
+      .filter(col("region") === "east")
+      .agg(count(lit(1)).as("cnt"))
+    assert(answeredFromView(q, d), q.queryExecution.executedPlan.toString)
+    assert(q.collect().head.getLong(0) === 4L)
+  }
+
+  test("star: no rewrite on a different join condition, dim write stales") {
+    val (fact, dim, d) = mkStar("mvr_star_guard")
+    // different join condition — never answered from the view
+    val qBad = srcDf(fact).join(dimDf(d), expr("grp = region"))
+      .groupBy("region").agg(count(lit(1)).as("cnt"))
+    assert(!answeredFromView(qBad, d))
+    // a dim write makes the view stale: falls back to the real join
+    dim.upsert(Seq(("c", "east")).toDF("k", "region"))
+    val q = srcDf(fact).join(dimDf(d), expr("grp = k"))
+      .groupBy("region").agg(count(lit(1)).as("cnt"))
+    assert(!answeredFromView(q, d), "stale star view still answered")
+    assert(q.orderBy("region").collect().map(_.toSeq).toSeq ===
+      Seq(Seq("east", 5L)))
+    // re-sync restores the rewrite
+    MV.sync(GraftTable.load(spark, s"$d/view"), fact)
+    val q3 = srcDf(fact).join(dimDf(d), expr("grp = k"))
+      .groupBy("region").agg(count(lit(1)).as("cnt"))
+    assert(answeredFromView(q3, d), q3.queryExecution.executedPlan.toString)
+  }
 }

@@ -171,6 +171,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  // sf0.01: at sf0.001 these two return empty and AQE collapses the plan
+  // to EmptyRelation, leaving nothing to pin
+  private def executed001(name: String): String = {
+    val df = graft.queries.Relational.queries(name)(spark, "/root/testdata/sf0.01")
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q43: the global threshold is ONE broadcast row, fact scanned once per side") {
+    val plan = executed001("q43_value_concentration")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the 1-row threshold side broadcasts (nested-loop of a single row,
+    // never a shuffle), and the filtered fact subtree feeds both sides
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"threshold not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(n_name), EqualTo(n_name"),
+      s"nation filter not pushed:\n$plan")
+  }
+
+  test("q44: complaint list and part dims broadcast; no fact pre-distinct") {
+    val plan = executed001("q44_supplier_part_counts")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    // the NOT IN exclusion is an anti join of a broadcast side
+    assert(finalPlan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(s_acctbal), LessThan(s_acctbal"),
+      s"acctbal filter not pushed to the supplier scan:\n$plan")
+  }
+
   test("bm25: postings prune via broadcast of query terms, no vocab-wide shuffle join") {
     import org.apache.spark.sql.functions._
     val docsDf = spark.read.parquet(s"$sf001/documents.parquet")
