@@ -80,25 +80,26 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** The child as a two-table INNER join of bare latest-snapshot graft
-    * scans: both relations, the join condition, and the filter conjuncts
-    * collected from above the join and from either side (the optimizer
-    * has already pushed dim predicates below the join by the time this
-    * rule runs).
+  /** The child as a left-deep INNER-join tree of bare latest-snapshot
+    * graft scans: every relation, the join-condition conjuncts, and the
+    * filter conjuncts collected from above the joins and from any side
+    * (the optimizer has already pushed dim predicates below the join by
+    * the time this rule runs).
     */
-  private def stripJoin(p: LogicalPlan): Option[(LogicalRelation, GraftRelation,
-      LogicalRelation, GraftRelation, Expression, Seq[Expression])] = p match {
-    case Filter(c, ch) => stripJoin(ch).map {
-      case (a, b, x, y, j, fs) => (a, b, x, y, j, fs ++ conjuncts(c)) }
+  private def stripJoins(p: LogicalPlan): Option[(Seq[(LogicalRelation,
+      GraftRelation)], Seq[Expression], Seq[Expression])] = p match {
+    case Filter(c, ch) => stripJoins(ch).map {
+      case (rels, jcs, fs) => (rels, jcs, fs ++ conjuncts(c)) }
     case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      stripJoin(ch)
+      stripJoins(ch)
     case Join(l, r, Inner, Some(cond), _) =>
       for {
-        (llr, lrel, lf) <- strip(l)
+        (lrels, ljcs, lfs) <- stripJoins(l)
         (rlr, rrel, rf) <- strip(r)
-      } yield (llr, lrel, rlr, rrel, cond,
-        lf.toSeq.flatMap(conjuncts) ++ rf.toSeq.flatMap(conjuncts))
-    case _ => None
+      } yield (lrels :+ ((rlr, rrel)), ljcs ++ conjuncts(cond),
+        lfs ++ rf.toSeq.flatMap(conjuncts))
+    case _ => strip(p).map { case (lr, g, f) =>
+      (Seq((lr, g)), Seq.empty, f.toSeq.flatMap(conjuncts)) }
   }
 
   private def rewrite(grouping: Seq[Expression], out: Seq[NamedExpression],
@@ -111,16 +112,15 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         else views.iterator
           .flatMap(p => tryView(p, source, lr, grouping, out, qFilter))
           .nextOption()
-      case None => stripJoin(child).flatMap {
-        case (llr, lrel, rlr, rrel, jcond, qcs) =>
-          // either side may be the fact; try both orientations
-          def over(flr: LogicalRelation, frel: GraftRelation,
-              dlr: LogicalRelation, drel: GraftRelation): Option[LogicalPlan] = {
-            val views = MaterializedView.registered(frel.table)
-            views.iterator.flatMap(p => tryStarView(p, frel.table, flr, dlr,
-              drel, jcond, grouping, out, qcs)).nextOption()
-          }
-          over(llr, lrel, rlr, rrel).orElse(over(rlr, rrel, llr, lrel))
+      case None => stripJoins(child).flatMap { case (rels, jconj, qcs) =>
+        if (rels.size < 2) None
+        else rels.indices.iterator.flatMap { fi =>
+          // any relation may be the fact; the rest must match the dims
+          val (flr, frel) = rels(fi)
+          val dimRels = rels.patch(fi, Nil, 1)
+          MaterializedView.registered(frel.table).iterator.flatMap(p =>
+            tryStarView(p, frel.table, flr, dimRels, jconj, grouping, out, qcs))
+        }.nextOption()
       }
     }
 
@@ -163,32 +163,44 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       qFilter.toSeq.flatMap(conjuncts))
   }
 
-  /** Star-join navigation: answer `fact INNER JOIN dim GROUP BY ...`
-    * from a star view whose dim table AND join condition match the
-    * query's (conjunct-set canonical equality, resolved under the
-    * view's own aliases wrapped around the QUERY's relation nodes, so
-    * attribute ids line up). Everything downstream — group matching,
-    * rollup, filter split, aggregate derivation — is the shared
-    * [[tryMatch]]. Freshness covers the dims: any dim write since the
-    * last sync reads as stale.
+  /** Star-join navigation: answer `fact INNER JOIN dims GROUP BY ...`
+    * from a star view whose dim tables AND join conditions match the
+    * query's (dims paired by table path; join conjunct sets compared
+    * canonically, with view expressions resolved under the view's own
+    * aliases wrapped around the QUERY's relation nodes, so attribute ids
+    * line up). Everything downstream — group matching, rollup, filter
+    * split, aggregate derivation — is the shared [[tryMatch]]. Freshness
+    * covers the dims: any dim write since the last sync reads as stale.
     */
   private def tryStarView(path: String, source: GraftTable,
-      flr: LogicalRelation, dlr: LogicalRelation, drel: GraftRelation,
-      joinCond: Expression, grouping: Seq[Expression],
+      flr: LogicalRelation, dimRels: Seq[(LogicalRelation, GraftRelation)],
+      joinConj: Seq[Expression], grouping: Seq[Expression],
       out: Seq[NamedExpression], qcs: Seq[Expression]): Option[LogicalPlan] = {
     val view = GraftTable.load(spark, path)
     val dims = MaterializedView.dimsOf(view)
-    if (dims.size != 1) return None // multi-dim navigation: not yet
-    val (dAlias, dPath, dCond) = dims.head
-    if (dPath != drel.table.basePath.toString) return None
+    if (dims.isEmpty || dims.size != dimRels.size) return None
+    // pair view dims to query relations by table path; ambiguous (same
+    // dim joined twice) stays unanswered
+    val byPath = dimRels.map(dr => dr._2.table.basePath.toString -> dr._1).toMap
+    if (byPath.size != dimRels.size) return None
+    val paired: Seq[(String, LogicalRelation, String)] = dims.map {
+      case (al, p, cond) => byPath.get(p) match {
+        case Some(dlr) => (al, dlr, cond)
+        case None => return None
+      }
+    }
     if (!MaterializedView.isFresh(view, source)) return None
-    val rplan = Join(
-      SubqueryAlias(MaterializedView.factAliasOf(view), flr),
-      SubqueryAlias(dAlias, dlr), Inner, None, JoinHint.NONE)
+    val rplan = paired.foldLeft[LogicalPlan](
+      SubqueryAlias(MaterializedView.factAliasOf(view), flr)) {
+      case (acc, (al, dlr, _)) =>
+        Join(acc, SubqueryAlias(al, dlr), Inner, None, JoinHint.NONE)
+    }
     val resolve: String => Option[Expression] = sql => resolveOn(rplan, sql)
-    val vj = resolve(dCond).getOrElse(return None)
-    if (conjuncts(vj).map(_.canonicalized).toSet !=
-        conjuncts(joinCond).map(_.canonicalized).toSet) return None
+    val vjc = paired.flatMap { case (_, _, cond) =>
+      conjuncts(resolve(cond).getOrElse(return None))
+    }
+    if (vjc.map(_.canonicalized).toSet !=
+        joinConj.map(_.canonicalized).toSet) return None
     tryMatch(view, resolve, grouping, out, qcs)
   }
 

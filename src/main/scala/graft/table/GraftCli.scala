@@ -123,6 +123,22 @@ final class GraftCli(spark: SparkSession) {
       CliFrame(table.lookupBy(req(o, "column"),
         req(o, "values").split(',').map(_.trim).toSeq))
     },
+    "constraints show" -> { _ =>
+      // declared CHECK constraints (ALTER TABLE ADD CONSTRAINT analog)
+      val s2 = spark
+      import s2.implicits._
+      CliFrame(table.checkConstraints.toDF("name", "check_expr"))
+    },
+    "constraints add" -> { o =>
+      val t2 = table.addCheckConstraint(req(o, "name"), req(o, "expr"))
+      connected = Some(t2)
+      CliText(s"added CHECK constraint ${req(o, "name")}")
+    },
+    "constraints drop" -> { o =>
+      val t2 = table.dropCheckConstraint(req(o, "name"))
+      connected = Some(t2)
+      CliText(s"dropped CHECK constraint ${req(o, "name")}")
+    },
     "show logfile metadata" -> { _ => CliFrame(TableAdmin.logFiles(table)) },
     "metrics show" -> { _ => CliFrame(TableAdmin.metrics(table)) },
     "metadata column-stats" -> { _ => CliFrame(TableAdmin.columnStats(table)) },

@@ -248,6 +248,26 @@ class GraftCliSpec extends AnyFunSuite {
     assert(byVal.select("id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
+  test("check constraints add/show/drop through the shell") {
+    val dir = tmpDir("cli_cc").toString + "/t"
+    val cli = new GraftCli(spark)
+    cli.run(s"create --path $dir --tableName cli_cc --recordKey id --precombine v")
+    cli.table.bulkInsert(Seq((1L, 1L), (2L, 2L)).toDF("id", "v"))
+    assert(cli.run("constraints show").frame.count() === 0)
+    assert(cli.run("constraints add --name v_pos --expr 'v > 0'")
+      .text.contains("v_pos"))
+    val listed = cli.run("constraints show").frame.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(listed.toSeq === Seq(("v_pos", "v > 0")))
+    // the connected handle enforces immediately
+    intercept[IllegalArgumentException] {
+      cli.table.upsert(Seq((3L, -5L)).toDF("id", "v"))
+    }
+    cli.run("constraints drop --name v_pos")
+    assert(cli.run("constraints show").frame.count() === 0)
+    cli.table.upsert(Seq((3L, -5L)).toDF("id", "v")) // admitted again
+  }
+
   test("clustering and unknown commands") {
     val dir = tmpDir("cli_clu").toString + "/t"
     val cli = new GraftCli(spark)

@@ -252,6 +252,44 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(q.collect().head.getLong(0) === 4L)
   }
 
+  test("star: two dims — snowflake-lite aggregate answers from the view") {
+    val d = tmpDir("mvr_star2").toString
+    val fact = GraftTable.create(spark, s"$d/src", TableConfig(
+      "mvr_star2", TableType.CopyOnWrite, Seq("id"), "", ""))
+    val dimA = GraftTable.create(spark, s"$d/dima", TableConfig(
+      "mvr_star2_a", TableType.CopyOnWrite, Seq("k"), "", ""))
+    val dimB = GraftTable.create(spark, s"$d/dimb", TableConfig(
+      "mvr_star2_b", TableType.CopyOnWrite, Seq("u"), "", ""))
+    dimA.bulkInsert(Seq(("a", "east"), ("b", "west")).toDF("k", "region"))
+    dimB.bulkInsert(Seq((1L, "gold"), (2L, "base")).toDF("u", "tier"))
+    fact.bulkInsert(Seq((10L, "a", 1L, 2.0), (11L, "a", 2L, 3.0),
+      (12L, "b", 1L, 5.0)).toDF("id", "grp", "cust", "v"))
+    val v = MV.create(spark, s"$d/view", fact,
+      Seq("region" -> "da.region", "tier" -> "db.tier"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "f.v")),
+      dims = Seq(MV.DimJoin("da", dimA, "f.grp = da.k"),
+        MV.DimJoin("db", dimB, "f.cust = db.u")))
+    MV.sync(v, fact)
+    MV.register(v, fact)
+    val q = srcDf(fact)
+      .join(spark.read.format("graft").load(s"$d/dima"), expr("grp = k"))
+      .join(spark.read.format("graft").load(s"$d/dimb"), expr("cust = u"))
+      .groupBy("region", "tier")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    assert(answeredFromView(q, d), q.queryExecution.executedPlan.toString)
+    assert(q.orderBy("region", "tier").collect().map(_.toSeq).toSeq === Seq(
+      Seq("east", "base", 1L, 3.0), Seq("east", "gold", 1L, 2.0),
+      Seq("west", "gold", 1L, 5.0)))
+    // rollup across one dim's attribute still answers from the view
+    val q2 = srcDf(fact)
+      .join(spark.read.format("graft").load(s"$d/dima"), expr("grp = k"))
+      .join(spark.read.format("graft").load(s"$d/dimb"), expr("cust = u"))
+      .groupBy("tier").agg(count(lit(1)).as("cnt"))
+    assert(answeredFromView(q2, d), q2.queryExecution.executedPlan.toString)
+    assert(q2.orderBy("tier").collect().map(_.toSeq).toSeq ===
+      Seq(Seq("base", 1L), Seq("gold", 2L)))
+  }
+
   test("star: no rewrite on a different join condition, dim write stales") {
     val (fact, dim, d) = mkStar("mvr_star_guard")
     // different join condition — never answered from the view
