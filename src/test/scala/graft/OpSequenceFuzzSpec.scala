@@ -116,6 +116,29 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       assert(got === want, s"$tableType seed=$seed materialized view diverged $tag")
     }
 
+    // STAR-view probe: the same chaos folded through a dim join (the
+    // "band" of `ver`, a bounded 1..9 key so the inner join always
+    // matches); deterministic dim FLIPS in the op loop exercise the
+    // dim-drift rebuild path interleaved with rollback/restore windows
+    var dimMap: Map[Long, String] = (1L to 9L).map(k =>
+      k -> (if (k <= 3) "low" else if (k <= 6) "mid" else "high")).toMap
+    val dimT = GraftTable.create(spark, tmpDir(s"${name}_dim").toString,
+      TableConfig(s"${name}_dim", TableType.CopyOnWrite, Seq("vk"), "", ""))
+    dimT.bulkInsert(dimMap.toSeq.toDF("vk", "band"))
+    val starView = MV.create(spark, tmpDir(s"${name}_smv").toString, t,
+      Seq("band" -> "dm.band"),
+      Seq(MV.ViewAgg("cnt", "count", "*"), MV.ViewAgg("sv", "sum", "f.ver")),
+      dims = Seq(MV.DimJoin("dm", dimT, "f.ver = dm.vk")))
+    def starCheck(tag: String): Unit = {
+      MV.sync(starView, t)
+      val got = MV.read(starView).select($"band", $"cnt", $"sv".cast("long"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = model.groupBy { case (_, (ver, _)) => dimMap(ver) }
+        .view.mapValues(rs => (rs.size.toLong, rs.values.map(_._1).sum)).toMap
+      assert(got === want, s"$tableType seed=$seed star view diverged $tag")
+    }
+
     val init = uniq(Gen.listOfN(20, rowGen)
       .pureApply(Gen.Parameters.default, Seed(seed)))
     record(t.bulkInsert(df(init)))
@@ -284,6 +307,15 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
         case _ => () // rollback/restore rewrite the window itself
       }
       if (i % 5 == 2) mvCheck(s"after op #$i: $op")
+      // deterministic dim flip: moves one ver-band mapping, then the next
+      // starCheck's sync must detect the drift and rebuild
+      if (i % 7 == 3) {
+        val k = (i % 9) + 1L
+        val nb = if (dimMap(k) == "low") "high" else "low"
+        dimMap += k -> nb
+        dimT.upsert(Seq((k, nb)).toDF("vk", "band"))
+      }
+      if (i % 5 == 4) starCheck(s"after op #$i: $op")
     }
     // end-state services must not change the observable table
     Services.clean(t)
@@ -291,6 +323,7 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
       Services.scheduleCompaction(t).foreach(ts => Services.runCompaction(t, ts))
     assert(snap(t) === model, s"$tableType seed=$seed diverged after services")
     mvCheck("at end state")
+    starCheck("at end state")
   }
 
   test("COW: random mixed op sequences match the model at every step") {
