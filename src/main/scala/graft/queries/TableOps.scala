@@ -651,6 +651,36 @@ object TableOps {
       data(Readers.snapshot(t2))
     }),
 
+    // CALL stored procedures end-to-end (reference-line-plus; the 0.x
+    // reference drives these through the Java client/CLI only): MOR
+    // compaction, savepoint, a bad batch undone via rollback_to_savepoint,
+    // then clean — all purely through SQL. Final state must equal the
+    // %7-price-doubled orders with the bad batch gone.
+    "t_sql_call" -> ((s, d) => {
+      val t = fresh(s, d, "t_sql_call", cfg(TableType.MergeOnRead,
+        Map("graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      s.read.format("graft").load(t.basePath.toString)
+        .createOrReplaceTempView("sql_call_v")
+      val compacted = s.sql(
+        "CALL run_compaction(table => 'sql_call_v', op => 'scheduleandexecute')")
+        .first().getString(0)
+      require(compacted.forall(_.isDigit), s"compaction failed: $compacted")
+      s.sql("CALL create_savepoint(table => 'sql_call_v')")
+      val t1 = graft.table.GraftTable.load(s, t.basePath.toString)
+      t1.upsert(src.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", lit(-1.0)))
+      val sp = s.sql("CALL show_savepoints(table => 'sql_call_v')")
+        .first().getString(1)
+      s.sql(s"CALL rollback_to_savepoint(table => 'sql_call_v', instant => '$sp')")
+      s.sql("CALL run_clean(table => 'sql_call_v', retain_commits => 1)")
+      val t2 = graft.table.GraftTable.load(s, t.basePath.toString)
+      data(Readers.snapshot(t2))
+    }),
+
     // SQL time travel: VERSION AS OF pins the pre-update snapshot through
     // the parser hook — the oracle is the UNMODIFIED base table
     "t_sql_time_travel" -> ((s, d) => {
@@ -1484,6 +1514,10 @@ object TableOps {
          |  max(p) AS hi
          |FROM final WHERE o_orderpriority <> '3-MEDIUM' GROUP BY 1""".stripMargin,
     "t_sql_maintenance" -> s"SELECT $OrdersSql FROM orders",
+    "t_sql_call" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_sql_time_travel" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total

@@ -63,6 +63,11 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAddConstraintCommand(name, cname, cexpr.trim)
     case DropConstraintRe(name, cname) if isGraftName(session, name) =>
       GraftDropConstraintCommand(name, cname)
+    // stored-procedure admin surface; unknown names fall through to
+    // Spark's own CALL handling (if any), so only graft procedures bind
+    case CallRe(proc, rawArgs)
+        if CallProcedures.Procedures.contains(proc.toLowerCase) =>
+      GraftCallCommand(proc.toLowerCase, CallProcedures.parseArgs(rawArgs))
     case _ =>
       val plan = delegate.parsePlan(sqlText)
       // TIMESTAMP/VERSION AS OF over a graft name substitutes the as-of
@@ -113,6 +118,9 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val DropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  // `CALL proc(args)` with an optional `system.`/`graft.` qualifier
+  private val CallRe =
+    """(?is)\s*CALL\s+(?:(?:system|graft)\.)?(\w+)\s*\((.*)\)\s*""".r
 
   /** Whether a dotted SQL name resolves to a graft table. */
   private[sql] def isGraftName(spark: SparkSession, name: String): Boolean =

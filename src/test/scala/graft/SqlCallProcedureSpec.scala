@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{TableConfig, TableType}
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** `CALL <proc>(...)` SQL procedures — the stored-procedure admin surface
+  * (reference-line-plus; the 0.x reference exposes these only via the Java
+  * client/CLI). Each procedure must behave exactly like the Services/
+  * TableAdmin call it wraps.
+  */
+class SqlCallProcedureSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def makeTable(name: String, mor: Boolean = false,
+      props: Map[String, String] = Map.empty): (GraftTable, String) = {
+    val dir = tmpDir(s"call_$name").toString + "/t"
+    val t = GraftTable.create(spark, dir, TableConfig(
+      name, if (mor) TableType.MergeOnRead else TableType.CopyOnWrite,
+      Seq("id"), "", "ver",
+      (if (mor) Map("graft.compact.inline" -> "false")
+       else Map.empty[String, String]) ++ props))
+    t.bulkInsert(Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0))
+      .toDF("id", "ver", "price"))
+    spark.read.format("graft").load(dir).createOrReplaceTempView(name)
+    (t, dir)
+  }
+
+  test("show_commits / show_fsview_all / show_table_properties") {
+    val (t, _) = makeTable("c_show")
+    t.upsert(Seq((2L, 2L, 99.0)).toDF("id", "ver", "price"))
+    val commits = spark.sql("CALL show_commits(table => 'c_show')").collect()
+    assert(commits.length === 2)
+    // newest first, schema matches DESCRIBE HISTORY
+    assert(commits(0).getAs[String]("instant") > commits(1).getAs[String]("instant"))
+    assert(commits.map(_.getAs[String]("operation")).toSet === Set("bulk_insert", "upsert"))
+    val limited = spark.sql("CALL show_commits(table => 'c_show', limit => 1)").collect()
+    assert(limited.length === 1 && limited(0).getAs[String]("operation") === "upsert")
+
+    val fsview = spark.sql("CALL show_fsview_all(table => 'c_show')").collect()
+    assert(fsview.nonEmpty && fsview.forall(_.getAs[Long]("base_records") > 0))
+
+    val props = spark.sql("CALL show_table_properties(table => 'c_show')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.table.name") === "c_show")
+    assert(props("graft.table.recordkey.fields") === "id")
+  }
+
+  test("run_clustering then run_clean mutate the table like the service calls") {
+    // a second bulk insert lands in its own file group, which makes the
+    // single partition clustering-eligible (two small groups)
+    val (t, dir) = makeTable("c_maint")
+    t.bulkInsert(Seq((4L, 1L, 40.0), (5L, 1L, 50.0)).toDF("id", "ver", "price"))
+    t.upsert(Seq((1L, 2L, 11.0)).toDF("id", "ver", "price"))
+    val inst = spark.sql("CALL run_clustering(table => 'c_maint')")
+      .first().getString(0)
+    assert(inst.forall(_.isDigit), s"expected a replacecommit instant, got $inst")
+    val cleaned = spark.sql("CALL run_clean(table => 'c_maint', retain_commits => 1)")
+      .first().getString(0)
+    assert(cleaned.forall(_.isDigit))
+    val cleans = spark.sql("CALL show_cleans(table => 'c_maint')").collect()
+    assert(cleans.length === 1 && cleans(0).getAs[Long]("files_deleted") > 0)
+    // table still reads correctly after maintenance
+    val t2 = GraftTable.load(spark, dir)
+    assert(Readers.snapshot(t2).count() === 5)
+    assert(Readers.snapshot(t2).filter(col("id") === 1L)
+      .first().getAs[Double]("price") === 11.0)
+  }
+
+  test("run_compaction schedule + run on MOR; show_compaction lists the plan") {
+    val (t, dir) = makeTable("c_compact", mor = true)
+    t.upsert(Seq((1L, 2L, 77.0)).toDF("id", "ver", "price"))
+    val planned = spark.sql("CALL run_compaction(table => 'c_compact', op => 'schedule')")
+      .first().getString(0)
+    assert(planned.forall(_.isDigit))
+    val pending = spark.sql("CALL show_compaction(table => 'c_compact')").collect()
+    assert(pending.length === 1 && pending(0).getString(0) === planned &&
+      pending(0).getAs[Long]("file_groups") >= 1)
+    val ran = spark.sql("CALL run_compaction(table => 'c_compact', op => 'run')")
+      .first().getString(0)
+    assert(ran === planned)
+    assert(spark.sql("CALL show_compaction(table => 'c_compact')").collect().isEmpty)
+    val t2 = GraftTable.load(spark, dir)
+    assert(Readers.readOptimized(t2).filter(col("id") === 1L)
+      .first().getAs[Double]("price") === 77.0)
+  }
+
+  test("savepoint lifecycle: create, show, rollback_to_savepoint, delete") {
+    val (t, dir) = makeTable("c_save")
+    val pinned = t.timeline.completedDataInstants().last.ts
+    val sp = spark.sql("CALL create_savepoint(table => 'c_save')").first().getString(0)
+    assert(sp.forall(_.isDigit))
+    val shown = spark.sql("CALL show_savepoints(table => 'c_save')").collect()
+    assert(shown.length === 1 && shown(0).getString(1) === pinned)
+
+    t.upsert(Seq((3L, 2L, 999.0)).toDF("id", "ver", "price"))
+    // restore by the SAVEPOINTED commit ts (the other accepted form)
+    spark.sql(s"CALL rollback_to_savepoint(table => 'c_save', instant => '$pinned')")
+    val t2 = GraftTable.load(spark, dir)
+    assert(Readers.snapshot(t2).filter(col("id") === 3L)
+      .first().getAs[Double]("price") === 30.0)
+    val rb = spark.sql("CALL show_rollbacks(table => 'c_save')").collect()
+    assert(rb.nonEmpty)
+
+    spark.sql(s"CALL delete_savepoint(table => 'c_save', instant => '$pinned')")
+    assert(spark.sql("CALL show_savepoints(table => 'c_save')").collect().isEmpty)
+  }
+
+  test("rollback_to_instant undoes the newest commit") {
+    val (t, dir) = makeTable("c_rb")
+    val bad = t.upsert(Seq((1L, 2L, -1.0)).toDF("id", "ver", "price"))
+    spark.sql(s"CALL rollback_to_instant(table => 'c_rb', instant => '$bad')")
+    val t2 = GraftTable.load(spark, dir)
+    assert(Readers.snapshot(t2).filter(col("id") === 1L)
+      .first().getAs[Double]("price") === 10.0)
+  }
+
+  test("argument forms: positional table, quoted strings, unknown proc falls through") {
+    val (_, _) = makeTable("c_args")
+    assert(spark.sql("CALL show_commits('c_args')").collect().length === 1)
+    // system. qualifier accepted
+    assert(spark.sql("CALL system.show_commits(table => 'c_args')")
+      .collect().length === 1)
+    // an unknown procedure name is NOT intercepted -> Spark's own error
+    val e = intercept[Exception] {
+      spark.sql("CALL no_such_proc(table => 'c_args')").collect()
+    }
+    assert(!e.getMessage.contains("unknown procedure"),
+      s"unknown CALL must fall through to Spark, got: ${e.getMessage}")
+  }
+}
