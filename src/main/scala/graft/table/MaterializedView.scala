@@ -331,6 +331,9 @@ object MaterializedView {
     val head = source.timeline.lastCompleted().map(_.ts)
       .getOrElse(return None) // empty source: nothing to fold yet
     val (ckpt, rewindSeen, dimsSeen) = syncMarks(view)
+    // set by the delta path when it materializes the folded state;
+    // released after the view upsert consumed it
+    var toRelease: Option[DataFrame] = None
     val rewindNow = lastRewind(source, includeArchived = true)
     val rewound = rewindNow > rewindSeen
     // star views: a dim write since the last sync invalidates the folded
@@ -438,8 +441,15 @@ object MaterializedView {
         val folded =
           if (mmAggs.isEmpty) folded0.drop("_mv_repair")
           else {
-            val norep = folded0.filter(!col("_mv_repair")).drop("_mv_repair")
-            val rep = folded0.filter(col("_mv_repair")).drop("_mv_repair")
+            // the folded state is group-cardinality-sized, but its lineage
+            // is the whole CDC-diff join: without materializing it once,
+            // the norep/rep split + the repair semi-join replay that diff
+            // subtree up to three times inside one plan
+            val mat = folded0.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            toRelease = Some(mat)
+            val norep = mat.filter(!col("_mv_repair")).drop("_mv_repair")
+            val rep = mat.filter(col("_mv_repair")).drop("_mv_repair")
             // re-aggregate min/max for the REPAIR groups only: the scan
             // is semi-join-pruned to them (file skipping applies), and
             // with AQE an empty repair set collapses the whole subtree
@@ -474,10 +484,11 @@ object MaterializedView {
     }
     // vanished groups tombstone through the same commit
     val upsertable = state.withColumn(MetaCols.DeleteFlag, col(RowsCol) <= 0L)
-    Some(view.upsert(upsertable, extraMetadata =
+    try Some(view.upsert(upsertable, extraMetadata =
       Map(CheckpointKey -> head, RewindSeenKey -> rewindNow) ++
         (if (dimsOf(view).isEmpty) Map.empty
          else Map(DimHeadsKey -> dimHeadsNow))))
+    finally toRelease.foreach(_.unpersist())
   } // TableLock.withLock(view.basePath)
 
   /** Registry of views auto-synced after every data commit on `source`:
