@@ -236,6 +236,24 @@ final case class GraftRelation(sqlContext: SQLContext, schema: StructType,
     latestSnapshot: Boolean = false)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  /** Live table bytes (base + delta), not BaseRelation's default
+    * `spark.sql.defaultSizeInBytes` (≈ Long.MaxValue): without this a
+    * small graft dim in a SQL join is never auto-broadcast and every
+    * star join over catalog/temp-view names degrades to a sort-merge
+    * shuffle of the fact. Non-snapshot shapes (time travel, incremental,
+    * CDC) read at most the live set or a window of it, so the live sum
+    * is a safe upper bound for them too — overestimating size can only
+    * suppress a broadcast, never produce a wrong plan.
+    */
+  override def sizeInBytes: Long = {
+    val slices = table.view.fileSlices(None)
+    val total = slices.flatMap(_.baseFile).map(_.sizeBytes).sum +
+      slices.map(_.totalDeltaBytes).sum
+    // an empty table would otherwise report 0 and broadcast unconditionally
+    // even after a first large write in the same plan; keep a tiny floor
+    math.max(total, 1L)
+  }
+
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     // catalog INSERT resolves by position: restore the table's data
     // column names before handing off

@@ -97,6 +97,30 @@ class DataSourceSpec extends AnyFunSuite {
     assert(lastMd.extraMetadata.get("source.offset").contains("topic,0:42"))
   }
 
+  test("small graft dim reports real sizeInBytes and auto-broadcasts in SQL joins") {
+    val dir = tmpDir("ds_stats").toString + "/dim"
+    (1L to 50L).map(i => (i, 1L, s"seg${i % 5}")).toDF("id", "ver", "seg")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("operation", "bulk_insert").save(dir)
+    val dim = spark.read.format("graft")
+      .option("includeMetaColumns", "false").load(dir)
+    // stats must reflect live file bytes, not spark.sql.defaultSizeInBytes
+    val size = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size > 0 && size < 10L * 1024 * 1024,
+      s"graft dim reports sizeInBytes=$size — joins would never broadcast")
+
+    dim.createOrReplaceTempView("bc_dim")
+    spark.range(0, 10000).withColumn("id", $"id" % 50 + 1)
+      .createOrReplaceTempView("bc_fact")
+    val joined = spark.sql(
+      "SELECT f.id, d.seg FROM bc_fact f JOIN bc_dim d ON f.id = d.id")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small graft dim did not auto-broadcast:\n$plan")
+  }
+
   test("writeStream.format(graft) upserts micro-batches") {
     val tableDir = tmpDir("ds4").toString + "/t"
     val srcDir = tmpDir("ds4src")
