@@ -55,6 +55,10 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case VacuumRe(name, retain) =>
       GraftVacuumCommand(name, Option(retain).map(_.toInt))
     case HistoryRe(name) => GraftHistoryCommand(name)
+    case DetailRe(name) if isGraftName(session, name) =>
+      GraftDescribeDetailCommand(name)
+    case ShowPartsRe(name) if isGraftName(session, name) =>
+      GraftShowPartitionsCommand(name)
     case ShowViewsRe(name) => ShowMaterializedViewsCommand(name)
     // ALTER TABLE is standard grammar Spark itself can parse (v2
     // constraints landed in Spark 4) — intercept only names that resolve
@@ -110,6 +114,9 @@ object GraftSqlParser {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*""".r
   private val HistoryRe = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*""".r
+  private val DetailRe = """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*""".r
+  // graft names only — non-graft SHOW PARTITIONS keeps Spark's behavior
+  private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*""".r
   private val ShowViewsRe =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+([\w.]+)\s*""".r
   // ANSI CHECK constraints over graft names (Delta-convention ALTER forms;
@@ -380,6 +387,58 @@ final case class ShowMaterializedViewsCommand(name: String) extends LeafRunnable
         .take(1).toSeq.headOption.getOrElse("")
       Row(p, ckpt, MaterializedView.isFresh(v, t))
     }
+  }
+}
+
+/** `DESCRIBE DETAIL name` — one-row table summary (the Delta
+  * convention): identity, layout config, live file-set size, partition
+  * count and commit history depth.
+  */
+final case class GraftDescribeDetailCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("name", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("table_type", StringType)(),
+    AttributeReference("record_key_fields", StringType)(),
+    AttributeReference("partition_expr", StringType)(),
+    AttributeReference("precombine_field", StringType)(),
+    AttributeReference("num_file_groups", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("num_partitions", LongType)(),
+    AttributeReference("num_commits", LongType)(),
+    AttributeReference("last_commit", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name)
+    val slices = t.view.fileSlices(None)
+    val bytes = slices.flatMap(_.baseFile).map(_.sizeBytes).sum +
+      slices.map(_.totalDeltaBytes).sum
+    val commits = t.timeline.completedDataInstants()
+    Seq(Row("graft", t.cfg.tableName, t.basePath.toString, t.cfg.tableType,
+      t.cfg.recordKeyFields.mkString(","), t.cfg.partitionPathExpr,
+      t.cfg.precombineField, slices.size.toLong, bytes,
+      slices.map(_.partitionPath).distinct.size.toLong,
+      commits.size.toLong, commits.lastOption.map(_.ts).getOrElse("")))
+  }
+}
+
+/** `SHOW PARTITIONS name` over a graft name — live partitions with
+  * file-group counts and sizes (TableAdmin.partitionStats as SQL).
+  */
+final case class GraftShowPartitionsCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("partition", StringType)(),
+    AttributeReference("num_file_groups", LongType)(),
+    AttributeReference("total_bytes", LongType)(),
+    AttributeReference("base_records", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.tableOf(spark, name)
+    graft.table.TableAdmin.partitionStats(t)
+      .orderBy("partition").collect().toSeq
   }
 }
 

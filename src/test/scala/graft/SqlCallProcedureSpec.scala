@@ -119,6 +119,32 @@ class SqlCallProcedureSpec extends AnyFunSuite {
       .first().getAs[Double]("price") === 10.0)
   }
 
+  test("DESCRIBE DETAIL and SHOW PARTITIONS over a graft name") {
+    val dir = tmpDir("call_detail").toString + "/t"
+    val t = GraftTable.create(spark, dir, TableConfig(
+      "c_detail", TableType.CopyOnWrite, Seq("id"),
+      "concat('p=', pmod(id, 2))", "ver"))
+    t.bulkInsert(Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0))
+      .toDF("id", "ver", "price"))
+    spark.read.format("graft").load(dir).createOrReplaceTempView("c_detail")
+
+    val d = spark.sql("DESCRIBE DETAIL c_detail").first()
+    assert(d.getAs[String]("format") === "graft")
+    assert(d.getAs[String]("name") === "c_detail")
+    assert(d.getAs[String]("record_key_fields") === "id")
+    assert(d.getAs[Long]("num_partitions") === 2)
+    assert(d.getAs[Long]("num_commits") === 1)
+    assert(d.getAs[Long]("size_bytes") > 0)
+
+    val parts = spark.sql("SHOW PARTITIONS c_detail").collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("p=0", "p=1"))
+    assert(parts.map(_.getAs[Long]("base_records")).sum === 3)
+
+    // non-graft names keep Spark's own SHOW PARTITIONS behavior
+    spark.range(3).createOrReplaceTempView("plain_v")
+    intercept[Exception] { spark.sql("SHOW PARTITIONS plain_v").collect() }
+  }
+
   test("argument forms: positional table, quoted strings, unknown proc falls through") {
     val (_, _) = makeTable("c_args")
     assert(spark.sql("CALL show_commits('c_args')").collect().length === 1)
