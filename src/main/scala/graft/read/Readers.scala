@@ -184,7 +184,7 @@ object Readers {
     * preserved, so change-oriented readers (incremental, CDC) must treat
     * them as physical remaps, never as logical change.
     */
-  private def isLayoutRewrite(i: GraftInstant, m: CommitMetadata): Boolean =
+  private[graft] def isLayoutRewrite(i: GraftInstant, m: CommitMetadata): Boolean =
     i.action == Action.Compaction ||
       m.operationType == "cluster" || m.operationType == "rescale_buckets" ||
       m.operationType == graft.table.ConsistentBuckets.OpSplit ||

@@ -382,10 +382,15 @@ object MaterializedView {
         // window would replay only surviving commits.
         rebuild()
       case Some(begin) =>
-        // no data instants inside the window -> no logical changes; skip
-        // the read entirely (timeline-only check, zero Spark jobs)
+        // no LOGICAL changes inside the window -> skip the read entirely.
+        // Layout rewrites (compaction, clustering, bucket split/merge/
+        // rescale) are data instants but project zero change images, so a
+        // window holding only them must not commit an empty fold either —
+        // timeline + commit-metadata check, zero Spark jobs
         val hasData = source.timeline.completedDataInstants()
-          .exists(i => i.ts > begin && i.ts <= head)
+          .filter(i => i.ts > begin && i.ts <= head)
+          .exists(i => !Readers.isLayoutRewrite(i,
+            graft.core.CommitMetadata.fromJson(source.timeline.readContent(i))))
         if (!hasData) return None
         val changes = where.foldLeft(
           joinDims(view, Readers.incrementalChanges(source, begin, Some(head))))(

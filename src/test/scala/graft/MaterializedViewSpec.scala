@@ -73,6 +73,33 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(!MV.read(v).select("grp").as[String].collect().contains("b"))
   }
 
+  test("MOR source: folds over delta-file change images; compaction stays silent") {
+    val d = tmpDir("mv_mor")
+    val t = GraftTable.create(spark, s"$d/src", TableConfig(
+      "mv_mor", TableType.MergeOnRead, Seq("id"), "", "",
+      Map("graft.compact.inline" -> "false")))
+    val v = MV.create(spark, s"$d/view", t,
+      Seq("grp" -> "grp"),
+      Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "v"),
+        ViewAgg("lo", "min", "v"), ViewAgg("mean", "avg", "v")))
+    t.bulkInsert(rows((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)))
+    MV.sync(v, t)
+    // updates + delete land in DELTA files — the change feed must read
+    // the merged MOR view on both sides of the diff
+    t.upsert(rows((2, "a", 20.0), (4, "b", 4.0)))
+    t.delete(Seq(3L).toDF("id").withColumn("grp", lit("b")).withColumn("v", lit(0.0)))
+    assert(MV.sync(v, t).isDefined)
+    assertMatches(v, t)
+    // compaction is a physical rewrite, not a logical change: the next
+    // sync must be a no-op, and the state stays exact afterwards
+    assert(graft.table.Services.compact(t).isDefined)
+    assert(MV.sync(v, t).isEmpty)
+    assertMatches(v, t)
+    t.upsert(rows((1, "a", 100.0)))
+    assert(MV.sync(v, t).isDefined)
+    assertMatches(v, t)
+  }
+
   test("min retraction: deleting the minimum repairs from the source") {
     val (t, v) = mk("mv_minfix")
     t.bulkInsert(rows((1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0)))
