@@ -55,8 +55,11 @@ final class DfsSource(
 
   private val exts: Set[String] = format match {
     case "parquet" => Set(".parquet")
-    case "json" => Set(".json", ".jsonl")
-    case "csv" => Set(".csv")
+    // Spark's text readers decompress by file extension; corpus drops are
+    // commonly gzip/zstd-compressed jsonl, so accept the compressed forms
+    case "json" => Set(".json", ".jsonl").flatMap(e =>
+      Set(e, s"$e.gz", s"$e.zst", s"$e.bz2"))
+    case "csv" => Set(".csv", ".csv.gz", ".csv.zst", ".csv.bz2")
     case other => throw new IllegalArgumentException(s"unsupported format '$other'")
   }
 

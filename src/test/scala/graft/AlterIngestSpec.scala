@@ -138,6 +138,27 @@ class AlterIngestSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).count() === src.count())
   }
 
+  test("DfsSource ingests gzip-compressed jsonl drops") {
+    val dir = tmpDir("ingest_gz")
+    val drop = tmpDir("ingest_gzdrop")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "gz_docs", TableType.CopyOnWrite, Seq("id"), "", ""))
+    val gz = Paths.get(s"$drop/docs.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(
+      "{\"id\": 1, \"text\": \"alpha\"}\n{\"id\": 2, \"text\": \"beta\"}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    Files.setLastModifiedTime(gz, FileTime.fromMillis(1000000L))
+    val source = new DfsSource(drop.toString, format = "json",
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "id LONG, text STRING")))
+    assert(IngestJob.syncOnce(spark, source, t).isDefined)
+    val got = Readers.snapshot(t).select("id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Array((1L, "alpha"), (2L, "beta")))
+  }
+
   test("SqlSource runs the query each tick; transformer applies") {
     val dir = tmpDir("ingest_sql")
     val t = GraftTable.create(spark, dir.toString, ordersCfg)
