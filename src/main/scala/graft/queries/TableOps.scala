@@ -651,6 +651,30 @@ object TableOps {
       data(Readers.snapshot(t2))
     }),
 
+    // Metadata-answered aggregates: unfiltered count(*)/count(col)/min/max
+    // over a COW snapshot collapse to a LocalRelation computed from the
+    // column-stats index (zero file IO) — and must still be EXACT across
+    // upsert + delete rewrites. The require pins that the rewrite fired.
+    "t_stats_answered" -> ((s, d) => {
+      val t = fresh(s, d, "t_stats_ans", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(src.filter(col("o_orderkey") % 10 === 3))
+      val q = Readers.snapshot(t).agg(
+        count(lit(1)).as("n"),
+        count(col("o_custkey")).as("n_cust"),
+        min(col("o_totalprice")).as("lo_price"),
+        max(col("o_totalprice")).as("hi_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderpriority")).as("top_prio"))
+      require(q.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "stats-answered aggregate did not fire — plan still scans")
+      q
+    }),
+
     // CALL stored procedures end-to-end (reference-line-plus; the 0.x
     // reference drives these through the Java client/CLI only): MOR
     // compaction, savepoint, a bad batch undone via rollback_to_savepoint,
@@ -1518,6 +1542,15 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_stats_answered" ->
+      s"""SELECT count(*) AS n, count(o_custkey) AS n_cust,
+         |min(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+         |  ELSE o_totalprice END) AS lo_price,
+         |max(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+         |  ELSE o_totalprice END) AS hi_price,
+         |min(o_orderdate) AS first_date,
+         |max(o_orderpriority) AS top_prio
+         |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
     "t_sql_time_travel" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total

@@ -70,6 +70,67 @@ final class GraftFileIndex(
       Some(entries.map(_.numRecords).sum)
     else None
 
+  /** Exact per-column `(min, max, nonNullCount)` when recoverable from
+    * commit metadata — stat strings as recorded from the footers, plus
+    * the non-null row count. Powers stats-answered `min`/`max`/
+    * `count(col)` (graft.sql.StatsAnswerRule). Answerable iff every
+    * entry is a base file with recorded rows AND a recorded null count
+    * for the column, and min/max are present wherever the file holds
+    * non-null values (footers drop oversized stats → absent → bail).
+    * Cross-file comparison is exact decimal for numeric/date/timestamp
+    * stats and UTF8-byte order for strings — the SAME order Spark's
+    * min/max on StringType use, and the order parquet recorded the
+    * footer stats in. Unsupported types and parse failures return None.
+    */
+  def exactColumnStats(colName: String, dt: DataType)
+      : Option[(Option[String], Option[String], Long)] = {
+    if (!allowStatsAnswer) return None
+    val numeric = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | TimestampType | TimestampNTZType | DateType => true
+      case StringType => false
+      case _ => return None
+    }
+    var nonNull = 0L
+    var lo: String = null
+    var hi: String = null
+    var loD: BigDecimal = null
+    var hiD: BigDecimal = null
+    val it = entries.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.isDelta || e.numRecords <= 0) return None
+      val nulls = e.colNulls.get(colName) match {
+        case Some(n) if n >= 0 && n <= e.numRecords => n
+        case _ => return None
+      }
+      val nn = e.numRecords - nulls
+      nonNull += nn
+      if (nn > 0) {
+        val (mn, mx) = (e.colMin.get(colName), e.colMax.get(colName)) match {
+          case (Some(a), Some(b)) => (a, b)
+          case _ => return None
+        }
+        if (numeric) {
+          val mnD = scala.util.Try(BigDecimal(mn)).getOrElse(return None)
+          val mxD = scala.util.Try(BigDecimal(mx)).getOrElse(return None)
+          if (loD == null || mnD < loD) { loD = mnD; lo = mn }
+          if (hiD == null || mxD > hiD) { hiD = mxD; hi = mx }
+        } else {
+          // ASCII-only: past 0x7F, footer byte order and JVM string order
+          // can disagree (surrogate-range UTF-16 units), so an exact
+          // answer is not provable — bail instead of risking a wrong one
+          if (mn.exists(_ > 0x7f) || mx.exists(_ > 0x7f)) return None
+          if (lo == null || UTF8String.fromString(mn)
+            .compareTo(UTF8String.fromString(lo)) < 0) lo = mn
+          if (hi == null || UTF8String.fromString(mx)
+            .compareTo(UTF8String.fromString(hi)) > 0) hi = mx
+        }
+      }
+    }
+    Some((Option(lo), Option(hi), nonNull))
+  }
+
   // one probe per (column, values) per query — listFiles can be invoked
   // more than once while a plan is optimized
   private val probeCache =

@@ -54,9 +54,73 @@ class StatsAnswerSpec extends AnyFunSuite {
     assert(hasScan(filtered))
     assert(filtered.head.getLong(0) ===
       src.filter($"o_orderkey" % 10 =!= 3 && $"o_orderkey" % 2 === 0).count())
-    // count over another column (null-sensitive) is NOT stats-answerable
+    // count over a column answers from recorded null counts
     val colCount = Readers.snapshot(t).agg(count($"o_orderkey").as("n"))
-    assert(hasScan(colCount))
+    assert(!hasScan(colCount))
+    assert(colCount.head.getLong(0) === expected)
+  }
+
+  test("min/max/count(col) answer from the column-stats index") {
+    val dir = tmpDir("statmm")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "smm", TableType.CopyOnWrite, Seq("id"), "concat('p=', pmod(id, 3))", ""))
+    val src = Seq(
+      (1L, 10.5, "cherry", Some(100L)),
+      (2L, -3.25, "apple", None),
+      (3L, 99.0, "banana", Some(7L)),
+      (4L, 0.0, "apricot", None),
+      (5L, 42.0, "fig", Some(7000L))).toDF("id", "price", "fruit", "opt")
+    t.bulkInsert(src)
+
+    val q = Readers.snapshot(t).agg(
+      min($"price").as("lo"), max($"price").as("hi"),
+      min($"fruit").as("first"), max($"fruit").as("last"),
+      count($"opt").as("n_opt"), count(lit(1)).as("n"),
+      min($"opt").as("lo_opt"))
+    assert(!hasScan(q), "min/max/count should answer from stats")
+    val r = q.head
+    assert(r.getDouble(0) === -3.25 && r.getDouble(1) === 99.0)
+    assert(r.getString(2) === "apple" && r.getString(3) === "fig")
+    assert(r.getLong(4) === 3 && r.getLong(5) === 5)
+    assert(r.getLong(6) === 7L)
+
+    // stays exact across upsert + delete (COW bases rewrite)
+    t.upsert(Seq((3L, -50.0, "zucchini", Some(1L)))
+      .toDF("id", "price", "fruit", "opt"))
+    t.delete(Seq((2L, 0.0, "", None: Option[Long])).toDF("id", "price", "fruit", "opt"))
+    val q2 = Readers.snapshot(t).agg(
+      min($"price").as("lo"), max($"fruit").as("last"), count($"opt").as("n_opt"))
+    assert(!hasScan(q2))
+    val r2 = q2.head
+    assert(r2.getDouble(0) === -50.0)
+    assert(r2.getString(1) === "zucchini")
+    assert(r2.getLong(2) === 3)
+
+    // an all-null column answers NULL min and zero count
+    val t2dir = tmpDir("statmm2")
+    val t2 = GraftTable.create(spark, t2dir.toString, TableConfig(
+      "smm2", TableType.CopyOnWrite, Seq("id"), "", ""))
+    t2.bulkInsert(Seq((1L, None: Option[Long]), (2L, None: Option[Long]))
+      .toDF("id", "opt"))
+    val q3 = Readers.snapshot(t2).agg(
+      min($"opt").as("lo"), count($"opt").as("n"))
+    assert(!hasScan(q3))
+    assert(q3.head.isNullAt(0) && q3.head.getLong(1) === 0)
+
+    // non-ASCII string stats are not provably ordered -> scan answers
+    val t3dir = tmpDir("statmm3")
+    val t3 = GraftTable.create(spark, t3dir.toString, TableConfig(
+      "smm3", TableType.CopyOnWrite, Seq("id"), "", ""))
+    t3.bulkInsert(Seq((1L, "z😀"), (2L, "￥yen")).toDF("id", "s"))
+    val q4 = Readers.snapshot(t3).agg(min($"s").as("lo"), max($"s").as("hi"))
+    assert(hasScan(q4))
+    // and the scan agrees with Spark's own UTF8 ordering
+    assert(q4.head.getString(0) === "z😀" ||
+      q4.head.getString(0) === "￥yen") // whichever UTF8-sorts lower
+
+    // distinct / filtered aggregates keep the scan
+    assert(hasScan(Readers.snapshot(t).agg(countDistinct($"fruit").as("n"))))
+    assert(hasScan(Readers.snapshot(t).filter($"id" > 1).agg(min($"price").as("lo"))))
   }
 
   test("MOR with deltas scans; read-optimized answers from metadata") {
