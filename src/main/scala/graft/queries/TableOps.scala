@@ -675,6 +675,24 @@ object TableOps {
       q
     }),
 
+    // Metadata-answered DISTINCT: a low-cardinality column's distinct set
+    // folds from the dictionary value index (every file's set is provably
+    // exhaustive) — zero file IO — and stays exact across rewrites that
+    // add a brand-new value and delete rows.
+    "t_distinct_answered" -> ((s, d) => {
+      val t = fresh(s, d, "t_distinct_ans", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderpriority", lit("X-SPECIAL")))
+      t.delete(src.filter(col("o_orderkey") % 10 === 3))
+      val q = Readers.snapshot(t).select("o_orderpriority").distinct()
+      require(q.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "stats-answered DISTINCT did not fire — plan still scans")
+      q
+    }),
+
     // CALL stored procedures end-to-end (reference-line-plus; the 0.x
     // reference drives these through the Java client/CLI only): MOR
     // compaction, savepoint, a bad batch undone via rollback_to_savepoint,
@@ -1542,6 +1560,10 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_distinct_answered" ->
+      s"""SELECT DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN 'X-SPECIAL'
+         |  ELSE o_orderpriority END AS o_orderpriority
+         |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
     "t_stats_answered" ->
       s"""SELECT count(*) AS n, count(o_custkey) AS n_cust,
          |min(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

@@ -131,6 +131,33 @@ final class GraftFileIndex(
     Some((Option(lo), Option(hi), nonNull))
   }
 
+  /** Exact distinct value set (stat-string forms) + null-presence flag
+    * for a column, when EVERY entry proves its set exhaustively via the
+    * dictionary value index (all pages dictionary-encoded — superset AND
+    * subset both hold, so this is the exact distinct set, not just a
+    * pruning aid) and records a null count. Powers stats-answered
+    * `SELECT DISTINCT col` for low-cardinality columns.
+    */
+  def exactDistinctValues(colName: String): Option[(Seq[String], Boolean)] = {
+    if (!allowStatsAnswer) return None
+    val values = scala.collection.mutable.LinkedHashSet.empty[String]
+    var hasNull = false
+    val it = entries.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.isDelta || e.numRecords <= 0) return None
+      e.colNulls.get(colName) match {
+        case Some(n) if n >= 0 && n <= e.numRecords => if (n > 0) hasNull = true
+        case _ => return None
+      }
+      e.colValues.get(colName) match {
+        case Some(vs) => values ++= vs
+        case None => return None // not provably exhaustive for this file
+      }
+    }
+    Some((values.toSeq, hasNull))
+  }
+
   // one probe per (column, values) per query — listFiles can be invoked
   // more than once while a plan is optimized
   private val probeCache =

@@ -49,6 +49,33 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
           else agg
         case None => agg
       }
+    // SELECT DISTINCT col — exactly one grouping attribute projected as
+    // itself — answers from the dictionary value index when every file
+    // proves its distinct set exhaustively
+    case agg @ Aggregate(Seq(grp: AttributeReference),
+        Seq(out: AttributeReference), child, _) if out.semanticEquals(grp) =>
+      (supportedDistinctType(grp.dataType), indexOf(child)) match {
+        case (true, Some(g)) =>
+          g.exactDistinctValues(grp.name).flatMap { case (vs, hasNull) =>
+            val decoded = vs.map(v => decode(Some(v), grp.dataType))
+            if (decoded.forall(_.isDefined))
+              Some(LocalRelation(agg.output,
+                (decoded.map(_.get) ++ (if (hasNull) Seq(null) else Nil))
+                  .map(v => InternalRow(v))))
+            else None // a single undecodable value keeps the scan
+          }.getOrElse(agg)
+        case _ => agg
+      }
+  }
+
+  /** Types the dictionary index records exactly (UTF8 binary, int32
+    * plain/date, int64 plain/timestamp-micros) — matching
+    * WritePipeline.dictValueSets' physical-type gate.
+    */
+  private def supportedDistinctType(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         TimestampType | TimestampNTZType | DateType => true
+    case _ => false
   }
 
   /** Shape gate (cheap, before any stats work): alias of a non-distinct,

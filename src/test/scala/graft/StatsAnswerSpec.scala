@@ -123,6 +123,45 @@ class StatsAnswerSpec extends AnyFunSuite {
     assert(hasScan(Readers.snapshot(t).filter($"id" > 1).agg(min($"price").as("lo"))))
   }
 
+  test("SELECT DISTINCT col answers from the dictionary value index") {
+    val dir = tmpDir("statdist")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "sdist", TableType.CopyOnWrite, Seq("id"), "concat('p=', pmod(id, 2))", ""))
+    val src = (1L to 200L).map(i =>
+      (i, s"lang${i % 4}", if (i % 7 == 0) None else Some(i % 3), i * 1.5))
+      .toDF("id", "lang", "opt", "price")
+    t.bulkInsert(src)
+
+    val q = Readers.snapshot(t).select("lang").distinct()
+    assert(!hasScan(q), "low-cardinality DISTINCT should answer from dictionaries")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("lang0", "lang1", "lang2", "lang3"))
+
+    // nullable column: NULL appears exactly once in the distinct set
+    val qn = Readers.snapshot(t).select("opt").distinct()
+    assert(!hasScan(qn))
+    val got = qn.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.length === 4 && got.contains(null))
+
+    // stays exact across upsert + delete
+    t.upsert(src.filter($"id" <= 10).withColumn("lang", lit("langX")))
+    t.delete(src.filter($"lang" === "lang3" && $"id" > 10))
+    val q2 = Readers.snapshot(t).select("lang").distinct()
+    assert(!hasScan(q2))
+    assert(q2.collect().map(_.getString(0)).sorted.toSeq ===
+      Readers.snapshot(t).select("lang").collect()
+        .map(_.getString(0)).distinct.sorted.toSeq)
+
+    // high-cardinality (past the per-file dictionary cap) keeps the scan
+    val qh = Readers.snapshot(t).select("id").distinct()
+    assert(hasScan(qh))
+    assert(qh.count() === Readers.snapshot(t).count())
+    // double columns are not dictionary-indexed -> scan
+    assert(hasScan(Readers.snapshot(t).select("price").distinct()))
+    // a filter disables the rewrite
+    assert(hasScan(Readers.snapshot(t).filter($"id" > 5).select("lang").distinct()))
+  }
+
   test("MOR with deltas scans; read-optimized answers from metadata") {
     val dir = tmpDir("statcnt_mor")
     val t = GraftTable.create(spark, dir.toString, TableConfig(
