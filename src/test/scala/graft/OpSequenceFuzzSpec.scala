@@ -5,6 +5,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
 
 import graft.core._
 import graft.read.Readers
@@ -297,6 +298,31 @@ class OpSequenceFuzzSpec extends AnyFunSuite {
           .as[Row3].collect().map(r => r._1 -> ((r._2, r._3))).toMap
         assert(got === pastModel,
           s"$tableType seed=$seed time travel to $pastTs diverged after op #$i: $op")
+      }
+      // stats-answer probe: unfiltered count/count(col)/min/max and a
+      // DISTINCT over the snapshot must equal the model whether the plan
+      // collapsed to the stats LocalRelation or fell back to the scan —
+      // catches any stale footer stat a rewrite/layout op could leave
+      if (i % 4 == 3) {
+        val a = Readers.snapshot(t).agg(
+          F.count(F.lit(1)).as("n"), F.count(F.col("v")).as("nv"),
+          F.min(F.col("ver")).as("lo"), F.max(F.col("ver")).as("hi"),
+          F.min(F.col("v")).as("lov"), F.max(F.col("v")).as("hiv")).head()
+        assert(a.getLong(0) === model.size.toLong,
+          s"$tableType seed=$seed stats count diverged after op #$i: $op")
+        if (model.nonEmpty) {
+          assert(a.getLong(1) === model.size.toLong)
+          assert(a.getLong(2) === model.values.map(_._1).min &&
+            a.getLong(3) === model.values.map(_._1).max,
+            s"$tableType seed=$seed stats min/max(ver) diverged after op #$i: $op")
+          assert(a.getString(4) === model.values.map(_._2).min &&
+            a.getString(5) === model.values.map(_._2).max,
+            s"$tableType seed=$seed stats min/max(v) diverged after op #$i: $op")
+        }
+        val dist = Readers.snapshot(t).select("v").distinct()
+          .as[String].collect().toSet
+        assert(dist === model.values.map(_._2).toSet,
+          s"$tableType seed=$seed DISTINCT diverged after op #$i: $op")
       }
       op match {
         case Upsert(_) | Delete(_) | MarkerUpsert(_, _) | Overwrite(_) | DropPartition(_) =>
