@@ -651,6 +651,25 @@ object TableOps {
       data(Readers.snapshot(t2))
     }),
 
+    // CDC as a SQL table-valued function (Delta-CDF convention): the same
+    // change-image semantics as t_incremental_cdc but driven purely
+    // through `FROM table_changes('view', begin)` — a row both updated
+    // and then deleted inside the window emits ONE delete with its
+    // begin-side image (the diff is begin-vs-end, not per-commit)
+    "t_sql_table_changes" -> ((s, d) => {
+      val t = fresh(s, d, "t_sql_tc", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      val c1 = t.bulkInsert(src)
+      t.upsert(src.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10))
+      t.delete(src.filter(col("o_orderkey") % 25 === 0))
+      s.read.format("graft").load(t.basePath.toString)
+        .createOrReplaceTempView("sql_tc_v")
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority, _change_type
+        FROM table_changes('sql_tc_v', '$c1')""")
+    }),
+
     // Metadata-answered aggregates: unfiltered count(*)/count(col)/min/max
     // over a COW snapshot collapse to a LocalRelation computed from the
     // column-stats index (zero file IO) — and must still be EXACT across
@@ -1560,6 +1579,18 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_sql_table_changes" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderdate, o_orderpriority, 'delete' AS _change_type
+         |FROM orders WHERE o_orderkey % 25 = 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderdate, o_orderpriority, 'update_before'
+         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 25 <> 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10,
+         |  o_orderdate, o_orderpriority, 'update_after'
+         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 25 <> 0""".stripMargin,
     "t_distinct_answered" ->
       s"""SELECT DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN 'X-SPECIAL'
          |  ELSE o_orderpriority END AS o_orderpriority

@@ -82,6 +82,15 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
             u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation, ts, ver) =>
           GraftTimeTravel(session, u.multipartIdentifier, ts, ver).getOrElse(tt)
+        // `FROM table_changes('t', beginTs [, endTs])` — the CDC read as a
+        // table-valued function (Delta-CDF convention); window is
+        // (beginTs, endTs], same as the incremental/change-feed readers.
+        // Non-graft names / non-literal args pass through to Spark's own
+        // TVF resolution (which will reject the unknown function).
+        case tvf @ org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableValuedFunction(nameParts, args, _)
+            if nameParts.last.equalsIgnoreCase("table_changes") =>
+          tableChanges(session, args).getOrElse(tvf)
       }
   }
 
@@ -132,6 +141,25 @@ object GraftSqlParser {
   /** Whether a dotted SQL name resolves to a graft table. */
   private[sql] def isGraftName(spark: SparkSession, name: String): Boolean =
     GraftTimeTravel.graftPathOf(spark, name.split('.').toSeq).isDefined
+
+  /** `table_changes('name', 'begin' [, 'end'])` resolved to the CDC read's
+    * plan — None when the args aren't string literals or the name isn't a
+    * graft table (the TVF then stays for Spark to reject).
+    */
+  private[sql] def tableChanges(spark: SparkSession,
+      args: Seq[Expression]): Option[LogicalPlan] = {
+    val strs: Seq[String] = args.map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null => v.toString
+      case _ => return None
+    }
+    if (strs.size < 2 || strs.size > 3) return None
+    GraftTimeTravel.graftPathOf(spark, strs.head.split('.').toSeq).map { path =>
+      val t = GraftTable.load(spark, path)
+      graft.read.Readers.incrementalChanges(t, strs(1), strs.lift(2))
+        .queryExecution.analyzed
+    }
+  }
 
   /** The graft table behind a dotted SQL name (temp view or catalog). */
   private[sql] def tableOf(spark: SparkSession, name: String): GraftTable = {

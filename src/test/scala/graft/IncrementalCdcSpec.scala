@@ -110,6 +110,36 @@ class IncrementalCdcSpec extends AnyFunSuite {
     src.unpersist()
   }
 
+  test("SQL: FROM table_changes('view', begin) mirrors the reader") {
+    val t = mk("cdc_tvf")
+    val src = orders(60)
+    val c1 = t.bulkInsert(src)
+    t.upsert(src.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3))
+    t.delete(src.filter(col("o_orderkey") % 20 === 0))
+    spark.read.format("graft").load(t.basePath.toString)
+      .createOrReplaceTempView("cdc_tvf_v")
+
+    val viaSql = spark.sql(
+      s"SELECT o_orderkey, o_totalprice, ${Readers.ChangeTypeCol} " +
+        s"FROM table_changes('cdc_tvf_v', '$c1') ORDER BY 1, 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val viaReader = changes(t, c1).sortBy(r => (r._1, r._3))
+    assert(viaSql.toSeq === viaReader.toSeq && viaSql.nonEmpty)
+
+    // composes with ordinary SQL (aggregation over the change feed)
+    val n = spark.sql(
+      s"SELECT count(*) FROM table_changes('cdc_tvf_v', '$c1') " +
+        s"WHERE ${Readers.ChangeTypeCol} = 'delete'").first().getLong(0)
+    assert(n === src.filter(col("o_orderkey") % 20 === 0).count())
+
+    // a non-graft name keeps Spark's own unknown-TVF error
+    spark.range(3).createOrReplaceTempView("cdc_plain_v")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('cdc_plain_v', '0')").collect()
+    }
+  }
+
   test("empty window returns an empty, correctly-shaped frame") {
     val t = mk("cdc_empty")
     val src = orders(100)
