@@ -154,6 +154,10 @@ final class GraftFileIndex(
         case Some(vs) => values ++= vs
         case None => return None // not provably exhaustive for this file
       }
+      // per-file sets are capped (32) but the UNION isn't: a column with
+      // high global cardinality across many files would otherwise build an
+      // unbounded driver set — past this the scan is the better plan anyway
+      if (values.size > 4096) return None
     }
     Some((values.toSeq, hasNull))
   }

@@ -116,15 +116,28 @@ object CallProcedures {
     case "show_table_properties" => Seq(
       AttributeReference("key", StringType)(),
       AttributeReference("value", StringType)())
+    case "show_column_stats" => Seq(
+      AttributeReference("partition", StringType)(),
+      AttributeReference("file_id", StringType)(),
+      AttributeReference("path", StringType)(),
+      AttributeReference("column", StringType)(),
+      AttributeReference("min_value", StringType)(),
+      AttributeReference("max_value", StringType)(),
+      AttributeReference("null_count", LongType, nullable = true)(),
+      AttributeReference("num_records", LongType)())
+    case "show_metrics" => Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("value", LongType)())
     case _ => Seq(AttributeReference("result", StringType)())
   }
 
   val Procedures: Set[String] = Set(
     "run_compaction", "run_clustering", "run_clean",
     "create_savepoint", "delete_savepoint", "rollback_to_savepoint",
-    "rollback_to_instant",
+    "rollback_to_instant", "export_snapshot", "symlink_manifest",
     "show_commits", "show_savepoints", "show_cleans", "show_rollbacks",
-    "show_compaction", "show_fsview_all", "show_table_properties")
+    "show_compaction", "show_fsview_all", "show_table_properties",
+    "show_column_stats", "show_metrics")
 }
 
 final case class GraftCallCommand(proc: String, args: Seq[CallProcedures.Arg])
@@ -228,6 +241,21 @@ final case class GraftCallCommand(proc: String, args: Seq[CallProcedures.Arg])
             Row(i.ts, i.state, plan.operations.size.toLong)
           }
       case "show_fsview_all" => collectRows(TableAdmin.fileGroups(t))
+      case "export_snapshot" =>
+        val out = named("output").getOrElse(throw new IllegalArgumentException(
+          "export_snapshot needs output => '/path'"))
+        one(TableAdmin.exportSnapshot(t, out,
+          format = named("format").getOrElse("parquet"),
+          partitioned = named("partitioned").forall(_.toBoolean)))
+      case "symlink_manifest" =>
+        one(TableAdmin.generateSymlinkManifest(t).toString)
+      case "show_column_stats" =>
+        val df = named("column").map(c =>
+          TableAdmin.columnStats(t)
+            .filter(org.apache.spark.sql.functions.col("column") === c))
+          .getOrElse(TableAdmin.columnStats(t))
+        collectRows(df)
+      case "show_metrics" => collectRows(TableAdmin.metrics(t))
       case "show_table_properties" =>
         val c = t.cfg
         (Seq(

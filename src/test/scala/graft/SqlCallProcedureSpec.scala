@@ -119,6 +119,32 @@ class SqlCallProcedureSpec extends AnyFunSuite {
       .first().getAs[Double]("price") === 10.0)
   }
 
+  test("export_snapshot / symlink_manifest / show_column_stats / show_metrics") {
+    val (t, _) = makeTable("c_export")
+    val out = tmpDir("c_export_out").toString + "/snap"
+    val inst = spark.sql(
+      s"CALL export_snapshot(table => 'c_export', output => '$out', format => 'parquet')")
+      .first().getString(0)
+    assert(inst.forall(_.isDigit))
+    val exported = spark.read.parquet(out)
+    assert(exported.count() === 3 &&
+      !exported.columns.exists(_.startsWith("_hoodie")))
+
+    val n = spark.sql("CALL symlink_manifest(table => 'c_export')")
+      .first().getString(0).toInt
+    assert(n >= 1)
+
+    val stats = spark.sql(
+      "CALL show_column_stats(table => 'c_export', column => 'price')").collect()
+    assert(stats.nonEmpty && stats.forall(_.getString(3) === "price"))
+    assert(stats.map(_.getString(4).toDouble).min === 10.0)
+
+    val metrics = spark.sql("CALL show_metrics(table => 'c_export')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(metrics.get("commit.totalRecordsWritten").exists(_ >= 3L) ||
+      metrics.nonEmpty)
+  }
+
   test("DESCRIBE DETAIL and SHOW PARTITIONS over a graft name") {
     val dir = tmpDir("call_detail").toString + "/t"
     val t = GraftTable.create(spark, dir, TableConfig(
