@@ -204,18 +204,25 @@ object Streaming {
       pollIntervalMs: Long = 200L,
       asyncCompact: Boolean = true,
       asyncCluster: Boolean = false,
-      clusterEveryCommits: Int = 4) {
+      clusterEveryCommits: Int = 4,
+      // async cleaner (reference AsyncCleanerService): reclaim past-horizon
+      // file versions off the ingest path, every `cleanEveryCommits` data
+      // commits since the last clean
+      asyncClean: Boolean = false,
+      cleanEveryCommits: Int = 6) {
     import scala.jdk.CollectionConverters._
     @volatile private var stopped = false
     @volatile private var error: Option[Throwable] = None
     private val produced = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private val compacted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private val clustered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val cleaned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private var threads: Seq[Thread] = Seq.empty
 
     def commits: Seq[String] = produced.iterator().asScala.toSeq
     def compactions: Seq[String] = compacted.iterator().asScala.toSeq
     def clusterings: Seq[String] = clustered.iterator().asScala.toSeq
+    def cleans: Seq[String] = cleaned.iterator().asScala.toSeq
     def failure: Option[Throwable] = error
 
     def start(): ContinuousIngest = {
@@ -253,9 +260,30 @@ object Streaming {
           Thread.sleep(pollIntervalMs * 2)
         }
       }, "graft-async-cluster")
+      // async clean (reference AsyncCleanerService): the clean commit
+      // takes the same table lock, so it serializes against ingest without
+      // blocking the poll loop between triggers
+      val clean = new Thread(() => {
+        while (!stopped && error.isEmpty) {
+          try {
+            val completed = dst.timeline.completedInstants()
+            val lastClean = completed.filter(_.action == Action.Clean)
+              .lastOption.map(_.ts).getOrElse("")
+            val dataSince = completed.count(i =>
+              Action.DataActions.contains(i.action) && i.ts > lastClean)
+            if (dataSince >= cleanEveryCommits)
+              graft.table.Services.clean(dst,
+                dst.cfg.propLong(ConfigKeys.CleanerCommitsRetained,
+                  ConfigKeys.DefaultCleanerRetained.toLong).toInt)
+                .foreach(cleaned.add)
+          } catch { case e: Throwable => error = Some(e) }
+          Thread.sleep(pollIntervalMs * 2)
+        }
+      }, "graft-async-clean")
       threads = Seq(ingest) ++
         (if (asyncCompact && dst.cfg.isMor) Seq(comp) else Seq.empty) ++
-        (if (asyncCluster) Seq(clus) else Seq.empty)
+        (if (asyncCluster) Seq(clus) else Seq.empty) ++
+        (if (asyncClean) Seq(clean) else Seq.empty)
       threads.foreach { t => t.setDaemon(true); t.start() }
       this
     }

@@ -58,6 +58,34 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("async cleaner reclaims past-horizon versions off the ingest path") {
+    val src = mkSrc("cl_src")
+    val dst = GraftTable.create(spark, tmpDir("cl_dst").toString, TableConfig(
+      "cl_dst", TableType.CopyOnWrite, Seq("id"), "", "ver",
+      // keep only 2 commits' versions so the cleaner has work quickly
+      Map(ConfigKeys.CleanerCommitsRetained -> "2")))
+    src.bulkInsert((1L to 40L).map(i => (i, 1L)).toDF("id", "ver"))
+    val ingest = new graft.streaming.Streaming.ContinuousIngest(
+      src, dst, pollIntervalMs = 100L,
+      asyncClean = true, cleanEveryCommits = 3).start()
+    try {
+      (2L to 6L).foreach { v =>
+        src.upsert((1L to 40L).map(i => (i, v)).toDF("id", "ver"))
+        Thread.sleep(300L)
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (ingest.cleans.isEmpty && ingest.failure.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250L)
+      assert(ingest.failure.isEmpty, s"ingest failed: ${ingest.failure}")
+      assert(ingest.cleans.nonEmpty, "async clean never ran")
+    } finally ingest.stop()
+    // destination still reads exactly; a clean instant is on the timeline
+    val a = graft.read.Readers.snapshot(src).select("id", "ver").orderBy("id").collect()
+    val b = graft.read.Readers.snapshot(dst).select("id", "ver").orderBy("id").collect()
+    assert(a.sameElements(b))
+    assert(dst.timeline.completedInstants().exists(_.action == Action.Clean))
+  }
+
   test("maxCommitsPerTrigger bounds each micro-batch to N commits") {
     val t = mkSrc("rate_src")
     // 5 data commits of 10 rows each
