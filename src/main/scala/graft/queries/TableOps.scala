@@ -651,6 +651,23 @@ object TableOps {
       data(Readers.snapshot(t2))
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION: a star update whose source carries a
+    // brand-new column widens the table additively — matched rows take
+    // the source value, every other row reads null (ANSI merge evolution;
+    // plain MERGE ignores extra source columns)
+    "t_merge_schema_evolution" -> ((s, d) => {
+      val t = fresh(s, d, "t_merge_evo", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src)
+      t.mergeInto(src.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("o_channel", lit("online"))
+          .withColumn("o_totalprice", col("o_totalprice") + 5))
+        .withSchemaEvolution()
+        .whenMatchedUpdate()
+        .execute()
+      data(Readers.snapshot(t), OrdersCols :+ "o_channel")
+    }),
+
     // CDC as a SQL table-valued function (Delta-CDF convention): the same
     // change-image semantics as t_incremental_cdc but driven purely
     // through `FROM table_changes('view', begin)` — a row both updated
@@ -1579,6 +1596,12 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_merge_schema_evolution" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority,
+         |CASE WHEN o_orderkey % 9 = 0 THEN 'online' ELSE NULL END AS o_channel
+         |FROM orders""".stripMargin,
     "t_sql_table_changes" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |  o_orderdate, o_orderpriority, 'delete' AS _change_type

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
+import graft.core.MetaCols
 import graft.spark.GraftRelation
 import graft.table.GraftTable
 
@@ -56,7 +57,7 @@ final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         if d.childrenResolved && graftOf(target).isDefined =>
       GraftDeleteCommand(graftOf(target).get, renderPlain(condition))
 
-    case m @ MergeIntoTable(target, source, _, matched, notMatched, notMatchedBySource, _)
+    case m @ MergeIntoTable(target, source, _, matched, notMatched, notMatchedBySource, evolve)
         if m.childrenResolved && graftOf(target).isDefined =>
       val tOut = AttributeSet(target.output)
       val sOut = AttributeSet(source.output)
@@ -90,7 +91,26 @@ final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         case other =>
           throw new IllegalArgumentException(s"unsupported merge action: $other")
       }
-      GraftMergeCommand(graftOf(target).get, source, clauses ++ nmsClauses)
+      // WITH SCHEMA EVOLUTION: Spark's analyzer has already star-expanded
+      // the actions over the (pre-evolution) target columns, so re-attach
+      // the source-only columns as `c -> s.c` assignments on every
+      // update/insert action; the builder widens the table schema
+      val finalClauses =
+        if (!evolve) clauses
+        else {
+          val tgtNames = target.output.map(_.name).toSet
+          val extra = source.output.map(_.name)
+            .filterNot(n => tgtNames.contains(n) || MetaCols.All.contains(n))
+          clauses.map {
+            case c @ MergeClauseSpec(k, _, assigns)
+                if (k == "update" || k == "insert") && assigns.nonEmpty =>
+              c.copy(assignments = assigns ++
+                extra.filterNot(assigns.contains).map(n => n -> s"s.`$n`"))
+            case c => c
+          }
+        }
+      GraftMergeCommand(graftOf(target).get, source,
+        finalClauses ++ nmsClauses, evolve)
   }
 
   private def graftOf(plan: LogicalPlan): Option[GraftTable] =
@@ -142,11 +162,13 @@ final case class GraftDeleteCommand(table: GraftTable,
 }
 
 final case class GraftMergeCommand(table: GraftTable, source: LogicalPlan,
-    clauses: Seq[MergeClauseSpec]) extends LeafRunnableCommand {
+    clauses: Seq[MergeClauseSpec], evolve: Boolean = false)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val sourceDf = GraftSqlBridge.ofRows(spark, source)
     val builder = table.mergeInto(sourceDf)
+    if (evolve) builder.withSchemaEvolution()
     clauses.foreach {
       case MergeClauseSpec("update", cond, assigns) => builder.whenMatchedUpdate(cond, assigns)
       case MergeClauseSpec("delete", cond, _) => builder.whenMatchedDelete(cond)

@@ -750,9 +750,13 @@ final class GraftTable(
       val cast = dataSchema match {
         case Some(s) =>
           val metaPart = Seq(MetaCols.RecordKey, MetaCols.PartitionPath, FileIdCol, DeleteCol)
+          // columns beyond the stored schema are additive evolution
+          // (schema-evolving MERGE) — keep them, in batch order
+          val extras = resolved.columns.toSeq
+            .filterNot(c => metaPart.contains(c) || s.fieldNames.contains(c))
           resolved.select(
             (metaPart.map(col) ++ s.fields.toSeq.map(f =>
-              col(f.name).cast(f.dataType).as(f.name))): _*)
+              col(f.name).cast(f.dataType).as(f.name)) ++ extras.map(col)): _*)
         case None => resolved
       }
       val cached = cast.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -31,6 +31,15 @@ import graft.read.Readers
 final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
   private case class Clause(kind: String, condition: Option[String], assignments: Map[String, String])
   private var clauses = Vector[Clause]()
+  private var evolve = false
+
+  /** Additive schema evolution (ANSI `MERGE WITH SCHEMA EVOLUTION`, the
+    * same contract as upsert's alignToTableSchema): extra source data
+    * columns become new nullable table columns — star actions populate
+    * them, carried-over target rows read null. Without this, extra
+    * source columns are ignored (plain ANSI MERGE).
+    */
+  def withSchemaEvolution(): MergeInto = { evolve = true; this }
 
   /** `assignments`: target column -> SQL expr over t./s.; empty map ⇒
     * assign every source column to the same-named target column.
@@ -69,8 +78,15 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
 
   def execute(): String = {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
-    val dataCols = t.dataSchema.map(_.fieldNames.toSeq)
-      .getOrElse(source.columns.toSeq)
+    // additive schema evolution, the same contract as upsert's
+    // alignToTableSchema: extra source data columns become new nullable
+    // table columns (existing rows read null); the target side is padded
+    // with typed nulls so carry-over projections resolve
+    val targetCols = t.dataSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    val srcData = source.columns.filterNot(MetaCols.All.contains).toSeq
+    val newCols = if (!evolve || targetCols.isEmpty) Seq.empty
+      else srcData.filterNot(targetCols.contains)
+    val dataCols = if (targetCols.isEmpty) srcData else targetCols ++ newCols
 
     // ANSI MERGE forbids a target row matching >1 source row. Collapse
     // duplicate source keys by precombine (highest wins, like the
@@ -103,7 +119,9 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     // the keyed source feeds both join sides across several jobs (profile,
     // write) — cache it once
     srcKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val target = Readers.snapshot(t, partitions = Some(parts))
+    val target0 = Readers.snapshot(t, partitions = Some(parts))
+    val target = newCols.foldLeft(target0)((df, c) =>
+      df.withColumn(c, lit(null).cast(source.schema(c).dataType)))
 
     try {
       if (t.cfg.isMor) executeTwoPass(target, srcKeyed, dataCols)

@@ -41,6 +41,54 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM td WHERE id = 2").first().getLong(0) === 0)
   }
 
+  test("MERGE evolves the schema: new source columns become table columns") {
+    val dir = makeView("tev")
+    Seq((2L, 2L, 50.0, "s2", "noteB"), (9L, 1L, 90.0, "new", "noteN"))
+      .toDF("id", "ver", "price", "tag", "note").createOrReplaceTempView("src_ev")
+    // WITHOUT the evolution clause, extra source columns are ignored
+    // (plain ANSI MERGE) and the schema stays put
+    spark.sql("""
+      MERGE INTO tev t USING src_ev s ON t.id = s.id
+      WHEN MATCHED AND s.id = 0 THEN UPDATE SET *""")
+    reread(dir, "tev")
+    assert(!spark.table("tev").columns.contains("note"))
+
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO tev t USING src_ev s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    reread(dir, "tev")
+    val got = spark.sql("SELECT id, price, note FROM tev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got === Array((1L, 10.0, null), (2L, 50.0, "noteB"),
+      (3L, 30.0, null), (9L, 90.0, "noteN")))
+
+    // MOR: the widened columns ride delta files and merge on read
+    val mdir = tmpDir("sql_tev_mor").toString + "/t"
+    val t = graft.table.GraftTable.create(spark, mdir, graft.core.TableConfig(
+      "tev_mor", graft.core.TableType.MergeOnRead, Seq("id"), "", "ver",
+      Map("graft.compact.inline" -> "false")))
+    t.bulkInsert(Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("id", "ver", "price"))
+    t.mergeInto(Seq((2L, 2L, 99.0, "mB"), (5L, 1L, 55.0, "mN"))
+        .toDF("id", "ver", "price", "note"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .execute()
+    val snap = graft.read.Readers.snapshot(t)
+      .select("id", "price", "note").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(snap === Array((1L, 10.0, null), (2L, 99.0, "mB"), (5L, 55.0, "mN")))
+    // compaction folds the widened deltas into the base
+    assert(graft.table.Services.compact(t).isDefined)
+    val ro = graft.read.Readers.readOptimized(t)
+      .select("id", "note").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(ro === Array((1L, null), (2L, "mB"), (5L, "mN")))
+  }
+
   test("SQL MERGE INTO with update, delete and insert clauses") {
     val dir = makeView("tm")
     Seq((2L, 2L, 99.0, "s2"), (3L, 2L, 0.0, "DEL"), (9L, 1L, 90.0, "new"))
