@@ -75,6 +75,23 @@ class JobCountSpec extends AnyFunSuite {
     info(s"count(*): graftOnly=$graftOnly (probe total $jobs)")
     assert(graftOnly === 0,
       s"metadata-answered count(*) regressed to $graftOnly jobs")
+    // min/max/count(col) fold from the column-stats index: ZERO jobs too
+    val expectedRows = orders.count()
+    val mm = countJobs {
+      val r = Readers.snapshot(t).agg(
+        min(col("o_totalprice")), max(col("o_totalprice")),
+        count(col("o_custkey"))).head()
+      assert(r.getDouble(0) > 0 && r.getLong(2) === expectedRows)
+    }
+    info(s"min/max/count(col): $mm")
+    assert(mm === 0, s"stats-answered min/max regressed to $mm jobs")
+    // DISTINCT of a dictionary-indexed column: ZERO jobs
+    val dist = countJobs {
+      assert(Readers.snapshot(t).select("o_orderpriority").distinct()
+        .collect().length === 5)
+    }
+    info(s"distinct: $dist")
+    assert(dist === 0, s"stats-answered DISTINCT regressed to $dist jobs")
   }
 
   test("materialized-view control paths stay off the cluster") {
