@@ -49,9 +49,10 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CreateMaterializedViewCommand(name, location, query.trim, auto != null)
     case RefreshRe(name) => RefreshMaterializedViewCommand(name)
     case DropRe(name) => DropMaterializedViewCommand(name)
-    case OptimizeRe(name, zorder) =>
+    case OptimizeRe(name, where, zorder) =>
       GraftOptimizeCommand(name,
-        Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        Option(where).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(name, retain) =>
       GraftVacuumCommand(name, Option(retain).map(_.toInt))
     case HistoryRe(name) => GraftHistoryCommand(name)
@@ -118,8 +119,10 @@ object GraftSqlParser {
   private val RefreshRe = """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val DropRe = """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   // Delta-convention maintenance statements over graft names
+  // the optional WHERE prunes eligible PARTITIONS (Delta convention for
+  // surgical maintenance); the predicate references the column `partition`
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+\(?([\w\s,]+?)\)?)?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(?([\w\s,]+?)\)?)?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*""".r
   private val HistoryRe = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*""".r
@@ -339,19 +342,35 @@ final case class DropMaterializedViewCommand(name: String) extends LeafRunnableC
   }
 }
 
-/** `OPTIMIZE name [ZORDER BY (c1, c2, ...)]` — clustering as SQL (the
-  * Delta convention): size-based small-file clustering, optionally
-  * Z-order sorted. Returns the replacecommit instant, or a no-op note
-  * when no file group is eligible.
+/** `OPTIMIZE name [WHERE pred] [ZORDER BY (c1, c2, ...)]` — clustering as
+  * SQL (the Delta convention): size-based small-file clustering,
+  * optionally Z-order sorted. The WHERE predicate references the column
+  * `partition` and prunes which partitions are eligible (surgical
+  * maintenance: at 100 TB you OPTIMIZE yesterday's partitions, not the
+  * table) — evaluated driver-side over the live partition list, zero
+  * data IO. Returns the replacecommit instant, or a no-op note when no
+  * file group is eligible.
   */
-final case class GraftOptimizeCommand(name: String, zorder: Seq[String])
-    extends LeafRunnableCommand {
+final case class GraftOptimizeCommand(name: String, zorder: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "instant", org.apache.spark.sql.types.StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
+    import graft.table.Services.ClusterPlanStrategy
     val t = GraftSqlParser.tableOf(spark, name)
-    val inst = graft.table.Services.cluster(t, zorderColumns = zorder)
+    val strategy = where match {
+      case None => ClusterPlanStrategy.AllPartitions
+      case Some(pred) =>
+        import spark.implicits._
+        val live = t.view.partitions(None)
+        val kept = live.toDF("partition")
+          .filter(org.apache.spark.sql.functions.expr(pred))
+          .collect().map(_.getString(0)).toSeq
+        ClusterPlanStrategy.SelectedPartitions(kept)
+    }
+    val inst = graft.table.Services.cluster(t,
+      zorderColumns = zorder, strategy = strategy)
     Seq(Row(inst.getOrElse("no eligible file groups")))
   }
 }

@@ -37,7 +37,15 @@ import graft.read.GraftFileIndex
   */
 object StatsAnswerRule extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Session kill-switch: `SET spark.graft.statsAnswer.enabled=false`
+    * keeps every aggregate on the scan path (debugging aid / belt-and-
+    * braces escape hatch — the answers are exact-or-bail by design).
+    */
+  private def enabled: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(_.conf.get("spark.graft.statsAnswer.enabled", "true") == "true")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case agg @ Aggregate(grouping, exprs, child, _)
         if grouping.isEmpty && exprs.nonEmpty && exprs.forall(isCandidate) =>
       indexOf(child) match {

@@ -241,6 +241,35 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE WHERE prunes which partitions cluster") {
+    val dir = tmpDir("sql_optw").toString + "/t"
+    for (i <- 0 until 2)
+      (1 to 40).map(j => ((i * 100 + j).toLong, 1L, j * 1.0))
+        .toDF("id", "ver", "price")
+        .write.format("graft")
+        .option("recordKeyFields", "id").option("precombineField", "ver")
+        .option("partitionPathExpr", "concat('p=', pmod(id, 2))")
+        .option("operation", "bulk_insert")
+        .mode("append").save(dir)
+    spark.read.format("graft").option("includeMetaColumns", "false")
+      .load(dir).createOrReplaceTempView("optw_t")
+    val t = graft.table.GraftTable.load(spark, dir)
+    def groups(p: String) =
+      t.view.fileSlices(None).count(_.partitionPath == p)
+    val (b0, b1) = (groups("p=0"), groups("p=1"))
+    assert(b0 >= 2 && b1 >= 2)
+
+    val inst = spark.sql("OPTIMIZE optw_t WHERE partition = 'p=0'")
+      .first().getString(0)
+    assert(inst.forall(_.isDigit), s"expected an instant, got $inst")
+    val t2 = graft.table.GraftTable.load(spark, dir)
+    def groups2(p: String) =
+      t2.view.fileSlices(None).count(_.partitionPath == p)
+    assert(groups2("p=0") < b0, "selected partition did not pack")
+    assert(groups2("p=1") === b1, "unselected partition was rewritten")
+    assert(spark.sql("SELECT count(*) FROM optw_t").first().getLong(0) === 80L)
+  }
+
   test("OPTIMIZE / VACUUM / DESCRIBE HISTORY drive maintenance from SQL") {
     val dir = tmpDir("sql_maint").toString + "/t"
     // three small commits -> three small file groups per partition

@@ -121,6 +121,15 @@ class StatsAnswerSpec extends AnyFunSuite {
     // distinct / filtered aggregates keep the scan
     assert(hasScan(Readers.snapshot(t).agg(countDistinct($"fruit").as("n"))))
     assert(hasScan(Readers.snapshot(t).filter($"id" > 1).agg(min($"price").as("lo"))))
+
+    // the session kill-switch keeps everything on the scan path
+    spark.conf.set("spark.graft.statsAnswer.enabled", "false")
+    try {
+      val off = Readers.snapshot(t).agg(min($"price").as("lo"))
+      assert(hasScan(off))
+      assert(off.head.getDouble(0) === -50.0)
+      assert(hasScan(Readers.snapshot(t).select("fruit").distinct()))
+    } finally spark.conf.unset("spark.graft.statsAnswer.enabled")
   }
 
   test("SELECT DISTINCT col answers from the dictionary value index") {
