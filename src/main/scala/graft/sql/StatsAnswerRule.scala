@@ -148,7 +148,11 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
   }
 
   /** The scan's GraftFileIndex, if `p` is the bare scan (modulo
-    * attribute-only projections).
+    * attribute-only projections). SQL temp-view / catalog names wrap the
+    * v1 [[graft.spark.GraftRelation]] instead of the file-index scan —
+    * for a LATEST-snapshot relation over pure base files (no MOR deltas,
+    * no bootstrap-adopted externals) the same stats index is derivable
+    * from the live view, so `SELECT min(...) FROM view_name` answers too.
     */
   private def indexOf(p: LogicalPlan): Option[GraftFileIndex] = p match {
     case lr: LogicalRelation => lr.relation match {
@@ -156,6 +160,15 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
         case g: GraftFileIndex => Some(g)
         case _ => None
       }
+      case g: graft.spark.GraftRelation if g.latestSnapshot =>
+        val slices = g.table.view.fileSlices(None)
+        val pureBases = slices.forall(s =>
+          s.deltaFiles.isEmpty && s.baseFile.isDefined &&
+            !new org.apache.hadoop.fs.Path(s.baseFile.get.relPath).isAbsolute)
+        if (!pureBases) None
+        else Some(new GraftFileIndex(g.table.spark,
+          new org.apache.hadoop.fs.Path(g.table.basePath.toString),
+          slices.flatMap(_.baseFile)))
       case _ => None
     }
     case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>

@@ -16,7 +16,8 @@ object Smoke {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_smoke"
     // every derived table dir a section creates, so reruns start clean
-    Seq("", "_ds", "_bucket", "_cbucket", "_secidx", "_expridx", "_rttl")
+    Seq("", "_ds", "_bucket", "_cbucket", "_secidx", "_expridx", "_rttl",
+      "_mvsrc", "_mview", "_sqladmin")
       .foreach(sfx => graft.table.WritePipeline.deleteRecursively(
         new org.apache.hadoop.fs.Path(s"$out$sfx")))
 
@@ -288,6 +289,39 @@ object Smoke {
       val got = MV.read(v).agg(sum(col("cnt"))).first().getLong(0)
       val want = Readers.snapshot(mt).count()
       println(s"[smoke] materialized_view: auto-synced total_cnt=$got (expect $want)")
+    }
+
+    // SQL admin surfaces: CALL procedures, table_changes TVF, DESCRIBE
+    // DETAIL, and stats-answered aggregates over a fresh table
+    locally {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val st = GraftTable.create(spark, s"${out}_sqladmin", TableConfig(
+        "orders_sqladmin", TableType.CopyOnWrite, Seq("o_orderkey"),
+        "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+      val c1 = st.bulkInsert(src)
+      st.upsert(src.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      spark.read.format("graft").load(s"${out}_sqladmin")
+        .createOrReplaceTempView("smoke_admin")
+      val commits = spark.sql("CALL show_commits(table => 'smoke_admin')").count()
+      val detailPartitions = spark.sql("DESCRIBE DETAIL smoke_admin")
+        .first().getAs[Long]("num_partitions")
+      val wantParts = src.select(date_format(col("o_orderdate"), "yyyy"))
+        .distinct().count()
+      val changed = spark.sql(
+        s"SELECT count(*) FROM table_changes('smoke_admin', '$c1') " +
+          "WHERE _change_type = 'update_after'").first().getLong(0)
+      val wantChanged = src.filter(col("o_orderkey") % 6 === 0).count()
+      val statsQ = spark.sql(
+        "SELECT count(*) AS n, min(o_totalprice) AS lo FROM smoke_admin")
+      val statsAnswered = statsQ.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined
+      val n = statsQ.first().getLong(0)
+      println(s"[smoke] sql_admin: commits=$commits (expect 2) " +
+        s"detail_partitions=$detailPartitions (expect $wantParts) " +
+        s"cdc_updates=$changed (expect $wantChanged) " +
+        s"stats_answered=$statsAnswered count=$n (expect ${src.count()})")
     }
     spark.stop()
     println("[smoke] OK")
