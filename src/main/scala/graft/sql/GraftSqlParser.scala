@@ -53,8 +53,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftOptimizeCommand(name,
         Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
         Option(where).map(_.trim).filter(_.nonEmpty))
-    case VacuumRe(name, retain) =>
-      GraftVacuumCommand(name, Option(retain).map(_.toInt))
+    case VacuumRe(name, retain, dry) =>
+      GraftVacuumCommand(name, Option(retain).map(_.toInt), dry != null)
     case HistoryRe(name) => GraftHistoryCommand(name)
     case DetailRe(name) if isGraftName(session, name) =>
       GraftDescribeDetailCommand(name)
@@ -124,7 +124,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(?([\w\s,]+?)\)?)?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?(\s+DRY\s+RUN)?\s*""".r
   private val HistoryRe = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*""".r
   private val DetailRe = """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*""".r
   // graft names only — non-graft SHOW PARTITIONS keeps Spark's behavior
@@ -375,17 +375,25 @@ final case class GraftOptimizeCommand(name: String, zorder: Seq[String],
   }
 }
 
-/** `VACUUM name [RETAIN n COMMITS]` — the cleaner as SQL. */
-final case class GraftVacuumCommand(name: String, retain: Option[Int])
-    extends LeafRunnableCommand {
+/** `VACUUM name [RETAIN n COMMITS] [DRY RUN]` — the cleaner as SQL.
+  * DRY RUN lists the files a real VACUUM would delete right now (one
+  * `path` row each), deleting nothing — the Delta-convention safety
+  * check before reclaiming storage.
+  */
+final case class GraftVacuumCommand(name: String, retain: Option[Int],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
-      "instant", org.apache.spark.sql.types.StringType)())
+      if (dryRun) "path" else "instant", org.apache.spark.sql.types.StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
+    import graft.table.Services
     val t = GraftSqlParser.tableOf(spark, name)
-    val inst = retain.map(graft.table.Services.clean(t, _))
-      .getOrElse(graft.table.Services.clean(t))
-    Seq(Row(inst.getOrElse("nothing to clean")))
+    val policy = Services.CleanPolicy.KeepLatestCommits(
+      retain.getOrElse(graft.core.ConfigKeys.DefaultCleanerRetained))
+    if (dryRun)
+      Services.planClean(t, policy)._1.map(f => Row(f.relPath))
+    else
+      Seq(Row(Services.cleanWith(t, policy).getOrElse("nothing to clean")))
   }
 }
 

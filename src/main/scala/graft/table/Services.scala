@@ -472,16 +472,50 @@ object Services {
 
   /** Clean under any [[CleanPolicy]]. */
   def cleanWith(t: GraftTable, policy: CleanPolicy): Option[String] = graft.core.TableLock.withLock(t.basePath) {
+    val (deletable, horizonTs) = planClean(t, policy)
+    if (deletable.isEmpty) return None
+    val dataInstants = t.timeline.completedDataInstants()
+    val earliestRetained = horizonTs.getOrElse(
+      dataInstants.lastOption.map(_.ts).getOrElse(""))
+    val ts = InstantTime.newInstant(t.timeline)
+    val inst = t.timeline.createRequested(ts, Action.Clean)
+    t.timeline.transitionToInflight(inst)
+    // distributed deletion (reference cleans with parallelism 200 through
+    // its engine context — HoodieCompactionConfig cleaner.parallelism): a
+    // serial driver loop over a 100 TB table's obsolete files would make
+    // the clean wall-clock O(files). A cleaned base file's bloom sidecar
+    // (computed driver-side) is unreachable too.
+    val targets: Seq[String] = deletable.flatMap { f =>
+      Seq(f.relPath) ++
+        (if (f.isDelta) Nil
+         else Seq(Storage.relativize(t.basePath,
+           BloomIndex.sidecarPath(t.basePath, f.relPath))))
+    }
+    distributedDelete(t, targets)
+    val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
+    t.timeline.saveAsComplete(inst, Json.write(md))
+    Metrics.refreshIfOn(t)
+    Some(ts)
+  }
+
+  /** The planning half of [[cleanWith]] — the file entries a clean under
+    * `policy` would delete right now, plus the horizon instant. Pure
+    * read (no lock, no commit): powers `VACUUM ... DRY RUN`. Callers
+    * that go on to DELETE must plan under the table lock ([[cleanWith]]
+    * does) so a concurrent writer can't move the horizon mid-clean.
+    */
+  def planClean(t: GraftTable, policy: CleanPolicy)
+      : (Seq[graft.core.FileEntry], Option[String]) = {
     import CleanPolicy._
     val dataInstants = t.timeline.completedDataInstants()
     // instant-horizon policies reduce to the same reachability rule with
     // different horizons; the versions policy counts per group instead
     val horizonTs: Option[String] = policy match {
       case KeepLatestCommits(n) =>
-        if (dataInstants.size <= n) return None
+        if (dataInstants.size <= n) return (Seq.empty, None)
         Some(dataInstants(dataInstants.size - n).ts)
       case KeepLatestByHours(h, now) =>
-        if (dataInstants.isEmpty) return None
+        if (dataInstants.isEmpty) return (Seq.empty, None)
         Some(InstantTime.fromEpochMilli(now - h * 3600000L))
       case _: KeepLatestFileVersions => None
     }
@@ -538,29 +572,7 @@ object Services {
       // to delete
       .filterNot(f => new org.apache.hadoop.fs.Path(f.relPath).isAbsolute)
       .toSeq
-
-    if (deletable.isEmpty) return None
-    val earliestRetained = horizonTs.getOrElse(
-      dataInstants.lastOption.map(_.ts).getOrElse(""))
-    val ts = InstantTime.newInstant(t.timeline)
-    val inst = t.timeline.createRequested(ts, Action.Clean)
-    t.timeline.transitionToInflight(inst)
-    // distributed deletion (reference cleans with parallelism 200 through
-    // its engine context — HoodieCompactionConfig cleaner.parallelism): a
-    // serial driver loop over a 100 TB table's obsolete files would make
-    // the clean wall-clock O(files). A cleaned base file's bloom sidecar
-    // (computed driver-side) is unreachable too.
-    val targets: Seq[String] = deletable.flatMap { f =>
-      Seq(f.relPath) ++
-        (if (f.isDelta) Nil
-         else Seq(Storage.relativize(t.basePath,
-           BloomIndex.sidecarPath(t.basePath, f.relPath))))
-    }
-    distributedDelete(t, targets)
-    val md = CleanMetadata(earliestRetained, deletable.map(_.relPath))
-    t.timeline.saveAsComplete(inst, Json.write(md))
-    Metrics.refreshIfOn(t)
-    Some(ts)
+    (deletable, horizonTs)
   }
 
   /** Dedup as a TABLE SERVICE: apply a pipeline dedup strategy to the

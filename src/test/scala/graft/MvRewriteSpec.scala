@@ -68,9 +68,17 @@ class MvRewriteSpec extends AnyFunSuite {
 
   test("rollup: global aggregate re-aggregates the view's groups") {
     val (t, _, d) = mk("mvr_rollup")
-    val q = srcDf(t).agg(count(lit(1)).as("cnt"), min("v").as("lo"))
+    // sum() is not stats-answerable, so this shape exercises the VIEW
+    // rollup; a pure count/min global aggregate short-circuits to the
+    // column-stats index BEFORE the view rewrite (zero IO — checked below)
+    val q = srcDf(t).agg(count(lit(1)).as("cnt"), min("v").as("lo"),
+      sum("v").as("total"))
     assert(answeredFromView(q, d))
-    assert(q.collect().map(_.toSeq).toSeq === Seq(Seq(5L, 1.5)))
+    assert(q.collect().map(_.toSeq).toSeq === Seq(Seq(5L, 1.5, 25.0)))
+    val q2 = srcDf(t).agg(count(lit(1)).as("cnt"), min("v").as("lo"))
+    assert(!q2.queryExecution.executedPlan.toString.contains(s"$d/src"),
+      "count/min should answer from stats, never scan the source")
+    assert(q2.collect().map(_.toSeq).toSeq === Seq(Seq(5L, 1.5)))
   }
 
   test("filter on a group column remaps onto the view") {

@@ -293,9 +293,23 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(t2.view.fileSlices(None).size < groupsBefore, "clustering did not pack")
     assert(spark.sql("SELECT count(*) FROM maint_t").first().getLong(0) === 150L)
 
+    // DRY RUN lists the reclaimable files without deleting anything
+    val dry = spark.sql("VACUUM maint_t RETAIN 1 COMMITS DRY RUN").collect()
+    assert(dry.nonEmpty && dry.forall(_.getString(0).endsWith(".parquet")))
+    assert(spark.sql("SELECT count(*) FROM maint_t").first().getLong(0) === 150L)
+    assert(graft.table.GraftTable.load(spark, dir).timeline
+      .completedInstants().forall(_.action != graft.core.Action.Clean),
+      "DRY RUN must not commit a clean")
+
     // VACUUM retains 1 commit: the pre-clustering files become deletable
     val cleaned = spark.sql("VACUUM maint_t RETAIN 1 COMMITS").first().getString(0)
     assert(cleaned.forall(_.isDigit), s"expected a clean instant, got $cleaned")
+    // the real clean reclaimed exactly what the dry run listed
+    val cleanMd = graft.core.Json.read[graft.core.CleanMetadata](
+      graft.table.GraftTable.load(spark, dir).timeline.readContent(
+        graft.table.GraftTable.load(spark, dir).timeline.completedInstants()
+          .filter(_.action == graft.core.Action.Clean).last))
+    assert(cleanMd.deletedPaths.toSet === dry.map(_.getString(0)).toSet)
     assert(spark.sql("SELECT count(*) FROM maint_t").first().getLong(0) === 150L)
 
     // history: three bulk inserts + one replacecommit, newest first
