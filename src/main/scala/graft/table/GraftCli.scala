@@ -272,6 +272,17 @@ final class GraftCli(spark: SparkSession) {
       CliText(done.map(ts => s"Cleaned as $ts").getOrElse("Nothing to clean"))
     },
     "cleans show" -> { _ => CliFrame(TableAdmin.cleans(table)) },
+    // dry run: the files a `cleans run` would reclaim right now
+    "cleans plan" -> { o =>
+      val sp = table.spark
+      import sp.implicits._
+      val policy = Services.CleanPolicy.KeepLatestCommits(
+        o.get("retain").map(_.toInt)
+          .getOrElse(graft.core.ConfigKeys.DefaultCleanerRetained))
+      CliFrame(Services.planClean(table, policy)._1
+        .map(f => (f.partitionPath, f.relPath, f.sizeBytes, f.isDelta))
+        .toDF("partition", "path", "bytes", "is_delta"))
+    },
     "compactions show all" -> { _ =>
       import org.apache.spark.sql.functions.col
       CliFrame(TableAdmin.timeline(table).filter(col("action") === "compaction"))

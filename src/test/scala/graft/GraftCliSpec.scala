@@ -95,7 +95,9 @@ class GraftCliSpec extends AnyFunSuite {
     // restore back to the savepoint via the shell
     assert(cli.run(s"savepoint rollback --savepoint $firstTs").text.contains("Restored"))
     assert(Readers.snapshot(t).filter(col("v") === 2).count() === 0)
-    // cleans: nothing left to clean after restore
+    // cleans: the plan (dry run) lists what a run would reclaim, and
+    // nothing is left to clean after restore
+    assert(cli.run("cleans plan --retain 1").frame.columns.contains("path"))
     assert(cli.run("cleans run").text.nonEmpty)
     assert(cli.run("cleans show").frame.count() <= 1)
   }
