@@ -1000,6 +1000,18 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // SPATIAL_CURVE initial layout: content identical to any other bulk
+    // insert; the z-locality itself is pinned in ZOrderSpec (per-file
+    // range tightness on both curve columns from the first write)
+    "t_bulk_insert_zorder" -> ((s, d) => {
+      val t = fresh(s, d, "t_bulk_zorder", cfg(TableType.CopyOnWrite))
+      t.bulkInsert(orders(s, d), SortMode.SpatialCurve,
+        zorderColumns = Seq("o_custkey", "o_totalprice"))
+      t.upsert(orders(s, d).filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1))
+      data(Readers.snapshot(t))
+    }),
+
     // timestamp-based key generation: epoch-millis input partitioned as
     // yyyy/MM (reference TimestampBasedAvroKeyGenerator)
     "t_keygen_timestamp" -> ((s, d) => {
@@ -1477,6 +1489,10 @@ object TableOps {
          |CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 7.0 END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_bulk_insert_psort" -> ordersAll,
+    "t_bulk_insert_zorder" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     // semantic replay (min-id per fingerprint) — see PipelineQueries
     "t_dedup_service" -> PipelineQueries.exactDedupOracle,
     "t_quality_service" -> PipelineQueries.qualityFilterOracle(0.95),

@@ -115,8 +115,14 @@ final class GraftTable(
     * tasks — cheaper shuffle, still locally ordered), NONE (hash-partition
     * only — fastest load, no layout guarantees).
     */
-  def bulkInsert(df: DataFrame, sortMode: String = SortMode.GlobalSort): String = {
+  def bulkInsert(df: DataFrame, sortMode: String = SortMode.GlobalSort,
+      zorderColumns: Seq[String] = Seq.empty, hilbert: Boolean = false): String = {
     enforceConstraints(df, "bulk_insert")
+    require(sortMode != SortMode.SpatialCurve || zorderColumns.nonEmpty,
+      "SPATIAL_CURVE bulk_insert needs zorderColumns")
+    require(sortMode != SortMode.SpatialCurve || !BucketIndex.enabled(cfg),
+      "SPATIAL_CURVE is incompatible with BUCKET layouts (hash routing " +
+        "fixes the file grouping)")
     runCommit(commitAction, "bulk_insert") { instant =>
     val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
     val targetBytes = math.max(1L,
@@ -169,6 +175,16 @@ final class GraftTable(
       case SortMode.NoSort =>
         keyed.repartition(numFiles)
           .withColumn(FileIdCol, fileIdExpr)
+      // initial load already laid out on a space-filling curve: every
+      // zorder column gets tight per-file [min,max] ranges from day one,
+      // so multi-column filters skip files without a later OPTIMIZE
+      // ZORDER rewrite paying a second full-table pass
+      case SortMode.SpatialCurve =>
+        ZOrder.withCurveColumn(keyed, zorderColumns, hilbert)
+          .repartitionByRange(numFiles, col(MetaCols.PartitionPath), col(ZOrder.ZCol))
+          .withColumn(FileIdCol, fileIdExpr)
+          .sortWithinPartitions(col(MetaCols.PartitionPath), col(ZOrder.ZCol))
+          .drop(ZOrder.ZCol)
       case other => throw new IllegalArgumentException(s"unknown sort mode '$other'")
     }
     val stats = writeFiles(spark, basePath,
@@ -1948,6 +1964,8 @@ object SortMode {
   val GlobalSort = "GLOBAL_SORT"
   val PartitionSort = "PARTITION_SORT"
   val NoSort = "NONE"
+  // Z-order / Hilbert initial layout (pass zorderColumns to bulkInsert)
+  val SpatialCurve = "SPATIAL_CURVE"
 }
 
 object GraftTable {

@@ -46,6 +46,40 @@ class ZOrderSpec extends AnyFunSuite {
     assert(fPrice < 0.6, s"o_totalprice avg span fraction $fPrice")
   }
 
+  test("SPATIAL_CURVE bulk insert lays the initial load on the curve") {
+    val dir = tmpDir("zorder_bi")
+    val t = GraftTable.create(spark, dir.toString,
+      ordersCfg(Map(ConfigKeys.MaxFileSize -> (4L * 1024).toString)))
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+    t.bulkInsert(src, sortMode = graft.table.SortMode.SpatialCurve,
+      zorderColumns = Seq("o_custkey", "o_totalprice"))
+    assert(Readers.snapshot(t).count() === src.count())
+    val bases = t.view.fileSlices(None).flatMap(_.baseFile)
+    assert(bases.size > 3, s"want several z-files, got ${bases.size}")
+    def spanFraction(colName: String): Double = {
+      val los = bases.map(_.colMin(colName).toDouble)
+      val his = bases.map(_.colMax(colName).toDouble)
+      val glo = los.min; val ghi = his.max
+      val spans = bases.indices.map(i => (his(i) - los(i)) / math.max(1e-9, ghi - glo))
+      spans.sum / spans.size
+    }
+    // both curve dimensions tight from the FIRST write — no OPTIMIZE pass
+    // (a key-sorted or hash layout gives each file ~the full range ≈ 1.0;
+    // with N files a 2-D curve bounds each dimension near 1/sqrt(N))
+    assert(spanFraction("o_custkey") < 0.85)
+    assert(spanFraction("o_totalprice") < 0.85)
+    assert(spanFraction("o_custkey") * spanFraction("o_totalprice") < 0.5)
+    // upserts keep working on the curve-grouped files
+    t.upsert(src.limit(20).withColumn("o_totalprice", lit(1.0)))
+    assert(Readers.snapshot(t)
+      .filter(col("o_totalprice") === 1.0).count() === 20)
+    // missing columns / bucket layouts refuse
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("zorder_bi2").toString + "/t", ordersCfg())
+        .bulkInsert(src, sortMode = graft.table.SortMode.SpatialCurve)
+    }
+  }
+
   test("hilbert index: exact space-filling walk (adjacency + bijection)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def idx(coords: Seq[Long], bits: Int): Long =
