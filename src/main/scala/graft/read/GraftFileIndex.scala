@@ -353,13 +353,17 @@ final class GraftFileIndex(
       case DateType => // days since epoch
         Some(BigDecimal(lit.asInstanceOf[Int]))
       case StringType =>
+        // footer min/max are ordered by unsigned UTF-8 bytes; compare the
+        // literal in the same collation or supplementary-plane values
+        // mis-prune (see graft.core.Utf8Order)
         val v = lit.toString
+        import graft.core.Utf8Order
         return op match {
-          case "=" => loS <= v && v <= hiS
-          case ">" => hiS > v
-          case ">=" => hiS >= v
-          case "<" => loS < v
-          case "<=" => loS <= v
+          case "=" => Utf8Order.lteq(loS, v) && Utf8Order.lteq(v, hiS)
+          case ">" => Utf8Order.gt(hiS, v)
+          case ">=" => Utf8Order.gteq(hiS, v)
+          case "<" => Utf8Order.lt(loS, v)
+          case "<=" => Utf8Order.lteq(loS, v)
           case _ => true
         }
       case _ => return true

@@ -199,7 +199,8 @@ object BloomIndex {
         val cands = if (isGlobal) all else byPart.getOrElse(p, Seq.empty)
         cands.iterator
           .filter { case (_, mn, mx, _) =>
-            mn.isEmpty || mx.isEmpty || (mn <= k && k <= mx)
+            mn.isEmpty || mx.isEmpty ||
+              (graft.core.Utf8Order.lteq(mn, k) && graft.core.Utf8Order.lteq(k, mx))
           }
           .map { case (_, _, _, rel) => (rel, k) }
       }

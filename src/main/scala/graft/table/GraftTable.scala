@@ -1161,7 +1161,10 @@ final class GraftTable(
       .filter(s => affectedPartitions.forall(_.contains(s.partitionPath)))
     val ranged = slices.flatMap(_.baseFile)
       .filter(b => incomingKeyRange.forall { case (lo, hi) =>
-        b.minKey.isEmpty || b.maxKey.isEmpty || (b.minKey <= hi && b.maxKey >= lo)
+        // UTF-8 byte order, matching both the footer-derived file range and
+        // Spark's min/max over the incoming keys (graft.core.Utf8Order)
+        b.minKey.isEmpty || b.maxKey.isEmpty ||
+          graft.core.Utf8Order.rangesOverlap(b.minKey, b.maxKey, lo, hi)
       })
     // BLOOM index: probe incoming keys against per-file bloom sidecars to
     // drop range-overlapping files that contain none of the batch's keys

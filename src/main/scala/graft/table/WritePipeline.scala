@@ -386,7 +386,11 @@ object WritePipeline {
     * toString round-trips (binary-UTF8 -> String, numerics as-is).
     */
   private def statValue(v: AnyRef): Option[AnyRef] = v match {
-    case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+    // wrap in Utf8Order.Str so the cross-row-group min/max fold compares
+    // UTF-8 bytes (the footer's own order), not UTF-16 code units —
+    // toString unwraps to the raw string for the persisted stat maps
+    case b: org.apache.parquet.io.api.Binary =>
+      Some(graft.core.Utf8Order.Str(b.toStringUsingUTF8))
     case l: java.lang.Long => Some(l)
     case i: java.lang.Integer => Some(i)
     case d: java.lang.Double => Some(d)
