@@ -240,12 +240,16 @@ final case class GraftRelation(sqlContext: SQLContext, schema: StructType,
     * `spark.sql.defaultSizeInBytes` (≈ Long.MaxValue): without this a
     * small graft dim in a SQL join is never auto-broadcast and every
     * star join over catalog/temp-view names degrades to a sort-merge
-    * shuffle of the fact. Non-snapshot shapes (time travel, incremental,
-    * CDC) read at most the live set or a window of it, so the live sum
-    * is a safe upper bound for them too — overestimating size can only
-    * suppress a broadcast, never produce a wrong plan.
+    * shuffle of the fact. Live bytes are only an upper bound for the
+    * LATEST snapshot: after deletes / insert-overwrites / restores shrink
+    * the live set, an as-of or change-window scan reads not-yet-cleaned
+    * OLD file versions that can far exceed it, and auto-broadcasting a
+    * large historical scan would OOM the driver — so non-snapshot shapes
+    * keep the conservative default (suppressing broadcast is always safe).
     */
   override def sizeInBytes: Long = {
+    if (!latestSnapshot)
+      return sqlContext.sparkSession.sessionState.conf.defaultSizeInBytes
     val slices = table.view.fileSlices(None)
     val total = slices.flatMap(_.baseFile).map(_.sizeBytes).sum +
       slices.map(_.totalDeltaBytes).sum

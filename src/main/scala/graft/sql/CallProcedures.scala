@@ -62,10 +62,23 @@ object CallProcedures {
     if (cur.nonEmpty) parts += cur.toString
     require(!inQuote, s"unterminated string literal in CALL arguments: $raw")
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
-      val (name, v) = p.split("=>", 2) match {
-        case Array(n, value) => (Some(n.trim.toLowerCase), value.trim)
-        case Array(value) => (None, value.trim)
+      // '=>' separates name from value only OUTSIDE quotes — a quoted
+      // positional literal containing '=>' (a path, JSON) stays one value
+      val arrow = {
+        var inQ = false; var at = -1; var j = 0
+        while (at < 0 && j < p.length - 1) {
+          val c = p.charAt(j)
+          if (c == '\'') inQ = !inQ
+          else if (!inQ && c == '=' && p.charAt(j + 1) == '>') at = j
+          j += 1
+        }
+        at
       }
+      val (name, v) =
+        if (arrow >= 0)
+          (Some(p.substring(0, arrow).trim.toLowerCase),
+            p.substring(arrow + 2).trim)
+        else (None, p.trim)
       val unq =
         if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
           v.substring(1, v.length - 1).replace("''", "'")

@@ -92,18 +92,24 @@ final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           throw new IllegalArgumentException(s"unsupported merge action: $other")
       }
       // WITH SCHEMA EVOLUTION: Spark's analyzer has already star-expanded
-      // the actions over the (pre-evolution) target columns, so re-attach
-      // the source-only columns as `c -> s.c` assignments on every
-      // update/insert action; the builder widens the table schema
+      // star actions over the (pre-evolution) target columns, so re-attach
+      // the source-only columns as `c -> s.c` assignments — but ONLY to
+      // actions that were stars (their assignment set covers every
+      // pre-evolution target data column). Explicit partial clauses
+      // (UPDATE SET price = s.price) must not silently gain new-column
+      // writes: Spark/Delta evolution populates new columns via star or
+      // explicit reference only. The builder widens the table schema.
       val finalClauses =
         if (!evolve) clauses
         else {
           val tgtNames = target.output.map(_.name).toSet
+          val tgtData = tgtNames.filterNot(MetaCols.All.contains)
           val extra = source.output.map(_.name)
             .filterNot(n => tgtNames.contains(n) || MetaCols.All.contains(n))
           clauses.map {
             case c @ MergeClauseSpec(k, _, assigns)
-                if (k == "update" || k == "insert") && assigns.nonEmpty =>
+                if (k == "update" || k == "insert") && assigns.nonEmpty &&
+                  tgtData.forall(assigns.contains) =>
               c.copy(assignments = assigns ++
                 extra.filterNot(assigns.contains).map(n => n -> s"s.`$n`"))
             case c => c

@@ -370,6 +370,10 @@ object MaterializedView {
             else lit(null).cast(f.dataType).as(f.name)): _*))
       }
     }
+    // one finally spans the whole fold + upsert: a failure anywhere after
+    // the delta path persists its state (min/max re-aggregation, dims
+    // join, analysis of the tombstone column) must still release the cache
+    try {
     val state = ckpt match {
       case None => rebuild()
       case Some(_) if dimsChanged => rebuild()
@@ -489,11 +493,11 @@ object MaterializedView {
     }
     // vanished groups tombstone through the same commit
     val upsertable = state.withColumn(MetaCols.DeleteFlag, col(RowsCol) <= 0L)
-    try Some(view.upsert(upsertable, extraMetadata =
+    Some(view.upsert(upsertable, extraMetadata =
       Map(CheckpointKey -> head, RewindSeenKey -> rewindNow) ++
         (if (dimsOf(view).isEmpty) Map.empty
          else Map(DimHeadsKey -> dimHeadsNow))))
-    finally toRelease.foreach(_.unpersist())
+    } finally toRelease.foreach(_.unpersist())
   } // TableLock.withLock(view.basePath)
 
   /** Registry of views auto-synced after every data commit on `source`:

@@ -119,6 +119,22 @@ class DataSourceSpec extends AnyFunSuite {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"small graft dim did not auto-broadcast:\n$plan")
+
+    // non-latest shapes must NOT report live bytes: an as-of or change
+    // window can read not-yet-cleaned old versions far bigger than the
+    // live set, and auto-broadcasting such a scan would OOM
+    val firstTs = graft.table.GraftTable.load(spark, dir)
+      .timeline.completedDataInstants().head.ts
+    for (histOpts <- Seq(
+        Map("asOfInstant" -> firstTs),
+        Map("queryType" -> "incremental", "beginInstant" -> "0"))) {
+      val hist = histOpts.foldLeft(spark.read.format("graft"))(
+        (r, kv) => r.option(kv._1, kv._2)).load(dir)
+      val hSize = hist.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(hSize >= BigInt(10L * 1024 * 1024),
+        s"historical read ($histOpts) reports live-ish size $hSize — " +
+          "could auto-broadcast a large historical scan")
+    }
   }
 
   test("writeStream.format(graft) upserts micro-batches") {

@@ -184,4 +184,16 @@ class SqlCallProcedureSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("unknown procedure"),
       s"unknown CALL must fall through to Spark, got: ${e.getMessage}")
   }
+
+  test("parseArgs: '=>' inside a quoted literal is not a name separator") {
+    import graft.sql.CallProcedures.{parseArgs, Arg}
+    assert(parseArgs("'t', '/tmp/a=>b'") ===
+      Seq(Arg(None, "t"), Arg(None, "/tmp/a=>b")))
+    assert(parseArgs("table => 't', path => '{\"k\" => 1}'") ===
+      Seq(Arg(Some("table"), "t"), Arg(Some("path"), "{\"k\" => 1}")))
+    // commas inside quotes still don't split; doubled '' unescapes
+    assert(parseArgs("'a,b=>c', limit => 3") ===
+      Seq(Arg(None, "a,b=>c"), Arg(Some("limit"), "3")))
+    assert(parseArgs("'it''s'") === Seq(Arg(None, "it's")))
+  }
 }

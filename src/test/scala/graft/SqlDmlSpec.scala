@@ -89,6 +89,25 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(ro === Array((1L, null), (2L, "mB"), (5L, "mN")))
   }
 
+  test("SCHEMA EVOLUTION leaves explicit partial clauses untouched") {
+    val dir = makeView("tevp")
+    Seq((2L, 2L, 50.0, "s2", "noteB"), (9L, 1L, 90.0, "new", "noteN"))
+      .toDF("id", "ver", "price", "tag", "note").createOrReplaceTempView("src_evp")
+    // the UPDATE lists price only: the new column must NOT be silently
+    // written on matched rows (Spark/Delta populate new columns via star
+    // or explicit reference only); INSERT * does populate it for new rows
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO tevp t USING src_evp s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET price = s.price
+      WHEN NOT MATCHED THEN INSERT *""")
+    reread(dir, "tevp")
+    val got = spark.sql("SELECT id, price, note FROM tevp ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got === Array((1L, 10.0, null), (2L, 50.0, null),
+      (3L, 30.0, null), (9L, 90.0, "noteN")))
+  }
+
   test("SQL MERGE INTO with update, delete and insert clauses") {
     val dir = makeView("tm")
     Seq((2L, 2L, 99.0, "s2"), (3L, 2L, 0.0, "DEL"), (9L, 1L, 90.0, "new"))
