@@ -86,35 +86,45 @@ object Bench {
       graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(warmDir))
     }
 
-    // Timed pass: median of N iterations per query. A single-iteration
-    // bench cannot distinguish JVM/FS noise from regression; a failed
-    // query must surface as a failure, never as a (fast) timing.
-    // 5 iterations: the write-heavy queries showed ~1.8x cross-RUN swings
-    // on identical code at 3 (page cache + JIT state); a median of 5
-    // spends ~30 extra seconds to make cross-round ratios meaningful
+    // Timed pass: median of N iterations per query, iterations interleaved
+    // ROUND-ROBIN across queries (iter 1 of every query, then iter 2, ...)
+    // instead of N consecutive runs per query — consecutive runs all sample
+    // the same transient page-cache/GC/JIT state, which is how r11's
+    // committed artifact recorded 3.6x phantom swings on identical code.
+    // Per-query {min, median, max} is reported alongside the medians, and
+    // the artifact self-flags `"noisy": true` when any query's max/min
+    // spread exceeds NoisySpread so an untrustworthy run is visibly so.
+    // A failed query must surface as a failure, never as a (fast) timing.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    var failed = List.empty[String]
-    val results = headline.flatMap { name =>
-      val times =
-        try {
-          (1 to iters).map { _ =>
-            val t0 = System.nanoTime()
-            fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            failed ::= name
-            Seq.empty[Double]
-        }
-      if (times.isEmpty) None else Some(name -> times(times.length / 2))
+    val NoisySpread = 2.0
+    val times = scala.collection.mutable.LinkedHashMap(
+      headline.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (i <- 1 to iters; name <- headline if !failed.contains(name)) {
+      try {
+        val t0 = System.nanoTime()
+        fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        times(name) += (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name (iter $i): ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = headline.filterNot(failed.contains).flatMap { name =>
+      val ts = times(name).sorted.toIndexedSeq
+      if (ts.isEmpty) None
+      else Some((name, ts(ts.length / 2), ts.head, ts.last))
+    }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
+    val stats = results.map { case (k, med, mn, mx) =>
+      "\"" + k + "\":" + f"""{"min":$mn%.3f,"med":$med%.3f,"max":$mx%.3f}"""
+    }.mkString("{", ",", "}")
+    val noisy = results.exists { case (_, _, mn, mx) => mn > 0 && mx / mn > NoisySpread }
     val total = results.map(_._2).sum
-    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"noisy":$noisy,"queries":$qs,"stats":$stats,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
