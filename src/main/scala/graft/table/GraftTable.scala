@@ -1712,12 +1712,14 @@ final class GraftTable(
         extraMetadata + (GraftTable.DurationMsKey -> durMs.toString))
       timeline.saveAsComplete(inst, Json.write(md))
       published = true
+      // the markers' crash-reconciliation duty ends at publish
+      WritePipeline.finalizeInstant(basePath, ts)
       postCommit()
       (ts, stats, opType)
     } catch {
       case e: Throwable =>
         if (!published) {
-          WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
+          WritePipeline.cleanupFailedWrite(basePath, ts)
           timeline.deleteInstantFiles(ts, action)
         }
         throw e
@@ -1850,6 +1852,7 @@ final class GraftTable(
           Json.write(CommitMetadata(opType, stats, replaced, schemaJson,
             extraMetadata + (GraftTable.DurationMsKey -> durMs.toString))))
         published = true
+        WritePipeline.finalizeInstant(basePath, ts)
         postCommit()
       }
       RecordIndex.maybeSync(this)
@@ -1862,7 +1865,7 @@ final class GraftTable(
         // only roll back what never published — a post-publish failure
         // (inline service, user callback) must not destroy a durable commit
         if (!published) {
-          WritePipeline.deleteRecursively(WritePipeline.stagingDir(basePath, ts))
+          WritePipeline.cleanupFailedWrite(basePath, ts)
           written.foreach { ws =>
             val p = basePath.resolve(ws.path)
             if (p.startsWith(basePath)) Storage.deleteIfExists(p)

@@ -109,11 +109,12 @@ object Services {
       val md = CommitMetadata("compact", stats, Map.empty,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))
+      WritePipeline.finalizeInstant(t.basePath, ts)
       Metrics.refreshIfOn(t)
       ts
     } catch {
       case e: Throwable =>
-        WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
+        WritePipeline.cleanupFailedWrite(t.basePath, ts)
         // leave the requested instant for retry; remove only inflight
         Storage.deleteIfExists(t.timeline.dir.resolve(s"$ts.${Action.Compaction}.${State.Inflight}"))
         throw e
@@ -311,11 +312,12 @@ object Services {
       val md = CommitMetadata("cluster", stats, replaced,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))
+      WritePipeline.finalizeInstant(t.basePath, ts)
       Metrics.refreshIfOn(t)
       Some(ts)
     } catch {
       case e: Throwable =>
-        WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
+        WritePipeline.cleanupFailedWrite(t.basePath, ts)
         t.timeline.deleteInstantFiles(ts, Action.ReplaceCommit)
         throw e
     }
@@ -661,7 +663,10 @@ object Services {
           TableConfig.save(t.basePath, cur.copy(partitionPathExpr = older))
       }
     }
-    WritePipeline.deleteRecursively(WritePipeline.stagingDir(t.basePath, ts))
+    // a PENDING target may still have direct-written files at final names
+    // (a completed one already listed its files in writeStats above) —
+    // the markers name them without a layout walk
+    WritePipeline.cleanupFailedWrite(t.basePath, ts)
     t.timeline.deleteInstantFiles(ts, action)
     val rts = InstantTime.newInstant(t.timeline)
     val inst = t.timeline.createRequested(rts, Action.Rollback)
@@ -778,18 +783,27 @@ object Services {
       }
     }
 
-  /** Listing-based discovery of a dead writer's already-published data
-    * files: every data file in the table layout stamped with the pending
-    * instant (file names embed their instant — fileId_token_instant.ext).
-    * Only used on the failure path; normal operation never walks.
+  /** Discovery of a dead writer's already-materialized data files. The
+    * cheap path reads the instant's write MARKERS (one listing of
+    * `.graft/.temp/<ts>/markers` — every direct-mode file creation was
+    * preceded by one, so the set is complete); the layout walk remains as
+    * the backstop for writers that ran the staged-rename fallback, whose
+    * mid-publish crash leaves final-named files with no markers. Only
+    * used on the failure path; normal operation never walks.
     */
   private def orphanDataFiles(t: GraftTable, ts: String): Seq[org.apache.hadoop.fs.Path] = {
-    val marker = "_" + ts + "."
+    val baseUri = Storage.qualified(t.basePath).toString.stripSuffix("/")
+    val marked = graft.spark.GraftCommitProtocol
+      .markedRelPaths(Storage.conf, baseUri, ts)
+    if (marked.nonEmpty)
+      return marked.map(rel => t.basePath.resolve(rel))
+        .filter(_.startsWith(t.basePath))
+    val suffix = "_" + ts + "."
     Storage.walk(t.basePath)
       .filter(_.isFile)
       .map(_.getPath)
       .filterNot(_.startsWith(t.basePath.resolve(".graft")))
-      .filter(_.getName.contains(marker))
+      .filter(_.getName.contains(suffix))
   }
 
   /** Epoch millis of an instant timestamp (yyyyMMddHHmmssSSS; counter-

@@ -12,12 +12,22 @@ import graft.core.Storage.PathOps
 
 /** Low-level write machinery shared by all write operations.
   *
-  * Files are produced by a single distributed Spark write into a staging
-  * directory partitioned by (partitionPath, fileId), then published by a
-  * driver-side rename into the table layout
-  * `<base>/<partition>/<fileId>_<token>_<instant>[.delta].parquet`.
-  * The rename is the same O(#files) driver finalization the reference
-  * performs at commit (marker reconciliation); data bytes never move twice.
+  * Files are produced by a single distributed Spark write routed through
+  * [[graft.spark.GraftCommitProtocol]]: each task opens its output file at
+  * its FINAL table name
+  * `<base>/<partition>/<fileId>_<token>_<instant>[.delta].parquet`,
+  * dropping a marker under `.graft/.temp/<instant>/markers/` first (the
+  * reference's direct-write-markers shape — DirectWriteMarkers.java /
+  * HoodieCreateHandle open final paths the same way). Publish therefore
+  * moves ZERO bytes and performs O(1) driver FS calls per commit (one
+  * marker listing) — on object stores the staged-rename alternative costs
+  * a full object copy per file plus a driver round-trip per file. Per-file
+  * stats come from the footers: read on the driver (bounded pool) for
+  * small commits, as a distributed job past
+  * [[WritePipeline.DriverStatsMaxFiles]] files so a 10k-file commit never
+  * serializes footer reads through the driver. A staged-write + rename
+  * fallback remains for sessions whose commitProtocolClass the user
+  * pinned to something else.
   *
   * The fileId a row belongs to is computed as a COLUMN before the write
   * (`_graft_file_id`), which replaces the reference's custom Spark
@@ -25,8 +35,9 @@ import graft.core.Storage.PathOps
   * a declarative `repartition($"partition", $"fileId")` — one shuffle,
   * fully codegen'd, AQE-compatible.
   */
-object WritePipeline {
-  // staging partition column names (dropped from file contents by partitionBy)
+object WritePipeline extends Serializable {
+  // staging partition column names (dropped from file contents by
+  // partitionBy) — GraftCommitProtocol parses the staged dir names by them
   private val GP = "_graft_part_dir"
   private val GF = "_graft_file_dir"
 
@@ -93,6 +104,9 @@ object WritePipeline {
     // format is independent of the base format)
     val format = if (isDelta) "parquet" else baseFormat
     val staging = stagingDir(basePath, instant)
+    val dataStaging = staging.resolve(
+      if (isDelta) graft.spark.GraftCommitProtocol.DirDelta
+      else graft.spark.GraftCommitProtocol.DirBase)
     Storage.mkdirs(staging)
 
     val keyed = df
@@ -107,36 +121,138 @@ object WritePipeline {
         else rep
       }
 
+    val direct = ensureCommitProtocol(spark)
     routed
       .drop(FileIdCol)
       .write.mode("overwrite")
+      // pin static overwrite: dynamic mode changes the commit protocol's
+      // job-level contract, and the staging dir is always fresh anyway
+      .option("partitionOverwriteMode", "static")
       .partitionBy(GP, GF)
       .format(format)
-      .save(staging.toString)
+      .save(dataStaging.toString)
 
+    graft.spark.GraftCommitProtocol
+      .takeResult(Storage.qualified(dataStaging).toString) match {
+      case Some(files) =>
+        // direct mode: data files already sit at final names; the staging
+        // dir holds only the committer's litter (_SUCCESS/_temporary) plus
+        // the markers, which must OUTLIVE this call — they are the crash/
+        // abort record until the instant publishes (finalizeInstant) or
+        // the commit fails (cleanupFailedWrite)
+        deleteRecursively(dataStaging)
+        if (files.isEmpty) Seq.empty
+        else statsOfFinalFiles(spark, basePath, files, instant, isDelta,
+          format, allDeletes)
+      case None =>
+        stagedRenamePublish(basePath, dataStaging, staging, instant, isDelta,
+          format, allDeletes)
+    }
+  }
+
+  /** Footer-derived per-file stats come from the parquet FOOTERS: row
+    * counts and min/max are already there, so publishing needs zero data
+    * IO beyond footer bytes (at 100 TB a stats re-scan would double the
+    * write's read volume). Small commits read them on a bounded driver
+    * pool (object stores serve ≤[[DriverStatsMaxFiles]] parallel GETs
+    * faster than a job launch); past that the reads run as ONE distributed
+    * job so a many-thousand-file commit's stats cost is executor-side and
+    * parallel (the reference collects WriteStatus on the executors inside
+    * the write itself — SparkRDDWriteClient.java:149-159). numDeletes is
+    * informational commit metadata; exact for pure-delete batches via
+    * `allDeletes`, 0 for mixed delta batches rather than paying a scan.
+    */
+  private def statsOfFinalFiles(
+      spark: SparkSession,
+      basePath: Path,
+      files: Seq[graft.spark.GraftCommitProtocol.AddedFile],
+      instant: String,
+      isDelta: Boolean,
+      format: String,
+      allDeletes: Boolean): Seq[WriteStat] = {
+    val baseUri = Storage.qualified(basePath).toString.stripSuffix("/")
+    def statOf(conf: org.apache.hadoop.conf.Configuration)(
+        f: graft.spark.GraftCommitProtocol.AddedFile): WriteStat = {
+      val dest = new Path(s"$baseUri/${f.relPath}")
+      val fs = if (format == "orc") orcFooterStats(dest, conf)
+               else footerStats(dest, conf)
+      WriteStat(f.fileId, f.relPath, f.partition, fs.rows,
+        if (allDeletes) fs.rows else 0L,
+        dest.getFileSystem(conf).getFileStatus(dest).getLen,
+        fs.minKey, fs.maxKey, isDelta,
+        colMin = fs.colMin, colMax = fs.colMax, colNulls = fs.colNulls,
+        colValues = fs.colValues)
+    }
+    if (files.size <= DriverStatsMaxFiles) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, files.size)))
+      try {
+        val futures = files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[WriteStat] {
+            override def call(): WriteStat = statOf(Storage.conf)(f)
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
+    } else {
+      val hProps = Services.shippedHadoopProps(spark)
+      spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 200)))
+        .mapPartitions { it =>
+          val conf = Services.executorHadoopConf(hProps)
+          it.map(statOf(conf))
+        }
+        .collect().toSeq
+    }
+  }
+
+  /** Commits at or under this file count read footers on the driver pool;
+    * above it a distributed stats job keeps the driver out of the per-file
+    * IO path. Tunable per session (`spark.graft.write.stats.driver.max.files`).
+    */
+  private def DriverStatsMaxFiles: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.write.stats.driver.max.files"))
+      .map(_.toInt).getOrElse(16)
+
+  /** Install [[graft.spark.GraftCommitProtocol]] as the session's commit
+    * protocol (idempotent; passthrough for non-graft writes, so it can
+    * stay installed). Respects a user-pinned custom protocol — the write
+    * then falls back to the staged-rename publish.
+    */
+  private def ensureCommitProtocol(spark: SparkSession): Boolean = {
+    val key = "spark.sql.sources.commitProtocolClass"
+    val mine = classOf[graft.spark.GraftCommitProtocol].getName
+    val default = "org.apache.spark.sql.execution.datasources.SQLHadoopMapReduceCommitProtocol"
+    spark.conf.getOption(key) match {
+      case Some(`mine`) => true
+      case None | Some(`default`) => spark.conf.set(key, mine); true
+      case Some(_) => false // user pinned a custom protocol: staged fallback
+    }
+  }
+
+  /** Staged-write publish (fallback when a user-pinned commit protocol
+    * keeps the direct path off): per-file rename + driver footer read.
+    * Correct everywhere, but renames cost a full object copy on s3-style
+    * stores — the direct path is the scale path.
+    */
+  private def stagedRenamePublish(basePath: Path, dataStaging: Path,
+      staging: Path, instant: String, isDelta: Boolean, format: String,
+      allDeletes: Boolean): Seq[WriteStat] = {
     // Empty input ⇒ no staged files ⇒ nothing to publish.
-    val anyStaged = listDirs(staging).exists(_.getName.startsWith(s"$GP="))
-    if (!anyStaged) { deleteRecursively(staging); return Seq.empty }
-
-    // Per-file stats come from the parquet FOOTERS: row counts and the
-    // record-key column's min/max are already there, so publishing needs
-    // zero data IO beyond footer bytes (at 100 TB a stats re-scan would
-    // double the write's read volume). numDeletes is informational commit
-    // metadata (mirroring the reference's write stats); it's exact for
-    // pure-delete batches via `allDeletes` and recorded as 0 for mixed
-    // delta batches rather than paying a scan.
+    val anyStaged = listDirs(dataStaging).exists(_.getName.startsWith(s"$GP="))
+    if (!anyStaged) { deleteRecursively(dataStaging); return Seq.empty }
 
     // Map decoded partition value -> staged partition dir, by walking what
     // Spark actually wrote (avoids re-implementing the escape function).
-    val partDirs: Map[String, Path] = listDirs(staging)
+    val partDirs: Map[String, Path] = listDirs(dataStaging)
       .filter(_.getName.startsWith(s"$GP="))
       .map(d => decodePartition(d.getName.stripPrefix(s"$GP=")) -> d)
       .toMap
 
     // Publish is parallelized across a bounded pool: each file costs a
     // rename plus a parquet-footer read, and doing them serially would make
-    // driver finalization O(#files) wall-clock (the reference parallelizes
-    // the analogous marker reconciliation through its engine context).
+    // driver finalization O(#files) wall-clock.
     val work: Seq[(String, String, Path, Int)] = partDirs.toSeq.flatMap {
       case (partition, pdir) =>
         val partDir = if (partition.isEmpty) basePath else basePath.resolve(partition)
@@ -171,8 +287,26 @@ object WritePipeline {
         }
         futures.map(_.get())
       } finally pool.shutdown()
-    deleteRecursively(staging)
+    deleteRecursively(dataStaging)
     out
+  }
+
+  /** Success-side staging cleanup, called AFTER the instant publishes:
+    * the markers' crash-reconciliation duty ends when the commit is
+    * durable. One recursive delete of `.graft/.temp/<instant>`.
+    */
+  def finalizeInstant(basePath: Path, instant: String): Unit =
+    deleteRecursively(stagingDir(basePath, instant))
+
+  /** Failure-side cleanup for a commit that never published: deletes the
+    * marker-listed final-named data files this instant's write jobs
+    * created (direct mode), then the staging dir (covers the staged
+    * fallback's leftovers too).
+    */
+  def cleanupFailedWrite(basePath: Path, instant: String): Unit = {
+    graft.spark.GraftCommitProtocol.deleteMarkedFiles(
+      Storage.conf, Storage.qualified(basePath).toString.stripSuffix("/"), instant)
+    deleteRecursively(stagingDir(basePath, instant))
   }
 
   /** Footer row count only (bootstrap adoption of files that don't carry
@@ -201,8 +335,9 @@ object WritePipeline {
     * (every comparable top-level primitive, meta columns excluded) power
     * data skipping on arbitrary predicates in GraftFileIndex.
     */
-  private def footerStats(file: Path): FooterStats = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, Storage.conf)
+  private def footerStats(file: Path,
+      conf: org.apache.hadoop.conf.Configuration = Storage.conf): FooterStats = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       var n = 0L
@@ -340,9 +475,10 @@ object WritePipeline {
   /** ORC twin of [[footerStats]]: row count + per-column min/max from the
     * ORC file tail — same zero-data-IO contract as the parquet path.
     */
-  private def orcFooterStats(file: Path): FooterStats = {
+  private def orcFooterStats(file: Path,
+      conf: org.apache.hadoop.conf.Configuration = Storage.conf): FooterStats = {
     val reader = org.apache.orc.OrcFile.createReader(file,
-      org.apache.orc.OrcFile.readerOptions(Storage.conf))
+      org.apache.orc.OrcFile.readerOptions(conf))
     try {
       val schema = reader.getSchema // struct<...> of top-level columns
       val names = schema.getFieldNames.asScala.toSeq

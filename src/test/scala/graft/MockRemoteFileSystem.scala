@@ -14,4 +14,21 @@ import org.apache.hadoop.fs.RawLocalFileSystem
 class MockRemoteFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "graftmock"
   override def getUri: URI = URI.create("graftmock:///")
+
+  // record every rename source path: on a real object store each rename is
+  // a full COPY + delete, so specs assert the data path never renames
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    MockRemoteFileSystem.renamed.add(src.toUri.getPath)
+    super.rename(src, dst)
+  }
+}
+
+object MockRemoteFileSystem {
+  val renamed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def resetRenames(): Unit = renamed.clear()
+  def renames: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    renamed.asScala.toSet
+  }
 }
