@@ -49,7 +49,12 @@ final case class WriteStat(
     // page of every row group is dictionary-encoded and the dictionary is
     // small) — equality/IN pruning where min/max is useless because the
     // range spans every file (e.g. a categorical status column)
-    colValues: Map[String, Seq[String]] = Map.empty)
+    colValues: Map[String, Seq[String]] = Map.empty,
+    // columns whose dictionary collection cost IO in this file and failed
+    // for a STICKY reason (high cardinality / plain-page fallback); the
+    // commit carries them into `graft.stats.dictionary.poisoned` so later
+    // commits skip the dictionary read entirely
+    colDictPoisoned: Seq[String] = Seq.empty)
 
 /** Commit metadata JSON stored as the content of a completed instant file.
   * Mirrors the reference's HoodieCommitMetadata / HoodieReplaceCommitMetadata:

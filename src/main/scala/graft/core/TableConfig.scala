@@ -65,6 +65,10 @@ object ConfigKeys {
   val ClusterZOrderColumns = "graft.cluster.zorder.columns" // comma-separated
   val ClusterCurve = "graft.cluster.curve"                  // morton | hilbert
   val BaseFormat = "graft.base.format"                      // parquet | orc
+  val DictionaryStats = "graft.stats.dictionary"            // default true
+  // columns proven dictionary-ineligible by a past commit (high
+  // cardinality / plain-page fallback): later commits skip their pages
+  val DictionaryPoisoned = "graft.stats.dictionary.poisoned"
   val BloomNumEntries = "graft.index.bloom.num.entries"     // 60000
   val BloomFpp = "graft.index.bloom.fpp"                    // 1e-9
   val RecordIndexBuckets = "graft.index.record.buckets"     // explicit count (else auto)

@@ -160,7 +160,8 @@ final class GraftTable(
           col(MetaCols.PartitionPath), col(FileIdCol), col(MetaCols.RecordKey))
       val stats = writeFiles(spark, basePath,
         withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
-        instant, isDelta = false, alreadyPartitioned = true, baseFormat = cfg.baseFormat)
+        instant, isDelta = false, alreadyPartitioned = true,
+        baseFormat = cfg.baseFormat, dict = dictStats)
       (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
     } else {
     val ranged = sortMode match {
@@ -189,7 +190,8 @@ final class GraftTable(
     }
     val stats = writeFiles(spark, basePath,
       withCommitMeta(ranged, instant, isDelta = false, baseFormat = cfg.baseFormat),
-      instant, isDelta = false, alreadyPartitioned = true, baseFormat = cfg.baseFormat)
+      instant, isDelta = false, alreadyPartitioned = true,
+      baseFormat = cfg.baseFormat, dict = dictStats)
     (stats, Map.empty[String, Seq[String]], schemaJsonFor(keyed))
     }
     }
@@ -443,7 +445,7 @@ final class GraftTable(
       val routed = assignFreshBuckets(keyed)
       val stats = writeFiles(spark, basePath,
         withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
-        instant, isDelta = false, baseFormat = cfg.baseFormat)
+        instant, isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
       // BUCKET layout reuses stable group ids: a rewritten bucket's new
       // base SHADOWS the old one (same group, newer instant) and must NOT
       // be listed as replaced — only old groups this overwrite did not
@@ -469,7 +471,7 @@ final class GraftTable(
       val routed = assignFreshBuckets(keyed)
       val stats = writeFiles(spark, basePath,
         withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
-        instant, isDelta = false, baseFormat = cfg.baseFormat)
+        instant, isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
       // see insertOverwrite: bucket layouts shadow rewritten group ids
       val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
       val replaced = view.fileSlices(None)
@@ -524,7 +526,7 @@ final class GraftTable(
         .withColumn(MetaCols.FileName,
           concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
       val stats = writeFiles(spark, basePath, routed, instant,
-        isDelta = false, baseFormat = cfg.baseFormat)
+        isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
       val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
       val replaced = view.fileSlices(None)
         .filterNot(s => written.contains((s.partitionPath, s.fileId)))
@@ -578,7 +580,7 @@ final class GraftTable(
         .withColumn(MetaCols.FileName,
           concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
       val stats = writeFiles(spark, basePath, routed, instant,
-        isDelta = false, baseFormat = cfg.baseFormat)
+        isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
       (stats, Map(partition -> Seq(fileId)), latestSchema.map(_.json).getOrElse(""))
     }
     ConsistentBuckets.saveState(basePath, ConsistentBuckets.state(this))
@@ -618,7 +620,7 @@ final class GraftTable(
             .withColumn(MetaCols.FileName,
               concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
           writeFiles(spark, basePath, routed, instant,
-            isDelta = false, baseFormat = cfg.baseFormat)
+            isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
         }
       val replaced =
         if (live.isEmpty) Map.empty[String, Seq[String]]
@@ -1406,7 +1408,7 @@ final class GraftTable(
         concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
 
     val stats = writeFiles(spark, basePath, merged, instant, isDelta = false,
-      alreadyPartitioned = true, baseFormat = cfg.baseFormat)
+      alreadyPartitioned = true, baseFormat = cfg.baseFormat, dict = dictStats)
     // a group whose merge produced NO rows (every record tombstoned) writes
     // no file — record it as replaced or its old base would stay the
     // latest slice and the deleted rows would resurrect. Pair-keyed: the
@@ -1499,7 +1501,7 @@ final class GraftTable(
         val dataCols = stamped.columns.filterNot(c => MetaCols.All.contains(c))
         val framed = stamped.select((MetaCols.All ++ dataCols).map(col): _*)
         val stats = writeFiles(spark, basePath, framed, instant, isDelta = false,
-          baseFormat = cfg.baseFormat)
+          baseFormat = cfg.baseFormat, dict = dictStats)
         val written = stats.map(s => (s.partitionPath, s.fileId)).toSet
         // a rewritten group that wrote no file (all rows deleted) must be
         // recorded as replaced or its old base stays the latest slice
@@ -1543,7 +1545,7 @@ final class GraftTable(
 
     val deltaStats = writeFiles(spark, basePath,
       withCommitMeta(updates, instant, isDelta = true), instant, isDelta = true,
-      allDeletes = allDeletes)
+      allDeletes = allDeletes, dict = dictStats)
     val (insertRouted, hasInserts) =
       if (BucketIndex.enabled(cfg)) {
         val r = inserts.drop(DeleteCol) // bucket id already routed
@@ -1553,7 +1555,7 @@ final class GraftTable(
       if (!hasInserts) Seq.empty
       else writeFiles(spark, basePath,
         withCommitMeta(insertRouted, instant, isDelta = false, baseFormat = cfg.baseFormat),
-        instant, isDelta = false, baseFormat = cfg.baseFormat)
+        instant, isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
     (deltaStats ++ baseStats, Map.empty, schemaJsonFor(tagged))
   }
 
@@ -1676,6 +1678,32 @@ final class GraftTable(
           s"'${persisted.partitionPathExpr}') — reload the table with GraftTable.load")
     }
 
+  /** Dictionary-stat policy for this handle's writes. Newly-discovered
+    * poisoned columns take effect IMMEDIATELY on this handle (no reload
+    * needed) and persist to the table config for future handles.
+    */
+  @volatile private var dictPoisonExtra: Set[String] = Set.empty
+  private[table] def dictStats: WritePipeline.DictStats =
+    WritePipeline.DictStats.of(cfg, dictPoisonExtra)
+
+  /** Carry sticky dictionary poisons (high cardinality / plain-page
+    * fallback, reported per file in the write stats) into the table
+    * config, so the NEXT commit does zero dictionary IO for them. Runs
+    * under the table lock, post-publish; a no-op in the steady state
+    * (poisoned columns never re-report — their pages are never opened).
+    */
+  private def persistNewDictPoisons(stats: Seq[WriteStat]): Unit = {
+    val np = stats.iterator.flatMap(_.colDictPoisoned).toSet -- dictPoisonExtra
+    if (np.isEmpty) return
+    dictPoisonExtra ++= np
+    val cur = TableConfig.load(basePath)
+    val have = WritePipeline.DictStats.parsePoisoned(
+      cur.prop(ConfigKeys.DictionaryPoisoned, ""))
+    if (!np.subsetOf(have))
+      TableConfig.save(basePath, cur.copy(props = cur.props +
+        (ConfigKeys.DictionaryPoisoned -> (have ++ np).toSeq.sorted.mkString(","))))
+  }
+
   private def reapFailedWritesPerPolicy(): Unit =
     cfg.prop(ConfigKeys.FailedWritesPolicy, "LAZY") match {
       case "EAGER" => Services.rollbackFailedWrites(this, 0L)
@@ -1714,6 +1742,7 @@ final class GraftTable(
       published = true
       // the markers' crash-reconciliation duty ends at publish
       WritePipeline.finalizeInstant(basePath, ts)
+      persistNewDictPoisons(stats)
       postCommit()
       (ts, stats, opType)
     } catch {
@@ -1853,6 +1882,7 @@ final class GraftTable(
             extraMetadata + (GraftTable.DurationMsKey -> durMs.toString))))
         published = true
         WritePipeline.finalizeInstant(basePath, ts)
+        persistNewDictPoisons(stats)
         postCommit()
       }
       RecordIndex.maybeSync(this)

@@ -105,7 +105,8 @@ object Services {
         .withColumn(MetaCols.FileName,
           concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
       val stats = WritePipeline.writeFiles(t.spark, t.basePath, merged, ts,
-        isDelta = false, alreadyPartitioned = true, baseFormat = t.cfg.baseFormat)
+        isDelta = false, alreadyPartitioned = true, baseFormat = t.cfg.baseFormat,
+        dict = t.dictStats)
       val md = CommitMetadata("compact", stats, Map.empty,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))
@@ -287,7 +288,8 @@ object Services {
               concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
             .drop(ZOrder.ZCol)
           WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
-            isDelta = false, alreadyPartitioned = true, baseFormat = t.cfg.baseFormat)
+            isDelta = false, alreadyPartitioned = true,
+            baseFormat = t.cfg.baseFormat, dict = t.dictStats)
         } else {
           // pure small-file coalescing: hash-route into fresh size-targeted
           // groups per partition (no ordering requirement, no range shuffle)
@@ -306,7 +308,7 @@ object Services {
             .withColumn(MetaCols.FileName,
               concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
           WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
-            isDelta = false, baseFormat = t.cfg.baseFormat)
+            isDelta = false, baseFormat = t.cfg.baseFormat, dict = t.dictStats)
         }
       val replaced = plan.groups.map(g => g.partitionPath -> g.fileIds).toMap
       val md = CommitMetadata("cluster", stats, replaced,

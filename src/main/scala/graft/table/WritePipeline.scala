@@ -85,9 +85,33 @@ object WritePipeline extends Serializable {
     withCols.select((MetaCols.All ++ dataCols).map(col): _*)
   }
 
-  /** Distributed staged write. `df` must contain `_graft_file_id` plus the
-    * five meta columns. Returns per-file WriteStats (with record-key
-    * min/max recorded for index file-skipping). One shuffle
+  /** Dictionary value-set collection policy for one write: `enabled=false`
+    * (table prop `graft.stats.dictionary=false`) turns the footer
+    * dictionary-page reads off entirely; `skip` carries columns a PREVIOUS
+    * commit proved ineligible (high cardinality / plain-page fallback), so
+    * the next commit does zero dictionary IO for them.
+    */
+  final case class DictStats(enabled: Boolean, skip: Set[String])
+  object DictStats {
+    val On: DictStats = DictStats(enabled = true, Set.empty)
+    def of(cfg: TableConfig, extraSkip: Set[String] = Set.empty): DictStats =
+      DictStats(
+        cfg.prop(ConfigKeys.DictionaryStats, "true").toBoolean,
+        parsePoisoned(cfg.prop(ConfigKeys.DictionaryPoisoned, "")) ++ extraSkip)
+    def parsePoisoned(s: String): Set[String] =
+      s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** Test-visible count of dictionary PAGES read per column (driver-path
+    * footer stats) — pins that a poisoned column costs no dictionary IO
+    * on later commits.
+    */
+  private[graft] val dictPageReads =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Distributed write. `df` must contain `_graft_file_id` plus the five
+    * meta columns. Returns per-file WriteStats (with record-key min/max
+    * recorded for index file-skipping). One shuffle
     * (`repartition(part, fileId)`) unless `alreadyPartitioned`.
     */
   def writeFiles(
@@ -99,7 +123,8 @@ object WritePipeline extends Serializable {
       alreadyPartitioned: Boolean = false,
       sortCols: Seq[String] = Seq.empty,
       allDeletes: Boolean = false,
-      baseFormat: String = "parquet"): Seq[WriteStat] = {
+      baseFormat: String = "parquet",
+      dict: DictStats = DictStats.On): Seq[WriteStat] = {
     // delta files are always parquet (analog: the reference's Avro log
     // format is independent of the base format)
     val format = if (isDelta) "parquet" else baseFormat
@@ -143,10 +168,10 @@ object WritePipeline extends Serializable {
         deleteRecursively(dataStaging)
         if (files.isEmpty) Seq.empty
         else statsOfFinalFiles(spark, basePath, files, instant, isDelta,
-          format, allDeletes)
+          format, allDeletes, dict)
       case None =>
         stagedRenamePublish(basePath, dataStaging, staging, instant, isDelta,
-          format, allDeletes)
+          format, allDeletes, dict)
     }
   }
 
@@ -169,19 +194,21 @@ object WritePipeline extends Serializable {
       instant: String,
       isDelta: Boolean,
       format: String,
-      allDeletes: Boolean): Seq[WriteStat] = {
+      allDeletes: Boolean,
+      dict: DictStats): Seq[WriteStat] = {
     val baseUri = Storage.qualified(basePath).toString.stripSuffix("/")
     def statOf(conf: org.apache.hadoop.conf.Configuration)(
         f: graft.spark.GraftCommitProtocol.AddedFile): WriteStat = {
       val dest = new Path(s"$baseUri/${f.relPath}")
       val fs = if (format == "orc") orcFooterStats(dest, conf)
-               else footerStats(dest, conf)
+               else footerStats(dest, conf, dict)
       WriteStat(f.fileId, f.relPath, f.partition, fs.rows,
         if (allDeletes) fs.rows else 0L,
         dest.getFileSystem(conf).getFileStatus(dest).getLen,
         fs.minKey, fs.maxKey, isDelta,
         colMin = fs.colMin, colMax = fs.colMax, colNulls = fs.colNulls,
-        colValues = fs.colValues)
+        colValues = fs.colValues,
+        colDictPoisoned = fs.dictPoisoned.toSeq.sorted)
     }
     if (files.size <= DriverStatsMaxFiles) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -238,7 +265,7 @@ object WritePipeline extends Serializable {
     */
   private def stagedRenamePublish(basePath: Path, dataStaging: Path,
       staging: Path, instant: String, isDelta: Boolean, format: String,
-      allDeletes: Boolean): Seq[WriteStat] = {
+      allDeletes: Boolean, dict: DictStats): Seq[WriteStat] = {
     // Empty input ⇒ no staged files ⇒ nothing to publish.
     val anyStaged = listDirs(dataStaging).exists(_.getName.startsWith(s"$GP="))
     if (!anyStaged) { deleteRecursively(dataStaging); return Seq.empty }
@@ -276,12 +303,14 @@ object WritePipeline extends Serializable {
                        else baseFileName(fileId, instant, i, format)
               val dest = partDir.resolve(nm)
               Storage.rename(p, dest)
-              val fs = if (format == "orc") orcFooterStats(dest) else footerStats(dest)
+              val fs = if (format == "orc") orcFooterStats(dest)
+                       else footerStats(dest, dict = dict)
               WriteStat(fileId, relPath(basePath, dest), partition, fs.rows,
                 if (allDeletes) fs.rows else 0L,
                 Storage.size(dest), fs.minKey, fs.maxKey, isDelta,
                 colMin = fs.colMin, colMax = fs.colMax, colNulls = fs.colNulls,
-                colValues = fs.colValues)
+                colValues = fs.colValues,
+                colDictPoisoned = fs.dictPoisoned.toSeq.sorted)
             }
           })
         }
@@ -322,7 +351,11 @@ object WritePipeline extends Serializable {
   final case class FooterStats(rows: Long, minKey: String, maxKey: String,
       colMin: Map[String, String], colMax: Map[String, String],
       colNulls: Map[String, Long] = Map.empty,
-      colValues: Map[String, Seq[String]] = Map.empty)
+      colValues: Map[String, Seq[String]] = Map.empty,
+      // columns whose dictionary collection cost IO in THIS file and
+      // failed (high cardinality / plain-page fallback) — carried into
+      // the table config so later commits skip the read
+      dictPoisoned: Set[String] = Set.empty)
 
   /** Max distinct values recorded per column; a larger dictionary marks
     * the column high-cardinality and drops it from value-set skipping
@@ -336,7 +369,8 @@ object WritePipeline extends Serializable {
     * data skipping on arbitrary predicates in GraftFileIndex.
     */
   private def footerStats(file: Path,
-      conf: org.apache.hadoop.conf.Configuration = Storage.conf): FooterStats = {
+      conf: org.apache.hadoop.conf.Configuration = Storage.conf,
+      dict: DictStats = DictStats.On): FooterStats = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
@@ -373,13 +407,16 @@ object WritePipeline extends Serializable {
         m.collect { case (k, v) if !MetaCols.All.contains(k) || k == MetaCols.RecordKey =>
           k -> v.toString
         }.toMap
+      val (values, newPoison) =
+        if (dict.enabled) dictValueSets(reader, dict.skip)
+        else (Map.empty[String, Seq[String]], Set.empty[String])
       FooterStats(n,
         mins.get(MetaCols.RecordKey).map(_.toString).getOrElse(""),
         maxs.get(MetaCols.RecordKey).map(_.toString).getOrElse(""),
         keep(mins) - MetaCols.RecordKey, keep(maxs) - MetaCols.RecordKey,
         colNulls = nulls.view.filterKeys(k =>
           !nullsUnknown.contains(k) && !MetaCols.All.contains(k)).toMap,
-        colValues = dictValueSets(reader))
+        colValues = values, dictPoisoned = newPoison)
     } finally reader.close()
   }
 
@@ -396,14 +433,21 @@ object WritePipeline extends Serializable {
     * (GraftFileIndex.inRange).
     */
   private def dictValueSets(
-      reader: org.apache.parquet.hadoop.ParquetFileReader): Map[String, Seq[String]] = {
+      reader: org.apache.parquet.hadoop.ParquetFileReader,
+      skip: Set[String]): (Map[String, Seq[String]], Set[String]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val schema = reader.getFooter.getFileMetaData.getSchema
     val descs = schema.getColumns.asScala
       .filter(_.getPath.length == 1).map(d => d.getPath()(0) -> d).toMap
     val sets = scala.collection.mutable.HashMap[String, scala.collection.mutable.LinkedHashSet[String]]()
-    val poisoned = scala.collection.mutable.HashSet[String]()
+    // columns a previous commit proved ineligible enter pre-poisoned:
+    // their dictionary pages are never opened again
+    val poisoned = scala.collection.mutable.HashSet[String]() ++ skip
+    // newly-discovered STICKY ineligibility (a data property — high
+    // cardinality, plain-page fallback — not a transient like an all-null
+    // chunk): reported upward for the table-config carry
+    val newPoison = scala.collection.mutable.HashSet[String]()
     def typeOk(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
       val pt = c.getPrimitiveType
       val ann = pt.getLogicalTypeAnnotation
@@ -434,9 +478,11 @@ object WritePipeline extends Serializable {
         val name = c.getPath.toDotString
         if (!name.contains('.') && !MetaCols.All.contains(name) && !poisoned(name)) {
           val es = c.getEncodingStats
-          if (!typeOk(c) || es == null || es.hasNonDictionaryEncodedPages)
-            poisoned += name
-          else {
+          if (!typeOk(c)) poisoned += name // costless: footer-only check
+          else if (es == null || es.hasNonDictionaryEncodedPages) {
+            poisoned += name; newPoison += name // parquet fell back: sticky
+          } else {
+            dictPageReads.merge(name, 1L, (a, b) => a + b)
             val page = dicts.readDictionaryPage(descs(name))
             if (page == null) {
               // no dictionary page is only safe when the chunk holds no
@@ -448,8 +494,9 @@ object WritePipeline extends Serializable {
                 scala.collection.mutable.LinkedHashSet.empty[String])
             } else {
               val dict = page.getEncoding.initDictionary(descs(name), page)
-              if (dict.getMaxId + 1 > DictValuesCap) poisoned += name
-              else {
+              if (dict.getMaxId + 1 > DictValuesCap) {
+                poisoned += name; newPoison += name // high cardinality: sticky
+              } else {
                 val set = sets.getOrElseUpdate(name,
                   scala.collection.mutable.LinkedHashSet.empty[String])
                 val pt = c.getPrimitiveType.getPrimitiveTypeName
@@ -460,7 +507,7 @@ object WritePipeline extends Serializable {
                     case PrimitiveTypeName.INT32 => dict.decodeToInt(i).toString
                     case _ => dict.decodeToLong(i).toString
                   })
-                  if (set.size > DictValuesCap) poisoned += name
+                  if (set.size > DictValuesCap) { poisoned += name; newPoison += name }
                   i += 1
                 }
               }
@@ -469,7 +516,8 @@ object WritePipeline extends Serializable {
         }
       } finally dicts.close()
     }
-    sets.collect { case (k, v) if !poisoned(k) => k -> v.toSeq.sorted }.toMap
+    (sets.collect { case (k, v) if !poisoned(k) => k -> v.toSeq.sorted }.toMap,
+      newPoison.toSet)
   }
 
   /** ORC twin of [[footerStats]]: row count + per-column min/max from the
