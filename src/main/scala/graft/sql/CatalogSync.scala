@@ -2,9 +2,51 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.types.StructType
 
 import graft.core.{Storage, TableConfig}
 import graft.table.GraftTable
+
+/** One catalog-metastore registration step, as seen by the sync
+  * orchestrator. The call sequence mirrors the reference's Hive sync
+  * (reference hudi-sync/hudi-hive-sync/.../HiveSyncTool.java:113-357):
+  * ensure database → create table / schema-drift alter → partition add →
+  * refresh. [[SessionCatalogTarget]] implements it against the Spark
+  * session catalog (in-memory or hive-backed); a Thrift HMS / Glue
+  * implementation is a drop-in for mixed-engine shops — it only needs
+  * these six operations (the reference's `HoodieHiveClient` surface),
+  * none of which assume a live SparkSession on the metastore side.
+  */
+trait CatalogTarget {
+  def ensureDatabase(db: String, location: Option[String]): Unit
+  /** The existing entry under the name, if any — its STORED metadata,
+    * never a resolved relation (resolving masks schema drift).
+    */
+  def existing(db: String, table: String): Option[CatalogTarget.Entry]
+  def createTable(db: String, table: String, schema: StructType,
+      location: String): Unit
+  /** Re-publish the entry after schema or location drift (the reference's
+    * `syncSchema` alter-table path).
+    */
+  def replaceTable(db: String, table: String, schema: StructType,
+      location: String): Unit
+  /** Register partition paths (the reference's `syncPartitions`). Targets
+    * whose query engines prune through their own listing (the session
+    * catalog: pruning runs inside GraftFileIndex) may no-op; a metastore
+    * serving OTHER engines must record them. Receives the table's current
+    * partition list — an implementation tracking a last-synced watermark
+    * may diff against it.
+    */
+  def addPartitions(db: String, table: String, partitionPaths: Seq[String]): Unit
+  /** Invalidate any cached relation/file-list for the entry. */
+  def refresh(db: String, table: String): Unit
+}
+
+object CatalogTarget {
+  /** Stored metadata of an existing catalog entry. */
+  final case class Entry(provider: Option[String], schema: StructType,
+      location: Option[String])
+}
 
 /** Catalog registration for graft tables — the in-engine analog of the
   * reference's Hive sync (reference hudi-sync/hudi-hive-sync/.../
@@ -34,11 +76,7 @@ import graft.table.GraftTable
   * is compared against the current meta-free snapshot schema. On drift
   * the entry is dropped and re-created (the reference's `syncSchema`
   * alter-table path); on no-change re-sync only the relation cache is
-  * refreshed. Partition sync (`syncAllPartitions` in the reference) is
-  * intentionally absent: pruning happens inside
-  * [[graft.read.GraftFileIndex]] against the table's own file-system
-  * view, so the catalog never holds a partition list that could go
-  * stale.
+  * refreshed.
   *
   * Safety: an existing same-name entry is only ever dropped when it is
   * a graft entry. A non-graft table under the target name makes sync
@@ -47,9 +85,11 @@ import graft.table.GraftTable
   */
 object CatalogSync {
 
-  /** Register (or refresh) the graft table at `path` as `db.table` in
-    * the session catalog. Idempotent; drops + re-creates the entry when
-    * the table's schema or location changed since the last sync.
+  /** Register (or refresh) the graft table at `path` as `db.table` on the
+    * given [[CatalogTarget]] (the session catalog by default). Idempotent;
+    * replaces the entry when the table's schema or location changed since
+    * the last sync. The step sequence is HiveSyncTool's:
+    * database → create-or-alter → partitions → refresh.
     *
     * @param dbLocation optional explicit database location (defaults to
     *   `spark.sql.warehouse.dir`); only used when the database is first
@@ -57,39 +97,29 @@ object CatalogSync {
     *   external at their own base paths.
     */
   def sync(spark: SparkSession, path: String, db: String, table: String,
-      dbLocation: Option[String] = None): Unit = {
+      dbLocation: Option[String] = None,
+      target: CatalogTarget = null): Unit = {
+    val tgt = Option(target).getOrElse(new SessionCatalogTarget(spark))
     val norm = GraftTable.normalize(path)
     require(TableConfig.exists(new org.apache.hadoop.fs.Path(norm)), s"no graft table at $norm")
-    val loc = dbLocation.map(l => s" LOCATION '${sqlLit(l)}'").getOrElse("")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ident(db)}$loc")
-    val id = TableIdentifier(table, Some(db))
-    val full = s"${ident(db)}.${ident(table)}"
-    val catalog = spark.sessionState.catalog
-    val current = graft.read.Readers.snapshot(GraftTable.load(spark, norm))
+    val t = GraftTable.load(spark, norm)
+    val current = graft.read.Readers.snapshot(t)
       .drop(graft.core.MetaCols.All: _*).schema
-    val exists = catalog.tableExists(id)
-    val changed = exists && {
-      // the catalog's stored metadata, NOT spark.table(full): materializing
-      // the relation re-selects the stored column list (AnalysisException on
-      // a dropped column) and reports current types, masking both kinds of
-      // drift
-      val meta = catalog.getTableMetadata(id)
-      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
-        s"refusing to sync over existing non-graft table $full " +
-          s"(provider=${meta.provider.getOrElse("none")})")
-      val sameLoc = meta.storage.locationUri
-        .exists(u => GraftTable.normalize(u.toString) == norm)
-      meta.schema != current || !sameLoc
+    tgt.ensureDatabase(db, dbLocation)
+    tgt.existing(db, table) match {
+      case None => tgt.createTable(db, table, current, norm)
+      case Some(e) =>
+        require(e.provider.exists(_.equalsIgnoreCase("graft")),
+          s"refusing to sync over existing non-graft table $db.$table " +
+            s"(provider=${e.provider.getOrElse("none")})")
+        val sameLoc = e.location.exists(u => GraftTable.normalize(u) == norm)
+        if (e.schema != current || !sameLoc)
+          tgt.replaceTable(db, table, current, norm)
     }
-    if (changed) spark.sql(s"DROP TABLE $full")
-    if (!exists || changed)
-      spark.sql(
-        s"""CREATE TABLE $full USING graft
-           |OPTIONS (includeMetaColumns 'false')
-           |LOCATION '${sqlLit(norm)}'""".stripMargin)
-    // V1 relations are cached per catalog identifier; a re-sync after
-    // writes must not leave a stale file list behind the cached plan
-    catalog.refreshTable(id)
+    // metadata-only partition listing (no file IO beyond the commit view)
+    tgt.addPartitions(db, table,
+      t.view.fileSlices(None).map(_.partitionPath).distinct.sorted)
+    tgt.refresh(db, table)
   }
 
   /** Sync every graft table found one level under `root` (directory name
@@ -114,8 +144,58 @@ object CatalogSync {
   /** Backtick-quote an identifier (handles dots/dashes in names; internal
     * backticks double per the SQL dialect).
     */
-  private def ident(name: String): String = "`" + name.replace("`", "``") + "`"
+  private[sql] def ident(name: String): String = "`" + name.replace("`", "``") + "`"
 
   /** Escape a string for a single-quoted SQL literal. */
-  private def sqlLit(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+  private[sql] def sqlLit(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+}
+
+/** [[CatalogTarget]] over the Spark session catalog. */
+final class SessionCatalogTarget(spark: SparkSession) extends CatalogTarget {
+  import CatalogSync.{ident, sqlLit}
+
+  override def ensureDatabase(db: String, location: Option[String]): Unit = {
+    val loc = location.map(l => s" LOCATION '${sqlLit(l)}'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ident(db)}$loc")
+  }
+
+  override def existing(db: String, table: String): Option[CatalogTarget.Entry] = {
+    val id = TableIdentifier(table, Some(db))
+    val catalog = spark.sessionState.catalog
+    if (!catalog.tableExists(id)) None
+    else {
+      // the catalog's stored metadata, NOT spark.table(...): materializing
+      // the relation re-selects the stored column list (AnalysisException
+      // on a dropped column) and reports current types, masking both
+      // kinds of drift
+      val meta = catalog.getTableMetadata(id)
+      Some(CatalogTarget.Entry(meta.provider, meta.schema,
+        meta.storage.locationUri.map(_.toString)))
+    }
+  }
+
+  override def createTable(db: String, table: String, schema: StructType,
+      location: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE ${ident(db)}.${ident(table)} USING graft
+         |OPTIONS (includeMetaColumns 'false')
+         |LOCATION '${sqlLit(location)}'""".stripMargin)
+
+  override def replaceTable(db: String, table: String, schema: StructType,
+      location: String): Unit = {
+    spark.sql(s"DROP TABLE ${ident(db)}.${ident(table)}")
+    createTable(db, table, schema, location)
+  }
+
+  // pruning happens inside GraftFileIndex against the table's own
+  // file-system view, so the session catalog never holds a partition list
+  // that could go stale; a metastore target serving other engines records
+  // these (HiveSyncTool.syncPartitions)
+  override def addPartitions(db: String, table: String,
+      partitionPaths: Seq[String]): Unit = ()
+
+  override def refresh(db: String, table: String): Unit =
+    // V1 relations are cached per catalog identifier; a re-sync after
+    // writes must not leave a stale file list behind the cached plan
+    spark.sessionState.catalog.refreshTable(TableIdentifier(table, Some(db)))
 }

@@ -16,6 +16,70 @@ class CatalogSyncSpec extends AnyFunSuite {
       .option("operation", "upsert")
       .save(dir)
 
+  test("CatalogTarget contract: create -> drift alter -> partition add, in order") {
+    import graft.sql.CatalogTarget
+    import org.apache.spark.sql.types.StructType
+    // recording stub: what a Thrift HMS / Glue target would receive
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stored: Option[CatalogTarget.Entry] = None
+    val stub = new CatalogTarget {
+      override def ensureDatabase(db: String, location: Option[String]): Unit =
+        calls += s"db:$db"
+      override def existing(db: String, table: String) = { calls += "existing"; stored }
+      override def createTable(db: String, table: String, schema: StructType,
+          location: String): Unit = {
+        calls += s"create:$db.$table"
+        stored = Some(CatalogTarget.Entry(Some("graft"), schema, Some(location)))
+      }
+      override def replaceTable(db: String, table: String, schema: StructType,
+          location: String): Unit = {
+        calls += s"replace:$db.$table"
+        stored = Some(CatalogTarget.Entry(Some("graft"), schema, Some(location)))
+      }
+      override def addPartitions(db: String, table: String,
+          partitionPaths: Seq[String]): Unit =
+        calls += s"partitions:${partitionPaths.mkString("|")}"
+      override def refresh(db: String, table: String): Unit = calls += "refresh"
+    }
+    val dir = tmpDir("csync_stub").toString + "/t"
+    Seq((1L, 1L, 10.0, "1995"), (2L, 1L, 20.0, "1996"))
+      .toDF("id", "ver", "price", "yr")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("partitionPathExpr", "yr")
+      .option("operation", "upsert").save(dir)
+
+    CatalogSync.sync(spark, dir, "hms_db", "t", target = stub)
+    assert(calls.toSeq === Seq("db:hms_db", "existing", "create:hms_db.t",
+      "partitions:1995|1996", "refresh"), s"first sync sequence: $calls")
+
+    // no drift: neither create nor replace
+    calls.clear()
+    CatalogSync.sync(spark, dir, "hms_db", "t", target = stub)
+    assert(calls.toSeq === Seq("db:hms_db", "existing",
+      "partitions:1995|1996", "refresh"), s"no-drift sequence: $calls")
+
+    // schema drift (new column) + new partition -> replace + wider list
+    calls.clear()
+    Seq((3L, 1L, 30.0, "1997", "note"))
+      .toDF("id", "ver", "price", "yr", "memo")
+      .write.format("graft").mode("append")
+      .option("operation", "upsert").save(dir)
+    CatalogSync.sync(spark, dir, "hms_db", "t", target = stub)
+    assert(calls.toSeq === Seq("db:hms_db", "existing", "replace:hms_db.t",
+      "partitions:1995|1996|1997", "refresh"), s"drift sequence: $calls")
+
+    // a non-graft occupant makes the orchestrator refuse before any drop
+    stored = Some(CatalogTarget.Entry(Some("parquet"),
+      stored.get.schema, stored.get.location))
+    calls.clear()
+    val e = intercept[IllegalArgumentException] {
+      CatalogSync.sync(spark, dir, "hms_db", "t", target = stub)
+    }
+    assert(e.getMessage.contains("non-graft"))
+    assert(!calls.exists(_.startsWith("replace")) && !calls.exists(_.startsWith("create")))
+  }
+
   test("sync registers db.table, re-sync refreshes after new writes") {
     val dir = tmpDir("csync").toString + "/t"
     writeTable(dir, Seq((1L, 1L, 10.0), (2L, 1L, 20.0)))
