@@ -66,6 +66,8 @@ object ConfigKeys {
   val ClusterCurve = "graft.cluster.curve"                  // morton | hilbert
   val BaseFormat = "graft.base.format"                      // parquet | orc
   val DictionaryStats = "graft.stats.dictionary"            // default true
+  // declared CREATE TABLE schema (json) — answers reads before first write
+  val CreateSchema = "graft.create.schema"
   // columns proven dictionary-ineligible by a past commit (high
   // cardinality / plain-page fallback): later commits skip their pages
   val DictionaryPoisoned = "graft.stats.dictionary.poisoned"

@@ -189,6 +189,40 @@ object TableOps {
       data(s.table("graft_q.catalog_merge"))
     }),
 
+    // DSv2 catalog UX end to end: CREATE TABLE in a graft catalog
+    // namespace, INSERT, MERGE, ALTER ADD COLUMN, UPDATE, read — every
+    // statement catalog-qualified, scans folded to the v1 engine plan by
+    // GraftV2FallbackRule
+    "t_catalog_ddl" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        s"/tmp/graft_q/gcat_wh_${Integer.toHexString(d.hashCode)}")
+      val src = orders(s, d)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ddl")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ddl.orders")
+      s.sql(s"""CREATE TABLE graft_cat.ddl.orders (${src.schema.toDDL})
+        USING graft PARTITIONED BY (o_orderstatus)
+        OPTIONS (recordKeyFields 'o_orderkey', precombineField 'o_orderdate')""")
+      src.createOrReplaceTempView("t_catalog_ddl_src")
+      s.sql("INSERT INTO graft_cat.ddl.orders SELECT * FROM t_catalog_ddl_src")
+      src.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 0.5)
+        .unionByName(src.filter(col("o_orderkey") % 11 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+        .createOrReplaceTempView("t_catalog_ddl_m")
+      s.sql("""
+        MERGE INTO graft_cat.ddl.orders t USING t_catalog_ddl_m s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderkey % 6 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      s.sql("ALTER TABLE graft_cat.ddl.orders ADD COLUMN o_flag STRING")
+      s.sql("UPDATE graft_cat.ddl.orders SET o_flag = 'HI' WHERE o_orderkey % 5 = 2")
+      data(s.table("graft_cat.ddl.orders"), OrdersCols :+ "o_flag")
+    }),
+
     "t_update_where" -> ((s, d) => {
       val t = fresh(s, d, "t_update_where", cfg(TableType.CopyOnWrite))
       t.bulkInsert(orders(s, d))
@@ -1424,6 +1458,14 @@ object TableOps {
          |UNION ALL
          |SELECT o_orderkey + 50000000, o_custkey, o_orderstatus, o_totalprice,
          |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 11 = 1""".stripMargin,
+    "t_catalog_ddl" ->
+      s"""SELECT *, CASE WHEN o_orderkey % 5 = 2 THEN 'HI' END AS o_flag FROM (
+         |SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 0.5 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 6 <> 0
+         |UNION ALL
+         |SELECT o_orderkey + 50000000, o_custkey, o_orderstatus, o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 11 = 1)""".stripMargin,
     "t_update_where" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
          |CASE WHEN o_orderstatus = 'P' THEN 'X-PENDING' ELSE o_orderpriority END AS o_orderpriority

@@ -1,0 +1,284 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{ConfigKeys, Storage, TableConfig, TableType}
+import graft.table.GraftTable
+
+/** DSv2 `TableCatalog` for graft tables — the Delta/Iceberg catalog UX
+  * (`CREATE TABLE cat.db.t (...) USING graft PARTITIONED BY (...)`,
+  * ALTER/DROP/RENAME/SHOW TABLES) over path-addressed graft tables.
+  * Register with `spark.sql.catalog.<name> = graft.sql.GraftCatalog`
+  * (+ optional `spark.sql.catalog.<name>.warehouse = <dir>`).
+  *
+  * Layout: one directory per namespace under the warehouse; a MANAGED
+  * table is the graft table directory `<warehouse>/<db>/<t>` itself, an
+  * EXTERNAL table (explicit LOCATION) is a pointer file
+  * `<warehouse>/<db>/<t>.ptr` holding the base path — dropping it never
+  * touches data, mirroring the external-table convention of the
+  * reference's Hive sync (HiveSyncTool.java:113-357). There is no second
+  * metadata store: existence IS the filesystem state, so the catalog
+  * needs no sync step of its own.
+  *
+  * DDL arrives through Spark's v2 exec nodes (non-session catalogs always
+  * route v2); SCANS resolve as [[GraftV2Table]] and are swapped to the
+  * engine's v1 relation by [[GraftV2FallbackRule]] during analysis, so
+  * reads/writes/MERGE run the exact same plan as `format("graft")` — no
+  * second read path to keep correct.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val spark = SparkSession.active
+    val root = Option(options.get("warehouse")).getOrElse(
+      spark.sessionState.conf.warehousePath.stripSuffix("/") + s"/$name")
+    warehouse = new Path(GraftTable.normalize(root))
+    Storage.mkdirs(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  // ------------------------------------------------------------ namespaces
+
+  private def nsPath(ns: Array[String]): Path = {
+    require(ns.length == 1, s"graft catalog namespaces are single-level, got ${ns.mkString(".")}")
+    warehouse.suffix("/" + ns.head)
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.length == 1 && Storage.exists(nsPath(ns))
+
+  override def listNamespaces(): Array[Array[String]] =
+    Storage.list(warehouse).filter(_.isDirectory).map(s => Array(s.getPath.getName)).toArray
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] =
+    if (namespaceExists(ns)) Map("location" -> nsPath(ns).toString).asJava
+    else throw new NoSuchNamespaceException(ns)
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(ns)) throw new NamespaceAlreadyExistsException(ns)
+    Storage.mkdirs(nsPath(ns))
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces hold no mutable metadata")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    if (!cascade && listTables(ns).nonEmpty)
+      throw new IllegalStateException(s"namespace ${ns.head} is not empty")
+    Storage.deleteRecursively(nsPath(ns))
+    true
+  }
+
+  // ------------------------------------------------------------ tables
+
+  private val PtrExt = ".ptr"
+
+  private def managedDir(ident: Identifier): Path =
+    nsPath(ident.namespace).suffix("/" + ident.name)
+  private def ptrFile(ident: Identifier): Path =
+    nsPath(ident.namespace).suffix("/" + ident.name + PtrExt)
+
+  /** Base path of an existing entry: the managed dir when it holds a
+    * graft table, else the pointer target. Probes with a namespace shape
+    * this catalog can't hold (catalog APIs probe liberally during name
+    * resolution) answer "absent" instead of throwing.
+    */
+  private def basePathOf(ident: Identifier): Option[Path] = {
+    if (ident.namespace.length != 1) return None
+    val dir = managedDir(ident)
+    if (TableConfig.exists(dir)) Some(dir)
+    else if (Storage.exists(ptrFile(ident)))
+      Some(new Path(GraftTable.normalize(Storage.readString(ptrFile(ident)).trim)))
+    else None
+  }
+
+  override def tableExists(ident: Identifier): Boolean = basePathOf(ident).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Storage.list(nsPath(namespace)).flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && TableConfig.exists(st.getPath))
+        Some(Identifier.of(namespace, n))
+      else if (st.isFile && n.endsWith(PtrExt))
+        Some(Identifier.of(namespace, n.stripSuffix(PtrExt)))
+      else None
+    }.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = basePathOf(ident) match {
+    case Some(p) => GraftV2Table(SparkSession.active, ident, p.toString)
+    case None => throw new NoSuchTableException(ident)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace)) createNamespace(ident.namespace, Map.empty.asJava)
+    val props = properties.asScala.toMap
+    props.get(TableCatalog.PROP_PROVIDER).foreach(p =>
+      require(p.equalsIgnoreCase("graft"), s"graft catalog only creates graft tables, got USING $p"))
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    // PARTITIONED BY (a[, b]) — identity transforms only; multi-column
+    // partitioning compiles to the documented multi-level '/' expression
+    val partCols = partitions.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft tables partition by column identity, got transform $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val partExpr = partCols.toSeq match {
+      case Seq() => ""
+      case Seq(one) => one
+      case many => many.map(c => s"cast(`$c` as string)")
+        .mkString("concat_ws('/', ", ", ", ")")
+    }
+    // option('k','v') and TBLPROPERTIES('k'='v') both configure the table;
+    // OPTIONS arrive under TableCatalog.OPTION_PREFIX
+    def opt(k: String): Option[String] =
+      props.get(TableCatalog.OPTION_PREFIX + k).orElse(props.get(k))
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    val base = location.map(l => new Path(GraftTable.normalize(l)))
+      .getOrElse(managedDir(ident))
+    if (!TableConfig.exists(base)) // an external graft table is ADOPTED as-is
+      GraftTable.create(SparkSession.active, base.toString, TableConfig(
+        tableName = ident.name,
+        tableType = opt("tableType").getOrElse(TableType.CopyOnWrite),
+        recordKeyFields = opt("recordKeyFields")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+        partitionPathExpr = partExpr,
+        precombineField = opt("precombineField").getOrElse(""),
+        props = props.filter { case (k, _) => k.startsWith("graft.") } +
+          // the declared schema answers reads/DESCRIBE before first write
+          (ConfigKeys.CreateSchema -> schema.json)))
+    if (location.isDefined && base != managedDir(ident))
+      Storage.writeString(ptrFile(ident), base.toString)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val base = basePathOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val t = GraftTable.load(SparkSession.active, base.toString)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "graft tables alter top-level columns")
+        t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "graft tables alter top-level columns")
+        t.changeColumn(u.fieldNames.head, u.newDataType)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "graft tables alter top-level columns")
+        t.dropColumn(d.fieldNames.head)
+      case s: TableChange.SetProperty =>
+        val cur = TableConfig.load(base)
+        TableConfig.save(base, cur.copy(props = cur.props + (s.property -> s.value)))
+      case r: TableChange.RemoveProperty =>
+        val cur = TableConfig.load(base)
+        TableConfig.save(base, cur.copy(props = cur.props - r.property))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER for graft tables: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = basePathOf(ident) match {
+    case None => false
+    case Some(base) =>
+      if (Storage.exists(ptrFile(ident)))
+        Storage.deleteIfExists(ptrFile(ident)) // external: data untouched
+      else Storage.deleteRecursively(base) // managed: drop removes data
+      true
+  }
+
+  override def renameTable(from0: Identifier, to0: Identifier): Unit = {
+    // `RENAME TO cat.db.t` keeps the catalog name in the identifier —
+    // strip our own name so both spellings work
+    def strip(i: Identifier): Identifier =
+      if (i.namespace.length == 2 && i.namespace.head == catalogName)
+        Identifier.of(i.namespace.tail, i.name)
+      else i
+    val from = strip(from0)
+    val to = strip(to0)
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    require(from.namespace.sameElements(to.namespace),
+      "rename across namespaces is not supported")
+    if (Storage.exists(ptrFile(from)))
+      Storage.rename(ptrFile(from), ptrFile(to))
+    else {
+      // metadata-scale admin op; on an object store the directory rename
+      // is a copy — external tables (pointer rename) avoid it
+      Storage.rename(managedDir(from), managedDir(to))
+      val cur = TableConfig.load(managedDir(to))
+      TableConfig.save(managedDir(to), cur.copy(tableName = to.name))
+    }
+  }
+}
+
+/** The catalog's table handle. Scans over it never execute as DSv2:
+  * [[GraftV2FallbackRule]] replaces its `DataSourceV2Relation` with the
+  * engine's v1 relation during analysis (same plan as `format("graft")`),
+  * so `capabilities` is deliberately empty — if the swap ever fails to
+  * fire, analysis fails loudly instead of reading wrong.
+  */
+final case class GraftV2Table(spark: SparkSession, ident: Identifier,
+    basePath: String) extends Table {
+
+  lazy val table: GraftTable = GraftTable.load(spark, basePath)
+
+  override def name(): String = ident.toString
+
+  /** Meta-free data schema: committed schema once data exists, the
+    * declared CREATE schema before the first write.
+    */
+  override def schema(): StructType =
+    table.latestSchema
+      .map(s => StructType(s.fields.filterNot(f => graft.core.MetaCols.All.contains(f.name))))
+      .orElse(table.cfg.props.get(ConfigKeys.CreateSchema)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
+      .getOrElse(new StructType())
+
+  override def partitioning(): Array[Transform] = {
+    val e = table.cfg.partitionPathExpr
+    if (e.isEmpty) Array.empty
+    else if (e.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity(e))
+    else Array.empty // expression partitioning has no v2 transform form
+  }
+
+  override def properties(): util.Map[String, String] =
+    (table.cfg.props ++ Map(
+      TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> basePath,
+      "recordKeyFields" -> table.cfg.recordKeyFields.mkString(","),
+      "partitionPathExpr" -> table.cfg.partitionPathExpr,
+      "precombineField" -> table.cfg.precombineField,
+      "tableType" -> table.cfg.tableType)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+}

@@ -32,6 +32,8 @@ import graft.table.GraftTable
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // v2-catalog scans fold to v1 relations BEFORE the DML rules look
+    e.injectResolutionRule(session => GraftV2FallbackRule(session))
     e.injectResolutionRule(session => GraftDmlRules(session))
     e.injectOptimizerRule(_ => StatsAnswerRule)
     e.injectOptimizerRule(session => MvRewriteRule(session))

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Storage, TableConfig}
+
+/** The DSv2 `graft` catalog (GraftCatalog): CREATE/ALTER/DROP/RENAME/SHOW
+  * over catalog-qualified names, with scans and DML folding back to the
+  * engine's v1 plans (GraftV2FallbackRule) — the Delta/Iceberg UX over
+  * path-addressed graft tables.
+  */
+class CatalogDdlSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private lazy val wh = tmpDir("gcat_wh").toString
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+  }
+
+  test("CREATE TABLE ... USING graft PARTITIONED BY; INSERT; SELECT") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db1")
+    spark.sql("""
+      CREATE TABLE gcat.db1.orders (id BIGINT, ver BIGINT, price DOUBLE, yr STRING)
+      USING graft PARTITIONED BY (yr)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    // declared schema answers before the first write; table is empty
+    assert(spark.table("gcat.db1.orders").columns.toSeq ===
+      Seq("id", "ver", "price", "yr"))
+    assert(spark.table("gcat.db1.orders").count() === 0)
+    // the physical table exists under the warehouse with the right config
+    val cfg = TableConfig.load(new org.apache.hadoop.fs.Path(s"$wh/db1/orders"))
+    assert(cfg.recordKeyFields === Seq("id") && cfg.partitionPathExpr === "yr")
+
+    spark.sql("INSERT INTO gcat.db1.orders VALUES (1, 1, 10.0, '1995'), (2, 1, 20.0, '1996')")
+    assert(spark.sql("SELECT sum(price) FROM gcat.db1.orders").head().getDouble(0) === 30.0)
+    // partitioned layout on disk
+    assert(Storage.exists(new org.apache.hadoop.fs.Path(s"$wh/db1/orders/1995")))
+
+    // upsert semantics through a second INSERT (same key wins by ver)
+    spark.sql("INSERT INTO gcat.db1.orders VALUES (2, 2, 99.0, '1996')")
+    val got = spark.sql("SELECT id, price FROM gcat.db1.orders ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === Array((1L, 10.0), (2L, 99.0)))
+  }
+
+  test("MERGE INTO / UPDATE / DELETE against a catalog-qualified name") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db2")
+    spark.sql("""
+      CREATE TABLE gcat.db2.t (id BIGINT, ver BIGINT, price DOUBLE)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db2.t VALUES (1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0)")
+    Seq((2L, 2L, 99.0), (9L, 1L, 90.0)).toDF("id", "ver", "price")
+      .createOrReplaceTempView("gcat_src")
+    spark.sql("""
+      MERGE INTO gcat.db2.t t USING gcat_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET price = s.price, ver = s.ver
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("UPDATE gcat.db2.t SET price = price + 1 WHERE id = 1")
+    spark.sql("DELETE FROM gcat.db2.t WHERE id = 3")
+    val got = spark.sql("SELECT id, price FROM gcat.db2.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === Array((1L, 11.0), (2L, 99.0), (9L, 90.0)))
+  }
+
+  test("ALTER TABLE add/alter/drop column and properties; DESCRIBE") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db3")
+    spark.sql("""
+      CREATE TABLE gcat.db3.t (id BIGINT, ver BIGINT, qty INT)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db3.t VALUES (1, 1, 5)")
+    spark.sql("ALTER TABLE gcat.db3.t ADD COLUMN note STRING")
+    assert(spark.table("gcat.db3.t").columns.contains("note"))
+    spark.sql("ALTER TABLE gcat.db3.t ALTER COLUMN qty TYPE BIGINT")
+    assert(spark.table("gcat.db3.t").schema("qty").dataType ===
+      org.apache.spark.sql.types.LongType)
+    spark.sql("ALTER TABLE gcat.db3.t DROP COLUMN note")
+    assert(!spark.table("gcat.db3.t").columns.contains("note"))
+    spark.sql("ALTER TABLE gcat.db3.t SET TBLPROPERTIES ('graft.clean.retain.commits'='5')")
+    assert(TableConfig.load(new org.apache.hadoop.fs.Path(s"$wh/db3/t"))
+      .prop("graft.clean.retain.commits", "") === "5")
+    val desc = spark.sql("DESCRIBE TABLE gcat.db3.t").collect()
+      .map(_.getString(0))
+    assert(desc.contains("id") && desc.contains("qty"))
+  }
+
+  test("SHOW TABLES / RENAME / DROP; external location survives drop") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db4")
+    val ext = tmpDir("gcat_ext").toString + "/ext_t"
+    spark.sql(s"""
+      CREATE TABLE gcat.db4.ext (id BIGINT, ver BIGINT) USING graft
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')
+      LOCATION '$ext'""")
+    spark.sql("""
+      CREATE TABLE gcat.db4.man (id BIGINT, ver BIGINT) USING graft
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db4.ext VALUES (1, 1)")
+    spark.sql("INSERT INTO gcat.db4.man VALUES (1, 1)")
+    val names = spark.sql("SHOW TABLES IN gcat.db4").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    assert(names === Set("ext", "man"))
+
+    spark.sql("ALTER TABLE gcat.db4.man RENAME TO gcat.db4.man2")
+    assert(spark.table("gcat.db4.man2").count() === 1)
+    assert(!spark.catalog.tableExists("gcat.db4.man"))
+
+    // dropping the external table deregisters but keeps the data
+    spark.sql("DROP TABLE gcat.db4.ext")
+    assert(!spark.catalog.tableExists("gcat.db4.ext"))
+    assert(TableConfig.exists(new org.apache.hadoop.fs.Path(ext)))
+    // dropping the managed table removes it
+    spark.sql("DROP TABLE gcat.db4.man2")
+    assert(!Storage.exists(new org.apache.hadoop.fs.Path(s"$wh/db4/man2")))
+    // re-creating over the external location ADOPTS the existing table
+    spark.sql(s"""
+      CREATE TABLE gcat.db4.ext2 (id BIGINT, ver BIGINT) USING graft
+      LOCATION '$ext'""")
+    assert(spark.table("gcat.db4.ext2").count() === 1)
+  }
+
+  test("CTAS is refused clearly; multi-column partitioning layers dirs") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db5")
+    spark.sql("""
+      CREATE TABLE gcat.db5.multi (id BIGINT, ver BIGINT, a STRING, b STRING)
+      USING graft PARTITIONED BY (a, b)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db5.multi VALUES (1, 1, 'x', 'y')")
+    assert(Storage.exists(new org.apache.hadoop.fs.Path(s"$wh/db5/multi/x/y")))
+    assert(spark.sql("SELECT count(*) FROM gcat.db5.multi WHERE a='x'").head().getLong(0) === 1)
+  }
+}
