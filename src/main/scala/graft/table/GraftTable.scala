@@ -116,14 +116,15 @@ final class GraftTable(
     * only — fastest load, no layout guarantees).
     */
   def bulkInsert(df: DataFrame, sortMode: String = SortMode.GlobalSort,
-      zorderColumns: Seq[String] = Seq.empty, hilbert: Boolean = false): String = {
+      zorderColumns: Seq[String] = Seq.empty, hilbert: Boolean = false,
+      extraMetadata: Map[String, String] = Map.empty): String = {
     enforceConstraints(df, "bulk_insert")
     require(sortMode != SortMode.SpatialCurve || zorderColumns.nonEmpty,
       "SPATIAL_CURVE bulk_insert needs zorderColumns")
     require(sortMode != SortMode.SpatialCurve || !BucketIndex.enabled(cfg),
       "SPATIAL_CURVE is incompatible with BUCKET layouts (hash routing " +
         "fixes the file grouping)")
-    runCommit(commitAction, "bulk_insert") { instant =>
+    runCommit(commitAction, "bulk_insert", extraMetadata) { instant =>
     val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
     val targetBytes = math.max(1L,
       keyed.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / 3) // in-mem est. ≈ 3x parquet

@@ -59,6 +59,18 @@ object MaterializedView {
   val RewindSeenKey = "graft.view.source.rewind.seen"
   /** Per-dimension head instants observed at sync (`alias=ts` ';'-joined). */
   val DimHeadsKey = "graft.view.dim.heads"
+  /** Which fold the sync's commit ran: "delta" or "rebuild" (observable
+    * via DESCRIBE HISTORY / tests; the adaptive choice must be visible).
+    */
+  val FoldKindKey = "graft.view.fold"
+  /** Rebuild-over-delta switch point: when the change window's file bytes
+    * reach this fraction of the live table, the CDC diff (which scans new
+    * AND prior file versions) would read more than a from-scratch
+    * re-aggregate — rebuild instead. Session conf
+    * `spark.graft.mv.rebuild.window.ratio` overrides the view property.
+    */
+  val RebuildRatioKey = "graft.mv.rebuild.window.ratio"
+  val RebuildRatioConf = "spark.graft.mv.rebuild.window.ratio"
   private val GroupsKey = "graft.view.groups"
   private val AggsKey = "graft.view.aggs"
   private val DimsKey = "graft.view.dims"
@@ -373,6 +385,7 @@ object MaterializedView {
     // one finally spans the whole fold + upsert: a failure anywhere after
     // the delta path persists its state (min/max re-aggregation, dims
     // join, analysis of the tombstone column) must still release the cache
+    var foldKind = "rebuild"
     try {
     val state = ckpt match {
       case None => rebuild()
@@ -391,11 +404,30 @@ object MaterializedView {
         // rescale) are data instants but project zero change images, so a
         // window holding only them must not commit an empty fold either —
         // timeline + commit-metadata check, zero Spark jobs
-        val hasData = source.timeline.completedDataInstants()
+        val window = source.timeline.completedDataInstants()
           .filter(i => i.ts > begin && i.ts <= head)
-          .exists(i => !Readers.isLayoutRewrite(i,
-            graft.core.CommitMetadata.fromJson(source.timeline.readContent(i))))
-        if (!hasData) return None
+          .map(i => i -> graft.core.CommitMetadata.fromJson(
+            source.timeline.readContent(i)))
+        val logical = window.filterNot { case (i, md) =>
+          Readers.isLayoutRewrite(i, md) }
+        if (logical.isEmpty) return None
+        // Adaptive fold (metadata-only decision): the CDC diff reads the
+        // window's NEW files AND the prior versions they replace, so once
+        // the window's volume rivals the live table it costs MORE than a
+        // from-scratch re-aggregate — rebuild then (and skip the min/max
+        // repair machinery entirely). Small ticks — the 100-TB steady
+        // state — keep the incremental path.
+        val windowBytes = logical.iterator
+          .map(_._2.writeStats.map(_.fileSizeInBytes).sum).sum
+        val slices = source.view.fileSlices(None)
+        val liveBytes = slices.flatMap(_.baseFile).map(_.sizeBytes).sum +
+          slices.map(_.totalDeltaBytes).sum
+        val ratio = source.spark.conf.getOption(RebuildRatioConf)
+          .orElse(view.cfg.props.get(RebuildRatioKey))
+          .map(_.toDouble).getOrElse(1.0)
+        if (liveBytes > 0 && windowBytes >= ratio * liveBytes) rebuild()
+        else {
+        foldKind = "delta"
         val changes = where.foldLeft(
           joinDims(view, Readers.incrementalChanges(source, begin, Some(head))))(
           (df, w) => df.where(expr(w)))
@@ -490,13 +522,23 @@ object MaterializedView {
             norep.unionByName(repFixed)
           }
         folded
+        }
     }
-    // vanished groups tombstone through the same commit
-    val upsertable = state.withColumn(MetaCols.DeleteFlag, col(RowsCol) <= 0L)
-    Some(view.upsert(upsertable, extraMetadata =
-      Map(CheckpointKey -> head, RewindSeenKey -> rewindNow) ++
-        (if (dimsOf(view).isEmpty) Map.empty
-         else Map(DimHeadsKey -> dimHeadsNow))))
+    val marks = Map(CheckpointKey -> head, RewindSeenKey -> rewindNow,
+      FoldKindKey -> foldKind) ++
+      (if (dimsOf(view).isEmpty) Map.empty
+       else Map(DimHeadsKey -> dimHeadsNow))
+    if (view.timeline.completedDataInstants().isEmpty)
+      // FIRST sync: the full aggregate IS the initial state — land it as
+      // one bulk insert (no tag scan / dedup exchange against an empty
+      // table, and no tombstones are possible), folding "create + first
+      // sync" into a single view commit
+      Some(view.bulkInsert(state, SortMode.NoSort, extraMetadata = marks))
+    else {
+      // vanished groups tombstone through the same commit
+      val upsertable = state.withColumn(MetaCols.DeleteFlag, col(RowsCol) <= 0L)
+      Some(view.upsert(upsertable, extraMetadata = marks))
+    }
     } finally toRelease.foreach(_.unpersist())
   } // TableLock.withLock(view.basePath)
 

@@ -14,9 +14,19 @@ import graft.table.MaterializedView.ViewAgg
   * at the checkpoint — inserts, updates (including group-moving ones),
   * deletes, vanished/new groups, and min/max retraction all covered.
   */
-class MaterializedViewSpec extends AnyFunSuite {
+class MaterializedViewSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestBase._
   import spark.implicits._
+
+  // pin the INCREMENTAL fold for this suite: tiny single-file-group
+  // tables make every tick's window rival the live bytes, so the adaptive
+  // rebuild (covered by its own test below) would otherwise shadow the
+  // delta/repair machinery these tests exist to exercise
+  override def beforeAll(): Unit =
+    spark.conf.set(MV.RebuildRatioConf, "1e18")
+  override def afterAll(): Unit =
+    spark.conf.unset(MV.RebuildRatioConf)
 
   private def cfg(name: String) = TableConfig(
     name, TableType.CopyOnWrite, Seq("id"), "", "")
@@ -50,6 +60,52 @@ class MaterializedViewSpec extends AnyFunSuite {
     val got = MV.read(v).orderBy("grp").collect().map(_.toSeq).toSeq
     val want = recompute(t).orderBy("grp").collect().map(_.toSeq).toSeq
     assert(got === want)
+  }
+
+  test("adaptive fold: first sync bulk-inserts; big windows rebuild; small ticks stay delta") {
+    spark.conf.set(MV.RebuildRatioConf, "1.0") // the production default
+    try {
+      val d = tmpDir("mv_adaptive")
+      // partitioned source: a one-partition tick stays below the ratio
+      val t = GraftTable.create(spark, s"$d/src", TableConfig(
+        "mv_ad", TableType.CopyOnWrite, Seq("id"), "grp", ""))
+      val v = MV.create(spark, s"$d/view", t, Seq("grp" -> "grp"),
+        Seq(ViewAgg("cnt", "count", "*"), ViewAgg("total", "sum", "v")))
+      t.bulkInsert(rows((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+        (4, "a", 4.0), (5, "b", 5.0), (6, "c", 6.0)))
+      def check(): Unit = {
+        val got = MV.read(v).select(col("grp"), col("cnt"),
+          col("total").cast("double")).orderBy("grp")
+          .collect().map(_.toSeq).toSeq
+        val want = Readers.snapshot(t).groupBy("grp")
+          .agg(count(lit(1)).as("cnt"), sum("v").cast("double").as("total"))
+          .orderBy("grp").collect().map(_.toSeq).toSeq
+        assert(got === want)
+      }
+      def lastMd = CommitMetadata.fromJson(
+        v.timeline.readContent(v.timeline.completedDataInstants().last))
+
+      MV.sync(v, t)
+      // create + first sync = ONE bulk-insert view commit
+      assert(lastMd.operationType === "bulk_insert")
+      assert(lastMd.extraMetadata.get(MV.FoldKindKey).contains("rebuild"))
+      assert(v.timeline.completedDataInstants().size === 1)
+      check()
+
+      // small tick (one partition of three): incremental fold
+      t.upsert(rows((1, "a", 10.0)))
+      MV.sync(v, t)
+      assert(lastMd.extraMetadata.get(MV.FoldKindKey).contains("delta"))
+      check()
+
+      // window rewriting every partition: CDC would read more than the
+      // table — the sync flips to a from-scratch rebuild, same answer
+      t.upsert(rows((1, "a", 7.0), (2, "b", 8.0), (3, "c", 9.0),
+        (4, "a", 1.0), (5, "b", 2.0), (6, "c", 3.0)))
+      MV.sync(v, t)
+      assert(lastMd.extraMetadata.get(MV.FoldKindKey).contains("rebuild"))
+      check()
+    } finally spark.conf.set(MV.RebuildRatioConf, "1e18") // restore suite pin
   }
 
   test("initial sync equals a full aggregate") {
