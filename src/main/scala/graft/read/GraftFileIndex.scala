@@ -117,14 +117,14 @@ final class GraftFileIndex(
           if (loD == null || mnD < loD) { loD = mnD; lo = mn }
           if (hiD == null || mxD > hiD) { hiD = mxD; hi = mx }
         } else {
-          // ASCII-only: past 0x7F, footer byte order and JVM string order
-          // can disagree (surrogate-range UTF-16 units), so an exact
-          // answer is not provable — bail instead of risking a wrong one
-          if (mn.exists(_ > 0x7f) || mx.exists(_ > 0x7f)) return None
+          // byte-order fold, matching both the footer collation and Spark
+          // SQL's UTF8_BINARY min/max semantics — stats are byte-order
+          // correct at write time (Utf8Order fold in WritePipeline), so
+          // the exact answer is provable for any string content
           if (lo == null || UTF8String.fromString(mn)
-            .compareTo(UTF8String.fromString(lo)) < 0) lo = mn
+            .binaryCompare(UTF8String.fromString(lo)) < 0) lo = mn
           if (hi == null || UTF8String.fromString(mx)
-            .compareTo(UTF8String.fromString(hi)) > 0) hi = mx
+            .binaryCompare(UTF8String.fromString(hi)) > 0) hi = mx
         }
       }
     }

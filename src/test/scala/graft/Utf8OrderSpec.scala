@@ -81,6 +81,30 @@ class Utf8OrderSpec extends AnyFunSuite {
     assert(out("alpha") === 10 && out(Emoji) === 30)
   }
 
+  test("stats-answered min/max is exact over non-ASCII strings (zero jobs)") {
+    val dir = tmpDir("utf8_stats")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "u8s", TableType.CopyOnWrite, Seq("id"), "", "ver"))
+    // two files so the cross-file fold runs; byte-order max is the emoji
+    t.bulkInsert(Seq((1L, 1L, "alpha"), (2L, 1L, PrivateUse)).toDF("id", "ver", "v"))
+    t.insert(Seq((3L, 1L, Emoji), (4L, 1L, "zebra")).toDF("id", "ver", "v"))
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = Readers.snapshot(t)
+        .agg(org.apache.spark.sql.functions.min("v"),
+          org.apache.spark.sql.functions.max("v")).head()
+      Thread.sleep(800) // async listener bus drain
+      assert(r.getString(0) === "alpha" && r.getString(1) === Emoji,
+        s"got (${r.getString(0)}, ${r.getString(1)})")
+      assert(jobs === 0, s"stats-answered min/max ran $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("non-BMP record keys round-trip through delete") {
     val dir = tmpDir("utf8_del")
     val t = GraftTable.create(spark, dir.toString, TableConfig(
