@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Java sources compile FIRST and scalac then reads their BYTECODE (not
+// their source): the one Java shim bridges onto a Spark trait that is
+// public in bytecode but `private[sql]` in its Scala signature
+compileOrder := CompileOrder.JavaThenScala
 Test / fork := true
 run / fork := true
 // The driver parses graft.Bench's stdout for a bare JSON line; sbt's

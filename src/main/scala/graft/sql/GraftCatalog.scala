@@ -239,14 +239,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** The catalog's table handle. Scans over it never execute as DSv2:
+/** The catalog's table handle. BATCH scans over it never execute as DSv2:
   * [[GraftV2FallbackRule]] replaces its `DataSourceV2Relation` with the
   * engine's v1 relation during analysis (same plan as `format("graft")`),
   * so `capabilities` is deliberately empty — if the swap ever fails to
-  * fire, analysis fails loudly instead of reading wrong.
+  * fire, analysis fails loudly instead of reading wrong. STREAMING reads
+  * (`spark.readStream.table("cat.db.t")`) take Spark's own
+  * [[V2TableWithV1Fallback]] hook: the synthesized v1 CatalogTable
+  * (provider=graft, path option) resolves to the engine's commit-offset
+  * stream source, the same one `readStream.format("graft")` builds.
   */
 final case class GraftV2Table(spark: SparkSession, ident: Identifier,
-    basePath: String) extends Table {
+    basePath: String) extends V1FallbackBridge with Table {
 
   lazy val table: GraftTable = GraftTable.load(spark, basePath)
 
@@ -281,4 +285,17 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
 
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
+
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        ident.name, ident.namespace.headOption),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new java.net.URI(basePath)),
+        properties = Map("path" -> basePath)),
+      schema = schema(),
+      provider = Some("graft"))
+  }
 }

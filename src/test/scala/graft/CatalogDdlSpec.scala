@@ -123,6 +123,28 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.table("gcat.db4.ext2").count() === 1)
   }
 
+  test("readStream.table over a catalog name rides the v1 commit-offset source") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db6")
+    spark.sql("""
+      CREATE TABLE gcat.db6.s (id BIGINT, ver BIGINT) USING graft
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db6.s VALUES (1, 1), (2, 1)")
+    val q = spark.readStream.table("gcat.db6.s")
+      .writeStream.format("memory").queryName("gcat_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM gcat_stream").head().getLong(0) === 2)
+    // a later commit arrives on the next run (commit-offset checkpointing
+    // is the format("graft") source's own machinery)
+    spark.sql("INSERT INTO gcat.db6.s VALUES (3, 1)")
+    val q2 = spark.readStream.table("gcat.db6.s")
+      .writeStream.format("memory").queryName("gcat_stream2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM gcat_stream2").head().getLong(0) === 3)
+  }
+
   test("CTAS is refused clearly; multi-column partitioning layers dirs") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db5")
