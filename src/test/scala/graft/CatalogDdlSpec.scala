@@ -145,9 +145,17 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat_stream2").head().getLong(0) === 3)
   }
 
-  test("CTAS is refused clearly; multi-column partitioning layers dirs") {
+  test("CTAS lands through the v1 insert; multi-column partitioning layers dirs") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db5")
+    // CreateTableAsSelect: v2 createTable + AppendData folded to v1 insert
+    Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("id", "ver", "price")
+      .createOrReplaceTempView("gcat_ctas_src")
+    spark.sql("""CREATE TABLE gcat.db5.ctas USING graft
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')
+      AS SELECT * FROM gcat_ctas_src""")
+    assert(spark.table("gcat.db5.ctas").count() === 2)
+    assert(spark.sql("SELECT sum(price) FROM gcat.db5.ctas").head().getDouble(0) === 30.0)
     spark.sql("""
       CREATE TABLE gcat.db5.multi (id BIGINT, ver BIGINT, a STRING, b STRING)
       USING graft PARTITIONED BY (a, b)
