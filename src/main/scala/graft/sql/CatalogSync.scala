@@ -24,12 +24,12 @@ trait CatalogTarget {
     */
   def existing(db: String, table: String): Option[CatalogTarget.Entry]
   def createTable(db: String, table: String, schema: StructType,
-      location: String): Unit
+      location: String, options: Map[String, String]): Unit
   /** Re-publish the entry after schema or location drift (the reference's
     * `syncSchema` alter-table path).
     */
   def replaceTable(db: String, table: String, schema: StructType,
-      location: String): Unit
+      location: String, options: Map[String, String]): Unit
   /** Register partition paths (the reference's `syncPartitions`). Targets
     * whose query engines prune through their own listing (the session
     * catalog: pruning runs inside GraftFileIndex) may no-op; a metastore
@@ -106,20 +106,30 @@ object CatalogSync {
     val current = graft.read.Readers.snapshot(t)
       .drop(graft.core.MetaCols.All: _*).schema
     tgt.ensureDatabase(db, dbLocation)
-    tgt.existing(db, table) match {
-      case None => tgt.createTable(db, table, current, norm)
-      case Some(e) =>
-        require(e.provider.exists(_.equalsIgnoreCase("graft")),
-          s"refusing to sync over existing non-graft table $db.$table " +
-            s"(provider=${e.provider.getOrElse("none")})")
-        val sameLoc = e.location.exists(u => GraftTable.normalize(u) == norm)
-        if (e.schema != current || !sameLoc)
-          tgt.replaceTable(db, table, current, norm)
-    }
     // metadata-only partition listing (no file IO beyond the commit view)
-    tgt.addPartitions(db, table,
-      t.view.fileSlices(None).map(_.partitionPath).distinct.sorted)
-    tgt.refresh(db, table)
+    val partitions = t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
+    def publish(name: String, options: Map[String, String]): Unit = {
+      tgt.existing(db, name) match {
+        case None => tgt.createTable(db, name, current, norm, options)
+        case Some(e) =>
+          require(e.provider.exists(_.equalsIgnoreCase("graft")),
+            s"refusing to sync over existing non-graft table $db.$name " +
+              s"(provider=${e.provider.getOrElse("none")})")
+          val sameLoc = e.location.exists(u => GraftTable.normalize(u) == norm)
+          if (e.schema != current || !sameLoc)
+            tgt.replaceTable(db, name, current, norm, options)
+      }
+      tgt.addPartitions(db, name, partitions)
+      tgt.refresh(db, name)
+    }
+    publish(table, Map.empty)
+    // MOR tables additionally publish the reference's Hive-sync pair
+    // (HiveSyncTool: `<t>_ro` read-optimized, `<t>_rt` real-time); the
+    // bare name stays the snapshot view, so COW and MOR read uniformly
+    if (t.cfg.isMor) {
+      publish(table + "_ro", Map("queryType" -> "read_optimized"))
+      publish(table + "_rt", Map.empty)
+    }
   }
 
   /** Sync every graft table found one level under `root` (directory name
@@ -175,16 +185,19 @@ final class SessionCatalogTarget(spark: SparkSession) extends CatalogTarget {
   }
 
   override def createTable(db: String, table: String, schema: StructType,
-      location: String): Unit =
+      location: String, options: Map[String, String]): Unit = {
+    val opts = (options + ("includeMetaColumns" -> "false"))
+      .toSeq.sorted.map { case (k, v) => s"$k '${sqlLit(v)}'" }.mkString(", ")
     spark.sql(
       s"""CREATE TABLE ${ident(db)}.${ident(table)} USING graft
-         |OPTIONS (includeMetaColumns 'false')
+         |OPTIONS ($opts)
          |LOCATION '${sqlLit(location)}'""".stripMargin)
+  }
 
   override def replaceTable(db: String, table: String, schema: StructType,
-      location: String): Unit = {
+      location: String, options: Map[String, String]): Unit = {
     spark.sql(s"DROP TABLE ${ident(db)}.${ident(table)}")
-    createTable(db, table, schema, location)
+    createTable(db, table, schema, location, options)
   }
 
   // pruning happens inside GraftFileIndex against the table's own

@@ -131,7 +131,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = basePathOf(ident) match {
     case Some(p) => GraftV2Table(SparkSession.active, ident, p.toString)
-    case None => throw new NoSuchTableException(ident)
+    case None =>
+      // MOR view names, the reference's Hive-sync convention
+      // (HiveSyncTool registers `<t>_ro` read-optimized and `<t>_rt`
+      // real-time): resolve dynamically against the base table
+      val n = ident.name
+      val suffix = Seq("_ro", "_rt").find(n.endsWith)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val base = Identifier.of(ident.namespace, n.stripSuffix(suffix))
+      basePathOf(base) match {
+        case Some(p) =>
+          val t = GraftV2Table(SparkSession.active, ident, p.toString,
+            readOptions =
+              if (suffix == "_ro") Map("queryType" -> "read_optimized")
+              else Map.empty)
+          if (!t.table.cfg.isMor) throw new NoSuchTableException(ident)
+          t
+        case None => throw new NoSuchTableException(ident)
+      }
+  }
+
+  /** SQL `VERSION AS OF '<instant>'` over a catalog name. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    basePathOf(ident) match {
+      case Some(p) => GraftV2Table(SparkSession.active, ident, p.toString,
+        readOptions = Map("asOfInstant" -> version))
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  /** SQL `TIMESTAMP AS OF <ts>` over a catalog name (micros since epoch,
+    * per the TableCatalog contract) — instants are UTC-stamped, so the
+    * formatted wall time IS the as-of bound in instant order.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val inst = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(timestamp / 1000L))
+    loadTable(ident, inst)
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -250,7 +286,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * stream source, the same one `readStream.format("graft")` builds.
   */
 final case class GraftV2Table(spark: SparkSession, ident: Identifier,
-    basePath: String) extends V1FallbackBridge with Table {
+    basePath: String,
+    // extra v1 read options: queryType (read_optimized for `_ro` names),
+    // asOfInstant (SQL VERSION/TIMESTAMP AS OF over catalog names)
+    readOptions: Map[String, String] = Map.empty)
+    extends V1FallbackBridge with Table {
 
   lazy val table: GraftTable = GraftTable.load(spark, basePath)
 

@@ -42,7 +42,8 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
           t.table, latestSnapshot = true)
       } else new graft.spark.GraftDataSource().createRelation(
         spark.sqlContext,
-        Map("path" -> t.basePath, "includeMetaColumns" -> "false"))
+        Map("path" -> t.basePath, "includeMetaColumns" -> "false") ++
+          t.readOptions) // queryType (_ro names) / asOfInstant (AS OF)
     if (rel.schema == r.schema)
       LogicalRelation(rel, r.output.map(_.asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.AttributeReference]),

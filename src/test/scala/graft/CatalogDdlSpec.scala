@@ -123,6 +123,34 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.table("gcat.db4.ext2").count() === 1)
   }
 
+  test("MOR _ro/_rt names and VERSION/TIMESTAMP AS OF over catalog names") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db7")
+    spark.sql("""
+      CREATE TABLE gcat.db7.m (id BIGINT, ver BIGINT, price DOUBLE)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver',
+        tableType 'MERGE_ON_READ', `graft.compact.inline` 'false')""")
+    spark.sql("INSERT INTO gcat.db7.m VALUES (1, 1, 10.0), (2, 1, 20.0)")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db7/m")
+    val v1 = t.timeline.completedDataInstants().last.ts
+    // UPDATE routes through upsert -> a MOR DELTA file (INSERT is the
+    // append path and would land a new base file)
+    spark.sql("UPDATE gcat.db7.m SET price = 99.0, ver = 2 WHERE id = 2")
+    def price(tbl: String) = spark.sql(
+      s"SELECT price FROM $tbl WHERE id = 2").head().getDouble(0)
+    // HiveSyncTool's MOR pair, resolved dynamically by the catalog
+    assert(price("gcat.db7.m") === 99.0)
+    assert(price("gcat.db7.m_rt") === 99.0)
+    assert(price("gcat.db7.m_ro") === 20.0)
+    // time travel through Spark's native v2 AS OF path
+    assert(spark.sql(s"SELECT price FROM gcat.db7.m VERSION AS OF '$v1' WHERE id = 2")
+      .head().getDouble(0) === 20.0)
+    val futureTs = "2999-01-01 00:00:00"
+    assert(spark.sql(
+      s"SELECT price FROM gcat.db7.m TIMESTAMP AS OF '$futureTs' WHERE id = 2")
+      .head().getDouble(0) === 99.0)
+  }
+
   test("readStream.table over a catalog name rides the v1 commit-offset source") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db6")

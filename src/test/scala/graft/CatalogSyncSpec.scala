@@ -27,12 +27,12 @@ class CatalogSyncSpec extends AnyFunSuite {
         calls += s"db:$db"
       override def existing(db: String, table: String) = { calls += "existing"; stored }
       override def createTable(db: String, table: String, schema: StructType,
-          location: String): Unit = {
+          location: String, options: Map[String, String]): Unit = {
         calls += s"create:$db.$table"
         stored = Some(CatalogTarget.Entry(Some("graft"), schema, Some(location)))
       }
       override def replaceTable(db: String, table: String, schema: StructType,
-          location: String): Unit = {
+          location: String, options: Map[String, String]): Unit = {
         calls += s"replace:$db.$table"
         stored = Some(CatalogTarget.Entry(Some("graft"), schema, Some(location)))
       }
@@ -157,6 +157,26 @@ class CatalogSyncSpec extends AnyFunSuite {
     // same schema, different path: must re-point, not silently keep d1
     CatalogSync.sync(spark, d2, "cs_db", "tl")
     assert(spark.sql("SELECT count(*) FROM cs_db.tl").first().getLong(0) === 2)
+  }
+
+  test("MOR sync publishes the _ro/_rt pair (HiveSyncTool convention)") {
+    val dir = tmpDir("csync_mor").toString + "/t"
+    val t = graft.table.GraftTable.create(spark, dir, graft.core.TableConfig(
+      "cs_mor", graft.core.TableType.MergeOnRead, Seq("id"), "", "ver",
+      Map("graft.compact.inline" -> "false")))
+    t.bulkInsert(Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("id", "ver", "price"))
+    t.upsert(Seq((2L, 2L, 99.0)).toDF("id", "ver", "price")) // delta file
+    CatalogSync.sync(spark, dir, "cs_db", "tmor")
+    // real-time (and the bare name) merge deltas; read-optimized sees
+    // only the base files until compaction folds them in
+    def price(tbl: String) = spark.sql(
+      s"SELECT price FROM $tbl WHERE id = 2").head().getDouble(0)
+    assert(price("cs_db.tmor") === 99.0)
+    assert(price("cs_db.tmor_rt") === 99.0)
+    assert(price("cs_db.tmor_ro") === 20.0)
+    assert(graft.table.Services.compact(t).isDefined)
+    CatalogSync.sync(spark, dir, "cs_db", "tmor")
+    assert(price("cs_db.tmor_ro") === 99.0)
   }
 
   test("syncAll restores a warehouse directory, skipping unsyncable names") {
