@@ -107,16 +107,16 @@ class StatsAnswerSpec extends AnyFunSuite {
     assert(!hasScan(q3))
     assert(q3.head.isNullAt(0) && q3.head.getLong(1) === 0)
 
-    // non-ASCII string stats are not provably ordered -> scan answers
+    // non-ASCII string stats answer too: the write-side fold orders them
+    // by UTF-8 bytes, which is exactly Spark's UTF8_BINARY min/max order
     val t3dir = tmpDir("statmm3")
     val t3 = GraftTable.create(spark, t3dir.toString, TableConfig(
       "smm3", TableType.CopyOnWrite, Seq("id"), "", ""))
     t3.bulkInsert(Seq((1L, "z😀"), (2L, "￥yen")).toDF("id", "s"))
     val q4 = Readers.snapshot(t3).agg(min($"s").as("lo"), max($"s").as("hi"))
-    assert(hasScan(q4))
-    // and the scan agrees with Spark's own UTF8 ordering
-    assert(q4.head.getString(0) === "z😀" ||
-      q4.head.getString(0) === "￥yen") // whichever UTF8-sorts lower
+    assert(!hasScan(q4))
+    // byte order: 'z' (0x7A) < '￥' (EF BF A5) regardless of UTF-16 units
+    assert(q4.head.getString(0) === "z😀" && q4.head.getString(1) === "￥yen")
 
     // distinct / filtered aggregates keep the scan
     assert(hasScan(Readers.snapshot(t).agg(countDistinct($"fruit").as("n"))))
