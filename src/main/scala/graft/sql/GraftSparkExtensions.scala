@@ -213,7 +213,11 @@ private[sql] object GraftTimeTravel {
       Some(SubqueryAlias(parts.last, df.queryExecution.analyzed))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Base path of the graft table behind a (temp-view or catalog) name. */
+  /** Base path of the graft table behind a (temp-view, session-catalog,
+    * or `cat.db.t` v2-catalog) name — the one resolver behind the whole
+    * SQL admin surface (OPTIMIZE/VACUUM/DESCRIBE HISTORY/CALL/
+    * table_changes/time travel).
+    */
   private[sql] def graftPathOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
     val cat = spark.sessionState.catalog
     val fromView = parts match {
@@ -227,6 +231,7 @@ private[sql] object GraftTimeTravel {
       val ident = parts match {
         case Seq(t) => TableIdentifier(t)
         case Seq(db, t) => TableIdentifier(t, Some(db))
+        case Seq(c, db, t) => return v2GraftPathOf(spark, c, db, t)
         case _ => return None
       }
       if (!cat.tableExists(ident)) None
@@ -237,6 +242,23 @@ private[sql] object GraftTimeTravel {
       }
     }
   }
+
+  /** `cat.db.t` through a registered DSv2 [[GraftCatalog]]. */
+  private def v2GraftPathOf(spark: SparkSession, cat: String, db: String,
+      t: String): Option[String] =
+    try {
+      spark.sessionState.catalogManager.catalog(cat) match {
+        case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
+          val id = org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array(db), t)
+          if (!tc.tableExists(id)) None
+          else tc.loadTable(id) match {
+            case g: GraftV2Table => Some(g.basePath)
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** An as-of instant from the TIMESTAMP AS OF expression: an all-digit
     * string passes through as a raw instant; anything else evaluates as a

@@ -173,6 +173,39 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat_stream2").head().getLong(0) === 3)
   }
 
+  test("SQL admin surface + pushdown work over catalog-qualified names") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db8")
+    spark.sql("""
+      CREATE TABLE gcat.db8.a (id BIGINT, ver BIGINT, price DOUBLE, yr STRING)
+      USING graft PARTITIONED BY (yr)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db8.a VALUES (1, 1, 10.0, '1995'), (2, 1, 20.0, '1996')")
+    spark.sql("UPDATE gcat.db8.a SET price = 99.0 WHERE id = 2")
+
+    // DESCRIBE HISTORY / CALL / table_changes resolve the 3-part name
+    assert(spark.sql("DESCRIBE HISTORY gcat.db8.a").count() === 2)
+    assert(spark.sql("CALL show_commits(table => 'gcat.db8.a')").count() === 2)
+    val t = graft.table.GraftTable.load(spark, s"$wh/db8/a")
+    val c1 = t.timeline.completedDataInstants().head.ts
+    val changes = spark.sql(s"SELECT * FROM table_changes('gcat.db8.a', '$c1')")
+    assert(changes.filter($"_change_type" === "update_after").count() === 1)
+    // maintenance statements too
+    spark.sql("OPTIMIZE gcat.db8.a")
+    assert(spark.sql("VACUUM gcat.db8.a DRY RUN").collect() != null)
+    assert(spark.sql("SHOW PARTITIONS gcat.db8.a").count() === 2)
+
+    // predicate pushdown reaches the relation through the swap rule (the
+    // v1 PrunedFilteredScan re-applies it inside, onto the parquet scan —
+    // same shape as session-catalog names)
+    val q = spark.sql("SELECT price FROM gcat.db8.a WHERE id = 2")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r }.get
+    assert(scan.metadata("PushedFilters").contains("id"),
+      s"no pushdown through catalog name: ${scan.metadata("PushedFilters")}")
+    assert(q.head().getDouble(0) === 99.0)
+  }
+
   test("CTAS lands through the v1 insert; multi-column partitioning layers dirs") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db5")
