@@ -181,6 +181,18 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     val pairs = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands,
       shingleN, maxBucketSize)
+    labelComponents(df.select(col(idCol)), pairs, maxIters, idCol)
+  }
+
+  /** Connected-component labeling over an arbitrary near-dup pair graph
+    * (the CC core of [[minhashClusters]], reusable by any pair producer —
+    * image pHash, SimHash, embedding buckets). `nodes` carries one id
+    * column, `pairs` carries `_l_id`/`_r_id`; returns (idCol, cluster_id
+    * = min id in the component). Shape and convergence contract as
+    * documented above.
+    */
+  def labelComponents(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+      idCol: String = "doc_id"): DataFrame = {
     val edges = pairs.select(col("_l_id").as("_cc_src"), col("_r_id").as("_cc_dst"))
       .unionByName(pairs.select(col("_r_id").as("_cc_src"), col("_l_id").as("_cc_dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -188,7 +200,8 @@ object Dedup {
     // references the label frame twice, so without lineage truncation the
     // logical plan would grow ~3x per round and blow planning/tree-string
     // stacks; an eager checkpoint keeps every round's plan constant-size
-    var labels = df.select(col(idCol).as("_cc_id"), col(idCol).as("_cc_label"))
+    val nodeId = col(nodes.columns.head)
+    var labels = nodes.select(nodeId.as("_cc_id"), nodeId.as("_cc_label"))
       .localCheckpoint(eager = true)
     try {
       var converged = false
@@ -218,7 +231,7 @@ object Dedup {
       // propagated labels — wrong cluster_ids with no signal; fail loudly
       if (!converged)
         throw new IllegalStateException(
-          s"minhashClusters did not converge after $maxIters rounds: a " +
+          s"labelComponents did not converge after $maxIters rounds: a " +
             "connected component's diameter exceeds ~2^maxIters, so labels " +
             "are only partially propagated. Raise maxIters (pointer doubling " +
             "needs ~log2(component diameter) rounds).")

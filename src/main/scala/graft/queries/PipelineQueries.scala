@@ -220,6 +220,29 @@ object PipelineQueries {
       Similarity.recallAtK(approx, exact, 10)
     }),
 
+    // image near-dup dedup: REAL PNG render → javax.imageio decode →
+    // 32×32 DCT pHash → banded Hamming join → transitive clusters. The
+    // images are deterministic: doc_id % 16 picks a noise family (~32-bit
+    // cross-family pHash distance), doc_id/16 % 3 a small edit (≤2-3 bit
+    // within-family distance), so the cluster representative provably
+    // equals min(doc_id) within the family — which is what the oracle
+    // recomputes from doc_id arithmetic alone
+    "p_image_phash_dedup" -> ((s, d) => {
+      val imgs = ImageHash.withSyntheticPng(docs(s, d), fams = 16)
+      ImageHash.phashClusters(imgs)
+        .select(col("doc_id"), col("cluster_id").as("rep_id"))
+    }),
+
+    // audio near-dup dedup: REAL RIFF/WAVE PCM render → javax.sound
+    // decode → 64-bit energy-contour fingerprint → banded Hamming join →
+    // transitive clusters; family/variant construction and oracle shape
+    // as p_image_phash_dedup (doc_id % 12 families)
+    "p_audio_fp_dedup" -> ((s, d) => {
+      val clips = AudioHash.withSyntheticWav(docs(s, d), fams = 12)
+      AudioHash.audioClusters(clips)
+        .select(col("doc_id"), col("cluster_id").as("rep_id"))
+    }),
+
     // multimodal plumbing: schema-correct decode over binary columns
     "p_multimodal_decode" -> ((s, d) => {
       val blobs = Multimodal.withFakeBinary(docs(s, d), "doc_id")
@@ -2294,6 +2317,20 @@ object PipelineQueries {
            |    {'hits': len(list_intersect(ltoks, ['de','het','een','en','van','is','dat','op','te','niet'])), 'lang': 'nl'}
            |  ]) AS best FROM m
            |)""".stripMargin,
+    // the image families are constructed so pHash clustering lands each
+    // doc with the lowest doc_id of its doc_id%16 family — the oracle is
+    // that arithmetic invariant, making this a REAL end-to-end check of
+    // render → decode → DCT → banding → CC against an exact answer
+    "p_image_phash_dedup" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 16) AS rep_id
+        |FROM documents""".stripMargin,
+    // same construction as the image gate: energy-contour fingerprint
+    // clustering provably lands each clip on its doc_id%12 family minimum
+    "p_audio_fp_dedup" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 12) AS rep_id
+        |FROM documents""".stripMargin,
     // the fake codec derives metadata from the first 7 content bytes, and
     // the content is unhex(repeat(md5(doc_id))) — so the oracle recomputes
     // h straight from md5(doc_id)

@@ -290,7 +290,7 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
     // extra v1 read options: queryType (read_optimized for `_ro` names),
     // asOfInstant (SQL VERSION/TIMESTAMP AS OF over catalog names)
     readOptions: Map[String, String] = Map.empty)
-    extends V1FallbackBridge with Table {
+    extends V1FallbackBridge with Table with TruncatableTable {
 
   lazy val table: GraftTable = GraftTable.load(spark, basePath)
 
@@ -325,6 +325,15 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
 
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
+
+  /** `TRUNCATE TABLE cat.db.t` — one replacecommit through the engine's
+    * truncate (time-travel/incremental history preserved, like every
+    * other write op).
+    */
+  override def truncateTable(): Boolean = {
+    table.truncate()
+    true
+  }
 
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}

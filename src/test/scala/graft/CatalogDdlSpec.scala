@@ -225,4 +225,23 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(Storage.exists(new org.apache.hadoop.fs.Path(s"$wh/db5/multi/x/y")))
     assert(spark.sql("SELECT count(*) FROM gcat.db5.multi WHERE a='x'").head().getLong(0) === 1)
   }
+
+  test("TRUNCATE TABLE over a catalog name: one replacecommit, history kept") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db9")
+    spark.sql("""
+      CREATE TABLE gcat.db9.t (id BIGINT, ver BIGINT, price DOUBLE)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db9.t VALUES (1, 1, 10.0), (2, 1, 20.0)")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db9/t")
+    val before = t.timeline.completedInstants().size
+    spark.sql("TRUNCATE TABLE gcat.db9.t")
+    assert(spark.table("gcat.db9.t").count() === 0)
+    // truncate is a commit, not an rm -rf: the pre-truncate snapshot is
+    // still reachable by time travel
+    assert(t.timeline.completedInstants().size === before + 1)
+    val c1 = t.timeline.completedDataInstants().head.ts
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db9.t VERSION AS OF '$c1'")
+      .head().getLong(0) === 2)
+  }
 }
