@@ -21,7 +21,7 @@ object Bench {
     "p_quality_repetition", "p_range_join", "p_chunk_docs",
     "p_dedup_semantic", "p_contamination", "p_c4_clean", "p_pii_scrub",
     "p_lm_perplexity", "p_bm25_topk", "q35_waiting_suppliers",
-    "t_materialized_view")
+    "t_materialized_view", "p_image_phash_dedup", "p_audio_fp_dedup")
   // t_ingest_kafka is NOT a headliner: its gate shape is 25 sequential
   // maxEvents-capped ticks at sf0.1 (deliberately, to exercise checkpoint
   // resume), which times the harness loop, not engine throughput
@@ -97,10 +97,19 @@ object Bench {
     // A failed query must surface as a failure, never as a (fast) timing.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val NoisySpread = 2.0
+    // iteration 1 of each query is its FIRST run at full SF — it pays
+    // one-time costs the sampled warm-up can't reach (parquet footer
+    // cache, codegen for the full-size plan variants, page cache for the
+    // real files). Two back-to-back full runs on identical code showed
+    // per-query medians agreeing within 1.25x while iteration-1 spikes of
+    // 4-13x tripped the noise flag — so iteration 1 is recorded
+    // separately (`first`) and EXCLUDED from median/min/max/noise, which
+    // measure the steady state. A genuinely noisy run still flags: its
+    // spread lives in iterations 2..n too.
     val times = scala.collection.mutable.LinkedHashMap(
       headline.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (i <- 1 to iters; name <- headline if !failed.contains(name)) {
+    for (i <- 0 to iters; name <- headline if !failed.contains(name)) {
       try {
         val t0 = System.nanoTime()
         fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -112,16 +121,19 @@ object Bench {
       }
     }
     val results = headline.filterNot(failed.contains).flatMap { name =>
-      val ts = times(name).sorted.toIndexedSeq
-      if (ts.isEmpty) None
-      else Some((name, ts(ts.length / 2), ts.head, ts.last))
+      val all = times(name).toIndexedSeq
+      if (all.length < 2) None
+      else {
+        val ts = all.drop(1).sorted
+        Some((name, ts(ts.length / 2), ts.head, ts.last, all.head))
+      }
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, med, mn, mx) =>
-      "\"" + k + "\":" + f"""{"min":$mn%.3f,"med":$med%.3f,"max":$mx%.3f}"""
+    val stats = results.map { case (k, med, mn, mx, first) =>
+      "\"" + k + "\":" + f"""{"min":$mn%.3f,"med":$med%.3f,"max":$mx%.3f,"first":$first%.3f}"""
     }.mkString("{", ",", "}")
-    val noisy = results.exists { case (_, _, mn, mx) => mn > 0 && mx / mn > NoisySpread }
+    val noisy = results.exists { case (_, _, mn, mx, _) => mn > 0 && mx / mn > NoisySpread }
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"noisy":$noisy,"queries":$qs,"stats":$stats,"failed":$failedJson,"sf":"$sfDir"}""")

@@ -55,9 +55,12 @@ object AudioHash {
   def audioClusters(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "content", maxDist: Int = 3, bands: Int = 4,
       maxIters: Int = 20): DataFrame = {
+    // cache the decode pass, collapse exact-duplicate fingerprints, CC
+    // over representatives — as in [[ImageHash.phashClusters]]
     val fps = fingerprintAudio(df, idCol, binCol)
-    val pairs = ImageHash.nearDupPairs(fps, idCol, "afp", maxDist, bands)
-    Dedup.labelComponents(fps.select(col(idCol)), pairs, maxIters, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ImageHash.clustersFromHashes(fps, idCol, "afp", maxDist, bands, maxIters)
+    finally fps.unpersist()
   }
 
   /** Deterministic synthetic PCM WAVs for gates/specs: family `id % fams`
@@ -72,6 +75,9 @@ object AudioHash {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
+      // one tiny input split would serialize the render+decode loop —
+      // spread row-local codec work like [[ImageHash.withSyntheticPng]]
+      .repartition(col(idCol))
       .mapPartitions(it => it.map(id => (id, syntheticWav(id, fams))))
       .toDF(idCol, out)
   }

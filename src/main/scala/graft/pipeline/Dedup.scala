@@ -204,6 +204,15 @@ object Dedup {
     var labels = nodes.select(nodeId.as("_cc_id"), nodeId.as("_cc_label"))
       .localCheckpoint(eager = true)
     try {
+      // convergence check: labels only ever DECREASE (every update takes a
+      // min over candidates that include the current label), so "no label
+      // changed" ⇔ "sum of labels unchanged" — one single-stage aggregate
+      // on the just-checkpointed frame instead of a full next-vs-old join
+      // per round. Decimal sum: exact at any id magnitude × row count.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("_cc_label").cast("decimal(38,0)"))).head().getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO) // empty node set
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -219,12 +228,10 @@ object Dedup {
         val next = labels.unionByName(fromNeighbors).unionByName(chased)
           .groupBy("_cc_id").agg(min("_cc_label").as("_cc_label"))
           .localCheckpoint(eager = true)
-        val changed = next.alias("n")
-          .join(labels.alias("o"), col("n._cc_id") === col("o._cc_id"))
-          .filter(col("n._cc_label") =!= col("o._cc_label"))
-          .limit(1).count()
+        val nextSum = labelSum(next)
         labels = next
-        converged = changed == 0
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         iter += 1
       }
       // a component wider than maxIters hops would exit with partially

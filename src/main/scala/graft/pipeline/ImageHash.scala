@@ -28,6 +28,13 @@ object ImageHash {
   private val DctSize = 32 // downsample edge; DCT input is DctSize×DctSize
   private val LowFreq = 8  // keep the top-left LowFreq×LowFreq coefficients
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode —
+  // at corpus scale that is two disk round trips and a registry
+  // synchronization per image (measured ~19 ms/image CPU; memory-cached
+  // streams cut the hash pass ~an order of magnitude). Runs once per JVM
+  // when the first partition touches this object (executors included).
+  javax.imageio.ImageIO.setUseCache(false)
+
   // DCT-II basis table: cos((2x+1) u π / 2N) for x,u < N — precomputed
   // once per JVM, shared by every partition's hash loop
   private lazy val cosTable: Array[Array[Double]] = {
@@ -141,15 +148,48 @@ object ImageHash {
   }
 
   /** Transitive pHash near-dup clusters: (idCol, cluster_id = min id in
-    * the connected component). Composes hash pass → banded pairs →
-    * [[Dedup.labelComponents]].
+    * the connected component). Composes hash pass → exact-hash collapse →
+    * banded pairs → [[Dedup.labelComponents]] → label broadcast-back.
     */
   def phashClusters(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "content", maxDist: Int = 3, bands: Int = 4,
       maxIters: Int = 20): DataFrame = {
+    // persist the hash pass: it feeds the collapse, the banded self-join
+    // and the final label join — without the cache the decode+DCT scan
+    // would run three times (decode is the expensive part, not the joins)
     val hashes = phashImages(df, idCol, binCol)
-    val pairs = nearDupPairs(hashes, idCol, "phash", maxDist, bands)
-    Dedup.labelComponents(hashes.select(col(idCol)), pairs, maxIters, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try clustersFromHashes(hashes, idCol, "phash", maxDist, bands, maxIters)
+    finally hashes.unpersist()
+  }
+
+  /** Cluster a (id, 64-bit hash) frame. Dup-heavy corpora are the NORM in
+    * dedup workloads — k byte-identical copies of one item would put k
+    * rows in every banded bucket (O(k²) candidate pairs per clique, ~800k
+    * edges on the 5k-doc gate corpus alone), so exact-duplicate hashes
+    * first COLLAPSE to one representative (min id per hash value), the
+    * banded join + CC run over distinct hashes only, and the component
+    * label (min of the reps = global min id) broadcasts back to all rows
+    * through one hash equi-join. Returns (idCol, cluster_id),
+    * materialized (safe to unpersist inputs after).
+    */
+  private[pipeline] def clustersFromHashes(hashes: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int, bands: Int, maxIters: Int): DataFrame = {
+    val reps = hashes.groupBy(col(hashCol)).agg(min(col(idCol)).as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = nearDupPairs(reps, idCol, hashCol, maxDist, bands)
+      val labels = Dedup.labelComponents(reps.select(col(idCol)), pairs,
+        maxIters, idCol)
+      hashes.select(col(idCol).as("_hc_id"), col(hashCol))
+        .join(reps.select(col(hashCol), col(idCol).as("_hc_rep")), Seq(hashCol))
+        .join(labels.select(col(idCol).as("_hc_rep"), col("cluster_id")),
+          Seq("_hc_rep"))
+        .select(col("_hc_id").as(idCol), col("cluster_id"))
+        // materialize before the callers' finally-unpersist pulls the
+        // cached inputs out from under this plan
+        .localCheckpoint(eager = true)
+    } finally reps.unpersist()
   }
 
   /** Deterministic synthetic PNGs for gates/specs: family `id % fams`
@@ -165,6 +205,10 @@ object ImageHash {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
+      // the id frame usually arrives as one tiny split; codec work is
+      // row-local, so spread it across the session's shuffle partitions
+      // (real corpora arrive over many parquet splits and skip this)
+      .repartition(col(idCol))
       .mapPartitions(it => it.map(id => (id, syntheticPng(id, fams))))
       .toDF(idCol, out)
   }

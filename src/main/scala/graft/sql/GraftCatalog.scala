@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -290,7 +291,8 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
     // extra v1 read options: queryType (read_optimized for `_ro` names),
     // asOfInstant (SQL VERSION/TIMESTAMP AS OF over catalog names)
     readOptions: Map[String, String] = Map.empty)
-    extends V1FallbackBridge with Table with TruncatableTable {
+    extends V1FallbackBridge with Table with TruncatableTable
+    with SupportsPartitionManagement {
 
   lazy val table: GraftTable = GraftTable.load(spark, basePath)
 
@@ -334,6 +336,99 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
     table.truncate()
     true
   }
+
+  // ------------------------------------- SupportsPartitionManagement
+  // Partition admin over catalog names (`ALTER TABLE ... DROP PARTITION
+  // (col='v')`, native SHOW PARTITIONS). Graft partitions are IMPLICIT —
+  // they materialize when data lands and disappear (logically, via
+  // replacecommit) when dropped — so only the listing/drop half of the
+  // contract is meaningful; ADD/metadata mutations refuse loudly, the
+  // reference's Hive-sync convention (partitions sync FROM the table,
+  // never INTO it). Identity single-column partitioning only: expression
+  // partitioning has no v2 row form (partitionSchema is empty → Spark's
+  // spec resolution fails cleanly).
+
+  private def partitionField: Option[org.apache.spark.sql.types.StructField] = {
+    val e = table.cfg.partitionPathExpr
+    if (e.nonEmpty && e.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      schema().fields.find(_.name.equalsIgnoreCase(e))
+    else None
+  }
+
+  override def partitionSchema(): StructType =
+    StructType(partitionField.toSeq)
+
+  /** Stored partition-path string → typed identifier value (hive-style
+    * `name=` prefix stripped when the table writes it).
+    */
+  private def pathToValue(raw: String,
+      f: org.apache.spark.sql.types.StructField): Any = {
+    val hive = graft.keygen.KeyGen.hiveStyleNameOf(table.cfg)
+    val s = hive match {
+      case Some(n) if raw.startsWith(n + "=") => raw.stripPrefix(n + "=")
+      case _ => raw
+    }
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType),
+      f.dataType, Some("UTC")).eval(null)
+  }
+
+  /** Typed identifier value → the partition-path string the table layout
+    * uses (the exact keygen rendering: string cast + hive-style prefix).
+    */
+  private def valueToPath(ident: InternalRow,
+      f: org.apache.spark.sql.types.StructField): String = {
+    val v = ident.get(0, f.dataType)
+    val s = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, f.dataType),
+      org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)
+    val raw = if (s == null) "" else s.toString
+    graft.keygen.KeyGen.hiveStyleNameOf(table.cfg) match {
+      case Some(n) => s"$n=$raw"
+      case None => raw
+    }
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val f = partitionField.getOrElse(return Array.empty)
+    require(names.forall(_.equalsIgnoreCase(f.name)),
+      s"unknown partition column(s) ${names.mkString(",")}")
+    val all = table.view.partitions()
+      .map(raw => InternalRow(pathToValue(raw, f)))
+    if (names.isEmpty) all.toArray
+    else {
+      val want = ident.get(0, f.dataType)
+      all.filter(r => r.get(0, f.dataType) == want).toArray
+    }
+  }
+
+  /** `ALTER TABLE ... DROP PARTITION` — the engine's delete_partition
+    * replacecommit; history stays time-travelable like every other write.
+    */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val f = partitionField.getOrElse(throw new UnsupportedOperationException(
+      "expression-partitioned graft tables manage partitions by predicate " +
+        "(deletePartitions / DELETE WHERE), not by v2 partition idents"))
+    val path = valueToPath(ident, f)
+    if (!table.view.partitions().contains(path)) return false
+    table.deletePartitions(Seq(path))
+    true
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions materialize when data is written; ADD PARTITION is not a graft operation")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft partitions hold no mutable metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
 
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}

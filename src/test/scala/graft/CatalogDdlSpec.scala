@@ -226,6 +226,38 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.db5.multi WHERE a='x'").head().getLong(0) === 1)
   }
 
+  test("ALTER TABLE DROP PARTITION over a catalog name; implicit ADD refused") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db10")
+    spark.sql("""
+      CREATE TABLE gcat.db10.p (id BIGINT, ver BIGINT, price DOUBLE, yr STRING)
+      USING graft PARTITIONED BY (yr)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("""INSERT INTO gcat.db10.p VALUES
+      (1, 1, 10.0, '1995'), (2, 1, 20.0, '1996'), (3, 1, 30.0, '1996')""")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db10/p")
+    val before = t.timeline.completedInstants().size
+    spark.sql("ALTER TABLE gcat.db10.p DROP PARTITION (yr = '1995')")
+    assert(spark.table("gcat.db10.p").count() === 2)
+    assert(spark.sql("SHOW PARTITIONS gcat.db10.p").collect().map(_.getString(0)).toSet
+      === Set("1996"))
+    // the drop is one replacecommit: the dropped partition stays
+    // reachable by time travel
+    assert(t.timeline.completedInstants().size === before + 1)
+    val c1 = t.timeline.completedDataInstants().head.ts
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db10.p VERSION AS OF '$c1'")
+      .head().getLong(0) === 3)
+    // dropping a partition that is not there: IF EXISTS is silent, bare errors
+    spark.sql("ALTER TABLE gcat.db10.p DROP IF EXISTS PARTITION (yr = '1980')")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db10.p DROP PARTITION (yr = '1980')") }
+    // partitions materialize on write — ADD PARTITION refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db10.p ADD PARTITION (yr = '2001')") }
+    assert(e.getMessage.contains("materialize") ||
+      Option(e.getCause).exists(_.getMessage.contains("materialize")))
+  }
+
   test("TRUNCATE TABLE over a catalog name: one replacecommit, history kept") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db9")

@@ -150,6 +150,34 @@ class DirectPublishSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("publish keeps per-data-file reads off the driver (executor-side stats)") {
+    val base = mockBase("direct_o1") + "/t"
+    val key = "spark.graft.write.stats.driver.max.files"
+    spark.conf.set(key, "0") // any commit is "large": stats must be a job
+    MockRemoteFileSystem.resetAccesses()
+    try {
+      val t = GraftTable.create(spark, base, TableConfig(
+        "do1", TableType.CopyOnWrite, Seq("id"), "yr", "ver"))
+      MockRemoteFileSystem.recording = true
+      t.bulkInsert(threeRows)
+      MockRemoteFileSystem.recording = false
+      // every footer/length read of a committed data file must come from
+      // an executor task thread (ONE distributed stats job) — a driver
+      // thread doing per-file reads would serialize thousands of object-
+      // store round trips at a large commit's publish
+      val dataReads = MockRemoteFileSystem.accesses.filter { case (p, _) =>
+        p.contains("/t/") && !p.contains("/.graft") && p.endsWith(".parquet") }
+      assert(dataReads.nonEmpty, "expected recorded data-file reads")
+      val offExecutor = dataReads.filterNot(_._2.contains("Executor task launch"))
+      assert(offExecutor.isEmpty,
+        s"driver-side per-data-file reads at publish: $offExecutor")
+    } finally {
+      spark.conf.unset(key)
+      MockRemoteFileSystem.recording = false
+      MockRemoteFileSystem.resetAccesses()
+    }
+  }
+
   test("ORC base format publishes direct with footer stats") {
     val dir = tmpDir("direct_orc").toString + "/t"
     val t = GraftTable.create(spark, dir, TableConfig(

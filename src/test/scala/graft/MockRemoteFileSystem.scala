@@ -22,6 +22,21 @@ class MockRemoteFileSystem extends RawLocalFileSystem {
     MockRemoteFileSystem.renamed.add(src.toUri.getPath)
     super.rename(src, dst)
   }
+
+  // record which THREAD performs per-file metadata/read RPCs: on an
+  // object store each is a round trip, and specs assert the publish
+  // path's per-data-file reads run on executor task threads (one
+  // distributed job), never serialized through the driver
+  override def getFileStatus(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    MockRemoteFileSystem.record(p)
+    super.getFileStatus(p)
+  }
+
+  override def open(p: org.apache.hadoop.fs.Path,
+      bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    MockRemoteFileSystem.record(p)
+    super.open(p, bufferSize)
+  }
 }
 
 object MockRemoteFileSystem {
@@ -30,5 +45,16 @@ object MockRemoteFileSystem {
   def renames: Set[String] = {
     import scala.jdk.CollectionConverters._
     renamed.asScala.toSet
+  }
+
+  // (path, thread name) per getFileStatus/open — see the instance methods
+  val accessed = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  @volatile var recording = false
+  private[graft] def record(p: org.apache.hadoop.fs.Path): Unit =
+    if (recording) accessed.add((p.toUri.getPath, Thread.currentThread().getName))
+  def resetAccesses(): Unit = accessed.clear()
+  def accesses: Set[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    accessed.asScala.toSet
   }
 }
