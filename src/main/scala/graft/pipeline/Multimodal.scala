@@ -276,4 +276,146 @@ object Multimodal {
         }
       }
   }
+
+  final case class VideoMeta(id: Long, durationMs: Long, width: Int,
+      height: Int, videoTracks: Int, brand: String)
+
+  /** Real ISO-BMFF (MP4/MOV) CONTAINER parsing — duration, dimensions,
+    * track count straight from the `moov` box tree (`mvhd` timescale +
+    * duration, `tkhd` 16.16-fixed width/height). Pure byte walking, no
+    * codec: this is the metadata half of video handling (what a catalog/
+    * filter stage needs — "drop clips under 2 s", "bucket by resolution").
+    * PIXEL decode stays out of scope (no JDK video codec, zero-egress) —
+    * frame CONTENT sampling keeps the deterministic stub.
+    */
+  object VideoCodec {
+    private def looksLikeMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    /** Some(meta-less tuple) for ISO-BMFF bytes; None otherwise. */
+    def videoMeta(bytes: Array[Byte]): Option[(Long, Int, Int, Int, String)] = {
+      if (!looksLikeMp4(bytes)) return None
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+        val brand = new String(bytes, 8, 4, "US-ASCII").trim
+        var timescale = 0L
+        var duration = 0L
+        var width = 0
+        var height = 0
+        var tracks = 0
+        // depth-first walk; descend only into the container boxes that
+        // can hold what we read (moov/trak/mdia pathing keeps the walk
+        // O(header bytes) even on a multi-GB clip — callers should pass
+        // the leading bytes, not the whole blob)
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val size0 = bb.getInt(off).toLong & 0xFFFFFFFFL
+            val typ = new String(bytes, off + 4, 4, "US-ASCII")
+            val (payload, size) =
+              if (size0 == 1 && off + 16 <= end) (off + 16, bb.getLong(off + 8))
+              else (off + 8, size0)
+            if (size < 8 || off + size > end) return // truncated/garbage box
+            typ match {
+              case "moov" | "trak" => walk(payload, off + size.toInt)
+              case "mvhd" if payload + 4 <= end =>
+                val version = bytes(payload) & 0xFF
+                if (version == 1 && payload + 32 <= end) {
+                  timescale = bb.getInt(payload + 20).toLong & 0xFFFFFFFFL
+                  duration = bb.getLong(payload + 24)
+                } else if (payload + 24 <= end) {
+                  timescale = bb.getInt(payload + 12).toLong & 0xFFFFFFFFL
+                  duration = bb.getInt(payload + 16).toLong & 0xFFFFFFFFL
+                }
+              case "tkhd" =>
+                // width/height are the LAST 8 payload bytes (16.16 fixed)
+                // in both box versions
+                val tail = off + size.toInt
+                if (tail - 8 >= payload + 4) {
+                  val w = bb.getInt(tail - 8) >>> 16
+                  val h = bb.getInt(tail - 4) >>> 16
+                  if (w > 0 && h > 0) { // video track (audio tracks are 0×0)
+                    tracks += 1
+                    if (width == 0) { width = w; height = h }
+                  }
+                }
+              case _ => // leaf we don't read; skip
+            }
+            off += size.toInt
+          }
+        }
+        walk(0, bytes.length)
+        if (timescale <= 0) None
+        else Some((duration * 1000L / timescale, width, height, tracks, brand))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Video container metadata: REAL for ISO-BMFF bytes ([[VideoCodec]]),
+    * deterministic stub otherwise (same fake-metadata convention as the
+    * image/audio paths). Iterator-to-iterator, header-bytes cost per row.
+    */
+  def videoMeta(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "content"): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          VideoCodec.videoMeta(bytes) match {
+            case Some((durMs, w, h, tracks, brand)) =>
+              VideoMeta(id, durMs, w, h, tracks, brand)
+            case None =>
+              val m = FakeCodec.imageMeta(bytes)
+              VideoMeta(id, bytes.length * 40L, m.width, m.height, 1, "fake")
+          }
+        }
+      }
+  }
+
+  /** A minimal VALID one-video-track MP4 (ftyp + moov{mvhd, trak{tkhd}})
+    * for specs/gates: real box structure, parseable by any ISO-BMFF
+    * reader. Duration in mvhd units of `timescale`; width/height land in
+    * tkhd as 16.16 fixed point.
+    */
+  def syntheticMp4(durationMs: Long, width: Int, height: Int,
+      timescale: Long = 1000L): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200).array())
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // ctime, mtime
+      b.putInt(timescale.toInt)
+      b.putInt((durationMs * timescale / 1000L).toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
+      b.putInt(0).putInt(0) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt) // identity matrix
+      (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2) // next_track_id
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(7) // version 0 + flags (enabled|in movie|in preview)
+      b.putInt(0).putInt(0) // ctime, mtime
+      b.putInt(1).putInt(0) // track id, reserved
+      b.putInt((durationMs * timescale / 1000L).toInt)
+      b.putInt(0).putInt(0) // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, rsvd
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      b.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      box("tkhd", b.array())
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
 }

@@ -63,6 +63,33 @@ object PipelineQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // incremental IMAGE dedup SERVICE: pHash variant of the minhash
+    // service — per-tick banded-index probe, checkpoint-in-commit,
+    // first-seen-wins. Families arrive whole (family f lands in the tick
+    // of f % 4), so the steady state equals from-scratch: exactly the 16
+    // family-minimum docs survive — which is pure doc_id arithmetic for
+    // the oracle
+    "p_image_dedup_incremental" -> ((s, d) => {
+      import graft.core.{TableConfig, TableType}
+      import graft.table.{GraftTable, WritePipeline}
+      val base = docs(s, d).select("doc_id", "lang", "source")
+      val root = s"/tmp/graft_q/img_dedup_svc_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(root))
+      val cfgT = TableConfig("img_src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
+      val srcT = GraftTable.create(s, s"$root/source", cfgT)
+      val cleanT = GraftTable.create(s, s"$root/clean", cfgT.copy(tableName = "img_clean"))
+      val idx = HashDedupService.openIndex(s, s"$root/index")
+      val hashOf = (df: org.apache.spark.sql.DataFrame) =>
+        ImageHash.phashImages(ImageHash.withSyntheticPng(df, fams = 16))
+          .withColumnRenamed("phash", "hash")
+      for (tick <- Seq(base.filter(col("doc_id") % 4 =!= 0),
+          base.filter(col("doc_id") % 4 === 0))) {
+        srcT.upsert(tick)
+        HashDedupService.sync(srcT, cleanT, idx, hashOf)
+      }
+      graft.read.Readers.snapshot(cleanT).select("doc_id", "lang", "source")
+    }),
+
     // best-copy selection: one representative per near-dup cluster, by
     // quality score (ties to lowest id) — what a training pipeline keeps
     "p_dedup_representatives" -> ((s, d) =>
@@ -241,6 +268,23 @@ object PipelineQueries {
       val clips = AudioHash.withSyntheticWav(docs(s, d), fams = 12)
       AudioHash.audioClusters(clips)
         .select(col("doc_id"), col("cluster_id").as("rep_id"))
+    }),
+
+    // video container metadata: REAL ISO-BMFF (MP4) box parsing — the
+    // blobs are valid ftyp+moov trees built from doc_id arithmetic, so
+    // the oracle recomputes duration/dimensions without touching bytes
+    "p_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val blobs = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .repartition(col("doc_id"))
+        .mapPartitions(it => it.map { id =>
+          (id, Multimodal.syntheticMp4(1000L + (id % 977L) * 10L,
+            (320 + (id % 7) * 16).toInt, (240 + (id % 5) * 16).toInt))
+        }).toDF("doc_id", "content")
+      Multimodal.videoMeta(blobs).toDF()
+        .select(col("id").as("doc_id"), col("durationMs").as("duration_ms"),
+          col("width"), col("height"),
+          col("videoTracks").as("video_tracks"), col("brand"))
     }),
 
     // multimodal plumbing: schema-correct decode over binary columns
@@ -2193,6 +2237,11 @@ object PipelineQueries {
     "p_dedup_minhash" -> minhashOracle,
     // incremental service must converge to the from-scratch answer
     "p_dedup_incremental" -> minhashOracle,
+    // every doc near-dups its family minimum (same pHash construction as
+    // p_image_phash_dedup), so the incremental service's steady state is
+    // exactly the 16 family minima
+    "p_image_dedup_incremental" ->
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id < 16",
     // cluster closure + quality argmax, both replayed exactly
     "p_dedup_representatives" ->
       raw"""WITH RECURSIVE $fnvSigCtes,
@@ -2330,6 +2379,16 @@ object PipelineQueries {
     "p_audio_fp_dedup" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY doc_id % 12) AS rep_id
+        |FROM documents""".stripMargin,
+    // the MP4 blobs encode doc_id-derived mvhd/tkhd values; the real box
+    // parser must read back exactly what the arithmetic put in
+    "p_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(1000 + (doc_id % 977) * 10 AS BIGINT) AS duration_ms,
+        |  CAST(320 + (doc_id % 7) * 16 AS BIGINT) AS width,
+        |  CAST(240 + (doc_id % 5) * 16 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS video_tracks,
+        |  'isom' AS brand
         |FROM documents""".stripMargin,
     // the fake codec derives metadata from the first 7 content bytes, and
     // the content is unhex(repeat(md5(doc_id))) — so the oracle recomputes

@@ -111,5 +111,26 @@ object GraftFunctions {
       a => Similarity.quantize(a.head)),
     fromColumns("graft_dequantize", 1,
       "reconstruct doubles from a graft_quantize struct")(
-      a => Similarity.dequantize(a.head)))
+      a => Similarity.dequantize(a.head)),
+
+    // media hashes (round-12 operators): codec work can never codegen, so
+    // a Scala UDF is the honest tier — same row-local cost as the
+    // mapPartitions pipeline ops, NULL for undecodable bytes
+    fromColumns("graft_phash", 1,
+      "64-bit DCT perceptual hash of image bytes (NULL when undecodable)")(
+      a => phashUdf(a.head)),
+    fromColumns("graft_audio_fp", 1,
+      "64-bit energy-contour fingerprint of PCM WAV bytes (NULL when undecodable)")(
+      a => audioFpUdf(a.head)),
+    fromColumns("graft_video_duration_ms", 1,
+      "container duration in ms from ISO-BMFF bytes (NULL when not MP4)")(
+      a => videoDurationUdf(a.head)))
+
+  private lazy val phashUdf = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte]) => if (b == null) None else graft.pipeline.ImageHash.phash64(b))
+  private lazy val audioFpUdf = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte]) => if (b == null) None else graft.pipeline.AudioHash.fingerprint64(b))
+  private lazy val videoDurationUdf = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte]) => if (b == null) None
+      else graft.pipeline.Multimodal.VideoCodec.videoMeta(b).map(_._1))
 }

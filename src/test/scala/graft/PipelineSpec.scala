@@ -318,6 +318,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) === Multimodal.FakeCodec.imageMeta(Array.fill[Byte](64)(0x5a)))
   }
 
+  test("multimodal: real ISO-BMFF container metadata parse") {
+    // v0 round trip through the synthetic builder
+    val mp4 = Multimodal.syntheticMp4(durationMs = 12340, width = 640, height = 360)
+    assert(Multimodal.VideoCodec.videoMeta(mp4)
+      === Some((12340L, 640, 360, 1, "isom")))
+    // a 64-bit-time (version 1) mvhd, built by hand: long clips use it
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(8 + 112)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + 112).put("mvhd".getBytes("US-ASCII"))
+      b.putInt(0x01000000) // version 1
+      b.putLong(0).putLong(0) // 64-bit ctime, mtime
+      b.putInt(90000) // timescale
+      b.putLong(90000L * 7200) // 2h duration in units
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.putInt(0).putInt(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      (1 to 6).foreach(_ => b.putInt(0))
+      b.putInt(2)
+      b.array()
+    }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "mp42".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+    val longClip = ftyp ++ box("moov", mvhd1)
+    assert(Multimodal.VideoCodec.videoMeta(longClip)
+      === Some((7200000L, 0, 0, 0, "mp42")))
+    // non-BMFF bytes refuse (caller falls to the stub path)
+    assert(Multimodal.VideoCodec.videoMeta("not a video".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.videoMeta(
+      graft.pipeline.ImageHash.syntheticPng(1L, 4)).isEmpty)
+    // the Dataset operator: real parse for MP4 rows, stub for garbage
+    val df = Seq((1L, mp4), (2L, Array.fill[Byte](32)(0x11))).toDF("doc_id", "content")
+    val out = Multimodal.videoMeta(df).collect().map(v => v.id -> v).toMap
+    assert(out(1L).durationMs === 12340L && out(1L).width === 640 &&
+      out(1L).videoTracks === 1 && out(1L).brand === "isom")
+    assert(out(2L).brand === "fake")
+  }
+
   test("multimodal: real PNG resize re-encodes at the target dims") {
     def encodePng(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

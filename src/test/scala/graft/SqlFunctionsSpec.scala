@@ -133,4 +133,23 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Double](2))).toList
     assert(qSql === qDf)
   }
+
+  test("media hash functions: real bytes hash, garbage is NULL") {
+    import graft.pipeline.{AudioHash, ImageHash, Multimodal}
+    val rows = Seq(
+      (1L, ImageHash.syntheticPng(5L, 16), AudioHash.syntheticWav(5L, 12),
+        Multimodal.syntheticMp4(4500, 640, 360)),
+      (2L, "nope".getBytes, "nope".getBytes, "nope".getBytes))
+      .toDF("id", "img", "wav", "mp4")
+    rows.createOrReplaceTempView("fmedia")
+    val got = spark.sql("""
+      SELECT id, graft_phash(img) AS p, graft_audio_fp(wav) AS a,
+             graft_video_duration_ms(mp4) AS v FROM fmedia""")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L)._1.contains(ImageHash.phash64(ImageHash.syntheticPng(5L, 16)).get))
+    assert(got(1L)._2.contains(AudioHash.fingerprint64(AudioHash.syntheticWav(5L, 12)).get))
+    assert(got(1L)._3.contains(4500L))
+    assert(got(2L) === ((None, None, None)))
+  }
 }
