@@ -133,7 +133,14 @@ object Bench {
     val stats = results.map { case (k, med, mn, mx, first) =>
       "\"" + k + "\":" + f"""{"min":$mn%.3f,"med":$med%.3f,"max":$mx%.3f,"first":$first%.3f}"""
     }.mkString("{", ",", "}")
-    val noisy = results.exists { case (_, _, mn, mx, _) => mn > 0 && mx / mn > NoisySpread }
+    // noise = TRIMMED spread (drop the single best and worst steady-state
+    // iteration, then max/min): the reported number is a median, which
+    // tolerates one stalled sweep (GC pause, page-cache eviction) — a run
+    // is only untrustworthy when the MIDDLE iterations disagree
+    val noisy = headline.filterNot(failed.contains).exists { name =>
+      val ts = times(name).toIndexedSeq.drop(1).sorted
+      ts.length >= 3 && ts(1) > 0 && ts(ts.length - 2) / ts(1) > NoisySpread
+    }
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"noisy":$noisy,"queries":$qs,"stats":$stats,"failed":$failedJson,"sf":"$sfDir"}""")
