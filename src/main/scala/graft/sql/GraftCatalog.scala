@@ -427,8 +427,14 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
       properties: util.Map[String, String]): Unit =
     throw new UnsupportedOperationException("graft partitions hold no mutable metadata")
 
-  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] =
-    util.Collections.emptyMap()
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    val f = partitionField.getOrElse(
+      throw new UnsupportedOperationException("table is not identity-partitioned"))
+    if (listPartitionIdentifiers(Array(f.name), ident).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    util.Collections.emptyMap() // partitions hold no metadata of their own
+  }
 
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}

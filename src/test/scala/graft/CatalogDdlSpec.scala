@@ -258,6 +258,34 @@ class CatalogDdlSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("materialize")))
   }
 
+  test("SHOW CREATE / TBLPROPERTIES / DESCRIBE EXTENDED; absent partition errors") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db11")
+    spark.sql("""
+      CREATE TABLE gcat.db11.t (id BIGINT, ver BIGINT, yr STRING)
+      USING graft PARTITIONED BY (yr)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    val sc = spark.sql("SHOW CREATE TABLE gcat.db11.t").head().getString(0)
+    assert(sc.contains("recordKeyFields") && sc.toLowerCase.contains("graft"), sc)
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.db11.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("recordKeyFields") === "id")
+    assert(props("tableType") === graft.core.TableType.CopyOnWrite)
+    assert(spark.sql("DESCRIBE TABLE EXTENDED gcat.db11.t").count() > 0)
+    // SupportsPartitionManagement contract: probing a partition that is
+    // not there raises NoSuchPartition, not a silent empty map
+    spark.sql("INSERT INTO gcat.db11.t VALUES (1, 1, '1995')")
+    val v2 = graft.sql.GraftV2Table(spark,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db11"), "t"),
+      s"$wh/db11/t")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(v2.loadPartitionMetadata(InternalRow(UTF8String.fromString("1995"))).isEmpty)
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException] {
+      v2.loadPartitionMetadata(InternalRow(UTF8String.fromString("2099")))
+    }
+  }
+
   test("TRUNCATE TABLE over a catalog name: one replacecommit, history kept") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db9")
