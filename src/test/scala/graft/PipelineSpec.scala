@@ -318,6 +318,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) === Multimodal.FakeCodec.imageMeta(Array.fill[Byte](64)(0x5a)))
   }
 
+  test("multimodal: direct RIFF PCM walk is bit-identical to javax.sound") {
+    import graft.pipeline.Multimodal.AudioCodec
+    // mono 16-bit (the synthetic fingerprint corpus), stereo 16-bit and
+    // 8-bit unsigned (encoded through javax.sound itself), all must
+    // decode identically through both paths
+    def encode(fmt: javax.sound.sampled.AudioFormat, frames: Int): Array[Byte] = {
+      val bytes = new Array[Byte](frames * fmt.getFrameSize)
+      (bytes.indices).foreach(i => bytes(i) = ((i * 31 + 7) & 0xff).toByte)
+      val bais = new java.io.ByteArrayInputStream(bytes)
+      val ais = new javax.sound.sampled.AudioInputStream(bais, fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val cases = Seq(
+      graft.pipeline.AudioHash.syntheticWav(9L, 12),
+      encode(new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false), 333),
+      encode(new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false), 137))
+    for ((wav, i) <- cases.zipWithIndex) {
+      val direct = AudioCodec.decode(wav)
+      val spi = AudioCodec.decodeViaJavaSound(wav)
+      assert(direct.isDefined && spi.isDefined, s"case $i failed to decode")
+      assert(direct.get._1 === spi.get._1, s"case $i sample rate")
+      assert(direct.get._2.sameElements(spi.get._2), s"case $i samples diverge")
+    }
+    // truncated header: neither path may throw
+    assert(AudioCodec.decode(cases.head.take(30)).isEmpty)
+  }
+
   test("multimodal: real ISO-BMFF container metadata parse") {
     // v0 round trip through the synthetic builder
     val mp4 = Multimodal.syntheticMp4(durationMs = 12340, width = 640, height = 360)
