@@ -370,6 +370,34 @@ object PipelineQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // STREAMING image near-dup guard: banded-Hamming keyed state over the
+    // pHash stream; with id-ordered batches the surviving docs equal the
+    // batch answer — the 16 family minima (same construction and oracle
+    // as the batch/incremental image gates). The collect is the replay
+    // HARNESS feeding MemoryStream; the operator shuffles on (band,
+    // slice) and keeps per-bucket state
+    "p_image_dedup_streaming" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingDedup
+      val all = docs(s, d)
+      val keyed = ImageHash.phashImages(ImageHash.withSyntheticPng(all, fams = 16))
+        .select(col("doc_id"), col("phash").as("hash"))
+        .as[StreamingDedup.HashKeyed].collect().sortBy(_.doc_id)
+      val (b1, b2) = keyed.splitAt(keyed.length / 2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[StreamingDedup.HashKeyed]
+      val sink = s"img_dedup_stream_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = StreamingDedup.nearDupStream(ms.toDS())
+        .toDF("doc_id")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        Seq(b1.toSeq, b2.toSeq).foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      all.join(s.table(sink), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
     // STATEFUL STREAMING sessionization: flatMapGroupsWithState over a
     // bounded replay (three event-time-ordered micro-batches + per-user
     // sentinel) must converge to the batch answer — same oracle as
@@ -2241,6 +2269,9 @@ object PipelineQueries {
     // p_image_phash_dedup), so the incremental service's steady state is
     // exactly the 16 family minima
     "p_image_dedup_incremental" ->
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id < 16",
+    // id-ordered streaming replay must converge to the same 16 minima
+    "p_image_dedup_streaming" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id < 16",
     // cluster closure + quality argmax, both replayed exactly
     "p_dedup_representatives" ->

@@ -41,4 +41,56 @@ object StreamingDedup {
           }
       }
   }
+
+  /** (id, 64-bit hash) input for the NEAR-dup stream — compute the hash
+    * upstream ([[graft.pipeline.ImageHash.phash64]],
+    * [[graft.pipeline.AudioHash.fingerprint64]], `graft_simhash`).
+    */
+  final case class HashKeyed(doc_id: Long, hash: Long)
+
+  /** Stateful streaming NEAR-dup detection over 64-bit hashes: the
+    * banded-Hamming candidate structure of [[graft.pipeline.ImageHash]]
+    * as keyed state — each (band, 16-bit slice) group holds every seen
+    * (id, hash) and vetoes arrivals within `maxDist` of a LOWER-id one
+    * (exact recall for maxDist < bands by pigeonhole; verification runs
+    * on the full hashes inside the handler, so banding adds no false
+    * positives). Emits the doc_ids that near-dup an earlier doc —
+    * AT-LEAST-ONCE per dup (a doc can match in several bands): consumers
+    * treat the output as a set (anti-join the corpus against it).
+    *
+    * State grows with the distinct corpus (bands rows per doc) — the
+    * in-memory counterpart of [[graft.pipeline.HashDedupService]]'s
+    * persisted index. Use this as the pipeline-embedded ingest guard;
+    * use the service when the corpus outlives executor memory.
+    */
+  def nearDupStream(docs: Dataset[HashKeyed], maxDist: Int = 3,
+      bands: Int = 4): Dataset[Long] = {
+    require(64 % bands == 0 && maxDist < bands,
+      s"need bands | 64 and maxDist < bands (got $bands, $maxDist)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    // band rows as (band, bucket, doc_id, hash) tuples — product encoder
+    docs.flatMap(k => (0 until bands).map(b =>
+        (b, (k.hash >>> (b * width)) & mask, k.doc_id, k.hash)))
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          var acc = state.getOption.getOrElse(Seq.empty)
+          val dups = Seq.newBuilder[Long]
+          // id order within the batch → in-batch lower ids veto too,
+          // matching the batch service's l < r semantics
+          for ((_, _, id, hash) <- it.toSeq.sortBy(_._3)) {
+            if (acc.exists { case (lid, lh) =>
+                lid < id && java.lang.Long.bitCount(lh ^ hash) <= maxDist })
+              dups += id
+            // every seen doc vetoes later near-dups, dropped or not
+            acc = acc :+ ((id, hash))
+          }
+          state.update(acc)
+          dups.result().iterator
+      }
+  }
 }

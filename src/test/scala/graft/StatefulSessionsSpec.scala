@@ -62,6 +62,35 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(out === Seq(2L, 7L, 11L))
   }
 
+  test("streaming near-dup: banded state matches the pairwise hash model") {
+    import graft.streaming.StreamingDedup
+    import graft.pipeline.ImageHash
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = 48
+    val hashes = (0L until n).map(id =>
+      id -> ImageHash.phash64(ImageHash.syntheticPng(id, 8)).get)
+    // ground truth, independent of every streaming path under test
+    val expectedDups = hashes.collect { case (id, h)
+      if hashes.exists { case (lo, lh) =>
+        lo < id && java.lang.Long.bitCount(lh ^ h) <= 3 } => id }.toSet
+    assert(expectedDups.nonEmpty && expectedDups.size < n)
+    val ms = MemoryStream[StreamingDedup.HashKeyed]
+    val sink = s"neardup_spec_${java.util.UUID.randomUUID.toString.take(8)}"
+    val q = StreamingDedup.nearDupStream(ms.toDS()).toDF("doc_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // three id-ordered batches with a non-family-aligned split
+      val keyed = hashes.map { case (id, h) => StreamingDedup.HashKeyed(id, h) }
+      Seq(keyed.take(17), keyed.slice(17, 30), keyed.drop(30)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // at-least-once per dup: read as a set
+    val got = spark.table(sink).as[Long].collect().toSet
+    assert(got === expectedDups,
+      s"extra=${got -- expectedDups} missing=${expectedDups -- got}")
+  }
+
   test("sentinel session is never emitted; per-user isolation holds") {
     val out = run(Seq(
       Seq(Ev(1L, 1L, 0L, 1.0), Ev(2L, 2L, 5 * S, 4.0)),
