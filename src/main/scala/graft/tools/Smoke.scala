@@ -323,6 +323,48 @@ object Smoke {
         s"cdc_updates=$changed (expect $wantChanged) " +
         s"stats_answered=$statsAnswered count=$n (expect ${src.count()})")
     }
+    // DSv2 catalog: CREATE + INSERT + MERGE + DROP PARTITION + TRUNCATE
+    // over catalog-qualified names (round-12 surface)
+    locally {
+      spark.conf.set("spark.sql.catalog.smoke_cat",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.smoke_cat.warehouse", s"${out}_cat_wh")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS smoke_cat.db")
+      spark.sql("""CREATE TABLE smoke_cat.db.t (id BIGINT, ver BIGINT,
+        price DOUBLE, yr STRING) USING graft PARTITIONED BY (yr)
+        OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+      spark.sql("""INSERT INTO smoke_cat.db.t VALUES
+        (1, 1, 10.0, '1995'), (2, 1, 20.0, '1996'), (3, 1, 30.0, '1996')""")
+      spark.sql("""MERGE INTO smoke_cat.db.t t
+        USING (SELECT 2L AS id, 2L AS ver, 99.0 AS price, '1996' AS yr) s
+        ON t.id = s.id WHEN MATCHED THEN UPDATE SET *""")
+      val merged = spark.sql(
+        "SELECT price FROM smoke_cat.db.t WHERE id = 2").first().getDouble(0)
+      spark.sql("ALTER TABLE smoke_cat.db.t DROP PARTITION (yr = '1995')")
+      val afterDrop = spark.table("smoke_cat.db.t").count()
+      spark.sql("TRUNCATE TABLE smoke_cat.db.t")
+      val afterTruncate = spark.table("smoke_cat.db.t").count()
+      println(s"[smoke] catalog: merged_price=$merged (expect 99.0) " +
+        s"after_drop=$afterDrop (expect 2) after_truncate=$afterTruncate (expect 0)")
+    }
+
+    // media operators: pHash/audio near-dup clustering lands every doc on
+    // its family minimum; video container metadata reads back exactly
+    locally {
+      import graft.pipeline.{AudioHash, ImageHash, Multimodal}
+      val ids = spark.range(48).select(col("id").as("doc_id"))
+      val imgOk = ImageHash.phashClusters(
+          ImageHash.withSyntheticPng(ids, fams = 8))
+        .filter(col("cluster_id") =!= col("doc_id") % 8).count()
+      val audOk = AudioHash.audioClusters(
+          AudioHash.withSyntheticWav(ids, fams = 6))
+        .filter(col("cluster_id") =!= col("doc_id") % 6).count()
+      val vid = Multimodal.VideoCodec.videoMeta(
+        Multimodal.syntheticMp4(7700, 640, 360))
+      println(s"[smoke] media: image_mislabeled=$imgOk (expect 0) " +
+        s"audio_mislabeled=$audOk (expect 0) " +
+        s"video_meta=${vid.contains((7700L, 640, 360, 1, "isom"))} (expect true)")
+    }
     spark.stop()
     println("[smoke] OK")
   }
