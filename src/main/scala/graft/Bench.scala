@@ -143,7 +143,12 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"noisy":$noisy,"queries":$qs,"stats":$stats,"failed":$failedJson,"sf":"$sfDir"}""")
+    // the parsed artifact line stays SHORT (medians only): r12's enriched
+    // single line overflowed the driver's tail capture and the committed
+    // bench parsed as null. The full min/med/max/first detail goes to
+    // stderr, which the driver shows but never parses.
+    System.err.println(s"""[bench-stats] {"iters":$iters,"stats":$stats}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"noisy":$noisy,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -35,11 +35,13 @@ import graft.table.GraftTable
   *
   * Crash/replay and rollback-rewind behavior are identical to
   * [[DedupService]] (index appends land first; duplicate band rows are
-  * harmless; a source rollback wipes index+clean once and rebuilds from
-  * the surviving snapshot). When batches arrive in nondecreasing id
-  * order the clean table is bit-identical to a from-scratch pairwise
-  * hash dedup of the full corpus; out of order degrades to
-  * first-seen-wins.
+  * harmless — replayed self-postings are anti-joined out of the probe;
+  * a source rollback wipes index+clean once and rebuilds from the
+  * surviving snapshot). When batches arrive in nondecreasing id order
+  * the clean table is bit-identical to a from-scratch pairwise hash
+  * dedup of the full corpus; out of order it is first-seen-wins — an
+  * already-indexed doc vetoes any later near-dup arrival regardless of
+  * id order, so the clean table stays near-dup-free either way.
   */
 object HashDedupService {
 
@@ -131,18 +133,28 @@ object HashDedupService {
           .select("_l_id", "_l_hash", "_r_id", "_r_hash")
 
         // (b) corpus candidates: probe ONLY the index partitions this
-        // tick's slice values hash into (plan-time pruning)
+        // tick's slice values hash into (plan-time pruning). Postings
+        // whose doc_id is in the CURRENT batch are anti-joined away first
+        // — they exist only when a crashed tick's index append replays,
+        // and without the exclusion a replayed doc would veto itself (and
+        // its same-batch companions, in both directions) out of the
+        // corpus. With self-postings gone, a stored doc vetoes a new
+        // arrival REGARDLESS of id order (no l < r constraint here):
+        // first-seen-wins, so a late arrival with a lower id than its
+        // already-indexed near-dup is still dropped and the clean table
+        // stays near-dup-free. In-batch ties keep min-id-wins via (a).
         val indexPairs =
           if (index.bands.timeline.completedDataInstants().isEmpty) None
           else {
             val parts = bandRows
               .select(pmod(col("bucket"), lit(index.bucketParts.toLong)).as("p"))
               .distinct().collect().map(x => s"p=${x.getLong(0)}").toSeq
+            val batchIds = hashes.select(col("_h_id").as("doc_id")).distinct()
             val stored = Readers.snapshot(index.bands, partitions = Some(parts))
+              .join(batchIds, Seq("doc_id"), "left_anti")
               .select(col("band"), col("bucket"),
                 col("doc_id").as("_l_id"), col("hash").as("_l_hash"))
             Some(stored.join(r, Seq("band", "bucket"))
-              .filter(col("_l_id") < col("_r_id"))
               .select("_l_id", "_l_hash", "_r_id", "_r_hash"))
           }
         // the hash IS the verifier — no sig lookup; distinct AFTER the

@@ -33,6 +33,12 @@ object ImageHash {
   // synchronization per image (measured ~19 ms/image CPU; memory-cached
   // streams cut the hash pass ~an order of magnitude). Runs once per JVM
   // when the first partition touches this object (executors included).
+  // NOTE: this is a deliberate JVM-GLOBAL flip — every other ImageIO user
+  // in the process (driver included) switches to memory-backed streams
+  // too. That trade is strictly faster for in-memory byte-array codecs
+  // like ours; an embedding application that streams huge images from
+  // disk through ImageIO and relies on file-backed caching should flip it
+  // back AFTER the hash pass, or not share the JVM.
   javax.imageio.ImageIO.setUseCache(false)
 
   // DCT-II basis table: cos((2x+1) u π / 2N) for x,u < N — precomputed
@@ -59,9 +65,14 @@ object ImageHash {
     */
   def phash64(bytes: Array[Byte]): Option[Long] = {
     if (!looksLikeImage(bytes)) return None
+    // NonFatal, not just IOException: JDK image plugins throw runtime
+    // exceptions (ArrayIndexOutOfBounds, IllegalArgument, CMMException)
+    // on corrupt/truncated bytes that pass the magic-byte check — one bad
+    // blob in a 100 TB corpus must drop the row, not fail the job
+    // (matching Multimodal's decode paths)
     val src =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (src == null) return None
     // grayscale downsample: TYPE_BYTE_GRAY target + bilinear resample
     val gray = new java.awt.image.BufferedImage(DctSize, DctSize,

@@ -348,7 +348,7 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
   // partitioning has no v2 row form (partitionSchema is empty → Spark's
   // spec resolution fails cleanly).
 
-  private def partitionField: Option[org.apache.spark.sql.types.StructField] = {
+  private[sql] def partitionField: Option[org.apache.spark.sql.types.StructField] = {
     val e = table.cfg.partitionPathExpr
     if (e.nonEmpty && e.matches("[A-Za-z_][A-Za-z0-9_]*"))
       schema().fields.find(_.name.equalsIgnoreCase(e))
@@ -361,7 +361,7 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
   /** Stored partition-path string → typed identifier value (hive-style
     * `name=` prefix stripped when the table writes it).
     */
-  private def pathToValue(raw: String,
+  private[sql] def pathToValue(raw: String,
       f: org.apache.spark.sql.types.StructField): Any = {
     val hive = graft.keygen.KeyGen.hiveStyleNameOf(table.cfg)
     val s = hive match {

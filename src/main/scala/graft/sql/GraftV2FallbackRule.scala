@@ -1,11 +1,15 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.BooleanType
 
 /** Analysis-time bridge from the DSv2 catalog to the engine's v1 plans:
   * a scan of [[GraftV2Table]] (resolved through [[GraftCatalog]]) is
@@ -18,6 +22,20 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *
   * Runs among the extension resolution rules BEFORE the DML rules, so
   * MERGE/UPDATE/DELETE over catalog names see the familiar v1 shape.
+  *
+  * Overwrite routing (reference SparkInsertOverwriteCommitActionExecutor
+  * vs SparkInsertOverwriteTableCommitActionExecutor): the v2 fold
+  * preserves the statement's scope —
+  *  - `OverwriteByExpression` with a TRUE delete expression (plain
+  *    `INSERT OVERWRITE t` under static mode) replaces the whole table;
+  *  - a partition predicate (static `PARTITION (p='a')`, or a
+  *    DataFrameWriterV2 `overwrite(cond)` touching only partition
+  *    columns) becomes a partition-scoped replacecommit over exactly the
+  *    matching partitions — untouched partitions keep their data;
+  *  - any predicate that cannot be answered partition-by-partition
+  *    refuses loudly instead of silently widening to the whole table;
+  *  - `OverwritePartitionsDynamic` (dynamic partitionOverwriteMode)
+  *    replaces exactly the partitions the batch writes into.
   */
 final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -53,8 +71,27 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
       // align by name; reads stay correct, v1 INSERT matching is forgone
       val v1 = LogicalRelation(rel, isStreaming = false)
       val byName = v1.output.map(a => a.name -> a).toMap
-      Project(r.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), v1)
+      Project(r.output.map(o => Alias(byName.getOrElse(o.name,
+        throw new AnalysisException("USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          (s"column `${o.name}` of ${t.name()} was dropped by a concurrent " +
+            "schema change; re-resolve the table")))), o.name)(exprId = o.exprId)), v1)
     }
+  }
+
+  /** The statement's delete expression rebound for evaluation against a
+    * single partition value: defined iff the predicate touches ONLY the
+    * table's (identity) partition column, i.e. it can be answered
+    * partition-by-partition without reading data.
+    */
+  private def partitionPredicate(t: GraftV2Table, r: DataSourceV2Relation,
+      pred: Expression): Option[Expression] = {
+    val f = t.partitionField.getOrElse(return None)
+    val partAttr = r.output.find(_.name.equalsIgnoreCase(f.name)).getOrElse(return None)
+    if (!pred.references.forall(_.exprId == partAttr.exprId)) return None
+    Some(pred.transform {
+      case a: AttributeReference if a.exprId == partAttr.exprId =>
+        BoundReference(0, f.dataType, nullable = true)
+    })
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
@@ -68,9 +105,75 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
       InsertIntoStatement(toV1(r, graftOf(r).get), Map.empty, Nil, a.query,
         overwrite = false, ifPartitionNotExists = false, byName = a.isByName)
     case o: OverwriteByExpression if o.table.isInstanceOf[DataSourceV2Relation] &&
-        graftOf(o.table.asInstanceOf[DataSourceV2Relation]).isDefined =>
+        graftOf(o.table.asInstanceOf[DataSourceV2Relation]).isDefined &&
+        o.query.resolved && o.deleteExpr.resolved =>
       val r = o.table.asInstanceOf[DataSourceV2Relation]
-      InsertIntoStatement(toV1(r, graftOf(r).get), Map.empty, Nil, o.query,
-        overwrite = true, ifPartitionNotExists = false, byName = o.isByName)
+      val t = graftOf(r).get
+      o.deleteExpr match {
+        case Literal(true, BooleanType) =>
+          InsertIntoStatement(toV1(r, t), Map.empty, Nil, o.query,
+            overwrite = true, ifPartitionNotExists = false, byName = o.isByName)
+        case pred => partitionPredicate(t, r, pred) match {
+          case Some(bound) =>
+            GraftOverwritePartitionsCommand(t, o.query, Some(bound), o.isByName)
+          case None => throw new AnalysisException("USER_RAISED_EXCEPTION",
+            Map("errorMessage" -> (s"INSERT OVERWRITE ${t.name()}: overwrite " +
+              s"condition ${pred.sql} is not a partition predicate — graft " +
+              "tables overwrite whole partitions (condition may reference " +
+              "only the partition column) or the whole table")))
+        }
+      }
+    case d: OverwritePartitionsDynamic if d.table.isInstanceOf[DataSourceV2Relation] &&
+        graftOf(d.table.asInstanceOf[DataSourceV2Relation]).isDefined &&
+        d.query.resolved =>
+      val r = d.table.asInstanceOf[DataSourceV2Relation]
+      GraftOverwritePartitionsCommand(graftOf(r).get, d.query, None, d.isByName)
+  }
+}
+
+/** Partition-scoped `INSERT OVERWRITE` over a catalog name — the engine's
+  * `insertOverwrite` replacecommit (reference
+  * SparkInsertOverwriteCommitActionExecutor.java: replace file groups of
+  * exactly the affected partitions). `boundPred` (static mode) selects
+  * the partitions the STATEMENT names — they are replaced even if the
+  * batch writes no rows into them; None (dynamic mode) replaces exactly
+  * the batch's touched partitions.
+  */
+final case class GraftOverwritePartitionsCommand(v2: GraftV2Table,
+    query: LogicalPlan, boundPred: Option[Expression], byName: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, query)
+    val fields = v2.schema().fields.toIndexedSeq
+    val aligned =
+      if (byName) {
+        val have = df0.columns.map(c => c.toLowerCase -> c).toMap
+        df0.select(fields.map { f =>
+          have.get(f.name.toLowerCase) match {
+            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case None => org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      } else {
+        require(df0.columns.length == fields.length,
+          s"INSERT OVERWRITE ${v2.name()}: query writes ${df0.columns.length} " +
+            s"columns, table has ${fields.length}")
+        df0.toDF(fields.map(_.name): _*)
+          .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    val scope = boundPred match {
+      case None => Set.empty[String] // dynamic: batch-touched partitions only
+      case Some(p) =>
+        val f = v2.partitionField.getOrElse(throw new IllegalStateException(
+          s"${v2.name()} lost its partition column")) // guarded at analysis
+        v2.table.view.partitions().filter { raw =>
+          p.eval(InternalRow(v2.pathToValue(raw, f))) == true
+        }.toSet
+    }
+    v2.table.insertOverwrite(aligned, replaceScope = scope)
+    Seq.empty
   }
 }

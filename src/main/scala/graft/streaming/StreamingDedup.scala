@@ -58,10 +58,16 @@ object StreamingDedup {
     * AT-LEAST-ONCE per dup (a doc can match in several bands): consumers
     * treat the output as a set (anti-join the corpus against it).
     *
-    * State grows with the distinct corpus (bands rows per doc) — the
-    * in-memory counterpart of [[graft.pipeline.HashDedupService]]'s
-    * persisted index. Use this as the pipeline-embedded ingest guard;
-    * use the service when the corpus outlives executor memory.
+    * State per (band, bucket) group is `hash → min seen doc_id` — a map
+    * over DISTINCT hashes, not every arrival, so an at-least-once
+    * upstream redelivering a doc neither grows state nor self-vetoes
+    * (the stored min id never vetoes an id ≥ itself). The min id carries
+    * a superset of any stored id's veto power, so collapsing dups to it
+    * changes no emission. State grows with the distinct corpus (bands
+    * entries per distinct hash) — the in-memory counterpart of
+    * [[graft.pipeline.HashDedupService]]'s persisted index. Use this as
+    * the pipeline-embedded ingest guard; use the service when the corpus
+    * outlives executor memory.
     */
   def nearDupStream(docs: Dataset[HashKeyed], maxDist: Int = 3,
       bands: Int = 4): Dataset[Long] = {
@@ -77,19 +83,21 @@ object StreamingDedup {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)],
-            state: GroupState[Seq[(Long, Long)]]) =>
-          var acc = state.getOption.getOrElse(Seq.empty)
+            state: GroupState[Map[Long, Long]]) =>
+          val acc = scala.collection.mutable.HashMap.from(
+            state.getOption.getOrElse(Map.empty)) // hash → min seen doc_id
           val dups = Seq.newBuilder[Long]
           // id order within the batch → in-batch lower ids veto too,
           // matching the batch service's l < r semantics
           for ((_, _, id, hash) <- it.toSeq.sortBy(_._3)) {
-            if (acc.exists { case (lid, lh) =>
+            if (acc.exists { case (lh, lid) =>
                 lid < id && java.lang.Long.bitCount(lh ^ hash) <= maxDist })
               dups += id
             // every seen doc vetoes later near-dups, dropped or not
-            acc = acc :+ ((id, hash))
+            val cur = acc.getOrElse(hash, Long.MaxValue)
+            if (id < cur) acc(hash) = id
           }
-          state.update(acc)
+          state.update(acc.toMap)
           dups.result().iterator
       }
   }

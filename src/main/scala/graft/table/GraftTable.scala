@@ -436,13 +436,19 @@ final class GraftTable(
 
   /** Replace all file groups of the partitions the batch touches
     * (reference SparkInsertOverwriteCommitActionExecutor — replacecommit).
+    * `replaceScope` adds partitions to replace even when the batch writes
+    * no rows into them — SQL static `INSERT OVERWRITE ... PARTITION
+    * (p='a')` must empty partition 'a' even for an empty SELECT, so the
+    * statement's partition predicate lands here, not just the batch's
+    * touched set.
     */
-  def insertOverwrite(df: DataFrame, extraMetadata: Map[String, String] = Map.empty): String = {
+  def insertOverwrite(df: DataFrame, extraMetadata: Map[String, String] = Map.empty,
+      replaceScope: Set[String] = Set.empty): String = {
     enforceConstraints(df, "insert_overwrite")
     runCommit(Action.ReplaceCommit, "insert_overwrite", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
       val touched = keyed.select(MetaCols.PartitionPath).distinct()
-        .collect().map(_.getString(0)).toSet
+        .collect().map(_.getString(0)).toSet ++ replaceScope
       val routed = assignFreshBuckets(keyed)
       val stats = writeFiles(spark, basePath,
         withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),

@@ -62,6 +62,54 @@ class HashDedupFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-order id arrival stays near-dup-free (first-seen-wins)") {
+    // r12 ADVICE: a late arrival with a LOWER id than its already-indexed
+    // near-dup used to slip past the l < r probe filter and leave a
+    // near-dup pair in clean. Model: a doc is dropped iff an EARLIER-TICK
+    // doc (kept or dropped — every seen doc vetoes) or a lower-id
+    // same-tick doc sits within maxDist.
+    val rnd = new scala.util.Random(77013)
+    val h = (0L until N).map(id =>
+      id -> ImageHash.phash64(ImageHash.syntheticPng(id, Fams)).get).toMap
+    for (trial <- 1 to 3) {
+      val root = tmpDir(s"hash_fuzz_ooo_$trial").toString
+      val cfg = TableConfig("src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
+      val srcT = GraftTable.create(spark, s"$root/source", cfg)
+      val cleanT = GraftTable.create(spark, s"$root/clean",
+        cfg.copy(tableName = "clean"))
+      val idx = HashDedupService.openIndex(spark, s"$root/index",
+        maxDist = MaxDist)
+      // contiguous slices fed in SHUFFLED order → later ticks carry ids
+      // below already-indexed ones
+      val cuts = (Seq(0, N) ++ Seq.fill(2 + rnd.nextInt(3))(rnd.nextInt(N)))
+        .distinct.sorted
+      val ticks = rnd.shuffle(
+        cuts.sliding(2).map { case Seq(a, b) => (a.toLong, b.toLong) }.toSeq)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long] // all indexed ids
+      val model = scala.collection.mutable.Set.empty[Long]
+      for ((a, b) <- ticks) {
+        srcT.upsert(spark.range(a, b).select(col("id").as("doc_id")))
+        HashDedupService.sync(srcT, cleanT, idx, imageHash)
+        for (id <- a until b) {
+          val vetoed =
+            seen.exists(lo => java.lang.Long.bitCount(h(lo) ^ h(id)) <= MaxDist) ||
+            (a until id).exists(lo =>
+              java.lang.Long.bitCount(h(lo) ^ h(id)) <= MaxDist)
+          if (!vetoed) model += id
+        }
+        seen ++= (a until b)
+      }
+      val got = Readers.snapshot(cleanT).select("doc_id").as[Long].collect().toSet
+      assert(got === model.toSet,
+        s"trial $trial ticks $ticks: extra=${got -- model} missing=${model -- got}")
+      // the headline invariant, asserted directly: no kept pair near-dups
+      val kept = got.toSeq.sorted
+      for (i <- kept.indices; j <- 0 until i)
+        assert(java.lang.Long.bitCount(h(kept(j)) ^ h(kept(i))) > MaxDist,
+          s"near-dup pair survived in clean: ${kept(j)} / ${kept(i)}")
+    }
+  }
+
   test("crash replay: re-syncing the same checkpoint changes nothing") {
     val root = tmpDir("hash_fuzz_replay").toString
     val cfg = TableConfig("src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
