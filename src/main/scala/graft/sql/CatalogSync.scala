@@ -23,21 +23,29 @@ trait CatalogTarget {
     * never a resolved relation (resolving masks schema drift).
     */
   def existing(db: String, table: String): Option[CatalogTarget.Entry]
+  /** `partitionCols` names the schema fields the table partitions by
+    * (identity partitioning only — expression partitioning publishes an
+    * unpartitioned entry); a metastore target declares them as partition
+    * keys, the session catalog lets the graft source partition internally.
+    */
   def createTable(db: String, table: String, schema: StructType,
-      location: String, options: Map[String, String]): Unit
+      location: String, options: Map[String, String],
+      partitionCols: Seq[org.apache.spark.sql.types.StructField]): Unit
   /** Re-publish the entry after schema or location drift (the reference's
     * `syncSchema` alter-table path).
     */
   def replaceTable(db: String, table: String, schema: StructType,
-      location: String, options: Map[String, String]): Unit
-  /** Register partition paths (the reference's `syncPartitions`). Targets
+      location: String, options: Map[String, String],
+      partitionCols: Seq[org.apache.spark.sql.types.StructField]): Unit
+  /** Register partitions (the reference's `syncPartitions`). Targets
     * whose query engines prune through their own listing (the session
     * catalog: pruning runs inside GraftFileIndex) may no-op; a metastore
     * serving OTHER engines must record them. Receives the table's current
-    * partition list — an implementation tracking a last-synced watermark
-    * may diff against it.
+    * partition list (relative path + parsed identifier values) — an
+    * implementation tracking a last-synced watermark may diff against it.
     */
-  def addPartitions(db: String, table: String, partitionPaths: Seq[String]): Unit
+  def addPartitions(db: String, table: String,
+      partitions: Seq[CatalogTarget.PartitionRef]): Unit
   /** Invalidate any cached relation/file-list for the entry. */
   def refresh(db: String, table: String): Unit
 }
@@ -46,6 +54,12 @@ object CatalogTarget {
   /** Stored metadata of an existing catalog entry. */
   final case class Entry(provider: Option[String], schema: StructType,
       location: Option[String])
+  /** One table partition as the sync sees it: the storage-relative path
+    * and the partition-key values parsed from it (hive-style `k=` prefixes
+    * stripped, one value per declared partition column; empty when the
+    * table publishes unpartitioned).
+    */
+  final case class PartitionRef(path: String, values: Seq[String])
 }
 
 /** Catalog registration for graft tables — the in-engine analog of the
@@ -106,18 +120,35 @@ object CatalogSync {
     val current = graft.read.Readers.snapshot(t)
       .drop(graft.core.MetaCols.All: _*).schema
     tgt.ensureDatabase(db, dbLocation)
+    // identity partition column(s) → declared metastore partition keys;
+    // expression partitioning publishes unpartitioned (the engine prunes
+    // through its own file index either way — keys matter to OTHER
+    // engines reading the metastore, HiveSyncTool's audience)
+    val expr = t.cfg.partitionPathExpr
+    val partCols =
+      if (expr.nonEmpty && expr.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        current.fields.filter(_.name.equalsIgnoreCase(expr)).toSeq
+      else Seq.empty
+    val hivePrefix = graft.keygen.KeyGen.hiveStyleNameOf(t.cfg).map(_ + "=")
     // metadata-only partition listing (no file IO beyond the commit view)
     val partitions = t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
+      .filter(_.nonEmpty)
+      .map { p =>
+        val values =
+          if (partCols.isEmpty) Seq.empty[String]
+          else Seq(hivePrefix.filter(p.startsWith).map(p.stripPrefix).getOrElse(p))
+        CatalogTarget.PartitionRef(p, values)
+      }
     def publish(name: String, options: Map[String, String]): Unit = {
       tgt.existing(db, name) match {
-        case None => tgt.createTable(db, name, current, norm, options)
+        case None => tgt.createTable(db, name, current, norm, options, partCols)
         case Some(e) =>
           require(e.provider.exists(_.equalsIgnoreCase("graft")),
             s"refusing to sync over existing non-graft table $db.$name " +
               s"(provider=${e.provider.getOrElse("none")})")
           val sameLoc = e.location.exists(u => GraftTable.normalize(u) == norm)
           if (e.schema != current || !sameLoc)
-            tgt.replaceTable(db, name, current, norm, options)
+            tgt.replaceTable(db, name, current, norm, options, partCols)
       }
       tgt.addPartitions(db, name, partitions)
       tgt.refresh(db, name)
@@ -185,7 +216,11 @@ final class SessionCatalogTarget(spark: SparkSession) extends CatalogTarget {
   }
 
   override def createTable(db: String, table: String, schema: StructType,
-      location: String, options: Map[String, String]): Unit = {
+      location: String, options: Map[String, String],
+      partitionCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    // the graft source partitions internally — the session entry never
+    // declares PARTITIONED BY (Spark would route the v1 relation through
+    // its own partition handling)
     val opts = (options + ("includeMetaColumns" -> "false"))
       .toSeq.sorted.map { case (k, v) => s"$k '${sqlLit(v)}'" }.mkString(", ")
     spark.sql(
@@ -195,9 +230,10 @@ final class SessionCatalogTarget(spark: SparkSession) extends CatalogTarget {
   }
 
   override def replaceTable(db: String, table: String, schema: StructType,
-      location: String, options: Map[String, String]): Unit = {
+      location: String, options: Map[String, String],
+      partitionCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     spark.sql(s"DROP TABLE ${ident(db)}.${ident(table)}")
-    createTable(db, table, schema, location, options)
+    createTable(db, table, schema, location, options, partitionCols)
   }
 
   // pruning happens inside GraftFileIndex against the table's own
@@ -205,7 +241,7 @@ final class SessionCatalogTarget(spark: SparkSession) extends CatalogTarget {
   // that could go stale; a metastore target serving other engines records
   // these (HiveSyncTool.syncPartitions)
   override def addPartitions(db: String, table: String,
-      partitionPaths: Seq[String]): Unit = ()
+      partitions: Seq[CatalogTarget.PartitionRef]): Unit = ()
 
   override def refresh(db: String, table: String): Unit =
     // V1 relations are cached per catalog identifier; a re-sync after

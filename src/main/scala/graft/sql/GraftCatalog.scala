@@ -23,10 +23,11 @@ import graft.table.GraftTable
   * Register with `spark.sql.catalog.<name> = graft.sql.GraftCatalog`
   * (+ optional `spark.sql.catalog.<name>.warehouse = <dir>`).
   *
-  * Layout: one directory per namespace under the warehouse; a MANAGED
-  * table is the graft table directory `<warehouse>/<db>/<t>` itself, an
-  * EXTERNAL table (explicit LOCATION) is a pointer file
-  * `<warehouse>/<db>/<t>.ptr` holding the base path — dropping it never
+  * Layout: one directory level per namespace segment under the warehouse
+  * (namespaces nest: `CREATE NAMESPACE a.b` ⇒ `<warehouse>/a/b`); a
+  * MANAGED table is the graft table directory `<warehouse>/<ns…>/<t>`
+  * itself, an EXTERNAL table (explicit LOCATION) is a pointer file
+  * `<warehouse>/<ns…>/<t>.ptr` holding the base path — dropping it never
   * touches data, mirroring the external-table convention of the
   * reference's Hive sync (HiveSyncTool.java:113-357). There is no second
   * metadata store: existence IS the filesystem state, so the catalog
@@ -55,21 +56,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   // ------------------------------------------------------------ namespaces
+  // Namespaces are NESTED (`a.b.c`), one warehouse directory level per
+  // segment — the Delta/Iceberg multi-level catalog UX. A directory is a
+  // namespace iff it is not a graft table (table dirs carry the table
+  // config at their root; their partition subdirs are never visited).
 
   private def nsPath(ns: Array[String]): Path = {
-    require(ns.length == 1, s"graft catalog namespaces are single-level, got ${ns.mkString(".")}")
-    warehouse.suffix("/" + ns.head)
+    require(ns.nonEmpty, "graft catalog namespaces have at least one level")
+    ns.foreach(s => require(s.nonEmpty && !s.contains("/") && s != ".." && s != ".",
+      s"illegal namespace segment '$s' in ${ns.mkString(".")}"))
+    new Path(warehouse.toString + ns.mkString("/", "/", ""))
   }
 
   override def namespaceExists(ns: Array[String]): Boolean =
-    ns.length == 1 && Storage.exists(nsPath(ns))
+    ns.nonEmpty && Storage.exists(nsPath(ns)) && !TableConfig.exists(nsPath(ns))
+
+  private def childNamespaces(dir: Path): Array[String] =
+    Storage.list(dir)
+      .filter(s => s.isDirectory && !TableConfig.exists(s.getPath))
+      .map(_.getPath.getName).toArray
 
   override def listNamespaces(): Array[Array[String]] =
-    Storage.list(warehouse).filter(_.isDirectory).map(s => Array(s.getPath.getName)).toArray
+    childNamespaces(warehouse).map(Array(_))
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
     if (ns.isEmpty) listNamespaces()
-    else if (namespaceExists(ns)) Array.empty
+    else if (namespaceExists(ns)) childNamespaces(nsPath(ns)).map(ns :+ _)
     else throw new NoSuchNamespaceException(ns)
 
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] =
@@ -87,8 +99,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(ns)) return false
-    if (!cascade && listTables(ns).nonEmpty)
-      throw new IllegalStateException(s"namespace ${ns.head} is not empty")
+    if (!cascade && (listTables(ns).nonEmpty || listNamespaces(ns).nonEmpty))
+      throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
     Storage.deleteRecursively(nsPath(ns))
     true
   }
@@ -108,7 +120,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * resolution) answer "absent" instead of throwing.
     */
   private def basePathOf(ident: Identifier): Option[Path] = {
-    if (ident.namespace.length != 1) return None
+    if (ident.namespace.isEmpty) return None
     val dir = managedDir(ident)
     if (TableConfig.exists(dir)) Some(dir)
     else if (Storage.exists(ptrFile(ident)))
@@ -255,7 +267,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // `RENAME TO cat.db.t` keeps the catalog name in the identifier —
     // strip our own name so both spellings work
     def strip(i: Identifier): Identifier =
-      if (i.namespace.length == 2 && i.namespace.head == catalogName)
+      if (i.namespace.length >= 2 && i.namespace.head == catalogName)
         Identifier.of(i.namespace.tail, i.name)
       else i
     val from = strip(from0)

@@ -231,7 +231,9 @@ private[sql] object GraftTimeTravel {
       val ident = parts match {
         case Seq(t) => TableIdentifier(t)
         case Seq(db, t) => TableIdentifier(t, Some(db))
-        case Seq(c, db, t) => return v2GraftPathOf(spark, c, db, t)
+        case _ if parts.length >= 3 => // cat.ns….t (namespaces nest)
+          return v2GraftPathOf(spark, parts.head,
+            parts.slice(1, parts.length - 1).toArray, parts.last)
         case _ => return None
       }
       if (!cat.tableExists(ident)) None
@@ -243,14 +245,14 @@ private[sql] object GraftTimeTravel {
     }
   }
 
-  /** `cat.db.t` through a registered DSv2 [[GraftCatalog]]. */
-  private def v2GraftPathOf(spark: SparkSession, cat: String, db: String,
+  /** `cat.ns….t` through a registered DSv2 [[GraftCatalog]]. */
+  private def v2GraftPathOf(spark: SparkSession, cat: String, ns: Array[String],
       t: String): Option[String] =
     try {
       spark.sessionState.catalogManager.catalog(cat) match {
         case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
           val id = org.apache.spark.sql.connector.catalog.Identifier
-            .of(Array(db), t)
+            .of(ns, t)
           if (!tc.tableExists(id)) None
           else tc.loadTable(id) match {
             case g: GraftV2Table => Some(g.basePath)

@@ -326,6 +326,10 @@ object Smoke {
     // DSv2 catalog: CREATE + INSERT + MERGE + DROP PARTITION + TRUNCATE
     // over catalog-qualified names (round-12 surface)
     locally {
+      // the warehouse lives OUTSIDE `out` (which the run wipes) — clean it
+      // here so back-to-back smokes don't collide on CREATE TABLE
+      graft.table.WritePipeline.deleteRecursively(
+        new org.apache.hadoop.fs.Path(s"${out}_cat_wh"))
       spark.conf.set("spark.sql.catalog.smoke_cat",
         classOf[graft.sql.GraftCatalog].getName)
       spark.conf.set("spark.sql.catalog.smoke_cat.warehouse", s"${out}_cat_wh")

@@ -397,6 +397,44 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.table("gcat.db16.c").count() === 3)
   }
 
+  test("nested namespaces: CREATE NAMESPACE a.b, qualified DML, SHOW, DROP") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake.bronze")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake.silver")
+    assert(Storage.exists(new org.apache.hadoop.fs.Path(s"$wh/lake/bronze")))
+    val kids = spark.sql("SHOW NAMESPACES IN gcat.lake").collect()
+      .map(_.getString(0)).toSet
+    assert(kids === Set("lake.bronze", "lake.silver"), kids)
+
+    spark.sql("""
+      CREATE TABLE gcat.lake.bronze.t (id BIGINT, ver BIGINT, price DOUBLE)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.lake.bronze.t VALUES (1, 1, 10.0), (2, 1, 20.0)")
+    spark.sql("UPDATE gcat.lake.bronze.t SET price = 99.0 WHERE id = 2")
+    val got = spark.sql("SELECT id, price FROM gcat.lake.bronze.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === Array((1L, 10.0), (2L, 99.0)))
+    // a table dir is never reported as a namespace
+    assert(!spark.sql("SHOW NAMESPACES IN gcat.lake.bronze").collect()
+      .map(_.getString(0)).contains("lake.bronze.t"))
+    // SHOW TABLES scopes to the nested namespace
+    val names = spark.sql("SHOW TABLES IN gcat.lake.bronze").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    assert(names === Set("t"))
+    // time travel through the nested name resolves too
+    val c1 = graft.table.GraftTable.load(spark, s"$wh/lake/bronze/t")
+      .timeline.completedDataInstants().head.ts
+    assert(spark.sql(s"SELECT count(*) FROM gcat.lake.bronze.t VERSION AS OF '$c1'")
+      .head().getLong(0) === 2)
+
+    // non-cascade drop of a non-empty namespace refuses; cascade removes
+    intercept[Exception] { spark.sql("DROP NAMESPACE gcat.lake") }
+    spark.sql("DROP NAMESPACE gcat.lake.silver")
+    spark.sql("DROP NAMESPACE gcat.lake CASCADE")
+    assert(!Storage.exists(new org.apache.hadoop.fs.Path(s"$wh/lake")))
+  }
+
   test("TRUNCATE TABLE over a catalog name: one replacecommit, history kept") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db9")

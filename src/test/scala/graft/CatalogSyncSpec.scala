@@ -27,18 +27,20 @@ class CatalogSyncSpec extends AnyFunSuite {
         calls += s"db:$db"
       override def existing(db: String, table: String) = { calls += "existing"; stored }
       override def createTable(db: String, table: String, schema: StructType,
-          location: String, options: Map[String, String]): Unit = {
-        calls += s"create:$db.$table"
+          location: String, options: Map[String, String],
+          partitionCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+        calls += s"create:$db.$table[${partitionCols.map(_.name).mkString(",")}]"
         stored = Some(CatalogTarget.Entry(Some("graft"), schema, Some(location)))
       }
       override def replaceTable(db: String, table: String, schema: StructType,
-          location: String, options: Map[String, String]): Unit = {
-        calls += s"replace:$db.$table"
+          location: String, options: Map[String, String],
+          partitionCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+        calls += s"replace:$db.$table[${partitionCols.map(_.name).mkString(",")}]"
         stored = Some(CatalogTarget.Entry(Some("graft"), schema, Some(location)))
       }
       override def addPartitions(db: String, table: String,
-          partitionPaths: Seq[String]): Unit =
-        calls += s"partitions:${partitionPaths.mkString("|")}"
+          partitions: Seq[CatalogTarget.PartitionRef]): Unit =
+        calls += s"partitions:${partitions.map(p => p.path + "=" + p.values.mkString(",")).mkString("|")}"
       override def refresh(db: String, table: String): Unit = calls += "refresh"
     }
     val dir = tmpDir("csync_stub").toString + "/t"
@@ -50,14 +52,14 @@ class CatalogSyncSpec extends AnyFunSuite {
       .option("operation", "upsert").save(dir)
 
     CatalogSync.sync(spark, dir, "hms_db", "t", target = stub)
-    assert(calls.toSeq === Seq("db:hms_db", "existing", "create:hms_db.t",
-      "partitions:1995|1996", "refresh"), s"first sync sequence: $calls")
+    assert(calls.toSeq === Seq("db:hms_db", "existing", "create:hms_db.t[yr]",
+      "partitions:1995=1995|1996=1996", "refresh"), s"first sync sequence: $calls")
 
     // no drift: neither create nor replace
     calls.clear()
     CatalogSync.sync(spark, dir, "hms_db", "t", target = stub)
     assert(calls.toSeq === Seq("db:hms_db", "existing",
-      "partitions:1995|1996", "refresh"), s"no-drift sequence: $calls")
+      "partitions:1995=1995|1996=1996", "refresh"), s"no-drift sequence: $calls")
 
     // schema drift (new column) + new partition -> replace + wider list
     calls.clear()
@@ -66,8 +68,8 @@ class CatalogSyncSpec extends AnyFunSuite {
       .write.format("graft").mode("append")
       .option("operation", "upsert").save(dir)
     CatalogSync.sync(spark, dir, "hms_db", "t", target = stub)
-    assert(calls.toSeq === Seq("db:hms_db", "existing", "replace:hms_db.t",
-      "partitions:1995|1996|1997", "refresh"), s"drift sequence: $calls")
+    assert(calls.toSeq === Seq("db:hms_db", "existing", "replace:hms_db.t[yr]",
+      "partitions:1995=1995|1996=1996|1997=1997", "refresh"), s"drift sequence: $calls")
 
     // a non-graft occupant makes the orchestrator refuse before any drop
     stored = Some(CatalogTarget.Entry(Some("parquet"),

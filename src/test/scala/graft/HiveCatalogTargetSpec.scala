@@ -1,0 +1,126 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sql.{CatalogSync, HiveCatalogTarget}
+
+/** CatalogSync against a REAL Hive metastore — the embedded in-process
+  * HMS over Derby (the jars Spark ships with), driven through the same
+  * IMetaStoreClient surface the reference's HiveSyncTool/HoodieHiveClient
+  * uses against a Thrift HMS. One embedded store for the whole suite
+  * (Derby is single-process); each test uses its own database/table.
+  */
+class HiveCatalogTargetSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private lazy val target =
+    HiveCatalogTarget.embedded(tmpDir("hms_store").toString)
+  private def client = target.client
+
+  private def writeTable(dir: String, rows: Seq[(Long, Long, Double, String)],
+      extra: Map[String, String] = Map.empty): Unit = {
+    var w = rows.toDF("id", "ver", "price", "yr")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("partitionPathExpr", "yr")
+      .option("operation", "upsert")
+    extra.foreach { case (k, v) => w = w.option(k, v) }
+    w.save(dir)
+  }
+
+  test("sync publishes an external parquet-readable entry with real partitions") {
+    val dir = tmpDir("hms_t1").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "1995"), (2L, 1L, 20.0, "1996")))
+    CatalogSync.sync(spark, dir, "hdb1", "t", target = target)
+
+    assert(client.getDatabase("hdb1") != null)
+    val t = client.getTable("hdb1", "t")
+    // HiveSyncTool's external-table convention: dropping metadata never
+    // deletes data
+    assert(t.getTableType === "EXTERNAL_TABLE")
+    assert(t.getParameters.get("EXTERNAL") === "TRUE")
+    assert(t.getParameters.get("spark.sql.sources.provider") === "graft")
+    assert(t.getSd.getLocation.endsWith("/t"))
+    // partition column is a declared KEY, not a data column
+    assert(t.getPartitionKeys.asScala.map(_.getName) === Seq("yr"))
+    assert(!t.getSd.getCols.asScala.map(_.getName).contains("yr"))
+    // hive-dialect types for foreign engines
+    assert(t.getSd.getCols.asScala.map(c => c.getName -> c.getType).toMap ===
+      Map("id" -> "bigint", "ver" -> "bigint", "price" -> "double"))
+    // real partition registration with typed values and locations
+    val parts = client.listPartitions("hdb1", "t", -1).asScala
+    assert(parts.map(_.getValues.asScala.head).sorted === Seq("1995", "1996"))
+    assert(parts.forall(p =>
+      p.getSd.getLocation === t.getSd.getLocation + "/" + p.getValues.asScala.head))
+  }
+
+  test("re-sync is idempotent; new data adds only the delta partitions") {
+    val dir = tmpDir("hms_t2").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "1995")))
+    CatalogSync.sync(spark, dir, "hdb2", "t", target = target)
+    val created = client.getTable("hdb2", "t").getCreateTime
+    // no drift: entry untouched (same createTime), partitions unchanged
+    CatalogSync.sync(spark, dir, "hdb2", "t", target = target)
+    assert(client.getTable("hdb2", "t").getCreateTime === created)
+    assert(client.listPartitionNames("hdb2", "t", -1).asScala === Seq("yr=1995"))
+    // second write, new partition: only the delta registers
+    writeTable(dir, Seq((2L, 1L, 20.0, "1996")))
+    CatalogSync.sync(spark, dir, "hdb2", "t", target = target)
+    assert(client.getTable("hdb2", "t").getCreateTime === created)
+    assert(client.listPartitionNames("hdb2", "t", -1).asScala.sorted ===
+      Seq("yr=1995", "yr=1996"))
+  }
+
+  test("schema drift recreates the entry and keeps the exact Spark schema") {
+    val dir = tmpDir("hms_t3").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "1995")))
+    CatalogSync.sync(spark, dir, "hdb3", "t", target = target)
+    // widen via upsert schema evolution
+    Seq((2L, 1L, 20.0, "1996", "x")).toDF("id", "ver", "price", "yr", "memo")
+      .write.format("graft").mode("append")
+      .option("operation", "upsert").save(dir)
+    CatalogSync.sync(spark, dir, "hdb3", "t", target = target)
+    val t = client.getTable("hdb3", "t")
+    assert(t.getSd.getCols.asScala.map(_.getName).contains("memo"))
+    // the drift comparison reads back the STORED Spark schema, bit-exact
+    val entry = target.existing("hdb3", "t").get
+    val current = graft.read.Readers.snapshot(
+        graft.table.GraftTable.load(spark, dir))
+      .drop(graft.core.MetaCols.All: _*).schema
+    assert(entry.schema === current)
+    // partitions survived the recreate (re-registered by the same sync)
+    assert(client.listPartitionNames("hdb3", "t", -1).asScala.sorted ===
+      Seq("yr=1995", "yr=1996"))
+  }
+
+  test("MOR tables publish the _ro/_rt pair like the reference's Hive sync") {
+    val dir = tmpDir("hms_t4").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "1995")),
+      extra = Map("tableType" -> graft.core.TableType.MergeOnRead))
+    CatalogSync.sync(spark, dir, "hdb4", "t", target = target)
+    val names = client.getAllTables("hdb4").asScala.toSet
+    assert(names === Set("t", "t_ro", "t_rt"))
+    assert(client.getTable("hdb4", "t_ro").getParameters
+      .get("graft.sync.option.queryType") === "read_optimized")
+  }
+
+  test("refuses to drop a same-named non-graft metastore entry") {
+    val dir = tmpDir("hms_t5").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "1995")))
+    CatalogSync.sync(spark, dir, "hdb5", "t", target = target)
+    // hand-plant a foreign parquet entry under the next name
+    val foreign = client.getTable("hdb5", "t").deepCopy()
+    foreign.setTableName("occupied")
+    foreign.getParameters.put("spark.sql.sources.provider", "parquet")
+    client.createTable(foreign)
+    val e = intercept[IllegalArgumentException] {
+      CatalogSync.sync(spark, dir, "hdb5", "occupied", target = target)
+    }
+    assert(e.getMessage.contains("non-graft"))
+    assert(client.getTable("hdb5", "occupied") != null)
+  }
+}
