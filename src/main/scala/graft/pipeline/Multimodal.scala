@@ -167,8 +167,12 @@ object Multimodal {
       }.toDF(idCol, "content_resized", "width", "height")
   }
 
-  /** Frame sampling for "video" blobs: one input row explodes to n frame
+  /** Frame sampling for video blobs: one input row explodes to n frame
     * rows with timestamps — the shape a caption/embedding stage consumes.
+    * MJPEG-in-AVI bytes yield REAL frames (the container's own JPEG
+    * chunks, evenly sampled, timestamped from the AVI frame rate —
+    * [[VideoCodec.aviMjpegFrames]]); other bytes keep the deterministic
+    * stub (no JDK codec for inter-frame formats).
     */
   def sampleFrames(df: DataFrame, n: Int, frameIntervalMs: Long = 1000L,
       idCol: String = "doc_id", binCol: String = "content"): Dataset[Frame] = {
@@ -176,8 +180,45 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        FakeCodec.frames(bytes, n).zipWithIndex.map { case (fb, i) =>
-          Frame(id, i, i * frameIntervalMs, fb)
+        VideoCodec.aviMjpegFrames(bytes) match {
+          case Some((uspf, jpegs)) =>
+            val picks =
+              if (jpegs.length <= n) jpegs.indices
+              else (0 until n).map(i => i * jpegs.length / n)
+            picks.map(i => Frame(id, i, i * uspf / 1000L, jpegs(i)))
+          case None =>
+            FakeCodec.frames(bytes, n).zipWithIndex.map { case (fb, i) =>
+              Frame(id, i, i * frameIntervalMs, fb)
+            }
+        }
+      }
+  }
+
+  final case class DecodedFrame(id: Long, frameIdx: Int, tsMillis: Long,
+      width: Int, height: Int)
+
+  /** REAL video frame decode for MJPEG-AVI blobs: RIFF walk → `movi`
+    * JPEG chunks → ImageIO decode, one row per frame with its container
+    * timestamp and decoded dimensions. Rows whose bytes are not
+    * MJPEG-AVI (or whose frames don't decode) are dropped — callers keep
+    * them via [[sampleFrames]]' stub path instead. Iterator-to-iterator,
+    * cost ∝ pixels of the one blob.
+    */
+  def videoFrames(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "content"): Dataset[DecodedFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        VideoCodec.aviMjpegFrames(bytes).toSeq.flatMap { case (uspf, jpegs) =>
+          jpegs.zipWithIndex.flatMap { case (jb, i) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) None
+            else Some(DecodedFrame(id, i, i * uspf / 1000L,
+              img.getWidth, img.getHeight))
+          }
         }
       }
   }
@@ -339,12 +380,65 @@ object Multimodal {
     * duration, `tkhd` 16.16-fixed width/height). Pure byte walking, no
     * codec: this is the metadata half of video handling (what a catalog/
     * filter stage needs — "drop clips under 2 s", "bucket by resolution").
-    * PIXEL decode stays out of scope (no JDK video codec, zero-egress) —
-    * frame CONTENT sampling keeps the deterministic stub.
+    * PIXELS are real for ONE honest format: MJPEG-in-AVI, whose frames
+    * are standalone JPEGs the JDK can decode ([[aviMjpegFrames]]); every
+    * inter-frame codec (no JDK decoder, zero-egress) keeps the
+    * deterministic stub in [[Multimodal.sampleFrames]].
     */
   object VideoCodec {
     private def looksLikeMp4(b: Array[Byte]): Boolean =
       b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    private def looksLikeAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+    /** MJPEG-in-AVI frame extraction: (microSecPerFrame, JPEG frame
+      * chunks) for AVI bytes whose `movi` list carries JPEG-compressed
+      * frames, None otherwise. AVI is a RIFF container (the same chunk
+      * grammar as WAV — id, LE size, word-aligned payload): the `hdrl`
+      * LIST's `avih` chunk leads with the frame interval in µs, the
+      * `movi` LIST holds one `##dc`/`##db` chunk per frame whose payload
+      * for MJPEG IS a standalone JPEG — so "decoding" the video is a byte
+      * walk plus the JDK's own JPEG codec, no inter-frame state. This is
+      * the one honest zero-dependency path to real pixels; non-MJPEG
+      * codecs stay stubbed.
+      */
+    def aviMjpegFrames(b: Array[Byte]): Option[(Long, IndexedSeq[Array[Byte]])] = {
+      if (!looksLikeAvi(b)) return None
+      try {
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var uspf = 0L
+        val frames = IndexedSeq.newBuilder[Array[Byte]]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = new String(b, off, 4, "US-ASCII")
+            val sz = bb.getInt(off + 4)
+            if (sz < 0 || off + 8 + sz > end) return // truncated → stop clean
+            id match {
+              case "LIST" if sz >= 4 =>
+                val listType = new String(b, off + 8, 4, "US-ASCII")
+                // descend only where our reads live; other lists (strl,
+                // odml …) are skipped whole, keeping the walk O(frames)
+                if (listType == "hdrl" || listType == "movi" || listType == "rec ")
+                  walk(off + 12, off + 8 + sz)
+              case "avih" if sz >= 4 => uspf = bb.getInt(off + 8).toLong & 0xFFFFFFFFL
+              case _ if id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                  (id.endsWith("dc") || id.endsWith("db")) && sz >= 3 &&
+                  b(off + 8) == 0xFF.toByte && b(off + 9) == 0xD8.toByte &&
+                  b(off + 10) == 0xFF.toByte => // a JPEG frame chunk
+                frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+              case _ => // idx1 / strh / strf / junk … skipped
+            }
+            off += 8 + sz + (sz & 1) // word alignment, as in WAV
+          }
+        }
+        walk(12, b.length)
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some((if (uspf > 0) uspf else 40000L, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** Some(meta-less tuple) for ISO-BMFF bytes; None otherwise. */
     def videoMeta(bytes: Array[Byte]): Option[(Long, Int, Int, Int, String)] = {
@@ -471,5 +565,53 @@ object Multimodal {
     }
     val moov = box("moov", mvhd ++ box("trak", tkhd))
     ftyp ++ moov
+  }
+
+  /** A minimal VALID MJPEG-in-AVI clip for specs/gates: real RIFF
+    * structure (`hdrl`/`avih` with the frame rate, `movi` with one
+    * `00dc` JPEG chunk per frame), readable by any AVI demuxer. The
+    * frames are the caller's JPEG bytes verbatim.
+    */
+  def syntheticMjpegAvi(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+      microSecPerFrame: Long = 40000L): Array[Byte] = {
+    def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le(payload.length) ++ payload ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ le(4 + body.length) ++
+        listType.getBytes("US-ASCII") ++ body
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(microSecPerFrame.toInt)
+      b.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      b.putInt(jpegFrames.length) // totalFrames
+      b.putInt(0).putInt(1) // initialFrames, streams
+      b.putInt(jpegFrames.map(_.length).maxOption.getOrElse(0)) // bufferSize
+      b.putInt(width).putInt(height)
+      // 4 reserved ints remain zero
+      chunk("avih", b.array())
+    }
+    val movi = list("movi", jpegFrames.map(chunk("00dc", _)).fold(Array.empty[Byte])(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+  }
+
+  /** One deterministic JPEG frame for (seed, frameIdx): a seeded noise
+    * field (JPEG-encodes to visibly distinct frames per seed) — real
+    * ImageIO JPEG bytes for the MJPEG-AVI builder.
+    */
+  def syntheticJpegFrame(seed: Long, frameIdx: Int, size: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(size, size,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new java.util.Random(seed * 7919L + frameIdx)
+    val raster = img.getRaster
+    for (y <- 0 until size; x <- 0 until size)
+      raster.setSample(x, y, 0, rnd.nextInt(256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
   }
 }

@@ -287,6 +287,27 @@ object PipelineQueries {
           col("videoTracks").as("video_tracks"), col("brand"))
     }),
 
+    // REAL video frame decode: deterministic MJPEG-AVI blobs (2 + id%4
+    // JPEG noise frames at a doc_id-derived square size, 25 fps) → RIFF
+    // movi walk → ImageIO JPEG decode; the oracle recomputes frame
+    // count / timestamps / decoded dimensions from doc_id arithmetic —
+    // an exact end-to-end check of container walk + pixel decode
+    "p_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val blobs = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .repartition(col("doc_id"))
+        .mapPartitions(it => it.map { id =>
+          val n = (2 + id % 4).toInt
+          val sz = (48 + (id % 4) * 16).toInt
+          (id, Multimodal.syntheticMjpegAvi(
+            (0 until n).map(i => Multimodal.syntheticJpegFrame(id, i, sz)),
+            sz, sz))
+        }).toDF("doc_id", "content")
+      Multimodal.videoFrames(blobs).toDF()
+        .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("tsMillis").as("ts_ms"), col("width"), col("height"))
+    }),
+
     // multimodal plumbing: schema-correct decode over binary columns
     "p_multimodal_decode" -> ((s, d) => {
       val blobs = Multimodal.withFakeBinary(docs(s, d), "doc_id")
@@ -2421,6 +2442,16 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS video_tracks,
         |  'isom' AS brand
         |FROM documents""".stripMargin,
+    // the AVI blobs carry doc_id-derived frame counts/sizes at 25 fps; the
+    // real demux + JPEG decode must read back exactly that arithmetic
+    "p_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 40 AS BIGINT) AS ts_ms,
+        |  CAST(48 + (doc_id % 4) * 16 AS INTEGER) AS width,
+        |  CAST(48 + (doc_id % 4) * 16 AS INTEGER) AS height
+        |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS i
+        |      FROM documents)""".stripMargin,
     // the fake codec derives metadata from the first 7 content bytes, and
     // the content is unhex(repeat(md5(doc_id))) — so the oracle recomputes
     // h straight from md5(doc_id)

@@ -365,9 +365,16 @@ object Smoke {
         .filter(col("cluster_id") =!= col("doc_id") % 6).count()
       val vid = Multimodal.VideoCodec.videoMeta(
         Multimodal.syntheticMp4(7700, 640, 360))
+      // real MJPEG-AVI pixel path: demux + JPEG decode round trip
+      val avi = Multimodal.syntheticMjpegAvi(
+        (0 until 3).map(i => Multimodal.syntheticJpegFrame(5L, i, 64)), 64, 64)
+      val nFrames = Multimodal.videoFrames(
+        spark.createDataFrame(Seq((5L, avi))).toDF("doc_id", "content"))
+        .filter(f => f.width == 64 && f.height == 64).count()
       println(s"[smoke] media: image_mislabeled=$imgOk (expect 0) " +
         s"audio_mislabeled=$audOk (expect 0) " +
-        s"video_meta=${vid.contains((7700L, 640, 360, 1, "isom"))} (expect true)")
+        s"video_meta=${vid.contains((7700L, 640, 360, 1, "isom"))} (expect true) " +
+        s"video_frames=$nFrames (expect 3)")
     }
     spark.stop()
     println("[smoke] OK")

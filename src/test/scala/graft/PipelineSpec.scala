@@ -391,6 +391,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L).brand === "fake")
   }
 
+  test("multimodal: real MJPEG-AVI frame extraction and decode") {
+    import Multimodal.VideoCodec
+    val jpegs = (0 until 3).map(i => Multimodal.syntheticJpegFrame(42L, i, 64))
+    val avi = Multimodal.syntheticMjpegAvi(jpegs, 64, 64, microSecPerFrame = 33333L)
+    // byte-identical frame round trip + the container frame rate
+    val Some((uspf, got)) = VideoCodec.aviMjpegFrames(avi)
+    assert(uspf === 33333L)
+    assert(got.length === 3)
+    got.zip(jpegs).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // odd-length JPEG payloads stay aligned (RIFF pads to word boundary)
+    assert(jpegs.exists(_.length % 2 == 1) || {
+      val odd = jpegs.map(j => j :+ 0xD9.toByte) // force odd somewhere
+      VideoCodec.aviMjpegFrames(
+        Multimodal.syntheticMjpegAvi(odd, 64, 64)).exists(_._2.length == 3)
+    })
+    // non-AVI / truncated bytes refuse cleanly
+    assert(VideoCodec.aviMjpegFrames("not a video".getBytes).isEmpty)
+    assert(VideoCodec.aviMjpegFrames(avi.take(30)).isEmpty)
+    assert(VideoCodec.aviMjpegFrames(
+      graft.pipeline.AudioHash.syntheticWav(1L, 4)).isEmpty)
+
+    // the Dataset operators: videoFrames decodes real dims + timestamps
+    val df = Seq((7L, avi)).toDF("doc_id", "content")
+    val frames = Multimodal.videoFrames(df).collect().sortBy(_.frameIdx)
+    assert(frames.map(f => (f.frameIdx, f.tsMillis, f.width, f.height)).toSeq ===
+      Seq((0, 0L, 64, 64), (1, 33L, 64, 64), (2, 66L, 64, 64)))
+    // sampleFrames rides the REAL frames for AVI bytes (bit-identical
+    // payloads), evenly sampled when n < frame count
+    val sampled = Multimodal.sampleFrames(df, n = 2).collect().sortBy(_.frameIdx)
+    assert(sampled.length === 2)
+    assert(sampled(0).frame.sameElements(jpegs(0)))
+    assert(sampled.forall(f => f.tsMillis === f.frameIdx * 33333L / 1000L))
+    // …and still stubs for non-AVI bytes
+    val stub = Multimodal.sampleFrames(
+      Seq((8L, Array.fill[Byte](64)(0x22))).toDF("doc_id", "content"), n = 4)
+    assert(stub.count() === 4)
+  }
+
   test("multimodal: real PNG resize re-encodes at the target dims") {
     def encodePng(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
