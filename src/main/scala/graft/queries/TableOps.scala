@@ -1273,6 +1273,32 @@ object TableOps {
       data(Readers.snapshot(dA)).unionByName(data(Readers.snapshot(dB)))
     }),
 
+    // MULTI-HOP incremental ingest (reference HoodieIncrSource: a graft
+    // table as the ingest SOURCE of another pipeline): A → B → C chained
+    // by incremental pull, each hop's checkpoint riding its own
+    // destination commits — end-to-end checkpoint isolation (a no-op
+    // tick on one hop must not disturb the other's offset, and the
+    // second hop only ever reads what the first has published)
+    "t_ingest_multi_hop" -> ((s, d) => {
+      val src = orders(s, d)
+      def mk(n: String) = fresh(s, d, s"t_ingest_hop_$n", cfg(TableType.CopyOnWrite))
+      val a = mk("a"); val b = mk("b"); val c = mk("c")
+      a.bulkInsert(src.filter(col("o_orderkey") % 2 === 0))
+      Streaming.syncOnce(a, b)
+      Streaming.syncOnce(b, c)
+      // tick 2: new odd keys + an UPDATE of existing even keys; the
+      // change set must propagate through both hops
+      a.upsert(src.filter(col("o_orderkey") % 2 =!= 0)
+        .unionByName(src.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 3)))
+      Streaming.syncOnce(a, b)
+      Streaming.syncOnce(b, c)
+      // checkpoint isolation: a drained hop no-ops (no commit, offset kept)
+      require(Streaming.syncOnce(b, c).isEmpty, "drained hop must no-op")
+      require(Streaming.syncOnce(a, b).isEmpty, "drained hop must no-op")
+      data(Readers.snapshot(c))
+    }),
+
     // JDBC incremental ingest (reference sources/JdbcSource.java:63-197):
     // orders loaded into embedded Derby, pulled in two checkpointed ticks
     // split on the monotone key. o_orderdate rides as a formatted string
@@ -1789,6 +1815,10 @@ object TableOps {
     "t_ingest_multi" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_ingest_multi_hop" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "t_ingest_jdbc" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
