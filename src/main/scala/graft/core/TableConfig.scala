@@ -127,6 +127,12 @@ object ConfigKeys {
   // entry count above which files-index snapshots switch from one JSON
   // blob to a parquet index table (distributed, partition-prunable)
   val FilesIndexParquetThreshold = "graft.files.index.parquet.threshold"
+  // on-disk LAYOUT version (the reference's hoodie.table.version /
+  // UpgradeOrDowngradeCommand protocol): stamped at create, checked at
+  // load — a table written by a NEWER layout refuses to open instead of
+  // misreading it; absent means version 1 (pre-versioning tables).
+  // There is one layout so far; the field future-proofs the format.
+  val TableVersion = "graft.table.version"
 
   val DefaultMaxFileSize: Long = 120L * 1024 * 1024
   val DefaultSmallFileLimit: Long = 100L * 1024 * 1024
@@ -141,6 +147,7 @@ object ConfigKeys {
   // reference HoodieIndexConfig BUCKET_INDEX_NUM_BUCKETS defaults 256;
   // 16 suits the local test scale — real tables size this at creation
   val DefaultBucketIndexNumBuckets: Long = 16L
+  val CurrentTableVersion: Long = 1L
 }
 
 object TableConfig {

@@ -2162,8 +2162,14 @@ object GraftTable {
     val base = new Path(path)
     require(!TableConfig.exists(base), s"table already exists at $path")
     Storage.mkdirs(base)
-    TableConfig.save(base, cfg)
-    val t = new GraftTable(spark, base, cfg)
+    // stamp the layout version (reference hoodie.table.version) so a
+    // future layout change can refuse/upgrade instead of misreading
+    val versioned =
+      if (cfg.props.contains(ConfigKeys.TableVersion)) cfg
+      else cfg.copy(props = cfg.props +
+        (ConfigKeys.TableVersion -> ConfigKeys.CurrentTableVersion.toString))
+    TableConfig.save(base, versioned)
+    val t = new GraftTable(spark, base, versioned)
     // a NEW table at a reused path must not inherit the old table's
     // cached metrics fold (registry is JVM-wide, keyed by path)
     Metrics.reset(t)
@@ -2172,7 +2178,15 @@ object GraftTable {
 
   def load(spark: SparkSession, path0: String): GraftTable = {
     val base = new Path(normalize(path0))
-    new GraftTable(spark, base, healPendingRescale(base, TableConfig.load(base)))
+    val cfg = TableConfig.load(base)
+    // absent = version 1 (pre-versioning tables open normally); a FUTURE
+    // version must refuse, not misread the newer layout
+    val v = cfg.propLong(ConfigKeys.TableVersion, 1L)
+    require(v <= ConfigKeys.CurrentTableVersion,
+      s"table at $path0 has layout version $v, this build reads up to " +
+        s"${ConfigKeys.CurrentTableVersion} — upgrade the library or run " +
+        "TableAdmin.downgradeTable on a build that writes that version")
+    new GraftTable(spark, base, healPendingRescale(base, cfg))
   }
 
   def createOrLoad(spark: SparkSession, path: String, cfg: TableConfig): GraftTable = {

@@ -328,6 +328,32 @@ object TableAdmin {
     * analog — the small-file-health check behind compaction/clustering
     * decisions.
     */
+  /** Layout version protocol (reference hudi-cli
+    * UpgradeOrDowngradeCommand.java / hoodie.table.version): upgrade
+    * stamps the CURRENT layout version on a table written by an older
+    * build (a no-op rewrite today — one layout exists — but the
+    * choreography is in place for the first real layout change);
+    * downgrade re-stamps an explicit older version so an older build
+    * accepts the table. Both are metadata-only config writes under no
+    * lock — run them quiesced, like the reference's command.
+    */
+  def upgradeTable(t: GraftTable): Long = {
+    val cur = graft.core.ConfigKeys.CurrentTableVersion
+    val cfg = graft.core.TableConfig.load(t.basePath)
+    graft.core.TableConfig.save(t.basePath, cfg.copy(props =
+      cfg.props + (graft.core.ConfigKeys.TableVersion -> cur.toString)))
+    cur
+  }
+
+  def downgradeTable(t: GraftTable, toVersion: Long): Long = {
+    require(toVersion >= 1 && toVersion <= graft.core.ConfigKeys.CurrentTableVersion,
+      s"unknown layout version $toVersion")
+    val cfg = graft.core.TableConfig.load(t.basePath)
+    graft.core.TableConfig.save(t.basePath, cfg.copy(props =
+      cfg.props + (graft.core.ConfigKeys.TableVersion -> toVersion.toString)))
+    toVersion
+  }
+
   def fileSizes(t: GraftTable): DataFrame = {
     import t.spark.implicits._
     val sizes = t.view.fileSlices(None).flatMap(_.baseFile).map(_.sizeBytes).sorted

@@ -25,6 +25,31 @@ class NegativePathSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { GraftTable.create(spark, dir, cfg("neg1")) }
   }
 
+  test("layout version: stamped at create, future version refuses, up/downgrade round-trips") {
+    import graft.table.TableAdmin
+    val dir = tmpDir("neg_ver").toString
+    val t = GraftTable.create(spark, dir, cfg("neg_ver"))
+    assert(t.cfg.propLong(ConfigKeys.TableVersion, -1L) ===
+      ConfigKeys.CurrentTableVersion)
+    // a pre-versioning table (no field) still opens
+    val cfg0 = TableConfig.load(t.basePath)
+    TableConfig.save(t.basePath,
+      cfg0.copy(props = cfg0.props - ConfigKeys.TableVersion))
+    assert(GraftTable.load(spark, dir).cfg
+      .propLong(ConfigKeys.TableVersion, 1L) === 1L)
+    // a FUTURE layout refuses to open instead of misreading it
+    TableConfig.save(t.basePath, cfg0.copy(props =
+      cfg0.props + (ConfigKeys.TableVersion -> "999")))
+    val e = intercept[IllegalArgumentException] { GraftTable.load(spark, dir) }
+    assert(e.getMessage.contains("layout version 999"))
+    // upgrade re-stamps current; downgrade validates the target
+    TableAdmin.upgradeTable(t)
+    assert(GraftTable.load(spark, dir).cfg
+      .propLong(ConfigKeys.TableVersion, -1L) === ConfigKeys.CurrentTableVersion)
+    assert(TableAdmin.downgradeTable(t, 1L) === 1L)
+    intercept[IllegalArgumentException] { TableAdmin.downgradeTable(t, 999L) }
+  }
+
   test("rollback of a non-latest instant refuses") {
     val dir = tmpDir("neg_rb").toString
     val t = GraftTable.create(spark, dir, cfg("neg2"))
