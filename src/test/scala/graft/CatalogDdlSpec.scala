@@ -397,6 +397,25 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.table("gcat.db16.c").count() === 3)
   }
 
+  test("CREATE OR REPLACE TABLE ... AS SELECT over a catalog name") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db17")
+    spark.sql("""
+      CREATE TABLE gcat.db17.r USING graft
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')
+      AS SELECT 1L AS id, 1L AS ver, 'old' AS tag""")
+    assert(spark.table("gcat.db17.r").count() === 1)
+    // RTAS: non-atomic drop + create + insert through the same v1 path
+    spark.sql("""
+      CREATE OR REPLACE TABLE gcat.db17.r USING graft
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')
+      AS SELECT 2L AS id, 1L AS ver, 'new' AS tag
+         UNION ALL SELECT 3L, 1L, 'new'""")
+    val got = spark.sql("SELECT id, tag FROM gcat.db17.r ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Array((2L, "new"), (3L, "new")))
+  }
+
   test("nested namespaces: CREATE NAMESPACE a.b, qualified DML, SHOW, DROP") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake")
