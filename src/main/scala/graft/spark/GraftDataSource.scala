@@ -165,10 +165,19 @@ class GraftDataSource
     // end-of-commit catalog sync, the reference's hive_sync.enable
     // convention (reference hudi-spark/.../HoodieSparkSqlWriter.scala
     // metaSync after commit): `option("catalogSyncDb", db)` publishes or
-    // refreshes the db.table entry for this table
+    // refreshes the db.table entry for this table — in the session
+    // catalog by default, or a REAL Hive metastore when
+    // `catalogSyncMetastore` names one (`embedded:<dir>` for the
+    // in-process Derby HMS, `thrift://host:port` for a remote one — the
+    // reference's hive_sync.metastore.uris)
     parameters.get("catalogSyncDb").foreach { db =>
+      val target = parameters.get("catalogSyncMetastore").map {
+        case uri if uri.startsWith("thrift://") => graft.sql.HiveCatalogTarget.thrift(uri)
+        case dir => graft.sql.HiveCatalogTarget.embedded(dir.stripPrefix("embedded:"))
+      }.orNull
       graft.sql.CatalogSync.sync(spark, path, db,
-        parameters.getOrElse("catalogSyncTable", table.cfg.tableName))
+        parameters.getOrElse("catalogSyncTable", table.cfg.tableName),
+        target = target)
     }
     // the relation a CTAS hands to the catalog defines the table's SQL
     // schema: keep it meta-free so INSERT INTO arity matches user columns

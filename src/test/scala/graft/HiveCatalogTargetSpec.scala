@@ -17,8 +17,8 @@ class HiveCatalogTargetSpec extends AnyFunSuite {
   import SparkTestBase._
   import spark.implicits._
 
-  private lazy val target =
-    HiveCatalogTarget.embedded(tmpDir("hms_store").toString)
+  private lazy val storeDir = tmpDir("hms_store").toString
+  private lazy val target = HiveCatalogTarget.embedded(storeDir)
   private def client = target.client
 
   private def writeTable(dir: String, rows: Seq[(Long, Long, Double, String)],
@@ -106,6 +106,21 @@ class HiveCatalogTargetSpec extends AnyFunSuite {
     assert(names === Set("t", "t_ro", "t_rt"))
     assert(client.getTable("hdb4", "t_ro").getParameters
       .get("graft.sync.option.queryType") === "read_optimized")
+  }
+
+  test("write-path option syncs into the metastore at end of commit") {
+    target // force the embedded store open under storeDir first
+    val dir = tmpDir("hms_t6").toString + "/t"
+    Seq((1L, 1L, 10.0, "1995")).toDF("id", "ver", "price", "yr")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("partitionPathExpr", "yr").option("operation", "upsert")
+      .option("catalogSyncDb", "hdb6").option("catalogSyncTable", "t")
+      .option("catalogSyncMetastore", storeDir)
+      .save(dir)
+    assert(client.getTable("hdb6", "t").getParameters
+      .get("spark.sql.sources.provider") === "graft")
+    assert(client.listPartitionNames("hdb6", "t", -1).asScala === Seq("yr=1995"))
   }
 
   test("refuses to drop a same-named non-graft metastore entry") {
