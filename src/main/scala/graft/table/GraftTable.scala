@@ -1574,7 +1574,19 @@ final class GraftTable(
   def readEntriesRaw(entries: Seq[FileEntry], asOf: Option[String] = None): DataFrame = {
     val schema = schemaAsOf(asOf)
     if (entries.isEmpty) {
-      val s = schema.getOrElse(StructType(Nil))
+      // pre-first-commit (or emptied) table: the DECLARED CREATE schema
+      // (+ meta columns, which every committed schema carries) answers —
+      // UPDATE/DELETE/MERGE on an empty table must be a no-op, never an
+      // unresolved-column error over a zero-column frame
+      val s = schema.orElse(
+        cfg.props.get(ConfigKeys.CreateSchema).map { j =>
+          val declared = org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]
+          StructType(MetaCols.All.map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType, nullable = true)) ++
+            declared.fields)
+        }).getOrElse(StructType(Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
     val (ext, internal) = entries.partition(e => new Path(e.relPath).isAbsolute)
