@@ -639,6 +639,22 @@ object PipelineQueries {
     // binned range join (attribution window): views within the 30 min
     // BEFORE each click — candidates meet on (user, time-bin), never a
     // per-user cross product
+    // skew-handled fact-to-dim join: a synthetic hot key (a third of all
+    // events collapse onto user 0) goes through the adaptive salted join
+    // — hot keys salted 8 ways, cold keys plain — and the result must
+    // equal the plain join exactly (aggregated for a stable oracle)
+    "p_salted_join" -> ((s, d) => {
+      val ev = QUtil.events(s, d).select("event_id", "user_id", "value")
+      val fact = ev.withColumn("user_id",
+        when(col("event_id") % 3 === 0, lit(0L)).otherwise(col("user_id")))
+      val dim = fact.select("user_id").distinct()
+        .withColumn("segment", pmod(col("user_id"), lit(7L)))
+      Skew.skewJoin(fact, dim, Seq("user_id"), salts = 8, hotThreshold = 500)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    }),
+
     "p_range_join" -> ((s, d) => {
       val ev = QUtil.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -2111,6 +2127,14 @@ object PipelineQueries {
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,
+    // the salted join must be invisible in the answer: oracle is the
+    // PLAIN join (dim = distinct fact keys, so inner join keeps all rows)
+    "p_salted_join" ->
+      """WITH fact AS (SELECT CASE WHEN event_id % 3 = 0 THEN 0
+        |  ELSE user_id END AS user_id, value FROM events)
+        |SELECT user_id % 7 AS segment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM fact GROUP BY 1""".stripMargin,
     "p_range_join" -> rangeJoinOracle,
     "p_dedup_semantic" -> semanticDedupOracle,
     "p_contamination" -> contaminationOracle,
