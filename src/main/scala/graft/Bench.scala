@@ -21,7 +21,8 @@ object Bench {
     "p_quality_repetition", "p_range_join", "p_chunk_docs",
     "p_dedup_semantic", "p_contamination", "p_c4_clean", "p_pii_scrub",
     "p_lm_perplexity", "p_bm25_topk", "q35_waiting_suppliers",
-    "t_materialized_view", "p_image_phash_dedup", "p_audio_fp_dedup")
+    "t_materialized_view", "p_image_phash_dedup", "p_audio_fp_dedup",
+    "p_video_frames", "p_salted_join", "t_catalog_insert_overwrite")
   // t_ingest_kafka is NOT a headliner: its gate shape is 25 sequential
   // maxEvents-capped ticks at sf0.1 (deliberately, to exercise checkpoint
   // resume), which times the harness loop, not engine throughput

@@ -39,15 +39,19 @@ import graft.table.GraftTable
   * Crash safety: index appends land BEFORE the clean commit; a replayed
   * tick re-pulls the same range (checkpoint unchanged), and duplicate
   * band/sig rows are harmless — candidate pairs dedup before
-  * verification, `l < r` excludes self-pairs, and the clean upsert is
+  * verification, replayed self-postings are anti-joined out of the index
+  * probe, in-batch `l < r` excludes self-pairs, and the clean upsert is
   * keyed. So the service is effectively-once without multi-table
   * transactions.
   *
   * Result contract: when batches arrive in nondecreasing `idCol` order
   * (the natural contract for monotonic ingest ids), the clean table is
   * BIT-IDENTICAL to a from-scratch `Dedup.minhashDedup` of the full
-  * corpus — verified by the DuckDB oracle. Out-of-order arrival degrades
-  * gracefully to first-seen-wins (the standard production semantic).
+  * corpus — verified by the DuckDB oracle. Out-of-order arrival is
+  * first-seen-wins: an already-indexed doc vetoes any later near-dup
+  * arrival regardless of id order (stored postings are anti-joined
+  * against the batch's own ids first, keeping crash replay idempotent),
+  * so the clean table stays near-dup-free either way.
   */
 object DedupService {
 
@@ -165,19 +169,28 @@ object DedupService {
           .select("_l_id", "_r_id")
 
         // (b) corpus candidates: probe ONLY the index partitions this
-        // tick's buckets hash into (plan-time pruning)
+        // tick's buckets hash into (plan-time pruning). Postings whose
+        // doc_id is in the CURRENT batch are anti-joined away first —
+        // they exist only when a crashed tick's index append replays, and
+        // without the exclusion a replayed doc would veto itself (and its
+        // same-batch companions, in both directions). With self-postings
+        // gone, a stored doc vetoes a new arrival REGARDLESS of id order
+        // (no l < r here): first-seen-wins, so a late arrival with a
+        // lower id than its already-indexed near-dup still drops and the
+        // clean table stays near-dup-free. In-batch ties keep min-id via (a).
         val indexPairs =
           if (index.bands.timeline.completedDataInstants().isEmpty) None
           else {
             val parts = bandRows
               .select(pmod(col("bucket"), lit(index.bucketParts.toLong)).as("p"))
               .distinct().collect().map(x => s"p=${x.getLong(0)}").toSeq
+            val batchIds = sig.select(col("_d_id").as("doc_id")).distinct()
             val stored = Readers.snapshot(index.bands, partitions = Some(parts))
+              .join(batchIds, Seq("doc_id"), "left_anti")
               .select(col("band"), col("bucket"), col("doc_id").as("_l_id"))
             Some(stored.join(
                 bandRows.select(col("band"), col("bucket"), col("_d_id").as("_r_id")),
                 Seq("band", "bucket"))
-              .filter(col("_l_id") < col("_r_id"))
               .select("_l_id", "_r_id"))
           }
         val pairs = indexPairs.map(batchPairs.unionByName(_)).getOrElse(batchPairs)

@@ -62,6 +62,29 @@ class DedupServiceSpec extends AnyFunSuite {
     assert(Readers.snapshot(cleanT).count() === n1, "cross-tick duplicates survived")
   }
 
+  test("out-of-order arrival: indexed docs veto LOWER-id near-dups too") {
+    // the r13 probe fix (mirrors HashDedupService): a late tick whose ids
+    // sit BELOW already-indexed near-dups must still lose to them —
+    // first-seen-wins, clean stays near-dup-free
+    val root = tmpDir("dedup_svc_ooo").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DedupService.openIndex(spark, s"$root/index", threshold = 0.6)
+    val base = docs.filter(col("doc_id") < 100)
+    // tick 1 introduces the docs under HIGH ids
+    srcT.bulkInsert(base.withColumn("doc_id", col("doc_id") + 10000000L))
+    assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
+    val n1 = Readers.snapshot(cleanT).count()
+    // tick 2: exact copies under the ORIGINAL (lower) ids — every one is a
+    // near-dup of an indexed doc and must be vetoed despite the lower id
+    srcT.upsert(base)
+    assert(DedupService.sync(srcT, cleanT, idx).nonEmpty)
+    val after = Readers.snapshot(cleanT)
+    assert(after.filter(col("doc_id") < 10000000L).count() === 0,
+      "lower-id late arrivals slipped past the index probe")
+    assert(after.count() === n1)
+  }
+
   test("source rollback: ghost index postings are wiped, not matched") {
     val root = tmpDir("dedup_svc_rb").toString
     val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
