@@ -604,6 +604,36 @@ object PipelineQueries {
         all.filter(col("doc_id") % 97 === 0), n = 8)
     }),
 
+    // incremental decontamination SERVICE: benchmark shingles persist in
+    // a hash-partitioned index, each tick probes only its new docs (and
+    // only the matching index partitions). Contamination is order-
+    // independent, so ticks are fed OUT of id order and the final clean
+    // table must still equal the batch operator exactly — same oracle
+    "p_decontaminate_incremental" -> ((s, d) => {
+      import graft.core.{TableConfig, TableType}
+      import graft.table.{GraftTable, WritePipeline}
+      val all = docs(s, d)
+      val root = s"/tmp/graft_q/decon_incr_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(root))
+      val docsCfg = TableConfig("docs_src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
+      val srcT = GraftTable.create(s, s"$root/source", docsCfg)
+      val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
+      val idx = DecontaminateService.openIndex(s, s"$root/index", n = 8)
+      DecontaminateService.updateBenchmark(idx, all.filter(col("doc_id") % 97 === 0))
+      val train = all.filter(col("doc_id") % 97 =!= 0)
+      val mx = train.agg(max("doc_id")).head().getLong(0)
+      val ticks = Seq( // deliberately unordered
+        train.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+        train.filter(col("doc_id") > 2 * mx / 3),
+        train.filter(col("doc_id") <= mx / 3))
+      for (tick <- ticks) {
+        srcT.upsert(tick)
+        DecontaminateService.sync(srcT, cleanT, idx)
+      }
+      graft.read.Readers.snapshot(cleanT)
+        .select(all.columns.toIndexedSeq.map(col): _*)
+    }),
+
     // sequence packing: ~2048-token bins within stable hash buckets
     "p_pack_bins" -> ((s, d) =>
       Packing.packIntoBins(docs(s, d), maxTokensPerBin = 2048, buckets = 16)
@@ -2124,6 +2154,8 @@ object PipelineQueries {
          |SELECT t.doc_id, md5(COALESCE(a.text, '')) AS clean_fp
          |FROM toks t LEFT JOIN a USING (doc_id)""".stripMargin,
     "p_decontaminate" -> decontaminateOracle,
+    // incremental == batch (contamination is order-independent)
+    "p_decontaminate_incremental" -> decontaminateOracle,
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,

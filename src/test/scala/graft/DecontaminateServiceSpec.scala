@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{TableConfig, TableType}
+import graft.pipeline.{Decontaminate, DecontaminateService}
+import graft.read.Readers
+import graft.table.GraftTable
+
+/** Incremental decontamination service: per-tick probe of the persisted
+  * benchmark shingle index must equal the batch operator under ANY tick
+  * order, a new benchmark suite applies from registration on, and an
+  * unchanged source is a no-op.
+  */
+class DecontaminateServiceSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docsCfg(name: String) =
+    TableConfig(name, TableType.CopyOnWrite, Seq("doc_id"), "", "")
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("unordered ticks equal the batch decontaminate; no-op on unchanged source") {
+    val root = tmpDir("decon_svc").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DecontaminateService.openIndex(spark, s"$root/index", n = 8)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    DecontaminateService.updateBenchmark(idx, bench)
+    // registering the same suite again is idempotent (keyed upsert)
+    DecontaminateService.updateBenchmark(idx, bench)
+    val mx = train.agg(max("doc_id")).head().getLong(0)
+    for (tick <- Seq( // out of id order on purpose
+        train.filter(col("doc_id") > mx / 2),
+        train.filter(col("doc_id") <= mx / 2))) {
+      srcT.upsert(tick)
+      assert(DecontaminateService.sync(srcT, cleanT, idx).nonEmpty)
+    }
+    assert(DecontaminateService.sync(srcT, cleanT, idx).isEmpty) // drained
+    val got = Readers.snapshot(cleanT).select("doc_id").orderBy("doc_id").collect()
+    val want = Decontaminate.decontaminate(train, bench, n = 8)
+      .select("doc_id").orderBy("doc_id").collect()
+    assert(got.sameElements(want), "incremental != batch decontaminate")
+    assert(got.length < train.count(), "nothing was ever contaminated — weak fixture")
+  }
+
+  test("a benchmark suite added later guards later ticks only") {
+    val root = tmpDir("decon_svc2").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DecontaminateService.openIndex(spark, s"$root/index", n = 8)
+    import spark.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten"
+    DecontaminateService.updateBenchmark(idx,
+      Seq((900L, textA)).toDF("doc_id", "text"))
+    srcT.upsert(Seq((1L, textA), (2L, "clean unique content " + textB))
+      .toDF("doc_id", "text"))
+    DecontaminateService.sync(srcT, cleanT, idx)
+    // doc 1 leaked suite A and dropped; doc 2 published
+    assert(Readers.snapshot(cleanT).select("doc_id").as[Long].collect().toSet === Set(2L))
+    // suite B registers AFTER doc 2 was published: not retroactive, but a
+    // later arrival carrying suite B text is cut
+    DecontaminateService.updateBenchmark(idx, Seq((901L, textB)).toDF("doc_id", "text"))
+    srcT.upsert(Seq((3L, textB), (4L, "wholly unrelated words here again ok"))
+      .toDF("doc_id", "text"))
+    DecontaminateService.sync(srcT, cleanT, idx)
+    assert(Readers.snapshot(cleanT).select("doc_id").as[Long].collect().toSet ===
+      Set(2L, 4L))
+  }
+
+  test("source rollback wipes clean (not the benchmark index) and rebuilds") {
+    val root = tmpDir("decon_svc3").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DecontaminateService.openIndex(spark, s"$root/index", n = 8)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0).filter(col("doc_id") < 300)
+    DecontaminateService.updateBenchmark(idx, bench)
+    srcT.bulkInsert(train)
+    DecontaminateService.sync(srcT, cleanT, idx)
+    val benchRows = Readers.snapshot(idx).count()
+    // a bad batch lands and is rolled back — the service must rebuild
+    val bad = srcT.upsert(train.limit(50)
+      .withColumn("doc_id", col("doc_id") + 5000000L))
+    graft.table.Services.rollback(srcT, bad)
+    DecontaminateService.sync(srcT, cleanT, idx)
+    val got = Readers.snapshot(cleanT).select("doc_id").orderBy("doc_id").collect()
+    val want = Decontaminate.decontaminate(train, bench, n = 8)
+      .select("doc_id").orderBy("doc_id").collect()
+    assert(got.sameElements(want), "post-rollback rebuild diverged")
+    // the benchmark index is source-independent and survived untouched
+    assert(Readers.snapshot(idx).count() === benchRows)
+  }
+}
