@@ -42,11 +42,56 @@ object StreamingDedup {
       }
   }
 
+  /** (id, fingerprint, event time) input for the WATERMARK-BOUNDED exact
+    * guard.
+    */
+  final case class KeyedEvent(doc_id: Long, fp: String, ts: java.sql.Timestamp)
+
+  /** Exact dedup with BOUNDED state: a fingerprint's seen-bit lives one
+    * watermark horizon past its newest arrival, then evicts via event-time
+    * timeout — the `dropDuplicatesWithinWatermark` contract with this
+    * module's min-id winner semantics. The trade is explicit: duplicates
+    * separated by MORE than `delay` may re-emit (their state is gone);
+    * within the horizon the guard is exact. Use this form for unbounded
+    * feeds where [[dedupStream]]'s forever-state would outgrow executors;
+    * the persisted [[graft.pipeline.DedupService]] remains the exact
+    * unbounded path.
+    */
+  def dedupStreamWithinWatermark(docs: Dataset[KeyedEvent],
+      delay: java.time.Duration): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val delayMs = delay.toMillis
+    docs.withWatermark("ts", s"$delayMs milliseconds")
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[KeyedEvent], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { // horizon passed: evict the seen-bit
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val out =
+              if (state.exists) Iterator.empty
+              else { state.update(true); Iterator.single(rows.map(_.doc_id).min) }
+            val newest = rows.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest + delayMs, state.getCurrentWatermarkMs() + 1))
+            out
+          }
+      }
+  }
+
   /** (id, 64-bit hash) input for the NEAR-dup stream — compute the hash
     * upstream ([[graft.pipeline.ImageHash.phash64]],
     * [[graft.pipeline.AudioHash.fingerprint64]], `graft_simhash`).
     */
   final case class HashKeyed(doc_id: Long, hash: Long)
+
+  /** (id, hash, event time) input for the watermark-bounded near-dup
+    * guard.
+    */
+  final case class HashKeyedEvent(doc_id: Long, hash: Long, ts: java.sql.Timestamp)
 
   /** Stateful streaming NEAR-dup detection over 64-bit hashes: the
     * banded-Hamming candidate structure of [[graft.pipeline.ImageHash]]
@@ -99,6 +144,66 @@ object StreamingDedup {
           }
           state.update(acc.toMap)
           dups.result().iterator
+      }
+  }
+
+  /** Near-dup guard with BOUNDED state: each (band, bucket) group keeps
+    * `hash → (min id, newest event time)` and evicts entries whose newest
+    * sighting fell behind the watermark — a doc vetoes near-dups for one
+    * `delay` horizon past its last arrival, then ages out (so state is
+    * bounded by the horizon's distinct hashes, not the corpus). Same
+    * banded recall contract as [[nearDupStream]] within the horizon.
+    */
+  def nearDupStreamWithinWatermark(docs: Dataset[HashKeyedEvent],
+      delay: java.time.Duration, maxDist: Int = 3, bands: Int = 4): Dataset[Long] = {
+    require(64 % bands == 0 && maxDist < bands,
+      s"need bands | 64 and maxDist < bands (got $bands, $maxDist)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val delayMs = delay.toMillis
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    // the watermark attaches AFTER the band explode: the typed flatMap
+    // re-creates the row object, so an earlier event-time tag wouldn't
+    // survive it
+    docs.flatMap(k => (0 until bands).map(b =>
+        (b, (k.hash >>> (b * width)) & mask, k.doc_id, k.hash, k.ts)))
+      .toDF("band", "bucket", "doc_id", "hash", "ts")
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .as[(Int, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it: Iterator[(Int, Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[Map[Long, (Long, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val kept = state.getOption.getOrElse(Map.empty)
+              .filter { case (_, (_, seen)) => seen + delayMs > wm }
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(kept)
+              state.setTimeoutTimestamp(math.max(
+                kept.values.map(_._2).max + delayMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            val acc = scala.collection.mutable.HashMap.from(
+              state.getOption.getOrElse(Map.empty)
+                .filter { case (_, (_, seen)) => seen + delayMs > wm })
+            val dups = Seq.newBuilder[Long]
+            val rows = it.toSeq
+            for ((_, _, id, hash, ts) <- rows.sortBy(_._3)) {
+              if (acc.exists { case (lh, (lid, _)) =>
+                  lid < id && java.lang.Long.bitCount(lh ^ hash) <= maxDist })
+                dups += id
+              val (curId, curSeen) = acc.getOrElse(hash, (Long.MaxValue, Long.MinValue))
+              acc(hash) = (math.min(curId, id), math.max(curSeen, ts.getTime))
+            }
+            state.update(acc.toMap)
+            state.setTimeoutTimestamp(math.max(
+              rows.map(_._5.getTime).max + delayMs, wm + 1))
+            dups.result().iterator
+          }
       }
   }
 }

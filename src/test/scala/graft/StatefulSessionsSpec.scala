@@ -62,6 +62,66 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(out === Seq(2L, 7L, 11L))
   }
 
+  test("watermarked dedup: state evicts past the horizon, exact within it") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // event times start well above 0: the initial watermark IS 0 and the
+    // stateful-operator late filter drops rows at or below it
+    def ev(id: Long, fp: String, sec: Long) =
+      StreamingDedup.KeyedEvent(id, fp, new java.sql.Timestamp((1000 + sec) * 1000L))
+    val ms = MemoryStream[StreamingDedup.KeyedEvent]
+    val sink = s"wmdedup_${java.util.UUID.randomUUID.toString.take(8)}"
+    val q = StreamingDedup
+      .dedupStreamWithinWatermark(ms.toDS(), java.time.Duration.ofSeconds(10))
+      .toDF("doc_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(5, "a", 0), ev(3, "a", 1))); q.processAllAvailable()
+      // within the horizon: duplicate of "a" suppressed
+      ms.addData(Seq(ev(9, "a", 5), ev(7, "b", 6))); q.processAllAvailable()
+      // advance event time far past a's horizon (watermark = maxTs - 10s)
+      ms.addData(Seq(ev(11, "c", 100))); q.processAllAvailable()
+      // next batch processes a's timeout (watermark 90s > 11s): state gone,
+      // so a re-arrival past the horizon re-emits — the documented trade
+      ms.addData(Seq(ev(13, "d", 101))); q.processAllAvailable()
+      ms.addData(Seq(ev(15, "a", 102))); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(sink).as[Long].collect().sorted.toSeq
+    assert(out === Seq(3L, 7L, 11L, 13L, 15L))
+  }
+
+  test("watermarked near-dup: vetoes within the horizon, ages out past it") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, hash: Long, sec: Long) =
+      StreamingDedup.HashKeyedEvent(id, hash, new java.sql.Timestamp((1000 + sec) * 1000L))
+    val hA = 0x1234567890ABCDEFL // family A
+    val hB = ~hA // family B, ~64 bits from A
+    val ms = MemoryStream[StreamingDedup.HashKeyedEvent]
+    val sink = s"wmnear_${java.util.UUID.randomUUID.toString.take(8)}"
+    val q = StreamingDedup
+      .nearDupStreamWithinWatermark(ms.toDS(), java.time.Duration.ofSeconds(10))
+      .toDF("doc_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, hA, 0))); q.processAllAvailable()
+      // near-dup within the horizon: flagged; unrelated family: clean
+      ms.addData(Seq(ev(2, hA ^ 0x3L, 4), ev(3, hB, 4))); q.processAllAvailable()
+      // jump event time: family A's entries (seen 0-4s) fall behind the
+      // watermark; doc 4 near-dups the STILL-FRESH doc 3 and is flagged
+      ms.addData(Seq(ev(4, hB ^ 0x1L, 200))); q.processAllAvailable()
+      ms.addData(Seq(ev(5, 0x0F0F0F0F0F0F0F0FL, 201))); q.processAllAvailable()
+      // a late near-dup of hA past the horizon is NOT vetoed (aged out)
+      ms.addData(Seq(ev(6, hA ^ 0x1L, 202))); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(sink).as[Long].collect().toSet
+    assert(out.contains(2L), "in-horizon near-dup missed")
+    assert(!out.contains(3L), "unrelated family flagged")
+    assert(out.contains(4L), "fresh near-dup missed after time jump")
+    assert(!out.contains(5L), "unrelated hash flagged")
+    assert(!out.contains(6L), "aged-out doc still vetoed a late arrival")
+  }
+
   test("streaming near-dup: banded state matches the pairwise hash model") {
     import graft.streaming.StreamingDedup
     import graft.pipeline.ImageHash
