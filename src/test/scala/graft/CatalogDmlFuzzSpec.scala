@@ -22,12 +22,19 @@ class CatalogDmlFuzzSpec extends AnyFunSuite {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gfuzz.db")
     val rnd = new scala.util.Random(41013)
 
-    for (trial <- 1 to 3) {
+    // trial 1-2: default COW/SIMPLE; 3: BUCKET layout (stable group ids —
+    // overwrite SHADOWS rewritten buckets); 4: MOR (delta-file writes).
+    // The same statement sequences must hold on every layout.
+    val layoutOpts = Map(
+      3 -> ", 'graft.index.type' 'BUCKET', 'graft.index.bucket.num' '4'",
+      4 -> ", tableType 'MERGE_ON_READ'")
+    for (trial <- 1 to 4) {
       val t = s"gfuzz.db.t$trial"
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"""CREATE TABLE $t (id BIGINT, ver BIGINT, price DOUBLE, yr STRING)
         USING graft PARTITIONED BY (yr)
-        OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+        OPTIONS (recordKeyFields 'id', precombineField 'ver'
+          ${layoutOpts.getOrElse(trial, "")})""")
       // model: id -> (ver, price, yr); upsert = replace by key
       val model = scala.collection.mutable.Map.empty[Long, (Long, Double, String)]
       var nextId = 0L
