@@ -352,6 +352,28 @@ object Smoke {
         s"after_drop=$afterDrop (expect 2) after_truncate=$afterTruncate (expect 0)")
     }
 
+    // REAL embedded Hive metastore: publish a written table through the
+    // IMetaStoreClient target and read back entry + typed partitions
+    locally {
+      import scala.jdk.CollectionConverters._
+      val msDir = s"${out}_hms"
+      graft.table.WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(msDir))
+      val hms = graft.sql.HiveCatalogTarget.embedded(msDir)
+      val tDir = s"$out/hms_t"
+      spark.range(4).select(col("id"), lit(1L).as("ver"),
+          concat(lit("y"), (col("id") % 2).cast("string")).as("yr"))
+        .write.format("graft")
+        .option("recordKeyFields", "id").option("precombineField", "ver")
+        .option("partitionPathExpr", "yr").option("operation", "upsert")
+        .save(tDir)
+      graft.sql.CatalogSync.sync(spark, tDir, "smoke_hms", "t", target = hms)
+      val entry = hms.client.getTable("smoke_hms", "t")
+      val parts = hms.client.listPartitionNames("smoke_hms", "t", -1).asScala.sorted
+      println(s"[smoke] metastore: external=${entry.getTableType == "EXTERNAL_TABLE"} " +
+        s"(expect true) provider=${entry.getParameters.get("spark.sql.sources.provider")} " +
+        s"(expect graft) partitions=${parts.mkString(",")} (expect yr=y0,yr=y1)")
+    }
+
     // media operators: pHash/audio near-dup clustering lands every doc on
     // its family minimum; video container metadata reads back exactly
     locally {

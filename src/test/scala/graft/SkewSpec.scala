@@ -62,4 +62,12 @@ class SkewSpec extends AnyFunSuite {
       Skew.saltedJoin(fact, dim, Seq("k"), salts = 0)
     }
   }
+
+  test("plan shape: hot-key set broadcasts, no cartesian product") {
+    val plan = Skew.skewJoin(fact, dim, Seq("k"), salts = 8, hotThreshold = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"hot-key set did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the salted join:\n$plan")
+  }
 }
