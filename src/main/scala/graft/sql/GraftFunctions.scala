@@ -124,7 +124,10 @@ object GraftFunctions {
       a => audioFpUdf(a.head)),
     fromColumns("graft_video_duration_ms", 1,
       "container duration in ms from ISO-BMFF bytes (NULL when not MP4)")(
-      a => videoDurationUdf(a.head)))
+      a => videoDurationUdf(a.head)),
+    fromColumns("graft_video_frames", 1,
+      "array of JPEG frame payloads demuxed from MJPEG-AVI bytes (NULL otherwise)")(
+      a => videoFramesUdf(a.head)))
 
   private lazy val phashUdf = org.apache.spark.sql.functions.udf(
     (b: Array[Byte]) => if (b == null) None else graft.pipeline.ImageHash.phash64(b))
@@ -133,4 +136,7 @@ object GraftFunctions {
   private lazy val videoDurationUdf = org.apache.spark.sql.functions.udf(
     (b: Array[Byte]) => if (b == null) None
       else graft.pipeline.Multimodal.VideoCodec.videoMeta(b).map(_._1))
+  private lazy val videoFramesUdf = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte]) => if (b == null) None
+      else graft.pipeline.Multimodal.VideoCodec.aviMjpegFrames(b).map(_._2))
 }

@@ -152,4 +152,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got(1L)._3.contains(4500L))
     assert(got(2L) === ((None, None, None)))
   }
+
+  test("graft_video_frames demuxes MJPEG-AVI in SQL; non-AVI is NULL") {
+    import graft.pipeline.Multimodal
+    val jpegs = (0 until 3).map(i => Multimodal.syntheticJpegFrame(9L, i, 48))
+    Seq((1L, Multimodal.syntheticMjpegAvi(jpegs, 48, 48)),
+        (2L, "nope".getBytes))
+      .toDF("id", "avi").createOrReplaceTempView("favi")
+    val got = spark.sql(
+      "SELECT id, graft_video_frames(avi) AS fs FROM favi ORDER BY id").collect()
+    val fs = got(0).getSeq[Array[Byte]](1)
+    assert(fs.length === 3 && fs(1).sameElements(jpegs(1)))
+    assert(got(1).isNullAt(1))
+  }
 }
