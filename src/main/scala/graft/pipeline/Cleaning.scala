@@ -39,6 +39,32 @@ object Cleaning {
       size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
       size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 
+  // -------------------------------------------------- HTML text extraction
+
+  /** HTML → text: drop script/style payloads, strip tags, decode the six
+    * common entities, collapse whitespace — the boilerplate-extraction
+    * front end of a web-corpus pipeline (the regex tier of tools like
+    * jusText/trafilatura; DOM-aware density scoring is a model choice
+    * layered above, this is the deterministic base every pipeline runs).
+    *
+    * Still a row-local codegen'd expression chain: extraction of 100 TB
+    * of crawl HTML is one map-shaped scan. Patterns deliberately avoid
+    * backreferences so the SAME regexes replay on RE2-based engines
+    * (DuckDB/Go) — the oracle runs them verbatim.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // block-level closers read as line breaks so words don't fuse
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTag) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ------------------------------------------------------- C4 line rules
 
   /** Does one line survive C4's line filters? Ends in terminal

@@ -669,6 +669,22 @@ object PipelineQueries {
     // binned range join (attribution window): views within the 30 min
     // BEFORE each click — candidates meet on (user, time-bin), never a
     // per-user cross product
+    // HTML → text extraction: docs wrapped in a deterministic page shell
+    // (head/style/script, headings, comments, entities) must come back as
+    // title + body text + decoded footer — the regex chain is
+    // backreference-free so the oracle replays it VERBATIM under RE2
+    "p_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p { color: red }</style>" +
+          "<script>var x = \"<p>\";</script></head><body><h1>Title</h1><p>"),
+        col("text"),
+        lit("</p><!-- trailing comment --><footer>&amp; &lt;fin&gt;&nbsp;ok" +
+          "</footer></body></html>"))
+      docs(s, d).select(col("doc_id"),
+          graft.pipeline.Cleaning.htmlToText(html).as("text_out"))
+        .withColumn("n_chars_out", length(col("text_out")))
+    }),
+
     // skew-handled fact-to-dim join: a synthetic hot key (a third of all
     // events collapse onto user 0) goes through the adaptive salted join
     // — hot keys salted 8 ways, cold keys plain — and the result must
@@ -2159,6 +2175,24 @@ object PipelineQueries {
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,
+    // the SAME regex chain, replayed verbatim under DuckDB's RE2 (the
+    // patterns avoid backreferences for exactly this portability)
+    "p_html_extract" ->
+      raw"""WITH h AS (SELECT doc_id,
+           |  '<html><head><title>t</title><style>p { color: red }</style><script>var x = "<p>";</script></head><body><h1>Title</h1><p>'
+           |  || text ||
+           |  '</p><!-- trailing comment --><footer>&amp; &lt;fin&gt;&nbsp;ok</footer></body></html>' AS t
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+           |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+           |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+           |s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+           |s5 AS (SELECT doc_id,
+           |  replace(replace(replace(replace(replace(replace(t,
+           |    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           |    '&quot;', '"'), '&#39;', chr(39)) AS t FROM s4),
+           |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_out FROM s5)
+           |SELECT doc_id, text_out, CAST(length(text_out) AS INTEGER) AS n_chars_out FROM s6""".stripMargin,
     // the salted join must be invisible in the answer: oracle is the
     // PLAIN join (dim = distinct fact keys, so inner join keeps all rows)
     "p_salted_join" ->

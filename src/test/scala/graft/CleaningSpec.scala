@@ -24,6 +24,26 @@ class CleaningSpec extends AnyFunSuite {
     assert(counted === 3)
   }
 
+  test("HTML extraction: scripts/styles/comments drop, tags strip, entities decode") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "<html><body><p>Hello <b>world</b>!</p></body></html>", "Hello world !"),
+      // script payload containing a tag and a newline disappears whole
+      (2L, "<p>keep</p><script type=\"x\">\nvar s = \"<p>no</p>\";\n</script><p>also</p>",
+        "keep also"),
+      (3L, "<style>h1 { font-size: 2em }</style>plain", "plain"),
+      (4L, "a<!-- hidden\ntext -->b", "a b"),
+      (5L, "Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39;&nbsp;end",
+        "Tom & Jerry <3 \"quoted\" 'q' end"),
+      (6L, "  lots   of\n\twhitespace  ", "lots of whitespace"),
+      (7L, "no markup at all.", "no markup at all."))
+    val got = cases.toDF("id", "html", "want")
+      .select(col("id"), graft.pipeline.Cleaning.htmlToText(col("html")).as("got"),
+        col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}"))
+  }
+
   test("C4 line rule: punctuation, word count, javascript marker") {
     def keep(s: String): Boolean =
       Seq(s).toDF("l").select(Cleaning.c4KeepLine(col("l"))).first().getBoolean(0)
