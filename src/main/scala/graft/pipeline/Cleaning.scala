@@ -65,6 +65,22 @@ object Cleaning {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Remove repeated lines WITHIN one document, keeping each line's first
+    * occurrence in order — the in-document half of boilerplate removal
+    * (nav bars and footers repeating inside a page), complementing the
+    * cross-corpus [[lineDedup]]. Pure array expressions (split →
+    * first-occurrence filter → join), row-local, zero shuffle; cost is
+    * O(lines²) string compares per doc via `array_position`, which for
+    * real page line counts (tens to low hundreds) stays cheaper than any
+    * exchange-bearing alternative.
+    */
+  def dedupLinesWithin(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (x, i) => array_position(lines, x) === (i + lit(1)).cast("long")),
+      "\n")
+  }
+
   // ------------------------------------------------------- C4 line rules
 
   /** Does one line survive C4's line filters? Ends in terminal

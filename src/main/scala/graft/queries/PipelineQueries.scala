@@ -669,6 +669,18 @@ object PipelineQueries {
     // binned range join (attribution window): views within the 30 min
     // BEFORE each click — candidates meet on (user, time-bin), never a
     // per-user cross product
+    // in-document line dedup: a synthetic nav/footer line planted around
+    // each doc's text (and the text's own first line repeated at the end)
+    // must collapse to first occurrences in order
+    "p_line_dedup_within" -> ((s, d) => {
+      val nl = lit("\n")
+      val planted = concat(lit("NAV MENU"), nl, col("text"), nl,
+        lit("NAV MENU"), nl, element_at(split(col("text"), "\n"), 1), nl,
+        lit("(c) footer"), nl, lit("(c) footer"))
+      docs(s, d).select(col("doc_id"),
+        graft.pipeline.Cleaning.dedupLinesWithin(planted).as("text_out"))
+    }),
+
     // HTML → text extraction: docs wrapped in a deterministic page shell
     // (head/style/script, headings, comments, entities) must come back as
     // title + body text + decoded footer — the regex chain is
@@ -2175,6 +2187,19 @@ object PipelineQueries {
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,
+    // first-occurrence filter replayed with DuckDB's 1-based indexed
+    // lambda (Spark's filter index is 0-based — both compare against the
+    // 1-based list_position/array_position)
+    "p_line_dedup_within" ->
+      raw"""WITH planted AS (SELECT doc_id,
+           |  'NAV MENU' || chr(10) || text || chr(10) || 'NAV MENU' || chr(10)
+           |  || string_split(text, chr(10))[1] || chr(10)
+           |  || '(c) footer' || chr(10) || '(c) footer' AS t FROM documents)
+           |SELECT doc_id, array_to_string(
+           |  list_filter(string_split(t, chr(10)),
+           |    (x, i) -> list_position(string_split(t, chr(10)), x) = i),
+           |  chr(10)) AS text_out
+           |FROM planted""".stripMargin,
     // the SAME regex chain, replayed verbatim under DuckDB's RE2 (the
     // patterns avoid backreferences for exactly this portability)
     "p_html_extract" ->

@@ -44,6 +44,21 @@ class CleaningSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}"))
   }
 
+  test("in-document line dedup: first occurrence kept in order") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "a\nb\na\nc\nb", "a\nb\nc"),
+      (2L, "only one line", "only one line"),
+      (3L, "x\nx\nx", "x"),
+      // blank lines dedup like any other line (one survives, first slot)
+      (4L, "p\n\nq\n\np", "p\n\nq"))
+    cases.toDF("id", "txt", "want")
+      .select(col("id"), graft.pipeline.Cleaning.dedupLinesWithin(col("txt")).as("got"),
+        col("want"))
+      .collect()
+      .foreach(r => assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}"))
+  }
+
   test("C4 line rule: punctuation, word count, javascript marker") {
     def keep(s: String): Boolean =
       Seq(s).toDF("l").select(Cleaning.c4KeepLine(col("l"))).first().getBoolean(0)
