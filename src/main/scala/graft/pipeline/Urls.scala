@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL structure ops for web corpora — the group-by-domain primitives
+  * behind per-domain caps, mixture weights and provenance stats. Pure
+  * codegen'd expressions (Spark's own `parse_url` + array ops), zero
+  * shuffle; grouping 100 TB of crawl rows by domain is one map-shaped
+  * scan into the aggregate.
+  */
+object Urls {
+
+  /** Lowercased hostname: scheme://user@HOST:port/path → host (no
+    * userinfo, no port). NULL for unparseable urls — filter or coalesce
+    * downstream.
+    */
+  def urlHost(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
+
+  /** Two-level TLD second labels where the registrable unit is one label
+    * deeper (`example.co.uk`, not `co.uk`). A deliberate HEURISTIC subset
+    * of the public-suffix list (the full PSL is a data file, not logic —
+    * swap it in by broadcasting the real list and joining); these seven
+    * cover the overwhelming share of multi-level crawl hosts.
+    */
+  private val MultiTldSeconds = Seq("co", "com", "net", "org", "gov", "edu", "ac")
+
+  /** Registrable domain of a url: last two host labels, or three when the
+    * second-to-last is a multi-level-TLD label (`sub.example.co.uk` →
+    * `example.co.uk`); a bare one/two-label host passes through.
+    */
+  def registrableDomain(url: Column): Column = {
+    val host = urlHost(url)
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    when(host.isNull, lit(null))
+      .when(n <= 2, host)
+      .when(element_at(ls, -2).isin(MultiTldSeconds: _*),
+        concat_ws(".", element_at(ls, -3), element_at(ls, -2), element_at(ls, -1)))
+      .otherwise(concat_ws(".", element_at(ls, -2), element_at(ls, -1)))
+  }
+}

@@ -669,6 +669,24 @@ object PipelineQueries {
     // binned range join (attribution window): views within the 30 min
     // BEFORE each click — candidates meet on (user, time-bin), never a
     // per-user cross product
+    // URL host + registrable domain over synthetic crawl urls (userinfo,
+    // ports, mixed case, multi-level TLDs) — parse_url + label logic must
+    // read back exactly what the doc_id arithmetic constructed
+    "p_url_domains" -> ((s, d) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 === 1, lit("user@")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("Example.com"))
+          .when(col("doc_id") % 4 === 1, lit("sub.news.example.co.uk"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("a"), (col("doc_id") % 7).cast("string"), lit(".blog.org")))
+          .otherwise(lit("cdn.example.net")),
+        when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"))
+      docs(s, d).select(col("doc_id"),
+        graft.pipeline.Urls.urlHost(url).as("host"),
+        graft.pipeline.Urls.registrableDomain(url).as("domain"))
+    }),
+
     // in-document line dedup: a synthetic nav/footer line planted around
     // each doc's text (and the text's own first line repeated at the end)
     // must collapse to first occurrences in order
@@ -2187,6 +2205,28 @@ object PipelineQueries {
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,
+    // host via regex (DuckDB has no parse_url), domain via the same
+    // label rules
+    "p_url_domains" ->
+      raw"""WITH u AS (SELECT doc_id,
+           |  'https://' || CASE WHEN doc_id % 4 = 1 THEN 'user@' ELSE '' END ||
+           |  CASE doc_id % 4 WHEN 0 THEN 'Example.com'
+           |    WHEN 1 THEN 'sub.news.example.co.uk'
+           |    WHEN 2 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.blog.org'
+           |    ELSE 'cdn.example.net' END ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||
+           |  '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+           |h AS (SELECT doc_id,
+           |  lower(regexp_extract(url,
+           |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+           |  FROM u),
+           |d AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h)
+           |SELECT doc_id, host,
+           |  CASE WHEN len(ls) <= 2 THEN host
+           |       WHEN ls[len(ls)-1] IN ('co','com','net','org','gov','edu','ac')
+           |         THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
+           |       ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS domain
+           |FROM d""".stripMargin,
     // first-occurrence filter replayed with DuckDB's 1-based indexed
     // lambda (Spark's filter index is 0-based — both compare against the
     // 1-based list_position/array_position)

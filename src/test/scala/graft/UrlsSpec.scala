@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.pipeline.Urls
+
+/** URL host/domain extraction edges: userinfo, ports, case, multi-level
+  * TLDs, bare and IP hosts, garbage.
+  */
+class UrlsSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  test("host and registrable domain across url shapes") {
+    val cases = Seq(
+      (1L, "https://Example.COM/path", "example.com", "example.com"),
+      (2L, "http://user:pw@Sub.News.example.co.uk:8080/a?b=c",
+        "sub.news.example.co.uk", "example.co.uk"),
+      (3L, "https://a.b.c.blog.org/x", "a.b.c.blog.org", "blog.org"),
+      (4L, "ftp://cdn.example.net:21/f", "cdn.example.net", "example.net"),
+      (5L, "https://localhost/x", "localhost", "localhost"),
+      (6L, "https://10.1.2.3:443/x", "10.1.2.3", "2.3"), // heuristic: IPs are labels too
+      (7L, "not a url at all", null, null))
+    val got = cases.toDF("id", "url", "wantHost", "wantDom")
+      .select(col("id"), Urls.urlHost(col("url")).as("h"),
+        Urls.registrableDomain(col("url")).as("d"),
+        col("wantHost"), col("wantDom"))
+      .collect()
+    got.foreach { r =>
+      assert(Option(r.getString(1)) === Option(r.getString(3)), s"host case ${r.getLong(0)}")
+      assert(Option(r.getString(2)) === Option(r.getString(4)), s"domain case ${r.getLong(0)}")
+    }
+  }
+}
