@@ -113,6 +113,21 @@ object GraftFunctions {
       "reconstruct doubles from a graft_quantize struct")(
       a => Similarity.dequantize(a.head)),
 
+    // web-corpus text/url ops (round-13 operators) — pure expression
+    // chains, codegen'd like the rest
+    fromColumns("graft_html_text", 1,
+      "HTML to text: script/style/comment payloads drop, tags strip, entities decode")(
+      a => graft.pipeline.Cleaning.htmlToText(a.head)),
+    fromColumns("graft_dedup_lines", 1,
+      "remove repeated lines within one text, keeping first occurrences in order")(
+      a => graft.pipeline.Cleaning.dedupLinesWithin(a.head)),
+    fromColumns("graft_url_host", 1,
+      "lowercased hostname of a url (NULL on garbage)")(
+      a => graft.pipeline.Urls.urlHost(a.head)),
+    fromColumns("graft_url_domain", 1,
+      "registrable domain of a url (multi-level-TLD aware heuristic)")(
+      a => graft.pipeline.Urls.registrableDomain(a.head)),
+
     // media hashes (round-12 operators): codec work can never codegen, so
     // a Scala UDF is the honest tier — same row-local cost as the
     // mapPartitions pipeline ops, NULL for undecodable bytes

@@ -153,6 +153,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got(2L) === ((None, None, None)))
   }
 
+  test("web text/url functions: sql == dataframe") {
+    val rows = Seq(
+      (1L, "<p>Hello &amp; bye</p><script>x</script>", "a\nb\na",
+        "https://user@Sub.example.co.uk:8080/p"),
+      (2L, "plain", "solo", "junk"))
+      .toDF("id", "html", "txt", "url")
+    rows.createOrReplaceTempView("fweb")
+    val sql = spark.sql("""
+      SELECT id, graft_html_text(html) AS h, graft_dedup_lines(txt) AS l,
+             graft_url_host(url) AS uh, graft_url_domain(url) AS ud
+      FROM fweb ORDER BY id""").collect()
+    import org.apache.spark.sql.functions.col
+    val df = rows.select(col("id"),
+        graft.pipeline.Cleaning.htmlToText(col("html")),
+        graft.pipeline.Cleaning.dedupLinesWithin(col("txt")),
+        graft.pipeline.Urls.urlHost(col("url")),
+        graft.pipeline.Urls.registrableDomain(col("url")))
+      .orderBy("id").collect()
+    assert(sql.map(_.toSeq).toSeq === df.map(_.toSeq).toSeq)
+    assert(sql(0).getString(1) === "Hello & bye")
+    assert(sql(0).getString(3) === "sub.example.co.uk" &&
+      sql(0).getString(4) === "example.co.uk")
+    assert(sql(1).isNullAt(3))
+  }
+
   test("graft_video_frames demuxes MJPEG-AVI in SQL; non-AVI is NULL") {
     import graft.pipeline.Multimodal
     val jpegs = (0 until 3).map(i => Multimodal.syntheticJpegFrame(9L, i, 48))
