@@ -25,6 +25,28 @@ object Urls {
     */
   private val MultiTldSeconds = Seq("co", "com", "net", "org", "gov", "edu", "ac")
 
+  /** Canonical form for URL-level dedup (the cheap pass that runs BEFORE
+    * content dedup — the same page fetched as `http://www.x.com/a/?utm_…`
+    * and `https://x.com/a` must collide): scheme dropped, host lowercased
+    * with a leading `www.` stripped, trailing path slash removed, fragment
+    * dropped, tracking params (`utm_*`, `fbclid`, `gclid`) removed and the
+    * surviving query params SORTED. NULL for unparseable urls. Pure
+    * expression chain, zero shuffle — `dropDuplicates(canonical)` after it
+    * is the one shuffle a URL-dedup pass needs.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(urlHost(url), "^www\\.", "")
+    val path = regexp_replace(
+      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/$", "")
+    val q0 = coalesce(try_parse_url(url, lit("QUERY")), lit(""))
+    val kept = array_sort(filter(split(q0, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === lit(""))))
+    val query = array_join(kept, "&")
+    when(host.isNull, lit(null)).otherwise(concat(host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
   /** Registrable domain of a url: last two host labels, or three when the
     * second-to-last is a multi-level-TLD label (`sub.example.co.uk` →
     * `example.co.uk`); a bare one/two-label host passes through.

@@ -687,6 +687,24 @@ object PipelineQueries {
         graft.pipeline.Urls.registrableDomain(url).as("domain"))
     }),
 
+    // URL canonicalization (the dedup-by-canonical-URL pass): tracking
+    // params out, surviving params sorted, www/trailing-slash/fragment/
+    // port normalized — exact read-back of the doc_id-derived shapes
+    "p_url_canonical" -> ((s, d) => {
+      val k = (col("doc_id") % 11).cast("string")
+      val m = (col("doc_id") % 5).cast("string")
+      val n = (col("doc_id") % 7).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("http://www.site"), k, lit(".com/a/"), m,
+            lit("/?utm_source=x&q="), n, lit("&b=1#f")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://site"), k, lit(".com/a/"), m))
+        .otherwise(
+          concat(lit("https://Sub.site"), k, lit(".co.uk:443/p?gclid=2")))
+      docs(s, d).select(col("doc_id"),
+        graft.pipeline.Urls.canonicalUrl(url).as("canonical"))
+    }),
+
     // in-document line dedup: a synthetic nav/footer line planted around
     // each doc's text (and the text's own first line repeated at the end)
     // must collapse to first occurrences in order
@@ -2205,6 +2223,30 @@ object PipelineQueries {
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,
+    // host/path/query via regex (DuckDB has no parse_url), then the same
+    // strip-filter-sort-join pipeline
+    "p_url_canonical" ->
+      raw"""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+           |  WHEN 0 THEN 'http://www.site' || CAST(doc_id % 11 AS VARCHAR) || '.com/a/' ||
+           |    CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=x&q=' ||
+           |    CAST(doc_id % 7 AS VARCHAR) || '&b=1#f'
+           |  WHEN 1 THEN 'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.com/a/' ||
+           |    CAST(doc_id % 5 AS VARCHAR)
+           |  ELSE 'https://Sub.site' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk:443/p?gclid=2'
+           |  END AS url FROM documents),
+           |h AS (SELECT doc_id,
+           |  regexp_replace(lower(regexp_extract(url,
+           |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)), '^www\.', '') AS host,
+           |  regexp_replace(regexp_extract(url,
+           |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$$', '') AS path,
+           |  coalesce(regexp_extract(url, '^[^?#]*\?([^#]*)', 1), '') AS q FROM u),
+           |k AS (SELECT doc_id, host, path, coalesce(array_to_string(list_sort(
+           |  list_filter(string_split(q, '&'), p -> NOT (starts_with(p, 'utm_')
+           |    OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=') OR p = ''))),
+           |  '&'), '') AS query FROM h)
+           |SELECT doc_id, host || path ||
+           |  CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical
+           |FROM k""".stripMargin,
     // host via regex (DuckDB has no parse_url), domain via the same
     // label rules
     "p_url_domains" ->

@@ -32,4 +32,24 @@ class UrlsSpec extends AnyFunSuite {
       assert(Option(r.getString(2)) === Option(r.getString(4)), s"domain case ${r.getLong(0)}")
     }
   }
+
+  test("canonical url: tracking params, www, slashes, fragments, param order") {
+    val cases = Seq(
+      (1L, "http://www.X.com/a/?utm_source=tw&b=2&a=1&fbclid=z#frag", "x.com/a?a=1&b=2"),
+      (2L, "https://x.com/a", "x.com/a"),
+      (3L, "https://x.com/a/", "x.com/a"),
+      (4L, "https://x.com/", "x.com"),
+      (5L, "https://x.com?gclid=1&utm_medium=m", "x.com"),
+      (6L, "https://sub.x.com/p?z=9&a=1", "sub.x.com/p?a=1&z=9"),
+      (7L, "garbage", null))
+    cases.toDF("id", "url", "want")
+      .select(col("id"), Urls.canonicalUrl(col("url")).as("got"), col("want"))
+      .collect()
+      .foreach(r => assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"case ${r.getLong(0)}"))
+    // cases 2 and 3 collide (slash variant): URL dedup keeps one of them
+    val canon = cases.toDF("id", "url", "want")
+      .select(Urls.canonicalUrl(col("url")).as("c")).filter(col("c") === "x.com/a")
+    assert(canon.count() === 2 && canon.distinct().count() === 1)
+  }
 }
