@@ -74,10 +74,17 @@ class StreamingSourceSpec extends AnyFunSuite {
         Thread.sleep(300L)
       }
       val deadline = System.currentTimeMillis() + 30000
-      while (ingest.cleans.isEmpty && ingest.failure.isEmpty &&
+      // stop() halts the loops without a drain pass — wait for BOTH the
+      // clean AND full catch-up (ver 6 everywhere) before stopping, or a
+      // loaded machine kills the ingest one commit behind (flaked once in
+      // a full-suite run)
+      def caughtUp: Boolean =
+        graft.read.Readers.snapshot(dst).filter(col("ver") === 6L).count() == 40
+      while ((ingest.cleans.isEmpty || !caughtUp) && ingest.failure.isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(250L)
       assert(ingest.failure.isEmpty, s"ingest failed: ${ingest.failure}")
       assert(ingest.cleans.nonEmpty, "async clean never ran")
+      assert(caughtUp, "ingest never caught up with the source")
     } finally ingest.stop()
     // destination still reads exactly; a clean instant is on the timeline
     val a = graft.read.Readers.snapshot(src).select("id", "ver").orderBy("id").collect()
