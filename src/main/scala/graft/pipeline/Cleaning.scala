@@ -58,9 +58,12 @@ object Cleaning {
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     // block-level closers read as line breaks so words don't fuse
     val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    // `&amp;` decodes LAST (standard entity-decode order): author-escaped
+    // entities like `&amp;lt;` must come out as the literal `&lt;`, not
+    // double-decode to `<`.
     val decoded = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTag) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -69,17 +72,13 @@ object Cleaning {
     * occurrence in order — the in-document half of boilerplate removal
     * (nav bars and footers repeating inside a page), complementing the
     * cross-corpus [[lineDedup]]. Pure array expressions (split →
-    * first-occurrence filter → join), row-local, zero shuffle; cost is
-    * O(lines²) string compares per doc via `array_position`, which for
-    * real page line counts (tens to low hundreds) stays cheaper than any
-    * exchange-bearing alternative.
+    * `array_distinct` → join), row-local, zero shuffle. `array_distinct`
+    * keeps each element's FIRST occurrence in order and runs on a hash
+    * set, so the per-document cost is O(lines) — a 50k-line pathological
+    * page is 50k hash probes in one task, not 1.25B compares.
     */
-  def dedupLinesWithin(text: Column): Column = {
-    val lines = split(text, "\n")
-    array_join(
-      filter(lines, (x, i) => array_position(lines, x) === (i + lit(1)).cast("long")),
-      "\n")
-  }
+  def dedupLinesWithin(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
 
   // ------------------------------------------------------- C4 line rules
 

@@ -28,14 +28,26 @@ object Urls {
   /** Canonical form for URL-level dedup (the cheap pass that runs BEFORE
     * content dedup — the same page fetched as `http://www.x.com/a/?utm_…`
     * and `https://x.com/a` must collide): scheme dropped, host lowercased
-    * with a leading `www.` stripped, trailing path slash removed, fragment
-    * dropped, tracking params (`utm_*`, `fbclid`, `gclid`) removed and the
-    * surviving query params SORTED. NULL for unparseable urls. Pure
-    * expression chain, zero shuffle — `dropDuplicates(canonical)` after it
-    * is the one shuffle a URL-dedup pass needs.
+    * with a leading `www.` stripped, DEFAULT ports dropped (`:80` for
+    * http, `:443` for https — any other port survives, because
+    * `x.com:8080/a` and `x.com/a` are genuinely distinct pages), trailing
+    * path slash removed, fragment dropped, tracking params (`utm_*`,
+    * `fbclid`, `gclid`) removed and the surviving query params SORTED.
+    * NULL for unparseable urls. Pure expression chain, zero shuffle —
+    * `dropDuplicates(canonical)` after it is the one shuffle a URL-dedup
+    * pass needs.
     */
   def canonicalUrl(url: Column): Column = {
     val host = regexp_replace(urlHost(url), "^www\\.", "")
+    // parse_url has no PORT part: read it off the authority's tail, then
+    // keep it only when it differs from the scheme's default
+    val scheme = lower(try_parse_url(url, lit("PROTOCOL")))
+    val port = regexp_extract(
+      coalesce(try_parse_url(url, lit("AUTHORITY")), lit("")), ":(\\d+)$", 1)
+    val defaultPort = when(scheme === "http", lit("80"))
+      .when(scheme === "https", lit("443")).otherwise(lit(""))
+    val portSuffix = when(port === "" || port === defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
     val path = regexp_replace(
       coalesce(try_parse_url(url, lit("PATH")), lit("")), "/$", "")
     val q0 = coalesce(try_parse_url(url, lit("QUERY")), lit(""))
@@ -43,13 +55,29 @@ object Urls {
       !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
         p.startsWith("gclid=") || p === lit(""))))
     val query = array_join(kept, "&")
-    when(host.isNull, lit(null)).otherwise(concat(host, path,
+    when(host.isNull, lit(null)).otherwise(concat(host, portSuffix, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
-  /** Registrable domain of a url: last two host labels, or three when the
-    * second-to-last is a multi-level-TLD label (`sub.example.co.uk` →
-    * `example.co.uk`); a bare one/two-label host passes through.
+  /** Registrable domain of a url under the bundled Public Suffix List —
+    * the form per-domain caps and mixture weights should use: the real
+    * PSL rules (so `x.github.io`, `a.com.au`, `b.co.jp` group correctly,
+    * wildcards and exceptions included) resolve via [[Psl]]'s hash sets
+    * inside a codegen'd native expression. Zero shuffle, zero join — the
+    * rule file rides the classpath. NULL when the host IS a public
+    * suffix or the url is unparseable.
+    */
+  def registrableDomainPsl(url: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.RegistrableDomainPsl(
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(urlHost(url))))
+
+  /** Registrable domain of a url, HEURISTIC form: last two host labels,
+    * or three when the second-to-last is a multi-level-TLD label
+    * (`sub.example.co.uk` → `example.co.uk`); a bare one/two-label host
+    * passes through. Kept as the dependency-free default with pure
+    * built-in expressions; [[registrableDomainPsl]] is the
+    * full-rule-set form (same zero-shuffle shape).
     */
   def registrableDomain(url: Column): Column = {
     val host = urlHost(url)

@@ -688,21 +688,46 @@ object PipelineQueries {
     }),
 
     // URL canonicalization (the dedup-by-canonical-URL pass): tracking
-    // params out, surviving params sorted, www/trailing-slash/fragment/
-    // port normalized — exact read-back of the doc_id-derived shapes
+    // params out, surviving params sorted, www/trailing-slash/fragment
+    // normalized, DEFAULT ports (:80 http / :443 https) dropped while a
+    // non-default :8080 SURVIVES — exact read-back of doc_id shapes
     "p_url_canonical" -> ((s, d) => {
       val k = (col("doc_id") % 11).cast("string")
       val m = (col("doc_id") % 5).cast("string")
       val n = (col("doc_id") % 7).cast("string")
-      val url = when(col("doc_id") % 3 === 0,
-          concat(lit("http://www.site"), k, lit(".com/a/"), m,
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("http://www.site"), k, lit(".com:80/a/"), m,
             lit("/?utm_source=x&q="), n, lit("&b=1#f")))
-        .when(col("doc_id") % 3 === 1,
+        .when(col("doc_id") % 4 === 1,
           concat(lit("https://site"), k, lit(".com/a/"), m))
-        .otherwise(
+        .when(col("doc_id") % 4 === 2,
           concat(lit("https://Sub.site"), k, lit(".co.uk:443/p?gclid=2")))
+        .otherwise(
+          concat(lit("http://site"), k, lit(".com:8080/a")))
       docs(s, d).select(col("doc_id"),
         graft.pipeline.Urls.canonicalUrl(url).as("canonical"))
+    }),
+
+    // PSL registrable domains: hosts exercising a private-section suffix
+    // (github.io), multi-level ICANN suffixes (com.au, co.jp), the
+    // wildcard *.ck, its exception !www.ck, and an unlisted TLD falling
+    // to the implicit * rule — the oracle states the expected grouping
+    // independently from the doc_id arithmetic
+    "p_url_psl" -> ((s, d) => {
+      val j = (col("doc_id") % 7).cast("string")
+      val url = when(col("doc_id") % 6 === 0,
+          concat(lit("https://blog.alpha"), j, lit(".github.io/x")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("http://www.shop"), j, lit(".com.au/x")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("https://news.corp"), j, lit(".co.jp/x")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("https://deep.sub.site"), j, lit(".example.ck/x")))
+        .when(col("doc_id") % 6 === 4,
+          lit("https://user@www.ck:8080/x"))
+        .otherwise(concat(lit("https://a"), j, lit(".b.example/x")))
+      docs(s, d).select(col("doc_id"),
+        graft.pipeline.Urls.registrableDomainPsl(url).as("domain"))
     }),
 
     // in-document line dedup: a synthetic nav/footer line planted around
@@ -726,8 +751,8 @@ object PipelineQueries {
         lit("<html><head><title>t</title><style>p { color: red }</style>" +
           "<script>var x = \"<p>\";</script></head><body><h1>Title</h1><p>"),
         col("text"),
-        lit("</p><!-- trailing comment --><footer>&amp; &lt;fin&gt;&nbsp;ok" +
-          "</footer></body></html>"))
+        lit("</p><!-- trailing comment --><footer>&amp; &lt;fin&gt;&nbsp;ok " +
+          "&amp;lt;esc&amp;gt;</footer></body></html>"))
       docs(s, d).select(col("doc_id"),
           graft.pipeline.Cleaning.htmlToText(html).as("text_out"))
         .withColumn("n_chars_out", length(col("text_out")))
@@ -2226,27 +2251,47 @@ object PipelineQueries {
     // host/path/query via regex (DuckDB has no parse_url), then the same
     // strip-filter-sort-join pipeline
     "p_url_canonical" ->
-      raw"""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
-           |  WHEN 0 THEN 'http://www.site' || CAST(doc_id % 11 AS VARCHAR) || '.com/a/' ||
+      raw"""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+           |  WHEN 0 THEN 'http://www.site' || CAST(doc_id % 11 AS VARCHAR) || '.com:80/a/' ||
            |    CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=x&q=' ||
            |    CAST(doc_id % 7 AS VARCHAR) || '&b=1#f'
            |  WHEN 1 THEN 'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.com/a/' ||
            |    CAST(doc_id % 5 AS VARCHAR)
-           |  ELSE 'https://Sub.site' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk:443/p?gclid=2'
+           |  WHEN 2 THEN 'https://Sub.site' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk:443/p?gclid=2'
+           |  ELSE 'http://site' || CAST(doc_id % 11 AS VARCHAR) || '.com:8080/a'
            |  END AS url FROM documents),
            |h AS (SELECT doc_id,
            |  regexp_replace(lower(regexp_extract(url,
            |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)), '^www\.', '') AS host,
+           |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+           |  regexp_extract(regexp_extract(url,
+           |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':(\d+)$$', 1) AS port,
            |  regexp_replace(regexp_extract(url,
            |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$$', '') AS path,
            |  coalesce(regexp_extract(url, '^[^?#]*\?([^#]*)', 1), '') AS q FROM u),
-           |k AS (SELECT doc_id, host, path, coalesce(array_to_string(list_sort(
+           |k AS (SELECT doc_id, host,
+           |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+           |         OR (scheme = 'https' AND port = '443') THEN ''
+           |       ELSE ':' || port END AS portsfx,
+           |  path, coalesce(array_to_string(list_sort(
            |  list_filter(string_split(q, '&'), p -> NOT (starts_with(p, 'utm_')
            |    OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=') OR p = ''))),
            |  '&'), '') AS query FROM h)
-           |SELECT doc_id, host || path ||
+           |SELECT doc_id, host || portsfx || path ||
            |  CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical
            |FROM k""".stripMargin,
+    // the oracle states the EXPECTED registrable grouping per PSL rule
+    // class directly (the fixture hosts are deterministic in doc_id), an
+    // independent restatement rather than a replay of the rule machinery
+    "p_url_psl" ->
+      """SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
+        |  WHEN 0 THEN 'alpha' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
+        |  WHEN 1 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+        |  WHEN 2 THEN 'corp' || CAST(doc_id % 7 AS VARCHAR) || '.co.jp'
+        |  WHEN 3 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.ck'
+        |  WHEN 4 THEN 'www.ck'
+        |  ELSE 'b.example' END AS domain
+        |FROM documents""".stripMargin,
     // host via regex (DuckDB has no parse_url), domain via the same
     // label rules
     "p_url_domains" ->
@@ -2288,7 +2333,7 @@ object PipelineQueries {
       raw"""WITH h AS (SELECT doc_id,
            |  '<html><head><title>t</title><style>p { color: red }</style><script>var x = "<p>";</script></head><body><h1>Title</h1><p>'
            |  || text ||
-           |  '</p><!-- trailing comment --><footer>&amp; &lt;fin&gt;&nbsp;ok</footer></body></html>' AS t
+           |  '</p><!-- trailing comment --><footer>&amp; &lt;fin&gt;&nbsp;ok &amp;lt;esc&amp;gt;</footer></body></html>' AS t
            |  FROM documents),
            |s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
            |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
@@ -2296,8 +2341,8 @@ object PipelineQueries {
            |s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
            |s5 AS (SELECT doc_id,
            |  replace(replace(replace(replace(replace(replace(t,
-           |    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           |    '&quot;', '"'), '&#39;', chr(39)) AS t FROM s4),
+           |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           |    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t FROM s4),
            |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_out FROM s5)
            |SELECT doc_id, text_out, CAST(length(text_out) AS INTEGER) AS n_chars_out FROM s6""".stripMargin,
     // the salted join must be invisible in the answer: oracle is the

@@ -36,7 +36,11 @@ class CleaningSpec extends AnyFunSuite {
       (5L, "Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39;&nbsp;end",
         "Tom & Jerry <3 \"quoted\" 'q' end"),
       (6L, "  lots   of\n\twhitespace  ", "lots of whitespace"),
-      (7L, "no markup at all.", "no markup at all."))
+      (7L, "no markup at all.", "no markup at all."),
+      // author-ESCAPED entities single-decode: &amp; applies LAST, so
+      // &amp;lt;b&amp;gt; is the literal text "&lt;b&gt;", not "<b>"
+      (8L, "&amp;lt;b&amp;gt; and &amp;amp; stay escaped", "&lt;b&gt; and &amp; stay escaped"),
+      (9L, "mixed &lt;real&gt; vs &amp;lt;escaped&amp;gt;", "mixed <real> vs &lt;escaped&gt;"))
     val got = cases.toDF("id", "html", "want")
       .select(col("id"), graft.pipeline.Cleaning.htmlToText(col("html")).as("got"),
         col("want"))
@@ -51,7 +55,11 @@ class CleaningSpec extends AnyFunSuite {
       (2L, "only one line", "only one line"),
       (3L, "x\nx\nx", "x"),
       // blank lines dedup like any other line (one survives, first slot)
-      (4L, "p\n\nq\n\np", "p\n\nq"))
+      (4L, "p\n\nq\n\np", "p\n\nq"),
+      // long document: 50k lines over 1k distinct values finishes in the
+      // hash-set pass (first occurrence of each value, in order)
+      (5L, (0 until 50000).map(i => s"line-${i % 1000}").mkString("\n"),
+        (0 until 1000).map(i => s"line-$i").mkString("\n")))
     cases.toDF("id", "txt", "want")
       .select(col("id"), graft.pipeline.Cleaning.dedupLinesWithin(col("txt")).as("got"),
         col("want"))

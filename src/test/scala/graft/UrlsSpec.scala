@@ -41,15 +41,75 @@ class UrlsSpec extends AnyFunSuite {
       (4L, "https://x.com/", "x.com"),
       (5L, "https://x.com?gclid=1&utm_medium=m", "x.com"),
       (6L, "https://sub.x.com/p?z=9&a=1", "sub.x.com/p?a=1&z=9"),
-      (7L, "garbage", null))
+      (7L, "garbage", null),
+      // scheme-default ports drop; any other port survives (x.com:8080/a
+      // and x.com/a are genuinely distinct pages)
+      (8L, "http://x.com:80/a", "x.com/a"),
+      (9L, "https://x.com:443/a", "x.com/a"),
+      (10L, "http://x.com:8080/a", "x.com:8080/a"),
+      (11L, "https://x.com:80/a", "x.com:80/a"), // 80 is NOT https' default
+      (12L, "http://user@x.com:8080/a", "x.com:8080/a"))
     cases.toDF("id", "url", "want")
       .select(col("id"), Urls.canonicalUrl(col("url")).as("got"), col("want"))
       .collect()
       .foreach(r => assert(Option(r.getString(1)) === Option(r.getString(2)),
         s"case ${r.getLong(0)}"))
-    // cases 2 and 3 collide (slash variant): URL dedup keeps one of them
+    // cases 2, 3 (slash variant) and 8, 9 (default-port variants) all
+    // collide on x.com/a: URL dedup keeps one of the four
     val canon = cases.toDF("id", "url", "want")
       .select(Urls.canonicalUrl(col("url")).as("c")).filter(col("c") === "x.com/a")
-    assert(canon.count() === 2 && canon.distinct().count() === 1)
+    assert(canon.count() === 4 && canon.distinct().count() === 1)
+  }
+
+  test("PSL registrable domain: private suffixes, multi-level TLDs, wildcards, exceptions") {
+    val cases = Seq(
+      // private-section suffixes group one label deeper
+      (1L, "https://x.github.io/a", "x.github.io"),
+      (2L, "https://a.b.github.io/", "b.github.io"),
+      (3L, "https://myblog.blogspot.com/p", "myblog.blogspot.com"),
+      // a host that IS a public suffix has no registrable domain
+      (4L, "https://github.io/", null),
+      (5L, "https://com.au/", null),
+      // multi-level ICANN suffixes
+      (6L, "https://www.shop.com.au/x", "shop.com.au"),
+      (7L, "https://x.y.co.jp", "y.co.jp"),
+      (8L, "https://school.k12.ca.us/z", "school.k12.ca.us"),
+      // wildcard *.ck: every example.ck-shaped suffix is public
+      (9L, "https://foo.example.ck", "foo.example.ck"),
+      (10L, "https://example.ck", null),
+      // exception !www.ck outranks the wildcard: www.ck is registrable
+      (11L, "https://www.ck", "www.ck"),
+      (12L, "https://x.www.ck", "www.ck"),
+      // jp city wildcard + exception pair
+      (13L, "https://a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+      (14L, "https://x.city.kawasaki.jp", "city.kawasaki.jp"),
+      // unlisted TLD falls to the implicit * rule (last two labels)
+      (15L, "https://a.b.example/x", "b.example"),
+      (16L, "https://Sub.Example.COM/x", "example.com"),
+      (17L, "not a url", null))
+    cases.toDF("id", "url", "want")
+      .select(col("id"), Urls.registrableDomainPsl(col("url")).as("got"), col("want"))
+      .collect()
+      .foreach(r => assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"case ${r.getLong(0)}"))
+  }
+
+  test("PSL parser and matcher unit edges") {
+    import graft.pipeline.Psl
+    val rules = Psl.parse(Iterator(
+      "// comment", "", "co.uk", "*.ck", "!www.ck", "k12.ca.us",
+      "UPPER.case  trailing-ignored"))
+    assert(rules.exact === Set("co.uk", "k12.ca.us", "upper.case"))
+    assert(rules.wildcardBases === Set("ck"))
+    assert(rules.exceptions === Set("www.ck"))
+    assert(rules.maxDepth === 3)
+    assert(Psl.registrableDomain("a.b.co.uk", rules) === "b.co.uk")
+    assert(Psl.registrableDomain("co.uk", rules) === null)
+    assert(Psl.registrableDomain("single", rules) === null)
+    assert(Psl.registrableDomain("a..b.com", rules) === null)
+    assert(Psl.registrableDomain(".com", rules) === null)
+    assert(Psl.registrableDomain("x.com.", rules) === null)
+    // bundled snapshot loads and resolves
+    assert(Psl.registrableDomain("deep.x.github.io", Psl.bundled) === "x.github.io")
   }
 }
