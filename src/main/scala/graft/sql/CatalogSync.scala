@@ -46,6 +46,17 @@ trait CatalogTarget {
     */
   def addPartitions(db: String, table: String,
       partitions: Seq[CatalogTarget.PartitionRef]): Unit
+  /** Reconcile REMOVALS: drop registered partitions that are no longer in
+    * `live` (the table's full current partition list — the same list
+    * [[addPartitions]] received). Without this, `delete_partition` /
+    * partition-TTL leaves a foreign engine listing (and reading, until
+    * clean reclaims the files) a logically-dead partition. Metadata-only
+    * — a target must never delete data. Default no-op for targets that
+    * don't hold a partition list. (The 0.9 reference's HiveSyncTool adds
+    * only; the drop direction is this engine's extension.)
+    */
+  def dropDeadPartitions(db: String, table: String,
+      live: Seq[CatalogTarget.PartitionRef]): Unit = ()
   /** Invalidate any cached relation/file-list for the entry. */
   def refresh(db: String, table: String): Unit
 }
@@ -151,6 +162,7 @@ object CatalogSync {
             tgt.replaceTable(db, name, current, norm, options, partCols)
       }
       tgt.addPartitions(db, name, partitions)
+      tgt.dropDeadPartitions(db, name, partitions)
       tgt.refresh(db, name)
     }
     publish(table, Map.empty)

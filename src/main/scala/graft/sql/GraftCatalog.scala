@@ -320,13 +320,12 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
       .getOrElse(new StructType())
 
-  override def partitioning(): Array[Transform] = {
-    val e = table.cfg.partitionPathExpr
-    if (e.isEmpty) Array.empty
-    else if (e.matches("[A-Za-z_][A-Za-z0-9_]*"))
-      Array(org.apache.spark.sql.connector.expressions.Expressions.identity(e))
-    else Array.empty // expression partitioning has no v2 transform form
-  }
+  override def partitioning(): Array[Transform] =
+    // identity columns (single or multi-level) surface as v2 transforms —
+    // static `PARTITION (p1='a', p2='b')` resolution needs them declared;
+    // true expression partitioning has no v2 transform form
+    partitionFields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(f.name)).toArray
 
   override def properties(): util.Map[String, String] =
     (table.cfg.props ++ Map(
@@ -360,15 +359,63 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
   // partitioning has no v2 row form (partitionSchema is empty → Spark's
   // spec resolution fails cleanly).
 
-  private[sql] def partitionField: Option[org.apache.spark.sql.types.StructField] = {
+  /** The table's identity partition COLUMNS, in layout order: a bare
+    * column expression, or the exact multi-level form [[GraftCatalog]]
+    * compiles `PARTITIONED BY (a, b)` into
+    * (`concat_ws('/', cast(`a` as string), ...)`). Empty for true
+    * expression partitioning — which has no v2 row form.
+    */
+  private[sql] def partitionFields: Seq[org.apache.spark.sql.types.StructField] = {
     val e = table.cfg.partitionPathExpr
-    if (e.nonEmpty && e.matches("[A-Za-z_][A-Za-z0-9_]*"))
-      schema().fields.find(_.name.equalsIgnoreCase(e))
-    else None
+    def field(n: String) = schema().fields.find(_.name.equalsIgnoreCase(n))
+    if (e.isEmpty) Seq.empty
+    else if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) field(e).toSeq
+    else {
+      val Multi = """concat_ws\('/', (.*)\)""".r
+      val Col = """cast\(`([A-Za-z_][A-Za-z0-9_]*)` as string\)""".r
+      e match {
+        case Multi(inner) =>
+          val cols = inner.split(", ").toSeq.map {
+            case Col(n) => field(n)
+            case _ => None
+          }
+          if (cols.nonEmpty && cols.forall(_.isDefined)) cols.flatten
+          else Seq.empty
+        case _ => Seq.empty
+      }
+    }
   }
 
+  private[sql] def partitionField: Option[org.apache.spark.sql.types.StructField] =
+    partitionFields match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+
   override def partitionSchema(): StructType =
-    StructType(partitionField.toSeq)
+    StructType(partitionFields)
+
+  /** Stored partition-path string → typed identifier row over
+    * [[partitionFields]]: one directory level per column (the multi-level
+    * layout contract), hive-style prefix stripped on the single-column
+    * form.
+    */
+  private[sql] def pathToValues(raw: String): InternalRow = {
+    val fs = partitionFields
+    if (fs.isEmpty) InternalRow.empty
+    else if (fs.size == 1) InternalRow(pathToValue(raw, fs.head))
+    else {
+      val parts = raw.split("/", fs.size)
+      InternalRow.fromSeq(fs.zipWithIndex.map { case (f, i) =>
+        val s = if (i < parts.length) parts(i) else ""
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType),
+          f.dataType, Some("UTC")).eval(null)
+      })
+    }
+  }
 
   /** Stored partition-path string → typed identifier value (hive-style
     * `name=` prefix stripped when the table writes it).
@@ -387,44 +434,50 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
       f.dataType, Some("UTC")).eval(null)
   }
 
-  /** Typed identifier value → the partition-path string the table layout
-    * uses (the exact keygen rendering: string cast + hive-style prefix).
+  /** Typed identifier row (over [[partitionFields]]) → the partition-path
+    * string the table layout uses (the exact keygen rendering: string
+    * casts joined by '/', hive-style prefix on the single-column form).
     */
-  private def valueToPath(ident: InternalRow,
-      f: org.apache.spark.sql.types.StructField): String = {
-    val v = ident.get(0, f.dataType)
-    val s = org.apache.spark.sql.catalyst.expressions.Cast(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(v, f.dataType),
-      org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)
-    val raw = if (s == null) "" else s.toString
+  private def valuesToPath(ident: InternalRow): String = {
+    val fs = partitionFields
+    def render(i: Int): String = {
+      val f = fs(i)
+      val s = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          ident.get(i, f.dataType), f.dataType),
+        org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)
+      if (s == null) "" else s.toString
+    }
+    val raw = fs.indices.map(render).mkString("/")
     graft.keygen.KeyGen.hiveStyleNameOf(table.cfg) match {
-      case Some(n) => s"$n=$raw"
-      case None => raw
+      case Some(n) if fs.size == 1 => s"$n=$raw"
+      case _ => raw
     }
   }
 
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {
-    val f = partitionField.getOrElse(return Array.empty)
-    require(names.forall(_.equalsIgnoreCase(f.name)),
-      s"unknown partition column(s) ${names.mkString(",")}")
-    val all = table.view.partitions()
-      .map(raw => InternalRow(pathToValue(raw, f)))
-    if (names.isEmpty) all.toArray
-    else {
-      val want = ident.get(0, f.dataType)
-      all.filter(r => r.get(0, f.dataType) == want).toArray
+    val fs = partitionFields
+    if (fs.isEmpty) return Array.empty
+    val idx = names.map { n =>
+      val i = fs.indexWhere(_.name.equalsIgnoreCase(n))
+      require(i >= 0, s"unknown partition column $n")
+      i
     }
+    val all = table.view.partitions().map(pathToValues)
+    all.filter(r => idx.indices.forall(j =>
+      r.get(idx(j), fs(idx(j)).dataType) == ident.get(j, fs(idx(j)).dataType)))
+      .toArray
   }
 
   /** `ALTER TABLE ... DROP PARTITION` — the engine's delete_partition
     * replacecommit; history stays time-travelable like every other write.
     */
   override def dropPartition(ident: InternalRow): Boolean = {
-    val f = partitionField.getOrElse(throw new UnsupportedOperationException(
+    if (partitionFields.isEmpty) throw new UnsupportedOperationException(
       "expression-partitioned graft tables manage partitions by predicate " +
-        "(deletePartitions / DELETE WHERE), not by v2 partition idents"))
-    val path = valueToPath(ident, f)
+        "(deletePartitions / DELETE WHERE), not by v2 partition idents")
+    val path = valuesToPath(ident)
     if (!table.view.partitions().contains(path)) return false
     table.deletePartitions(Seq(path))
     true
@@ -440,9 +493,10 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
     throw new UnsupportedOperationException("graft partitions hold no mutable metadata")
 
   override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
-    val f = partitionField.getOrElse(
-      throw new UnsupportedOperationException("table is not identity-partitioned"))
-    if (listPartitionIdentifiers(Array(f.name), ident).isEmpty)
+    val fs = partitionFields
+    if (fs.isEmpty)
+      throw new UnsupportedOperationException("table is not identity-partitioned")
+    if (listPartitionIdentifiers(fs.map(_.name).toArray, ident).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
         name(), ident, partitionSchema())
     util.Collections.emptyMap() // partitions hold no metadata of their own

@@ -79,18 +79,27 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
   }
 
   /** The statement's delete expression rebound for evaluation against a
-    * single partition value: defined iff the predicate touches ONLY the
-    * table's (identity) partition column, i.e. it can be answered
-    * partition-by-partition without reading data.
+    * partition-value row (one slot per identity partition column, layout
+    * order): defined iff the predicate references ONLY the table's
+    * identity partition column(s) — single or multi-level — i.e. it can
+    * be answered partition-by-partition without reading data. A
+    * reference-FREE predicate (e.g. `overwrite(lit(false))`) is NOT a
+    * partition predicate: it names no partitions, and treating it as one
+    * would still replace the batch's touched partitions when the
+    * condition authorized deleting nothing.
     */
   private def partitionPredicate(t: GraftV2Table, r: DataSourceV2Relation,
       pred: Expression): Option[Expression] = {
-    val f = t.partitionField.getOrElse(return None)
-    val partAttr = r.output.find(_.name.equalsIgnoreCase(f.name)).getOrElse(return None)
-    if (!pred.references.forall(_.exprId == partAttr.exprId)) return None
+    val fs = t.partitionFields
+    if (fs.isEmpty || pred.references.isEmpty) return None
+    val slotOf = fs.zipWithIndex.flatMap { case (f, i) =>
+      r.output.find(_.name.equalsIgnoreCase(f.name)).map(_.exprId -> i)
+    }.toMap
+    if (slotOf.size != fs.size) return None
+    if (!pred.references.forall(a => slotOf.contains(a.exprId))) return None
     Some(pred.transform {
-      case a: AttributeReference if a.exprId == partAttr.exprId =>
-        BoundReference(0, f.dataType, nullable = true)
+      case a: AttributeReference if slotOf.contains(a.exprId) =>
+        BoundReference(slotOf(a.exprId), fs(slotOf(a.exprId)).dataType, nullable = true)
     })
   }
 
@@ -119,8 +128,8 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
           case None => throw new AnalysisException("USER_RAISED_EXCEPTION",
             Map("errorMessage" -> (s"INSERT OVERWRITE ${t.name()}: overwrite " +
               s"condition ${pred.sql} is not a partition predicate — graft " +
-              "tables overwrite whole partitions (condition may reference " +
-              "only the partition column) or the whole table")))
+              "tables overwrite whole partitions (condition must reference " +
+              "only partition columns, and at least one) or the whole table")))
         }
       }
     case d: OverwritePartitionsDynamic if d.table.isInstanceOf[DataSourceV2Relation] &&
@@ -167,11 +176,28 @@ final case class GraftOverwritePartitionsCommand(v2: GraftV2Table,
     val scope = boundPred match {
       case None => Set.empty[String] // dynamic: batch-touched partitions only
       case Some(p) =>
-        val f = v2.partitionField.getOrElse(throw new IllegalStateException(
-          s"${v2.name()} lost its partition column")) // guarded at analysis
-        v2.table.view.partitions().filter { raw =>
-          p.eval(InternalRow(v2.pathToValue(raw, f))) == true
-        }.toSet
+        if (v2.partitionFields.isEmpty) throw new IllegalStateException(
+          s"${v2.name()} lost its partition columns") // guarded at analysis
+        // static mode scopes the STATEMENT's partitions — and must refuse
+        // a batch whose rows fall outside them (Delta's replaceWhere
+        // check): insertOverwrite replaces scope ∪ batch-touched, so an
+        // out-of-scope row would silently wipe a partition the statement
+        // never named. The probe is the batch's DISTINCT partition paths
+        // (metadata-bounded), rendered by the table's own keygen.
+        val cfg = v2.table.cfg
+        val batchPaths = aligned.select(graft.keygen.KeyGen.partitionPathCol(
+            cfg.partitionPathExpr,
+            cfg.prop(graft.core.ConfigKeys.UrlEncodePartitions, "false").toBoolean,
+            graft.keygen.KeyGen.hiveStyleNameOf(cfg)).as("p"))
+          .distinct().collect().map(_.getString(0))
+        val outside = batchPaths.filterNot(raw => p.eval(v2.pathToValues(raw)) == true)
+        if (outside.nonEmpty) throw new AnalysisException("USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> (s"INSERT OVERWRITE ${v2.name()}: query rows " +
+            s"fall outside the overwrite partition scope (partitions " +
+            s"${outside.sorted.mkString(", ")}) — widen the condition or use " +
+            "dynamic partitionOverwriteMode")))
+        v2.table.view.partitions().filter(raw => p.eval(v2.pathToValues(raw)) == true)
+          .toSet
     }
     v2.table.insertOverwrite(aligned, replaceScope = scope)
     Seq.empty

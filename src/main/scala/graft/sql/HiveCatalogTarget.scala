@@ -121,6 +121,16 @@ final class HiveCatalogTarget(val client: IMetaStoreClient) extends CatalogTarge
     createTable(db, table, schema, location, options, partitionCols)
   }
 
+  /** The metastore's own name for a partition — Hive's escaping
+    * (`Warehouse.makePartName` → `FileUtils.escapePathName`: space stays
+    * `%20`-style, NOT URLEncoder's `+`), so the diff against
+    * `listPartitionNames` compares like with like and a special-char
+    * value never re-adds (and never aborts the batch) on re-sync.
+    */
+  private def partName(t: HTable, values: Seq[String]): String =
+    org.apache.hadoop.hive.metastore.Warehouse.makePartName(
+      t.getPartitionKeys, values.asJava)
+
   override def addPartitions(db: String, table: String,
       partitions: Seq[CatalogTarget.PartitionRef]): Unit = {
     if (partitions.isEmpty || partitions.forall(_.values.isEmpty)) return
@@ -130,13 +140,7 @@ final class HiveCatalogTarget(val client: IMetaStoreClient) extends CatalogTarge
     // scans existing partitions and adds only the delta) — add_partitions
     // on a known partition would otherwise abort the batch
     val known = client.listPartitionNames(db, table, -1).asScala.toSet
-    val keys = t.getPartitionKeys.asScala.map(_.getName).toSeq
-    val fresh = partitions.filter { p =>
-      val name = keys.zip(p.values)
-        .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
-        .mkString("/")
-      !known.contains(name)
-    }
+    val fresh = partitions.filter(p => !known.contains(partName(t, p.values)))
     if (fresh.isEmpty) return
     val now = (System.currentTimeMillis() / 1000L).toInt
     val objs = fresh.map { p =>
@@ -145,7 +149,25 @@ final class HiveCatalogTarget(val client: IMetaStoreClient) extends CatalogTarge
       new Partition(new java.util.ArrayList[String](p.values.asJava), db,
         table, now, now, sd, new java.util.HashMap[String, String]())
     }
-    client.add_partitions(objs.asJava)
+    // ifNotExists: belt and suspenders under concurrent syncs — a racing
+    // add must not abort the whole batch
+    client.add_partitions(objs.asJava, /*ifNotExists=*/ true, /*needResults=*/ false)
+  }
+
+  override def dropDeadPartitions(db: String, table: String,
+      live: Seq[CatalogTarget.PartitionRef]): Unit = {
+    val t = client.getTable(db, table)
+    if (t.getPartitionKeys.isEmpty) return
+    val liveNames = live.filter(_.values.nonEmpty)
+      .map(p => partName(t, p.values)).toSet
+    val dead = client.listPartitionNames(db, table, -1).asScala
+      .filterNot(liveNames.contains)
+    // deleteData=false: the entry is metadata — the table's cleaner owns
+    // byte reclamation (and as-of reads may still need the files)
+    dead.foreach { name =>
+      try client.dropPartition(db, table, name, /*deleteData=*/ false)
+      catch { case _: NoSuchObjectException => () } // concurrent sync won
+    }
   }
 
   override def refresh(db: String, table: String): Unit = ()

@@ -318,6 +318,76 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(all === Array((7L, "1997")))
   }
 
+  test("multi-column static PARTITION overwrite scopes to the named (p1,p2)") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db21")
+    spark.sql("""
+      CREATE TABLE gcat.db21.t (id BIGINT, ver BIGINT, price DOUBLE,
+        yr STRING, region STRING)
+      USING graft PARTITIONED BY (yr, region)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("""INSERT INTO gcat.db21.t VALUES
+      (1, 1, 10.0, '1995', 'eu'), (2, 1, 20.0, '1995', 'us'),
+      (3, 1, 30.0, '1996', 'eu'), (4, 1, 40.0, '1996', 'us')""")
+    // fully-pinned static spec: exactly ONE leaf partition replaced
+    spark.sql("""INSERT OVERWRITE gcat.db21.t PARTITION (yr = '1995', region = 'eu')
+      SELECT 9, 1, 99.0""")
+    val got = spark.sql("SELECT id, yr, region FROM gcat.db21.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got === Array((2L, "1995", "us"), (3L, "1996", "eu"),
+      (4L, "1996", "us"), (9L, "1995", "eu")))
+    // partially-pinned spec (yr only): both 1995 leaves replaced, 1996 kept
+    spark.sql("""INSERT OVERWRITE gcat.db21.t PARTITION (yr = '1995', region)
+      SELECT 7, 1, 70.0, 'ap'""")
+    val got2 = spark.sql("SELECT id, yr, region FROM gcat.db21.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got2 === Array((3L, "1996", "eu"), (4L, "1996", "us"), (7L, "1995", "ap")))
+    // SHOW PARTITIONS lists the two-level layout's raw partition paths
+    // (the engine's partition identifiers, as deletePartitions takes them)
+    val parts = spark.sql("SHOW PARTITIONS gcat.db21.t").collect().map(_.getString(0))
+    assert(parts.sorted === Array("1995/ap", "1996/eu", "1996/us"))
+    // ALTER TABLE DROP PARTITION on the two-level ident
+    spark.sql("ALTER TABLE gcat.db21.t DROP PARTITION (yr = '1996', region = 'us')")
+    assert(spark.sql("SELECT count(*) FROM gcat.db21.t").head().getLong(0) === 2)
+  }
+
+  test("static overwrite refuses rows outside the named partition scope") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db22")
+    spark.sql("""
+      CREATE TABLE gcat.db22.t (id BIGINT, ver BIGINT, yr STRING)
+      USING graft PARTITIONED BY (yr)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db22.t VALUES (1, 1, '1995'), (2, 1, '1996')")
+    import org.apache.spark.sql.functions.{col, lit}
+    // the batch carries a 1996 row while the statement names only 1995 —
+    // silently widening would wipe 1996's pre-existing rows
+    val e = intercept[Exception] {
+      Seq((9L, 1L, "1995"), (8L, 1L, "1996")).toDF("id", "ver", "yr")
+        .writeTo("gcat.db22.t").overwrite(col("yr") === "1995")
+    }
+    assert(e.getMessage.contains("outside the overwrite partition scope"),
+      e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM gcat.db22.t").head().getLong(0) === 2)
+    // a reference-free condition (lit(false)) names no partitions: refuse
+    // rather than replace the batch's touched partitions
+    val e2 = intercept[Exception] {
+      Seq((9L, 1L, "1995")).toDF("id", "ver", "yr")
+        .writeTo("gcat.db22.t").overwrite(lit(false))
+    }
+    assert(e2.getMessage.contains("partition predicate"), e2.getMessage)
+    assert(spark.sql("SELECT count(*) FROM gcat.db22.t").head().getLong(0) === 2)
+    // in-scope rows still flow (including into a partition that did not
+    // exist yet)
+    Seq((9L, 1L, "1995")).toDF("id", "ver", "yr")
+      .writeTo("gcat.db22.t").overwrite(col("yr") === "1995")
+    Seq((5L, 1L, "1999")).toDF("id", "ver", "yr")
+      .writeTo("gcat.db22.t").overwrite(col("yr") === "1999")
+    val got = spark.sql("SELECT id, yr FROM gcat.db22.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Array((2L, "1996"), (5L, "1999"), (9L, "1995")))
+  }
+
   test("INSERT OVERWRITE under dynamic partitionOverwriteMode replaces touched partitions only") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db13")

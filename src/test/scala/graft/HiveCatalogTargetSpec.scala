@@ -123,6 +123,50 @@ class HiveCatalogTargetSpec extends AnyFunSuite {
     assert(client.listPartitionNames("hdb6", "t", -1).asScala === Seq("yr=1995"))
   }
 
+  test("delete_partition and partition TTL drop dead partitions from the metastore") {
+    val dir = tmpDir("hms_t7").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "1995"), (2L, 1L, 20.0, "1996"),
+      (3L, 1L, 30.0, "1997")))
+    CatalogSync.sync(spark, dir, "hdb7", "t", target = target)
+    assert(client.listPartitionNames("hdb7", "t", -1).asScala.sorted ===
+      Seq("yr=1995", "yr=1996", "yr=1997"))
+    val t = graft.table.GraftTable.load(spark, dir)
+    // explicit partition drop: the HMS entry must stop listing it
+    t.deletePartitions(Seq("1995"))
+    CatalogSync.sync(spark, dir, "hdb7", "t", target = target)
+    assert(client.listPartitionNames("hdb7", "t", -1).asScala.sorted ===
+      Seq("yr=1996", "yr=1997"))
+    // partition TTL expiry: same reconciliation path
+    val expired = graft.table.Services.expirePartitions(
+      graft.table.GraftTable.load(spark, dir), keepLast = 1)
+    assert(expired === Seq("1996"))
+    CatalogSync.sync(spark, dir, "hdb7", "t", target = target)
+    assert(client.listPartitionNames("hdb7", "t", -1).asScala === Seq("yr=1997"))
+    // drops are metadata-only: the expired partitions' files still exist
+    // until the table's own cleaner reclaims them (as-of the first commit
+    // still reads all three partitions)
+    val t2 = graft.table.GraftTable.load(spark, dir)
+    assert(graft.read.Readers.timeTravel(t2,
+      t2.timeline.completedDataInstants().head.ts).count() === 3)
+  }
+
+  test("special-char partition values escape Hive-style: re-sync idempotent, drops work") {
+    val dir = tmpDir("hms_t8").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "y 1"), (2L, 1L, 20.0, "plain")))
+    CatalogSync.sync(spark, dir, "hdb8", "t", target = target)
+    val names1 = client.listPartitionNames("hdb8", "t", -1).asScala.sorted
+    assert(names1.size === 2 && names1.exists(_.startsWith("yr=plain")))
+    // re-sync: the diff must recognize the escaped name (URLEncoder's '+'
+    // never matches Hive's escaping, which re-added + aborted the batch)
+    CatalogSync.sync(spark, dir, "hdb8", "t", target = target)
+    assert(client.listPartitionNames("hdb8", "t", -1).asScala.sorted === names1)
+    // and the drop direction resolves the same escaped name
+    graft.table.GraftTable.load(spark, dir).deletePartitions(Seq("y 1"))
+    CatalogSync.sync(spark, dir, "hdb8", "t", target = target)
+    assert(client.listPartitionNames("hdb8", "t", -1).asScala ===
+      names1.filter(_.startsWith("yr=plain")))
+  }
+
   test("refuses to drop a same-named non-graft metastore entry") {
     val dir = tmpDir("hms_t5").toString + "/t"
     writeTable(dir, Seq((1L, 1L, 10.0, "1995")))
