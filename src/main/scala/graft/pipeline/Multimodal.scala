@@ -185,7 +185,13 @@ object Multimodal {
             val picks =
               if (jpegs.length <= n) jpegs.indices
               else (0 until n).map(i => i * jpegs.length / n)
-            picks.map(i => Frame(id, i, i * uspf / 1000L, jpegs(i)))
+            // frameIdx is always the DENSE output index 0..k-1 (matching
+            // the stub path and the non-sampled case), so consumers key
+            // consistently whether or not sampling kicked in; the
+            // CONTAINER frame number survives only inside the timestamp
+            picks.zipWithIndex.map { case (src, out) =>
+              Frame(id, out, src * uspf / 1000L, jpegs(src))
+            }
           case None =>
             FakeCodec.frames(bytes, n).zipWithIndex.map { case (fb, i) =>
               Frame(id, i, i * frameIntervalMs, fb)

@@ -24,15 +24,23 @@ object Skew {
 
   private val SaltCol = "_graft_salt"
 
-  /** Salted join: every fact row gets a DETERMINISTIC salt in
-    * [0, salts) (hash of the whole row, so replays produce identical
-    * partitioning) and the dim side replicates once per salt value, so
-    * a hot key's rows spread over `salts` tasks instead of one. Dim-side
-    * cost is `salts ×` its size — size `salts` to the observed skew
-    * (8-32), not the partition count. The salt hashes EVERY fact column
-    * (hashing only the key would put the hot key back in one task), so
-    * fact columns must be hashable — project `MapType` columns away or
-    * to a stable encoding first.
+  /** Salted join: every fact row gets a salt in [0, salts) and the dim
+    * side replicates once per salt value, so a hot key's rows spread
+    * over `salts` tasks instead of one. Dim-side cost is `salts ×` its
+    * size — size `salts` to the observed skew (8-32), not the partition
+    * count. The salt hashes EVERY fact column (hashing only the key
+    * would put the hot key back in one task) PLUS the row's position
+    * (`monotonically_increasing_id`, which folds in the partition id):
+    * without the position component, byte-identical duplicate fact rows
+    * — common in pre-dedup web corpora — all hash to ONE salt and the
+    * hot key stays serialized through a single task, the exact case the
+    * operator exists for. Determinism tradeoff: for a fixed upstream
+    * partitioning (including task retries, which recompute the same
+    * partition) the salt is reproducible; a re-run that repartitions the
+    * fact side may ROUTE rows to different salts — the join RESULT is
+    * identical either way, only the internal spread moves. Fact columns
+    * must be hashable — project `MapType` columns away or to a stable
+    * encoding first.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
@@ -40,7 +48,8 @@ object Skew {
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"salted join preserves the FACT side only (dim is replicated): got $joinType")
     val sf = fact.withColumn(SaltCol,
-      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col)
+        :+ monotonically_increasing_id(): _*), lit(salts.toLong)))
     val sd = dim.withColumn(SaltCol,
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     sf.join(sd, keys :+ SaltCol, joinType).drop(SaltCol)

@@ -113,6 +113,15 @@ object StreamingDedup {
     * [[graft.pipeline.HashDedupService]]'s persisted index. Use this as
     * the pipeline-embedded ingest guard; use the service when the corpus
     * outlives executor memory.
+    *
+    * CHECKPOINT COMPATIBILITY: the state encoding changed from
+    * `Seq[(Long, Long)]` (every arrival) to `Map[Long, Long]`
+    * (hash → min id) when state was bounded by distinct hashes. A
+    * streaming query resuming from a checkpoint written by the old
+    * encoding will fail state deserialization — restart such queries
+    * with a fresh checkpoint (and re-seed by replaying the corpus, or
+    * cut over to [[graft.pipeline.HashDedupService]], whose index is
+    * persistent and encoding-stable).
     */
   def nearDupStream(docs: Dataset[HashKeyed], maxDist: Int = 3,
       bands: Int = 4): Dataset[Long] = {

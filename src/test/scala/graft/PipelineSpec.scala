@@ -423,6 +423,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampled.length === 2)
     assert(sampled(0).frame.sameElements(jpegs(0)))
     assert(sampled.forall(f => f.tsMillis === f.frameIdx * 33333L / 1000L))
+    // frameIdx is the DENSE output index even when sampling skips
+    // container frames: 5 frames sampled to 2 yields idx 0,1 with the
+    // CONTAINER position (0 and 2) surviving only in the timestamp
+    val jpegs5 = (0 until 5).map(i => Multimodal.syntheticJpegFrame(43L, i, 64))
+    val avi5 = Multimodal.syntheticMjpegAvi(jpegs5, 64, 64, microSecPerFrame = 40000L)
+    val sampled5 = Multimodal.sampleFrames(Seq((9L, avi5)).toDF("doc_id", "content"),
+      n = 2).collect().sortBy(_.frameIdx)
+    assert(sampled5.map(_.frameIdx).toSeq === Seq(0, 1))
+    assert(sampled5.map(_.tsMillis).toSeq === Seq(0L, 2 * 40000L / 1000L))
+    assert(sampled5(1).frame.sameElements(jpegs5(2)))
     // …and still stubs for non-AVI bytes
     val stub = Multimodal.sampleFrames(
       Seq((8L, Array.fill[Byte](64)(0x22))).toDF("doc_id", "content"), n = 4)

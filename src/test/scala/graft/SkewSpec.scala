@@ -40,9 +40,27 @@ class SkewSpec extends AnyFunSuite {
   test("the hot key's rows spread across many salts") {
     // reproduce the internal salt assignment to observe the spread
     val salted = fact.withColumn("_s",
-      pmod(xxhash64(col("k"), col("v")), lit(8L)))
+      pmod(xxhash64(col("k"), col("v"), monotonically_increasing_id()), lit(8L)))
     val spread = salted.filter(col("k") === 0L).select("_s").distinct().count()
     assert(spread >= 6, s"hot key spread over only $spread of 8 salts")
+  }
+
+  test("byte-identical duplicate fact rows spread too, and join correctly") {
+    // pre-dedup corpora repeat whole rows: hashing only the column values
+    // would collapse every duplicate onto ONE salt — the row-position
+    // component keeps the hot key spread
+    val dupFact = spark.range(800).select(lit(0L).as("k"), lit(42L).as("v"))
+      .repartition(8)
+    val salted = dupFact.withColumn("_s",
+      pmod(xxhash64(col("k"), col("v"), monotonically_increasing_id()), lit(8L)))
+    val spread = salted.select("_s").distinct().count()
+    assert(spread >= 6, s"duplicate rows spread over only $spread of 8 salts")
+    // and the joined result keeps exact duplicate multiplicity
+    val plain = dupFact.join(dim, Seq("k"), "inner").select("k", "v", "seg")
+    val viaSalt = Skew.saltedJoin(dupFact, dim, Seq("k"), salts = 8)
+      .select("k", "v", "seg")
+    assert(canon(viaSalt) === canon(plain))
+    assert(viaSalt.count() === 800)
   }
 
   test("skewJoin (adaptive) equals the plain join; dim-preserving types refuse") {
