@@ -94,4 +94,32 @@ object KeyGen {
       case other =>
         throw new IllegalArgumentException(s"unknown timestamp type '$other'")
     }
+
+  /** The IDENTITY partition columns of a partition expression, in layout
+    * order: a bare column name, or the exact multi-level form the DSv2
+    * catalog compiles `PARTITIONED BY (a, b)` into
+    * (`concat_ws('/', cast(`a` as string), ...)`). Empty for true
+    * expression partitioning. Shared by the v2 catalog (partition
+    * transforms / static PARTITION scoping) and the metastore sync
+    * (declared partition keys), so both see the same identity layout.
+    */
+  def identityPartitionCols(partitionPathExpr: String): Seq[String] = {
+    val e = if (partitionPathExpr == null) "" else partitionPathExpr
+    if (e.isEmpty) Seq.empty
+    else if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) Seq(e)
+    else {
+      val Multi = """concat_ws\('/', (.*)\)""".r
+      val Col = """cast\(`([A-Za-z_][A-Za-z0-9_]*)` as string\)""".r
+      e match {
+        case Multi(inner) =>
+          val cols = inner.split(", ").toSeq.map {
+            case Col(n) => Some(n)
+            case _ => None
+          }
+          if (cols.nonEmpty && cols.forall(_.isDefined)) cols.flatten
+          else Seq.empty
+        case _ => Seq.empty
+      }
+    }
+  }
 }

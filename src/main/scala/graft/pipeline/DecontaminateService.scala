@@ -40,25 +40,30 @@ object DecontaminateService {
 
   /** Create (or load) the benchmark shingle index. `n` persists as an
     * index property and every tick reads it back — stored shingles were
-    * computed with it.
+    * computed with it. Rows are keyed `(s, suite)` so the SAME shingle
+    * can belong to several eval suites (graded mode thresholds per
+    * suite); partitioning stays shingle-hash only, so a tick's probe
+    * reads the same partitions regardless of suite count.
     */
   def openIndex(spark: SparkSession, indexPath: String,
       fpParts: Int = 64, n: Int = 8): GraftTable =
     GraftTable.createOrLoad(spark, indexPath, TableConfig(
       "decon_shingles", TableType.CopyOnWrite,
-      Seq("s"),
+      Seq("s", "suite"),
       s"concat('p=', cast(pmod(abs(xxhash64(s)), $fpParts) as string))", "",
       Map(PartsKey -> fpParts.toString, ShingleKey -> n.toString)))
 
-  /** Register (more) benchmark texts: their distinct shingles upsert into
-    * the index. Idempotent per shingle.
+  /** Register (more) benchmark texts under an eval-suite name: their
+    * distinct shingles upsert into the index. Idempotent per
+    * (shingle, suite).
     */
   def updateBenchmark(index: GraftTable, benchmark: DataFrame,
-      textCol: String = "text"): String = {
+      textCol: String = "text", suite: String = "default"): String = {
     val n = index.cfg.propLong(ShingleKey, 8L).toInt
     index.upsert(benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("s"))
-      .distinct())
+      .distinct()
+      .withColumn("suite", lit(suite)))
   }
 
   def lastCheckpoint(clean: GraftTable): Option[String] = syncMarks(clean)._1
@@ -75,9 +80,21 @@ object DecontaminateService {
     * contaminated ids drop, survivors upsert into `clean` with the source
     * checkpoint in the SAME commit (crash-atomic). Returns the clean
     * commit ts, or None when the source has nothing new.
+    *
+    * `thresholds` selects the rule, matching the batch operators exactly:
+    *  - empty (default): the hard `Decontaminate.decontaminate` rule —
+    *    ANY shared shingle with ANY suite drops the doc;
+    *  - non-empty: GRADED mode ([[Decontaminate.contaminationScore]]
+    *    thresholded per suite) — a doc drops iff for SOME suite,
+    *    `suite hits / doc's distinct shingles > thresholds(suite)`
+    *    (unlisted suites default to 0.0 = any hit drops). Contamination
+    *    stays order-independent either way, so incremental ≡ batch under
+    *    any arrival order. The threshold map is statement metadata (a
+    *    handful of suites), carried as a literal map — no extra join.
     */
   def sync(source: GraftTable, clean: GraftTable, index: GraftTable,
-      textCol: String = "text", idCol: String = "doc_id"): Option[String] = {
+      textCol: String = "text", idCol: String = "doc_id",
+      thresholds: Map[String, Double] = Map.empty): Option[String] = {
     val n = index.cfg.propLong(ShingleKey, 8L).toInt
     val fpParts = index.cfg.propLong(PartsKey, 64L)
     val head = source.timeline.completedDataInstants().lastOption.map(_.ts)
@@ -116,9 +133,28 @@ object DecontaminateService {
             val parts = tickShingles
               .select(pmod(abs(xxhash64(col("s"))), lit(fpParts)).as("p"))
               .distinct().collect().map(x => s"p=${x.getLong(0)}").toSeq
-            tickShingles
-              .join(Readers.snapshot(index, partitions = Some(parts)).select("s"), Seq("s"))
-              .select(col("_dc_id")).distinct()
+            val idxRows = Readers.snapshot(index, partitions = Some(parts))
+            if (thresholds.isEmpty)
+              tickShingles
+                .join(idxRows.select("s"), Seq("s"))
+                .select(col("_dc_id")).distinct()
+            else {
+              // graded: fraction of the doc's distinct shingles hitting
+              // each suite, thresholded per suite (same arithmetic as
+              // Decontaminate.contaminationScore — exact integer counts,
+              // one IEEE division)
+              val totals = tickShingles.groupBy(col("_dc_id"))
+                .agg(count(lit(1)).as("_dc_tot"))
+              val hits = tickShingles
+                .join(idxRows.select("s", "suite"), Seq("s"))
+                .groupBy(col("_dc_id"), col("suite"))
+                .agg(count(lit(1)).as("_dc_hits"))
+              val thr = coalesce(
+                element_at(typedlit(thresholds), col("suite")), lit(0.0))
+              hits.join(totals, Seq("_dc_id"))
+                .filter(col("_dc_hits").cast("double") / col("_dc_tot") > thr)
+                .select(col("_dc_id")).distinct()
+            }
           }
         val survivors = pulled.join(contaminated,
           col(idCol) === col("_dc_id"), "left_anti")

@@ -634,6 +634,45 @@ object PipelineQueries {
         .select(all.columns.toIndexedSeq.map(col): _*)
     }),
 
+    // GRADED incremental decontamination: two suites with different
+    // thresholds over planted marker passages — a doc whose text IS the
+    // easy passage (contamination 1.0 > 0.6) drops, a doc that merely
+    // APPENDS it (small fraction) survives, while ANY strict-suite
+    // shingle drops (threshold 0). Out-of-order ticks; the oracle
+    // restates the batch graded rule independently
+    "p_decontaminate_graded_incremental" -> ((s, d) => {
+      import graft.core.{TableConfig, TableType}
+      import graft.table.{GraftTable, WritePipeline}
+      import s.implicits._
+      val easy = (1 to 12).map(i => s"zqe$i").mkString(" ")
+      val strict = (1 to 10).map(i => s"zqs$i").mkString(" ")
+      val all = docs(s, d)
+      val train = all.withColumn("text",
+        when(col("doc_id") % 11 === 0, lit(easy))
+          .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + strict)))
+          .when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + easy)))
+          .otherwise(col("text")))
+      val root = s"/tmp/graft_q/decon_graded_${Integer.toHexString(d.hashCode)}"
+      WritePipeline.deleteRecursively(new org.apache.hadoop.fs.Path(root))
+      val docsCfg = TableConfig("docs_src", TableType.CopyOnWrite, Seq("doc_id"), "", "")
+      val srcT = GraftTable.create(s, s"$root/source", docsCfg)
+      val cleanT = GraftTable.create(s, s"$root/clean", docsCfg.copy(tableName = "docs_clean"))
+      val idx = DecontaminateService.openIndex(s, s"$root/index", n = 8)
+      DecontaminateService.updateBenchmark(idx, Seq(easy).toDF("text"), suite = "easy")
+      DecontaminateService.updateBenchmark(idx, Seq(strict).toDF("text"), suite = "strict")
+      val thr = Map("easy" -> 0.6, "strict" -> 0.0)
+      val mx = train.agg(max("doc_id")).head().getLong(0)
+      val ticks = Seq( // deliberately unordered
+        train.filter(col("doc_id") > mx / 2),
+        train.filter(col("doc_id") <= mx / 2))
+      for (tick <- ticks) {
+        srcT.upsert(tick)
+        DecontaminateService.sync(srcT, cleanT, idx, thresholds = thr)
+      }
+      graft.read.Readers.snapshot(cleanT)
+        .select(all.columns.toIndexedSeq.map(col): _*)
+    }),
+
     // sequence packing: ~2048-token bins within stable hash buckets
     "p_pack_bins" -> ((s, d) =>
       Packing.packIntoBins(docs(s, d), maxTokensPerBin = 2048, buckets = 16)
@@ -2245,6 +2284,43 @@ object PipelineQueries {
     "p_decontaminate" -> decontaminateOracle,
     // incremental == batch (contamination is order-independent)
     "p_decontaminate_incremental" -> decontaminateOracle,
+    // graded per-suite thresholds: easy drops only past 0.6 of the doc's
+    // distinct shingles, strict drops on ANY hit — independent
+    // restatement of the batch contaminationScore rule over the same
+    // planted marker passages
+    "p_decontaminate_graded_incremental" -> {
+      val easy = (1 to 12).map(i => s"zqe$i").mkString(" ")
+      val strict = (1 to 10).map(i => s"zqs$i").mkString(" ")
+      raw"""WITH planted AS (
+           |  SELECT * REPLACE (CASE
+           |    WHEN doc_id % 11 = 0 THEN '$easy'
+           |    WHEN doc_id % 7 = 0 THEN text || ' $strict'
+           |    WHEN doc_id % 3 = 0 THEN text || ' $easy'
+           |    ELSE text END AS text)
+           |  FROM documents),
+           |tkd AS (SELECT doc_id, list_filter(
+           |  string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           |  FROM planted),
+           |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 8
+           |  THEN list_distinct(list_transform(generate_series(1, len(tk)-7),
+           |    i -> array_to_string(list_slice(tk, i, i+7), ' ')))
+           |  ELSE [array_to_string(tk, ' ')] END AS ss FROM tkd),
+           |bs AS (
+           |  SELECT 'easy' AS suite, unnest(list_transform(generate_series(1, 5),
+           |    i -> array_to_string(list_slice(string_split('$easy', ' '), i, i+7), ' '))) AS s
+           |  UNION ALL
+           |  SELECT 'strict' AS suite, unnest(list_transform(generate_series(1, 3),
+           |    i -> array_to_string(list_slice(string_split('$strict', ' '), i, i+7), ' '))) AS s),
+           |tot AS (SELECT doc_id, len(ss) AS tot FROM sh),
+           |hits AS (SELECT e.doc_id, b.suite, count(*) AS h
+           |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh) e
+           |  JOIN bs b ON e.s = b.s GROUP BY 1, 2),
+           |bad AS (SELECT DISTINCT h.doc_id FROM hits h JOIN tot t USING (doc_id)
+           |  WHERE (h.suite = 'easy' AND CAST(h.h AS DOUBLE) / t.tot > 0.6)
+           |     OR (h.suite = 'strict' AND h.h > 0))
+           |SELECT p.* FROM planted p
+           |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = p.doc_id)""".stripMargin
+    },
     "p_pack_bins" -> packBinsOracle,
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,

@@ -131,15 +131,15 @@ object CatalogSync {
     val current = graft.read.Readers.snapshot(t)
       .drop(graft.core.MetaCols.All: _*).schema
     tgt.ensureDatabase(db, dbLocation)
-    // identity partition column(s) → declared metastore partition keys;
-    // expression partitioning publishes unpartitioned (the engine prunes
-    // through its own file index either way — keys matter to OTHER
-    // engines reading the metastore, HiveSyncTool's audience)
-    val expr = t.cfg.partitionPathExpr
-    val partCols =
-      if (expr.nonEmpty && expr.matches("[A-Za-z_][A-Za-z0-9_]*"))
-        current.fields.filter(_.name.equalsIgnoreCase(expr)).toSeq
-      else Seq.empty
+    // identity partition column(s) — single bare column or the compiled
+    // multi-level concat_ws('/') form — become declared metastore
+    // partition keys; true expression partitioning publishes
+    // unpartitioned (the engine prunes through its own file index either
+    // way — keys matter to OTHER engines reading the metastore,
+    // HiveSyncTool's audience)
+    val names = graft.keygen.KeyGen.identityPartitionCols(t.cfg.partitionPathExpr)
+    val resolved = names.flatMap(n => current.fields.find(_.name.equalsIgnoreCase(n)))
+    val partCols = if (resolved.size == names.size) resolved else Seq.empty
     val hivePrefix = graft.keygen.KeyGen.hiveStyleNameOf(t.cfg).map(_ + "=")
     // metadata-only partition listing (no file IO beyond the commit view)
     val partitions = t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
@@ -147,7 +147,14 @@ object CatalogSync {
       .map { p =>
         val values =
           if (partCols.isEmpty) Seq.empty[String]
-          else Seq(hivePrefix.filter(p.startsWith).map(p.stripPrefix).getOrElse(p))
+          else if (partCols.size == 1)
+            Seq(hivePrefix.filter(p.startsWith).map(p.stripPrefix).getOrElse(p))
+          else {
+            // one directory level per column (the multi-level contract);
+            // hive-style prefixes never apply to multi-level layouts
+            val parts = p.split("/", partCols.size)
+            partCols.indices.map(i => if (i < parts.length) parts(i) else "")
+          }
         CatalogTarget.PartitionRef(p, values)
       }
     def publish(name: String, options: Map[String, String]): Unit = {

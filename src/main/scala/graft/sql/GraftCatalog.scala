@@ -366,24 +366,9 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
     * expression partitioning — which has no v2 row form.
     */
   private[sql] def partitionFields: Seq[org.apache.spark.sql.types.StructField] = {
-    val e = table.cfg.partitionPathExpr
-    def field(n: String) = schema().fields.find(_.name.equalsIgnoreCase(n))
-    if (e.isEmpty) Seq.empty
-    else if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) field(e).toSeq
-    else {
-      val Multi = """concat_ws\('/', (.*)\)""".r
-      val Col = """cast\(`([A-Za-z_][A-Za-z0-9_]*)` as string\)""".r
-      e match {
-        case Multi(inner) =>
-          val cols = inner.split(", ").toSeq.map {
-            case Col(n) => field(n)
-            case _ => None
-          }
-          if (cols.nonEmpty && cols.forall(_.isDefined)) cols.flatten
-          else Seq.empty
-        case _ => Seq.empty
-      }
-    }
+    val names = graft.keygen.KeyGen.identityPartitionCols(table.cfg.partitionPathExpr)
+    val fields = names.flatMap(n => schema().fields.find(_.name.equalsIgnoreCase(n)))
+    if (fields.size == names.size) fields else Seq.empty
   }
 
   private[sql] def partitionField: Option[org.apache.spark.sql.types.StructField] =

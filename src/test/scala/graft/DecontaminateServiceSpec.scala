@@ -94,4 +94,37 @@ class DecontaminateServiceSpec extends AnyFunSuite {
     // the benchmark index is source-independent and survived untouched
     assert(Readers.snapshot(idx).count() === benchRows)
   }
+
+  test("graded thresholds match the batch contaminationScore rule per suite") {
+    val root = tmpDir("decon_svc4").toString
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    val idx = DecontaminateService.openIndex(spark, s"$root/index", n = 8)
+    import spark.implicits._
+    val easy = (1 to 12).map(i => s"zqe$i").mkString(" ")
+    val strict = (1 to 10).map(i => s"zqs$i").mkString(" ")
+    DecontaminateService.updateBenchmark(idx, Seq(easy).toDF("text"), suite = "easy")
+    DecontaminateService.updateBenchmark(idx, Seq(strict).toDF("text"), suite = "strict")
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, easy), // 100% easy > 0.6 → dropped
+      (2L, filler + " " + easy), // small easy fraction → kept
+      (3L, filler + " " + strict), // ANY strict hit (thr 0) → dropped
+      (4L, filler)) // untouched → kept
+    srcT.upsert(rows.toDF("doc_id", "text"))
+    DecontaminateService.sync(srcT, cleanT, idx,
+      thresholds = Map("easy" -> 0.6, "strict" -> 0.0))
+    assert(Readers.snapshot(cleanT).select("doc_id").as[Long].collect().toSet ===
+      Set(2L, 4L))
+    // the batch graded operator agrees: contaminationScore over the same
+    // rows thresholds to the same survivor set
+    val scoreEasy = Decontaminate.contaminationScore(
+      rows.toDF("doc_id", "text"), Seq(easy).toDF("text"), n = 8)
+    val scoreStrict = Decontaminate.contaminationScore(
+      rows.toDF("doc_id", "text"), Seq(strict).toDF("text"), n = 8)
+    val badBatch =
+      scoreEasy.filter(col("contamination") > 0.6).select("doc_id").as[Long].collect().toSet ++
+        scoreStrict.filter(col("n_hits") > 0).select("doc_id").as[Long].collect().toSet
+    assert(badBatch === Set(1L, 3L))
+  }
 }

@@ -167,6 +167,35 @@ class HiveCatalogTargetSpec extends AnyFunSuite {
       names1.filter(_.startsWith("yr=plain")))
   }
 
+  test("multi-level identity partitions register as typed two-key HMS partitions") {
+    val dir = tmpDir("hms_t9").toString + "/t"
+    Seq((1L, 1L, 10.0, "1995", "eu"), (2L, 1L, 20.0, "1995", "us"),
+      (3L, 1L, 30.0, "1996", "eu"))
+      .toDF("id", "ver", "price", "yr", "region")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("partitionPathExpr",
+        "concat_ws('/', cast(`yr` as string), cast(`region` as string))")
+      .option("operation", "upsert")
+      .save(dir)
+    CatalogSync.sync(spark, dir, "hdb9", "t", target = target)
+    val t = client.getTable("hdb9", "t")
+    // BOTH columns are declared keys, neither is a data column
+    assert(t.getPartitionKeys.asScala.map(_.getName) === Seq("yr", "region"))
+    assert(!t.getSd.getCols.asScala.map(_.getName).exists(
+      n => n == "yr" || n == "region"))
+    val parts = client.listPartitions("hdb9", "t", -1).asScala
+    assert(parts.map(_.getValues.asScala.toSeq).toSet ===
+      Set(Seq("1995", "eu"), Seq("1995", "us"), Seq("1996", "eu")))
+    assert(parts.forall(p => p.getSd.getLocation ===
+      t.getSd.getLocation + "/" + p.getValues.asScala.mkString("/")))
+    // drop reconciliation resolves the two-level names too
+    graft.table.GraftTable.load(spark, dir).deletePartitions(Seq("1995/us"))
+    CatalogSync.sync(spark, dir, "hdb9", "t", target = target)
+    assert(client.listPartitionNames("hdb9", "t", -1).asScala.sorted ===
+      Seq("yr=1995/region=eu", "yr=1996/region=eu"))
+  }
+
   test("refuses to drop a same-named non-graft metastore entry") {
     val dir = tmpDir("hms_t5").toString + "/t"
     writeTable(dir, Seq((1L, 1L, 10.0, "1995")))
