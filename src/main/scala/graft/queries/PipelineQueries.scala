@@ -975,6 +975,23 @@ object PipelineQueries {
         Seq(col("n_chars").desc, col("doc_id")))
         .select("doc_id", "source", "n_chars")),
 
+    // the same cap keyed by the REAL PSL registrable domain: github.io
+    // subdomains group per-site (private suffix), com.au shops per-shop
+    // (multi-level ICANN suffix) — the zero-shuffle domain expression
+    // feeds the one group shuffle the cap needs
+    "p_domain_cap_psl" -> ((s, d) => {
+      val j = (col("doc_id") % 5).cast("string")
+      val url = when(col("doc_id") % 2 === 0,
+          concat(lit("https://u"), (col("doc_id") % 13).cast("string"),
+            lit(".site"), j, lit(".github.io/p")))
+        .otherwise(concat(lit("https://www.shop"), j, lit(".com.au/p")))
+      val withDom = docs(s, d).withColumn("domain",
+        graft.pipeline.Urls.registrableDomainPsl(url))
+      Sampling.capPerGroup(withDom, "domain", 3,
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "domain", "n_chars")
+    }),
+
     // distributed BPE merge-rule training (Sennrich 2016): the corpus
     // collapses ONCE into a word-frequency table, then every iteration is
     // O(vocabulary) — pair count, one-row argmax, row-local merge fold.
@@ -2094,6 +2111,19 @@ object PipelineQueries {
         |  SELECT doc_id, source, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+    // the oracle restates the PSL grouping directly (u*.siteJ.github.io
+    // groups per siteJ.github.io, www.shopJ.com.au per shopJ.com.au)
+    "p_domain_cap_psl" ->
+      """SELECT doc_id, domain, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'
+        |      ELSE 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.com.au' END AS domain,
+        |    row_number() OVER (PARTITION BY (CASE WHEN doc_id % 2 = 0
+        |      THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'
+        |      ELSE 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.com.au' END)
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 3""".stripMargin,
     "p_hybrid_retrieval" ->
       raw"""WITH tkd AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
