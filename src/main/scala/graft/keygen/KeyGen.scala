@@ -66,12 +66,44 @@ object KeyGen {
         cfg.partitionPathExpr
       else "partition"))
 
+  /** The identity partition columns to render hive-style PER LEVEL, when
+    * the config combines hive-style naming with a MULTI-column identity
+    * layout (the reference's MultiPartKeysValueExtractor shape —
+    * `yr=1995/region=eu`); None everywhere else (single-level naming is
+    * [[hiveStyleNameOf]]'s, expression layouts stay plain).
+    */
+  def hiveStyleLevelNames(cfg: TableConfig): Option[Seq[String]] = {
+    val idCols = identityPartitionCols(cfg.partitionPathExpr)
+    if (idCols.size > 1 &&
+        cfg.prop(graft.core.ConfigKeys.HiveStylePartitioning, "false") == "true")
+      Some(idCols)
+    else None
+  }
+
+  /** The partition-path column a config renders — the ONE definition the
+    * write path and the static-overwrite scope probe share. Multi-column
+    * identity layouts with hive-style naming prefix EVERY level
+    * (`yr=1995/region=eu`, nulls per level → the default partition);
+    * everything else delegates to [[partitionPathCol]].
+    */
+  def partitionPathColFor(cfg: TableConfig): Column = {
+    val urlEnc = cfg.prop(graft.core.ConfigKeys.UrlEncodePartitions, "false").toBoolean
+    hiveStyleLevelNames(cfg) match {
+      case Some(names) =>
+        concat_ws("/", names.map { n =>
+          val raw = coalesce(col(n).cast(StringType), lit(DefaultPartition))
+          val encoded = if (urlEnc) url_encode(raw) else raw
+          concat(lit(n + "="), encoded)
+        }: _*)
+      case None =>
+        partitionPathCol(cfg.partitionPathExpr, urlEnc, hiveStyleNameOf(cfg))
+    }
+  }
+
   /** Append `_hoodie_record_key` and `_hoodie_partition_path`. */
   def withKeyColumns(df: DataFrame, cfg: TableConfig): DataFrame =
     df.withColumn(MetaCols.RecordKey, recordKeyCol(cfg.recordKeyFields))
-      .withColumn(MetaCols.PartitionPath, partitionPathCol(cfg.partitionPathExpr,
-        cfg.prop(graft.core.ConfigKeys.UrlEncodePartitions, "false").toBoolean,
-        hiveStyleNameOf(cfg)))
+      .withColumn(MetaCols.PartitionPath, partitionPathColFor(cfg))
 
   /** TimestampBasedAvroKeyGenerator analog (reference
     * keygen/TimestampBasedAvroKeyGenerator.java:50-112): build the

@@ -150,10 +150,16 @@ object CatalogSync {
           else if (partCols.size == 1)
             Seq(hivePrefix.filter(p.startsWith).map(p.stripPrefix).getOrElse(p))
           else {
-            // one directory level per column (the multi-level contract);
-            // hive-style prefixes never apply to multi-level layouts
+            // one directory level per column (the multi-level contract),
+            // each level's hive-style `name=` prefix stripped when the
+            // layout writes them
+            val levelNames = graft.keygen.KeyGen.hiveStyleLevelNames(t.cfg)
             val parts = p.split("/", partCols.size)
-            partCols.indices.map(i => if (i < parts.length) parts(i) else "")
+            partCols.indices.map { i =>
+              val s = if (i < parts.length) parts(i) else ""
+              levelNames.map(_(i) + "=").filter(s.startsWith)
+                .map(s.stripPrefix).getOrElse(s)
+            }
           }
         CatalogTarget.PartitionRef(p, values)
       }

@@ -390,9 +390,12 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
     if (fs.isEmpty) InternalRow.empty
     else if (fs.size == 1) InternalRow(pathToValue(raw, fs.head))
     else {
+      val hiveLevels = graft.keygen.KeyGen.hiveStyleLevelNames(table.cfg).isDefined
       val parts = raw.split("/", fs.size)
       InternalRow.fromSeq(fs.zipWithIndex.map { case (f, i) =>
-        val s = if (i < parts.length) parts(i) else ""
+        val s0 = if (i < parts.length) parts(i) else ""
+        val s = if (hiveLevels && s0.startsWith(f.name + "="))
+          s0.stripPrefix(f.name + "=") else s0
         org.apache.spark.sql.catalyst.expressions.Cast(
           org.apache.spark.sql.catalyst.expressions.Literal(
             org.apache.spark.unsafe.types.UTF8String.fromString(s),
@@ -433,10 +436,15 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
         org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)
       if (s == null) "" else s.toString
     }
-    val raw = fs.indices.map(render).mkString("/")
-    graft.keygen.KeyGen.hiveStyleNameOf(table.cfg) match {
-      case Some(n) if fs.size == 1 => s"$n=$raw"
-      case _ => raw
+    graft.keygen.KeyGen.hiveStyleLevelNames(table.cfg) match {
+      case Some(names) =>
+        fs.indices.map(i => s"${names(i)}=${render(i)}").mkString("/")
+      case None =>
+        val raw = fs.indices.map(render).mkString("/")
+        graft.keygen.KeyGen.hiveStyleNameOf(table.cfg) match {
+          case Some(n) if fs.size == 1 => s"$n=$raw"
+          case _ => raw
+        }
     }
   }
 

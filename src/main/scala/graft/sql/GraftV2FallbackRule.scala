@@ -184,11 +184,8 @@ final case class GraftOverwritePartitionsCommand(v2: GraftV2Table,
         // out-of-scope row would silently wipe a partition the statement
         // never named. The probe is the batch's DISTINCT partition paths
         // (metadata-bounded), rendered by the table's own keygen.
-        val cfg = v2.table.cfg
-        val batchPaths = aligned.select(graft.keygen.KeyGen.partitionPathCol(
-            cfg.partitionPathExpr,
-            cfg.prop(graft.core.ConfigKeys.UrlEncodePartitions, "false").toBoolean,
-            graft.keygen.KeyGen.hiveStyleNameOf(cfg)).as("p"))
+        val batchPaths = aligned.select(
+            graft.keygen.KeyGen.partitionPathColFor(v2.table.cfg).as("p"))
           .distinct().collect().map(_.getString(0))
         val outside = batchPaths.filterNot(raw => p.eval(v2.pathToValues(raw)) == true)
         if (outside.nonEmpty) throw new AnalysisException("USER_RAISED_EXCEPTION",

@@ -351,6 +351,31 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.db21.t").head().getLong(0) === 2)
   }
 
+  test("hive-style multi-level catalog tables: k=v per level, scoped overwrite, DROP") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db23")
+    spark.sql("""
+      CREATE TABLE gcat.db23.t (id BIGINT, ver BIGINT, yr STRING, region STRING)
+      USING graft PARTITIONED BY (yr, region)
+      OPTIONS (recordKeyFields 'id', precombineField 'ver',
+        'graft.hive.style.partitioning' 'true')""")
+    spark.sql("""INSERT INTO gcat.db23.t VALUES
+      (1, 1, '1995', 'eu'), (2, 1, '1995', 'us'), (3, 1, '1996', 'eu')""")
+    // the layout prefixes EVERY level
+    val parts = spark.sql("SHOW PARTITIONS gcat.db23.t").collect().map(_.getString(0))
+    assert(parts.sorted === Array("yr=1995/region=eu", "yr=1995/region=us",
+      "yr=1996/region=eu"))
+    // static overwrite scopes to the hive-named leaf
+    spark.sql("""INSERT OVERWRITE gcat.db23.t PARTITION (yr = '1995', region = 'eu')
+      SELECT 9, 1""")
+    val got = spark.sql("SELECT id, yr, region FROM gcat.db23.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got === Array((2L, "1995", "us"), (3L, "1996", "eu"), (9L, "1995", "eu")))
+    // v2 partition idents resolve through the prefixed layout
+    spark.sql("ALTER TABLE gcat.db23.t DROP PARTITION (yr = '1995', region = 'us')")
+    assert(spark.sql("SELECT count(*) FROM gcat.db23.t").head().getLong(0) === 2)
+  }
+
   test("static overwrite refuses rows outside the named partition scope") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db22")

@@ -196,6 +196,30 @@ class HiveCatalogTargetSpec extends AnyFunSuite {
       Seq("yr=1995/region=eu", "yr=1996/region=eu"))
   }
 
+  test("hive-style multi-level layouts sync typed values (prefixes stripped)") {
+    val dir = tmpDir("hms_t10").toString + "/t"
+    Seq((1L, 1L, "1995", "eu"), (2L, 1L, "1996", "us"))
+      .toDF("id", "ver", "yr", "region")
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("partitionPathExpr",
+        "concat_ws('/', cast(`yr` as string), cast(`region` as string))")
+      .option("graft.hive.style.partitioning", "true")
+      .option("operation", "upsert")
+      .save(dir)
+    CatalogSync.sync(spark, dir, "hdb10", "t", target = target)
+    val parts = client.listPartitions("hdb10", "t", -1).asScala
+    // typed VALUES carry no k= prefix; locations keep the on-disk layout
+    assert(parts.map(_.getValues.asScala.toSeq).toSet ===
+      Set(Seq("1995", "eu"), Seq("1996", "us")))
+    assert(parts.map(_.getSd.getLocation).exists(_.endsWith("/yr=1995/region=eu")))
+    assert(client.listPartitionNames("hdb10", "t", -1).asScala.sorted ===
+      Seq("yr=1995/region=eu", "yr=1996/region=us"))
+    // idempotent re-sync (the HMS name diff sees the same escaped names)
+    CatalogSync.sync(spark, dir, "hdb10", "t", target = target)
+    assert(client.listPartitions("hdb10", "t", -1).asScala.size === 2)
+  }
+
   test("refuses to drop a same-named non-graft metastore entry") {
     val dir = tmpDir("hms_t5").toString + "/t"
     writeTable(dir, Seq((1L, 1L, 10.0, "1995")))

@@ -76,4 +76,29 @@ class PartitionPathSpec extends AnyFunSuite {
     t2.bulkInsert(Seq((1L, "us", 1L)).toDF("id", "region", "v"))
     assert(t2.view.fileSlices(None).map(_.partitionPath).distinct === Seq("region_uc=US"))
   }
+
+  test("multi-level identity + hive style prefixes EVERY level") {
+    val dir = tmpDir("pp_hive_ml").toString + "/t"
+    val t = GraftTable.create(spark, dir,
+      TableConfig("pp_hive_ml", TableType.CopyOnWrite, Seq("id"),
+        "concat_ws('/', cast(`yr` as string), cast(`region` as string))", "v",
+        Map(ConfigKeys.HiveStylePartitioning -> "true")))
+    t.bulkInsert(Seq((1L, "1995", "us", 1L), (2L, "1995", "eu", 2L),
+      (3L, "1996", "us", 3L)).toDF("id", "yr", "region", "v"))
+    val parts = t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
+    assert(parts === Seq("yr=1995/region=eu", "yr=1995/region=us", "yr=1996/region=us"))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir).resolve("yr=1995").resolve("region=us")))
+    // round trip: upsert stays in its leaf, partition ops address the
+    // full hive-style name, null levels fall to the default partition
+    t.upsert(Seq((1L, "1995", "us", 11L)).toDF("id", "yr", "region", "v"))
+    assert(Readers.snapshot(t).filter(col("id") === 1L)
+      .select("v").as[Long].head() === 11L)
+    t.upsert(Seq((4L, "1996", null, 4L)).toDF("id", "yr", "region", "v"))
+    assert(t.view.fileSlices(None).map(_.partitionPath).distinct.sorted
+      .contains("yr=1996/region=default"))
+    t.deletePartitions(Seq("yr=1995/region=eu"))
+    assert(Readers.snapshot(t).select("id").as[Long].collect().toSet ===
+      Set(1L, 3L, 4L))
+  }
 }
