@@ -5,27 +5,42 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** host → registrable domain under the bundled Public Suffix List
+/** host → registrable domain under the Public Suffix List
   * ([[graft.pipeline.Psl]]) — a native expression rather than a UDF or a
-  * broadcast join: the rule sets are classpath data every executor
-  * already has, the lookup is O(labels) hash probes, and `doGenCode`
-  * emits a static call so the op stays inside whole-stage codegen with
-  * zero shuffle. NULL when the host is itself a public suffix or
-  * malformed (callers filter or coalesce).
+  * broadcast join: the rule sets are data every executor loads once (the
+  * bundled classpath snapshot by default; a custom `rulesPath` swaps in
+  * a newer full download, read lazily per JVM through the storage
+  * layer), the lookup is O(labels) hash probes, and `doGenCode` emits a
+  * static call so the op stays inside whole-stage codegen with zero
+  * shuffle. NULL when the host is itself a public suffix or malformed
+  * (callers filter or coalesce).
   */
-final case class RegistrableDomainPsl(child: Expression) extends UnaryExpression {
+final case class RegistrableDomainPsl(child: Expression,
+    rulesPath: Option[String] = None) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_registrable_domain_psl"
 
-  override protected def nullSafeEval(input: Any): Any =
-    graft.pipeline.Psl.registrable(input.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(input: Any): Any = rulesPath match {
+    case None => graft.pipeline.Psl.registrable(input.asInstanceOf[UTF8String])
+    case Some(p) => graft.pipeline.Psl.registrable(
+      input.asInstanceOf[UTF8String], UTF8String.fromString(p))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.pipeline.Psl$$.MODULE$$.registrable($c);
-      ${ev.isNull} = ${ev.value} == null;""")
+    rulesPath match {
+      case None =>
+        nullSafeCodeGen(ctx, ev, c => s"""
+          ${ev.value} = graft.pipeline.Psl$$.MODULE$$.registrable($c);
+          ${ev.isNull} = ${ev.value} == null;""")
+      case Some(p) =>
+        val pathRef = ctx.addReferenceObj("pslPath",
+          UTF8String.fromString(p), classOf[UTF8String].getName)
+        nullSafeCodeGen(ctx, ev, c => s"""
+          ${ev.value} = graft.pipeline.Psl$$.MODULE$$.registrable($c, $pathRef);
+          ${ev.isNull} = ${ev.value} == null;""")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): RegistrableDomainPsl =
     copy(child = newChild)

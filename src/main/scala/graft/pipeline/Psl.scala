@@ -109,4 +109,24 @@ object Psl {
     val r = registrableDomain(host.toString, bundled)
     if (r == null) null else UTF8String.fromString(r)
   }
+
+  // custom rule files, parsed once per (JVM, path) — the operational swap
+  // for a NEWER full publicsuffix.org download without rebuilding the
+  // jar: every executor lazily reads the same path through the storage
+  // layer (any Hadoop FS), so nothing is broadcast or shipped
+  private val byPath = new java.util.concurrent.ConcurrentHashMap[String, Rules]()
+
+  def fromPath(path: String): Rules =
+    byPath.computeIfAbsent(path, p =>
+      parse(graft.core.Storage.readString(
+        new org.apache.hadoop.fs.Path(p)).linesIterator))
+
+  /** Codegen hot path for a CUSTOM rule file (see
+    * [[graft.functions.RegistrableDomainPsl]] with a path).
+    */
+  def registrable(host: UTF8String, path: UTF8String): UTF8String = {
+    if (host == null) return null
+    val r = registrableDomain(host.toString, fromPath(path.toString))
+    if (r == null) null else UTF8String.fromString(r)
+  }
 }

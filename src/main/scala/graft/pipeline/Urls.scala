@@ -72,6 +72,17 @@ object Urls {
       graft.functions.RegistrableDomainPsl(
         org.apache.spark.sql.GraftSqlBridge.expressionOf(urlHost(url))))
 
+  /** [[registrableDomainPsl]] over a CUSTOM rule file (a current full
+    * publicsuffix.org download on any Hadoop-visible path) — the
+    * operational data swap, no rebuild: each executor parses the file
+    * once per JVM. Same zero-shuffle codegen'd shape.
+    */
+  def registrableDomainPsl(url: Column, rulesPath: String): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.RegistrableDomainPsl(
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(urlHost(url)),
+        Some(rulesPath)))
+
   /** Registrable domain of a url, HEURISTIC form: last two host labels,
     * or three when the second-to-last is a multi-level-TLD label
     * (`sub.example.co.uk` → `example.co.uk`); a bare one/two-label host

@@ -117,8 +117,9 @@ class CatalogDmlFuzzSpec extends AnyFunSuite {
 
     val layoutOpts = Map(
       2 -> ", 'graft.index.type' 'BUCKET', 'graft.index.bucket.num' '4'",
-      3 -> ", tableType 'MERGE_ON_READ'")
-    for (trial <- 1 to 3) {
+      3 -> ", tableType 'MERGE_ON_READ'",
+      4 -> ", 'graft.hive.style.partitioning' 'true'") // k=v per level
+    for (trial <- 1 to 4) {
       val t = s"gfuzz2.db.t$trial"
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"""CREATE TABLE $t (id BIGINT, ver BIGINT, price DOUBLE,

@@ -112,4 +112,24 @@ class UrlsSpec extends AnyFunSuite {
     // bundled snapshot loads and resolves
     assert(Psl.registrableDomain("deep.x.github.io", Psl.bundled) === "x.github.io")
   }
+
+  test("custom PSL file path swaps the rule set without a rebuild") {
+    val f = java.nio.file.Files.createTempFile("psl_custom", ".dat")
+    java.nio.file.Files.writeString(f,
+      "// custom snapshot\nmy.zone\n*.wild.zone\n!ok.wild.zone\n")
+    val path = f.toString
+    val cases = Seq(
+      (1L, "https://a.b.my.zone/x", "b.my.zone"), // custom 2-level rule
+      (2L, "https://x.deep.wild.zone/", "x.deep.wild.zone"), // custom wildcard
+      (3L, "https://ok.wild.zone/", "ok.wild.zone"), // custom exception
+      // the custom file REPLACES the bundled rules: github.io is now an
+      // unlisted suffix, so the implicit * rule groups by last two labels
+      (4L, "https://a.b.github.io/", "github.io"))
+    cases.toDF("id", "url", "want")
+      .select(col("id"), Urls.registrableDomainPsl(col("url"), path).as("got"),
+        col("want"))
+      .collect()
+      .foreach(r => assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"case ${r.getLong(0)}"))
+  }
 }
