@@ -68,6 +68,31 @@ object Cleaning {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  // ------------------------------------------------- text normalization
+
+  /** Unicode text normalization — the pre-tokenization cleanup every
+    * corpus pipeline runs before counting, hashing or training: control
+    * chars drop, zero-width chars drop, unicode spaces unify to ASCII
+    * space, curly quotes/dashes/ellipsis unify to their ASCII forms, and
+    * runs of spaces/tabs collapse (NEWLINES are preserved — line
+    * structure feeds the C4 rules and in-document line dedup downstream).
+    * A row-local codegen'd regex chain, zero shuffle; character classes
+    * use `\x{...}` escapes, which parse identically under java.util.regex
+    * and RE2 — the oracle replays the chain verbatim.
+    */
+  def normalizeText(text: Column): Column = {
+    val noCtl = regexp_replace(text,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val noZw = regexp_replace(noCtl, "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    val sp = regexp_replace(noZw,
+      "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
+    val q1 = regexp_replace(sp, "[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]", "'")
+    val q2 = regexp_replace(q1, "[\\x{201C}\\x{201D}\\x{201E}\\x{201F}]", "\"")
+    val dash = regexp_replace(q2, "[\\x{2010}-\\x{2015}\\x{2212}]", "-")
+    val ell = regexp_replace(dash, "\\x{2026}", "...")
+    regexp_replace(ell, "[ \\t]+", " ")
+  }
+
   /** Remove repeated lines WITHIN one document, keeping each line's first
     * occurrence in order — the in-document half of boilerplate removal
     * (nav bars and footers repeating inside a page), complementing the

@@ -769,6 +769,21 @@ object PipelineQueries {
         graft.pipeline.Urls.registrableDomainPsl(url).as("domain"))
     }),
 
+    // unicode normalization: docs wrapped in deterministic messy framing
+    // (curly quotes, em dash, NBSP, zero-width, BEL control, ellipsis,
+    // tab) must come back ASCII-normalized — the chain replays verbatim
+    // under RE2
+    "p_text_normalize" -> ((s, d) => {
+      // explicit \u escapes keep the planted chars reviewable: curly
+      // quotes, NBSP, em dash, ellipsis, zero-width space, BEL, tab
+      val messy = concat(
+        lit("\u201Cstart\u201D\u00A0"), col("text"),
+        lit(" \u2014 tail\u2026 \u2018q\u2019\u200Bz\u0007 end\tok"))
+      docs(s, d).select(col("doc_id"),
+          graft.pipeline.Cleaning.normalizeText(messy).as("text_out"))
+        .withColumn("n_chars_out", length(col("text_out")).cast("long"))
+    }),
+
     // in-document line dedup: a synthetic nav/footer line planted around
     // each doc's text (and the text's own first line repeated at the end)
     // must collapse to first occurrences in order
@@ -2420,6 +2435,23 @@ object PipelineQueries {
            |         THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
            |       ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS domain
            |FROM d""".stripMargin,
+    // the SAME \x{...} character-class chain replayed under RE2; the
+    // planted framing is rebuilt from chr() code points
+    "p_text_normalize" ->
+      raw"""WITH m AS (SELECT doc_id,
+           |  chr(8220) || 'start' || chr(8221) || chr(160) || text ||
+           |  ' ' || chr(8212) || ' tail' || chr(8230) || ' ' || chr(8216) ||
+           |  'q' || chr(8217) || chr(8203) || 'z' || chr(7) || ' end' ||
+           |  chr(9) || 'ok' AS t FROM documents),
+           |n1 AS (SELECT doc_id, regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t FROM m),
+           |n2 AS (SELECT doc_id, regexp_replace(t, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS t FROM n1),
+           |n3 AS (SELECT doc_id, regexp_replace(t, '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS t FROM n2),
+           |n4 AS (SELECT doc_id, regexp_replace(t, '[\x{2018}\x{2019}\x{201A}\x{201B}]', chr(39), 'g') AS t FROM n3),
+           |n5 AS (SELECT doc_id, regexp_replace(t, '[\x{201C}\x{201D}\x{201E}\x{201F}]', '"', 'g') AS t FROM n4),
+           |n6 AS (SELECT doc_id, regexp_replace(t, '[\x{2010}-\x{2015}\x{2212}]', '-', 'g') AS t FROM n5),
+           |n7 AS (SELECT doc_id, regexp_replace(t, '\x{2026}', '...', 'g') AS t FROM n6),
+           |n8 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM n7)
+           |SELECT doc_id, t AS text_out, length(t)::BIGINT AS n_chars_out FROM n8""".stripMargin,
     // first-occurrence filter replayed with DuckDB's 1-based indexed
     // lambda (Spark's filter index is 0-based — both compare against the
     // 1-based list_position/array_position)

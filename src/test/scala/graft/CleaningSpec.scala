@@ -67,6 +67,26 @@ class CleaningSpec extends AnyFunSuite {
       .foreach(r => assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}"))
   }
 
+  test("unicode normalization: controls, zero-width, spaces, quotes, dashes, ellipsis") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "“hi” and ‘lo’", "\"hi\" and 'lo'"),
+      (2L, "a\u00A0b\u2003c\u3000d", "a b c d"),
+      (3L, "zero\u200Bwidth\u200D\uFEFFgone", "zerowidthgone"),
+      (4L, "bell\u0007 del\u007F tab\t\ttab", "bell del tab tab"),
+      (5L, "en–dash em—dash minus−sign", "en-dash em-dash minus-sign"),
+      (6L, "wait… more", "wait... more"),
+      // newlines SURVIVE (line structure feeds C4 + line dedup), only
+      // space/tab runs collapse
+      (7L, "line one  \t\nline\ttwo", "line one \nline two"),
+      (8L, "plain ascii stays.", "plain ascii stays."))
+    cases.toDF("id", "txt", "want")
+      .select(col("id"), graft.pipeline.Cleaning.normalizeText(col("txt")).as("got"),
+        col("want"))
+      .collect()
+      .foreach(r => assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}"))
+  }
+
   test("C4 line rule: punctuation, word count, javascript marker") {
     def keep(s: String): Boolean =
       Seq(s).toDF("l").select(Cleaning.c4KeepLine(col("l"))).first().getBoolean(0)
