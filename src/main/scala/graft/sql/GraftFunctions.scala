@@ -127,6 +127,28 @@ object GraftFunctions {
     fromColumns("graft_url_domain", 1,
       "registrable domain of a url (multi-level-TLD aware heuristic)")(
       a => graft.pipeline.Urls.registrableDomain(a.head)),
+    fromColumns("graft_url_canonical", 1,
+      "canonical url for URL-level dedup (scheme/www/fragment/default-port " +
+        "normalized, tracking params dropped, params sorted)")(
+      a => graft.pipeline.Urls.canonicalUrl(a.head)),
+    // round-14: PSL registrable domain — 1-arg bundled snapshot, 2-arg
+    // custom rule-file path (string literal)
+    (FunctionIdentifier("graft_url_domain_psl"),
+      new ExpressionInfo(classOf[graft.functions.RegistrableDomainPsl].getName,
+        "graft_url_domain_psl"),
+      (args: Seq[Expression]) => args match {
+        case Seq(u) => GraftSqlBridge.expressionOf(
+          graft.pipeline.Urls.registrableDomainPsl(GraftSqlBridge.column(u)))
+        case Seq(u, Literal(p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          GraftSqlBridge.expressionOf(graft.pipeline.Urls.registrableDomainPsl(
+            GraftSqlBridge.column(u), p.toString))
+        case _ => throw new IllegalArgumentException(
+          "graft_url_domain_psl(url[, rulesPath literal])")
+      }),
+    fromColumns("graft_text_normalize", 1,
+      "unicode normalization: controls/zero-width drop, spaces/quotes/" +
+        "dashes/ellipsis unify, space runs collapse (newlines kept)")(
+      a => graft.pipeline.Cleaning.normalizeText(a.head)),
 
     // media hashes (round-12 operators): codec work can never codegen, so
     // a Scala UDF is the honest tier — same row-local cost as the

@@ -178,6 +178,26 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(sql(1).isNullAt(3))
   }
 
+  test("round-14 functions: canonical url, PSL domain (incl. custom path), normalize") {
+    val f = java.nio.file.Files.createTempFile("psl_sqlfn", ".dat")
+    java.nio.file.Files.writeString(f, "my.zone\n")
+    Seq((1L, "http://www.X.com:80/a/?utm_source=t&b=2&a=1#f",
+        "https://blog.alpha.github.io/p", "“q” — ok…"),
+      (2L, "https://x.com:8080/a", "https://a.b.my.zone/p", "plain"))
+      .toDF("id", "url", "url2", "txt").createOrReplaceTempView("f14")
+    val got = spark.sql(s"""
+      SELECT id, graft_url_canonical(url) AS c,
+             graft_url_domain_psl(url2) AS d,
+             graft_url_domain_psl(url2, '${f.toString}') AS dc,
+             graft_text_normalize(txt) AS n
+      FROM f14 ORDER BY id""").collect()
+    assert(got(0).getString(1) === "x.com/a?a=1&b=2")
+    assert(got(1).getString(1) === "x.com:8080/a") // non-default port survives
+    assert(got(0).getString(2) === "alpha.github.io") // bundled PSL
+    assert(got(1).getString(3) === "b.my.zone") // custom rule file
+    assert(got(0).getString(4) === "\"q\" - ok...")
+  }
+
   test("graft_video_frames demuxes MJPEG-AVI in SQL; non-AVI is NULL") {
     import graft.pipeline.Multimodal
     val jpegs = (0 until 3).map(i => Multimodal.syntheticJpegFrame(9L, i, 48))
