@@ -75,13 +75,16 @@ object Cleaning {
     * chars drop, zero-width chars drop, unicode spaces unify to ASCII
     * space, curly quotes/dashes/ellipsis unify to their ASCII forms, and
     * runs of spaces/tabs collapse (NEWLINES are preserved — line
-    * structure feeds the C4 rules and in-document line dedup downstream).
+    * structure feeds the C4 rules and in-document line dedup downstream;
+    * CRLF/bare-CR line endings unify to `\n` FIRST, so downstream
+    * `split("\n")` stages never see `\r`-polluted lines).
     * A row-local codegen'd regex chain, zero shuffle; character classes
     * use `\x{...}` escapes, which parse identically under java.util.regex
     * and RE2 — the oracle replays the chain verbatim.
     */
   def normalizeText(text: Column): Column = {
-    val noCtl = regexp_replace(text,
+    val nl = regexp_replace(text, "\\r\\n?", "\n")
+    val noCtl = regexp_replace(nl,
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     val noZw = regexp_replace(noCtl, "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
     val sp = regexp_replace(noZw,

@@ -778,7 +778,7 @@ object PipelineQueries {
       // quotes, NBSP, em dash, ellipsis, zero-width space, BEL, tab
       val messy = concat(
         lit("\u201Cstart\u201D\u00A0"), col("text"),
-        lit(" \u2014 tail\u2026 \u2018q\u2019\u200Bz\u0007 end\tok"))
+        lit(" \u2014 tail\u2026 \u2018q\u2019\u200Bz\u0007 end\tok\r\nnl \rcr"))
       docs(s, d).select(col("doc_id"),
           graft.pipeline.Cleaning.normalizeText(messy).as("text_out"))
         .withColumn("n_chars_out", length(col("text_out")).cast("long"))
@@ -2442,8 +2442,9 @@ object PipelineQueries {
            |  chr(8220) || 'start' || chr(8221) || chr(160) || text ||
            |  ' ' || chr(8212) || ' tail' || chr(8230) || ' ' || chr(8216) ||
            |  'q' || chr(8217) || chr(8203) || 'z' || chr(7) || ' end' ||
-           |  chr(9) || 'ok' AS t FROM documents),
-           |n1 AS (SELECT doc_id, regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t FROM m),
+           |  chr(9) || 'ok' || chr(13) || chr(10) || 'nl ' || chr(13) || 'cr' AS t FROM documents),
+           |n0 AS (SELECT doc_id, regexp_replace(t, '\r\n?', chr(10), 'g') AS t FROM m),
+           |n1 AS (SELECT doc_id, regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t FROM n0),
            |n2 AS (SELECT doc_id, regexp_replace(t, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS t FROM n1),
            |n3 AS (SELECT doc_id, regexp_replace(t, '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS t FROM n2),
            |n4 AS (SELECT doc_id, regexp_replace(t, '[\x{2018}\x{2019}\x{201A}\x{201B}]', chr(39), 'g') AS t FROM n3),

@@ -79,6 +79,9 @@ class CleaningSpec extends AnyFunSuite {
       // newlines SURVIVE (line structure feeds C4 + line dedup), only
       // space/tab runs collapse
       (7L, "line one  \t\nline\ttwo", "line one \nline two"),
+      // CRLF and bare CR unify to \n FIRST, so split("\n") stages never
+      // see \r-polluted lines
+      (9L, "win\r\nline\rmac\nunix", "win\nline\nmac\nunix"),
       (8L, "plain ascii stays.", "plain ascii stays."))
     cases.toDF("id", "txt", "want")
       .select(col("id"), graft.pipeline.Cleaning.normalizeText(col("txt")).as("got"),

@@ -113,6 +113,39 @@ class UrlsSpec extends AnyFunSuite {
     assert(Psl.registrableDomain("deep.x.github.io", Psl.bundled) === "x.github.io")
   }
 
+  test("PSL matcher equals a naive all-rules reference on random hosts") {
+    import graft.pipeline.Psl
+    val rules = Psl.bundled
+    // naive O(rules) reference, straight from the published algorithm:
+    // exceptions first (registrable = the exception itself), else the
+    // longest exact/wildcard match is the public suffix, else depth 1
+    def naive(host: String): String = {
+      val labels = host.split('.')
+      if (host.isEmpty || host.startsWith(".") || host.endsWith(".") ||
+        host.contains("..")) return null
+      def suffixOf(depth: Int) = labels.takeRight(depth).mkString(".")
+      val n = labels.length
+      (n to 1 by -1).find(k => rules.exceptions.contains(suffixOf(k)))
+        .map(suffixOf) match {
+        case Some(exc) => exc
+        case None =>
+          val ps = (n to 1 by -1).find { k =>
+            rules.exact.contains(suffixOf(k)) ||
+              (k >= 2 && rules.wildcardBases.contains(suffixOf(k - 1)))
+          }.getOrElse(1)
+          if (n <= ps) null else suffixOf(ps + 1)
+      }
+    }
+    val pool = Seq("github", "io", "com", "au", "co", "uk", "ck", "www",
+      "kawasaki", "jp", "city", "blogspot", "k12", "ca", "us", "x", "a9", "b")
+    val rnd = new scala.util.Random(61409)
+    for (_ <- 1 to 3000) {
+      val host = Seq.fill(1 + rnd.nextInt(5))(pool(rnd.nextInt(pool.length)))
+        .mkString(".")
+      assert(Psl.registrableDomain(host, rules) === naive(host), s"host $host")
+    }
+  }
+
   test("custom PSL file path swaps the rule set without a rebuild") {
     val f = java.nio.file.Files.createTempFile("psl_custom", ".dat")
     java.nio.file.Files.writeString(f,
