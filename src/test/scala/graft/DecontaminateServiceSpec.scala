@@ -126,5 +126,12 @@ class DecontaminateServiceSpec extends AnyFunSuite {
       scoreEasy.filter(col("contamination") > 0.6).select("doc_id").as[Long].collect().toSet ++
         scoreStrict.filter(col("n_hits") > 0).select("doc_id").as[Long].collect().toSet
     assert(badBatch === Set(1L, 3L))
+    // a source rollback rebuilds through the SAME graded rule
+    val bad = srcT.upsert(Seq((9L, easy)).toDF("doc_id", "text"))
+    graft.table.Services.rollback(srcT, bad)
+    DecontaminateService.sync(srcT, cleanT, idx,
+      thresholds = Map("easy" -> 0.6, "strict" -> 0.0))
+    assert(Readers.snapshot(cleanT).select("doc_id").as[Long].collect().toSet ===
+      Set(2L, 4L))
   }
 }
