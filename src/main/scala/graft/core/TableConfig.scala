@@ -120,6 +120,15 @@ object ConfigKeys {
   // the `name` used by hive-style paths; defaults to the partition
   // expression when it is a bare column reference, else "partition"
   val PartitionName = "graft.partition.name"
+  // multi-COLUMN identity layouts under hive-style naming prefix EVERY
+  // level (`yr=1995/region=eu`) when true (default — the reference's
+  // MultiPartKeysValueExtractor shape). BREAKING-LAYOUT NOTE: builds
+  // before this option wrote PLAIN level values (`1995/eu`) for the same
+  // config; a pre-existing multi-column hive-style table must set this
+  // to false so new writes keep landing in its established layout
+  // (otherwise upserts of existing keys would move partitions and
+  // path-addressed ops like delete_partition stop matching old paths)
+  val HiveStyleMultiLevel = "graft.hive.style.partitioning.multilevel" // true
   // set once alterPartitionExpr runs: stored partition values may not be
   // recomputable from rows, so key-addressed writes must tag globally
   val PartitionEvolved = "graft.partition.evolved"

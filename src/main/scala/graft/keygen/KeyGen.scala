@@ -70,12 +70,16 @@ object KeyGen {
     * the config combines hive-style naming with a MULTI-column identity
     * layout (the reference's MultiPartKeysValueExtractor shape —
     * `yr=1995/region=eu`); None everywhere else (single-level naming is
-    * [[hiveStyleNameOf]]'s, expression layouts stay plain).
+    * [[hiveStyleNameOf]]'s, expression layouts stay plain). Tables that
+    * predate per-level rendering (plain `1995/eu` paths under the same
+    * config) opt out via [[graft.core.ConfigKeys.HiveStyleMultiLevel]] =
+    * false so their on-disk layout stays stable across the upgrade.
     */
   def hiveStyleLevelNames(cfg: TableConfig): Option[Seq[String]] = {
     val idCols = identityPartitionCols(cfg.partitionPathExpr)
     if (idCols.size > 1 &&
-        cfg.prop(graft.core.ConfigKeys.HiveStylePartitioning, "false") == "true")
+        cfg.prop(graft.core.ConfigKeys.HiveStylePartitioning, "false") == "true" &&
+        cfg.prop(graft.core.ConfigKeys.HiveStyleMultiLevel, "true") == "true")
       Some(idCols)
     else None
   }

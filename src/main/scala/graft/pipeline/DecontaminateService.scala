@@ -46,12 +46,31 @@ object DecontaminateService {
     * reads the same partitions regardless of suite count.
     */
   def openIndex(spark: SparkSession, indexPath: String,
-      fpParts: Int = 64, n: Int = 8): GraftTable =
-    GraftTable.createOrLoad(spark, indexPath, TableConfig(
+      fpParts: Int = 64, n: Int = 8): GraftTable = {
+    val t = GraftTable.createOrLoad(spark, indexPath, TableConfig(
       "decon_shingles", TableType.CopyOnWrite,
       Seq("s", "suite"),
       s"concat('p=', cast(pmod(abs(xxhash64(s)), $fpParts) as string))", "",
       Map(PartsKey -> fpParts.toString, ShingleKey -> n.toString)))
+    requireSuiteKeyedIndex(t)
+    t
+  }
+
+  /** Refuse a LEGACY index (keyed by shingle alone, no `suite` column —
+    * created before graded mode). Upserting suite-tagged rows into it
+    * would collapse two suites sharing a shingle onto one row, and
+    * graded sync would fail mid-tick on the missing column; an explicit
+    * rebuild instruction beats either. Checked at open AND at every
+    * update/sync entry (callers can hold a directly-loaded handle).
+    */
+  private def requireSuiteKeyedIndex(index: GraftTable): Unit =
+    require(index.cfg.recordKeyFields == Seq("s", "suite"),
+      s"legacy decontamination index at ${index.basePath}: keyed by " +
+        s"${index.cfg.recordKeyFields.mkString("(", ",", ")")} instead of " +
+        "(s,suite) — it predates per-suite (graded) registration. Rebuild " +
+        "it: delete the index path, openIndex again, and re-register every " +
+        "benchmark suite with updateBenchmark (the benchmark texts are the " +
+        "source of truth; no clean-table data is lost)")
 
   /** Register (more) benchmark texts under an eval-suite name: their
     * distinct shingles upsert into the index. Idempotent per
@@ -59,6 +78,7 @@ object DecontaminateService {
     */
   def updateBenchmark(index: GraftTable, benchmark: DataFrame,
       textCol: String = "text", suite: String = "default"): String = {
+    requireSuiteKeyedIndex(index)
     val n = index.cfg.propLong(ShingleKey, 8L).toInt
     index.upsert(benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("s"))
@@ -95,6 +115,7 @@ object DecontaminateService {
   def sync(source: GraftTable, clean: GraftTable, index: GraftTable,
       textCol: String = "text", idCol: String = "doc_id",
       thresholds: Map[String, Double] = Map.empty): Option[String] = {
+    requireSuiteKeyedIndex(index)
     val n = index.cfg.propLong(ShingleKey, 8L).toInt
     val fpParts = index.cfg.propLong(PartsKey, 64L)
     val head = source.timeline.completedDataInstants().lastOption.map(_.ts)

@@ -29,27 +29,29 @@ object Skew {
     * over `salts` tasks instead of one. Dim-side cost is `salts ×` its
     * size — size `salts` to the observed skew (8-32), not the partition
     * count. The salt hashes EVERY fact column (hashing only the key
-    * would put the hot key back in one task) PLUS the row's position
-    * (`monotonically_increasing_id`, which folds in the partition id):
-    * without the position component, byte-identical duplicate fact rows
-    * — common in pre-dedup web corpora — all hash to ONE salt and the
-    * hot key stays serialized through a single task, the exact case the
-    * operator exists for. Determinism tradeoff: for a fixed upstream
-    * partitioning (including task retries, which recompute the same
-    * partition) the salt is reproducible; a re-run that repartitions the
-    * fact side may ROUTE rows to different salts — the join RESULT is
-    * identical either way, only the internal spread moves. Fact columns
-    * must be hashable — project `MapType` columns away or to a stable
-    * encoding first.
+    * would put the hot key back in one task), optionally plus a
+    * caller-supplied `tiebreaker` column: byte-identical duplicate fact
+    * rows — common in pre-dedup web corpora — all hash to ONE salt, so
+    * when duplicates can carry the hot key, pass the row's unique id
+    * (event id, doc id, file offset) as the tiebreaker to spread them.
+    * The salt is a pure VALUE function of the row (+ tiebreaker), so it
+    * is stable under task retries and stage recomputation even when the
+    * fact side sits downstream of a shuffle — never derived from row
+    * POSITION (`monotonically_increasing_id`), whose reduce-side fetch
+    * order can differ between a retried map task and outputs already
+    * consumed, silently duplicating or dropping rows in the join. Fact
+    * columns must be hashable — project `MapType` columns away or to a
+    * stable encoding first.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-      salts: Int, joinType: String = "inner"): DataFrame = {
+      salts: Int, joinType: String = "inner",
+      tiebreaker: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"salted join preserves the FACT side only (dim is replicated): got $joinType")
     val sf = fact.withColumn(SaltCol,
       pmod(xxhash64(fact.columns.toIndexedSeq.map(col)
-        :+ monotonically_increasing_id(): _*), lit(salts.toLong)))
+        ++ tiebreaker.toSeq: _*), lit(salts.toLong)))
     val sd = dim.withColumn(SaltCol,
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     sf.join(sd, keys :+ SaltCol, joinType).drop(SaltCol)
@@ -64,7 +66,8 @@ object Skew {
     */
   def skewJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salts: Int = 16, hotThreshold: Long = 1000000L,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      tiebreaker: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val hot = broadcast(
       fact.groupBy(keys.map(col): _*).count()
         .filter(col("count") > hotThreshold)
@@ -73,7 +76,7 @@ object Skew {
       .join(dim, keys, joinType)
     val hotJoin = saltedJoin(
       fact.join(hot, keys, "left_semi"),
-      dim.join(hot, keys, "left_semi"), keys, salts, joinType)
+      dim.join(hot, keys, "left_semi"), keys, salts, joinType, tiebreaker)
     cold.unionByName(hotJoin)
   }
 }

@@ -154,21 +154,73 @@ final class HiveCatalogTarget(val client: IMetaStoreClient) extends CatalogTarge
     client.add_partitions(objs.asJava, /*ifNotExists=*/ true, /*needResults=*/ false)
   }
 
+  /** Names per `drop_partitions_req` batch — bounds one Thrift message
+    * (a TTL sweep expiring 100k calendar partitions is ~100 RPCs, not
+    * 100k serial round trips).
+    */
+  private val DropBatchSize = 1000
+
+  /** Drop RPCs issued by the LAST [[dropDeadPartitions]] call — test
+    * observability for the batching contract (no production reads).
+    */
+  @volatile private[graft] var lastDropRpcs: Int = 0
+
   override def dropDeadPartitions(db: String, table: String,
       live: Seq[CatalogTarget.PartitionRef]): Unit = {
+    lastDropRpcs = 0
     val t = client.getTable(db, table)
     if (t.getPartitionKeys.isEmpty) return
+    // every live ref valueless = identity-column RESOLUTION failed (config
+    // drift without a schema change), NOT an empty table — treating it as
+    // everything-dead would strip all registered partitions from a table
+    // that still declares partition keys (mirrors addPartitions' guard)
+    if (live.nonEmpty && live.forall(_.values.isEmpty)) return
     val liveNames = live.filter(_.values.nonEmpty)
       .map(p => partName(t, p.values)).toSet
     val dead = client.listPartitionNames(db, table, -1).asScala
       .filterNot(liveNames.contains)
+    if (dead.isEmpty) return
     // deleteData=false: the entry is metadata — the table's cleaner owns
-    // byte reclamation (and as-of reads may still need the files)
-    dead.foreach { name =>
-      try client.dropPartition(db, table, name, /*deleteData=*/ false)
-      catch { case _: NoSuchObjectException => () } // concurrent sync won
+    // byte reclamation (and as-of reads may still need the files).
+    // Batched: one drop_partitions_req per DropBatchSize names when the
+    // client exposes the raw Thrift surface (the real-HMS case); a
+    // foreign IMetaStoreClient falls back to per-name drops.
+    thriftIface match {
+      case Some(iface) =>
+        dead.grouped(DropBatchSize).foreach { chunk =>
+          val req = new org.apache.hadoop.hive.metastore.api.DropPartitionsRequest(
+            db, table,
+            org.apache.hadoop.hive.metastore.api.RequestPartsSpec.names(
+              new java.util.ArrayList[String](chunk.asJava)))
+          req.setDeleteData(false)
+          req.setIfExists(true) // concurrent sync may have won some names
+          req.setNeedResult(false)
+          iface.drop_partitions_req(req)
+          lastDropRpcs += 1
+        }
+      case None =>
+        dead.foreach { name =>
+          try { client.dropPartition(db, table, name, /*deleteData=*/ false); lastDropRpcs += 1 }
+          catch { case _: NoSuchObjectException => lastDropRpcs += 1 } // concurrent sync won
+        }
     }
   }
+
+  /** The raw Thrift iface behind a [[HiveMetaStoreClient]] (its `client`
+    * field is package-private — reflection, cached). None for foreign
+    * IMetaStoreClient implementations.
+    */
+  private lazy val thriftIface
+      : Option[org.apache.hadoop.hive.metastore.api.ThriftHiveMetastore.Iface] =
+    client match {
+      case h: HiveMetaStoreClient =>
+        scala.util.Try {
+          val f = classOf[HiveMetaStoreClient].getDeclaredField("client")
+          f.setAccessible(true)
+          f.get(h).asInstanceOf[org.apache.hadoop.hive.metastore.api.ThriftHiveMetastore.Iface]
+        }.toOption.filter(_ != null)
+      case _ => None
+    }
 
   override def refresh(db: String, table: String): Unit = ()
 }

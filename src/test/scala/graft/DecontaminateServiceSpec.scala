@@ -134,4 +134,32 @@ class DecontaminateServiceSpec extends AnyFunSuite {
     assert(Readers.snapshot(cleanT).select("doc_id").as[Long].collect().toSet ===
       Set(2L, 4L))
   }
+
+  test("a legacy shingle-only index refuses with a rebuild instruction") {
+    import spark.implicits._
+    val root = tmpDir("decon_legacy").toString
+    // an index created BEFORE graded mode: keyed by the shingle alone,
+    // no suite column — silently upserting suite-tagged rows into it
+    // would collapse suites sharing a shingle
+    GraftTable.create(spark, s"$root/index", TableConfig(
+      "decon_shingles", TableType.CopyOnWrite, Seq("s"),
+      "concat('p=', cast(pmod(abs(xxhash64(s)), 64) as string))", "",
+      Map("graft.decon.fp.partitions" -> "64", "graft.decon.shingle.n" -> "8")))
+    val eOpen = intercept[IllegalArgumentException] {
+      DecontaminateService.openIndex(spark, s"$root/index", n = 8)
+    }
+    assert(eOpen.getMessage.contains("legacy decontamination index"))
+    assert(eOpen.getMessage.contains("Rebuild"))
+    // direct handles hit the same wall at update and sync time
+    val legacy = GraftTable.load(spark, s"$root/index")
+    intercept[IllegalArgumentException] {
+      DecontaminateService.updateBenchmark(legacy, Seq("abc").toDF("text"))
+    }
+    val srcT = GraftTable.create(spark, s"$root/source", docsCfg("src"))
+    val cleanT = GraftTable.create(spark, s"$root/clean", docsCfg("clean"))
+    srcT.upsert(Seq((1L, "t")).toDF("doc_id", "text"))
+    intercept[IllegalArgumentException] {
+      DecontaminateService.sync(srcT, cleanT, legacy)
+    }
+  }
 }

@@ -220,6 +220,40 @@ class HiveCatalogTargetSpec extends AnyFunSuite {
     assert(client.listPartitions("hdb10", "t", -1).asScala.size === 2)
   }
 
+  test("many dead partitions drop in ONE batched metastore RPC") {
+    val dir = tmpDir("hms_t11").toString + "/t"
+    writeTable(dir, (0 until 8).map(i => (i.toLong, 1L, 10.0 + i, (1990 + i).toString)))
+    CatalogSync.sync(spark, dir, "hdb11", "t", target = target)
+    assert(client.listPartitionNames("hdb11", "t", -1).asScala.size === 8)
+    // a TTL-style sweep: 7 of 8 partitions die in one sync — the
+    // reconciliation must batch them into a single drop_partitions_req,
+    // not 7 serial round trips
+    graft.table.GraftTable.load(spark, dir)
+      .deletePartitions((0 until 7).map(i => (1990 + i).toString))
+    CatalogSync.sync(spark, dir, "hdb11", "t", target = target)
+    assert(client.listPartitionNames("hdb11", "t", -1).asScala === Seq("yr=1997"))
+    assert(target.lastDropRpcs === 1,
+      s"7 dead partitions took ${target.lastDropRpcs} drop RPCs; expected 1 batch")
+  }
+
+  test("valueless live refs (resolution failure) never read as everything-dead") {
+    val dir = tmpDir("hms_t12").toString + "/t"
+    writeTable(dir, Seq((1L, 1L, 10.0, "1995"), (2L, 1L, 20.0, "1996")))
+    CatalogSync.sync(spark, dir, "hdb12", "t", target = target)
+    assert(client.listPartitionNames("hdb12", "t", -1).asScala.size === 2)
+    // a live list whose refs ALL carry empty values models an
+    // identity-column resolution failure (config drift, unchanged
+    // schema): the sync must keep every registered partition rather than
+    // interpret the failure as an empty table
+    target.dropDeadPartitions("hdb12", "t", Seq(
+      graft.sql.CatalogTarget.PartitionRef("1995", Seq.empty),
+      graft.sql.CatalogTarget.PartitionRef("1996", Seq.empty)))
+    assert(client.listPartitionNames("hdb12", "t", -1).asScala.size === 2)
+    // a genuinely-empty live list still means everything-dead
+    target.dropDeadPartitions("hdb12", "t", Seq.empty)
+    assert(client.listPartitionNames("hdb12", "t", -1).asScala.isEmpty)
+  }
+
   test("refuses to drop a same-named non-graft metastore entry") {
     val dir = tmpDir("hms_t5").toString + "/t"
     writeTable(dir, Seq((1L, 1L, 10.0, "1995")))

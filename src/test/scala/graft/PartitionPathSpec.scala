@@ -101,4 +101,26 @@ class PartitionPathSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).select("id").as[Long].collect().toSet ===
       Set(1L, 3L, 4L))
   }
+
+  test("multilevel=false keeps the legacy plain layout for pre-existing tables") {
+    // a multi-column hive-style table written BEFORE per-level rendering
+    // has plain `1995/eu` paths on disk; the opt-out pins new writes to
+    // that layout so existing keys don't move partitions on upgrade
+    val dir = tmpDir("pp_hive_ml_legacy").toString + "/t"
+    val t = GraftTable.create(spark, dir,
+      TableConfig("pp_hive_ml_legacy", TableType.CopyOnWrite, Seq("id"),
+        "concat_ws('/', cast(`yr` as string), cast(`region` as string))", "v",
+        Map(ConfigKeys.HiveStylePartitioning -> "true",
+          ConfigKeys.HiveStyleMultiLevel -> "false")))
+    t.bulkInsert(Seq((1L, "1995", "us", 1L), (2L, "1996", "eu", 2L))
+      .toDF("id", "yr", "region", "v"))
+    assert(t.view.fileSlices(None).map(_.partitionPath).distinct.sorted ===
+      Seq("1995/us", "1996/eu"))
+    // upserts of existing keys stay in their established partition
+    t.upsert(Seq((1L, "1995", "us", 11L)).toDF("id", "yr", "region", "v"))
+    assert(t.view.fileSlices(None).map(_.partitionPath).distinct.sorted ===
+      Seq("1995/us", "1996/eu"))
+    assert(Readers.snapshot(t).filter(col("id") === 1L)
+      .select("v").as[Long].head() === 11L)
+  }
 }

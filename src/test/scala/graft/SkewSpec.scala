@@ -40,24 +40,38 @@ class SkewSpec extends AnyFunSuite {
   test("the hot key's rows spread across many salts") {
     // reproduce the internal salt assignment to observe the spread
     val salted = fact.withColumn("_s",
-      pmod(xxhash64(col("k"), col("v"), monotonically_increasing_id()), lit(8L)))
+      pmod(xxhash64(col("k"), col("v")), lit(8L)))
     val spread = salted.filter(col("k") === 0L).select("_s").distinct().count()
     assert(spread >= 6, s"hot key spread over only $spread of 8 salts")
   }
 
-  test("byte-identical duplicate fact rows spread too, and join correctly") {
+  test("the salt is a pure value function — stable under recomputation") {
+    // the salt must not depend on row POSITION (partition id / fetch
+    // order): recompute the same frame under a different partitioning and
+    // the per-row salt must not move (a retried map task after a fetch
+    // failure is exactly a recomputation under possibly-different order)
+    def salts(parts: Int) = fact.repartition(parts)
+      .withColumn("_s", pmod(xxhash64(col("k"), col("v")), lit(8L)))
+      .select("k", "v", "_s").collect().map(_.mkString("|")).sorted.toSeq
+    assert(salts(4) === salts(13))
+  }
+
+  test("byte-identical duplicate fact rows spread via a caller tiebreaker") {
     // pre-dedup corpora repeat whole rows: hashing only the column values
-    // would collapse every duplicate onto ONE salt — the row-position
-    // component keeps the hot key spread
-    val dupFact = spark.range(800).select(lit(0L).as("k"), lit(42L).as("v"))
-      .repartition(8)
+    // collapses every duplicate onto ONE salt. The deterministic spread
+    // is a caller-provided unique id (event id, doc id, file offset) —
+    // position-derived ids would break retry determinism, so the operator
+    // never synthesizes one itself
+    val dupFact = spark.range(800)
+      .select(col("id").as("rid"), lit(0L).as("k"), lit(42L).as("v"))
     val salted = dupFact.withColumn("_s",
-      pmod(xxhash64(col("k"), col("v"), monotonically_increasing_id()), lit(8L)))
+      pmod(xxhash64(col("rid"), col("k"), col("v")), lit(8L)))
     val spread = salted.select("_s").distinct().count()
     assert(spread >= 6, s"duplicate rows spread over only $spread of 8 salts")
     // and the joined result keeps exact duplicate multiplicity
     val plain = dupFact.join(dim, Seq("k"), "inner").select("k", "v", "seg")
-    val viaSalt = Skew.saltedJoin(dupFact, dim, Seq("k"), salts = 8)
+    val viaSalt = Skew.saltedJoin(dupFact, dim, Seq("k"), salts = 8,
+        tiebreaker = Some(col("rid")))
       .select("k", "v", "seg")
     assert(canon(viaSalt) === canon(plain))
     assert(viaSalt.count() === 800)
