@@ -22,10 +22,18 @@ final case class RegistrableDomainPsl(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_registrable_domain_psl"
 
+  /** The rule file's version (mtime), stat'd ONCE per plan on the driver
+    * and carried into the executors' (path, version) rule cache: an
+    * overwritten rule file takes effect on the next query without a JVM
+    * restart, while this plan stays pinned to the version it saw.
+    */
+  private lazy val rulesVersion: Long =
+    rulesPath.map(graft.pipeline.Psl.versionOf).getOrElse(0L)
+
   override protected def nullSafeEval(input: Any): Any = rulesPath match {
     case None => graft.pipeline.Psl.registrable(input.asInstanceOf[UTF8String])
     case Some(p) => graft.pipeline.Psl.registrable(
-      input.asInstanceOf[UTF8String], UTF8String.fromString(p))
+      input.asInstanceOf[UTF8String], UTF8String.fromString(p), rulesVersion)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -37,8 +45,9 @@ final case class RegistrableDomainPsl(child: Expression,
       case Some(p) =>
         val pathRef = ctx.addReferenceObj("pslPath",
           UTF8String.fromString(p), classOf[UTF8String].getName)
+        val ver = s"${rulesVersion}L" // driver-side stat, baked as a literal
         nullSafeCodeGen(ctx, ev, c => s"""
-          ${ev.value} = graft.pipeline.Psl$$.MODULE$$.registrable($c, $pathRef);
+          ${ev.value} = graft.pipeline.Psl$$.MODULE$$.registrable($c, $pathRef, $ver);
           ${ev.isNull} = ${ev.value} == null;""")
     }
 

@@ -96,6 +96,21 @@ object Cleaning {
     regexp_replace(ell, "[ \\t]+", " ")
   }
 
+  /** [[normalizeText]] preceded by a Unicode normalization pass
+    * (`java.text.Normalizer`, form ∈ NFC/NFD/NFKC/NFKD — NFKC is the
+    * corpus-pipeline standard: full-width forms `Ａ１`→`A1`, ligatures
+    * `ﬁ`→`fi`, combining sequences composed, so one spelling survives
+    * into counting/hashing/dedup). The Unicode pass runs FIRST: NFKC
+    * maps compatibility characters the ASCII chain then unifies (e.g.
+    * U+2025 two-dot leader) and composes combining marks before the
+    * space/quote classes match. Still row-local and codegen'd — the
+    * normalizer is a native expression, not a UDF.
+    */
+  def normalizeText(text: Column, form: String): Column =
+    normalizeText(org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(text), form)))
+
   /** Remove repeated lines WITHIN one document, keeping each line's first
     * occurrence in order — the in-document half of boilerplate removal
     * (nav bars and footers repeating inside a page), complementing the

@@ -110,23 +110,37 @@ object Psl {
     if (r == null) null else UTF8String.fromString(r)
   }
 
-  // custom rule files, parsed once per (JVM, path) — the operational swap
-  // for a NEWER full publicsuffix.org download without rebuilding the
-  // jar: every executor lazily reads the same path through the storage
-  // layer (any Hadoop FS), so nothing is broadcast or shipped
-  private val byPath = new java.util.concurrent.ConcurrentHashMap[String, Rules]()
+  // custom rule files, parsed once per (JVM, path, version) — the
+  // operational swap for a NEWER full publicsuffix.org download without
+  // rebuilding the jar: every executor lazily reads the same path through
+  // the storage layer (any Hadoop FS), so nothing is broadcast or
+  // shipped. The VERSION component is the file's mtime, captured ONCE at
+  // plan time on the driver ([[graft.functions.RegistrableDomainPsl]])
+  // and baked into the generated code — overwriting the rule file takes
+  // effect on the NEXT query (new plan → new stat → new cache key) while
+  // a running query stays pinned to the version it planned with, and the
+  // per-row hot path never stats anything.
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Rules]()
 
-  def fromPath(path: String): Rules =
-    byPath.computeIfAbsent(path, p =>
+  def fromPath(path: String, version: Long = 0L): Rules =
+    byPath.computeIfAbsent((path, version), { case (p, _) =>
       parse(graft.core.Storage.readString(
-        new org.apache.hadoop.fs.Path(p)).linesIterator))
+        new org.apache.hadoop.fs.Path(p)).linesIterator)
+    })
+
+  /** The rule file's current version (mtime) — the plan-time stat behind
+    * the (path, version) cache key.
+    */
+  def versionOf(path: String): Long =
+    graft.core.Storage.mtime(new org.apache.hadoop.fs.Path(path))
 
   /** Codegen hot path for a CUSTOM rule file (see
     * [[graft.functions.RegistrableDomainPsl]] with a path).
     */
-  def registrable(host: UTF8String, path: UTF8String): UTF8String = {
+  def registrable(host: UTF8String, path: UTF8String, version: Long): UTF8String = {
     if (host == null) return null
-    val r = registrableDomain(host.toString, fromPath(path.toString))
+    val r = registrableDomain(host.toString, fromPath(path.toString, version))
     if (r == null) null else UTF8String.fromString(r)
   }
 }

@@ -17,6 +17,24 @@ object Urls {
     */
   def urlHost(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
 
+  /** [[urlHost]] mapped through IDN→punycode (RFC 3490 ToASCII, JDK
+    * `java.net.IDN` behind a codegen'd native expression): an
+    * internationalized host and its xn-- form group as ONE key
+    * (`bücher.example` ≡ `xn--bcher-kva.example`) — the form PSL/domain
+    * grouping should run on. All-ASCII hosts pass through by reference.
+    * A RAW unicode host never reaches `parse_url` (the URI parser
+    * rejects non-ASCII authorities), so extraction falls back to the
+    * authority regex for exactly those urls before the IDN mapping.
+    */
+  def urlHostAscii(url: Column): Column = {
+    val raw = nullif(lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)), lit(""))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.IdnAscii(
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(
+          coalesce(urlHost(url), raw))))
+  }
+
   /** Two-level TLD second labels where the registrable unit is one label
     * deeper (`example.co.uk`, not `co.uk`). A deliberate HEURISTIC subset
     * of the public-suffix list (the full PSL is a data file, not logic —
@@ -32,12 +50,20 @@ object Urls {
     * http, `:443` for https — any other port survives, because
     * `x.com:8080/a` and `x.com/a` are genuinely distinct pages), trailing
     * path slash removed, fragment dropped, tracking params (`utm_*`,
-    * `fbclid`, `gclid`) removed and the surviving query params SORTED.
+    * `fbclid`, `gclid`) removed and the surviving query params SORTED,
+    * and percent-encodings normalized per RFC 3986 §6.2.2 (escape hex
+    * uppercased so `%2f` ≡ `%2F`; escapes of UNRESERVED characters
+    * decoded so `%7E` ≡ `~` — reserved escapes stay encoded, decoding
+    * them would change URL structure).
     * NULL for unparseable urls. Pure expression chain, zero shuffle —
     * `dropDuplicates(canonical)` after it is the one shuffle a URL-dedup
     * pass needs.
     */
   def canonicalUrl(url: Column): Column = {
+    def pctNorm(c: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.PercentNormalize(
+          org.apache.spark.sql.GraftSqlBridge.expressionOf(c)))
     val host = regexp_replace(urlHost(url), "^www\\.", "")
     // parse_url has no PORT part: read it off the authority's tail, then
     // keep it only when it differs from the scheme's default
@@ -48,9 +74,9 @@ object Urls {
       .when(scheme === "https", lit("443")).otherwise(lit(""))
     val portSuffix = when(port === "" || port === defaultPort, lit(""))
       .otherwise(concat(lit(":"), port))
-    val path = regexp_replace(
-      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/$", "")
-    val q0 = coalesce(try_parse_url(url, lit("QUERY")), lit(""))
+    val path = pctNorm(regexp_replace(
+      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/$", ""))
+    val q0 = pctNorm(coalesce(try_parse_url(url, lit("QUERY")), lit("")))
     val kept = array_sort(filter(split(q0, "&"), p =>
       !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
         p.startsWith("gclid=") || p === lit(""))))
@@ -70,7 +96,7 @@ object Urls {
   def registrableDomainPsl(url: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.RegistrableDomainPsl(
-        org.apache.spark.sql.GraftSqlBridge.expressionOf(urlHost(url))))
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(urlHostAscii(url))))
 
   /** [[registrableDomainPsl]] over a CUSTOM rule file (a current full
     * publicsuffix.org download on any Hadoop-visible path) — the
@@ -80,7 +106,7 @@ object Urls {
   def registrableDomainPsl(url: Column, rulesPath: String): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.RegistrableDomainPsl(
-        org.apache.spark.sql.GraftSqlBridge.expressionOf(urlHost(url)),
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(urlHostAscii(url)),
         Some(rulesPath)))
 
   /** Registrable domain of a url, HEURISTIC form: last two host labels,

@@ -728,21 +728,25 @@ object PipelineQueries {
 
     // URL canonicalization (the dedup-by-canonical-URL pass): tracking
     // params out, surviving params sorted, www/trailing-slash/fragment
-    // normalized, DEFAULT ports (:80 http / :443 https) dropped while a
-    // non-default :8080 SURVIVES — exact read-back of doc_id shapes
+    // normalized, DEFAULT ports (:80 http / :443 443) dropped while a
+    // non-default :8080 SURVIVES, and percent-encodings normalized per
+    // RFC 3986 §6.2.2 (unreserved escapes decode, reserved escape hex
+    // uppercases) — exact read-back of doc_id shapes
     "p_url_canonical" -> ((s, d) => {
       val k = (col("doc_id") % 11).cast("string")
       val m = (col("doc_id") % 5).cast("string")
       val n = (col("doc_id") % 7).cast("string")
-      val url = when(col("doc_id") % 4 === 0,
+      val url = when(col("doc_id") % 5 === 0,
           concat(lit("http://www.site"), k, lit(".com:80/a/"), m,
             lit("/?utm_source=x&q="), n, lit("&b=1#f")))
-        .when(col("doc_id") % 4 === 1,
+        .when(col("doc_id") % 5 === 1,
           concat(lit("https://site"), k, lit(".com/a/"), m))
-        .when(col("doc_id") % 4 === 2,
+        .when(col("doc_id") % 5 === 2,
           concat(lit("https://Sub.site"), k, lit(".co.uk:443/p?gclid=2")))
-        .otherwise(
+        .when(col("doc_id") % 5 === 3,
           concat(lit("http://site"), k, lit(".com:8080/a")))
+        .otherwise( // %41→A and %7e→~ decode; %2f/%2F stay, hex uppercased
+          concat(lit("https://site"), k, lit(".com/p%41th%7e/x%2Fy?n%61me=v%2f1")))
       docs(s, d).select(col("doc_id"),
         graft.pipeline.Urls.canonicalUrl(url).as("canonical"))
     }),
@@ -781,6 +785,25 @@ object PipelineQueries {
         lit(" \u2014 tail\u2026 \u2018q\u2019\u200Bz\u0007 end\tok\r\nnl \rcr"))
       docs(s, d).select(col("doc_id"),
           graft.pipeline.Cleaning.normalizeText(messy).as("text_out"))
+        .withColumn("n_chars_out", length(col("text_out")).cast("long"))
+    }),
+
+    // NFKC + ASCII normalization: full-width forms, ligatures, a
+    // superscript, a Roman-numeral compatibility char and a combining
+    // sequence planted around each doc must fold to their canonical
+    // spellings — the oracle states the folded framing as LITERALS
+    // (DuckDB has no NFKC), with only the ASCII chain replayed
+    "p_text_nfkc" -> ((s, d) => {
+      // explicit \u escapes keep the planted chars reviewable:
+      // full-width Graft123, fi/fl ligatures, x-superscript-2, roman
+      // numeral XII, e+combining-acute (composes to U+00E9), square km
+      val messy = concat(
+        lit("\uFF27\uFF52\uFF41\uFF46\uFF54\uFF11\uFF12\uFF13 \uFB01le " +
+          "x\u00B2 \u216B e\u0301 "),
+        col("text"),
+        lit(" \uFB02y \u339E done"))
+      docs(s, d).select(col("doc_id"),
+          graft.pipeline.Cleaning.normalizeText(messy, "NFKC").as("text_out"))
         .withColumn("n_chars_out", length(col("text_out")).cast("long"))
     }),
 
@@ -2370,16 +2393,20 @@ object PipelineQueries {
     "p_pack_concat" -> packConcatOracle,
     "p_quality_repetition" -> repetitionOracle,
     // host/path/query via regex (DuckDB has no parse_url), then the same
-    // strip-filter-sort-join pipeline
+    // strip-filter-sort-join pipeline. The percent-encoded arm (%5=4) is
+    // restated as its expected LITERAL normalized form (unreserved %41/%7e
+    // decoded, reserved %2f kept with uppercased hex) rather than
+    // replaying the RFC 3986 machinery
     "p_url_canonical" ->
-      raw"""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+      raw"""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
            |  WHEN 0 THEN 'http://www.site' || CAST(doc_id % 11 AS VARCHAR) || '.com:80/a/' ||
            |    CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=x&q=' ||
            |    CAST(doc_id % 7 AS VARCHAR) || '&b=1#f'
            |  WHEN 1 THEN 'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.com/a/' ||
            |    CAST(doc_id % 5 AS VARCHAR)
            |  WHEN 2 THEN 'https://Sub.site' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk:443/p?gclid=2'
-           |  ELSE 'http://site' || CAST(doc_id % 11 AS VARCHAR) || '.com:8080/a'
+           |  WHEN 3 THEN 'http://site' || CAST(doc_id % 11 AS VARCHAR) || '.com:8080/a'
+           |  ELSE 'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.com/pAth~/x%2Fy?name=v%2F1'
            |  END AS url FROM documents),
            |h AS (SELECT doc_id,
            |  regexp_replace(lower(regexp_extract(url,
@@ -2443,6 +2470,25 @@ object PipelineQueries {
            |  ' ' || chr(8212) || ' tail' || chr(8230) || ' ' || chr(8216) ||
            |  'q' || chr(8217) || chr(8203) || 'z' || chr(7) || ' end' ||
            |  chr(9) || 'ok' || chr(13) || chr(10) || 'nl ' || chr(13) || 'cr' AS t FROM documents),
+           |n0 AS (SELECT doc_id, regexp_replace(t, '\r\n?', chr(10), 'g') AS t FROM m),
+           |n1 AS (SELECT doc_id, regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t FROM n0),
+           |n2 AS (SELECT doc_id, regexp_replace(t, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS t FROM n1),
+           |n3 AS (SELECT doc_id, regexp_replace(t, '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS t FROM n2),
+           |n4 AS (SELECT doc_id, regexp_replace(t, '[\x{2018}\x{2019}\x{201A}\x{201B}]', chr(39), 'g') AS t FROM n3),
+           |n5 AS (SELECT doc_id, regexp_replace(t, '[\x{201C}\x{201D}\x{201E}\x{201F}]', '"', 'g') AS t FROM n4),
+           |n6 AS (SELECT doc_id, regexp_replace(t, '[\x{2010}-\x{2015}\x{2212}]', '-', 'g') AS t FROM n5),
+           |n7 AS (SELECT doc_id, regexp_replace(t, '\x{2026}', '...', 'g') AS t FROM n6),
+           |n8 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM n7)
+           |SELECT doc_id, t AS text_out, length(t)::BIGINT AS n_chars_out FROM n8""".stripMargin,
+    // the NFKC foldings are stated as LITERALS (full-width → ASCII,
+    // ligatures expanded, superscript/roman/unit decomposed, combining
+    // acute composed to chr(233)) — DuckDB lacks NFKC, so this is an
+    // independent restatement, not a replay; only the ASCII chain (the
+    // same one as p_text_normalize) replays over the doc text
+    "p_text_nfkc" ->
+      raw"""WITH m AS (SELECT doc_id,
+           |  'Graft123 file x2 XII ' || chr(233) || ' ' || text ||
+           |  ' fly km done' AS t FROM documents),
            |n0 AS (SELECT doc_id, regexp_replace(t, '\r\n?', chr(10), 'g') AS t FROM m),
            |n1 AS (SELECT doc_id, regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t FROM n0),
            |n2 AS (SELECT doc_id, regexp_replace(t, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS t FROM n1),

@@ -336,6 +336,41 @@ object TableOps {
       data(Readers.snapshot(t), OrdersCols :+ "note")
     }),
 
+    // NESTED additive evolution (reference TableSchemaResolver.java:71-165,
+    // TestCOWDataSource.scala:707): the struct column gains a nested field
+    // mid-history, then a NARROW old-shape batch writes after evolution —
+    // old rows surface typed nulls, the narrow batch pads instead of
+    // regressing the schema. Output flattened for the oracle.
+    "t_schema_evolution_nested" -> ((s, d) => {
+      val t = fresh(s, d, "t_schema_evo_nested", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.withColumn("meta", struct(col("o_orderstatus").as("st"))))
+      t.upsert(src.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("meta", struct(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pri"))))
+      t.upsert(src.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("meta", struct(lit("X").as("st"))))
+      Readers.snapshot(t).select(OrdersCols.map(col) ++ Seq(
+        col("meta.st").as("meta_st"), col("meta.pri").as("meta_pri")): _*)
+    }),
+
+    // the same nested evolution through MOR deltas: the wide and narrow
+    // batches land as delta files over a narrow base, so the snapshot
+    // merge (base ∪ deltas) must align the struct shapes per slice
+    "t_schema_evolution_nested_mor" -> ((s, d) => {
+      val t = fresh(s, d, "t_schema_evo_nested_mor",
+        cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
+      val src = orders(s, d)
+      t.bulkInsert(src.withColumn("meta", struct(col("o_orderstatus").as("st"))))
+      t.upsert(src.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("meta", struct(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pri"))))
+      t.upsert(src.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("meta", struct(lit("X").as("st"))))
+      Readers.snapshot(t).select(OrdersCols.map(col) ++ Seq(
+        col("meta.st").as("meta_st"), col("meta.pri").as("meta_pri")): _*)
+    }),
+
     "t_mor_upsert" -> ((s, d) => {
       val t = fresh(s, d, "t_mor_upsert",
         cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
@@ -1555,6 +1590,20 @@ object TableOps {
     "t_schema_evolution" ->
       s"""SELECT $OrdersSql,
          |CASE WHEN o_orderkey % 13 = 0 THEN 'x' ELSE NULL END AS note FROM orders""".stripMargin,
+    // last write wins per key: %17 (narrow, st='X', pri padded null)
+    // overwrites %13 (wide) on keys divisible by both
+    "t_schema_evolution_nested" ->
+      s"""SELECT $OrdersSql,
+         |CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS meta_st,
+         |CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+         |  THEN o_orderpriority ELSE NULL END AS meta_pri
+         |FROM orders""".stripMargin,
+    "t_schema_evolution_nested_mor" ->
+      s"""SELECT $OrdersSql,
+         |CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS meta_st,
+         |CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+         |  THEN o_orderpriority ELSE NULL END AS meta_pri
+         |FROM orders""".stripMargin,
     "t_mor_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

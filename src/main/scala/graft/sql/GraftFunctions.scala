@@ -149,6 +149,21 @@ object GraftFunctions {
       "unicode normalization: controls/zero-width drop, spaces/quotes/" +
         "dashes/ellipsis unify, space runs collapse (newlines kept)")(
       a => graft.pipeline.Cleaning.normalizeText(a.head)),
+    // round-15: NFKC text fold, IDN/punycode host mapping, RFC 3986
+    // percent normalization
+    fromColumns("graft_text_nfkc", 1,
+      "NFKC unicode fold (full-width/ligature/combining) + the " +
+        "graft_text_normalize ASCII chain")(
+      a => graft.pipeline.Cleaning.normalizeText(a.head, "NFKC")),
+    fromColumns("graft_url_host_ascii", 1,
+      "lowercased punycode/ASCII hostname of a url (IDN mapped via RFC 3490)")(
+      a => graft.pipeline.Urls.urlHostAscii(a.head)),
+    fromColumns("graft_percent_normalize", 1,
+      "RFC 3986 §6.2.2 percent-encoding normalization: escape hex " +
+        "uppercased, unreserved escapes decoded")(
+      a => org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.PercentNormalize(
+          org.apache.spark.sql.GraftSqlBridge.expressionOf(a.head)))),
 
     // media hashes (round-12 operators): codec work can never codegen, so
     // a Scala UDF is the honest tier — same row-local cost as the

@@ -79,6 +79,15 @@ final class GraftTable(
 
   /** Additive schema evolution: incoming frame gains null columns for
     * table columns it lacks; brand-new incoming columns are appended.
+    * NESTED adds evolve too (reference TableSchemaResolver.java:71-165 /
+    * TestCOWDataSource.scala:707 testSchemaEvolution): a struct column
+    * whose incoming shape differs ADDITIVELY from the table's merges —
+    * table nested fields first (padded with typed nulls when the batch
+    * lacks them), incoming extras appended — recursively through
+    * struct/array/map nesting, so the commit's writer schema never
+    * silently drops a nested field a narrow batch didn't carry. A
+    * non-additive nested change (type conflict, struct vs scalar)
+    * refuses with a named error instead of failing deep in the plan.
     */
   private def alignToTableSchema(df: DataFrame): DataFrame = dataSchema match {
     case None => df
@@ -87,6 +96,16 @@ final class GraftTable(
       ts.fields.foreach { f =>
         if (!out.columns.contains(f.name))
           out = out.withColumn(f.name, lit(null).cast(f.dataType))
+        else {
+          val inDt = df.schema(f.name).dataType
+          if (inDt != f.dataType &&
+              (SchemaEvolution.containsStruct(f.dataType) ||
+                SchemaEvolution.containsStruct(inDt))) {
+            val merged = SchemaEvolution.mergeEvolvedType(f.name, f.dataType, inDt)
+            out = out.withColumn(f.name,
+              SchemaEvolution.evolveColumn(col(s"`${f.name}`"), inDt, merged))
+          }
+        }
       }
       val newCols = df.columns.filterNot(c => ts.fieldNames.contains(c))
       out.select((ts.fieldNames ++ newCols).toIndexedSeq.map(col): _*)
@@ -1128,9 +1147,11 @@ final class GraftTable(
     val metaFields = MetaCols.All.map(n => StructField(n, org.apache.spark.sql.types.StringType, nullable = true))
     val dataFields = keyed.schema.fields
       .filterNot(f => MetaCols.All.contains(f.name) || f.name == FileIdCol || f.name == DeleteCol)
-      // stored as nullable: schema evolution backfills old files with null,
-      // and parquet reads are nullable regardless of the writer frame
-      .map(_.copy(nullable = true))
+      // stored as nullable AT EVERY NESTING LEVEL: schema evolution
+      // backfills old files with null, and parquet reads are nullable
+      // regardless of the writer frame
+      .map(f => f.copy(nullable = true,
+        dataType = SchemaEvolution.asDeepNullable(f.dataType)))
     StructType(metaFields ++ dataFields).json
   }
 

@@ -1,0 +1,117 @@
+package graft.table
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nested-struct additive schema evolution — the type-merge and
+  * column-rebuild rules behind [[GraftTable]]'s batch alignment
+  * (reference hudi-common/.../TableSchemaResolver.java:71-165 resolves
+  * the evolved writer schema per commit; hudi-spark's
+  * TestCOWDataSource.scala:707 pins the additive contract).
+  *
+  * The merge is ADDITIVE-ONLY, table-first: for a struct column, table
+  * nested fields keep their order (a batch missing one pads a typed
+  * null), incoming extras append after them — recursively through
+  * struct / array-of-struct / map-of-struct nesting. Leaf types may
+  * take a lossless upcast (int→long, float→double: Catalyst's
+  * `Cast.canUpCast`); anything else — a nested type conflict, struct vs
+  * scalar, map key change — refuses with a named error at WRITE time
+  * rather than surfacing as an unintelligible union/analysis failure
+  * mid-plan (or, worse, a silently regressed commit schema).
+  *
+  * Everything here is pure expression rewriting: the padded struct is
+  * rebuilt with `struct`/`transform`/`transform_values`, so evolution
+  * stays inside whole-stage codegen — zero shuffle, no UDF, no
+  * row-by-row conversion.
+  */
+object SchemaEvolution {
+
+  /** Does the type carry a struct anywhere (itself, array elements, map
+    * values)? Only such columns engage the evolution merge — plain leaf
+    * mismatches keep the engine's existing union-coercion behavior.
+    */
+  def containsStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(e, _) => containsStruct(e)
+    case MapType(_, v, _) => containsStruct(v)
+    case _ => false
+  }
+
+  /** The evolved type of a column whose table (`tbl`) and incoming (`in`)
+    * shapes differ: table fields first, incoming extras appended, all
+    * nested fields nullable (old files backfill with null on read).
+    * Throws `IllegalArgumentException` naming the exact nested `path` on
+    * a non-additive change.
+    */
+  def mergeEvolvedType(path: String, tbl: DataType, in: DataType): DataType =
+    (tbl, in) match {
+      case (t: StructType, i: StructType) =>
+        val inByName = i.fields.map(f => f.name -> f).toMap
+        val merged = t.fields.map { tf =>
+          inByName.get(tf.name) match {
+            case Some(inf) => StructField(tf.name,
+              mergeEvolvedType(s"$path.${tf.name}", tf.dataType, inf.dataType),
+              nullable = true)
+            case None => tf.copy(nullable = true)
+          }
+        }
+        val tblNames = t.fieldNames.toSet
+        val extras = i.fields.filterNot(f => tblNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(merged ++ extras)
+      case (ArrayType(te, tn), ArrayType(ie, inl)) =>
+        ArrayType(mergeEvolvedType(s"$path.element", te, ie), tn || inl)
+      case (MapType(tk, tv, tn), MapType(ik, iv, inl)) if tk == ik =>
+        MapType(tk, mergeEvolvedType(s"$path.value", tv, iv), tn || inl)
+      case (tdt, idt) if tdt == idt => tdt
+      case (tdt, idt)
+          if org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(idt, tdt) =>
+        tdt
+      case (tdt, idt) => throw new IllegalArgumentException(
+        s"incompatible schema evolution at '$path': table has ${tdt.sql}, " +
+          s"incoming batch has ${idt.sql} — only additive nested-field adds " +
+          "and lossless upcasts evolve; rewrite the batch to the table's " +
+          "shape or recreate the table")
+    }
+
+  /** Rebuild a column of type `from` as type `to` (a [[mergeEvolvedType]]
+    * result): struct fields reorder by name with typed-null padding for
+    * fields the batch lacks, arrays/maps rebuild element-wise via
+    * `transform`/`transform_values`, leaves upcast. A null input stays
+    * null (never a struct of nulls).
+    */
+  def evolveColumn(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val fromByName = f.fields.map(x => x.name -> x).toMap
+        val rebuilt = struct(t.fields.toIndexedSeq.map { tf =>
+          fromByName.get(tf.name) match {
+            case Some(ff) =>
+              evolveColumn(c.getField(tf.name), ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        // field order already matches `to`, so the positional struct cast
+        // is safe — it only normalizes nullability metadata
+        when(c.isNull, lit(null).cast(t)).otherwise(rebuilt).cast(t)
+      case (ArrayType(fe, _), at @ ArrayType(te, _)) =>
+        transform(c, x => evolveColumn(x, fe, te)).cast(at)
+      case (MapType(_, fv, _), mt @ MapType(_, tv, _)) =>
+        transform_values(c, (_, v) => evolveColumn(v, fv, tv)).cast(mt)
+      case (_, t) => c.cast(t)
+    }
+
+  /** Deep-nullable normalization for persisted commit schemas: every
+    * nested field reads back nullable (parquet scans surface nullable
+    * regardless of the writer frame, and evolution backfills nulls).
+    */
+  def asDeepNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, asDeepNullable(f.dataType), nullable = true, f.metadata)))
+    case ArrayType(e, _) => ArrayType(asDeepNullable(e), containsNull = true)
+    case MapType(k, v, _) => MapType(k, asDeepNullable(v), valueContainsNull = true)
+    case other => other
+  }
+}

@@ -90,6 +90,33 @@ class CleaningSpec extends AnyFunSuite {
       .foreach(r => assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}"))
   }
 
+  test("NFKC mode: full-width, ligatures, combining marks, compat chars") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // full-width forms fold to ASCII
+      (1L, "Ｇｒａｆｔ １２３", "Graft 123"),
+      // ligatures expand
+      (2L, "ﬁle ﬂy", "file fly"),
+      // combining acute composes (e + U+0301 -> U+00E9), NOT stripped
+      (3L, "cafe\u0301", "caf\u00E9"),
+      // compatibility chars decompose: superscript, roman numeral, unit
+      (4L, "x² Ⅻ ㎞", "x2 XII km"),
+      // the ASCII chain still runs after the fold (NBSP + curly quotes)
+      (5L, "“hi” there", "\"hi\" there"),
+      // plain ASCII passes through untouched
+      (6L, "plain ascii stays.", "plain ascii stays."))
+    cases.toDF("id", "txt", "want")
+      .select(col("id"),
+        graft.pipeline.Cleaning.normalizeText(col("txt"), "NFKC").as("got"),
+        col("want"))
+      .collect()
+      .foreach(r => assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}"))
+    // unknown forms refuse at construction
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Cleaning.normalizeText(col("txt"), "NFZZ")
+    }
+  }
+
   test("C4 line rule: punctuation, word count, javascript marker") {
     def keep(s: String): Boolean =
       Seq(s).toDF("l").select(Cleaning.c4KeepLine(col("l"))).first().getBoolean(0)

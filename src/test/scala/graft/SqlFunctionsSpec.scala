@@ -198,6 +198,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got(0).getString(4) === "\"q\" - ok...")
   }
 
+  test("round-15 functions: NFKC fold, IDN host, percent normalization") {
+    Seq((1L, "https://bücher.example/x", "Ｇｒａｆｔ ﬁle", "p%41th%7e/x%2fy"),
+      (2L, "https://xn--bcher-kva.example/y", "plain ascii.", "no escapes"))
+      .toDF("id", "url", "txt", "pct").createOrReplaceTempView("f15")
+    val got = spark.sql("""
+      SELECT id, graft_url_host_ascii(url) AS h,
+             graft_text_nfkc(txt) AS n,
+             graft_percent_normalize(pct) AS p
+      FROM f15 ORDER BY id""").collect()
+    // both IDN spellings map to one punycode key
+    assert(got(0).getString(1) === "xn--bcher-kva.example")
+    assert(got(1).getString(1) === "xn--bcher-kva.example")
+    assert(got(0).getString(2) === "Graft file")
+    assert(got(1).getString(2) === "plain ascii.")
+    assert(got(0).getString(3) === "pAth~/x%2Fy")
+    assert(got(1).getString(3) === "no escapes")
+    // parity with the column API
+    import org.apache.spark.sql.functions.col
+    val viaCols = spark.table("f15")
+      .select(graft.pipeline.Urls.urlHostAscii(col("url"))).collect()
+      .map(_.getString(0)).toSet
+    assert(viaCols === Set("xn--bcher-kva.example"))
+  }
+
   test("graft_video_frames demuxes MJPEG-AVI in SQL; non-AVI is NULL") {
     import graft.pipeline.Multimodal
     val jpegs = (0 until 3).map(i => Multimodal.syntheticJpegFrame(9L, i, 48))

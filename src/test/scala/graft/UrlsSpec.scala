@@ -165,4 +165,70 @@ class UrlsSpec extends AnyFunSuite {
       .foreach(r => assert(Option(r.getString(1)) === Option(r.getString(2)),
         s"case ${r.getLong(0)}"))
   }
+
+  test("overwriting the custom PSL file takes effect on the next query") {
+    // the rule cache keys by (path, mtime) captured at PLAN time: a newer
+    // full-list download dropped onto the SAME path must be picked up by
+    // the next query with no JVM restart and no versioned-path discipline
+    val f = java.nio.file.Files.createTempFile("psl_swap", ".dat")
+    java.nio.file.Files.writeString(f, "my.zone\n")
+    val path = f.toString
+    def domain(): String =
+      Seq(("https://a.b.my.zone/x")).toDF("url")
+        .select(Urls.registrableDomainPsl(col("url"), path).as("d"))
+        .collect().head.getString(0)
+    assert(domain() === "b.my.zone")
+    // overwrite with a rule set where b.my.zone is itself a suffix;
+    // force a distinct mtime (coarse-grained filesystems)
+    java.nio.file.Files.writeString(f, "b.my.zone\n")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(domain() === "a.b.my.zone", "new rules must apply to a new plan")
+  }
+
+  test("IDN hosts map to punycode: unicode and xn-- forms group as one key") {
+    val cases = Seq(
+      (1L, "https://bücher.example/x", "xn--bcher-kva.example"),
+      (2L, "https://xn--bcher-kva.example/y", "xn--bcher-kva.example"),
+      (3L, "https://BÜCHER.EXAMPLE/z", "xn--bcher-kva.example"),
+      (4L, "https://plain.example/x", "plain.example"),
+      (5L, "not a url", null))
+    cases.toDF("id", "url", "want")
+      .select(col("id"), Urls.urlHostAscii(col("url")).as("got"), col("want"))
+      .collect()
+      .foreach(r => assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"case ${r.getLong(0)}"))
+    // PSL grouping runs on the mapped form: both spellings land in the
+    // same registrable domain
+    val doms = Seq("https://a.bücher.example/x",
+        "https://a.xn--bcher-kva.example/y").toDF("url")
+      .select(Urls.registrableDomainPsl(col("url")).as("d"))
+      .collect().map(_.getString(0)).toSet
+    assert(doms === Set("xn--bcher-kva.example"))
+  }
+
+  test("percent-encoding normalization: unreserved decode, hex uppercase") {
+    val cases = Seq(
+      // %2f vs %2F vs %7E~%41: one canonical spelling
+      (1L, "https://x.com/p%41th%7e/x%2Fy?n%61me=v%2f1",
+        "x.com/pAth~/x%2Fy?name=v%2F1"),
+      (2L, "https://x.com/pAth~/x%2Fy?name=v%2F1",
+        "x.com/pAth~/x%2Fy?name=v%2F1"),
+      // reserved escapes stay encoded (decoding %2F would change structure)
+      (3L, "https://x.com/a%2Fb", "x.com/a%2Fb"),
+      // MALFORMED escapes make the whole url unparseable — the parse
+      // layer's NULL contract, not the normalizer's
+      (4L, "https://x.com/a%2", null),
+      (5L, "https://x.com/a%ZZb", null))
+    cases.toDF("id", "url", "want")
+      .select(col("id"), Urls.canonicalUrl(col("url")).as("got"), col("want"))
+      .collect()
+      .foreach(r => assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"case ${r.getLong(0)}"))
+    // the normalizer itself passes malformed escapes through verbatim
+    // (callers feeding it pre-split strings keep their bytes)
+    assert(graft.pipeline.UrlNorm.percentNormalize("a%2") === "a%2")
+    assert(graft.pipeline.UrlNorm.percentNormalize("a%ZZb") === "a%ZZb")
+    assert(graft.pipeline.UrlNorm.percentNormalize("%2f%41%7e") === "%2FA~")
+  }
 }
