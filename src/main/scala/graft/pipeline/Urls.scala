@@ -64,19 +64,33 @@ object Urls {
       org.apache.spark.sql.GraftSqlBridge.column(
         graft.functions.PercentNormalize(
           org.apache.spark.sql.GraftSqlBridge.expressionOf(c)))
-    val host = regexp_replace(urlHost(url), "^www\\.", "")
+    // IDN-mapped host: the unicode and xn-- spellings of one site
+    // canonicalize to ONE url (all-ASCII hosts pass through by reference)
+    val host = regexp_replace(urlHostAscii(url), "^www\\.", "")
+    // parse_url rejects urls the URI grammar won't take (raw unicode
+    // hosts, malformed escapes) wholesale — for those, the component
+    // regexes (the SAME forms the oracle replays) take over, keyed on
+    // the parsed host being null while the regex host resolved
+    val parsedHost = urlHost(url)
+    val scheme = coalesce(lower(try_parse_url(url, lit("PROTOCOL"))),
+      nullif(lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)), lit("")))
     // parse_url has no PORT part: read it off the authority's tail, then
     // keep it only when it differs from the scheme's default
-    val scheme = lower(try_parse_url(url, lit("PROTOCOL")))
-    val port = regexp_extract(
-      coalesce(try_parse_url(url, lit("AUTHORITY")), lit("")), ":(\\d+)$", 1)
+    val auth = coalesce(try_parse_url(url, lit("AUTHORITY")),
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val port = regexp_extract(auth, ":(\\d+)$", 1)
     val defaultPort = when(scheme === "http", lit("80"))
       .when(scheme === "https", lit("443")).otherwise(lit(""))
     val portSuffix = when(port === "" || port === defaultPort, lit(""))
       .otherwise(concat(lit(":"), port))
-    val path = pctNorm(regexp_replace(
-      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/$", ""))
-    val q0 = pctNorm(coalesce(try_parse_url(url, lit("QUERY")), lit("")))
+    val rawPath = when(parsedHost.isNotNull,
+        coalesce(try_parse_url(url, lit("PATH")), lit("")))
+      .otherwise(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+    val rawQuery = when(parsedHost.isNotNull,
+        coalesce(try_parse_url(url, lit("QUERY")), lit("")))
+      .otherwise(regexp_extract(url, "^[^?#]*\\?([^#]*)", 1))
+    val path = pctNorm(regexp_replace(rawPath, "/$", ""))
+    val q0 = pctNorm(rawQuery)
     val kept = array_sort(filter(split(q0, "&"), p =>
       !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
         p.startsWith("gclid=") || p === lit(""))))

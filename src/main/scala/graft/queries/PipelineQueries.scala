@@ -788,6 +788,20 @@ object PipelineQueries {
         .withColumn("n_chars_out", length(col("text_out")).cast("long"))
     }),
 
+    // IDN host mapping: the unicode spelling, its xn-- punycode twin
+    // and a plain ASCII host — the first two must group as ONE key; the
+    // oracle states the punycode literally (DuckDB has no IDN)
+    "p_url_idn" -> ((s, d) => {
+      val j = (col("doc_id") % 5).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://b"), j, lit(".bücher.example/x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://b"), j, lit(".xn--bcher-kva.example/x")))
+        .otherwise(concat(lit("https://plain"), j, lit(".example/x")))
+      docs(s, d).select(col("doc_id"),
+        graft.pipeline.Urls.urlHostAscii(url).as("host"))
+    }),
+
     // NFKC + ASCII normalization: full-width forms, ligatures, a
     // superscript, a Roman-numeral compatibility char and a combining
     // sequence planted around each doc must fold to their canonical
@@ -2480,6 +2494,15 @@ object PipelineQueries {
            |n7 AS (SELECT doc_id, regexp_replace(t, '\x{2026}', '...', 'g') AS t FROM n6),
            |n8 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM n7)
            |SELECT doc_id, t AS text_out, length(t)::BIGINT AS n_chars_out FROM n8""".stripMargin,
+    // the expected punycode mapping stated as a LITERAL (xn--bcher-kva
+    // is the RFC 3492 encoding of 'bücher') — an independent
+    // restatement, DuckDB has no IDN machinery
+    "p_url_idn" ->
+      """SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+        |  WHEN 0 THEN 'b' || CAST(doc_id % 5 AS VARCHAR) || '.xn--bcher-kva.example'
+        |  WHEN 1 THEN 'b' || CAST(doc_id % 5 AS VARCHAR) || '.xn--bcher-kva.example'
+        |  ELSE 'plain' || CAST(doc_id % 5 AS VARCHAR) || '.example' END AS host
+        |FROM documents""".stripMargin,
     // the NFKC foldings are stated as LITERALS (full-width → ASCII,
     // ligatures expanded, superscript/roman/unit decomposed, combining
     // acute composed to chr(233)) — DuckDB lacks NFKC, so this is an

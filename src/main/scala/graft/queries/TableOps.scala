@@ -859,6 +859,29 @@ object TableOps {
       data(Readers.snapshot(t2))
     }),
 
+    // the pipeline-service CALL surface, oracled end-to-end: two
+    // run_rollup_sync ticks (full build, then an incremental CDC-scoped
+    // re-agg over an upsert) driven purely through SQL — the aggregates
+    // ride decimal so the fold is order-exact against DuckDB
+    "t_sql_call_rollup" -> ((s, d) => {
+      val srcT = fresh(s, d, "t_sql_call_rollup_src", cfg(TableType.CopyOnWrite))
+      val rollT = fresh(s, d, "t_sql_call_rollup_out", TableConfig(
+        "rollup_q", TableType.CopyOnWrite, Seq("o_orderstatus"), "", ""))
+      val src = orders(s, d)
+      srcT.bulkInsert(src)
+      def tick(): Unit = s.sql(
+        s"CALL run_rollup_sync(source => '${srcT.basePath}', " +
+          s"rollup => '${rollT.basePath}', group_cols => 'o_orderstatus', " +
+          "aggs => 'cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total; " +
+          "count(1) AS n')").collect()
+      tick()
+      srcT.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      tick()
+      Readers.snapshot(graft.table.GraftTable.load(s, rollT.basePath.toString))
+        .select("o_orderstatus", "total", "n")
+    }),
+
     // SQL time travel: VERSION AS OF pins the pre-update snapshot through
     // the parser hook — the oracle is the UNMODIFIED base table
     "t_sql_time_travel" -> ((s, d) => {
@@ -1772,6 +1795,12 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_sql_call_rollup" ->
+      """SELECT o_orderstatus,
+        |CAST(sum(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |  ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "t_merge_schema_evolution" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,

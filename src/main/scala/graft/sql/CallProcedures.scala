@@ -150,7 +150,12 @@ object CallProcedures {
     "rollback_to_instant", "export_snapshot", "symlink_manifest",
     "show_commits", "show_savepoints", "show_cleans", "show_rollbacks",
     "show_compaction", "show_fsview_all", "show_table_properties",
-    "show_column_stats", "show_metrics")
+    "show_column_stats", "show_metrics",
+    // pipeline services (round-15): the incremental corpus-maintenance
+    // ticks, drivable by SQL-only users
+    "run_decontaminate_sync", "update_benchmark", "run_dedup_sync",
+    "run_hash_dedup_sync", "run_span_dedup_sync", "run_session_sync",
+    "run_rollup_sync")
 }
 
 final case class GraftCallCommand(proc: String, args: Seq[CallProcedures.Arg])
@@ -175,7 +180,93 @@ final case class GraftCallCommand(proc: String, args: Seq[CallProcedures.Arg])
     df.select(cols: _*).collect().toSeq
   }
 
+  /** A graft table from a CALL argument: a `/`-bearing value loads by
+    * PATH (pipeline-service state tables are rarely cataloged), anything
+    * else resolves like a SQL name (temp view / catalog).
+    */
+  private def tableAt(spark: SparkSession, v: String): GraftTable =
+    if (v.contains("/")) GraftTable.load(spark, v)
+    else GraftSqlParser.tableOf(spark, v)
+
+  private def need(name: String): String =
+    named(name).getOrElse(throw new IllegalArgumentException(
+      s"CALL $proc needs $name => '...'"))
+
+  /** The pipeline-service procedures — SQL drivers for the incremental
+    * corpus-maintenance ticks (dedup / decontamination / sessionization /
+    * rollup services). Index tables auto-create at their path on first
+    * use (the services' own openIndex); source/output tables must exist.
+    */
+  private def runPipelineService(spark: SparkSession): Seq[Row] = {
+    import graft.pipeline._
+    def one(s: Option[String]): Seq[Row] = Seq(Row(s.getOrElse("no new data")))
+    def src = tableAt(spark, need("source"))
+    def clean = tableAt(spark, need("clean"))
+    val textCol = named("text_col").getOrElse("text")
+    val idCol = named("id_col").getOrElse("doc_id")
+    proc match {
+      case "run_decontaminate_sync" =>
+        // thresholds => 'easy:0.6,strict:0' selects GRADED mode per suite
+        val thresholds = named("thresholds").map(_.split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf(':')
+            require(i > 0, s"thresholds entries are suite:fraction, got '$kv'")
+            kv.substring(0, i).trim -> kv.substring(i + 1).trim.toDouble
+          }.toMap).getOrElse(Map.empty[String, Double])
+        val idx = DecontaminateService.openIndex(spark, need("index"))
+        one(DecontaminateService.sync(src, clean, idx, textCol, idCol, thresholds))
+      case "update_benchmark" =>
+        val idx = DecontaminateService.openIndex(spark, need("index"))
+        val benchArg = need("benchmark")
+        val bench =
+          if (benchArg.contains("/")) spark.read.parquet(benchArg)
+          else spark.table(benchArg)
+        Seq(Row(DecontaminateService.updateBenchmark(idx, bench, textCol,
+          named("suite").getOrElse("default"))))
+      case "run_dedup_sync" =>
+        val idx = DedupService.openIndex(spark, need("index"))
+        one(DedupService.sync(src, clean, idx, textCol, idCol))
+      case "run_span_dedup_sync" =>
+        val idx = SpanDedupService.openIndex(spark, need("index"))
+        one(SpanDedupService.sync(src, clean, idx, textCol, idCol))
+      case "run_hash_dedup_sync" =>
+        // simhash over the text column — the SQL-expressible hash mode;
+        // byte-level hashes (phash/audio) stay on the programmatic API,
+        // which takes an arbitrary hashOf function
+        val idx = HashDedupService.openIndex(spark, need("index"))
+        val hashOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.select(org.apache.spark.sql.functions.col(idCol),
+            Dedup.simhash(org.apache.spark.sql.functions.col(textCol)).as("hash"))
+        one(HashDedupService.sync(src, clean, idx, hashOf, idCol))
+      case "run_session_sync" =>
+        val events = tableAt(spark, need("events"))
+        val sessions = tableAt(spark, need("sessions"))
+        one(SessionService.sync(events, sessions,
+          userCol = named("user_col").getOrElse("user_id"),
+          tsCol = named("ts_col").getOrElse("ts"),
+          valueCol = named("value_col").getOrElse("value"),
+          maxGapSeconds = named("max_gap_seconds").map(_.toLong).getOrElse(1800L),
+          buckets = named("buckets").map(_.toInt).getOrElse(64)))
+      case "run_rollup_sync" =>
+        // aggs => 'sum(v) AS total; count(1) AS n' — ';'-separated Spark
+        // SQL aggregate expressions (CheckConstraints' separator, commas
+        // stay available inside the expressions)
+        val rollup = tableAt(spark, need("rollup"))
+        val groupCols = need("group_cols").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val aggs = need("aggs").split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
+        require(aggs.nonEmpty, "run_rollup_sync needs at least one aggregate in aggs")
+        one(RollupService.sync(src, rollup, groupCols, aggs))
+      case other => throw new IllegalStateException(s"not a service procedure: $other")
+    }
+  }
+
+  private val ServiceProcs = Set("run_decontaminate_sync", "update_benchmark",
+    "run_dedup_sync", "run_hash_dedup_sync", "run_span_dedup_sync",
+    "run_session_sync", "run_rollup_sync")
+
   override def run(spark: SparkSession): Seq[Row] = {
+    if (ServiceProcs.contains(proc)) return runPipelineService(spark)
     val t: GraftTable = GraftSqlParser.tableOf(spark, tableArg)
     def one(s: String): Seq[Row] = Seq(Row(s))
     proc match {

@@ -30,7 +30,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("cleaning ops are pure map plans: zero Exchange, codegen'd") {
     for (name <- Seq("p_c4_clean", "p_pii_scrub",
         "p_html_extract", "p_line_dedup_within", "p_url_domains",
-        "p_url_canonical", "p_url_psl", "p_text_normalize")) {
+        "p_url_canonical", "p_url_psl", "p_text_normalize",
+        "p_text_nfkc", "p_url_idn")) {
       val df = graft.queries.PipelineQueries.queries(name)(spark, sf001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

@@ -185,6 +185,80 @@ class SqlCallProcedureSpec extends AnyFunSuite {
       s"unknown CALL must fall through to Spark, got: ${e.getMessage}")
   }
 
+  test("run_decontaminate_sync + update_benchmark: graded SQL-only drive") {
+    val root = tmpDir("call_decon").toString
+    def mk(n: String) = GraftTable.create(spark, s"$root/$n", TableConfig(
+      n, TableType.CopyOnWrite, Seq("doc_id"), "", ""))
+    val srcT = mk("source")
+    mk("clean")
+    val strict = "the secret eval answer is fortytwo exactly here now ok"
+    Seq(strict).toDF("text").createOrReplaceTempView("bench_v")
+    spark.sql(s"CALL update_benchmark(index => '$root/index', " +
+      "benchmark => 'bench_v', suite => 'strict')")
+    srcT.bulkInsert(Seq(
+      (1L, s"prefix words $strict suffix words"), // contaminated
+      (2L, "an entirely clean document with its own words")).toDF("doc_id", "text"))
+    val r = spark.sql(s"CALL run_decontaminate_sync(source => '$root/source', " +
+      s"clean => '$root/clean', index => '$root/index', " +
+      "thresholds => 'strict:0.0')").collect()
+    assert(r.length === 1 && r(0).getString(0).nonEmpty)
+    assert(Readers.snapshot(GraftTable.load(spark, s"$root/clean"))
+      .select("doc_id").as[Long].collect().toSet === Set(2L))
+    // unchanged source: the tick reports no new data
+    val again = spark.sql(s"CALL run_decontaminate_sync(source => '$root/source', " +
+      s"clean => '$root/clean', index => '$root/index', " +
+      "thresholds => 'strict:0.0')").collect()
+    assert(again(0).getString(0) === "no new data")
+  }
+
+  test("run_dedup_sync and run_hash_dedup_sync tick from SQL") {
+    val root = tmpDir("call_dedup").toString
+    def mk(n: String) = GraftTable.create(spark, s"$root/$n", TableConfig(
+      n, TableType.CopyOnWrite, Seq("doc_id"), "", ""))
+    val srcT = mk("source"); mk("clean"); mk("clean_h")
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    srcT.bulkInsert(Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1 (minhash catches it)
+      (3L, "completely different text about graph partitioning at scale"),
+      (4L, base)) // exact copy of 1 (identical simhash)
+      .toDF("doc_id", "text"))
+    spark.sql(s"CALL run_dedup_sync(source => '$root/source', " +
+      s"clean => '$root/clean', index => '$root/idx_minhash')").collect()
+    val kept = Readers.snapshot(GraftTable.load(spark, s"$root/clean"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(3L) && kept.contains(1L) && !kept.contains(2L),
+      s"minhash tick kept $kept")
+    spark.sql(s"CALL run_hash_dedup_sync(source => '$root/source', " +
+      s"clean => '$root/clean_h', index => '$root/idx_simhash')").collect()
+    val keptH = Readers.snapshot(GraftTable.load(spark, s"$root/clean_h"))
+      .select("doc_id").as[Long].collect().toSet
+    // the exact copy (identical simhash) drops; the one-token near-dup is
+    // minhash's job, not a 3-bit-hamming guarantee
+    assert(keptH.contains(3L) && keptH.contains(1L) && !keptH.contains(4L),
+      s"simhash tick kept $keptH")
+  }
+
+  test("run_rollup_sync: ';'-separated aggs, incremental second tick") {
+    val root = tmpDir("call_rollup").toString
+    val srcT = GraftTable.create(spark, s"$root/source", TableConfig(
+      "src", TableType.CopyOnWrite, Seq("event_id"), "", ""))
+    GraftTable.create(spark, s"$root/rollup", TableConfig(
+      "rollup", TableType.CopyOnWrite, Seq("user_id"), "", ""))
+    srcT.bulkInsert(Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 1.0))
+      .toDF("event_id", "user_id", "value"))
+    def tick() = spark.sql(s"CALL run_rollup_sync(source => '$root/source', " +
+      s"rollup => '$root/rollup', group_cols => 'user_id', " +
+      "aggs => 'sum(value) AS total; count(1) AS n')").collect()
+    tick()
+    def state() = Readers.snapshot(GraftTable.load(spark, s"$root/rollup"))
+      .select("user_id", "total", "n").as[(Long, Double, Long)].collect().toSet
+    assert(state() === Set((10L, 12.0, 2L), (20L, 1.0, 1L)))
+    srcT.upsert(Seq((4L, 20L, 3.0)).toDF("event_id", "user_id", "value"))
+    tick()
+    assert(state() === Set((10L, 12.0, 2L), (20L, 4.0, 2L)))
+  }
+
   test("parseArgs: '=>' inside a quoted literal is not a name separator") {
     import graft.sql.CallProcedures.{parseArgs, Arg}
     assert(parseArgs("'t', '/tmp/a=>b'") ===

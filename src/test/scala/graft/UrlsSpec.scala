@@ -216,10 +216,18 @@ class UrlsSpec extends AnyFunSuite {
         "x.com/pAth~/x%2Fy?name=v%2F1"),
       // reserved escapes stay encoded (decoding %2F would change structure)
       (3L, "https://x.com/a%2Fb", "x.com/a%2Fb"),
-      // MALFORMED escapes make the whole url unparseable — the parse
-      // layer's NULL contract, not the normalizer's
-      (4L, "https://x.com/a%2", null),
-      (5L, "https://x.com/a%ZZb", null))
+      // MALFORMED escapes fail the URI grammar; the regex component
+      // fallback still canonicalizes, escapes passing through verbatim
+      (4L, "https://x.com/a%2", "x.com/a%2"),
+      (5L, "https://x.com/a%ZZb", "x.com/a%ZZb"),
+      // IDN urls canonicalize through the punycode host WITH their
+      // path/query intact (params still filtered + sorted)
+      (6L, "https://bücher.example/x/?b=2&utm_source=t&a=1",
+        "xn--bcher-kva.example/x?a=1&b=2"),
+      (7L, "https://xn--bcher-kva.example/x?a=1&b=2",
+        "xn--bcher-kva.example/x?a=1&b=2"),
+      // true garbage still nulls (no scheme://host to anchor)
+      (8L, "not a url", null))
     cases.toDF("id", "url", "want")
       .select(col("id"), Urls.canonicalUrl(col("url")).as("got"), col("want"))
       .collect()
