@@ -768,6 +768,26 @@ object TableOps {
       data(Readers.snapshot(t), OrdersCols :+ "o_channel")
     }),
 
+    // NESTED merge evolution: the MERGE source's struct gained a nested
+    // field — matched rows take the wide value, carried rows pad null,
+    // then a NARROW old-shape source merges into the evolved table
+    "t_merge_nested_evolution" -> ((s, d) => {
+      val t = fresh(s, d, "t_merge_nested_evo", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.withColumn("meta", struct(col("o_orderstatus").as("st"))))
+      t.mergeInto(src.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("meta", struct(col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("pri"))))
+        .whenMatchedUpdate()
+        .execute()
+      t.mergeInto(src.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("meta", struct(lit("X").as("st"))))
+        .whenMatchedUpdate()
+        .execute()
+      Readers.snapshot(t).select(OrdersCols.map(col) ++ Seq(
+        col("meta.st").as("meta_st"), col("meta.pri").as("meta_pri")): _*)
+    }),
+
     // CDC as a SQL table-valued function (Delta-CDF convention): the same
     // change-image semantics as t_incremental_cdc but driven purely
     // through `FROM table_changes('view', begin)` — a row both updated
@@ -1795,6 +1815,12 @@ object TableOps {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
          |o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "t_merge_nested_evolution" ->
+      s"""SELECT $OrdersSql,
+         |CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS meta_st,
+         |CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 11 <> 0
+         |  THEN o_orderpriority ELSE NULL END AS meta_pri
+         |FROM orders""".stripMargin,
     "t_sql_call_rollup" ->
       """SELECT o_orderstatus,
         |CAST(sum(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

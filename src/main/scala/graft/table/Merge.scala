@@ -76,6 +76,21 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     clauses :+= Clause("nms_delete", condition, Map.empty); this
   }
 
+  /** NESTED additive evolution (same contract as upsert's batch
+    * alignment, applied regardless of [[withSchemaEvolution]] — that
+    * flag governs NEW top-level columns only): struct columns whose
+    * source shape differs additively from the table's evolve BOTH join
+    * sides to the merged type before any clause expression compiles, so
+    * `s.meta`/`t.meta` agree structurally and the commit records the
+    * widened schema. Non-additive drift refuses with the named
+    * SchemaEvolution error instead of an opaque struct-cast failure.
+    */
+  private var evolvedTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty
+
+  private def colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    t.dataSchema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty) ++ evolvedTypes
+
   def execute(): String = {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     // additive schema evolution, the same contract as upsert's
@@ -88,11 +103,27 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
       else srcData.filterNot(targetCols.contains)
     val dataCols = if (targetCols.isEmpty) srcData else targetCols ++ newCols
 
+    val tblTypes = t.dataSchema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+    evolvedTypes = srcData.flatMap { c =>
+      tblTypes.get(c).flatMap { tdt =>
+        val sdt = source.schema(c).dataType
+        if (sdt != tdt && (SchemaEvolution.containsStruct(tdt) ||
+            SchemaEvolution.containsStruct(sdt)))
+          Some(c -> SchemaEvolution.mergeEvolvedType(c, tdt, sdt))
+        else None
+      }
+    }.toMap
+    val sourceAligned = evolvedTypes.foldLeft(source) { case (df, (c, m)) =>
+      df.withColumn(c,
+        SchemaEvolution.evolveColumn(col(s"`$c`"), source.schema(c).dataType, m))
+    }
+
     // ANSI MERGE forbids a target row matching >1 source row. Collapse
     // duplicate source keys by precombine (highest wins, like the
     // reference's payload preCombine); without a precombine field a
     // multi-match would be nondeterministic, so it errors instead.
-    val srcRaw = KeyGen.withKeyColumns(source, t.cfg)
+    val srcRaw = KeyGen.withKeyColumns(sourceAligned, t.cfg)
     val pc = t.cfg.precombineField
     // ONE aggregation job yields both the touched-partition list (for the
     // pruned target snapshot) and the per-partition max key multiplicity
@@ -120,8 +151,11 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     // write) — cache it once
     srcKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val target0 = Readers.snapshot(t, partitions = Some(parts))
-    val target = newCols.foldLeft(target0)((df, c) =>
+    val padded = newCols.foldLeft(target0)((df, c) =>
       df.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+    val target = evolvedTypes.foldLeft(padded) { case (df, (c, m)) =>
+      df.withColumn(c, SchemaEvolution.evolveColumn(col(s"`$c`"), tblTypes(c), m))
+    }
 
     try {
       if (t.cfg.isMor) executeTwoPass(target, srcKeyed, dataCols)
@@ -201,9 +235,9 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
       .reduceOption(_ || _).getOrElse(lit(false))
 
     // pin every data column to the table schema's type (assignment and
-    // insert expressions may carry narrower source types)
-    val colType: Map[String, org.apache.spark.sql.types.DataType] =
-      t.dataSchema.map(_.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    // insert expressions may carry narrower source types; nested-evolved
+    // columns pin to their MERGED type — both sides are pre-aligned)
+    val colType = colTypes
     def typed(c: String, e: Column): Column =
       colType.get(c).map(e.cast).getOrElse(e).as(c)
 

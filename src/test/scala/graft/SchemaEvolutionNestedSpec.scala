@@ -129,6 +129,34 @@ class SchemaEvolutionNestedSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("incompatible schema evolution"))
   }
 
+  test("MERGE INTO evolves nested struct shapes on both join sides") {
+    val dir = tmpDir("evo_nested_merge").toString + "/t"
+    val t = GraftTable.create(spark, dir, cfg("evo", TableType.CopyOnWrite))
+    t.bulkInsert(narrow(Seq((1L, 1L, "A"), (2L, 1L, "B"))))
+    // source carries the WIDE struct: matched star-update + insert
+    t.mergeInto(wide(Seq((2L, 2L, "B2", "HI"), (3L, 1L, "C", "LO"))))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .execute()
+    assert(flat(t) === Set(
+      (1L, 1L, "A", null), (2L, 2L, "B2", "HI"), (3L, 1L, "C", "LO")))
+    assert(t.dataSchema.get("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("st", "pri"))
+    // and the NARROW direction: an old-shape source merges into the
+    // evolved table, its missing nested field padding null
+    t.mergeInto(narrow(Seq((1L, 2L, "A2"))))
+      .whenMatchedUpdate()
+      .execute()
+    assert(flat(t) === Set(
+      (1L, 2L, "A2", null), (2L, 2L, "B2", "HI"), (3L, 1L, "C", "LO")))
+    // non-additive drift refuses with the named error, not a cast failure
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(Seq((1L, 3L, 9L)).toDF("id", "v", "meta"))
+        .whenMatchedUpdate().execute()
+    }
+    assert(e.getMessage.contains("incompatible schema evolution"))
+  }
+
   test("mergeEvolvedType unit rules: order, extras, maps") {
     val tbl = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType)))
