@@ -88,6 +88,49 @@ object TextStats {
     */
   def langId(text: Column): Column = feats(text).getField("lang_pred")
 
+  /** The Unicode scripts the profile reports, with their java.util.regex
+    * script-class names. A multilingual web corpus routes per-language
+    * processing (tokenizer choice, quality thresholds, mixture weights)
+    * off these ratios — the SCRIPT layer is deterministic where n-gram
+    * language ID is statistical, and catches mixed-script spam (latin
+    * body + CJK keyword stuffing) that per-language models miss.
+    */
+  val Scripts: Seq[String] = Seq(
+    "Latin", "Cyrillic", "Arabic", "Han", "Hangul", "Hiragana",
+    "Katakana", "Devanagari", "Greek", "Hebrew", "Thai")
+
+  /** Per-script character ratios over the text's LETTERS: a struct of
+    * `n_letters` plus one `<script>` fraction per [[Scripts]] entry
+    * (0.0 when the text has no letters). Pure codegen'd `regexp_count`
+    * passes — row-local, zero shuffle; ratios divide exact integer
+    * counts, so an oracle replaying the counts gets bit-equal doubles.
+    */
+  def scriptProfile(text: Column): Column = {
+    val letters = regexp_count(text, lit("\\p{L}"))
+    val fracs = Scripts.map { s =>
+      when(letters === 0, lit(0.0))
+        .otherwise(regexp_count(text, lit(s"\\p{Is$s}")).cast("double") /
+          letters.cast("double"))
+        .as(s.toLowerCase)
+    }
+    struct((letters.cast("long").as("n_letters") +: fracs): _*)
+  }
+
+  /** Dominant script of the text: the [[Scripts]] entry with the highest
+    * letter share, lowercased; `und` (undetermined) when no listed
+    * script reaches `minShare` of the letters or the text has no
+    * letters. Ties break to the later script name (array_max orders by
+    * share then name) — deterministic either way.
+    */
+  def dominantScript(text: Column, minShare: Double = 0.5): Column = {
+    val p = scriptProfile(text)
+    val best = array_max(array(Scripts.map(s =>
+      struct(p.getField(s.toLowerCase).as("share"),
+        lit(s.toLowerCase).as("name"))): _*))
+    when(best.getField("share") >= minShare, best.getField("name"))
+      .otherwise(lit("und"))
+  }
+
   /** Document fingerprint: 64-bit hash of whitespace/case-normalized text —
     * the exact-dedup key.
     */

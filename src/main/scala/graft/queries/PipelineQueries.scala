@@ -132,6 +132,28 @@ object PipelineQueries {
         TextStats.langId(col("text")).as("lang_pred"),
         TextStats.fingerprintHex(col("text")).as("fingerprint"))),
 
+    // Unicode script profiling: per-script letter shares over planted
+    // multilingual snippets (Cyrillic / Han / Arabic appended to the
+    // ASCII doc body) — counts replay in DuckDB via RE2 script classes;
+    // the dominant script of the planted snippet is stated literally
+    "p_text_scripts" -> ((s, d) => {
+      val snippet = when(col("doc_id") % 4 === 0,
+          lit(" \u043F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440"))
+        .when(col("doc_id") % 4 === 1, lit(" \u4F60\u597D\u4E16\u754C"))
+        .when(col("doc_id") % 4 === 2,
+          lit(" \u0645\u0631\u062D\u0628\u0627 " +
+            "\u0628\u0627\u0644\u0639\u0627\u0644\u0645"))
+        .otherwise(lit(""))
+      val p = TextStats.scriptProfile(concat(col("text"), snippet))
+      docs(s, d).select(col("doc_id"),
+        p.getField("n_letters").as("n_letters"),
+        p.getField("latin").as("latin_frac"),
+        p.getField("cyrillic").as("cyr_frac"),
+        p.getField("han").as("han_frac"),
+        p.getField("arabic").as("arab_frac"),
+        TextStats.dominantScript(snippet).as("dom_planted"))
+    }),
+
     // exact ANN baseline: cosine top-k for three fixed query vectors
     "p_ann_bruteforce" -> ((s, d) => {
       val all = embs(s, d)
@@ -2828,6 +2850,32 @@ object PipelineQueries {
            |  AS avg_word_len
            |FROM documents""".stripMargin,
     // exact SQL twin of TextStats.qualityScore / langId / fingerprintHex
+    // letter counts via RE2 script classes (length-diff after deleting
+    // the class); planted snippets rebuilt from chr() code points; the
+    // dominant script of each snippet stated literally
+    "p_text_scripts" ->
+      raw"""WITH m AS (SELECT doc_id, text ||
+           |  CASE CAST(doc_id % 4 AS INTEGER)
+           |  WHEN 0 THEN ' ' || chr(1087)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)
+           |    ||' '||chr(1084)||chr(1080)||chr(1088)
+           |  WHEN 1 THEN ' ' || chr(20320)||chr(22909)||chr(19990)||chr(30028)
+           |  WHEN 2 THEN ' ' || chr(1605)||chr(1585)||chr(1581)||chr(1576)||chr(1575)
+           |    ||' '||chr(1576)||chr(1575)||chr(1604)||chr(1593)||chr(1575)||chr(1604)||chr(1605)
+           |  ELSE '' END AS t FROM documents),
+           |c AS (SELECT doc_id,
+           |  length(t) - length(regexp_replace(t, '\p{L}', '', 'g')) AS lets,
+           |  length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g')) AS lat,
+           |  length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g')) AS cyr,
+           |  length(t) - length(regexp_replace(t, '\p{Han}', '', 'g')) AS han,
+           |  length(t) - length(regexp_replace(t, '\p{Arabic}', '', 'g')) AS ara FROM m)
+           |SELECT doc_id, CAST(lets AS BIGINT) AS n_letters,
+           |  CASE WHEN lets = 0 THEN 0.0 ELSE CAST(lat AS DOUBLE)/lets END AS latin_frac,
+           |  CASE WHEN lets = 0 THEN 0.0 ELSE CAST(cyr AS DOUBLE)/lets END AS cyr_frac,
+           |  CASE WHEN lets = 0 THEN 0.0 ELSE CAST(han AS DOUBLE)/lets END AS han_frac,
+           |  CASE WHEN lets = 0 THEN 0.0 ELSE CAST(ara AS DOUBLE)/lets END AS arab_frac,
+           |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'cyrillic'
+           |    WHEN 1 THEN 'han' WHEN 2 THEN 'arabic' ELSE 'und' END AS dom_planted
+           |FROM c""".stripMargin,
     "p_text_quality_lang" ->
       raw"""WITH s AS (
            |  SELECT doc_id, text, length(text) AS nch,

@@ -164,6 +164,13 @@ object GraftFunctions {
       a => org.apache.spark.sql.GraftSqlBridge.column(
         graft.functions.PercentNormalize(
           org.apache.spark.sql.GraftSqlBridge.expressionOf(a.head)))),
+    fromColumns("graft_script_profile", 1,
+      "per-Unicode-script letter shares (n_letters + one fraction per " +
+        "script: latin/cyrillic/arabic/han/...)")(
+      a => graft.pipeline.TextStats.scriptProfile(a.head)),
+    fromColumns("graft_dominant_script", 1,
+      "dominant Unicode script of the text's letters ('und' below half share)")(
+      a => graft.pipeline.TextStats.dominantScript(a.head)),
 
     // media hashes (round-12 operators): codec work can never codegen, so
     // a Scala UDF is the honest tier — same row-local cost as the

@@ -224,6 +224,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(docsPred.filter(!$"pred".isin("en", "pt", "und")).count() === 0)
   }
 
+  test("script profile + dominant script across mixed-script texts") {
+    val samples = Seq(
+      (1L, "hello plain latin text here"),
+      (2L, "привет мир как дела"),
+      (3L, "你好世界今天天气很好"),
+      (4L, "mixed latin и кириллица half and half"),
+      (5L, "12345 ... !!!")).toDF("id", "text")
+    val got = samples.select($"id",
+      TextStats.scriptProfile($"text").as("p"),
+      TextStats.dominantScript($"text").as("dom"))
+    val rows = got.select($"id", $"p.n_letters", $"p.latin", $"p.cyrillic",
+        $"p.han", $"dom").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    assert(rows(1L)._2 === 1.0 && rows(1L)._5 === "latin")
+    assert(rows(2L)._3 === 1.0 && rows(2L)._5 === "cyrillic")
+    assert(rows(3L)._4 === 1.0 && rows(3L)._5 === "han")
+    // mixed-script spam shape: both scripts clearly present (the latin
+    // majority still carries the dominant label)
+    assert(rows(4L)._2 > 0.5 && rows(4L)._3 > 0.2 && rows(4L)._5 === "latin")
+    // no letters at all: zero shares, undetermined
+    assert(rows(5L)._1 === 0L && rows(5L)._5 === "und")
+    // SQL surface parity
+    samples.createOrReplaceTempView("scripts_v")
+    val viaSql = spark.sql(
+      "SELECT id, graft_dominant_script(text) AS d FROM scripts_v ORDER BY id")
+      .collect().map(_.getString(1)).toSeq
+    assert(viaSql === Seq("latin", "cyrillic", "han", viaSql(3), "und"))
+  }
+
   test("text search: bm25 ranks the matching doc first; tfidf surfaces the rare term") {
     val corpus = Seq(
       (1L, "spark catalyst optimizer rules rewrite logical plans"),

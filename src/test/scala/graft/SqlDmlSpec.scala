@@ -89,6 +89,30 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(ro === Array((1L, null), (2L, "mB"), (5L, "mN")))
   }
 
+  test("SQL MERGE evolves NESTED struct shapes (same contract as upsert)") {
+    val dir = tmpDir("sql_tnev").toString + "/t"
+    Seq((1L, 1L, "A"), (2L, 1L, "B")).toDF("id", "ver", "st")
+      .select(col("id"), col("ver"), struct(col("st")).as("meta"))
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("operation", "bulk_insert").save(dir)
+    reread(dir, "tnev")
+    // the source's struct carries an ADDED nested field
+    Seq((2L, 2L, "B2", "HI"), (3L, 1L, "C", "LO")).toDF("id", "ver", "st", "pri")
+      .select(col("id"), col("ver"),
+        struct(col("st"), col("pri")).as("meta"))
+      .createOrReplaceTempView("src_nev")
+    spark.sql("""
+      MERGE INTO tnev t USING src_nev s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    reread(dir, "tnev")
+    val got = spark.sql(
+      "SELECT id, meta.st, meta.pri FROM tnev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got === Array((1L, "A", null), (2L, "B2", "HI"), (3L, "C", "LO")))
+  }
+
   test("SCHEMA EVOLUTION leaves explicit partial clauses untouched") {
     val dir = makeView("tevp")
     Seq((2L, 2L, 50.0, "s2", "noteB"), (9L, 1L, 90.0, "new", "noteN"))
