@@ -39,6 +39,23 @@ object Cleaning {
       size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
       size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 
+  /** Redact Luhn-valid credit/debit card numbers (13-19 digits, plain or
+    * single-space/dash separated) with `<CC>` — the checksum gate keeps
+    * order ids and timestamps out, which a bare digit-run regex cannot
+    * (see [[graft.pipeline.PiiNorm]]); a native codegen'd expression,
+    * not a UDF, and the no-match row passes through by reference.
+    */
+  def scrubCreditCards(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ScrubCreditCards(
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(text)))
+
+  /** The full redaction pass: emails, IPs, phones, then Luhn-valid card
+    * numbers (cards LAST — `<EMAIL>`/`<IP>` tokens carry no digits, and
+    * phone shapes are too short for the PAN window).
+    */
+  def scrubPiiAll(text: Column): Column = scrubCreditCards(scrubPii(text))
+
   // -------------------------------------------------- HTML text extraction
 
   /** HTML → text: drop script/style payloads, strip tags, decode the six

@@ -1231,6 +1231,18 @@ object PipelineQueries {
     // PII scrubbing: plant a deterministic email/IP/phone mix per doc
     // (email on even ids, phone on ids % 3 == 0, IP always), redact, and
     // report the pre-scrub match count — one codegen'd map pass
+    // Luhn-validated card redaction: three VALID test PANs (plain,
+    // dashed, 15-digit amex) redact; an invalid-checksum twin and a
+    // phone-length run pass through byte-identical — the oracle states
+    // the redacted suffix literally (SQL cannot express the mod-10 gate)
+    "p_pii_cc" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" pay 4111111111111111 or 4111-1111-1111-1111 amex 378282246310005"),
+        lit(" bad 4111111111111112 ref 555-123-4567 end"))
+      docs(s, d).select(col("doc_id"),
+        Cleaning.scrubCreditCards(planted).as("text_out"))
+    }),
+
     "p_pii_scrub" -> ((s, d) => {
       val planted = docs(s, d).select(col("doc_id"), concat(
         col("text"),
@@ -2298,6 +2310,10 @@ object PipelineQueries {
          |  GROUP BY p.doc_id)
          |SELECT d.doc_id, round(coalesce(sc.avg_logp, ln(1.0 / voc.v)), 4) AS avg_logp
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id CROSS JOIN voc""".stripMargin,
+    "p_pii_cc" ->
+      """SELECT doc_id, text ||
+        | ' pay <CC> or <CC> amex <CC> bad 4111111111111112 ref 555-123-4567 end'
+        | AS text_out FROM documents""".stripMargin,
     "p_pii_scrub" ->
       s"""WITH planted AS (
          |  SELECT doc_id, text

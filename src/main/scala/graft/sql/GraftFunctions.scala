@@ -171,6 +171,12 @@ object GraftFunctions {
     fromColumns("graft_dominant_script", 1,
       "dominant Unicode script of the text's letters ('und' below half share)")(
       a => graft.pipeline.TextStats.dominantScript(a.head)),
+    fromColumns("graft_scrub_cc", 1,
+      "redact Luhn-valid 13-19 digit card numbers (plain/spaced/dashed) with <CC>")(
+      a => graft.pipeline.Cleaning.scrubCreditCards(a.head)),
+    fromColumns("graft_scrub_pii_all", 1,
+      "full PII redaction: emails, IPv4s, phones, then Luhn-valid card numbers")(
+      a => graft.pipeline.Cleaning.scrubPiiAll(a.head)),
 
     // media hashes (round-12 operators): codec work can never codegen, so
     // a Scala UDF is the honest tier — same row-local cost as the

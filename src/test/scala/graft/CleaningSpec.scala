@@ -24,6 +24,31 @@ class CleaningSpec extends AnyFunSuite {
     assert(counted === 3)
   }
 
+  test("credit-card scrub: Luhn gate, formats, near-misses untouched") {
+    def cc(s: String): String =
+      Seq(s).toDF("t").select(Cleaning.scrubCreditCards(col("t"))).first().getString(0)
+    // the three classic test PANs, three formats
+    assert(cc("pay 4111111111111111 now") === "pay <CC> now")
+    assert(cc("pay 4111-1111-1111-1111 now") === "pay <CC> now")
+    assert(cc("pay 4111 1111 1111 1111 now") === "pay <CC> now")
+    assert(cc("amex 378282246310005 ok") === "amex <CC> ok")
+    // checksum failure: one digit off passes through byte-identical
+    assert(cc("ref 4111111111111112 x") === "ref 4111111111111112 x")
+    // length window: 12 digits too short, 20 too long
+    assert(cc("id 411111111111 x") === "id 411111111111 x")
+    assert(cc("id 41111111111111111118 x") === "id 41111111111111111118 x")
+    // phone shapes never reach the PAN window
+    assert(cc("call 555-123-4567 now") === "call 555-123-4567 now")
+    // double separators break the run (not a PAN shape)
+    assert(cc("a 4111 - 1111 - 1111 - 1111 b") === "a 4111 - 1111 - 1111 - 1111 b")
+    // two cards in one text both redact; surrounding text survives
+    assert(cc("a 4111111111111111 b 378282246310005 c") === "a <CC> b <CC> c")
+    // composition: the full pass scrubs everything in one chain
+    val all = Seq("m a@b.co ip 10.0.0.1 tel 555-123-4567 cc 4111111111111111 .")
+      .toDF("t").select(Cleaning.scrubPiiAll(col("t"))).first().getString(0)
+    assert(all === "m <EMAIL> ip <IP> tel <PHONE> cc <CC> .")
+  }
+
   test("HTML extraction: scripts/styles/comments drop, tags strip, entities decode") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
