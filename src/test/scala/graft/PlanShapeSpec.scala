@@ -31,7 +31,7 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("p_c4_clean", "p_pii_scrub",
         "p_html_extract", "p_line_dedup_within", "p_url_domains",
         "p_url_canonical", "p_url_psl", "p_text_normalize",
-        "p_text_nfkc", "p_url_idn")) {
+        "p_text_nfkc", "p_url_idn", "p_text_scripts", "p_pii_cc")) {
       val df = graft.queries.PipelineQueries.queries(name)(spark, sf001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
