@@ -46,6 +46,38 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(got === Array((1L, 10.0), (2L, 99.0)))
   }
 
+  test("SQL INSERT refuses a drifted struct loudly; the engine paths evolve it") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dbn")
+    spark.sql("""
+      CREATE TABLE gcat.dbn.nested (id BIGINT, ver BIGINT, meta STRUCT<st: STRING>)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.dbn.nested SELECT 1L, 1L, named_struct('st', 'A')")
+    // ANSI INSERT contract: the declared catalog schema wins — a WIDER
+    // struct refuses with Spark's own named analysis error (no silent
+    // truncation); evolution belongs to the upsert/MERGE paths
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "INSERT INTO gcat.dbn.nested SELECT 2L, 1L, named_struct('st', 'B', 'pri', 'HI')")
+    }
+    assert(e.getMessage.contains("EXTRA_STRUCT_FIELDS") ||
+      e.getMessage.contains("extra fields"))
+    // the ENGINE paths evolve the same batch: upsert through the table
+    // handle widens the schema, and the catalog name reads it back
+    val t = graft.table.GraftTable.load(spark, s"$wh/dbn/nested")
+    t.upsert(Seq((2L, 1L, "B", "HI")).toDF("id", "ver", "st", "pri")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("ver"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("st"),
+          org.apache.spark.sql.functions.col("pri")).as("meta")))
+    spark.sql("REFRESH TABLE gcat.dbn.nested")
+    val got = spark.sql(
+      "SELECT id, meta.st, meta.pri FROM gcat.dbn.nested ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got === Array((1L, "A", null), (2L, "B", "HI")))
+  }
+
   test("MERGE INTO / UPDATE / DELETE against a catalog-qualified name") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db2")
