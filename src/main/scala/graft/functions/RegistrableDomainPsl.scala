@@ -25,9 +25,13 @@ final case class RegistrableDomainPsl(child: Expression,
   /** The rule file's version (mtime), stat'd ONCE per plan on the driver
     * and carried into the executors' (path, version) rule cache: an
     * overwritten rule file takes effect on the next query without a JVM
-    * restart, while this plan stays pinned to the version it saw.
+    * restart, while this plan stays pinned to the version it saw. A
+    * STRICT val — a lazy one would only be forced on the codegen path
+    * (doGenCode bakes it as a literal) and the interpreted-eval fallback
+    * could serialize the expression unforced, letting each executor stat
+    * the file itself and pin divergent versions mid-swap.
     */
-  private lazy val rulesVersion: Long =
+  private val rulesVersion: Long =
     rulesPath.map(graft.pipeline.Psl.versionOf).getOrElse(0L)
 
   override protected def nullSafeEval(input: Any): Any = rulesPath match {

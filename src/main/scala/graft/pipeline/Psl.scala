@@ -123,11 +123,24 @@ object Psl {
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Rules]()
 
-  def fromPath(path: String, version: Long = 0L): Rules =
-    byPath.computeIfAbsent((path, version), { case (p, _) =>
-      parse(graft.core.Storage.readString(
-        new org.apache.hadoop.fs.Path(p)).linesIterator)
-    })
+  def fromPath(path: String, version: Long = 0L): Rules = {
+    val key = (path, version)
+    val cached = byPath.get(key)
+    if (cached != null) return cached
+    val rules = parse(graft.core.Storage.readString(
+      new org.apache.hadoop.fs.Path(path)).linesIterator)
+    // a full PSL is MBs: keep only the newest version per path, so a
+    // long-running service that refreshes its rule file periodically
+    // doesn't accumulate every superseded parse for the JVM's lifetime.
+    // Running queries pinned to an older version re-parse on a cache
+    // miss (rare: only during the refresh window) rather than leak.
+    byPath.synchronized {
+      val it = byPath.keySet.iterator()
+      while (it.hasNext) { if (it.next()._1 == path) it.remove() }
+      byPath.put(key, rules)
+    }
+    rules
+  }
 
   /** The rule file's current version (mtime) — the plan-time stat behind
     * the (path, version) cache key.

@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   private val SaltCol = "_graft_salt"
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Salted join: every fact row gets a salt in [0, salts) and the dim
     * side replicates once per salt value, so a hot key's rows spread
@@ -68,6 +69,20 @@ object Skew {
       salts: Int = 16, hotThreshold: Long = 1000000L,
       joinType: String = "inner",
       tiebreaker: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    if (tiebreaker.isEmpty) {
+      // The salt is a value hash of the full fact row, so byte-identical
+      // duplicate fact rows all land on ONE salt: in a pre-dedup corpus
+      // whose hot key IS a mass-duplicated row, the spread collapses and
+      // the hot key re-serializes through a single task. Callers who can
+      // hit that shape must pass a unique id (event id, doc id, file
+      // offset) as the tiebreaker — warn loudly so the mitigation isn't
+      // lost without noticing (cheaper than a runtime collapse detector,
+      // which would cost an extra aggregation over the hot slice).
+      log.warn("skewJoin called without a tiebreaker: byte-identical " +
+        "duplicate fact rows hash to one salt and will not spread — pass " +
+        "tiebreaker=Some(uniqueIdCol) if the fact side may contain " +
+        "mass-duplicated rows on the hot key")
+    }
     val hot = broadcast(
       fact.groupBy(keys.map(col): _*).count()
         .filter(col("count") > hotThreshold)

@@ -371,6 +371,35 @@ object TableOps {
         col("meta.st").as("meta_st"), col("meta.pri").as("meta_pri")): _*)
     }),
 
+    // Nested-field DDL (round-16 directive): the nested field is
+    // PRE-DECLARED via ALTER (a schema-only commit through the same
+    // SchemaEvolution.mergeEvolvedType contract the write path uses)
+    // BEFORE any batch carries it — old files typed-null-pad at scan, a
+    // post-ALTER narrow batch pads instead of regressing, a wide batch
+    // populates. Same story on COW and through MOR deltas over the
+    // narrow base (distinguished by a literal src_tt column).
+    "t_alter_nested_add" -> ((s, d) => {
+      def run(tt: String, extra: Map[String, String], nm: String,
+          tag: String): DataFrame = {
+        val t = fresh(s, d, nm, cfg(tt, extra))
+        val src = orders(s, d)
+        t.bulkInsert(src.withColumn("meta", struct(col("o_orderstatus").as("st"))))
+        t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+          "meta.pri", org.apache.spark.sql.types.StringType)))
+        t.upsert(src.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("meta", struct(lit("X").as("st"))))
+        t.upsert(src.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("meta", struct(col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("pri"))))
+        Readers.snapshot(t).select(OrdersCols.map(col) ++ Seq(
+          col("meta.st").as("meta_st"), col("meta.pri").as("meta_pri"),
+          lit(tag).as("src_tt")): _*)
+      }
+      run(TableType.CopyOnWrite, Map.empty, "t_alter_nested_cow", "cow")
+        .unionByName(run(TableType.MergeOnRead,
+          Map("graft.compact.inline" -> "false"), "t_alter_nested_mor", "mor"))
+    }),
+
     "t_mor_upsert" -> ((s, d) => {
       val t = fresh(s, d, "t_mor_upsert",
         cfg(TableType.MergeOnRead, Map("graft.compact.inline" -> "false")))
@@ -1647,6 +1676,15 @@ object TableOps {
          |CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
          |  THEN o_orderpriority ELSE NULL END AS meta_pri
          |FROM orders""".stripMargin,
+    // wide %13 batch lands LAST (overwrites %17's narrow 'X' on shared
+    // keys); the DDL-declared pri is null except where the wide batch set it
+    "t_alter_nested_add" ->
+      s"""SELECT $OrdersSql,
+         |CASE WHEN o_orderkey % 13 <> 0 AND o_orderkey % 17 = 0
+         |  THEN 'X' ELSE o_orderstatus END AS meta_st,
+         |CASE WHEN o_orderkey % 13 = 0 THEN o_orderpriority ELSE NULL END AS meta_pri,
+         |tt.src_tt
+         |FROM orders CROSS JOIN (SELECT 'cow' AS src_tt UNION ALL SELECT 'mor') tt""".stripMargin,
     "t_mor_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

@@ -232,16 +232,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val base = basePathOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val t = GraftTable.load(SparkSession.active, base.toString)
     changes.foreach {
+      // multi-part fieldNames are nested paths (`meta.flags`): the dotted
+      // form routes through the engine's nested DDL, which shares the
+      // write path's SchemaEvolution.mergeEvolvedType contract
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1, "graft tables alter top-level columns")
         t.addColumns(Seq(org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, a.isNullable)))
+          a.fieldNames.mkString("."), a.dataType, a.isNullable)))
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames.length == 1, "graft tables alter top-level columns")
-        t.changeColumn(u.fieldNames.head, u.newDataType)
+        t.changeColumn(u.fieldNames.mkString("."), u.newDataType)
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1, "graft tables alter top-level columns")
-        t.dropColumn(d.fieldNames.head)
+        t.dropColumn(d.fieldNames.mkString("."))
+      case r: TableChange.RenameColumn =>
+        // pinned refusal: renaming cannot be a schema-only commit (data
+        // files address the old name) — declare the new field, backfill,
+        // then drop the old one
+        throw new UnsupportedOperationException(
+          s"graft tables do not rename columns (${r.fieldNames.mkString(".")} " +
+            s"-> ${r.newName}): a rename requires a data rewrite — " +
+            "ADD the new column, backfill, then DROP the old one")
       case s: TableChange.SetProperty =>
         val cur = TableConfig.load(base)
         TableConfig.save(base, cur.copy(props = cur.props + (s.property -> s.value)))

@@ -904,16 +904,56 @@ final class GraftTable(
     * AlterHoodieTableAddColumnsCommand): records the widened schema in a
     * commit with no data files. Readers fill the new columns with null
     * for all existing rows; subsequent writes may populate them.
+    *
+    * A DOTTED name (`meta.flags`) adds a NESTED field: the terminal
+    * struct gains the field (appended last, nullable), routed through the
+    * SAME [[SchemaEvolution.mergeEvolvedType]] contract the write path
+    * uses — the altered shape must absorb the current one additively, so
+    * the commit schema a pre-declared ALTER produces is byte-identical to
+    * what a wide batch would have evolved to. Old files typed-null-pad
+    * the new field at scan (parquet schema clipping); a stale narrow
+    * writer after the ALTER pads instead of regressing the schema.
     */
   def addColumns(cols: Seq[StructField]): String = {
     val current = latestSchema.getOrElse(throw new IllegalStateException(
       "cannot alter a table with no commits"))
-    val dup = cols.map(_.name).intersect(current.fieldNames.toSeq)
+    val (nested, top) = cols.partition(_.name.contains("."))
+    val dup = top.map(_.name).intersect(current.fieldNames.toSeq)
     require(dup.isEmpty, s"columns already exist: ${dup.mkString(", ")}")
-    runCommit(commitAction, "alter_add_columns") { _ =>
-      (Seq.empty, Map.empty,
-        StructType(current.fields ++ cols.map(_.copy(nullable = true))).json)
+    var schema = StructType(current.fields ++ top.map(_.copy(nullable = true)))
+    nested.foreach { nf =>
+      val segs = nf.name.split('.').toSeq
+      val leaf = segs.last
+      schema = rewriteNestedColumn(schema, segs, "add") { (curType, colName) =>
+        val altered = SchemaEvolution.rewriteStructAt(colName, curType,
+          segs.tail.dropRight(1), { (p, s) =>
+            require(!s.fieldNames.contains(leaf), s"field already exists: $p.$leaf")
+            StructType(s.fields :+ StructField(leaf, nf.dataType, nullable = true))
+          })
+        // the write path's merge contract validates additivity and
+        // normalizes nested nullability exactly as an evolving batch would
+        SchemaEvolution.mergeEvolvedType(colName, altered, curType)
+      }
     }
+    runCommit(commitAction, "alter_add_columns") { _ =>
+      (Seq.empty, Map.empty, schema.json)
+    }
+  }
+
+  /** Shared scaffolding for nested-path DDL: resolves the root column of
+    * a dotted path, guards meta columns, applies `alter` to its type, and
+    * splices the result back into the table schema.
+    */
+  private def rewriteNestedColumn(schema: StructType, segs: Seq[String],
+      op: String)(alter: (org.apache.spark.sql.types.DataType, String) => org.apache.spark.sql.types.DataType): StructType = {
+    require(segs.length >= 2, s"nested $op needs a dotted path, got ${segs.mkString(".")}")
+    val colName = segs.head
+    val idx = schema.fieldNames.indexOf(colName)
+    require(idx >= 0, s"column not found: $colName")
+    require(!MetaCols.All.contains(colName), s"cannot alter meta column $colName")
+    val f = schema.fields(idx)
+    StructType(schema.fields.updated(idx,
+      StructField(colName, alter(f.dataType, colName), nullable = true, f.metadata)))
   }
 
   /** ALTER TABLE CHANGE COLUMN analog (reference
@@ -926,6 +966,31 @@ final class GraftTable(
   def changeColumn(name: String, newType: org.apache.spark.sql.types.DataType): String = {
     val current = latestSchema.getOrElse(throw new IllegalStateException(
       "cannot alter a table with no commits"))
+    if (name.contains(".")) {
+      // nested leaf widening: same loss-free rule, applied at the dotted
+      // path; [[SchemaEvolution.mergeEvolvedType]] re-validates that the
+      // current shape upcasts into the widened one — the exact check the
+      // write path would run on a batch already carrying the wide leaf
+      val segs = name.split('.').toSeq
+      val leaf = segs.last
+      val schema = rewriteNestedColumn(current, segs, "change") { (curType, colName) =>
+        val altered = SchemaEvolution.rewriteStructAt(colName, curType,
+          segs.tail.dropRight(1), { (p, s) =>
+            val i = s.fieldNames.indexOf(leaf)
+            require(i >= 0, s"no field '$leaf' at '$p' (has: ${s.fieldNames.mkString(", ")})")
+            val old = s.fields(i).dataType
+            require(old == newType ||
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(old, newType),
+              s"cannot change $p.$leaf from ${old.simpleString} to " +
+                s"${newType.simpleString}: only loss-free widening is supported")
+            StructType(s.fields.updated(i, s.fields(i).copy(dataType = newType)))
+          })
+        SchemaEvolution.mergeEvolvedType(colName, altered, curType)
+      }
+      return runCommit(commitAction, "alter_change_column") { _ =>
+        (Seq.empty, Map.empty, schema.json)
+      }
+    }
     val idx = current.fieldNames.indexOf(name)
     require(idx >= 0, s"column not found: $name")
     require(!MetaCols.All.contains(name), s"cannot alter meta column $name")
@@ -951,6 +1016,33 @@ final class GraftTable(
   def dropColumn(name: String): String = {
     val current = latestSchema.getOrElse(throw new IllegalStateException(
       "cannot alter a table with no commits"))
+    if (name.contains(".")) {
+      // nested drop is the one deliberately NON-additive schema commit:
+      // the terminal struct loses the field, data files keep their bytes,
+      // and reads project the narrowed schema (parquet clipping) — same
+      // zero-rewrite plan-time vanish as a top-level drop, and time
+      // travel before the drop still shows the field. A stale wide
+      // writer after the drop re-adds it (the additive write-path merge),
+      // mirroring top-level column resurrection semantics.
+      val segs = name.split('.').toSeq
+      val leaf = segs.last
+      require(!cfg.partitionPathExpr.contains(name),
+        s"cannot drop partition-source field $name")
+      val schema = rewriteNestedColumn(current, segs, "drop") { (curType, colName) =>
+        SchemaEvolution.rewriteStructAt(colName, curType,
+          segs.tail.dropRight(1), { (p, s) =>
+            require(s.fieldNames.contains(leaf),
+              s"no field '$leaf' at '$p' (has: ${s.fieldNames.mkString(", ")})")
+            require(s.fields.length > 1,
+              s"cannot drop '$p.$leaf' — the struct's only field; " +
+                s"drop the column '$colName' instead")
+            StructType(s.fields.filterNot(_.name == leaf))
+          })
+      }
+      return runCommit(commitAction, "alter_drop_column") { _ =>
+        (Seq.empty, Map.empty, schema.json)
+      }
+    }
     require(current.fieldNames.contains(name), s"column not found: $name")
     require(!MetaCols.All.contains(name), s"cannot drop meta column $name")
     require(!cfg.recordKeyFields.contains(name), s"cannot drop key column $name")

@@ -103,6 +103,34 @@ object SchemaEvolution {
       case (_, t) => c.cast(t)
     }
 
+  /** Rewrite the struct at a nested path inside `dt` — the shared
+    * navigation behind nested-field DDL ([[GraftTable.addColumns]] /
+    * `changeColumn` / `dropColumn` with dotted names, reference's
+    * top-level analog AlterHoodieTableAddColumnsCommand.scala:46).
+    * `segs` names intermediate STRUCT fields; array elements and map
+    * values descend transparently (so `tags.weight` reaches the struct
+    * inside `tags array<struct<...>>`). `fn` receives the terminal
+    * struct plus its printable path and returns the rewritten struct.
+    * Unknown segments and non-struct terminals refuse with the exact
+    * path named.
+    */
+  def rewriteStructAt(path: String, dt: DataType, segs: Seq[String],
+      fn: (String, StructType) => StructType): DataType = dt match {
+    case s: StructType if segs.isEmpty => fn(path, s)
+    case s: StructType =>
+      val i = s.fieldNames.indexOf(segs.head)
+      if (i < 0) throw new IllegalArgumentException(
+        s"no field '${segs.head}' at '$path' (has: ${s.fieldNames.mkString(", ")})")
+      val f = s.fields(i)
+      StructType(s.fields.updated(i, f.copy(dataType =
+        rewriteStructAt(s"$path.${f.name}", f.dataType, segs.tail, fn))))
+    case ArrayType(e, n) => ArrayType(rewriteStructAt(path, e, segs, fn), n)
+    case MapType(k, v, n) => MapType(k, rewriteStructAt(path, v, segs, fn), n)
+    case other => throw new IllegalArgumentException(
+      s"'$path' is ${other.sql}, not a struct — nested ALTER paths traverse " +
+        "struct fields (arrays of struct and map values descend transparently)")
+  }
+
   /** Deep-nullable normalization for persisted commit schemas: every
     * nested field reads back nullable (parquet scans surface nullable
     * regardless of the writer frame, and evolution backfills nulls).

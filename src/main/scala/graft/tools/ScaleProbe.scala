@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * cannot see (the fixed session/commit overhead in every table op
   * means healthy ratios sit BELOW 10×).
   *
-  * Usage: `runMain graft.tools.ScaleProbe [sf01Dir] [sf1Dir]`
-  * Prints one JSON line: per-query seconds at both SFs + the ratio.
+  * Usage: `runMain graft.tools.ScaleProbe [sf01Dir] [sf1Dir] [warmupDir]`
+  * (warmupDir defaults to sf01Dir's sibling `sf0.001`, falling back to
+  * sf01Dir itself when no such sibling exists — warm-up must never
+  * silently skip, or the first timed run absorbs JIT/codegen cost and
+  * inflates the ratio). Prints one JSON line: per-query seconds at both
+  * SFs + the ratio.
   */
 object ScaleProbe {
 
@@ -70,6 +74,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val warmupDir = args.lift(2).getOrElse {
+      val sibling = java.nio.file.Paths.get(sf01)
+        .toAbsolutePath.getParent.resolve("sf0.001")
+      if (java.nio.file.Files.isDirectory(sibling)) sibling.toString else sf01
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,7 +100,7 @@ object ScaleProbe {
     // steady-state plans, then ONE run per (query, sf) — the probe wants
     // the growth CURVE, not tight medians
     for (name <- probes)
-      try fns(name)(spark, "/root/testdata/sf0.001")
+      try fns(name)(spark, warmupDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[probe] warm-up failed $name: ${e.getMessage}")

@@ -94,6 +94,70 @@ class AlterIngestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.changeColumn("no_such_col", LongType))
   }
 
+  test("nested ADD pre-declares a struct field; narrow pads, wide populates") {
+    val t = GraftTable.create(spark, tmpDir("alter_nested_add").toString, ordersCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet").limit(200).cache()
+    src.count()
+    t.bulkInsert(src.withColumn("meta", struct(col("o_orderstatus").as("st"))))
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+      "meta.pri", org.apache.spark.sql.types.StringType)))
+    // schema-only commit: the declared field reads back as typed null
+    val declared = Readers.snapshot(t)
+    assert(declared.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq === Seq("st", "pri"))
+    assert(declared.filter(col("meta.pri").isNotNull).count() === 0)
+    assert(declared.count() === 200)
+    // a post-ALTER NARROW batch pads instead of regressing the schema
+    t.upsert(src.limit(40).withColumn("meta", struct(lit("X").as("st"))))
+    val afterNarrow = t.latestSchema.get("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(afterNarrow.fieldNames.toSeq === Seq("st", "pri"),
+      "narrow batch after nested ALTER regressed the declared field")
+    // a wide batch populates it
+    t.upsert(src.limit(10).withColumn("meta",
+      struct(col("o_orderstatus").as("st"), lit("HI").as("pri"))))
+    assert(Readers.snapshot(t).filter(col("meta.pri") === "HI").count() === 10)
+    // duplicate nested add refuses with the path named
+    val e = intercept[IllegalArgumentException](t.addColumns(Seq(
+      org.apache.spark.sql.types.StructField(
+        "meta.pri", org.apache.spark.sql.types.StringType))))
+    assert(e.getMessage.contains("meta.pri"))
+    src.unpersist()
+  }
+
+  test("nested changeColumn widens a struct leaf; narrowing refuses") {
+    val t = GraftTable.create(spark, tmpDir("alter_nested_widen").toString, ordersCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet").limit(100)
+    t.bulkInsert(src.withColumn("meta",
+      struct(col("o_custkey").cast("int").as("ck"))))
+    t.changeColumn("meta.ck", LongType)
+    val snap = Readers.snapshot(t)
+    assert(snap.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("ck").dataType === LongType)
+    assert(snap.filter(col("meta.ck").isNotNull).count() === snap.count())
+    intercept[IllegalArgumentException](t.changeColumn("meta.ck", IntegerType))
+    intercept[IllegalArgumentException](t.changeColumn("meta.nope", LongType))
+    intercept[IllegalArgumentException](t.changeColumn("o_orderstatus.x", LongType))
+  }
+
+  test("nested dropColumn vanishes at plan time; last-field drop refuses") {
+    val t = GraftTable.create(spark, tmpDir("alter_nested_drop").toString, ordersCfg)
+    val src = spark.read.parquet(s"$sf001/orders.parquet").limit(100)
+    val c1 = t.bulkInsert(src.withColumn("meta",
+      struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))))
+    t.dropColumn("meta.pri")
+    val snap = Readers.snapshot(t)
+    assert(snap.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq === Seq("st"))
+    assert(snap.count() === 100)
+    // time travel before the drop still shows the field, populated
+    val before = Readers.timeTravel(t, c1)
+    assert(before.filter(col("meta.pri").isNotNull).count() === 100)
+    // the struct's only remaining field refuses (empty struct unreadable)
+    val e = intercept[IllegalArgumentException](t.dropColumn("meta.st"))
+    assert(e.getMessage.contains("only field"))
+  }
+
   test("renameTable updates config in place") {
     val dir = tmpDir("alter_rename")
     val t = GraftTable.create(spark, dir.toString, ordersCfg)

@@ -120,6 +120,38 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(desc.contains("id") && desc.contains("qty"))
   }
 
+  test("ALTER TABLE with NESTED paths routes the schema-evolution contract") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db25")
+    spark.sql("""
+      CREATE TABLE gcat.db25.t (id BIGINT, ver BIGINT,
+        meta STRUCT<st: STRING, n: INT>)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.db25.t VALUES (1, 1, named_struct('st', 'a', 'n', 5))")
+    // nested ADD: declared field reads back as typed null for old rows
+    spark.sql("ALTER TABLE gcat.db25.t ADD COLUMN meta.pri STRING")
+    val st = spark.table("gcat.db25.t").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq === Seq("st", "n", "pri"))
+    assert(spark.sql("SELECT meta.pri FROM gcat.db25.t").head.isNullAt(0))
+    // nested widen
+    spark.sql("ALTER TABLE gcat.db25.t ALTER COLUMN meta.n TYPE BIGINT")
+    assert(spark.table("gcat.db25.t").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT meta.n FROM gcat.db25.t").head.getLong(0) === 5L)
+    // nested drop vanishes at plan time
+    spark.sql("ALTER TABLE gcat.db25.t DROP COLUMN meta.pri")
+    assert(spark.table("gcat.db25.t").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("st", "n"))
+    // nested rename: pinned named refusal (requires a data rewrite)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db25.t RENAME COLUMN meta.st TO status")
+    }
+    assert(e.getMessage.contains("rename") || e.getMessage.contains("RENAME"))
+  }
+
   test("SHOW TABLES / RENAME / DROP; external location survives drop") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db4")

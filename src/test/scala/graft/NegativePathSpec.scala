@@ -96,6 +96,35 @@ class NegativePathSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).count() === 1)
   }
 
+  test("nested DDL refuses the unsupported forms with the path named") {
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val dir = tmpDir("neg_nested_ddl").toString
+    val t = GraftTable.create(spark, dir, cfg("neg_nd"))
+    t.bulkInsert(Seq((1L, 1L), (2L, 1L)).toDF("id", "v")
+      .withColumn("meta", struct(lit("a").as("st"))))
+    import org.apache.spark.sql.types.{StructField, StringType, LongType, IntegerType}
+    // path through a non-struct leaf
+    val e1 = intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField("v.x", StringType))))
+    assert(e1.getMessage.contains("not a struct"))
+    // unknown intermediate segment
+    val e2 = intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField("meta.inner.x", StringType))))
+    assert(e2.getMessage.contains("inner"))
+    // unknown root column
+    intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField("nope.x", StringType))))
+    // meta-column root refuses
+    intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField(MetaCols.RecordKey + ".x", StringType))))
+    // narrowing a nested leaf refuses; dropping the only field refuses
+    t.addColumns(Seq(StructField("meta.n", LongType)))
+    intercept[IllegalArgumentException](t.changeColumn("meta.n", IntegerType))
+    t.dropColumn("meta.n")
+    val e3 = intercept[IllegalArgumentException](t.dropColumn("meta.st"))
+    assert(e3.getMessage.contains("only field"))
+  }
+
   test("inline MOR compaction re-enters the commit lock without deadlock") {
     val dir = tmpDir("neg_lock").toString
     val t = GraftTable.create(spark, dir, TableConfig("neg7", TableType.MergeOnRead,
