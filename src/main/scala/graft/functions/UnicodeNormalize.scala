@@ -23,11 +23,20 @@ final case class UnicodeNormalize(child: Expression, form: String)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_unicode_normalize"
 
+  // resolved once at plan time; serialized with the expression so neither
+  // eval path re-parses the form string per row
+  @transient private lazy val resolvedForm: java.text.Normalizer.Form =
+    UnicodeNormalize.formOf(form)
+
   override protected def nullSafeEval(input: Any): Any =
-    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val formRef = ctx.addReferenceObj("nfForm", form, "java.lang.String")
+    // the referenced object is the resolved java.text.Normalizer.Form enum
+    // constant, not the form STRING — the generated code calls straight
+    // into the enum-typed hot path with zero per-row string matching
+    val formRef = ctx.addReferenceObj("nfForm", resolvedForm,
+      "java.text.Normalizer.Form")
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.UnicodeNormalize$$.MODULE$$.normalize($c, $formRef);
       ${ev.isNull} = ${ev.value} == null;""")
@@ -49,13 +58,17 @@ object UnicodeNormalize {
   }
 
   /** Codegen hot path: already-normalized input (all ASCII trivially is)
-    * returns by reference without allocating.
+    * returns by reference without allocating. Takes the RESOLVED form —
+    * the expression bakes the enum constant into its generated code.
     */
-  def normalize(s: UTF8String, form: String): UTF8String = {
+  def normalize(s: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
     if (s == null) return null
-    val f = formOf(form)
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
+
+  /** String-form convenience for non-expression callers. */
+  def normalize(s: UTF8String, form: String): UTF8String =
+    if (s == null) null else normalize(s, formOf(form))
 }

@@ -30,12 +30,19 @@ object Dedup {
     * the winning value would all survive the semi-join — exactly one row
     * per fingerprint is only guaranteed for unique ids.
     */
-  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      unicodeForm: Option[String] = None): DataFrame = {
     // materialize the fingerprint ONCE per row: the normalization regex is
     // the expensive part on real documents, and referencing the raw
     // expression in both the winner aggregation and the join condition
-    // would evaluate it twice per row
-    val tagged = df.withColumn("_ddup_fp", TextStats.fingerprint(col(textCol)))
+    // would evaluate it twice per row. unicodeForm (e.g. Some("NFKC"))
+    // opts into normalization-aware fingerprints — full-width/ligature
+    // variants of one document collapse to one group; default unchanged
+    val fp = unicodeForm match {
+      case Some(f) => TextStats.fingerprint(col(textCol), f)
+      case None => TextStats.fingerprint(col(textCol))
+    }
+    val tagged = df.withColumn("_ddup_fp", fp)
     val keep = tagged
       .select(col("_ddup_fp").as("_ddup_fp2"), col(idCol).as("_ddup_keep"))
       .groupBy("_ddup_fp2").agg(min(col("_ddup_keep")).as("_ddup_keep"))
@@ -55,6 +62,14 @@ object Dedup {
     */
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.WordGrams.wordGrams(text, n)
+
+  /** Normalization-aware shingles (OPT-IN): the Unicode + cleanup pass
+    * ([[Cleaning.normalizeText]] with a Normalizer form, NFKC standard)
+    * runs before tokenization, so full-width/ligature token spellings
+    * shingle identically and near-dup variants actually band together.
+    */
+  def shingles(text: Column, n: Int, unicodeForm: String): Column =
+    graft.functions.WordGrams.wordGrams(Cleaning.normalizeText(text, unicodeForm), n)
 
   /** MinHash signature over a MATERIALIZED shingle-array column. Hash
     * family h_i(s) = xxhash64(s || '#' || i) — pure expression tree.
@@ -100,8 +115,16 @@ object Dedup {
     */
   private[graft] def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int, bands: Int, shingleN: Int,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      unicodeForm: Option[String] = None): DataFrame = {
     val rows = numHashes / bands
+    // opt-in normalization-aware tokenization: the codegen'd Unicode +
+    // cleanup pass rewrites the text BEFORE the native signature
+    // expression, so the whole chain stays in one codegen stage
+    val textExpr = unicodeForm match {
+      case Some(f) => Cleaning.normalizeText(col(textCol), f)
+      case None => col(textCol)
+    }
     // repartition spreads signature computation across the cluster (a
     // single parquet file would otherwise pin it to one task); the
     // signature itself is the native MinHashSig expression — one tight
@@ -110,7 +133,7 @@ object Dedup {
     // the 16-way explode never duplicates the signature arrays through
     // the shuffle
     val sig = df
-      .select(col(idCol).as("_d_id"), col(textCol).as("_d_t"))
+      .select(col(idCol).as("_d_id"), textExpr.as("_d_t"))
       .repartition(col("_d_id"))
       .select(col("_d_id"),
         graft.functions.MinHashSig.minhashSig(col("_d_t"), numHashes, shingleN).as("_d_sig"))
@@ -147,9 +170,10 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
+      shingleN: Int = 3, maxBucketSize: Option[Int] = None,
+      unicodeForm: Option[String] = None): DataFrame = {
     val dupIds = minhashDupPairs(df, textCol, idCol, threshold, numHashes, bands,
-        shingleN, maxBucketSize)
+        shingleN, maxBucketSize, unicodeForm)
       .select(col("_r_id").as("_dup_id")).distinct()
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }

@@ -67,7 +67,20 @@ object PiiNorm {
           out.append(s, emitted, i).append(CcToken)
           emitted = end
           i = end
-        } else i = end // skip the whole run — no partial re-matching
+        } else {
+          i = end // skip the whole run — no partial re-matching
+          if (n > 19) {
+            // the scan stopped on the 20-digit budget, not the run's end:
+            // consume the rest of the PHYSICAL run (digits and embedded
+            // single separators) so no sub-candidate can start inside one
+            // overlong run — a 36-digit serial with a dash in it is not a
+            // card with a preamble
+            while (i < s.length && (isDigit(s.charAt(i)) ||
+                (isSep(s.charAt(i)) && i + 1 < s.length &&
+                  isDigit(s.charAt(i + 1)) && isDigit(s.charAt(i - 1)))))
+              i += 1
+          }
+        }
       } else i += 1
     }
     if (out == null) s

@@ -144,6 +144,20 @@ object TextStats {
   def fingerprintHex(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Normalization-aware fingerprint (OPT-IN — default behavior above is
+    * unchanged): a `java.text.Normalizer` pass (NFKC is the corpus
+    * standard) plus the [[Cleaning.normalizeText]] cleanup chain run
+    * BEFORE the case/whitespace fold, so full-width (`ｆｉｎ`→`fin`) and
+    * ligature (`ﬁ`→`fi`) spellings of one document land in the SAME
+    * exact-dedup group. Still a row-local codegen'd expression chain.
+    */
+  def fingerprint(text: Column, unicodeForm: String): Column =
+    fingerprint(Cleaning.normalizeText(text, unicodeForm))
+
+  /** Portable-hex twin of the normalization-aware [[fingerprint]]. */
+  def fingerprintHex(text: Column, unicodeForm: String): Column =
+    fingerprintHex(Cleaning.normalizeText(text, unicodeForm))
+
   /** Convenience: annotate a documents frame with the full stat set. */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

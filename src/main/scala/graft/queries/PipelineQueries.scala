@@ -843,6 +843,35 @@ object PipelineQueries {
         .withColumn("n_chars_out", length(col("text_out")).cast("long"))
     }),
 
+    // normalization-aware exact dedup (opt-in NFKC fingerprints): each
+    // base doc gets a FULL-WIDTH twin (+100000) and a LIGATURE twin
+    // (+200000). Default fingerprints keep all three distinct (asserted
+    // per family); the NFKC-aware Dedup.exact collapses each family to
+    // its lowest id — survivors are exactly the base ids. Oracle is a
+    // literal restatement (DuckDB lacks NFKC).
+    "p_dedup_nfkc" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), concat(col("text"), lit(" final fix")).as("text"))
+      val full = base.select((col("doc_id") + 100000).as("doc_id"),
+        translate(lower(col("text")),
+          "abcdefghijklmnopqrstuvwxyz",
+          "ａｂｃｄｅｆｇｈｉｊ" +
+            "ｋｌｍｎｏｐｑｒｓｔ" +
+            "ｕｖｗｘｙｚ").as("text"))
+      val liga = docs(s, d).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" ﬁnal ﬁx")).as("text"))
+      val all = base.unionByName(full).unionByName(liga)
+      val survivors = graft.pipeline.Dedup.exact(all, "text", "doc_id",
+        unicodeForm = Some("NFKC"))
+      val fam = all.withColumn("family", col("doc_id") % 100000)
+        .groupBy("family")
+        .agg(countDistinct(TextStats.fingerprint(col("text"))).as("n_fp_default"))
+      survivors.select(col("doc_id"))
+        .join(fam, col("doc_id") === col("family"))
+        .select(col("doc_id"), col("n_fp_default"))
+    }),
+
     // in-document line dedup: a synthetic nav/footer line planted around
     // each doc's text (and the text's own first line repeated at the end)
     // must collapse to first occurrences in order
@@ -1235,8 +1264,11 @@ object PipelineQueries {
     // dashed, 15-digit amex) redact; an invalid-checksum twin and a
     // phone-length run pass through byte-identical — the oracle states
     // the redacted suffix literally (SQL cannot express the mod-10 gate)
+    // the scrubbed column is FULLY planted (doc_id + literals, never the
+    // corpus text) so a regenerated sf0.01 can't desync the literal
+    // oracle with an accidental card-shaped digit run in a document
     "p_pii_cc" -> ((s, d) => {
-      val planted = concat(col("text"),
+      val planted = concat(lit("doc "), col("doc_id"),
         lit(" pay 4111111111111111 or 4111-1111-1111-1111 amex 378282246310005"),
         lit(" bad 4111111111111112 ref 555-123-4567 end"))
       docs(s, d).select(col("doc_id"),
@@ -2311,7 +2343,7 @@ object PipelineQueries {
          |SELECT d.doc_id, round(coalesce(sc.avg_logp, ln(1.0 / voc.v)), 4) AS avg_logp
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id CROSS JOIN voc""".stripMargin,
     "p_pii_cc" ->
-      """SELECT doc_id, text ||
+      """SELECT doc_id, 'doc ' || doc_id ||
         | ' pay <CC> or <CC> amex <CC> bad 4111111111111112 ref 555-123-4567 end'
         | AS text_out FROM documents""".stripMargin,
     "p_pii_scrub" ->
@@ -2560,6 +2592,11 @@ object PipelineQueries {
            |n7 AS (SELECT doc_id, regexp_replace(t, '\x{2026}', '...', 'g') AS t FROM n6),
            |n8 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM n7)
            |SELECT doc_id, t AS text_out, length(t)::BIGINT AS n_chars_out FROM n8""".stripMargin,
+    // literal restatement: NFKC collapses each 3-variant family to its
+    // base id (min wins) while default fingerprints keep all 3 distinct
+    "p_dedup_nfkc" ->
+      """SELECT doc_id, 3 AS n_fp_default FROM documents
+        | WHERE doc_id < 50""".stripMargin,
     // first-occurrence filter replayed with DuckDB's 1-based indexed
     // lambda (Spark's filter index is 0-based — both compare against the
     // 1-based list_position/array_position)

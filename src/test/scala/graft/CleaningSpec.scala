@@ -43,6 +43,18 @@ class CleaningSpec extends AnyFunSuite {
     assert(cc("a 4111 - 1111 - 1111 - 1111 b") === "a 4111 - 1111 - 1111 - 1111 b")
     // two cards in one text both redact; surrounding text survives
     assert(cc("a 4111111111111111 b 378282246310005 c") === "a <CC> b <CC> c")
+    // overlong runs: a 21-digit run is untouched END TO END — the scan
+    // skips to the run's true end, never restarting inside it
+    assert(cc("sn 411111111111111111111 x") === "sn 411111111111111111111 x")
+    // pinned: a valid card embedded in one physical run behind a >19-digit
+    // preamble does NOT redact — the whole run is one overlong candidate
+    // (a 36-digit dashed serial is not a card with a prefix)
+    assert(cc("sn 11111111111111111111-4532015112830366 x") ===
+      "sn 11111111111111111111-4532015112830366 x")
+    // but the same card in its OWN run (comma breaks the run — spaces and
+    // dashes between digits do NOT, they are PAN separators) still redacts
+    assert(cc("sn 11111111111111111111, 4532015112830366 x") ===
+      "sn 11111111111111111111, <CC> x")
     // composition: the full pass scrubs everything in one chain
     val all = Seq("m a@b.co ip 10.0.0.1 tel 555-123-4567 cc 4111111111111111 .")
       .toDF("t").select(Cleaning.scrubPiiAll(col("t"))).first().getString(0)

@@ -21,6 +21,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter($"doc_id" === 2L).count() === 0)
   }
 
+  test("NFKC-aware exact dedup unifies full-width/ligature variants (opt-in)") {
+    val df = Seq(
+      (1L, "the final fix works"),
+      (2L, "ｔｈｅ ｆｉｎａｌ ｆｉｘ ｗｏｒｋｓ"), // full-width twin
+      (3L, "the ﬁnal ﬁx works"), // ligature twin
+      (4L, "something else entirely")).toDF("doc_id", "text")
+    // default behavior unchanged: no variant collides
+    assert(Dedup.exact(df).count() === 4)
+    // opt-in NFKC: the three spellings are one group, min id survives
+    val out = Dedup.exact(df, unicodeForm = Some("NFKC"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+    // same opt-in on the minhash tokenizer: the full-width twin of a long
+    // doc bands with its ascii original only under NFKC
+    val long1 = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val wide = long1.map(c => if (c >= 'a' && c <= 'z') (c - 'a' + 0xFF41).toChar else c)
+    val pair = Seq((10L, long1), (11L, wide)).toDF("doc_id", "text")
+    assert(Dedup.minhashDedup(pair, threshold = 0.7).count() === 2)
+    assert(Dedup.minhashDedup(pair, threshold = 0.7,
+      unicodeForm = Some("NFKC")).count() === 1)
+  }
+
   test("minhash signature similarity tracks jaccard") {
     val near = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
