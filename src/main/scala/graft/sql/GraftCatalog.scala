@@ -345,7 +345,18 @@ final case class GraftV2Table(spark: SparkSession, ident: Identifier,
       "tableType" -> table.cfg.tableType)).asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    util.Collections.emptySet()
+    // deliberately empty by DEFAULT (see class doc). Under the opt-in
+    // `graft.sql.insert.schema.evolution` conf (session or table prop),
+    // ACCEPT_ANY_SCHEMA makes the analyzer SKIP strict v2 output
+    // resolution (the Delta schema-evolution mechanism), so a drifted
+    // INSERT survives to [[GraftV2FallbackRule]], which routes additive
+    // struct drift to the engine's merge and everything else back through
+    // the v1 ANSI insert path.
+    if (spark.sessionState.conf
+        .getConfString("graft.sql.insert.schema.evolution", "false").toBoolean ||
+        table.cfg.prop("graft.sql.insert.schema.evolution", "false").toBoolean)
+      util.EnumSet.of(TableCapability.ACCEPT_ANY_SCHEMA)
+    else util.Collections.emptySet()
 
   /** `TRUNCATE TABLE cat.db.t` — one replacecommit through the engine's
     * truncate (time-travel/incremental history preserved, like every

@@ -103,6 +103,52 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
     })
   }
 
+  private def insertEvolutionEnabled(t: GraftV2Table): Boolean =
+    spark.sessionState.conf
+      .getConfString("graft.sql.insert.schema.evolution", "false").toBoolean ||
+      t.table.cfg.prop("graft.sql.insert.schema.evolution", "false").toBoolean
+
+  /** True iff the query's shape differs from the table's ONLY by struct
+    * drift the engine's additive merge accepts: column names/count line
+    * up, every drifted pair either merges via
+    * [[graft.table.SchemaEvolution.mergeEvolvedType]] (struct-bearing) or
+    * upcasts losslessly (scalar), and at least one struct-bearing column
+    * actually drifts (otherwise the plain ANSI path handles it). Requires
+    * a committed table schema — pre-first-commit tables keep ANSI.
+    */
+  private def needsStructEvolution(t: GraftV2Table, query: LogicalPlan,
+      byName: Boolean): Boolean = {
+    if (t.table.latestSchema.isEmpty) return false
+    val fields = t.schema().fields
+    val in = query.schema.fields
+    if (in.length != fields.length) return false
+    val paired: Option[Seq[(org.apache.spark.sql.types.StructField,
+        org.apache.spark.sql.types.StructField)]] =
+      if (byName) {
+        val have = in.map(f => f.name.toLowerCase -> f).toMap
+        if (fields.forall(f => have.contains(f.name.toLowerCase)))
+          Some(fields.toSeq.map(f => f -> have(f.name.toLowerCase)))
+        else None
+      } else Some(fields.toSeq.zip(in.toSeq))
+    paired match {
+      case None => false
+      case Some(ps) =>
+        import graft.table.SchemaEvolution
+        var structDrift = false
+        val allOk = ps.forall { case (tf, inf) =>
+          if (tf.dataType == inf.dataType) true
+          else if (SchemaEvolution.containsStruct(tf.dataType) ||
+              SchemaEvolution.containsStruct(inf.dataType)) {
+            structDrift = true
+            scala.util.Try(SchemaEvolution.mergeEvolvedType(
+              tf.name, tf.dataType, inf.dataType)).isSuccess
+          } else org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(inf.dataType, tf.dataType)
+        }
+        structDrift && allOk
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case r: DataSourceV2Relation if graftOf(r).isDefined =>
       toV1(r, graftOf(r).get)
@@ -111,8 +157,24 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
     case a: AppendData if a.table.isInstanceOf[DataSourceV2Relation] &&
         graftOf(a.table.asInstanceOf[DataSourceV2Relation]).isDefined =>
       val r = a.table.asInstanceOf[DataSourceV2Relation]
-      InsertIntoStatement(toV1(r, graftOf(r).get), Map.empty, Nil, a.query,
-        overwrite = false, ifPartitionNotExists = false, byName = a.isByName)
+      val t = graftOf(r).get
+      // OPT-IN nested evolution for SQL INSERT (r16 directive): the
+      // DEFAULT keeps ANSI semantics — a drifted struct refuses with
+      // Spark's named EXTRA_STRUCT_FIELDS analysis error (pinned in
+      // CatalogDdlSpec). With `graft.sql.insert.schema.evolution=true`
+      // (session conf or table prop), an INSERT whose struct shapes
+      // differ ADDITIVELY from the table's routes around the output
+      // resolver into the engine's insert, whose batch alignment runs the
+      // same SchemaEvolution.mergeEvolvedType merge every engine write
+      // uses — SQL-only pipelines with drifting writers evolve instead of
+      // failing, and non-additive drift still refuses with the engine's
+      // named error.
+      if (insertEvolutionEnabled(t) && a.query.resolved &&
+          needsStructEvolution(t, a.query, a.isByName))
+        GraftEvolvingInsertCommand(t, a.query, a.isByName)
+      else
+        InsertIntoStatement(toV1(r, t), Map.empty, Nil, a.query,
+          overwrite = false, ifPartitionNotExists = false, byName = a.isByName)
     case o: OverwriteByExpression if o.table.isInstanceOf[DataSourceV2Relation] &&
         graftOf(o.table.asInstanceOf[DataSourceV2Relation]).isDefined &&
         o.query.resolved && o.deleteExpr.resolved =>
@@ -137,6 +199,40 @@ final case class GraftV2FallbackRule(spark: SparkSession) extends Rule[LogicalPl
         d.query.resolved =>
       val r = d.table.asInstanceOf[DataSourceV2Relation]
       GraftOverwritePartitionsCommand(graftOf(r).get, d.query, None, d.isByName)
+  }
+}
+
+/** SQL `INSERT INTO` with opt-in additive struct evolution
+  * (`graft.sql.insert.schema.evolution=true`): bypasses the ANSI output
+  * resolver (which refuses any struct drift) and lands the batch through
+  * the engine's insert, whose batch alignment runs the SAME
+  * `SchemaEvolution.mergeEvolvedType` contract as upsert/MERGE — additive
+  * nested adds widen the commit schema, narrow batches pad typed nulls,
+  * non-additive drift refuses with the nested path named. Scalar columns
+  * still take the ANSI store-assignment cast.
+  */
+final case class GraftEvolvingInsertCommand(v2: GraftV2Table,
+    query: LogicalPlan, byName: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, query)
+    val fields = v2.schema().fields.toIndexedSeq
+    val renamed =
+      if (byName) {
+        val have = df0.columns.map(c => c.toLowerCase -> c).toMap
+        df0.select(fields.map(f => col(have(f.name.toLowerCase)).as(f.name)): _*)
+      } else df0.toDF(fields.map(_.name): _*)
+    val aligned = renamed.select(fields.map { f =>
+      val cur = renamed.schema(f.name).dataType
+      if (cur == f.dataType) col(f.name)
+      else if (graft.table.SchemaEvolution.containsStruct(cur) ||
+          graft.table.SchemaEvolution.containsStruct(f.dataType))
+        col(f.name) // raw — the engine's additive merge evolves it
+      else col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
+    v2.table.insert(aligned)
+    Seq.empty
   }
 }
 

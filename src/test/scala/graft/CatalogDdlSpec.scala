@@ -78,6 +78,46 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(got === Array((1L, "A", null), (2L, "B", "HI")))
   }
 
+  test("SQL INSERT evolves drifted structs under the opt-in conf") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dbe")
+    spark.sql("""
+      CREATE TABLE gcat.dbe.ev (id BIGINT, ver BIGINT, meta STRUCT<st: STRING>)
+      USING graft OPTIONS (recordKeyFields 'id', precombineField 'ver')""")
+    spark.sql("INSERT INTO gcat.dbe.ev SELECT 1L, 1L, named_struct('st', 'A')")
+    spark.conf.set("graft.sql.insert.schema.evolution", "true")
+    try {
+      // the wider struct now lands through the engine's additive merge
+      spark.sql(
+        "INSERT INTO gcat.dbe.ev SELECT 2L, 1L, named_struct('st', 'B', 'pri', 'HI')")
+      spark.sql("REFRESH TABLE gcat.dbe.ev")
+      val got = spark.sql(
+        "SELECT id, meta.st, meta.pri FROM gcat.dbe.ev ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got === Array((1L, "A", null), (2L, "B", "HI")))
+      // a NARROW old-shape batch after the widening pads instead of failing
+      spark.sql("INSERT INTO gcat.dbe.ev SELECT 3L, 1L, named_struct('st', 'C')")
+      spark.sql("REFRESH TABLE gcat.dbe.ev")
+      assert(spark.sql("SELECT meta.pri FROM gcat.dbe.ev WHERE id = 3").head.isNullAt(0))
+      // non-additive drift still refuses with the engine's named error
+      val e = intercept[Exception] {
+        spark.sql(
+          "INSERT INTO gcat.dbe.ev SELECT 4L, 1L, named_struct('st', array(1))")
+      }
+      assert(e.getMessage.contains("incompatible schema evolution") ||
+        e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE"),
+        s"unexpected refusal: ${e.getMessage}")
+    } finally spark.conf.unset("graft.sql.insert.schema.evolution")
+    // with the conf off again, a WIDER struct (3 fields vs the evolved 2)
+    // refuses exactly as before — the ANSI default is untouched
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("INSERT INTO gcat.dbe.ev SELECT 5L, 1L, " +
+        "named_struct('st', 'D', 'pri', 'P', 'x', 1)")
+    }
+    assert(e2.getMessage.contains("EXTRA_STRUCT_FIELDS") ||
+      e2.getMessage.contains("extra fields"))
+  }
+
   test("MERGE INTO / UPDATE / DELETE against a catalog-qualified name") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db2")
