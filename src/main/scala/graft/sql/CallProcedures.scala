@@ -148,6 +148,7 @@ object CallProcedures {
     "run_compaction", "run_clustering", "run_clean",
     "create_savepoint", "delete_savepoint", "rollback_to_savepoint",
     "rollback_to_instant", "export_snapshot", "symlink_manifest",
+    "copy_snapshot", "snapshot_copy", // alias pair — HoodieSnapshotCopier analog
     "show_commits", "show_savepoints", "show_cleans", "show_rollbacks",
     "show_compaction", "show_fsview_all", "show_table_properties",
     "show_column_stats", "show_metrics",
@@ -353,6 +354,13 @@ final case class GraftCallCommand(proc: String, args: Seq[CallProcedures.Arg])
           partitioned = named("partitioned").forall(_.toBoolean)))
       case "symlink_manifest" =>
         one(TableAdmin.generateSymlinkManifest(t).toString)
+      case "copy_snapshot" | "snapshot_copy" =>
+        // HoodieSnapshotCopier analog through SQL: a loadable copy of the
+        // latest snapshot's files + timeline at output (distributed copy,
+        // one task per file)
+        val out = named("output").getOrElse(throw new IllegalArgumentException(
+          "copy_snapshot needs output => '/path'"))
+        one(TableAdmin.copyTable(t, out).basePath.toString)
       case "show_column_stats" =>
         val df = named("column").map(c =>
           TableAdmin.columnStats(t)

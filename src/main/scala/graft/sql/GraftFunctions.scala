@@ -84,6 +84,12 @@ object GraftFunctions {
       "64-bit normalized-text hash")(a => TextStats.fingerprint(a.head)),
     fromColumns("graft_fingerprint_hex", 1,
       "md5 hex of normalized text")(a => TextStats.fingerprintHex(a.head)),
+    fromColumns("graft_fingerprint_nfkc", 1,
+      "64-bit hash after NFKC + cleanup normalization (full-width/ligature " +
+        "variants collide)")(a => TextStats.fingerprint(a.head, "NFKC")),
+    fromColumns("graft_fingerprint_hex_nfkc", 1,
+      "md5 hex after NFKC + cleanup normalization")(
+      a => TextStats.fingerprintHex(a.head, "NFKC")),
     fromColumns("graft_simhash", 1,
       "60-bit simhash of text")(a => Dedup.simhash(a.head)),
 

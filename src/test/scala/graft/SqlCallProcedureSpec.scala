@@ -145,6 +145,34 @@ class SqlCallProcedureSpec extends AnyFunSuite {
       metrics.nonEmpty)
   }
 
+  test("copy_snapshot via CALL: loadable copy; manifest files read back") {
+    val (t, _) = makeTable("c_copy")
+    val out = tmpDir("c_copy_out").toString + "/backup"
+    // both spellings resolve (verb-first + reference-style alias)
+    val dst = spark.sql(
+      s"CALL copy_snapshot(table => 'c_copy', output => '$out')")
+      .first().getString(0)
+    val copy = GraftTable.load(spark, dst)
+    assert(Readers.snapshot(copy).count() === Readers.snapshot(t).count())
+    val out2 = tmpDir("c_copy_out2").toString + "/backup2"
+    spark.sql(s"CALL snapshot_copy(table => 'c_copy', output => '$out2')")
+    assert(Readers.snapshot(GraftTable.load(spark, out2)).count() === 3)
+    // export + manifest round-trip: the manifest's absolute paths read
+    // back as parquet and cover every snapshot row
+    val n = spark.sql("CALL symlink_manifest(table => 'c_copy')")
+      .first().getString(0).toInt
+    assert(n >= 1)
+    val manifests = graft.core.PathIO.walk(
+        java.nio.file.Paths.get(t.basePath.toString, "_symlink_format_manifest"))
+      .filter(_.getFileName.toString == "manifest")
+    val paths = manifests.flatMap(m =>
+      java.nio.file.Files.readString(m).linesIterator.filter(_.nonEmpty))
+    assert(paths.nonEmpty)
+    val viaManifest = spark.read.parquet(paths.map(
+      _.stripPrefix("file:")): _*)
+    assert(viaManifest.count() === Readers.snapshot(t).count())
+  }
+
   test("DESCRIBE DETAIL and SHOW PARTITIONS over a graft name") {
     val dir = tmpDir("call_detail").toString + "/t"
     val t = GraftTable.create(spark, dir, TableConfig(

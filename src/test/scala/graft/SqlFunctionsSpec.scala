@@ -57,6 +57,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(viaSql.find(_._1 == 1L).get._4 === "en")
   }
 
+  test("NFKC fingerprint functions: variants collide only under NFKC") {
+    Seq((1L, "the final fix"), (2L, "the ﬁnal ﬁx"),
+      (3L, "ｔｈｅ ｆｉｎａｌ ｆｉｘ"))
+      .toDF("id", "text").createOrReplaceTempView("fnfkc")
+    val plain = spark.sql(
+      "SELECT count(DISTINCT graft_fingerprint(text)), " +
+        "count(DISTINCT graft_fingerprint_nfkc(text)), " +
+        "count(DISTINCT graft_fingerprint_hex_nfkc(text)) FROM fnfkc").first()
+    assert(plain.getLong(0) === 3L) // default: all distinct
+    assert(plain.getLong(1) === 1L) // NFKC: one group
+    assert(plain.getLong(2) === 1L)
+    // sql == dataframe
+    val viaSql = spark.sql(
+      "SELECT id, graft_fingerprint_nfkc(text) AS f FROM fnfkc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaDf = spark.table("fnfkc").select(col("id"),
+        TextStats.fingerprint(col("text"), "NFKC").as("f"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql === viaDf)
+  }
+
   test("similarity functions") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0)),
