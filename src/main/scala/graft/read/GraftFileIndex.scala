@@ -284,32 +284,53 @@ final class GraftFileIndex(
     }
   }
 
+  /** The stats key for a predicate side: a column name, or the parquet
+    * dot-path of a NESTED struct field (`meta.st` for
+    * `GetStructField(meta, "st")` chains). Write-side stats record those
+    * same dot-paths for struct-only leaves (WritePipeline.footerStats
+    * r16), so `WHERE meta.st = 'X'` file-skips exactly like a top-level
+    * predicate. Anything else (array/map access, computed expressions)
+    * returns None and keeps the file.
+    */
+  private def statsPath(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case g: GetStructField => statsPath(g.child).map(p => s"$p.${g.extractFieldName}")
+    case _ => None
+  }
+
+  private object ColPath {
+    def unapply(e: Expression): Option[String] = statsPath(e)
+  }
+
   /** Conservative range check: false only when the file's recorded
-    * [min,max] for the predicate column provably excludes every match.
-    * Unknown shapes, missing stats, or unsupported types keep the file.
+    * [min,max] for the predicate column (top-level or nested struct leaf)
+    * provably excludes every match. Unknown shapes, missing stats, or
+    * unsupported types keep the file.
     */
   private def mayMatch(f: FileEntry, filter: Expression): Boolean = filter match {
     case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
     case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
-    case EqualTo(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, "=")
-    case EqualTo(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, "=")
-    case GreaterThan(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, ">")
-    case GreaterThan(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, "<")
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, ">=")
-    case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, "<=")
-    case LessThan(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, "<")
-    case LessThan(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, ">")
-    case LessThanOrEqual(a: AttributeReference, Literal(v, t)) => inRange(f, a.name, t, v, "<=")
-    case LessThanOrEqual(Literal(v, t), a: AttributeReference) => inRange(f, a.name, t, v, ">=")
-    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, t) => inRange(f, a.name, t, v, "=") }
+    case EqualTo(ColPath(p), Literal(v, t)) => inRange(f, p, t, v, "=")
+    case EqualTo(Literal(v, t), ColPath(p)) => inRange(f, p, t, v, "=")
+    case GreaterThan(ColPath(p), Literal(v, t)) => inRange(f, p, t, v, ">")
+    case GreaterThan(Literal(v, t), ColPath(p)) => inRange(f, p, t, v, "<")
+    case GreaterThanOrEqual(ColPath(p), Literal(v, t)) => inRange(f, p, t, v, ">=")
+    case GreaterThanOrEqual(Literal(v, t), ColPath(p)) => inRange(f, p, t, v, "<=")
+    case LessThan(ColPath(p), Literal(v, t)) => inRange(f, p, t, v, "<")
+    case LessThan(Literal(v, t), ColPath(p)) => inRange(f, p, t, v, ">")
+    case LessThanOrEqual(ColPath(p), Literal(v, t)) => inRange(f, p, t, v, "<=")
+    case LessThanOrEqual(Literal(v, t), ColPath(p)) => inRange(f, p, t, v, ">=")
+    case In(ColPath(p), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, t) => inRange(f, p, t, v, "=") }
     // null-count pruning: a file with zero nulls in the column can't
     // satisfy IS NULL; one that is ALL nulls can't satisfy IS NOT NULL
-    // (footer-exact counts recorded at write time; unknown count → keep)
-    case IsNull(a: AttributeReference) =>
-      f.colNulls.get(a.name).forall(_ > 0L)
-    case IsNotNull(a: AttributeReference) =>
-      f.colNulls.get(a.name).forall(n => f.numRecords <= 0L || n < f.numRecords)
+    // (footer-exact counts recorded at write time; unknown count → keep).
+    // For a nested leaf the footer's numNulls counts rows null AT ANY
+    // level (parent struct null or leaf null) — exactly `meta.st IS NULL`
+    case IsNull(ColPath(p)) =>
+      f.colNulls.get(p).forall(_ > 0L)
+    case IsNotNull(ColPath(p)) =>
+      f.colNulls.get(p).forall(n => f.numRecords <= 0L || n < f.numRecords)
     case _ => true
   }
 

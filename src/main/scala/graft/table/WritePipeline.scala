@@ -365,8 +365,15 @@ object WritePipeline extends Serializable {
 
   /** Row count + per-column min/max straight from the parquet footer —
     * per-file exact, zero data IO beyond the footer bytes. Column stats
-    * (every comparable top-level primitive, meta columns excluded) power
-    * data skipping on arbitrary predicates in GraftFileIndex.
+    * (every comparable primitive leaf, meta columns excluded) power data
+    * skipping on arbitrary predicates in GraftFileIndex. NESTED leaves
+    * reached only through structs qualify too (r16): their max repetition
+    * level is 0, so each row contributes exactly one value-or-null entry
+    * and the footer's min/max/numNulls have row semantics identical to a
+    * top-level column — a `WHERE meta.st = 'X'` prunes files the same way
+    * a top-level predicate does. Leaves under arrays/maps (repetition
+    * level > 0) are excluded: their stats aggregate over ELEMENTS, which
+    * no simple row predicate maps to.
     */
   private def footerStats(file: Path,
       conf: org.apache.hadoop.conf.Configuration = Storage.conf,
@@ -382,11 +389,15 @@ object WritePipeline extends Serializable {
       // no null-predicate pruning for it)
       val nulls = scala.collection.mutable.HashMap[String, Long]()
       val nullsUnknown = scala.collection.mutable.HashSet[String]()
+      // struct-only leaf paths (top-level or nested with repetition 0)
+      val rowSemantic: Set[String] = reader.getFooter.getFileMetaData.getSchema
+        .getColumns.asScala.filter(_.getMaxRepetitionLevel == 0)
+        .map(_.getPath.mkString(".")).toSet
       reader.getFooter.getBlocks.forEach { b =>
         n += b.getRowCount
         b.getColumns.forEach { c =>
           val name = c.getPath.toDotString
-          if (!name.contains('.')) { // top-level primitives only
+          if (rowSemantic.contains(name)) {
             val st = c.getStatistics
             if (st == null || !st.isNumNullsSet) nullsUnknown += name
             else nulls.updateWith(name)(cur => Some(cur.getOrElse(0L) + st.getNumNulls))
@@ -438,8 +449,10 @@ object WritePipeline extends Serializable {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val schema = reader.getFooter.getFileMetaData.getSchema
+    // same row-semantics rule as footerStats: struct-only leaves (max
+    // repetition level 0) participate, nested included
     val descs = schema.getColumns.asScala
-      .filter(_.getPath.length == 1).map(d => d.getPath()(0) -> d).toMap
+      .filter(_.getMaxRepetitionLevel == 0).map(d => d.getPath.mkString(".") -> d).toMap
     val sets = scala.collection.mutable.HashMap[String, scala.collection.mutable.LinkedHashSet[String]]()
     // columns a previous commit proved ineligible enter pre-poisoned:
     // their dictionary pages are never opened again
@@ -476,7 +489,7 @@ object WritePipeline extends Serializable {
         reader.getDictionaryReader(b)
       try b.getColumns.asScala.foreach { c =>
         val name = c.getPath.toDotString
-        if (!name.contains('.') && !MetaCols.All.contains(name) && !poisoned(name)) {
+        if (descs.contains(name) && !MetaCols.All.contains(name) && !poisoned(name)) {
           val es = c.getEncodingStats
           if (!typeOk(c)) poisoned += name // costless: footer-only check
           else if (es == null || es.hasNonDictionaryEncodedPages) {

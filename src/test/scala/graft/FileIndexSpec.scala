@@ -78,6 +78,45 @@ class FileIndexSpec extends AnyFunSuite {
     assert(all.relation.location.listFiles(Nil, Nil).flatMap(_.files).size === 2)
   }
 
+  test("NESTED struct-leaf stats prune files: range, equality, null-count") {
+    val dir = tmpDir("fidx_nested")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{struct, lit, col}
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "nsk", TableType.CopyOnWrite, Seq("id"), "", "ver",
+      Map(ConfigKeys.SmallFileLimit -> "1")))
+    // group A: meta.n in 1..50, meta.tag = 'lo', meta.opt never null
+    // group B: meta.n in 51..100, meta.tag = 'hi', meta.opt always null
+    t.bulkInsert((1L to 50L).map(i => (i, 1L)).toDF("id", "ver")
+      .withColumn("meta", struct(col("id").as("n"), lit("lo").as("tag"),
+        lit("x").as("opt"))))
+    t.insert((51L to 100L).map(i => (i, 1L)).toDF("id", "ver")
+      .withColumn("meta", struct(col("id").as("n"), lit("hi").as("tag"),
+        lit(null).cast("string").as("opt"))))
+
+    def listedFor(df: org.apache.spark.sql.DataFrame) = {
+      val scan = scanOf(df)
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files).size
+    }
+    // range on a nested numeric leaf skips the low group
+    val range = Readers.snapshot(t).filter($"meta.n" > 60L)
+    assert(listedFor(range) === 1, "meta.n <= 50 group should be skipped")
+    assert(range.count() === 40)
+    // equality on a nested categorical leaf (dictionary set or min==max)
+    val eq = Readers.snapshot(t).filter($"meta.tag" === "lo")
+    assert(listedFor(eq) === 1, "the meta.tag='hi' group should be skipped")
+    assert(eq.count() === 50)
+    // null-count on a nested leaf
+    val nn = Readers.snapshot(t).filter($"meta.opt".isNull)
+    assert(listedFor(nn) === 1, "the no-nulls group should be skipped")
+    assert(nn.count() === 50)
+    // no predicate → both file groups listed; totals intact
+    assert(scanOf(Readers.snapshot(t)).relation.location
+      .listFiles(Nil, Nil).flatMap(_.files).size === 2)
+    assert(Readers.snapshot(t).count() === 100)
+  }
+
   test("null-count stats prune files for IS NULL / IS NOT NULL") {
     val dir = tmpDir("fidx_null")
     import spark.implicits._
