@@ -878,6 +878,30 @@ object TableOps {
       q
     }),
 
+    // Metadata-answered aggregates on NESTED struct leaves (r16): the
+    // same LocalRelation collapse for min/max/count over `meta.x` —
+    // nested footer stats recorded at write time answer with zero IO.
+    // The require pins that the rewrite fired; narrow batches after the
+    // wide insert exercise typed-null padding in the stats too.
+    "t_stats_answered_nested" -> ((s, d) => {
+      val t = fresh(s, d, "t_stats_ans_nested", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.withColumn("meta",
+        struct(col("o_totalprice").as("price"), col("o_orderpriority").as("pri"))))
+      t.upsert(src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("meta", struct((col("o_totalprice") * 2).as("price"),
+          col("o_orderpriority").as("pri"))))
+      val q = Readers.snapshot(t).agg(
+        count(col("meta.price")).as("n_price"),
+        min(col("meta.price")).as("lo_price"),
+        max(col("meta.price")).as("hi_price"),
+        max(col("meta.pri")).as("top_pri"))
+      require(q.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "nested stats-answered aggregate did not fire — plan still scans")
+      q
+    }),
+
     // CALL stored procedures end-to-end (reference-line-plus; the 0.x
     // reference drives these through the Java client/CLI only): MOR
     // compaction, savepoint, a bad batch undone via rollback_to_savepoint,
@@ -1896,6 +1920,14 @@ object TableOps {
          |min(o_orderdate) AS first_date,
          |max(o_orderpriority) AS top_prio
          |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
+    "t_stats_answered_nested" ->
+      s"""SELECT count(*) AS n_price,
+         |min(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+         |  ELSE o_totalprice END) AS lo_price,
+         |max(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+         |  ELSE o_totalprice END) AS hi_price,
+         |max(o_orderpriority) AS top_pri
+         |FROM orders""".stripMargin,
     "t_sql_time_travel" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total

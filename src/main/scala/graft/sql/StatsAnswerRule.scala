@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, GetStructField, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -49,31 +49,55 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
     case agg @ Aggregate(grouping, exprs, child, _)
         if grouping.isEmpty && exprs.nonEmpty && exprs.forall(isCandidate) =>
       indexOf(child) match {
-        case Some(g) =>
-          val answers = exprs.map(answer(g, _))
+        case Some((g, env)) =>
+          val answers = exprs.map(answer(g, env, _))
           if (answers.forall(_.isDefined))
             LocalRelation(agg.output,
               Seq(InternalRow.fromSeq(answers.map(_.get))))
           else agg
         case None => agg
       }
-    // SELECT DISTINCT col — exactly one grouping attribute projected as
-    // itself — answers from the dictionary value index when every file
-    // proves its distinct set exhaustively
-    case agg @ Aggregate(Seq(grp: AttributeReference),
-        Seq(out: AttributeReference), child, _) if out.semanticEquals(grp) =>
-      (supportedDistinctType(grp.dataType), indexOf(child)) match {
-        case (true, Some(g)) =>
-          g.exactDistinctValues(grp.name).flatMap { case (vs, hasNull) =>
-            val decoded = vs.map(v => decode(Some(v), grp.dataType))
-            if (decoded.forall(_.isDefined))
-              Some(LocalRelation(agg.output,
-                (decoded.map(_.get) ++ (if (hasNull) Seq(null) else Nil))
-                  .map(v => InternalRow(v))))
-            else None // a single undecodable value keeps the scan
-          }.getOrElse(agg)
-        case _ => agg
+    // SELECT DISTINCT col — exactly one grouping expression (a column or
+    // a nested struct leaf) projected as itself — answers from the
+    // dictionary value index when every file proves its distinct set
+    // exhaustively (nested leaves record dictionary sets too, r16)
+    case agg @ Aggregate(Seq(grpE), Seq(out), child, _)
+        if (out match {
+          case a: AttributeReference => a.semanticEquals(grpE)
+          case Alias(e, _) => e.semanticEquals(grpE)
+          case _ => false
+        }) =>
+      indexOf(child) match {
+        case Some((g, env)) =>
+          leafPath(grpE, env) match {
+            case Some((key, dt)) if supportedDistinctType(dt) =>
+              g.exactDistinctValues(key).flatMap { case (vs, hasNull) =>
+                val decoded = vs.map(v => decode(Some(v), dt))
+                if (decoded.forall(_.isDefined))
+                  Some(LocalRelation(agg.output,
+                    (decoded.map(_.get) ++ (if (hasNull) Seq(null) else Nil))
+                      .map(v => InternalRow(v))))
+                else None // a single undecodable value keeps the scan
+              }.getOrElse(agg)
+            case _ => agg
+          }
+        case None => agg
       }
+  }
+
+  /** The stats key of an aggregate operand: a plain column, a
+    * `GetStructField` chain down struct nesting (dot-path — matching the
+    * write side's nested footer stats), or a Project-introduced alias of
+    * one (`env` carries alias → path from [[indexOf]]'s descent, so the
+    * optimizer's extracted `_extract_x` attributes still resolve).
+    * Returns the key plus the LEAF type. None = not stats-addressable.
+    */
+  private def leafPath(e: Expression, env: Map[ExprId, (String, DataType)]):
+      Option[(String, DataType)] = e match {
+    case a: AttributeReference => env.get(a.exprId).orElse(Some((a.name, a.dataType)))
+    case g: GetStructField =>
+      leafPath(g.child, env).map { case (p, _) => (s"$p.${g.extractFieldName}", g.dataType) }
+    case _ => None
   }
 
   /** Types the dictionary index records exactly (UTF8 binary, int32
@@ -87,15 +111,22 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
   }
 
   /** Shape gate (cheap, before any stats work): alias of a non-distinct,
-    * unfiltered count/min/max over a literal or plain attribute.
+    * unfiltered count/min/max over a literal, plain attribute or nested
+    * struct-leaf chain (the stats-addressability itself is re-checked
+    * against the env in [[answer]]).
     */
   private def isCandidate(ne: NamedExpression): Boolean = ne match {
     case Alias(ae: AggregateExpression, _) =>
+      def pathish(e: Expression): Boolean = e match {
+        case _: AttributeReference => true
+        case g: GetStructField => pathish(g.child)
+        case _ => false
+      }
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
         case Count(Seq(Literal(_, _))) => true
-        case Count(Seq(_: AttributeReference)) => true
-        case Min(_: AttributeReference) => true
-        case Max(_: AttributeReference) => true
+        case Count(Seq(e)) => pathish(e)
+        case Min(e) => pathish(e)
+        case Max(e) => pathish(e)
         case _ => false
       })
     case _ => false
@@ -103,20 +134,23 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
 
   /** The expression's exact answer as a Catalyst internal value (inside
     * Some(_); `Some(null)` is a legitimate all-null min/max). None = not
-    * answerable from stats.
+    * answerable from stats. `count(meta.st)` counts rows non-null at
+    * EVERY level, exactly what the nested footer numNulls records.
     */
-  private def answer(g: GraftFileIndex, ne: NamedExpression): Option[Any] =
+  private def answer(g: GraftFileIndex, env: Map[ExprId, (String, DataType)],
+      ne: NamedExpression): Option[Any] =
     ne match {
       case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
         case Count(Seq(Literal(_, _))) => g.exactRowCount.map(identity[Any])
-        case Count(Seq(a: AttributeReference)) =>
-          g.exactColumnStats(a.name, a.dataType).map(_._3)
-        case Min(a: AttributeReference) =>
-          g.exactColumnStats(a.name, a.dataType)
-            .flatMap { case (lo, _, _) => decode(lo, a.dataType) }
-        case Max(a: AttributeReference) =>
-          g.exactColumnStats(a.name, a.dataType)
-            .flatMap { case (_, hi, _) => decode(hi, a.dataType) }
+        case Count(Seq(e)) => leafPath(e, env).flatMap { case (k, dt) =>
+          g.exactColumnStats(k, dt).map(_._3)
+        }
+        case Min(e) => leafPath(e, env).flatMap { case (k, dt) =>
+          g.exactColumnStats(k, dt).flatMap { case (lo, _, _) => decode(lo, dt) }
+        }
+        case Max(e) => leafPath(e, env).flatMap { case (k, dt) =>
+          g.exactColumnStats(k, dt).flatMap { case (_, hi, _) => decode(hi, dt) }
+        }
         case _ => None
       }
       case _ => None
@@ -148,16 +182,22 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
   }
 
   /** The scan's GraftFileIndex, if `p` is the bare scan (modulo
-    * attribute-only projections). SQL temp-view / catalog names wrap the
-    * v1 [[graft.spark.GraftRelation]] instead of the file-index scan —
-    * for a LATEST-snapshot relation over pure base files (no MOR deltas,
-    * no bootstrap-adopted externals) the same stats index is derivable
-    * from the live view, so `SELECT min(...) FROM view_name` answers too.
+    * projections of plain attributes and struct-leaf extractions). SQL
+    * temp-view / catalog names wrap the v1 [[graft.spark.GraftRelation]]
+    * instead of the file-index scan — for a LATEST-snapshot relation over
+    * pure base files (no MOR deltas, no bootstrap-adopted externals) the
+    * same stats index is derivable from the live view, so
+    * `SELECT min(...) FROM view_name` answers too.
+    *
+    * The returned env maps Project-introduced alias attributes (e.g. the
+    * optimizer's nested-pruning `_extract_x`) to the underlying stats
+    * dot-path + leaf type. A Project containing ANY other computed
+    * expression disables the rewrite, preserving the strict shape guard.
     */
-  private def indexOf(p: LogicalPlan): Option[GraftFileIndex] = p match {
+  private def indexOf(p: LogicalPlan): Option[(GraftFileIndex, Map[ExprId, (String, DataType)])] = p match {
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation => h.location match {
-        case g: GraftFileIndex => Some(g)
+        case g: GraftFileIndex => Some((g, Map.empty))
         case _ => None
       }
       case g: graft.spark.GraftRelation if g.latestSnapshot =>
@@ -166,13 +206,24 @@ object StatsAnswerRule extends Rule[LogicalPlan] {
           s.deltaFiles.isEmpty && s.baseFile.isDefined &&
             !new org.apache.hadoop.fs.Path(s.baseFile.get.relPath).isAbsolute)
         if (!pureBases) None
-        else Some(new GraftFileIndex(g.table.spark,
+        else Some((new GraftFileIndex(g.table.spark,
           new org.apache.hadoop.fs.Path(g.table.basePath.toString),
-          slices.flatMap(_.baseFile)))
+          slices.flatMap(_.baseFile)), Map.empty))
       case _ => None
     }
-    case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>
-      indexOf(c)
+    case Project(projs, c) =>
+      indexOf(c).flatMap { case (g, env) =>
+        val ok = projs.forall {
+          case _: AttributeReference => true
+          case Alias(e, _) => leafPath(e, env).isDefined
+          case _ => false
+        }
+        if (!ok) None
+        else Some((g, env ++ projs.collect {
+          case al @ Alias(e, _) if leafPath(e, env).isDefined =>
+            al.exprId -> leafPath(e, env).get
+        }))
+      }
     case _ => None
   }
 }

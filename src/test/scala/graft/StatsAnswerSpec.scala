@@ -132,6 +132,37 @@ class StatsAnswerSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.statsAnswer.enabled")
   }
 
+  test("NESTED leaf min/max/count and DISTINCT answer from stats") {
+    val dir = tmpDir("statnested")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "snst", TableType.CopyOnWrite, Seq("id"), "", ""))
+    val src = Seq((1L, 5L, "lo", Some("x")), (2L, 90L, "hi", None),
+      (3L, 40L, "lo", Some("y")))
+      .toDF("id", "n", "tag", "opt")
+      .select($"id", struct($"n", $"tag", $"opt").as("meta"))
+    t.bulkInsert(src)
+
+    val mm = Readers.snapshot(t).agg(
+      min($"meta.n").as("lo"), max($"meta.n").as("hi"),
+      count($"meta.opt").as("nn"))
+    assert(!hasScan(mm), "nested min/max/count should answer from stats")
+    assert(mm.head match { case r => (r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((5L, 90L, 2L)) })
+
+    val d = Readers.snapshot(t).select($"meta.tag").distinct()
+    assert(!hasScan(d), "nested DISTINCT should answer from the dictionary index")
+    assert(d.collect().map(_.getString(0)).sorted.toSeq === Seq("hi", "lo"))
+
+    // an array-nested access never answers (no row-semantic stats)
+    val arr = Seq((1L, Seq(1L, 2L))).toDF("id", "xs")
+    val t2 = GraftTable.create(spark, tmpDir("statnested2").toString,
+      TableConfig("snst2", TableType.CopyOnWrite, Seq("id"), "", ""))
+    t2.bulkInsert(arr)
+    val viaScan = Readers.snapshot(t2).agg(min(element_at($"xs", 1)).as("m"))
+    assert(hasScan(viaScan))
+    assert(viaScan.head.getLong(0) === 1L)
+  }
+
   test("SELECT DISTINCT col answers from the dictionary value index") {
     val dir = tmpDir("statdist")
     val t = GraftTable.create(spark, dir.toString, TableConfig(
