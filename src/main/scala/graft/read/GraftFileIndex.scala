@@ -263,15 +263,17 @@ final class GraftFileIndex(
     def exprName(e: Expression): Option[String] =
       if (exprIndexes.isEmpty || e.isInstanceOf[AttributeReference]) None
       else exprIndexes.get(GraftFileIndex.canonicalSql(e.sql))
+    // ColPath covers plain columns AND nested struct leaves (`meta.st`),
+    // whose secondary indexes register under the same dotted name
     dataFilters.flatMap {
-      case EqualTo(a: AttributeReference, Literal(v, t)) if secondaryColumns(a.name) =>
-        litStr(v, t).map(s => a.name -> Seq(s))
-      case EqualTo(Literal(v, t), a: AttributeReference) if secondaryColumns(a.name) =>
-        litStr(v, t).map(s => a.name -> Seq(s))
-      case In(a: AttributeReference, vs)
-          if secondaryColumns(a.name) && vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      case EqualTo(ColPath(p), Literal(v, t)) if secondaryColumns(p) =>
+        litStr(v, t).map(s => p -> Seq(s))
+      case EqualTo(Literal(v, t), ColPath(p)) if secondaryColumns(p) =>
+        litStr(v, t).map(s => p -> Seq(s))
+      case In(ColPath(p), vs)
+          if secondaryColumns(p) && vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         val ss = vs.map { case Literal(v, t) => litStr(v, t) }
-        if (ss.forall(_.isDefined)) Some(a.name -> ss.flatten.toSeq) else None
+        if (ss.forall(_.isDefined)) Some(p -> ss.flatten.toSeq) else None
       case EqualTo(e, Literal(v, t)) if exprName(e).isDefined =>
         litStr(v, t).map(s => exprName(e).get -> Seq(s))
       case EqualTo(Literal(v, t), e) if exprName(e).isDefined =>

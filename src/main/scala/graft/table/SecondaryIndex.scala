@@ -94,9 +94,16 @@ object SecondaryIndex {
         IndexSpec(name, s.substring(i + 1).trim)
       }
 
-  /** Every maintained index: plain columns first, then expressions. */
+  /** Every maintained index: plain columns first, then expressions. A
+    * DOTTED column name (`meta.st`) indexes the nested struct leaf: each
+    * path segment backticks separately so the expression resolves as a
+    * field access, not one dot-bearing identifier (r16 — pairs with the
+    * nested stats/DDL surface; the file-index probe side maps
+    * GetStructField predicates to the same dotted name).
+    */
   def indexSpecs(cfg: TableConfig): Seq[IndexSpec] =
-    enabledColumns(cfg).map(c => IndexSpec(c, s"`$c`")) ++ expressionIndexes(cfg)
+    enabledColumns(cfg).map(c => IndexSpec(c,
+      c.split('.').map(seg => s"`$seg`").mkString("."))) ++ expressionIndexes(cfg)
 
   def specOf(cfg: TableConfig, name: String): Option[IndexSpec] =
     indexSpecs(cfg).find(_.name == name)

@@ -179,6 +179,38 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(tt.count() === orders.filter(col("o_custkey") === 421).count())
   }
 
+  test("NESTED column secondary index: lookupBy parity + plan-time pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir("sec_nested")
+    val t = GraftTable.create(spark, dir.toString, secCfg(
+      Map(ConfigKeys.SecondaryIndexColumns -> "meta.ck")))
+    val src = orders.withColumn("meta",
+      struct(col("o_custkey").as("ck"), col("o_orderstatus").as("st")))
+      .drop("o_custkey")
+    t.bulkInsert(src, SortMode.NoSort)
+    assert(TableConfig.exists(SecondaryIndex.indexPath(t, "meta.ck")))
+
+    // lookupBy on the dotted name == nested-filtered snapshot
+    val keys = Seq("7", "421")
+    val got = t.lookupBy("meta.ck", keys)
+    val want = src.filter(col("meta.ck").cast("string").isin(keys: _*))
+    assert(got.count() === want.count())
+    assert(got.select("o_orderkey").except(want.select("o_orderkey")).count() === 0)
+
+    // WHERE meta.ck = v prunes listed files through the index probe
+    def listedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+    }
+    val all = listedFiles(Readers.snapshot(t))
+    val pruned = Readers.snapshot(t).filter(col("meta.ck") === 421L)
+    assert(listedFiles(pruned) < all,
+      s"nested indexed equality did not prune (listed all $all files)")
+    assert(pruned.count() === want.filter(col("meta.ck") === 421L).count())
+  }
+
   test("unindexed column falls back to the filtered snapshot") {
     val dir = tmpDir("sec_fallback")
     val t = GraftTable.create(spark, dir.toString, secCfg())
