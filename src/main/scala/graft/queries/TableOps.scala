@@ -268,6 +268,24 @@ object TableOps {
       data(Readers.snapshot(t))
     }),
 
+    // NESTED assignment targets (r16): UPDATE SET meta.pri rewrites ONLY
+    // the named struct field (withField — siblings carried), both through
+    // the engine API and the SQL MERGE clause path. Output flattened.
+    "t_update_nested" -> ((s, d) => {
+      val t = fresh(s, d, "t_update_nested", cfg(TableType.CopyOnWrite))
+      val src = orders(s, d)
+      t.bulkInsert(src.withColumn("meta", struct(
+        col("o_orderpriority").as("pri"), col("o_totalprice").as("price"))))
+      t.update("o_orderstatus = 'P'", Map("meta.pri" -> "'X-PENDING'"))
+      t.mergeInto(src.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_totalprice") * 3).as("p3")))
+        .whenMatchedUpdate(assignments = Map("meta.price" -> "s.p3"))
+        .execute()
+      Readers.snapshot(t).select(OrdersCols.map(col) ++ Seq(
+        col("meta.pri").as("meta_pri"), col("meta.price").as("meta_price")): _*)
+    }),
+
     "t_filter_exists" -> ((s, d) => {
       val t = fresh(s, d, "t_filter_exists", cfg(TableType.CopyOnWrite))
       val src = orders(s, d)
@@ -1671,6 +1689,13 @@ object TableOps {
          |CASE WHEN o_orderstatus = 'P' THEN 'X-PENDING' ELSE o_orderpriority END AS o_orderpriority
          |FROM orders""".stripMargin,
     "t_delete_where" -> s"$ordersAll WHERE o_orderstatus <> 'F'",
+    "t_update_nested" ->
+      s"""SELECT $OrdersSql,
+         |CASE WHEN o_orderstatus = 'P' THEN 'X-PENDING'
+         |  ELSE o_orderpriority END AS meta_pri,
+         |CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+         |  ELSE o_totalprice END AS meta_price
+         |FROM orders""".stripMargin,
     "t_filter_exists" -> s"$ordersAll WHERE o_orderkey % 2 <> 0",
     "t_rollback" -> ordersAll,
     "t_savepoint_restore" -> ordersAll,

@@ -128,9 +128,16 @@ final case class GraftDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
 
+  /** An assignment target as a (possibly dotted) column path: nested
+    * struct targets (`SET meta.pri = x`) keep their FULL path so the
+    * builder applies them as withField rewrites — truncating to the last
+    * part (the old behavior) silently dropped the assignment.
+    */
   private def assignKey(key: Expression): String = key match {
     case a: AttributeReference => a.name
-    case u: UnresolvedAttribute => u.nameParts.last
+    case u: UnresolvedAttribute => u.nameParts.mkString(".")
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      s"${assignKey(g.child)}.${g.extractFieldName}"
     case other => other.sql
   }
 

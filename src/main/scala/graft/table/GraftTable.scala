@@ -718,10 +718,27 @@ final class GraftTable(
     * just the changed rows as deltas instead (subset path).
     */
   def update(condition: String, set: Map[String, String]): String = {
+    // dotted keys assign NESTED struct fields (`meta.pri`): validated
+    // against the schema and applied via withField — sibling fields keep
+    // their values, a NULL struct stays NULL (ANSI semantics). A dotted
+    // key over a missing path refuses named instead of silently no-oping.
+    val (topSet, nestedSet) = SchemaEvolution.splitAssignments(
+      dataSchema.getOrElse(StructType(Nil)), set)
+    // the assigned value for column c, or None when this UPDATE leaves it
+    def assignFor(c: String, base: Column): Option[Column] =
+      (topSet.get(c), nestedSet.get(c)) match {
+        case (None, None) => None
+        case (direct, nested) =>
+          val start = direct.map(expr).getOrElse(base)
+          Some(nested.map(SchemaEvolution.applyNestedAssignments(start, _, expr))
+            .getOrElse(start))
+      }
     if (cfg.isMor) {
       val snap = graft.read.Readers.snapshot(this).filter(expr(condition))
       val dataCols = snap.columns.filterNot(c => MetaCols.All.contains(c)).toSeq
-      val assigned = set.foldLeft(snap) { case (df, (c, e)) => df.withColumn(c, expr(e)) }
+      val assigned = dataCols.foldLeft(snap) { (df, c) =>
+        assignFor(c, col(s"`$c`")).map(df.withColumn(c, _)).getOrElse(df)
+      }
       val resolved = assigned.select(
         (Seq(col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
           substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
@@ -738,9 +755,9 @@ final class GraftTable(
           col(MetaCols.RecordKey), col(MetaCols.PartitionPath),
           substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol),
           lit(false).as(DeleteCol), cond.as(ModifiedCol)) ++
-          dataCols.map(c => set.get(c)
-            .map(e => when(cond, expr(e).cast(rows.schema(c).dataType)).otherwise(col(c)))
-            .getOrElse(col(c)).as(c))): _*)
+          dataCols.map(c => assignFor(c, col(s"`$c`"))
+            .map(a => when(cond, a.cast(rows.schema(c).dataType)).otherwise(col(s"`$c`")))
+            .getOrElse(col(s"`$c`")).as(c))): _*)
       writeCompleteGroups(resolved, "update")
     }
   }

@@ -93,6 +93,12 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
 
   def execute(): String = {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
+    clauses.filter(_.kind == "insert").foreach { cl =>
+      val dotted = cl.assignments.keys.filter(_.contains(".")).toSeq.sorted
+      require(dotted.isEmpty,
+        s"INSERT clause assigns whole columns — nested targets " +
+          s"(${dotted.mkString(", ")}) belong to UPDATE clauses")
+    }
     // additive schema evolution, the same contract as upsert's
     // alignToTableSchema: extra source data columns become new nullable
     // table columns (existing rows read null); the target side is padded
@@ -176,6 +182,18 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
     }
   }
 
+  /** Per-clause assignment split: top-level vs NESTED (dotted) targets,
+    * validated against the table's (evolved) shape. `UPDATE SET
+    * meta.pri = x` applies via withField — sibling fields carried, NULL
+    * structs stay NULL — instead of silently no-oping on an unmatched
+    * whole-column key.
+    */
+  private def splitFor(cl: Clause): (Map[String, String], Map[String, Seq[(String, String)]]) =
+    SchemaEvolution.splitAssignments(
+      org.apache.spark.sql.types.StructType(colTypes.toSeq.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt)
+      }), cl.assignments)
+
   private def matchedValueCol(applied: Seq[(Clause, Column)], c: String): Column = {
     val chain = applied.foldLeft(when(lit(false), lit(null))) {
       case (acc, (cl, app)) =>
@@ -183,7 +201,13 @@ final class MergeInto private[table] (t: GraftTable, source: DataFrame) {
           if (cl.kind.endsWith("delete")) col(s"t.$c")
           else if (cl.assignments.isEmpty)
             (if (source.columns.contains(c)) col(s"s.$c") else col(s"t.$c"))
-          else cl.assignments.get(c).map(expr).getOrElse(col(s"t.$c"))
+          else {
+            val (top, nested) = splitFor(cl)
+            val start = top.get(c).map(expr).getOrElse(col(s"t.$c"))
+            nested.get(c)
+              .map(SchemaEvolution.applyNestedAssignments(start, _, expr))
+              .getOrElse(start)
+          }
         acc.when(app, v)
     }
     chain.otherwise(col(s"t.$c"))

@@ -131,6 +131,52 @@ object SchemaEvolution {
         "struct fields (arrays of struct and map values descend transparently)")
   }
 
+  /** Split a SQL assignment map into top-level assignments and NESTED
+    * (dotted-key) assignments grouped by root column — the shared
+    * front-end of `UPDATE SET meta.pri = x` and MERGE's UPDATE clauses.
+    * Validates each nested path against the schema (root column exists,
+    * intermediate segments are structs, the LEAF EXISTS — an UPDATE
+    * never adds fields; that's ADD COLUMNS' job) and refuses assigning a
+    * root column and one of its nested fields in the same statement
+    * (ambiguous application order).
+    */
+  def splitAssignments(schema: StructType, set: Map[String, String])
+      : (Map[String, String], Map[String, Seq[(String, String)]]) = {
+    val (nested, top) = set.partition(_._1.contains("."))
+    val byRoot = nested.toSeq.groupBy(_._1.split('.').head)
+    byRoot.foreach { case (root, entries) =>
+      require(!top.contains(root),
+        s"cannot assign both '$root' and its nested field(s) " +
+          s"${entries.map(_._1).sorted.mkString(", ")} in one statement")
+      val idx = schema.fieldNames.indexOf(root)
+      require(idx >= 0, s"column not found: $root")
+      entries.foreach { case (key, _) =>
+        val segs = key.split('.').toSeq
+        val leaf = segs.last
+        rewriteStructAt(root, schema.fields(idx).dataType,
+          segs.tail.dropRight(1), { (p, s) =>
+            require(s.fieldNames.contains(leaf),
+              s"no field '$leaf' at '$p' (has: ${s.fieldNames.mkString(", ")}) — " +
+                "UPDATE assigns existing nested fields; use ALTER TABLE ADD " +
+                "COLUMNS to declare new ones")
+            s
+          })
+      }
+    }
+    (top, byRoot)
+  }
+
+  /** Apply nested assignments to a struct column via `Column.withField`
+    * (exact ANSI semantics: sibling fields keep their values; a NULL
+    * struct stays NULL — setting a field never materializes a struct the
+    * row didn't have).
+    */
+  def applyNestedAssignments(base: Column, entries: Seq[(String, String)],
+      exprOf: String => Column): Column =
+    entries.foldLeft(base) { case (acc, (key, e)) =>
+      acc.withField(key.split('.').tail.mkString("."), exprOf(e))
+    }
+
   /** Deep-nullable normalization for persisted commit schemas: every
     * nested field reads back nullable (parquet scans surface nullable
     * regardless of the writer frame, and evolution backfills nulls).

@@ -16,7 +16,7 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
     assert(Bench.headline.forall(qs.contains))
     // count only ratchets up — a drop means gates silently vanished (r9)
-    assert(qs.size >= 230, s"gate count shrank: ${qs.size}")
+    assert(qs.size >= 231, s"gate count shrank: ${qs.size}")
     // every catalog query is oracled — no rows-only checks left
     assert(SparkEntry.oracleSql.keySet === qs.keySet)
   }

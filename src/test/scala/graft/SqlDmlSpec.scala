@@ -33,6 +33,42 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(got === Array((1L, 10.0, "a"), (2L, 200.0, "up"), (3L, 300.0, "up")))
   }
 
+  test("SQL UPDATE and MERGE assign NESTED struct fields") {
+    val dir = tmpDir("sql_nested_set").toString + "/t"
+    Seq((1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "c", 30L))
+      .toDF("id", "ver", "st", "n")
+      .select($"id", $"ver", struct($"st", $"n").as("meta"))
+      .write.format("graft")
+      .option("recordKeyFields", "id").option("precombineField", "ver")
+      .option("operation", "bulk_insert")
+      .save(dir)
+    def rr(): Unit = spark.read.format("graft")
+      .option("includeMetaColumns", "false")
+      .load(dir).createOrReplaceTempView("tns")
+    rr()
+    // nested UPDATE: only the named field changes; siblings carried
+    spark.sql("UPDATE tns SET meta.st = 'UP' WHERE id >= 2")
+    rr()
+    val got = spark.sql("SELECT id, meta.st, meta.n FROM tns ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got === Array((1L, "a", 10L), (2L, "UP", 20L), (3L, "UP", 30L)))
+    // nested MERGE SET: field from source, sibling untouched
+    Seq((2L, 2L, 999L), (3L, 2L, 888L)).toDF("id", "ver", "nn")
+      .createOrReplaceTempView("src_ns")
+    spark.sql("""
+      MERGE INTO tns t USING src_ns s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET meta.n = s.nn, ver = s.ver""")
+    rr()
+    val got2 = spark.sql("SELECT id, meta.st, meta.n FROM tns ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got2 === Array((1L, "a", 10L), (2L, "UP", 999L), (3L, "UP", 888L)))
+    // a missing nested path refuses named instead of silently no-oping
+    val e = intercept[Exception] {
+      spark.sql("UPDATE tns SET meta.nope = 'x' WHERE id = 1")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("SQL DELETE rewrites through the engine") {
     val dir = makeView("td")
     spark.sql("DELETE FROM td WHERE tag = 'b'")
