@@ -46,6 +46,25 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(Readers.snapshot(t).filter(col("o_totalprice") === 5.0).count() === 10)
   }
 
+  test("CHECK over a NESTED struct field enforces and refuses") {
+    val t0 = mk("cc_nested")
+    val s = src(100).withColumn("meta",
+      struct(col("o_totalprice").as("price"), col("o_orderstatus").as("st")))
+    t0.bulkInsert(s)
+    val t = t0.addCheckConstraint("nested_price_pos", "meta.price > 0")
+    val before = t.timeline.completedInstants().size
+    val e = intercept[IllegalArgumentException] {
+      t.upsert(s.limit(10).withColumn("meta",
+        struct(lit(-9.0).as("price"), col("o_orderstatus").as("st"))))
+    }
+    assert(e.getMessage.contains("nested_price_pos"))
+    assert(t.timeline.completedInstants().size === before)
+    // a clean batch still lands; UNKNOWN (null struct) passes ANSI
+    t.upsert(s.limit(5).withColumn("meta",
+      lit(null).cast(s.schema("meta").dataType)))
+    assert(Readers.snapshot(t).filter(col("meta").isNull).count() === 5)
+  }
+
   test("add refuses when existing rows violate; drop stops enforcement") {
     val t = mk("cc_existing")
     val s = src(100)
