@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * under heavier models for FILTERING purposes, and every step stays
   * exactly replayable by the DuckDB oracle (counts, joins, `ln`).
   *
-  * Scale shape: training is two hash aggregations (bigram counts,
-  * unigram counts) partitioned by token — the classic word-count plan.
+  * Scale shape: training is ONE corpus-wide hash aggregation (bigram
+  * counts, the classic word-count plan); the unigram context counts fold
+  * from the aggregated model table itself (c1 = Σ c2), never re-reading
+  * the corpus.
   * Scoring explodes each doc into bigrams and joins against the model on
   * (w1, w2) then w1; both sides hash-partition on the join key, and a
   * trusted-corpus model is typically small enough that Spark broadcasts
@@ -43,7 +45,11 @@ object LmScore {
     val pairs = trusted.select(explode(bigrams(col(textCol))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // context counts DERIVE from the bigram counts: c1(w1) = Σ_w2 c2 —
+    // exact LONG sums, bit-identical to re-counting pairs, and one whole
+    // tokenize+explode+shuffle pass over the corpus cheaper (the uni
+    // aggregation now folds the already-aggregated model table)
+    val uni = bi.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = trusted.select(explode(toks(col(textCol))).as("w"))
       .agg(countDistinct(col("w"))).first().getLong(0)
     (bi, uni, vocab)
