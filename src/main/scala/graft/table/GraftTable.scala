@@ -1724,14 +1724,32 @@ final class GraftTable(
     // commit metadata records full names, so each file reads natively)
     val internalFrames = internal.groupBy(e => WritePipeline.formatOf(e.relPath))
       .toSeq.sortBy(_._1).map { case (fmt, es) =>
-        val paths = es.map(e => basePath.resolve(e.relPath).toString)
-        val reader = spark.read
         val withDelete = es.exists(_.isDelta)
         val readSchema = schema.map { s =>
           if (withDelete) StructType(s.fields :+ StructField(DeleteCol, BooleanType, nullable = true))
           else s
         }
-        readSchema.map(reader.schema).getOrElse(reader).format(fmt).load(paths: _*)
+        readSchema match {
+          case Some(s) =>
+            // metadata-driven scan (GraftFileIndex): sizes/partitions come
+            // from commit metadata, so planning does ZERO file-system calls —
+            // the spark.read.load(paths) form below re-resolves the source
+            // per call (checkFilesExist stats every path, InMemoryFileIndex
+            // re-lists it, possibly as a whole extra job past the
+            // parallel-discovery threshold), a per-read driver tax this
+            // path pays several times per commit (index tag, merge read,
+            // MOR/incremental pulls)
+            val dataSchema = StructType(
+              s.fields.filterNot(_.name == MetaCols.PartitionPath))
+            org.apache.spark.sql.GraftSqlBridge.fileScan(
+                spark, new graft.read.GraftFileIndex(spark, basePath, es),
+                dataSchema, fmt)
+              .select(s.fieldNames.toIndexedSeq.map(col): _*)
+          case None =>
+            // pre-first-commit fallback: no recorded schema — infer
+            val paths = es.map(e => basePath.resolve(e.relPath).toString)
+            spark.read.format(fmt).load(paths: _*)
+        }
       }
     val frames = internalFrames ++
       (if (ext.isEmpty) None else Some(readExternal(ext, schema)))
