@@ -22,6 +22,48 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Hot-path JPEG codec plumbing: ImageIO's convenience entry points pay
+    * a reader/writer SPI scan per CALL plus (by default) a temp-FILE-backed
+    * stream cache per image — at corpus scale that dwarfs the actual
+    * Huffman work on small frames. This helper pins memory-backed streams
+    * (same JVM-global flip as ImageHash) and reuses one reader/writer per
+    * thread. Readers/writers are not thread-safe → ThreadLocal; a decode
+    * failure discards the instance (plugin state after an exception is
+    * undefined) and the row just drops, as before.
+    */
+  private object Jpeg {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val reader = new ThreadLocal[javax.imageio.ImageReader]()
+    private val writer = new ThreadLocal[javax.imageio.ImageWriter]()
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      var r = reader.get()
+      if (r == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+        if (!it.hasNext) return null
+        r = it.next(); reader.set(r)
+      }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try { r.setInput(iis, true, true); r.read(0) }
+      catch { case scala.util.control.NonFatal(_) =>
+        r.dispose(); reader.remove(); null
+      } finally iis.close()
+    }
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      var w = writer.get()
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        writer.set(w)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try { w.setOutput(ios); w.write(img) } finally ios.close()
+      out.toByteArray
+    }
+  }
+
   final case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
   final case class DecodedImage(id: Long, meta: ImageMeta, byteLen: Long)
   final case class Frame(id: Long, frameIdx: Int, tsMillis: Long, frame: Array[Byte])
@@ -218,9 +260,7 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         VideoCodec.aviMjpegFrames(bytes).toSeq.flatMap { case (uspf, jpegs) =>
           jpegs.zipWithIndex.flatMap { case (jb, i) =>
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
-              catch { case scala.util.control.NonFatal(_) => null }
+            val img = Jpeg.decode(jb) // cached per-thread reader, memory streams
             if (img == null) None
             else Some(DecodedFrame(id, i, i * uspf / 1000L,
               img.getWidth, img.getHeight))
@@ -613,11 +653,14 @@ object Multimodal {
     val img = new java.awt.image.BufferedImage(size, size,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val rnd = new java.util.Random(seed * 7919L + frameIdx)
-    val raster = img.getRaster
-    for (y <- 0 until size; x <- 0 until size)
-      raster.setSample(x, y, 0, rnd.nextInt(256))
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", out)
-    out.toByteArray
+    // direct fill of the gray raster's backing byte array: index y*size+x
+    // visits pixels in the same (y, x) order as the setSample loop it
+    // replaces, so the Random sequence — and the image — are unchanged,
+    // without a per-pixel SampleModel round trip
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < data.length) { data(i) = rnd.nextInt(256).toByte; i += 1 }
+    Jpeg.encode(img) // cached per-thread writer, memory-backed stream
   }
 }
