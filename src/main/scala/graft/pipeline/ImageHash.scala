@@ -41,6 +41,48 @@ object ImageHash {
   // back AFTER the hash pass, or not share the JVM.
   javax.imageio.ImageIO.setUseCache(false)
 
+  // Per-thread PNG codec instances (same rationale as Multimodal.Jpeg):
+  // the ImageIO convenience entry points re-scan the plugin registry per
+  // CALL, which at corpus scale rivals the pixel work on 64×64 frames.
+  // PNG-magic bytes decode through a reused reader; other containers
+  // (JPEG/GIF/BMP) keep the generic path — they only appear in
+  // user-supplied corpora where decode cost dominates anyway. A decode
+  // failure discards the instance (plugin state after a throw is
+  // undefined) and the row drops, exactly as before.
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader]()
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter]()
+
+  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val isPng = bytes(0) == 0x89.toByte && bytes(1) == 'P'
+    if (!isPng)
+      return try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    var r = pngReader.get()
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (!it.hasNext) return null
+      r = it.next(); pngReader.set(r)
+    }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try { r.setInput(iis, true, true); r.read(0) }
+    catch { case scala.util.control.NonFatal(_) =>
+      r.dispose(); pngReader.remove(); null
+    } finally iis.close()
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    var w = pngWriter.get()
+    if (w == null) {
+      w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      pngWriter.set(w)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try { w.setOutput(ios); w.write(img) } finally ios.close()
+    out.toByteArray
+  }
+
   // DCT-II basis table: cos((2x+1) u π / 2N) for x,u < N — precomputed
   // once per JVM, shared by every partition's hash loop
   private lazy val cosTable: Array[Array[Double]] = {
@@ -70,9 +112,7 @@ object ImageHash {
     // on corrupt/truncated bytes that pass the magic-byte check — one bad
     // blob in a 100 TB corpus must drop the row, not fail the job
     // (matching Multimodal's decode paths)
-    val src =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val src = decodeImage(bytes)
     if (src == null) return None
     // grayscale downsample: TYPE_BYTE_GRAY target + bilinear resample
     val gray = new java.awt.image.BufferedImage(DctSize, DctSize,
@@ -242,8 +282,6 @@ object ImageHash {
         v = math.min(255, v + 12)
       raster.setSample(x, y, 0, v)
     }
-    val outBytes = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", outBytes)
-    outBytes.toByteArray
+    encodePng(img) // cached per-thread writer, memory-backed stream
   }
 }
