@@ -53,6 +53,10 @@ object ImageHash {
   private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter]()
 
   private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    // drop-the-row contract enforced locally: a null/short blob must never
+    // throw out of the magic-byte probe below (phash64 pre-checks length,
+    // but this helper must stay safe for any caller)
+    if (bytes == null || bytes.length < 2) return null
     val isPng = bytes(0) == 0x89.toByte && bytes(1) == 'P'
     if (!isPng)
       return try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -79,7 +83,12 @@ object ImageHash {
     }
     val out = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-    try { w.setOutput(ios); w.write(img) } finally ios.close()
+    // mirror the decode path: a writer that threw mid-write is in an
+    // undefined plugin state — discard it so the next encode on this
+    // thread starts clean
+    try { w.setOutput(ios); w.write(img) }
+    catch { case e: Throwable => w.dispose(); pngWriter.remove(); throw e }
+    finally ios.close()
     out.toByteArray
   }
 
@@ -106,7 +115,7 @@ object ImageHash {
     * and stable under small local edits.
     */
   def phash64(bytes: Array[Byte]): Option[Long] = {
-    if (!looksLikeImage(bytes)) return None
+    if (bytes == null || !looksLikeImage(bytes)) return None
     // NonFatal, not just IOException: JDK image plugins throw runtime
     // exceptions (ArrayIndexOutOfBounds, IllegalArgument, CMMException)
     // on corrupt/truncated bytes that pass the magic-byte check — one bad

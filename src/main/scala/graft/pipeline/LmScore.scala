@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * under heavier models for FILTERING purposes, and every step stays
   * exactly replayable by the DuckDB oracle (counts, joins, `ln`).
   *
-  * Scale shape: training is ONE corpus-wide hash aggregation (bigram
-  * counts, the classic word-count plan); the unigram context counts fold
-  * from the aggregated model table itself (c1 = Σ c2), never re-reading
-  * the corpus.
+  * Scale shape: training is one corpus-wide bigram aggregation (the
+  * classic word-count plan) plus the vocabulary distinct-count pass; the
+  * unigram context counts fold from the aggregated model table itself
+  * (c1 = Σ c2), never re-reading the corpus.
   * Scoring explodes each doc into bigrams and joins against the model on
   * (w1, w2) then w1; both sides hash-partition on the join key, and a
   * trusted-corpus model is typically small enough that Spark broadcasts

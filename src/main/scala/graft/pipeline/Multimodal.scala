@@ -37,6 +37,7 @@ object Multimodal {
     private val writer = new ThreadLocal[javax.imageio.ImageWriter]()
 
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (bytes == null || bytes.length < 2) return null // drop, never throw
       var r = reader.get()
       if (r == null) {
         val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
@@ -59,7 +60,11 @@ object Multimodal {
       }
       val out = new java.io.ByteArrayOutputStream()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-      try { w.setOutput(ios); w.write(img) } finally ios.close()
+      // a writer that threw mid-write is in an undefined plugin state —
+      // discard it (mirrors the decode path) so later encodes start clean
+      try { w.setOutput(ios); w.write(img) }
+      catch { case e: Throwable => w.dispose(); writer.remove(); throw e }
+      finally ios.close()
       out.toByteArray
     }
   }

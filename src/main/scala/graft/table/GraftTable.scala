@@ -1741,8 +1741,15 @@ final class GraftTable(
             // MOR/incremental pulls)
             val dataSchema = StructType(
               s.fields.filterNot(_.name == MetaCols.PartitionPath))
+            // allowStatsAnswer=false: this raw path serves asOf/time-travel
+            // callers whose entry lists may reference cleaner-deleted files;
+            // a bare count(*) answered from metadata would silently succeed
+            // where the scan itself throws (Readers.fileIndexScan threads
+            // the cleaner-retention check instead — bare aggregates over
+            // raw internal reads don't need the shortcut)
             org.apache.spark.sql.GraftSqlBridge.fileScan(
-                spark, new graft.read.GraftFileIndex(spark, basePath, es),
+                spark, new graft.read.GraftFileIndex(spark, basePath, es,
+                  allowStatsAnswer = false),
                 dataSchema, fmt)
               .select(s.fieldNames.toIndexedSeq.map(col): _*)
           case None =>

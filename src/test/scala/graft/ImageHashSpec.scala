@@ -39,6 +39,27 @@ class ImageHashSpec extends AnyFunSuite {
     assert(ImageHash.phash64(ImageHash.syntheticPng(7L, 16)).isDefined)
   }
 
+  test("degenerate blobs drop the row, never fail the job") {
+    // null / empty / 1-byte / magic-only-truncated blobs must all hash to
+    // None (the drop-the-row contract) — including an 8-byte PNG-magic
+    // prefix that passes the magic check but reaches the codec truncated
+    assert(ImageHash.phash64(null).isEmpty)
+    assert(ImageHash.phash64(Array.emptyByteArray).isEmpty)
+    assert(ImageHash.phash64(Array[Byte](0x89.toByte)).isEmpty)
+    val pngMagicOnly = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0D, 0x0A, 0x1A, 0x0A)
+    assert(ImageHash.phash64(pngMagicOnly).isEmpty)
+    // and through the DataFrame pass: bad rows drop, good rows survive
+    val rows = Seq(
+      (1L, ImageHash.syntheticPng(1L, 16)),
+      (2L, Array.emptyByteArray),
+      (3L, Array[Byte](0x89.toByte)),
+      (4L, pngMagicOnly),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val out = ImageHash.phashImages(rows.toDF("doc_id", "content")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("banded pairs equal brute-force pairs within threshold") {
     val n = 96
     val imgs = ImageHash.withSyntheticPng(
