@@ -466,9 +466,23 @@ final class GraftTable(
     enforceConstraints(df, "insert_overwrite")
     runCommit(Action.ReplaceCommit, "insert_overwrite", extraMetadata) { instant =>
       val keyed = KeyGen.withKeyColumns(alignToTableSchema(df), cfg)
-      val touched = keyed.select(MetaCols.PartitionPath).distinct()
-        .collect().map(_.getString(0)).toSet ++ replaceScope
-      val routed = assignFreshBuckets(keyed)
+      // ONE profile job yields both the touched-partition set and the
+      // per-partition counts that size the fresh file groups — the
+      // separate distinct() pass this fuses away was a second full scan
+      // of the batch per overwrite commit (BUCKET routing is row-local
+      // and profile-free, so that branch keeps the distinct)
+      val (routed, batchParts) =
+        if (BucketIndex.enabled(cfg))
+          (bucketTag(keyed), staticBookkeeping(
+            keyed.select(MetaCols.PartitionPath).distinct().collect())
+            .map(_.getString(0)).toSet)
+        else {
+          val profile = staticBookkeeping(
+            keyed.groupBy(MetaCols.PartitionPath).count().collect())
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          (assignFreshWithProfile(keyed, profile), profile.keySet)
+        }
+      val touched = batchParts ++ replaceScope
       val stats = writeFiles(spark, basePath,
         withCommitMeta(routed, instant, isDelta = false, baseFormat = cfg.baseFormat),
         instant, isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
@@ -792,9 +806,9 @@ final class GraftTable(
     */
   private def readTouchedGroups(cond: Column): DataFrame = {
     val snap = graft.read.Readers.snapshot(this)
-    val touched = snap.filter(cond)
+    val touched = staticBookkeeping(snap.filter(cond)
       .select(substring_index(col(MetaCols.FileName), "_", 1).as(FileIdCol))
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect()).map(_.getString(0)).toSet
     readEntriesRaw(view.fileSlices(None).flatMap(_.baseFile)
       .filter(b => touched.contains(b.fileId)))
   }
@@ -1292,6 +1306,13 @@ final class GraftTable(
     * never opened (the reference reads parquet footers for the same bounds,
     * SparkHoodieBloomIndex.java:165-191 — ours come from commit metadata).
     */
+  /** Driver-side bookkeeping actions (index tag ranges, workload
+    * profiles, touched-group ids) are tiny-output aggregations — see
+    * [[WritePipeline.withStaticPlanning]] for why they plan statically.
+    */
+  private def staticBookkeeping[T](thunk: => T): T =
+    WritePipeline.withStaticPlanning(spark)(thunk)
+
   private def existingKeys(affectedPartitions: Option[Set[String]],
       incomingKeyRange: Option[(String, String)],
       bloomProbe: Option[DataFrame] = None,
@@ -1347,8 +1368,8 @@ final class GraftTable(
     * and the incoming key range come from ONE aggregation job.
     */
   private def simpleTag(keyed: DataFrame): DataFrame = {
-    val pr = keyed.groupBy(MetaCols.PartitionPath)
-      .agg(min(MetaCols.RecordKey).as("mn"), max(MetaCols.RecordKey).as("mx")).collect()
+    val pr = staticBookkeeping(keyed.groupBy(MetaCols.PartitionPath)
+      .agg(min(MetaCols.RecordKey).as("mn"), max(MetaCols.RecordKey).as("mx")).collect())
     val parts = pr.map(_.getString(0)).toSet
     val mins = pr.flatMap(r => Option(r.getString(1)))
     val maxs = pr.flatMap(r => Option(r.getString(2)))
@@ -1363,7 +1384,8 @@ final class GraftTable(
       // existing copy can live anywhere — dedup by key alone
       keyed.join(existingKeys(None, None), Seq(MetaCols.RecordKey), "left_anti")
     else {
-      val parts = keyed.select(MetaCols.PartitionPath).distinct().collect()
+      val parts = staticBookkeeping(
+        keyed.select(MetaCols.PartitionPath).distinct().collect())
         .map(_.getString(0)).toSet
       keyed.join(existingKeys(Some(parts), None),
         Seq(MetaCols.RecordKey, MetaCols.PartitionPath), "left_anti")
@@ -1388,7 +1410,8 @@ final class GraftTable(
     */
   private def assignInsertBucketsWithIds(tagged: DataFrame)
       : (DataFrame, Set[(String, String)]) = {
-    val profile = tagged.groupBy(MetaCols.PartitionPath, FileIdCol).count().collect()
+    val profile = staticBookkeeping(
+      tagged.groupBy(MetaCols.PartitionPath, FileIdCol).count().collect())
     // (partition, fileId) PAIRS throughout: bucket layouts reuse the same
     // fileId across partitions, so a bare-id set would alias groups
     val updatedIds = profile.filter(!_.isNullAt(1))
@@ -1417,8 +1440,9 @@ final class GraftTable(
           ConsistentBuckets.route(this, frame, preserveExisting = true)
         else frame.withColumn(FileIdCol,
           coalesce(col(FileIdCol), BucketIndex.fileIdCol(cfg, col(MetaCols.RecordKey))))
-      val ids = routed.select(MetaCols.PartitionPath, FileIdCol).distinct()
-        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val ids = staticBookkeeping(
+        routed.select(MetaCols.PartitionPath, FileIdCol).distinct().collect())
+        .map(r => (r.getString(0), r.getString(1))).toSet
       return (routed, ids)
     }
     val recSize = avgRecordSize
@@ -1473,23 +1497,32 @@ final class GraftTable(
     * empty insert side (common for pure-update MOR upserts).
     */
   private def assignInsertBucketsFresh(keyed: DataFrame): (DataFrame, Boolean) = {
-    val profile = keyed.groupBy(MetaCols.PartitionPath).count().collect()
+    val profile = staticBookkeeping(
+      keyed.groupBy(MetaCols.PartitionPath).count().collect())
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (assignFreshWithProfile(keyed, profile), profile.nonEmpty)
+  }
+
+  /** Fresh-bucket routing from a precomputed per-partition count profile —
+    * lets callers that already ran a batch aggregation (insert_overwrite's
+    * touched-partition pass) reuse it instead of launching a second one.
+    */
+  private def assignFreshWithProfile(keyed: DataFrame,
+      profile: Map[String, Long]): DataFrame = {
     val perNew = math.max(1L, maxFileSize / avgRecordSize)
     val rows = profile.toSeq.flatMap { case (part, n) =>
       (0L until n by perNew).map(lo =>
         (part, lo, math.min(lo + perNew, n), n, newFileIdPrefix()))
     }
     if (rows.isEmpty)
-      return (keyed.withColumn(FileIdCol, lit(newFileIdPrefix())), false)
+      return keyed.withColumn(FileIdCol, lit(newFileIdPrefix()))
     import spark.implicits._
     val buckets = rows.toDF("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
     val h = pmod(abs(hash(col(MetaCols.RecordKey))).cast("long"), col("_b_total"))
-    val routed = keyed.join(broadcast(buckets),
+    keyed.join(broadcast(buckets),
         col(MetaCols.PartitionPath) === col("_b_part") && h >= col("_b_lo") && h < col("_b_hi"))
       .withColumn(FileIdCol, col("_b_fid"))
       .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
-    (routed, true)
   }
 
   /** COW merge write: rewrite every touched file group as
@@ -1519,9 +1552,9 @@ final class GraftTable(
     // file groups being rewritten = every group any row routes to (the
     // caller's profile job usually already knows this set). PAIRS, not
     // bare fileIds: bucket layouts share ids across partitions
-    val touchedIds = knownTouched.getOrElse(
-      routed.select(MetaCols.PartitionPath, FileIdCol).distinct()
-        .collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    val touchedIds = knownTouched.getOrElse(staticBookkeeping(
+      routed.select(MetaCols.PartitionPath, FileIdCol).distinct().collect())
+        .map(r => (r.getString(0), r.getString(1))).toSet)
     val liveBases = view.fileSlices(None).flatMap(_.baseFile)
       .filter(b => touchedIds.contains((b.partitionPath, b.fileId)))
     val unioned =
@@ -1544,8 +1577,13 @@ final class GraftTable(
       .withColumn(MetaCols.FileName,
         concat(col(FileIdCol), lit(s"_0_$instant.${cfg.baseFormat}")))
 
-    val stats = writeFiles(spark, basePath, merged, instant, isDelta = false,
-      alreadyPartitioned = true, baseFormat = cfg.baseFormat, dict = dictStats)
+    // internal plan: tagged-cache scan ∪ file-index scans, broadcast-
+    // hinted routing only, files keyed by pre-assigned (partition, fileId)
+    // — static planning skips AQE's per-stage driver latency (see
+    // WritePipeline.withStaticPlanning)
+    val stats = WritePipeline.withStaticPlanning(spark)(
+      writeFiles(spark, basePath, merged, instant, isDelta = false,
+        alreadyPartitioned = true, baseFormat = cfg.baseFormat, dict = dictStats))
     // a group whose merge produced NO rows (every record tombstoned) writes
     // no file — record it as replaced or its old base would stay the
     // latest slice and the deleted rows would resurrect. Pair-keyed: the
@@ -1680,9 +1718,11 @@ final class GraftTable(
       } else
         (withDel.filter(col(FileIdCol).isNotNull), withDel.filter(col(FileIdCol).isNull))
 
-    val deltaStats = writeFiles(spark, basePath,
+    // delta/base writes read the commit's cached tagged frame (hinted
+    // bucket joins only) — static planning, same rationale as writeMerged
+    val deltaStats = WritePipeline.withStaticPlanning(spark)(writeFiles(spark, basePath,
       withCommitMeta(updates, instant, isDelta = true), instant, isDelta = true,
-      allDeletes = allDeletes, dict = dictStats)
+      allDeletes = allDeletes, dict = dictStats))
     val (insertRouted, hasInserts) =
       if (BucketIndex.enabled(cfg)) {
         val r = inserts.drop(DeleteCol) // bucket id already routed
@@ -1690,9 +1730,9 @@ final class GraftTable(
       } else assignInsertBucketsFresh(inserts.drop(FileIdCol, DeleteCol))
     val baseStats =
       if (!hasInserts) Seq.empty
-      else writeFiles(spark, basePath,
+      else WritePipeline.withStaticPlanning(spark)(writeFiles(spark, basePath,
         withCommitMeta(insertRouted, instant, isDelta = false, baseFormat = cfg.baseFormat),
-        instant, isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats)
+        instant, isDelta = false, baseFormat = cfg.baseFormat, dict = dictStats))
     (deltaStats ++ baseStats, Map.empty, schemaJsonFor(tagged))
   }
 

@@ -109,6 +109,35 @@ object WritePipeline extends Serializable {
   private[graft] val dictPageReads =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Runs `thunk` with AQE disabled for queries planned inside it. For
+    * engine-INTERNAL plans — bookkeeping aggregations and the merge/delta
+    * writes fed from the commit's cached tagged frame — AQE can improve
+    * nothing: output files are keyed by the pre-assigned
+    * (partition, fileId), so coalescing cannot change file counts; the
+    * only joins are broadcast-hinted bucket routes; skew handling applies
+    * to joins only. What AQE does add is an optimizer re-run + codegen
+    * round of driver latency per query stage, PER COMMIT — a cost that
+    * scales with commit count, not data volume. User-plan-bearing writes
+    * (bulkInsert sources, MERGE resolution) stay under AQE — arbitrary
+    * upstream joins do benefit from runtime re-planning. Session-conf
+    * scoped and restored in finally; an optimization-only toggle, never a
+    * correctness one. `spark.graft.internal.adaptive=true` restores AQE
+    * for these internal plans.
+    */
+  def withStaticPlanning[T](spark: SparkSession)(thunk: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    if (spark.conf.getOption("spark.graft.internal.adaptive").contains("true"))
+      return thunk
+    val prev = spark.conf.getOption(key)
+    if (prev.contains("false")) return thunk // already static
+    spark.conf.set(key, "false")
+    try thunk
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Distributed write. `df` must contain `_graft_file_id` plus the five
     * meta columns. Returns per-file WriteStats (with record-key min/max
     * recorded for index file-skipping). One shuffle

@@ -35,6 +35,12 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B aid: extra session confs via SPARK_GRAFT_EXTRA_CONF="k=v;k=v" —
+    // lets one binary profile both sides of a conf-gated engine change
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val fn = graft.SparkEntry.queries(name)
 
     // warm: codegen + page cache + ICU init

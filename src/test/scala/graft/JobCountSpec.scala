@@ -51,11 +51,35 @@ class JobCountSpec extends AnyFunSuite {
       Readers.incremental(t, last).collect()
     }
     info(s"jobs: bulkInsert=$bulk upsert=$up delete=$del read=$read incremental=$inc")
-    assert(bulk <= 6, s"bulkInsert grew to $bulk jobs")
-    assert(up <= 12, s"upsert grew to $up jobs")
-    assert(del <= 12, s"delete grew to $del jobs")
+    // r17 tightened from (6, 12, 12): engine-internal actions plan
+    // statically now (WritePipeline.withStaticPlanning), so AQE's
+    // per-stage jobs no longer multiply the commit's action count —
+    // measured bulk=2 up=4 del=4 at sf0.001, pinned with ~2x slack
+    assert(bulk <= 4, s"bulkInsert grew to $bulk jobs")
+    assert(up <= 8, s"upsert grew to $up jobs")
+    assert(del <= 8, s"delete grew to $del jobs")
     assert(read <= 3, s"snapshot aggregate grew to $read jobs")
     assert(inc <= 4, s"incremental read grew to $inc jobs")
+  }
+
+  test("insert_overwrite runs ONE batch-profile job, not two") {
+    // the touched-partition set and the fresh-bucket counts come from the
+    // SAME groupBy-count collect (r17 fusion) — a second full scan of the
+    // batch per overwrite commit is a regression
+    val dir = tmpDir("jobs_ow")
+    val t = GraftTable.create(spark, dir.toString, TableConfig(
+      "jobs_ow", TableType.CopyOnWrite, Seq("o_orderkey"),
+      "date_format(o_orderdate, 'yyyy')", "o_orderdate"))
+    t.bulkInsert(orders)
+    val ow = countJobs(t.insertOverwrite(
+      orders.filter(year(col("o_orderdate")) === 1995)
+        .withColumn("o_totalprice", lit(1.0))))
+    info(s"jobs: insertOverwrite=$ow")
+    // one profile job + the write (whose USER-plan side stays under AQE,
+    // so it surfaces as 2-3 stage jobs) + driver-pool stats (0 jobs);
+    // measured 5 at sf0.001 — a second batch-profile pass would push it
+    // past this bound
+    assert(ow <= 6, s"insertOverwrite grew to $ow jobs")
   }
 
   test("stats-answered count(*) launches ZERO jobs") {
