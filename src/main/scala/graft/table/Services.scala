@@ -104,9 +104,13 @@ object Services {
       val merged = merged0
         .withColumn(MetaCols.FileName,
           concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
-      val stats = WritePipeline.writeFiles(t.spark, t.basePath, merged, ts,
-        isDelta = false, alreadyPartitioned = true, baseFormat = t.cfg.baseFormat,
-        dict = t.dictStats)
+      // internal plan (file-index scans + fused merge, no joins): static
+      // planning skips AQE's per-stage driver latency — see
+      // WritePipeline.withStaticPlanning
+      val stats = WritePipeline.withStaticPlanning(t.spark)(
+        WritePipeline.writeFiles(t.spark, t.basePath, merged, ts,
+          isDelta = false, alreadyPartitioned = true, baseFormat = t.cfg.baseFormat,
+          dict = t.dictStats))
       val md = CommitMetadata("compact", stats, Map.empty,
         t.latestSchema.map(_.json).getOrElse(""))
       t.timeline.saveAsComplete(inst, Json.write(md))
@@ -287,9 +291,12 @@ object Services {
             .withColumn(MetaCols.FileName,
               concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
             .drop(ZOrder.ZCol)
-          WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
-            isDelta = false, alreadyPartitioned = true,
-            baseFormat = t.cfg.baseFormat, dict = t.dictStats)
+          // internal plan: file-index scans + explicitly-pinned range
+          // exchange (numFiles) — static planning, see withStaticPlanning
+          WritePipeline.withStaticPlanning(t.spark)(
+            WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
+              isDelta = false, alreadyPartitioned = true,
+              baseFormat = t.cfg.baseFormat, dict = t.dictStats))
         } else {
           // pure small-file coalescing: hash-route into fresh size-targeted
           // groups per partition (no ordering requirement, no range shuffle)
@@ -307,8 +314,11 @@ object Services {
             .drop("_b_part", "_b_lo", "_b_hi", "_b_total", "_b_fid")
             .withColumn(MetaCols.FileName,
               concat(col(WritePipeline.FileIdCol), lit(s"_0_$ts.${t.cfg.baseFormat}")))
-          WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
-            isDelta = false, baseFormat = t.cfg.baseFormat, dict = t.dictStats)
+          // internal plan: file-index scans + broadcast-hinted bucket
+          // route — static planning, see withStaticPlanning
+          WritePipeline.withStaticPlanning(t.spark)(
+            WritePipeline.writeFiles(t.spark, t.basePath, routed, ts,
+              isDelta = false, baseFormat = t.cfg.baseFormat, dict = t.dictStats))
         }
       val replaced = plan.groups.map(g => g.partitionPath -> g.fileIds).toMap
       val md = CommitMetadata("cluster", stats, replaced,
