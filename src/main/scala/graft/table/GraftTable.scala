@@ -1632,6 +1632,12 @@ final class GraftTable(
     enforceConstraints(resolved.filter(col(ModifiedCol)), opType)
     runCommit(commitAction, opType) { instant =>
       {
+        // NOT cached deliberately (re-measured r17): persisting the
+        // resolution join A/B'd as a wash locally (13 interleaved pairs,
+        // first sweep −11%, confirmation +9%), and at scale the cache
+        // materializes FULL-width touched rows while the extra pass it
+        // saves is the column-pruned (partition, fileId, modified)
+        // profile scan — the narrow double-scan stays cheaper
         val cached = resolved
         // the profile projects only (partition, fileId, modified) — column
         // pruning reaches through the caller's join, so this pass scans the
